@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared expression helpers.
+  *
+  * Oracle-parity note (SURVEY.md §7.3.1): the driver hash-compares our
+  * results against DuckDB. Floating-point SUM/AVG over different addition
+  * orders diverges in the low bits, and engine `round()` implementations
+  * disagree on ties, so every money/measure aggregate here is quantized
+  * ELEMENT-WISE to an integer (`floor(x * 10^s + 0.5)` — pure IEEE ops that
+  * both engines evaluate bit-identically), summed exactly as BIGINT, and
+  * only then divided back. The division (`long / 10^s.toDouble`) is a single
+  * IEEE op on identical inputs → identical doubles on both sides.
+  */
+object Fx {
+  /** Element-wise quantization of a double column to integer units
+    * (s=2 → cents). SQL equivalent: CAST(FLOOR(x*100 + 0.5) AS BIGINT). */
+  def toUnits(c: Column, s: Int = 2): Column =
+    floor(c * math.pow(10, s) + lit(0.5)).cast("long")
+
+  /** Exact money sum: quantize each element, sum as long, scale back. */
+  def moneySum(c: Column, s: Int = 2): Column =
+    sum(toUnits(c, s)) / math.pow(10, s)
+
+  /** Exact money avg: integer sum divided by count — both engines perform
+    * the same two IEEE divisions on identical integers. */
+  def moneyAvg(c: Column, s: Int = 2): Column =
+    (sum(toUnits(c, s)) / math.pow(10, s)) / count(lit(1))
+
+  /** SQL-side equivalents (kept adjacent so the pair stays in sync).
+    * DuckDB SUM(BIGINT) yields HUGEINT — cast back to BIGINT so the
+    * division input types match Spark's long/double. */
+  def sqlUnits(x: String, s: Int = 2): String =
+    s"CAST(FLOOR(($x) * 1e$s + 0.5) AS BIGINT)"
+  def sqlUnitSum(x: String, s: Int = 2): String =
+    s"CAST(SUM(${sqlUnits(x, s)}) AS BIGINT)"
+  def sqlMoneySum(x: String, s: Int = 2): String =
+    s"(${sqlUnitSum(x, s)} / 1e$s)"
+  def sqlMoneyAvg(x: String, s: Int = 2): String =
+    s"((${sqlUnitSum(x, s)} / 1e$s) / COUNT(*))"
+}

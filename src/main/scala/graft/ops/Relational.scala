@@ -1,0 +1,509 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Fx._
+
+/** Relational query surface (SURVEY.md §2.2–§2.8).
+  *
+  * Covers the reference's implied Postgres workload re-expressed Spark-first:
+  * filter/project (P1–P4), aggregation A1–A4, rollup/cube A3, window W1–W4,
+  * joins J1–J3, set ops §2.7, sorts/top-k §2.6, scalar functions F1–F8.
+  * Reference anchors cited per query. Every query is deterministic (total
+  * ordering, element-wise integer quantization of float aggregates — see
+  * [[Fx]]) so the driver's DuckDB hash-compare is exact.
+  *
+  * Scale notes: dims (`nation`, `region`, `supplier`, `customer`) are
+  * broadcast explicitly; fact-fact joins shuffle on their keys; aggregates
+  * are partial+final (HashAggregate) automatically; no collect anywhere.
+  */
+object Relational {
+
+  // ---- q01: flagship pricing summary (A1; reference's implied rollup
+  //      workload over cumulative counters, SURVEY.md §2.4) -------------
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(toUnits(col("l_quantity"), 0)).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        moneyAvg(col("l_quantity"), 0).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        moneyAvg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q01Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      ${sqlUnitSum("l_quantity", 0)} AS sum_qty,
+      ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+      ${sqlMoneySum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+      ${sqlMoneyAvg("l_quantity", 0)} AS avg_qty,
+      ${sqlMoneyAvg("l_extendedprice")} AS avg_price,
+      ${sqlMoneyAvg("l_discount", 4)} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  // ---- q02: global top-k (§2.6 — TakeOrderedAndProject fusion) --------
+  def q02TopkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val q02Sql: String = """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+  // ---- q03: fact⋈fact⋈dim revenue (J1; broadcast small dim) -----------
+  def q03RevenueBySegment(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q03Sql: String = s"""
+    SELECT c_mktsegment,
+      ${sqlMoneySum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      COUNT(DISTINCT o_orderkey) AS n_orders,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- q04: full snowflake join to region, yearly revenue (J1) --------
+  def q04RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("o_year"))
+  }
+
+  val q04Sql: String = s"""
+    SELECT r_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      ${sqlMoneySum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q05: left outer join with null-producing side (J2) -------------
+  def q05LeftJoin(s: SparkSession, d: String): DataFrame = {
+    val o  = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(col("l_orderkey")).as("n_late_lines"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q05Sql: String = """
+    SELECT o_orderpriority,
+      COUNT(DISTINCT o_orderkey) AS n_orders,
+      COUNT(l_orderkey) AS n_late_lines,
+      COUNT(*) AS n_rows
+    FROM orders
+    LEFT JOIN (SELECT * FROM lineitem
+               WHERE l_shipdate > TIMESTAMP '2000-01-01') li
+      ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- q06: left-semi join / EXISTS (J3) ------------------------------
+  def q06SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_custkey"))
+    c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q06Sql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  // ---- q07: left-anti join / NOT EXISTS (J3) --------------------------
+  def q07AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_custkey"))
+    val n = Tables.nation(s, d)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val q07Sql: String = """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+    GROUP BY n_name ORDER BY n_name"""
+
+  // ---- q08: distinct aggregation (A2) ---------------------------------
+  def q08DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val q08Sql: String = """
+    SELECT o_orderpriority,
+      COUNT(DISTINCT o_custkey) AS n_custs,
+      COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- q09: rollup hierarchy totals (A3) ------------------------------
+  def q09Rollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("c_mktsegment")) * 2 + grouping(col("o_orderpriority")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("gid"),
+        col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  val q09Sql: String = s"""
+    SELECT c_mktsegment, o_orderpriority,
+      CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      COUNT(*) AS n,
+      ${sqlMoneySum("o_totalprice")} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+    ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"""
+
+  // ---- q10: cube (A3) -------------------------------------------------
+  def q10Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        sum(toUnits(col("l_quantity"), 0)).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q10Sql: String = s"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+      ${sqlUnitSum("l_quantity", 0)} AS sum_qty,
+      COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  // ---- q11: lag / daily delta (W1 — the cumulative-counter workhorse,
+  //      SURVEY.md §1.6.4) ---------------------------------------------
+  private def supplierWindow = Window.partitionBy(col("l_suppkey"))
+    .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+  def q11WindowLag(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(supplierWindow))
+      .withColumn("delta_qty", col("l_quantity") - col("prev_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+
+  val q11Sql: String = """
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      LAG(l_quantity, 1) OVER w AS prev_qty,
+      l_quantity - LAG(l_quantity, 1) OVER w AS delta_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+
+  // ---- q12: 7-row moving average (W3) ---------------------------------
+  def q12WindowMovavg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .withColumn("ma7",
+        avg(col("l_quantity")).over(supplierWindow.rowsBetween(-6, 0)))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"))
+
+  val q12Sql: String = """
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
+      AVG(l_quantity) OVER (PARTITION BY l_suppkey
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+    FROM lineitem
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
+
+  // ---- q13: running total (W4 — cumsum-of-deltas inverse check) -------
+  def q13RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(toUnits(col("o_totalprice"))).over(w) / 100.0)
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q13Sql: String = s"""
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      CAST(SUM(${sqlUnits("o_totalprice")}) OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2
+        AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  // ---- q14: top-k per group via row_number (A4/W2) --------------------
+  def q14TopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  val q14Sql: String = """
+    SELECT * FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3 ORDER BY c_mktsegment, rn"""
+
+  // ---- q15: union all + tag (§2.7; states∪counties analog) ------------
+  def q15Union(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(lit("cust").as("src"), col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, d)
+      .select(lit("supp").as("src"), col("s_nationkey").as("nationkey"))
+    c.unionByName(su)
+      .groupBy(col("src"), col("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("nationkey"))
+  }
+
+  val q15Sql: String = """
+    SELECT src, nationkey, COUNT(*) AS n FROM (
+      SELECT 'cust' AS src, c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT 'supp' AS src, s_nationkey AS nationkey FROM supplier)
+    GROUP BY src, nationkey ORDER BY src, nationkey"""
+
+  // ---- q16: intersect / except (§2.7) ---------------------------------
+  def q16IntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = Tables.supplier(s, d)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    val both = cn.intersect(sn).select(lit("both").as("op"), col("nationkey"))
+    val custOnly =
+      cn.except(sn).select(lit("cust_only").as("op"), col("nationkey"))
+    both.unionByName(custOnly).orderBy(col("op"), col("nationkey"))
+  }
+
+  val q16Sql: String = """
+    SELECT 'both' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    ORDER BY op, nationkey"""
+
+  // ---- q17: date bucketing (F6) ---------------------------------------
+  def q17DateBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("o_month"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_month"))
+
+  val q17Sql: String = s"""
+    SELECT date_trunc('month', o_orderdate) AS o_month,
+      CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      CAST(QUARTER(o_orderdate) AS BIGINT) AS o_quarter,
+      COUNT(*) AS n,
+      ${sqlMoneySum("o_totalprice")} AS sum_price
+    FROM orders GROUP BY 1, 2, 3 ORDER BY 1"""
+
+  // ---- q18: JSON extraction from string column (F8) -------------------
+  def q18JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q18Sql: String = """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  // ---- q19: CASE / math scalar functions (F7) -------------------------
+  def q19CaseMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("price_band",
+        when(col("l_extendedprice") < 20000.0, "low")
+          .when(col("l_extendedprice") < 60000.0, "mid")
+          .otherwise("high"))
+      .groupBy(col("price_band"))
+      .agg(
+        count(lit(1)).as("n"),
+        moneySum(greatest(col("l_tax"), col("l_discount")), 4)
+          .as("sum_max_rate"),
+        moneySum(least(col("l_tax"), col("l_discount")), 4)
+          .as("sum_min_rate"))
+      .orderBy(col("price_band"))
+
+  val q19Sql: String = s"""
+    SELECT price_band, COUNT(*) AS n,
+      ${sqlMoneySum("mx", 4)} AS sum_max_rate,
+      ${sqlMoneySum("mn", 4)} AS sum_min_rate
+    FROM (SELECT
+            CASE WHEN l_extendedprice < 20000.0 THEN 'low'
+                 WHEN l_extendedprice < 60000.0 THEN 'mid'
+                 ELSE 'high' END AS price_band,
+            GREATEST(l_tax, l_discount) AS mx,
+            LEAST(l_tax, l_discount) AS mn
+          FROM lineitem)
+    GROUP BY price_band ORDER BY price_band"""
+
+  // ---- q20: string functions (F2, F11; reference's trim/parse F1–F3) --
+  def q20StringOps(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("#", col("c_mktsegment"), col("c_name")).as("tagged"),
+        levenshtein(lower(col("c_name")), lit("customer")).cast("long")
+          .as("lev"))
+      .orderBy(col("c_custkey"))
+
+  val q20Sql: String = """
+    SELECT c_custkey, LOWER(c_name) AS lname,
+      SUBSTRING(c_name, 1, 8) AS prefix,
+      CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+      c_mktsegment || '#' || c_name AS tagged,
+      CAST(LEVENSHTEIN(LOWER(c_name), 'customer') AS BIGINT) AS lev
+    FROM customer ORDER BY c_custkey"""
+
+  /** Query + oracle registries for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"  -> q01PricingSummary _,
+    "q02_topk_orders"      -> q02TopkOrders _,
+    "q03_revenue_segment"  -> q03RevenueBySegment _,
+    "q04_region_revenue"   -> q04RegionRevenue _,
+    "q05_left_join"        -> q05LeftJoin _,
+    "q06_semi_join"        -> q06SemiJoin _,
+    "q07_anti_join"        -> q07AntiJoin _,
+    "q08_distinct_agg"     -> q08DistinctAgg _,
+    "q09_rollup"           -> q09Rollup _,
+    "q10_cube"             -> q10Cube _,
+    "q11_window_lag"       -> q11WindowLag _,
+    "q12_window_movavg"    -> q12WindowMovavg _,
+    "q13_running_total"    -> q13RunningTotal _,
+    "q14_topk_per_group"   -> q14TopkPerGroup _,
+    "q15_union"            -> q15Union _,
+    "q16_intersect_except" -> q16IntersectExcept _,
+    "q17_date_buckets"     -> q17DateBuckets _,
+    "q18_json_extract"     -> q18JsonExtract _,
+    "q19_case_math"        -> q19CaseMath _,
+    "q20_string_ops"       -> q20StringOps _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary"  -> q01Sql,
+    "q02_topk_orders"      -> q02Sql,
+    "q03_revenue_segment"  -> q03Sql,
+    "q04_region_revenue"   -> q04Sql,
+    "q05_left_join"        -> q05Sql,
+    "q06_semi_join"        -> q06Sql,
+    "q07_anti_join"        -> q07Sql,
+    "q08_distinct_agg"     -> q08Sql,
+    "q09_rollup"           -> q09Sql,
+    "q10_cube"             -> q10Sql,
+    "q11_window_lag"       -> q11Sql,
+    "q12_window_movavg"    -> q12Sql,
+    "q13_running_total"    -> q13Sql,
+    "q14_topk_per_group"   -> q14Sql,
+    "q15_union"            -> q15Sql,
+    "q16_intersect_except" -> q16Sql,
+    "q17_date_buckets"     -> q17Sql,
+    "q18_json_extract"     -> q18Sql,
+    "q19_case_math"        -> q19Sql,
+    "q20_string_ops"       -> q20Sql)
+}
