@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Ingest surface — the reference's actually-implemented [R] operators
+  * (SURVEY.md §2.1 S1–S6, §2.2 P1–P3), re-expressed Spark-first.
+  *
+  * Reference shape (all citations into /root/reference/): a Spring Batch
+  * chunked pipeline `FlatFileItemReader → FieldSetMapper → JdbcBatchItemWriter`
+  * (NytimesBatchProcessorApplication.kt:70-96) that loads two NYT CSV feeds
+  * into Postgres with `INSERT … ON CONFLICT DO NOTHING` against a UNIQUE key
+  * (schema.sql:8,20; .kt:138-141,175-178).
+  *
+  * Spark mapping: one declarative read (schema'd CSV scan — predicate
+  * pushdown + column pruning reach `FileSourceScanExec` for free), one
+  * deterministic key-dedup (the ON CONFLICT analog), one columnar write.
+  * The chunk/transaction machinery (chunk(1000), .kt:88) disappears into
+  * Spark tasks; at 100 TB the same code runs wide because nothing here
+  * collects to the driver and the dedup is a single hash shuffle on the key.
+  *
+  * Deliberate fixes vs the reference (SURVEY.md §1.6 — do NOT replicate):
+  *   1. month off-by-one in parseDateString (.kt:52-61) → `DateType` via the
+  *      CSV reader's `dateFormat` (correct, deterministic);
+  *   2. wall-clock time-of-day smear (.kt:54) → pure dates;
+  *   3. `fips ?: -1` null sentinel (.kt:133,171) → true nulls preserved.
+  */
+object Ingest {
+
+  /** Explicit schemas (never inferSchema — SURVEY.md §1.5): an inference
+    * pass over 100 TB is a full extra scan. Field order matches the NYT
+    * feeds (FieldSetMapper positional reads, .kt:126-128,164-166). */
+  val statesSchema: StructType = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("state", StringType, nullable = false),
+    StructField("fips", IntegerType, nullable = true), // blank → null (P3)
+    StructField("cases", LongType, nullable = true),   // cumulative counters
+    StructField("deaths", LongType, nullable = true))) // (widened Int→Long)
+
+  val countiesSchema: StructType = StructType(Seq(
+    StructField("date", DateType, nullable = false),
+    StructField("county", StringType, nullable = false),
+    StructField("state", StringType, nullable = false),
+    StructField("fips", IntegerType, nullable = true),
+    StructField("cases", LongType, nullable = true),
+    StructField("deaths", LongType, nullable = true)))
+
+  /** UNIQUE keys from schema.sql:8,20. */
+  val statesKey: Seq[String]   = Seq("date", "state", "fips")
+  val countiesKey: Seq[String] = Seq("date", "county", "state", "fips")
+
+  /** S1+S3: schema'd CSV scan with header (replaces FlatFileItemReader +
+    * DelimitedLineTokenizer + setLinesToSkip(1), .kt:98-117). Blank numeric
+    * fields become true nulls (replaces intOrNull, .kt:49-50); dates parse
+    * as yyyy-MM-dd (replaces parseDateString, .kt:52-61, bug-free). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("dateFormat", "yyyy-MM-dd")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  def readStates(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, statesSchema)
+
+  def readCounties(spark: SparkSession, path: String): DataFrame =
+    readCsv(spark, path, countiesSchema)
+
+  /** A5: deterministic keep-first-per-key — the engine-side equivalent of
+    * `INSERT … ON CONFLICT DO NOTHING` (.kt:138-141). Postgres DO NOTHING is
+    * first-writer-wins in arrival order; we make the winner explicit with a
+    * total-order tiebreak so reruns (and the DuckDB oracle) agree.
+    *
+    * Scale: one hash shuffle on the key; window per tiny key-group, no skew
+    * risk (keys are (date, geo)); strictly better than `dropDuplicates`
+    * for testability at identical cost.
+    *
+    * Null semantics: window partitioning groups nulls together — same
+    * collision the reference engineered via its `-1` sentinel (.kt:133,171),
+    * without corrupting the stored value. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column])
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** §3.3 rerun semantics: re-ingesting a batch over existing data is a
+    * no-op for already-present keys, append for new ones — the reference's
+    * "incremental by rerun + dedup" (deploy.sh:29 cron + ON CONFLICT).
+    * Existing rows win ties (DO NOTHING keeps the stored row). */
+  def appendIdempotent(existing: DataFrame, incoming: DataFrame,
+                       keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val tagged = existing.withColumn("__prio", lit(0))
+      .unionByName(incoming.withColumn("__prio", lit(1)))
+    dedupKeepFirst(tagged, keys, col("__prio") +: tiebreak)
+      .drop("__prio")
+  }
+
+  /** O4: generic read→clean→dedup→sink pipeline (the reference's
+    * NytDataStepBaseConfiguration<T> template, .kt:77-119, as a function).
+    * Sink is columnar parquet partitioned however the caller needs; at
+    * 100 TB pass e.g. a date-partitioned path layout. */
+  def ingest(spark: SparkSession, srcCsv: String, schema: StructType,
+             keys: Seq[String], tiebreak: Seq[Column], sinkPath: String): Unit =
+    dedupKeepFirst(readCsv(spark, srcCsv, schema), keys, tiebreak)
+      .write.mode("overwrite").parquet(sinkPath)
+
+  // ---- q21: A5 as an oracle-checked query over the corpus --------------
+  // Keep-first line per order: the ON CONFLICT dedup pattern on a table
+  // with genuinely repeating keys (lineitem has ~4 lines/order).
+  def q21DedupFirst(s: SparkSession, d: String): DataFrame =
+    dedupKeepFirst(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_shipdate")),
+      Seq("l_orderkey"),
+      // total-order tiebreak (SURVEY.md §7.3.1): l_linenumber alone is not
+      // unique per order in this corpus, so extend to a full key
+      Seq(col("l_linenumber").asc, col("l_partkey").asc,
+        col("l_quantity").asc, col("l_shipdate").asc))
+      .orderBy(col("l_orderkey"))
+
+  val q21Sql: String = """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+    FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate,
+            ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey,
+                                        l_quantity, l_shipdate) AS rn
+          FROM lineitem)
+    WHERE rn = 1 ORDER BY l_orderkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_first" -> q21DedupFirst _)
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_first" -> q21Sql)
+}
