@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Fx._
+
+/** Event-time windowing surface (SURVEY.md §2.9).
+  *
+  * The reference has no streaming engine — it approximates incremental
+  * processing with an external 15-minute cron re-run plus idempotent upsert
+  * (every-15-min cron at /root/reference/deploy/deploy.sh:29;
+  * ON CONFLICT DO NOTHING at NytimesBatchProcessorApplication.kt:140,177).
+  * The Spark-native upgrade is first-class event-time windowing: the SAME
+  * declarative transforms below run in batch (oracle-checkable against
+  * DuckDB) and under Structured Streaming (`readStream` → transform →
+  * `writeStream` with watermark — Spark's unified batch/stream API).
+  *
+  * Scale: windowed aggregation is a single hash shuffle on
+  * (window, key); session windows shuffle on the session key then merge
+  * locally — both spill-capable, both fine at 1000 executors. Watermarks
+  * bound streaming state so it does not grow with input size.
+  */
+object Streaming {
+
+  // ---- shared batch/stream transforms ---------------------------------
+
+  /** Tumbling 10-minute windows per event_type (counts + quantized sum —
+    * Fx element-wise quantization keeps the DuckDB hash-compare exact). */
+  def tumblingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "600 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 10-minute windows every 5 minutes (each event in 2 windows). */
+  def slidingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "600 seconds", "300 seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with a 30-minute inactivity gap. Spark merges
+    * an event into the open session iff it arrives within the gap INCLUSIVE
+    * (an event at exactly last_ts + gap still merges — the per-event range
+    * [ts, ts+gap] union rule); session end = last event + gap. */
+  def sessionAgg(df: DataFrame): DataFrame =
+    df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming entry: the batch transform lifted onto an unbounded source
+    * with a 1-hour watermark (late events beyond it are dropped; state for
+    * closed windows is reclaimed — the bounded-state requirement at scale).
+    * Works for any of the transforms above. */
+  def withWatermark(stream: DataFrame)(transform: DataFrame => DataFrame)
+      : DataFrame =
+    transform(stream.withWatermark("ts", "1 hour"))
+
+  // ---- oracle-checked batch queries ------------------------------------
+
+  def q22Tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingAgg(Tables.events(s, d))
+      .orderBy(col("w_start"), col("event_type"))
+
+  // Window start alignment: Spark tumbling windows align to the epoch, so
+  // start = floor(epoch_us / 600e6) * 600e6 — stated explicitly in the SQL
+  // rather than relying on DuckDB time_bucket origin conventions.
+  val q22Sql: String = s"""
+    SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS w_start,
+      event_type, COUNT(*) AS n, ${sqlMoneySum("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def q23Sliding(s: SparkSession, d: String): DataFrame =
+    slidingAgg(Tables.events(s, d))
+      .orderBy(col("w_start"), col("event_type"))
+
+  // Sliding(duration=600s, slide=300s): event at t belongs to starts
+  // {floor(t/300)*300, floor(t/300)*300 - 300} — exactly two windows.
+  val q23Sql: String = """
+    SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                          - k * 300000000) AS w_start,
+      event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) shifts
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def q24Session(s: SparkSession, d: String): DataFrame =
+    sessionAgg(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // Gaps-and-islands (SURVEY.md §7.3.5): new session when the gap to the
+  // previous event is STRICTLY greater than 30 min (Spark merges at the
+  // exactly-gap boundary); session_end = last event + gap.
+  val q24Sql: String = s"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts, value,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      COUNT(*) AS n_events, ${sqlMoneySum("value")} AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_tumbling_window" -> q22Tumbling _,
+    "q23_sliding_window"  -> q23Sliding _,
+    "q24_session_window"  -> q24Session _)
+
+  val oracles: Map[String, String] = Map(
+    "q22_tumbling_window" -> q22Sql,
+    "q23_sliding_window"  -> q23Sql,
+    "q24_session_window"  -> q24Sql)
+}

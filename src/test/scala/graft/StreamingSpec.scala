@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming suite (SURVEY.md §2.9): the same transforms that
+  * pass the batch DuckDB oracle (q22–q24) run under readStream/writeStream,
+  * with watermark-driven window emission across triggers.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+  implicit private val sqlCtx: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 ${"%02d".format(min / 60)}:${"%02d".format(min % 60)}:00")
+
+  private val batch1 = Seq(
+    Ev(1, ts(1), 10, "click", 1.0),
+    Ev(2, ts(4), 10, "click", 2.0),
+    Ev(3, ts(12), 11, "view", 3.0),
+    Ev(4, ts(14), 10, "click", 4.0))
+  // 3+ hours later — advances the 1h watermark past batch1's windows
+  private val batch2 = Seq(
+    Ev(5, ts(200), 10, "click", 5.0),
+    Ev(6, ts(204), 11, "view", 6.0))
+
+  test("streaming tumbling agg (complete mode) matches the batch transform") {
+    val input = MemoryStream[Ev]
+    input.addData(batch1 ++ batch2)
+    val q = Streaming.tumblingAgg(input.toDF())
+      .writeStream.format("memory").queryName("t_complete")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_complete")
+      .orderBy("w_start", "event_type").collect()
+    val batch = Streaming.tumblingAgg((batch1 ++ batch2).toDF())
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("watermark append mode emits closed windows after late trigger") {
+    val input = MemoryStream[Ev]
+    val q = Streaming.withWatermark(input.toDF())(Streaming.tumblingAgg)
+      .writeStream.format("memory").queryName("t_append")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable() // watermark now max(batch1.ts) - 1h → nothing emitted
+      assert(spark.table("t_append").count() == 0)
+      input.addData(batch2)
+      q.processAllAvailable() // watermark passes batch1's windows → they emit
+      q.processAllAvailable() // one more cycle so the new watermark applies
+      val emitted = spark.table("t_append")
+        .orderBy("w_start", "event_type").collect()
+      val expectedClosed = Streaming.tumblingAgg(batch1.toDF())
+        .orderBy("w_start", "event_type").collect()
+      assert(emitted.sameElements(expectedClosed))
+    } finally q.stop()
+  }
+
+  test("streaming session windows with watermark match batch session agg") {
+    val input = MemoryStream[Ev]
+    val q = Streaming.withWatermark(input.toDF())(Streaming.sessionAgg)
+      .writeStream.format("memory").queryName("s_append")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val emitted = spark.table("s_append")
+        .orderBy("user_id", "session_start").collect()
+      // batch1's sessions are closed (>1h idle before batch2):
+      val expected = Streaming.sessionAgg(batch1.toDF())
+        .orderBy("user_id", "session_start").collect()
+      assert(emitted.sameElements(expected))
+    } finally q.stop()
+  }
+
+  test("batch session windows merge within gap inclusive, split beyond") {
+    // exactly-30:00 gap still merges (inclusive); 30:01 splits
+    val rows = Seq(
+      Ev(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "a", 1.0),
+      Ev(2, Timestamp.valueOf("2024-01-01 00:30:00"), 1, "a", 1.0),
+      Ev(3, Timestamp.valueOf("2024-01-01 01:00:00"), 2, "a", 1.0),
+      Ev(4, Timestamp.valueOf("2024-01-01 01:30:01"), 2, "a", 1.0))
+    val sess = Streaming.sessionAgg(rows.toDF())
+      .orderBy("user_id", "session_start").collect()
+    assert(sess.count(_.getLong(0) == 1L) == 1) // merged at exactly-gap
+    assert(sess.count(_.getLong(0) == 2L) == 2) // split beyond gap
+  }
+}
