@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis surface for a training-data pipeline (SURVEY.md §2.12 [N]):
+  * language-ID (stopword-vote heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (rolling hash).
+  *
+  * All operators are pure `Column` expressions over built-ins (split /
+  * higher-order array functions / regexp) — no UDFs, so everything stays
+  * inside whole-stage codegen and scales embarrassingly parallel: per-row
+  * work with zero shuffle until the final aggregate.
+  *
+  * Oracle-parity rules (SURVEY.md §7.3.1): comparisons that gate CASE
+  * branches use integer cross-multiplication (never float thresholds);
+  * ratios divide two identical integers (single IEEE op — bit-identical in
+  * both engines); the rolling hash is integer arithmetic mod a prime.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lowercased text. */
+  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  private def countTok(tokens: Column, word: String): Column =
+    size(filter(tokens, t => t === lit(word))).cast("long")
+
+  private def sqlCountTok(word: String): String =
+    s"CAST(length(list_filter(toks, t -> t = '$word')) AS BIGINT)"
+
+  // ---- q25: quality scoring ------------------------------------------
+  // Stopword ratio + length gates, the standard cheap pretraining-corpus
+  // quality filter. Band thresholds evaluated in integer space.
+  def q25TextQuality(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Tables.documents(s, d)
+      .withColumn("tokens", toks(col("text")))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("tokens"), t => t.isInCollection(stops))).cast("long"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("quality_band",
+        when(col("n_tokens") >= 20 && col("n_stop") * 20 >= col("n_tokens")
+          && col("n_stop") * 2 <= col("n_tokens"), "good")
+          .when(col("n_tokens") >= 10, "fair")
+          .otherwise("low"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
+        col("stop_ratio"), col("quality_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q25Sql: String = """
+    SELECT doc_id, lang, n_tokens, n_stop,
+      CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      CASE WHEN n_tokens >= 20 AND n_stop * 20 >= n_tokens
+                AND n_stop * 2 <= n_tokens THEN 'good'
+           WHEN n_tokens >= 10 THEN 'fair'
+           ELSE 'low' END AS quality_band
+    FROM (SELECT doc_id, lang,
+            CAST(length(toks) AS BIGINT) AS n_tokens,
+            CAST(length(list_filter(toks, t ->
+              list_contains(['the','a','of','and','to','in','is','it'], t)))
+              AS BIGINT) AS n_stop
+          FROM (SELECT doc_id, lang,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents))
+    ORDER BY doc_id"""
+
+  // ---- q26: language ID (stopword-vote heuristic) ---------------------
+  // Per-language marker-token votes, argmax with a fixed priority order on
+  // ties (en > de > es > fr > unknown). Confusion-matrix output: how the
+  // prediction distributes over the labeled lang column.
+  def q26LangId(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val sEn = countTok(t, "the") + countTok(t, "is") + countTok(t, "and")
+    val sDe = countTok(t, "der") + countTok(t, "und") + countTok(t, "die")
+    val sEs = countTok(t, "el") + countTok(t, "los") + countTok(t, "que")
+    val sFr = countTok(t, "le") + countTok(t, "les") + countTok(t, "est")
+    Tables.documents(s, d)
+      .withColumn("s_en", sEn).withColumn("s_de", sDe)
+      .withColumn("s_es", sEs).withColumn("s_fr", sFr)
+      .withColumn("lang_pred",
+        when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0,
+          "unknown")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .groupBy(col("lang").as("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang_actual"), col("lang_pred"))
+  }
+
+  val q26Sql: String = s"""
+    SELECT lang AS lang_actual,
+      CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'unknown'
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           WHEN s_es >= s_fr THEN 'es'
+           ELSE 'fr' END AS lang_pred,
+      COUNT(*) AS n
+    FROM (SELECT lang,
+            ${sqlCountTok("the")} + ${sqlCountTok("is")} +
+              ${sqlCountTok("and")} AS s_en,
+            ${sqlCountTok("der")} + ${sqlCountTok("und")} +
+              ${sqlCountTok("die")} AS s_de,
+            ${sqlCountTok("el")} + ${sqlCountTok("los")} +
+              ${sqlCountTok("que")} AS s_es,
+            ${sqlCountTok("le")} + ${sqlCountTok("les")} +
+              ${sqlCountTok("est")} AS s_fr
+          FROM (SELECT lang,
+                  string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents))
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q27: token counting (whitespace + BPE-ish regex) ----------------
+  // The regex splits letter-runs, digit-runs, and single symbols — the
+  // word-level pre-pass of a BPE tokenizer. Kept to character classes that
+  // RE2 (DuckDB) and Java regex (Spark) interpret identically.
+  def q27TokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n]"), lit(0))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("bpe_tokens")).as("sum_bpe_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val q27Sql: String = """
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(ws_tokens) AS BIGINT) AS sum_ws_tokens,
+      CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM (SELECT lang, n_chars,
+            CAST(length(string_split_regex(trim(lower(text)), '\s+'))
+              AS BIGINT) AS ws_tokens,
+            CAST(length(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9 \t\n]')) AS BIGINT) AS bpe_tokens
+          FROM documents)
+    GROUP BY lang ORDER BY lang"""
+
+  // ---- q28: document fingerprint (rolling polynomial hash) -------------
+  // fp(text) = fold over code points of acc*31 + cp (mod 1e9+7) — the
+  // classic Rabin-Karp-style content fingerprint, exact-dedup key that is
+  // portable across engines (unlike engine-native hash functions).
+  def q28Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp", expr(
+        "aggregate(split(text, ''), 0L," +
+          " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      .select(col("doc_id"), col("n_chars"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  val q28Sql: String = """
+    SELECT doc_id, n_chars,
+      list_reduce(list_concat([CAST(0 AS BIGINT)],
+          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+    FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_text_quality" -> q25TextQuality _,
+    "q26_lang_id"      -> q26LangId _,
+    "q27_token_counts" -> q27TokenCounts _,
+    "q28_fingerprint"  -> q28Fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "q25_text_quality" -> q25Sql,
+    "q26_lang_id"      -> q26Sql,
+    "q27_token_counts" -> q27Sql,
+    "q28_fingerprint"  -> q28Sql)
+}
