@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.DedupOps
+
+class DedupOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup partitions the corpus (copies sum to row count)") {
+    val d = DedupOps.q29ExactDedup(spark, sf)
+    assert(d.agg(sum("n_copies")).head().getLong(0)
+      == Tables.documents(spark, sf).count())
+    assert(d.select("content_md5").distinct().count() == d.count())
+  }
+
+  test("minhash signatures: 8 seeds per doc, stable across runs") {
+    val s1 = DedupOps.q30MinhashSig(spark, sf).collect()
+    val s2 = DedupOps.q30MinhashSig(spark, sf).collect()
+    assert(s1.sameElements(s2))
+    assert(s1.length % 8 == 0)
+  }
+
+  test("minhash-LSH pairs are verified near-dups (j >= 0.5) and symmetric-free") {
+    val p = DedupOps.q31MinhashPairs(spark, sf)
+    assert(p.count() > 0, "corpus has planted near-dups; none found")
+    assert(p.filter(col("jaccard") < 0.5).count() == 0)
+    assert(p.filter(col("id1") >= col("id2")).count() == 0)
+  }
+
+  test("simhash hd<=5 pairs are a subset of minhash j>=0.5 near-dups") {
+    val mh = pairs(DedupOps.q31MinhashPairs(spark, sf))
+    val sh = pairs(DedupOps.q33SimhashPairs(spark, sf))
+    assert(sh.nonEmpty)
+    assert(sh.subsetOf(mh),
+      s"simhash-only pairs not confirmed by minhash: ${sh.diff(mh)}")
+  }
+
+  test("char-ngram jaccard finds the same planted near-dup cluster") {
+    val ng = pairs(DedupOps.q34NgramJaccard(spark, sf))
+    val mh = pairs(DedupOps.q31MinhashPairs(spark, sf))
+    assert(ng.nonEmpty)
+    // the two measures agree on the overwhelming majority of planted pairs
+    assert(ng.intersect(mh).size * 10 >= math.max(ng.size, mh.size) * 8,
+      s"ngram=$ng vs minhash=$mh diverge")
+  }
+}
