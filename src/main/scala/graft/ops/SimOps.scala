@@ -1,0 +1,235 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity-search surface over embeddings (SURVEY.md §2.12 [N]):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
+  * bucketing as the scale path (ANN + near-dup pair mining), and per-label
+  * centroid analytics as the vector-column aggregate.
+  *
+  * Scale design: brute force is reserved for a SMALL query set against the
+  * corpus (broadcast the queries — no shuffle of the big side; at 100 TB
+  * this is the re-ranking stage, never the candidate stage). Everything
+  * corpus×corpus goes through the LSH bucket equi-join, so candidate count
+  * is bounded by bucket occupancy, not n².
+  *
+  * Oracle parity (SURVEY.md §7.3.1): every dot product / norm quantizes
+  * each TERM to an integer — floor(x*y*1e9 + 0.5) — then sums as BIGINT.
+  * Integer addition is order-independent, so Spark's and DuckDB's differing
+  * evaluation orders cannot diverge; the final cosine is a fixed IEEE
+  * expression (one multiply, one sqrt, one divide) over identical
+  * integers. Hyperplanes are md5-derived integer weight vectors —
+  * deterministic, seedable, engine-portable.
+  */
+object SimOps {
+
+  private val D = 64 // embedding dimensionality (FIXTURES.md §B)
+
+  /** Quantized embedding coords: qa[i] = floor(a[i] * 1e6 + 0.5). Used for
+    * LSH sign tests and centroid sums (never for cosine — cosine quantizes
+    * the raw per-term PRODUCT instead, below). */
+  private val qaExpr: Column = expr(
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
+
+  /** Per-term-quantized squared norm: sum_i floor(x_i^2 * 1e9 + 0.5). */
+  private val normQ: Column = expr(
+    "aggregate(embedding, 0L, (acc, x) -> acc +" +
+      " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))")
+
+  /** Per-term-quantized dot of two raw embedding columns (by name). */
+  private def dotQ(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
+      "cast(floor(cast(x as double) * cast(y as double) * 1e9 + 0.5) as bigint))," +
+      " 0L, (acc, t) -> acc + t)")
+
+  /** cosine = dotq / sqrt(na * nb) — all inputs integers. */
+  private def cosine(dq: Column, na: Column, nb: Column): Column =
+    dq.cast("double") / sqrt((na * nb).cast("double"))
+
+  private val sqlQa =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+  private val sqlNormQ =
+    """CAST(list_sum(list_transform(embedding, x ->
+       CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT))) AS BIGINT)"""
+  /** Dot over two raw float-list columns, term-quantized. */
+  private def sqlDotQ(a: String, b: String) =
+    s"""CAST(list_sum(list_transform(range(1, $D + 1), i ->
+        CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e9 + 0.5)
+          AS BIGINT))) AS BIGINT)"""
+
+  /** Random-hyperplane LSH bucket (P planes): plane p has integer weights
+    * w[p][i] = H("h:p:i") % 2001 - 1000 (H = 60-bit md5 prefix); bit p =
+    * [sum_i w[p][i] * qa[i] > 0]. Sign-stable: all-integer arithmetic. */
+  private def bucketExpr(planes: Int): Column = expr(
+    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
+        CASE WHEN aggregate(sequence(1, $D), 0L, (s, i) -> s +
+          (cast(conv(substring(md5(concat('h:', cast(p as string), ':',
+             cast(i - 1 as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000)
+          * element_at(qa, i)) > 0
+        THEN shiftleft(cast(1 as bigint), p) ELSE 0L END)""")
+
+  private def sqlBucket(planes: Int): String =
+    s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
+        list_transform(range(0, $planes), p ->
+          CASE WHEN list_reduce(list_transform(range(1, $D + 1), i ->
+            (CAST('0x' || substring(md5('h:' || CAST(p AS VARCHAR) || ':' ||
+               CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
+            * qa[i]), (a, c) -> a + c) > 0
+          THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, c) -> a + c)"""
+
+  /** Shared SQL prelude: embeddings + quantized coords, norm, LSH bucket. */
+  private val sqlEmb: String = s"""
+    WITH e0 AS (
+      SELECT vec_id, label, embedding, $sqlQa AS qa, $sqlNormQ AS nq
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, label, embedding, qa, nq, ${sqlBucket(4)} AS bucket
+      FROM e0)"""
+
+  // ---- q35: brute-force cosine top-k (exact baseline / re-ranker) ------
+  // 10 query vectors broadcast against the corpus; top-3 neighbors each.
+  def q35KnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nq").as("q_nq"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nq").as("c_nq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosine(dotQ("q_emb", "c_emb"), col("q_nq"), col("c_nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val q35Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb, nq AS q_nq
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, e.vec_id AS neighbor_id,
+        CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
+          / sqrt(CAST(q_nq * e.nq AS DOUBLE)) AS cosine
+      FROM q JOIN e ON e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+    FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ---- q36: ANN top-1 via random-hyperplane LSH (4 planes, 16 buckets) -
+  // The scale path: candidates come from a bucket equi-join, never a cross
+  // join. Vectors alone in their bucket have no neighbor and drop out.
+  def q36AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .withColumn("bucket", bucketExpr(4))
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("nq").as("a_nq"), col("bucket"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nq").as("b_nq"), col("bucket"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("a_id").as("vec_id"), col("bucket"),
+        col("b_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q36Sql: String = sqlEmb + s""",
+    scored AS (
+      SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+        CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT vec_id, bucket, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT vec_id, bucket, neighbor_id, cosine
+    FROM ranked WHERE rank = 1 ORDER BY vec_id"""
+
+  // ---- q37: cosine near-dup pairs (bucket-blocked, cos >= 0.3) ---------
+  // Threshold chosen against the corpus: background pairwise cosine tops
+  // out near 0.51 with p99 at 0.29, so 0.3 keeps the output small without
+  // being boundary-sensitive (no pair sits AT the threshold).
+  def q37CosineNeardup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .withColumn("bucket", bucketExpr(4))
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("a_emb"),
+      col("nq").as("a_nq"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("b_emb"),
+      col("nq").as("b_nq"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("id1"), col("id2"), col("bucket"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q37Sql: String = sqlEmb + s"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+      CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+        / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+        / sqrt(CAST(a.nq * b.nq AS DOUBLE)) >= 0.3
+    ORDER BY id1, id2"""
+
+  // ---- q38: per-label centroids (vector-column aggregate) --------------
+  def q38LabelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .select(col("label"), posexplode(col("qa")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qv")).as("sum_q"))
+      .withColumn("mean_val",
+        col("sum_q").cast("double") / 1e6 / col("n_vecs"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+        col("mean_val"))
+      .orderBy(col("label"), col("dim"))
+
+  val q38Sql: String = s"""
+    SELECT label, CAST(i - 1 AS BIGINT) AS dim, COUNT(*) AS n_vecs,
+      CAST(SUM(qa[i]) AS BIGINT) AS sum_q,
+      CAST(SUM(qa[i]) AS DOUBLE) / 1e6 / COUNT(*) AS mean_val
+    FROM (SELECT label, $sqlQa AS qa FROM embeddings)
+    CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) dims
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_knn_brute"       -> q35KnnBrute _,
+    "q36_ann_lsh"         -> q36AnnLsh _,
+    "q37_cosine_neardup"  -> q37CosineNeardup _,
+    "q38_label_centroids" -> q38LabelCentroids _)
+
+  val oracles: Map[String, String] = Map(
+    "q35_knn_brute"       -> q35Sql,
+    "q36_ann_lsh"         -> q36Sql,
+    "q37_cosine_neardup"  -> q37Sql,
+    "q38_label_centroids" -> q38Sql)
+}

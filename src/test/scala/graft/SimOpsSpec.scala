@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.SimOps
+
+class SimOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("brute-force knn: 3 ranked neighbors per query, cosine in [-1,1], descending") {
+    val knn = SimOps.q35KnnBrute(spark, sf).collect()
+    assert(knn.length == 30) // 10 queries x 3
+    assert(knn.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+    knn.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ANN top-1 cosine never exceeds the brute-force top-1 (approx bound)") {
+    val brute = SimOps.q35KnnBrute(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("q_id").as("vec_id"), col("cosine").as("best_cos"))
+    val ann = SimOps.q36AnnLsh(spark, sf)
+      .select(col("vec_id"), col("cosine").as("ann_cos"))
+    val bad = brute.join(ann, "vec_id")
+      .filter(col("ann_cos") > col("best_cos") + 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("cosine near-dup pairs are ordered, above threshold, bucket-consistent") {
+    val p = SimOps.q37CosineNeardup(spark, sf)
+    assert(p.filter(col("id1") >= col("id2")).count() == 0)
+    assert(p.filter(col("cosine") < 0.3).count() == 0)
+  }
+
+  test("label centroids cover all (label, dim) cells; counts sum to corpus size") {
+    val c = SimOps.q38LabelCentroids(spark, sf)
+    val nLabels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(c.count() == nLabels * 64)
+    val perLabel = c.filter(col("dim") === 0)
+      .agg(sum("n_vecs")).head().getLong(0)
+    assert(perLabel == Tables.embeddings(spark, sf).count())
+  }
+}
