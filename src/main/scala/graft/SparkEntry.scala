@@ -17,11 +17,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Ingest.queries ++ ops.Streaming.queries ++
-      ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries
+      ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Ingest.oracles ++ ops.Streaming.oracles ++
-      ops.TextOps.oracles ++ ops.DedupOps.oracles ++ ops.SimOps.oracles
+      ops.TextOps.oracles ++ ops.DedupOps.oracles ++ ops.SimOps.oracles ++
+      ops.Multimodal.oracles
 }

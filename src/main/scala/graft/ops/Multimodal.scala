@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** An opaque media payload with typed metadata (SURVEY.md §2.12 [N]):
+  * image/audio/video as `binary` columns — the Spark-native way to move
+  * multimodal data through a 100 TB pipeline (no object-per-file reads;
+  * payloads ride the columnar format next to their metadata).
+  */
+case class MediaAsset(asset_id: Long, kind: String, payload: Array[Byte])
+
+/** Decoded-asset features (what a real codec would emit). */
+case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
+                         byte_sum: Long, width: Long, height: Long,
+                         n_frames: Long)
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with decode / feature-extract / resize / frame-sample as PARTITION-batch
+  * transforms over a typed `Dataset` (`mapPartitions` — one JVM-side loop
+  * per partition, the Scala analog of arrow-batched UDFs: amortized setup,
+  * no per-row planning, schema carried by the `Encoder`).
+  *
+  * The codec itself is a STUB — this container has no image/audio
+  * libraries, so [[Multimodal.decodeStub]] derives deterministic fake
+  * dimensions/frames from the payload bytes. Everything AROUND the stub is
+  * real and load-bearing: the binary schema, the Dataset encoders, the
+  * partition-batch shape, and the feature outputs (which the DuckDB oracle
+  * recomputes byte-for-byte because the fake decode is pure arithmetic).
+  * Swapping in a real codec changes one function.
+  *
+  * No binary table ships in the corpus, so assets are derived
+  * deterministically from `documents` (payload = UTF-8 text bytes — ASCII
+  * in this corpus, so byte arithmetic is oracle-expressible).
+  */
+object Multimodal {
+
+  /** Deterministic corpus of binary assets from the documents table. */
+  def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaAsset]
+  }
+
+  /** STUB codec — stands in for libjpeg/ffmpeg/etc. Deterministic pure
+    * arithmetic over the payload so tests and the SQL oracle can verify
+    * the surrounding plumbing end-to-end. */
+  def decodeStub(a: MediaAsset): MediaFeatures = {
+    val n = a.payload.length.toLong
+    val byteSum = a.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val (w, h, frames) = a.kind match {
+      case "image" => (1L + n % 64, 1L + n % 48, 1L)
+      case _       => (0L, 0L, (n + 255) / 256) // audio: 256-byte frames
+    }
+    MediaFeatures(a.asset_id, a.kind, n, byteSum, w, h, frames)
+  }
+
+  /** Feature extraction as a partition-batch transform: the iterator is
+    * consumed lazily inside one task — a real decoder would allocate its
+    * native context once per partition here, not once per row. */
+  def extractFeatures(ds: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { batch => batch.map(decodeStub) }
+  }
+
+  /** Resize: recompute target dims preserving aspect (integer math on the
+    * stub dims; a real impl would transform pixels in the same shape). */
+  def resize(ds: Dataset[MediaFeatures], maxSide: Long): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { f =>
+      if (f.kind != "image" || math.max(f.width, f.height) <= maxSide) f
+      else {
+        val scaleNum = maxSide
+        val scaleDen = math.max(f.width, f.height)
+        f.copy(width = math.max(1L, f.width * scaleNum / scaleDen),
+          height = math.max(1L, f.height * scaleNum / scaleDen))
+      }
+    })
+  }
+
+  /** Frame sampling: keep every k-th frame of an audio/video payload —
+    * emits (asset_id, frame_idx, frame_bytes) rows, the exploded shape a
+    * downstream encoder consumes. */
+  def sampleFrames(ds: Dataset[MediaAsset], every: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.filter(_.kind != "image")
+      .mapPartitions(_.flatMap { a =>
+        a.payload.grouped(256).zipWithIndex.collect {
+          case (frame, i) if i % every == 0 =>
+            (a.asset_id, i.toLong, frame.length.toLong)
+        }
+      })
+      .toDF("asset_id", "frame_idx", "frame_bytes")
+  }
+
+  // ---- q39: end-to-end multimodal feature extraction -------------------
+  def q39MultimodalFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(assets(s, d)).toDF().orderBy(col("asset_id"))
+
+  // The oracle recomputes the stub arithmetic from the source text (ASCII
+  // ⇒ octet length == char length, byte values == code points).
+  val q39Sql: String = """
+    SELECT doc_id AS asset_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      CAST(length(text) AS BIGINT) AS n_bytes,
+      CAST(list_sum(list_transform(string_split(text, ''),
+        c -> ord(c))) AS BIGINT) AS byte_sum,
+      CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 64
+           ELSE 0 END AS width,
+      CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 48
+           ELSE 0 END AS height,
+      CASE WHEN doc_id % 2 = 0 THEN 1
+           ELSE (length(text) + 255) // 256 END AS n_frames
+    FROM documents ORDER BY asset_id"""
+
+  // ---- q40: frame-sample + aggregate (partition-batch op feeding an
+  //      ordinary relational agg) ---------------------------------------
+  def q40FrameSample(s: SparkSession, d: String): DataFrame =
+    sampleFrames(assets(s, d), every = 2)
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("frame_bytes")).as("bytes"))
+      .orderBy(col("asset_id"))
+
+  val q40Sql: String = """
+    SELECT doc_id AS asset_id,
+      CAST((((length(text) + 255) // 256) + 1) // 2 AS BIGINT) AS n_sampled,
+      CAST(CASE
+        -- sampled frames are full 256B except a sampled trailing frame
+        WHEN ((length(text) + 255) // 256 - 1) % 2 = 0
+        THEN ((((length(text) + 255) // 256) + 1) // 2 - 1) * 256
+             + CASE WHEN length(text) % 256 = 0 THEN 256
+                    ELSE length(text) % 256 END
+        ELSE (((length(text) + 255) // 256) + 1) // 2 * 256
+      END AS BIGINT) AS bytes
+    FROM documents WHERE doc_id % 2 = 1 ORDER BY asset_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_multimodal_features" -> q39MultimodalFeatures _,
+    "q40_frame_sample"        -> q40FrameSample _)
+
+  val oracles: Map[String, String] = Map(
+    "q39_multimodal_features" -> q39Sql,
+    "q40_frame_sample"        -> q40Sql)
+}
