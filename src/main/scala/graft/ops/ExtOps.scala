@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Fx._
+
+/** Weighted-average aggregator over pre-quantized (weight, value) longs —
+  * the custom typed `Aggregator` surface of SURVEY.md §2.10. The buffer is
+  * a pair of exact integer sums, so merge order cannot affect the result
+  * (associative + commutative), and the final division is one IEEE op on
+  * identical integers in both engines.
+  */
+class WeightedAvgQ extends Aggregator[(Long, Long), (Long, Long), Double] {
+  def zero: (Long, Long) = (0L, 0L)
+  def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
+    (b._1 + in._1 * in._2, b._2 + in._1) // (Σ w·x, Σ w)
+  def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(r: (Long, Long)): Double =
+    if (r._2 == 0) Double.NaN else r._1.toDouble / r._2.toDouble
+  def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+  def outputEncoder = Encoders.scalaDouble
+}
+
+/** Remaining SURVEY.md §2 operators: as-of join (J4), approximate distinct
+  * (A2), map explode (F10), range-frame windows (W3 date-correct variant),
+  * and the custom-UDAF surface (§2.10).
+  */
+object ExtOps {
+
+  // ---- q41: as-of join (J4) --------------------------------------------
+  // For each purchase event, the user's most recent click at or before the
+  // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
+  // union + last(ignoreNulls) over an ordered window — one shuffle on the
+  // session key, no range self-join blowup (the BroadcastNestedLoopJoin
+  // alternative is O(n·m) per key and is exactly what NOT to do at 100 TB).
+  // Quote side is pre-deduped to one row per (user_id, ts) so the as-of
+  // winner is unique (DuckDB's ASOF JOIN then agrees deterministically).
+  def q41AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val quotes = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(col("value"), col("event_id")).as("qval"))
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"), col("qval"),
+        col("ts").as("qts"))
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("double").as("qval"),
+        lit(null).cast("timestamp").as("qts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    quotes.unionByName(trades)
+      .withColumn("quote_val", last(col("qval"), ignoreNulls = true).over(w))
+      .withColumn("quote_ts", last(col("qts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("quote_ts"), col("quote_val"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val q41Sql: String = """
+    WITH quotes AS (
+      SELECT user_id, ts, max_by(value, event_id) AS qval
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    trades AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT t.user_id, t.ts, t.event_id,
+      q.ts AS quote_ts, q.qval AS quote_val
+    FROM trades t ASOF LEFT JOIN quotes q
+      ON t.user_id = q.user_id AND q.ts <= t.ts
+    ORDER BY t.user_id, t.ts, t.event_id"""
+
+  // ---- q42: approximate count-distinct (A2; HLL++) ---------------------
+  // No oracle entry: DuckDB's approx_count_distinct uses a different
+  // sketch, so the driver records the weaker rows-only check. The exact
+  // column documents the approximation error alongside.
+  def q42ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  // ---- q43: map explode (F10; JSON-in-string → map → rows) -------------
+  def q43MapExplode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+          .as(Seq("key", "value")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy(col("event_type"), col("key"))
+
+  val q43Sql: String = """
+    SELECT event_type, key, COUNT(*) AS n,
+      CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (SELECT event_type, unnest(json_keys(props)) AS key,
+            CAST(json_extract_string(props, '$.' ||
+              unnest(json_keys(props))) AS BIGINT) AS v
+          FROM events)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q44: range-frame window (W3, date-correct trailing 30 days) -----
+  // rowsBetween counts rows; rangeBetween over an epoch-day key makes the
+  // frame calendar-correct regardless of how many orders share a day.
+  def q44RangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"),
+        lit("1970-01-01").cast("timestamp")))
+      .rangeBetween(-29, 0)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("trailing30",
+        sum(toUnits(col("o_totalprice"))).over(w) / 100.0)
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q44Sql: String = s"""
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      CAST(SUM(${sqlUnits("o_totalprice")}) OVER (PARTITION BY o_custkey
+        ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2
+        AS trailing30
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
+  // ---- q45: custom typed Aggregator as UDAF (§2.10) --------------------
+  // Quantity-weighted average price per return flag; inputs pre-quantized
+  // to integers so the custom aggregate stays merge-order-independent.
+  def q45WeightedAvg(s: SparkSession, d: String): DataFrame = {
+    s.udf.register("wavg_q", udaf(new WeightedAvgQ()))
+    Tables.lineitem(s, d)
+      .withColumn("qu", toUnits(col("l_quantity"), 0))
+      .withColumn("pu", toUnits(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("wavg_q(qu, pu)").as("wavg_price_units"),
+        count(lit(1)).as("n"))
+      .withColumn("wavg_price", col("wavg_price_units") / 100.0)
+      .select(col("l_returnflag"), col("wavg_price"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q45Sql: String = s"""
+    SELECT l_returnflag,
+      (CAST(SUM(qu * pu) AS DOUBLE) / CAST(SUM(qu) AS DOUBLE)) / 1e2
+        AS wavg_price,
+      COUNT(*) AS n
+    FROM (SELECT l_returnflag,
+            ${sqlUnits("l_quantity", 0)} AS qu,
+            ${sqlUnits("l_extendedprice")} AS pu
+          FROM lineitem)
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_asof_join"       -> q41AsofJoin _,
+    "q42_approx_distinct" -> q42ApproxDistinct _,
+    "q43_map_explode"     -> q43MapExplode _,
+    "q44_range_window"    -> q44RangeWindow _,
+    "q45_weighted_avg"    -> q45WeightedAvg _)
+
+  /** q42 intentionally omitted (approximate sketch differs per engine —
+    * rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "q41_asof_join"    -> q41Sql,
+    "q43_map_explode"  -> q43Sql,
+    "q44_range_window" -> q44Sql,
+    "q45_weighted_avg" -> q45Sql)
+}

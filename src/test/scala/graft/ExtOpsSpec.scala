@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.ExtOps
+
+class ExtOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("as-of join: one row per purchase; quote never after the purchase") {
+    val a = ExtOps.q41AsofJoin(spark, sf)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(a.count() == purchases)
+    assert(a.filter(col("quote_ts") > col("ts")).count() == 0)
+    // a purchase with any prior click must have a non-null quote
+    assert(a.filter(col("quote_ts").isNull).count() < purchases)
+  }
+
+  test("approx distinct is within rsd bounds of exact") {
+    val r = ExtOps.q42ApproxDistinct(spark, sf).collect()
+    r.foreach { row =>
+      val approx = row.getAs[Long]("approx_users").toDouble
+      val exact = row.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("map explode totals match the scalar json extraction (q18 cross-check)") {
+    val m = ExtOps.q43MapExplode(spark, sf)
+    val viaMap = m.agg(sum("n")).head().getLong(0)
+    assert(viaMap == Tables.events(spark, sf).count())
+  }
+
+  test("range window >= row window equivalent only when one order per day") {
+    val r = ExtOps.q44RangeWindow(spark, sf)
+    // trailing30 must be at least the order's own contribution
+    val bad = r.filter(col("trailing30") <
+      ops.Fx.toUnits(col("o_totalprice")) / 100.0 - 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("custom weighted-avg aggregator lies within min/max price per group") {
+    val w = ExtOps.q45WeightedAvg(spark, sf)
+    val bounds = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+    val bad = w.join(bounds, "l_returnflag")
+      .filter(col("wavg_price") < col("lo") - 1 ||
+        col("wavg_price") > col("hi") + 1)
+    assert(bad.count() == 0)
+  }
+}
