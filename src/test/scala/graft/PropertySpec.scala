@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.Ingest
+
+/** Property-based invariants (SURVEY.md §5.2.3) over generated inputs:
+  *  - dedup idempotence f(f(x)) == f(x) — the ON-CONFLICT rerun semantics
+  *    of the reference (§3.3);
+  *  - cumsum ∘ lag-delta == identity (W4 vs W1);
+  *  - rollup level-0 totals == grand total (A3).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  /** Deterministic stand-in for scalatestplus forAll: fixed-seed samples
+    * (the scalatest<->scalacheck bridge artifact is not in the offline
+    * cache; raw Gen + explicit seeds keeps runs reproducible anyway). */
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val rowGen = for {
+    day <- Gen.choose(1, 28)
+    state <- Gen.oneOf("WA", "NY", "CA", "TX")
+    fips <- Gen.option(Gen.choose(1, 5))
+    cases <- Gen.choose(0L, 100000L)
+  } yield (Date.valueOf(f"2020-03-$day%02d"), state, fips, cases)
+
+  private val tableGen = Gen.listOfN(60, rowGen)
+
+  test("property: key-dedup is idempotent and keeps one row per key") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("date", "state", "fips", "cases")
+        val keys = Seq("date", "state", "fips")
+        val tiebreak = Seq(col("cases").asc)
+        val once = Ingest.dedupKeepFirst(df, keys, tiebreak)
+        val twice = Ingest.dedupKeepFirst(once, keys, tiebreak)
+        assert(once.collect().sortBy(_.toString)
+          .sameElements(twice.collect().sortBy(_.toString)))
+        // exactly one row per distinct key (nulls collide like the
+        // reference's sentinel, SURVEY.md §1.6.3)
+        val nKeys = df.select("date", "state", "fips").distinct().count()
+        assert(once.count() == nKeys)
+      }
+    }
+  }
+
+  test("property: re-ingest of any subset is a no-op (ON CONFLICT rerun)") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("date", "state", "fips", "cases")
+        val keys = Seq("date", "state", "fips")
+        val tiebreak = Seq(col("cases").asc)
+        val base = Ingest.dedupKeepFirst(df, keys, tiebreak)
+        val again = Ingest.appendIdempotent(base,
+          df.limit(rows.length / 2), keys, tiebreak)
+        assert(again.count() == base.count())
+        assert(again.collect().sortBy(_.toString)
+          .sameElements(base.collect().sortBy(_.toString)))
+      }
+    }
+  }
+
+  test("property: running total of lag-deltas reconstructs the cumulative series") {
+    val seriesGen = Gen.listOfN(30, Gen.choose(0L, 1000L))
+    forAll(seriesGen) { vals =>
+      whenever(vals.nonEmpty) {
+        val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("t", "cum")
+        val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+        val deltas = df.withColumn("delta",
+          col("cum") - coalesce(lag(col("cum"), 1).over(w), lit(0L)))
+        val rebuilt = deltas.withColumn("rebuilt",
+          sum(col("delta")).over(w.rowsBetween(Long.MinValue, 0)))
+        assert(rebuilt.filter(col("rebuilt") =!= col("cum")).count() == 0)
+      }
+    }
+  }
+
+  test("property: rollup grand total equals direct aggregate") {
+    forAll(tableGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("date", "state", "fips", "cases")
+        val r = df.rollup(col("state"), col("fips"))
+          .agg(sum(col("cases")).as("s"),
+            (grouping(col("state")) * 2 + grouping(col("fips"))).as("gid"))
+        val grand = r.filter(col("gid") === 3).head().getAs[Long]("s")
+        val direct = df.agg(sum(col("cases"))).head().getAs[Long](0)
+        assert(grand == direct)
+        // level-1 subtotals also sum to the grand total
+        val perState = r.filter(col("gid") === 1)
+          .agg(sum(col("s"))).head().getAs[Long](0)
+        assert(perState == direct)
+      }
+    }
+  }
+}
