@@ -23,10 +23,11 @@ import graft.Tables
   */
 object DedupOps {
 
-  /** Portable 60-bit hash: Spark side. DuckDB side:
+  /** Portable 60-bit hash: Spark side — the custom codegen expression
+    * [[graft.expressions.Hash60]] (digest-bytes-direct; no hex-string
+    * round trip). DuckDB side:
     * CAST('0x' || substring(md5(x), 1, 15) AS BIGINT). */
-  private def hashOf(x: String): String =
-    s"cast(conv(substring(md5($x), 1, 15), 16, 10) as bigint)"
+  private def hashOf(x: String): String = s"h60($x)"
 
   /** Driver-side twin of [[hashOf]] — used to precompute seed/plane
     * constants as literals instead of re-hashing per row (the md5 call in
@@ -47,13 +48,15 @@ object DedupOps {
 
   /** doc_id + distinct word-3-gram shingle set (docs with >= 3 tokens)
     * and the per-shingle 60-bit hash array `hv`. */
-  private def withShingles(df: DataFrame): DataFrame =
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.expressions.Hash60.register(df.sparkSession)
     df.withColumn("tokens", split(trim(lower(col("text"))), "\\s+"))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(1, size(tokens) - 2)," +
           " i -> array_join(slice(tokens, i, 3), ' ')))"))
       .withColumn("hv", expr(s"transform(shingles, x -> ${hashOf("x")})"))
+  }
 
   private val sqlShingles: String = """
     WITH toks AS (
@@ -88,16 +91,19 @@ object DedupOps {
   private def minhashCol(k: Int): Column = expr(
     s"array_min(transform(hv, h -> h ^ ${seedR(k)}L))")
 
+  // Shape: explode the shingle hashes once, take the 8 per-seed minima as
+  // codegen'd MIN aggregates (partial+final), then unpivot with stack —
+  // the all-HOF formulation interprets 8×|shingles| lambdas per row.
   def q30MinhashSig(s: SparkSession, d: String): DataFrame = {
-    val base = withShingles(Tables.documents(s, d))
-    val sig = (0 until 8).foldLeft(base) { (df, k) =>
-      df.withColumn(s"mh$k", minhashCol(k))
-    }
-    sig.select(col("doc_id"), explode(expr(
-      "arrays_zip(sequence(0, 7), array(" +
-        (0 until 8).map(k => s"mh$k").mkString(", ") + "))")).as("z"))
-      .select(col("doc_id"), col("z.0").cast("long").as("seed"),
-        col("z.1").as("minhash"))
+    val exploded = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), explode(col("hv")).as("h"))
+    val mins = (0 until 8).map(k =>
+      min(expr(s"h ^ ${seedR(k)}L")).as(s"mh$k"))
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), expr("stack(8, " +
+        (0 until 8).map(k => s"${k}L, mh$k").mkString(", ") +
+        ") as (seed, minhash)"))
       .orderBy(col("doc_id"), col("seed"))
   }
 

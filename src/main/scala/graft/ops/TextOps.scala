@@ -151,13 +151,15 @@ object TextOps {
   // fp(text) = fold over code points of acc*31 + cp (mod 1e9+7) — the
   // classic Rabin-Karp-style content fingerprint, exact-dedup key that is
   // portable across engines (unlike engine-native hash functions).
-  def q28Fingerprint(s: SparkSession, d: String): DataFrame =
+  // Evaluated by the custom codegen expression graft.expressions
+  // .RollingHash (one loop per row, no per-character array allocation).
+  def q28Fingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.RollingHash.register(s)
     Tables.documents(s, d)
-      .withColumn("fp", expr(
-        "aggregate(split(text, ''), 0L," +
-          " (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)"))
+      .withColumn("fp", expr("rolling_hash(text)"))
       .select(col("doc_id"), col("n_chars"), col("fp"))
       .orderBy(col("doc_id"))
+  }
 
   val q28Sql: String = """
     SELECT doc_id, n_chars,

@@ -88,6 +88,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpointed AvailableNow ingest is incremental and idempotent across reruns") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-stream-src")
+    val checkpoint = Files.createTempDirectory("graft-stream-ckpt").toString
+    val sink = Files.createTempDirectory("graft-stream-sink")
+      .resolve("states").toString
+    def drop(name: String, lines: String*): Unit =
+      Files.writeString(src.resolve(name), lines.mkString("\n") + "\n")
+    def run(): Unit = ops.Streaming.ingestAvailableNow(spark, src.toString,
+      ops.Ingest.statesSchema, ops.Ingest.statesKey,
+      Seq(org.apache.spark.sql.functions.col("cases").asc),
+      checkpoint, sink)
+
+    drop("batch1.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-15,Washington,53,904,48",
+      "2020-03-15,Guam,,3,0")
+    run() // cron firing 1
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // firing 2: one overlapping key (conflict → existing row wins), one new
+    drop("batch2.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-15,Washington,53,999,50",
+      "2020-03-16,Washington,53,1000,52")
+    run()
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 3)
+    assert(after.filter(org.apache.spark.sql.functions.col("cases") === 904)
+      .count() == 1) // existing row won the conflict
+    // firing 3 with nothing new: checkpoint skips seen files, sink unchanged
+    run()
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
   test("batch session windows merge within gap inclusive, split beyond") {
     // exactly-30:00 gap still merges (inclusive); 30:01 splits
     val rows = Seq(
