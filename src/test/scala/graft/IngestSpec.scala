@@ -85,6 +85,18 @@ class IngestSpec extends AnyFunSuite {
     assert(merged.filter(col("county") === "King").count() == 1)
   }
 
+  test("JSON source/sink round-trip with explicit schema (S8)") {
+    val ev = Tables.events(spark, SparkTestSession.sf)
+    val dir = Files.createTempDirectory("graft-json").resolve("events").toString
+    ev.write.mode("overwrite").json(dir)
+    // schema'd read — no inference pass (SURVEY.md §1.5)
+    val back = spark.read.schema(ev.schema).json(dir)
+    assert(back.count() == ev.count())
+    val a = ev.agg(sum(col("value"))).head().getDouble(0)
+    val b = back.agg(sum(col("value"))).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-6)
+  }
+
   test("states feed round-trips through the generic ingest pipeline") {
     val statesCsv = writeFixture("us-states.csv",
       "date,state,fips,cases,deaths",
