@@ -212,6 +212,75 @@ object SimOps {
         / sqrt(CAST(a.nq * b.nq AS DOUBLE)) >= 0.3
     ORDER BY id1, id2"""
 
+  // ---- q47: IVF-bucketed ANN (coarse quantizer + in-cell search) -------
+  // The inverted-file-index alternative to q36's hyperplane LSH: a fixed
+  // coarse quantizer (the 16 vectors with vec_id < 16 — a deterministic
+  // seeding in place of k-means, which would need iterative training) maps
+  // each vector to its nearest centroid by cosine; search then only probes
+  // the vector's own cell. At scale: the centroid table broadcasts, cell
+  // assignment is a per-row argmax (no shuffle), and the in-cell search is
+  // a bucket equi-join exactly like LSH — candidates bounded by cell size,
+  // never n².
+  def q47IvfAnn(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
+    // cell = argmax centroid cosine (ties → lowest centroid id)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        cosine(dotQ("embedding", "c_emb"), col("nq"), col("c_nq")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("c_id").as("cell"))
+    val a = assigned.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"), col("cell"))
+    val b = assigned.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"), col("cell"))
+    val wTop = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") === 1)
+      .select(col("a_id").as("vec_id"), col("cell"),
+        col("b_id").as("neighbor_id"), col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q47Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
+      FROM e WHERE vec_id < 16),
+    scored AS (
+      SELECT e.vec_id, e.embedding, e.nq, c_id,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+          CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
+            / sqrt(CAST(e.nq * c_nq AS DOUBLE)) DESC, c_id) AS rn
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, embedding, nq, c_id AS cell
+      FROM scored WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor_id,
+        CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+          CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+            / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rank
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+    SELECT vec_id, cell, neighbor_id, cosine
+    FROM pairs WHERE rank = 1 ORDER BY vec_id"""
+
   // ---- q38: per-label centroids (vector-column aggregate) --------------
   def q38LabelCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -237,11 +306,13 @@ object SimOps {
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
     "q37_cosine_neardup"  -> q37CosineNeardup _,
-    "q38_label_centroids" -> q38LabelCentroids _)
+    "q38_label_centroids" -> q38LabelCentroids _,
+    "q47_ivf_ann"         -> q47IvfAnn _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
     "q36_ann_lsh"         -> q36Sql,
     "q37_cosine_neardup"  -> q37Sql,
-    "q38_label_centroids" -> q38Sql)
+    "q38_label_centroids" -> q38Sql,
+    "q47_ivf_ann"         -> q47Sql)
 }

@@ -35,6 +35,19 @@ class SimOpsSpec extends AnyFunSuite {
     assert(p.filter(col("cosine") < 0.3).count() == 0)
   }
 
+  test("IVF ANN: every vector assigned a cell; cosine bounded by brute-force top-1") {
+    val ivf = SimOps.q47IvfAnn(spark, sf)
+    assert(ivf.count() == Tables.embeddings(spark, sf).count())
+    assert(ivf.filter(col("cell") < 0 || col("cell") > 15).count() == 0)
+    val brute = SimOps.q35KnnBrute(spark, sf)
+      .filter(col("rank") === 1)
+      .select(col("q_id").as("vec_id"), col("cosine").as("best_cos"))
+    val bad = brute.join(ivf.select(col("vec_id"),
+        col("cosine").as("ivf_cos")), "vec_id")
+      .filter(col("ivf_cos") > col("best_cos") + 1e-12)
+    assert(bad.count() == 0)
+  }
+
   test("label centroids cover all (label, dim) cells; counts sum to corpus size") {
     val c = SimOps.q38LabelCentroids(spark, sf)
     val nLabels = Tables.embeddings(spark, sf)
