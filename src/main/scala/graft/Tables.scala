@@ -36,4 +36,14 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** SQL-API surface: register every corpus table as a temp view so users
+    * can run raw `spark.sql(...)` — the direct analog of the SQL workload
+    * the reference's Postgres tables serve (SURVEY.md §0). Views are
+    * lazy: no scan happens until a query runs. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

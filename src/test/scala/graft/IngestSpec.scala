@@ -85,6 +85,36 @@ class IngestSpec extends AnyFunSuite {
     assert(merged.filter(col("county") === "King").count() == 1)
   }
 
+  test("malformed rows degrade to nulls, not crashes (vs reference parseInt)") {
+    // the reference's Integer.parseInt (.kt:50,56) throws on garbage;
+    // PERMISSIVE mode nulls the bad field and keeps the row
+    val csv = writeFixture("dirty.csv",
+      "date,county,state,fips,cases,deaths",
+      "2020-03-15,Snohomish,Washington,53061,175,4",
+      "not-a-date,King,Washington,53033,NaNN,xx",
+      "2020-03-16,Pierce,Washington,53053,,")
+    val df = Ingest.readCounties(spark, csv)
+    assert(df.count() == 3)
+    assert(df.filter(col("county") === "King")
+      .head().isNullAt(df.schema.fieldIndex("cases")))
+    assert(df.filter(col("county") === "Pierce")
+      .head().isNullAt(df.schema.fieldIndex("deaths")))
+  }
+
+  test("spark.sql over registered views matches the DataFrame API") {
+    Tables.registerAll(spark, SparkTestSession.sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         GROUP BY l_returnflag ORDER BY l_returnflag""").collect()
+    val viaDf = Tables.lineitem(spark, SparkTestSession.sf)
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(viaSql.sameElements(viaDf))
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+  }
+
   test("JSON source/sink round-trip with explicit schema (S8)") {
     val ev = Tables.events(spark, SparkTestSession.sf)
     val dir = Files.createTempDirectory("graft-json").resolve("events").toString
