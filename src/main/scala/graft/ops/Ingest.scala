@@ -108,9 +108,16 @@ object Ingest {
     * Sink is columnar parquet partitioned however the caller needs; at
     * 100 TB pass e.g. a date-partitioned path layout. */
   def ingest(spark: SparkSession, srcCsv: String, schema: StructType,
-             keys: Seq[String], tiebreak: Seq[Column], sinkPath: String): Unit =
-    dedupKeepFirst(readCsv(spark, srcCsv, schema), keys, tiebreak)
-      .write.mode("overwrite").parquet(sinkPath)
+             keys: Seq[String], tiebreak: Seq[Column], sinkPath: String,
+             partitionCols: Seq[String] = Nil): Unit = {
+    val cleaned = dedupKeepFirst(readCsv(spark, srcCsv, schema), keys, tiebreak)
+    val writer = cleaned.write.mode("overwrite")
+    // SURVEY.md §4.4: at 100 TB the sink is date-partitioned
+    // (.../date=yyyy-MM-dd/) so downstream scans partition-prune; callers
+    // pass e.g. Seq("date")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(sinkPath)
+  }
 
   // ---- q21: A5 as an oracle-checked query over the corpus --------------
   // Keep-first line per order: the ON CONFLICT dedup pattern on a table

@@ -85,6 +85,28 @@ class IngestSpec extends AnyFunSuite {
     assert(merged.filter(col("county") === "King").count() == 1)
   }
 
+  test("date-partitioned sink layout enables partition pruning") {
+    val csv = writeFixture("part.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-15,Washington,53,904,48",
+      "2020-03-16,Washington,53,950,49",
+      "2020-03-16,Oregon,41,100,2")
+    val sink = Files.createTempDirectory("graft-part").resolve("states").toString
+    Ingest.ingest(spark, csv, Ingest.statesSchema, Ingest.statesKey,
+      Seq(col("cases").asc), sink, partitionCols = Seq("date"))
+    // physical layout is .../date=yyyy-MM-dd/
+    val dirs = new java.io.File(sink).listFiles().map(_.getName)
+      .filter(_.startsWith("date=")).sorted
+    assert(dirs.sameElements(Array("date=2020-03-15", "date=2020-03-16")))
+    // a date predicate prunes to one partition directory
+    val pruned = spark.read.parquet(sink)
+      .filter(col("date") === Date.valueOf("2020-03-16"))
+    assert(pruned.count() == 2)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || pruned.inputFiles
+      .forall(_.contains("date=2020-03-16")))
+  }
+
   test("malformed rows degrade to nulls, not crashes (vs reference parseInt)") {
     // the reference's Integer.parseInt (.kt:50,56) throws on garbage;
     // PERMISSIVE mode nulls the bad field and keeps the row

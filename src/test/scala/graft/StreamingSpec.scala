@@ -88,6 +88,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops late duplicates (§2.9)") {
+    val input = MemoryStream[Ev]
+    val deduped = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch1.take(2)) // duplicate event_ids, still in state
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements((batch1 ++ batch2).map(_.event_id).sorted),
+        s"duplicates leaked or rows lost: ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("checkpointed AvailableNow ingest is incremental and idempotent across reruns") {
     import java.nio.file.Files
     val src = Files.createTempDirectory("graft-stream-src")
