@@ -105,6 +105,36 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Custom stateful processing (§2.9 "stateful ops"): per-user running
+    * aggregates via `mapGroupsWithState` — the escape hatch when windowed
+    * aggregation can't express the state machine. State is per-key and
+    * partitioned by the grouping key, so it scales horizontally; pair with
+    * a watermark + timeout in production so state is reclaimed. Kept
+    * deliberately small: a running (count, sum) per user emitted on every
+    * update. */
+  def statefulUserTotals(spark: SparkSession,
+                         events: org.apache.spark.sql.Dataset[
+                           org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state) =>
+          val (prevN, prevSum) =
+            state.getOption.getOrElse((0L, 0.0))
+          var n = prevN
+          var s = prevSum
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (userId, n, s)
+      }
+      .toDF("user_id", "n_events", "sum_value")
+  }
+
   // ---- oracle-checked batch queries ------------------------------------
 
   def q22Tumbling(s: SparkSession, d: String): DataFrame =

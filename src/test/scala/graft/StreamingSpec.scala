@@ -144,6 +144,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("mapGroupsWithState accumulates per-user state across triggers") {
+    val input = MemoryStream[Ev]
+    val q = ops.Streaming.statefulUserTotals(spark, input.toDF())
+      .writeStream.format("memory").queryName("stateful")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      // latest emitted state per user equals the batch aggregate
+      val latest = spark.table("stateful")
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("sum_value").as("s"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .toMap
+      val expected = (batch1 ++ batch2).groupBy(_.user_id)
+        .map { case (u, evs) => (u, (evs.size.toLong, evs.map(_.value).sum)) }
+      assert(latest == expected)
+    } finally q.stop()
+  }
+
   test("batch session windows merge within gap inclusive, split beyond") {
     // exactly-30:00 gap still merges (inclusive); 30:01 splits
     val rows = Seq(
