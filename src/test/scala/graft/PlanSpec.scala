@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards (SURVEY.md §4): these assertions pin the
+  * scale-critical plan shapes so a refactor that silently loses predicate
+  * pushdown, broadcast selection, top-k fusion, or LSH-bounded joins fails
+  * CI rather than surfacing as a 100× regression on a real cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"))
+    // only the 6 needed columns reach the reader
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q02 fuses global sort+limit into TakeOrderedAndProject") {
+    assert(plan("q02_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast (q03, q04, q07)") {
+    Seq("q03_revenue_segment", "q04_region_revenue", "q07_anti_join")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+      }
+  }
+
+  test("no unbounded cartesian product anywhere in the query surface") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans an unbounded cartesian product")
+    }
+  }
+
+  test("nested-loop joins appear only where a broadcast-bounded cross join is intended") {
+    val allowed = Set("q35_knn_brute", "q47_ivf_ann") // small side broadcast
+    SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a nested-loop join:\n$p")
+    }
+  }
+
+  test("LSH pair queries are equi-joins (hash or sort-merge), never theta") {
+    Seq("q31_minhash_pairs", "q33_simhash_pairs", "q34_ngram_jaccard",
+      "q36_ann_lsh", "q37_cosine_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q is not an equi-join:\n$p")
+    }
+  }
+}
