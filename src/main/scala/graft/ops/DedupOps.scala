@@ -187,21 +187,31 @@ object DedupOps {
     ORDER BY id1, id2"""
 
   // ---- q32: SimHash fingerprints (60-bit, over shingle hashes) ---------
-  // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b).
-  // Shape: explode the per-shingle hashes and take 60 conditional SUMs in
-  // one codegen'd HashAggregate (partial+final, map-side combined) — an
-  // order of magnitude faster than the nested higher-order-lambda
-  // formulation, and the aggregation distributes (shuffle key = doc_id).
+  // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b),
+  // equivalently 2·popcount_b > n. Shape: explode the per-shingle hashes
+  // and aggregate SWAR-packed bit counters — each of 12 packed longs holds
+  // five 13-bit counters (bits 5j..5j+4 of the hash), spread via the
+  // multiply-by-0x1001001001001 trick, so one codegen'd HashAggregate
+  // carries 12 SUM columns instead of 60 (and 4 integer ops per group per
+  // row instead of 15). Capacity 8191 per counter >> max shingles/doc.
+  // The aggregation distributes (shuffle key = doc_id); the DuckDB oracle
+  // keeps the direct per-bit formulation — same integers, same signs.
   private def withSimhash(df: DataFrame): DataFrame = {
+    val spreadC = (0 to 4).map(m => 1L << (12 * m)).sum // copies x 5 times
+    val slotM = (0 to 4).map(m => 1L << (13 * m)).sum   // keep bit m at 13m
     val exploded = withShingles(df)
       .select(col("doc_id"), explode(col("hv")).as("h"))
-    val bitSums = (0 until 60).map(b =>
-      sum(expr(s"(shiftright(h, $b) % 2) * 2 - 1")).as(s"s$b"))
-    val simhash = (0 until 60)
-      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    val packedSums = (0 until 12).map(j =>
+      sum(expr(s"((shiftright(h, ${5 * j}) & 31) * ${spreadC}L) & ${slotM}L"))
+        .as(s"p$j"))
+    val simhash = (0 until 60).map { b =>
+      val j = b / 5
+      val m = b % 5
+      expr(s"case when ((shiftright(p$j, ${13 * m}) & 8191) * 2) > n " +
+        s"then ${1L << b}L else 0L end")
+    }.reduce(_ + _)
     exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+      .agg(count(lit(1)).as("n"), packedSums: _*)
       .select(col("doc_id"), simhash.as("simhash"))
   }
 
