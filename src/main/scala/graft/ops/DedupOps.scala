@@ -32,7 +32,7 @@ object DedupOps {
   /** Driver-side twin of [[hashOf]] — used to precompute seed/plane
     * constants as literals instead of re-hashing per row (the md5 call in
     * the hot path was 8× the per-shingle cost before this). */
-  private[ops] def h60(s: String): Long = {
+  private[graft] def h60(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
     java.lang.Long.parseLong(
@@ -189,25 +189,33 @@ object DedupOps {
   // ---- q32: SimHash fingerprints (60-bit, over shingle hashes) ---------
   // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b),
   // equivalently 2·popcount_b > n. Shape: explode the per-shingle hashes
-  // and aggregate SWAR-packed bit counters — each of 12 packed longs holds
-  // five 13-bit counters (bits 5j..5j+4 of the hash), spread via the
-  // multiply-by-0x1001001001001 trick, so one codegen'd HashAggregate
-  // carries 12 SUM columns instead of 60 (and 4 integer ops per group per
-  // row instead of 15). Capacity 8191 per counter >> max shingles/doc.
-  // The aggregation distributes (shuffle key = doc_id); the DuckDB oracle
-  // keeps the direct per-bit formulation — same integers, same signs.
-  private def withSimhash(df: DataFrame): DataFrame = {
-    val spreadC = (0 to 4).map(m => 1L << (12 * m)).sum // copies x 5 times
-    val slotM = (0 to 4).map(m => 1L << (13 * m)).sum   // keep bit m at 13m
+  // and aggregate SWAR-packed bit counters — each of 15 packed longs holds
+  // four 16-bit counters (bits 4j..4j+3 of the hash), spread via the
+  // multiply-by-(1+2^15+2^30+2^45) trick, so one codegen'd HashAggregate
+  // carries 15 SUM columns instead of 60 (and 4 integer ops per group per
+  // row instead of 15). Counter capacity: the top slot lives at bit
+  // offset 48 and may not touch the sign bit, so counts must stay below
+  // 32768 — shingle input is capped at 32767 per doc IDENTICALLY on both
+  // engines (a doc that long gets its simhash from the first 32767
+  // distinct shingles; a 5-bit/13-slot packing that looked denser
+  // overflowed the sign bit at popcount 2048 and silently corrupted every
+  // fifth hash bit). The aggregation distributes (shuffle key = doc_id);
+  // the DuckDB oracle keeps the direct per-bit formulation over the same
+  // capped input — same integers, same signs.
+  private[graft] val MaxSimhashShingles = 32767
+  private[graft] def withSimhash(df: DataFrame): DataFrame = {
+    val spreadC = (0 to 3).map(m => 1L << (15 * m)).sum // 4 copies of x
+    val slotM = (0 to 3).map(m => 1L << (16 * m)).sum   // keep bit m at 16m
     val exploded = withShingles(df)
-      .select(col("doc_id"), explode(col("hv")).as("h"))
-    val packedSums = (0 until 12).map(j =>
-      sum(expr(s"((shiftright(h, ${5 * j}) & 31) * ${spreadC}L) & ${slotM}L"))
+      .select(col("doc_id"),
+        explode(expr(s"slice(hv, 1, $MaxSimhashShingles)")).as("h"))
+    val packedSums = (0 until 15).map(j =>
+      sum(expr(s"((shiftright(h, ${4 * j}) & 15) * ${spreadC}L) & ${slotM}L"))
         .as(s"p$j"))
     val simhash = (0 until 60).map { b =>
-      val j = b / 5
-      val m = b % 5
-      expr(s"case when ((shiftright(p$j, ${13 * m}) & 8191) * 2) > n " +
+      val j = b / 4
+      val m = b % 4
+      expr(s"case when ((shiftrightunsigned(p$j, ${16 * m}) & 65535) * 2) > n " +
         s"then ${1L << b}L else 0L end")
     }.reduce(_ + _)
     exploded.groupBy(col("doc_id"))
@@ -219,8 +227,9 @@ object DedupOps {
     withSimhash(Tables.documents(s, d))
       .orderBy(col("doc_id"))
 
-  private val sqlSimhash: String = sqlShingles + """,
-    hs AS (SELECT doc_id, hv FROM sh),
+  // hv capped to the same 32767-shingle budget as the Spark side
+  private val sqlSimhash: String = sqlShingles + s""",
+    hs AS (SELECT doc_id, hv[1:$MaxSimhashShingles] AS hv FROM sh),
     sim AS (
       SELECT doc_id,
         list_reduce(list_concat([CAST(0 AS BIGINT)],

@@ -41,6 +41,26 @@ class DedupOpsSpec extends AnyFunSuite {
       s"simhash-only pairs not confirmed by minhash: ${sh.diff(mh)}")
   }
 
+  test("SWAR simhash matches a direct per-bit computation on a 5000-shingle doc") {
+    import spark.implicits._
+    // large distinct vocabulary → per-bit popcounts ~2500, which overflowed
+    // the previous 13-bit-slot packing's top counter (sign-bit corruption)
+    val words = (0 until 5000).map(i => s"w$i")
+    val text = words.mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = DedupOps.withSimhash(df).head().getAs[Long]("simhash")
+    // reference: direct fold in Scala over the same shingle hashes
+    val shingles = words.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      .take(DedupOps.MaxSimhashShingles)
+    val hv = shingles.map(DedupOps.h60)
+    val expected = (0 until 60).map { b =>
+      val pop = hv.count(h => ((h >> b) & 1L) == 1L)
+      if (2 * pop > hv.size) 1L << b else 0L
+    }.sum
+    assert(got == expected,
+      f"simhash mismatch: got=$got%x expected=$expected%x")
+  }
+
   test("char-ngram jaccard finds the same planted near-dup cluster") {
     val ng = pairs(DedupOps.q34NgramJaccard(spark, sf))
     val mh = pairs(DedupOps.q31MinhashPairs(spark, sf))
