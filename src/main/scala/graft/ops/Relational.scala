@@ -251,8 +251,15 @@ object Relational {
 
   // ---- q11: lag / daily delta (W1 — the cumulative-counter workhorse,
   //      SURVEY.md §1.6.4) ---------------------------------------------
+  // (l_orderkey, l_linenumber) is NOT unique in this corpus (118k
+  // colliding pairs at sf0.1), so the window order extends to l_quantity:
+  // rows still tied after that are identical in every column these
+  // windows read, so any tie order yields the same lag/avg values. A
+  // partial order here makes the results depend on shuffle arrival order
+  // (SURVEY.md §7.3.1).
   private def supplierWindow = Window.partitionBy(col("l_suppkey"))
-    .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"))
 
   def q11WindowLag(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -269,7 +276,7 @@ object Relational {
       l_quantity - LAG(l_quantity, 1) OVER w AS delta_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
 
   // ---- q12: 7-row moving average (W3) ---------------------------------
@@ -285,7 +292,7 @@ object Relational {
   val q12Sql: String = """
     SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity,
       AVG(l_quantity) OVER (PARTITION BY l_suppkey
-        ORDER BY l_shipdate, l_orderkey, l_linenumber
+        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
     FROM lineitem
     ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber"""
@@ -408,7 +415,7 @@ object Relational {
     SELECT event_type, COUNT(*) AS n,
       CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
     FROM (SELECT event_type,
-            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
     GROUP BY event_type ORDER BY event_type"""
 

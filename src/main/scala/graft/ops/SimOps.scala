@@ -203,13 +203,14 @@ object SimOps {
       .orderBy(col("id1"), col("id2"))
   }
 
-  val q37Sql: String = sqlEmb + s"""
-    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
-      CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-        / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
-    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-        / sqrt(CAST(a.nq * b.nq AS DOUBLE)) >= 0.3
+  val q37Sql: String = sqlEmb + s""",
+    scored AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
+        CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id1, id2, bucket, cosine
+    FROM scored WHERE cosine >= 0.3
     ORDER BY id1, id2"""
 
   // ---- q47: IVF-bucketed ANN (coarse quantizer + in-cell search) -------

@@ -76,29 +76,50 @@ object Streaming {
                          schema: org.apache.spark.sql.types.StructType,
                          keys: Seq[String], tiebreak: Seq[org.apache.spark.sql.Column],
                          checkpoint: String, sinkPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val q = spark.readStream
       .schema(schema)
       .option("header", "true")
       .option("dateFormat", "yyyy-MM-dd")
+      // one micro-batch per firing: the sink merge below rewrites the full
+      // sink, so splitting the backlog into B batches would pay that
+      // rewrite B times (quadratic over the backlog)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .csv(srcDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark2 = batch.sparkSession
+        val conf = spark2.sparkContext.hadoopConfiguration
+        val sink = new Path(sinkPath)
+        val fs = sink.getFileSystem(conf) // sinkPath's OWN filesystem
+        val backup = new Path(sinkPath + "__prev")
+        // crash recovery: if a previous swap died between the two renames,
+        // the data lives at backup and sink is absent
+        if (!fs.exists(sink) && fs.exists(backup) &&
+            !fs.rename(backup, sink))
+          sys.error(s"cannot restore $backup to $sink")
+        // absent sink (first run) → empty; any OTHER read failure
+        // (corruption, permissions) must propagate, not masquerade as
+        // an empty sink and truncate history
         val existing =
-          try spark2.read.parquet(sinkPath)
-          catch { case _: Throwable => spark2.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema) }
+          if (fs.exists(sink)) spark2.read.parquet(sinkPath)
+          else spark2.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
         val merged = Ingest.appendIdempotent(existing, batch, keys, tiebreak)
-        // write-then-swap: parquet can't overwrite its own input in place
-        val tmp = sinkPath + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark2.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(sinkPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(sinkPath))
+        // write-then-swap: parquet can't overwrite its own input in place.
+        // The swap is two renames with a backup in between — not atomic,
+        // but every intermediate state is recoverable (see above).
+        val staging = new Path(sinkPath + "__staging")
+        fs.delete(staging, true)
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(backup, true)
+        if (fs.exists(sink) && !fs.rename(sink, backup))
+          sys.error(s"cannot move $sink aside to $backup")
+        if (!fs.rename(staging, sink))
+          sys.error(s"cannot publish $staging to $sink")
+        fs.delete(backup, true)
         ()
       }
       .start()
@@ -121,16 +142,22 @@ object Streaming {
       .selectExpr("user_id", "value")
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+      // state holds (count, sum in integer cents) — the same element-wise
+      // quantization as Fx.toUnits, so the running sum is independent of
+      // arrival order (raw double accumulation would drift in the low
+      // bits between runs)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](
         GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state) =>
-          val (prevN, prevSum) =
-            state.getOption.getOrElse((0L, 0.0))
+          val (prevN, prevUnits) = state.getOption.getOrElse((0L, 0L))
           var n = prevN
-          var s = prevSum
-          rows.foreach { r => n += 1; s += r._2 }
-          state.update((n, s))
-          (userId, n, s)
+          var u = prevUnits
+          rows.foreach { r =>
+            n += 1
+            u += math.floor(r._2 * 100 + 0.5).toLong
+          }
+          state.update((n, u))
+          (userId, n, u / 100.0)
       }
       .toDF("user_id", "n_events", "sum_value")
   }
