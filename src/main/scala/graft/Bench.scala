@@ -23,11 +23,16 @@ object Bench {
     // noop sink forces FULL evaluation of every output column — a bare
     // count() would let Catalyst prune projection-only work (e.g. pure
     // string/scalar queries would measure nothing).
+    // a failed query records -1 (not its crash latency) so a regression
+    // into an exception can never read as a speedup in the emitted JSON
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      spark.catalog.clearCache() // don't let q31/q33/q34 caches accumulate
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

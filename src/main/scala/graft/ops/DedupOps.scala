@@ -50,7 +50,7 @@ object DedupOps {
     * and the per-shingle 60-bit hash array `hv`. */
   private def withShingles(df: DataFrame): DataFrame = {
     graft.expressions.Hash60.register(df.sparkSession)
-    df.withColumn("tokens", split(trim(lower(col("text"))), "\\s+"))
+    df.withColumn("tokens", split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
       .filter(size(col("tokens")) >= 3)
       .withColumn("shingles", expr(
         "array_distinct(transform(sequence(1, size(tokens) - 2)," +
@@ -60,7 +60,7 @@ object DedupOps {
 
   private val sqlShingles: String = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\r\f]+') AS t
       FROM documents),
     sh0 AS (
       SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

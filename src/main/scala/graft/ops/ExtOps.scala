@@ -15,10 +15,14 @@ import Fx._
   */
 class WeightedAvgQ extends Aggregator[(Long, Long), (Long, Long), Double] {
   def zero: (Long, Long) = (0L, 0L)
+  // addExact/multiplyExact: at extreme scale Σw·x can exceed Long range —
+  // fail loudly (like DuckDB's HUGEINT→BIGINT cast does) rather than
+  // silently wrap into a plausible-looking wrong average
   def reduce(b: (Long, Long), in: (Long, Long)): (Long, Long) =
-    (b._1 + in._1 * in._2, b._2 + in._1) // (Σ w·x, Σ w)
+    (Math.addExact(b._1, Math.multiplyExact(in._1, in._2)),
+      Math.addExact(b._2, in._1)) // (Σ w·x, Σ w)
   def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
-    (a._1 + b._1, a._2 + b._2)
+    (Math.addExact(a._1, b._1), Math.addExact(a._2, b._2))
   def finish(r: (Long, Long)): Double =
     if (r._2 == 0) Double.NaN else r._1.toDouble / r._2.toDouble
   def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -41,25 +45,28 @@ object ExtOps {
   // winner is unique (DuckDB's ASOF JOIN then agrees deterministically).
   def q41AsofJoin(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // the quote rides as ONE struct so ts and value always come from the
+    // SAME quote row — carrying them as two independent last(ignoreNulls)
+    // columns would, for a latest quote with a NULL value, pair that
+    // quote's ts with an older quote's value (and disagree with ASOF JOIN,
+    // which returns the latest row even when its value is NULL)
     val quotes = ev.filter(col("event_type") === "click")
       .groupBy(col("user_id"), col("ts"))
       .agg(max_by(col("value"), col("event_id")).as("qval"))
       .select(col("user_id"), col("ts"), lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"), col("qval"),
-        col("ts").as("qts"))
+        lit(null).cast("long").as("event_id"),
+        struct(col("ts").as("qts"), col("qval")).as("qrec"))
     val trades = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
-        lit(null).cast("double").as("qval"),
-        lit(null).cast("timestamp").as("qts"))
+        lit(null).cast("struct<qts:timestamp,qval:double>").as("qrec"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     quotes.unionByName(trades)
-      .withColumn("quote_val", last(col("qval"), ignoreNulls = true).over(w))
-      .withColumn("quote_ts", last(col("qts"), ignoreNulls = true).over(w))
+      .withColumn("q", last(col("qrec"), ignoreNulls = true).over(w))
       .filter(col("tag") === 1)
       .select(col("user_id"), col("ts"), col("event_id"),
-        col("quote_ts"), col("quote_val"))
+        col("q.qts").as("quote_ts"), col("q.qval").as("quote_val"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
@@ -89,14 +96,20 @@ object ExtOps {
       .orderBy(col("event_type"))
 
   // ---- q43: map explode (F10; JSON-in-string → map → rows) -------------
+  // Values parse as strings then floor-cast through double on BOTH sides:
+  // a typed map<string,bigint> parse would null the ENTIRE map when any
+  // one value is non-integral (losing the good keys of that row), and
+  // engines disagree on string→bigint coercion of "1.5" (DuckDB rounds,
+  // Spark nulls) — floor(double) is the one semantics both share.
   def q43MapExplode(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
         explode(from_json(col("props"),
           org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.LongType)))
-          .as(Seq("key", "value")))
+            org.apache.spark.sql.types.StringType)))
+          .as(Seq("key", "raw")))
+      .withColumn("value", floor(col("raw").cast("double")).cast("long"))
       .groupBy(col("event_type"), col("key"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"),
         min(col("value")).as("min_v"), max(col("value")).as("max_v"))
@@ -106,8 +119,8 @@ object ExtOps {
     SELECT event_type, key, COUNT(*) AS n,
       CAST(SUM(v) AS BIGINT) AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v
     FROM (SELECT event_type, unnest(json_keys(props)) AS key,
-            CAST(json_extract_string(props, '$.' ||
-              unnest(json_keys(props))) AS BIGINT) AS v
+            CAST(floor(TRY_CAST(json_extract_string(props, '$.' ||
+              unnest(json_keys(props))) AS DOUBLE)) AS BIGINT) AS v
           FROM events)
     GROUP BY 1, 2 ORDER BY 1, 2"""
 

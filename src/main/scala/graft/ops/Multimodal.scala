@@ -37,10 +37,14 @@ case class MediaFeatures(asset_id: Long, kind: String, n_bytes: Long,
   */
 object Multimodal {
 
-  /** Deterministic corpus of binary assets from the documents table. */
+  /** Deterministic corpus of binary assets from the documents table.
+    * NULL-text rows are dropped here (an undecodable asset with no
+    * payload) — matching the oracle's WHERE, and keeping one bad row from
+    * NPE-ing a whole partition's task inside mapPartitions. */
   def assets(s: SparkSession, d: String): Dataset[MediaAsset] = {
     import s.implicits._
     Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id").as("asset_id"),
         when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
         encode(col("text"), "UTF-8").as("payload"))
@@ -49,10 +53,12 @@ object Multimodal {
 
   /** STUB codec — stands in for libjpeg/ffmpeg/etc. Deterministic pure
     * arithmetic over the payload so tests and the SQL oracle can verify
-    * the surrounding plumbing end-to-end. */
+    * the surrounding plumbing end-to-end. Null payloads decode as empty
+    * (defensive — [[assets]] already filters them). */
   def decodeStub(a: MediaAsset): MediaFeatures = {
-    val n = a.payload.length.toLong
-    val byteSum = a.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+    val bytes = if (a.payload == null) Array.emptyByteArray else a.payload
+    val n = bytes.length.toLong
+    val byteSum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
     val (w, h, frames) = a.kind match {
       case "image" => (1L + n % 64, 1L + n % 48, 1L)
       case _       => (0L, 0L, (n + 255) / 256) // audio: 256-byte frames
@@ -90,7 +96,8 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.filter(_.kind != "image")
       .mapPartitions(_.flatMap { a =>
-        a.payload.grouped(256).zipWithIndex.collect {
+        val bytes = if (a.payload == null) Array.emptyByteArray else a.payload
+        bytes.grouped(256).zipWithIndex.collect {
           case (frame, i) if i % every == 0 =>
             (a.asset_id, i.toLong, frame.length.toLong)
         }
@@ -103,20 +110,24 @@ object Multimodal {
     extractFeatures(assets(s, d)).toDF().orderBy(col("asset_id"))
 
   // The oracle recomputes the stub arithmetic from the source text (ASCII
-  // ⇒ octet length == char length, byte values == code points).
+  // ⇒ octet length == char length, byte values == code points). The
+  // c <> '' filter guards empty text: DuckDB string_split('', '') yields
+  // [''] with ord('') = -1, which would make byte_sum -1 where Spark's
+  // fold over zero bytes yields 0. COALESCE covers list_sum([]) = NULL.
   val q39Sql: String = """
     SELECT doc_id AS asset_id,
       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
       CAST(length(text) AS BIGINT) AS n_bytes,
-      CAST(list_sum(list_transform(string_split(text, ''),
-        c -> ord(c))) AS BIGINT) AS byte_sum,
+      CAST(COALESCE(list_sum(list_transform(
+        list_filter(string_split(text, ''), c -> c <> ''),
+        c -> ord(c))), 0) AS BIGINT) AS byte_sum,
       CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 64
            ELSE 0 END AS width,
       CASE WHEN doc_id % 2 = 0 THEN 1 + length(text) % 48
            ELSE 0 END AS height,
       CASE WHEN doc_id % 2 = 0 THEN 1
            ELSE (length(text) + 255) // 256 END AS n_frames
-    FROM documents ORDER BY asset_id"""
+    FROM documents WHERE text IS NOT NULL ORDER BY asset_id"""
 
   // ---- q40: frame-sample + aggregate (partition-batch op feeding an
   //      ordinary relational agg) ---------------------------------------
@@ -137,7 +148,9 @@ object Multimodal {
                     ELSE length(text) % 256 END
         ELSE (((length(text) + 255) // 256) + 1) // 2 * 256
       END AS BIGINT) AS bytes
-    FROM documents WHERE doc_id % 2 = 1 ORDER BY asset_id"""
+    FROM documents
+    WHERE doc_id % 2 = 1 AND text IS NOT NULL AND length(text) > 0
+    ORDER BY asset_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> q39MultimodalFeatures _,

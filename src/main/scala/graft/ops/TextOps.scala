@@ -21,8 +21,11 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Whitespace tokens of lowercased text. */
-  private def toks(c: Column): Column = split(trim(lower(c)), "\\s+")
+  /** Whitespace tokens of lowercased text. The explicit class (not \s)
+    * is the intersection both regex engines agree on: Java \s includes
+    * vertical tab \x0B, RE2 (DuckDB) does not. */
+  private def toks(c: Column): Column =
+    split(trim(lower(c)), "[ \\t\\n\\r\\f]+")
 
   private def countTok(tokens: Column, word: String): Column =
     size(filter(tokens, t => t === lit(word))).cast("long")
@@ -65,7 +68,7 @@ object TextOps {
               list_contains(['the','a','of','and','to','in','is','it'], t)))
               AS BIGINT) AS n_stop
           FROM (SELECT doc_id, lang,
-                  string_split_regex(trim(lower(text)), '\s+') AS toks
+                  string_split_regex(trim(lower(text)), '[ \t\n\r\f]+') AS toks
                 FROM documents))
     ORDER BY doc_id"""
 
@@ -113,7 +116,7 @@ object TextOps {
             ${sqlCountTok("le")} + ${sqlCountTok("les")} +
               ${sqlCountTok("est")} AS s_fr
           FROM (SELECT lang,
-                  string_split_regex(trim(lower(text)), '\\s+') AS toks
+                  string_split_regex(trim(lower(text)), '[ \t\n\r\f]+') AS toks
                 FROM documents))
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
@@ -140,7 +143,7 @@ object TextOps {
       CAST(SUM(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (SELECT lang, n_chars,
-            CAST(length(string_split_regex(trim(lower(text)), '\s+'))
+            CAST(length(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'))
               AS BIGINT) AS ws_tokens,
             CAST(length(regexp_extract_all(lower(text),
               '[a-z]+|[0-9]+|[^a-z0-9 \t\n]')) AS BIGINT) AS bpe_tokens
@@ -164,7 +167,8 @@ object TextOps {
   val q28Sql: String = """
     SELECT doc_id, n_chars,
       list_reduce(list_concat([CAST(0 AS BIGINT)],
-          list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+          list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+            c -> CAST(ord(c) AS BIGINT))),
         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
     FROM documents ORDER BY doc_id"""
 
