@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Ingest.queries ++ ops.Streaming.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++
-      ops.Multimodal.queries ++ ops.ExtOps.queries ++ ops.Skew.queries
+      ops.Multimodal.queries ++ ops.ExtOps.queries ++ ops.Skew.queries ++
+      ops.SqlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Ingest.oracles ++ ops.Streaming.oracles ++
       ops.TextOps.oracles ++ ops.DedupOps.oracles ++ ops.SimOps.oracles ++
-      ops.Multimodal.oracles ++ ops.ExtOps.oracles ++ ops.Skew.oracles
+      ops.Multimodal.oracles ++ ops.ExtOps.oracles ++ ops.Skew.oracles ++
+      ops.SqlOps.oracles
 }

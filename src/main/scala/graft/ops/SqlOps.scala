@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import Fx._
+
+/** SQL-entry-point queries: the same engine driven through `spark.sql`
+  * over registered views (`Tables.registerAll`) — the direct analog of
+  * the SQL workload the reference's Postgres tables serve (SURVEY.md §0).
+  * Catalyst plans SQL text and DataFrame code identically, so these share
+  * every §4 property (pushdown, broadcast, partial aggregation); what
+  * they add is coverage of SQL-only surface: correlated scalar
+  * subqueries, INTERSECT/EXCEPT ALL, GROUPING SETS.
+  */
+object SqlOps {
+
+  private def sql(s: SparkSession, d: String, text: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(text)
+  }
+
+  // ---- q48: correlated scalar subquery (small-quantity outliers) -------
+  // Lineitems below 1/5 of their part's average quantity. The threshold
+  // compares in integer space (qu * 5 * n < sum_qu) — no division, no
+  // float boundary — and Catalyst decorrelates the subquery into an
+  // aggregate + join (§4.2), which is exactly the hand-written plan.
+  private val q48Text: String = s"""
+    SELECT l_partkey, l_orderkey, l_linenumber, l_quantity
+    FROM lineitem o
+    WHERE ${sqlUnits("l_quantity", 0)} * 5 *
+        (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = o.l_partkey)
+      < (SELECT SUM(${sqlUnits("l_quantity", 0)}) FROM lineitem i
+         WHERE i.l_partkey = o.l_partkey)
+    ORDER BY l_partkey, l_orderkey, l_linenumber, l_quantity"""
+
+  def q48ScalarSubquery(s: SparkSession, d: String): DataFrame =
+    sql(s, d, q48Text)
+
+  val q48Sql: String = q48Text
+
+  // ---- q49: INTERSECT ALL / EXCEPT ALL (§2.7 multiset variants) --------
+  // Multiset semantics preserve duplicate counts: a (nationkey, segment)
+  // combination appearing 3× among customers and 1× among a filtered
+  // subset keeps 1 copy under INTERSECT ALL, 2 under EXCEPT ALL.
+  private val q49Text: String = """
+    SELECT 'inter' AS op, c_nationkey, c_mktsegment FROM (
+      SELECT c_nationkey, c_mktsegment FROM customer
+      INTERSECT ALL
+      SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0)
+    UNION ALL
+    SELECT 'except' AS op, c_nationkey, c_mktsegment FROM (
+      SELECT c_nationkey, c_mktsegment FROM customer
+      EXCEPT ALL
+      SELECT c_nationkey, c_mktsegment FROM customer WHERE c_acctbal > 0)
+    ORDER BY op, c_nationkey, c_mktsegment"""
+
+  def q49SetAll(s: SparkSession, d: String): DataFrame =
+    sql(s, d, q49Text)
+
+  val q49Sql: String = q49Text
+
+  // ---- q50: GROUPING SETS (A3 — the general form of rollup/cube) -------
+  private val q50Text: String = s"""
+    SELECT o_orderpriority, o_orderstatus,
+      CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        AS BIGINT) AS gid,
+      COUNT(*) AS n, ${sqlMoneySum("o_totalprice")} AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+
+  def q50GroupingSets(s: SparkSession, d: String): DataFrame =
+    sql(s, d, q50Text)
+
+  val q50Sql: String = q50Text
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_scalar_subquery" -> q48ScalarSubquery _,
+    "q49_set_all"         -> q49SetAll _,
+    "q50_grouping_sets"   -> q50GroupingSets _)
+
+  val oracles: Map[String, String] = Map(
+    "q48_scalar_subquery" -> q48Sql,
+    "q49_set_all"         -> q49Sql,
+    "q50_grouping_sets"   -> q50Sql)
+}
