@@ -75,13 +75,57 @@ object SqlOps {
 
   val q50Sql: String = q50Text
 
+  // ---- q51: pivot (wide aggregation; explicit value list so the plan
+  //      needs no distinct-values pre-scan — mandatory at 100 TB) --------
+  def q51Pivot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // oracle = the CASE-based pivot both engines agree on exactly
+  val q51Sql: String = """
+    SELECT o_orderpriority,
+      COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+      COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+      COUNT(*) FILTER (o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- q52: unpivot / melt (wide → long) -------------------------------
+  def q52Unpivot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey")),
+        "metric", "value")
+      .orderBy(col("c_custkey"), col("metric"))
+  }
+
+  val q52Sql: String = """
+    SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE)
+    FROM customer
+    ORDER BY c_custkey, metric"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_scalar_subquery" -> q48ScalarSubquery _,
     "q49_set_all"         -> q49SetAll _,
-    "q50_grouping_sets"   -> q50GroupingSets _)
+    "q50_grouping_sets"   -> q50GroupingSets _,
+    "q51_pivot"           -> q51Pivot _,
+    "q52_unpivot"         -> q52Unpivot _)
 
   val oracles: Map[String, String] = Map(
     "q48_scalar_subquery" -> q48Sql,
     "q49_set_all"         -> q49Sql,
-    "q50_grouping_sets"   -> q50Sql)
+    "q50_grouping_sets"   -> q50Sql,
+    "q51_pivot"           -> q51Sql,
+    "q52_unpivot"         -> q52Sql)
 }

@@ -126,6 +126,29 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Stream-stream inner join (§2.9): views joined to the clicks that
+    * follow them within 30 minutes, per user. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * reclaim join state for rows past the watermark — the REQUIREMENT for
+    * an unbounded two-stream join to run with bounded memory. The same
+    * function works on batch DataFrames (the unified API); the spec
+    * cross-checks streaming output against the batch result. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c, col("user_id") === col("c_user")
+        && col("click_ts") >= col("view_ts")
+        && col("click_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Custom stateful processing (§2.9 "stateful ops"): per-user running
     * aggregates via `mapGroupsWithState` — the escape hatch when windowed
     * aggregation can't express the state machine. State is per-key and

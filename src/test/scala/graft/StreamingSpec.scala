@@ -144,6 +144,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("stream-stream view/click join matches the batch join") {
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = ops.Streaming.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      val vRows = Seq(Ev(100, ts(10), 1, "view", 0), Ev(101, ts(50), 1, "view", 0),
+        Ev(102, ts(10), 2, "view", 0))
+      val cRows = Seq(
+        Ev(200, ts(25), 1, "click", 0),  // 15min after view 100 → joins
+        Ev(201, ts(55), 1, "click", 0),  // joins view 101 (5m) NOT 100 (45m)
+        Ev(202, ts(45), 2, "click", 0))  // 35min after view 102 → no join
+      views.addData(vRows); clicks.addData(cRows)
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join")
+        .orderBy("user_id", "view_id", "click_id").collect()
+      val batch = ops.Streaming.viewClickJoin(vRows.toDF(), cRows.toDF())
+        .orderBy("user_id", "view_id", "click_id").collect()
+      assert(streamed.sameElements(batch))
+      val pairs = streamed.map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(pairs == Set((100L, 200L), (101L, 201L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across triggers") {
     val input = MemoryStream[Ev]
     val q = ops.Streaming.statefulUserTotals(spark, input.toDF())
