@@ -115,17 +115,69 @@ object SqlOps {
     FROM customer
     ORDER BY c_custkey, metric"""
 
+  // ---- q53/q54: seeded sampling (training-data subsampling) ------------
+  // Bernoulli and per-stratum sampling with a FIXED seed: deterministic
+  // within Spark (reruns agree — required by the driver's rows-only
+  // check) but engine-specific RNG, so no DuckDB oracle entry. At 100 TB
+  // these are the "inspect 0.1%" and "rebalance classes" primitives; both
+  // push the coin flip into the scan (no shuffle, no collect).
+  def q53Sample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q54StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fractions = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3,
+      "fr" -> 0.3, "zh" -> 0.1)
+    Tables.documents(s, d)
+      .stat.sampleBy("lang", fractions, 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  // ---- q55: null semantics (P3 as a first-class query) -----------------
+  // The corpus has no nulls, so NULLIF synthesizes them; the query then
+  // exercises null-safe equality (<=> / IS NOT DISTINCT FROM), COALESCE,
+  // and COUNT's null-skipping — the semantics knot SURVEY.md §7.3.3
+  // flags (Postgres UNIQUE treats nulls as distinct; engines must agree
+  // on every null-handling branch here).
+  private val q55Text: String = """
+    SELECT o_orderpriority,
+      COUNT(st) AS n_nonnull,
+      COUNT(*) - COUNT(st) AS n_null,
+      CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe,
+      COALESCE(MIN(st), '(none)') AS min_or_tag
+    FROM (SELECT o_orderpriority, NULLIF(o_orderstatus, 'P') AS st
+          FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  def q55NullSemantics(s: SparkSession, d: String): DataFrame =
+    sql(s, d, q55Text)
+
+  val q55Sql: String = q55Text
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_scalar_subquery" -> q48ScalarSubquery _,
     "q49_set_all"         -> q49SetAll _,
     "q50_grouping_sets"   -> q50GroupingSets _,
     "q51_pivot"           -> q51Pivot _,
-    "q52_unpivot"         -> q52Unpivot _)
+    "q52_unpivot"         -> q52Unpivot _,
+    "q53_sample"          -> q53Sample _,
+    "q54_stratified_sample" -> q54StratifiedSample _,
+    "q55_null_semantics"  -> q55NullSemantics _)
 
+  /** q53/q54 intentionally omitted (engine-specific RNG — rows-only). */
   val oracles: Map[String, String] = Map(
     "q48_scalar_subquery" -> q48Sql,
     "q49_set_all"         -> q49Sql,
     "q50_grouping_sets"   -> q50Sql,
     "q51_pivot"           -> q51Sql,
-    "q52_unpivot"         -> q52Sql)
+    "q52_unpivot"         -> q52Sql,
+    "q55_null_semantics"  -> q55Sql)
 }

@@ -24,6 +24,26 @@ class SqlOpsSpec extends AnyFunSuite {
     assert(rows.count() == Tables.customer(spark, sf).count())
   }
 
+  test("seeded sampling is deterministic across runs and roughly sized") {
+    val a = SqlOps.q53Sample(spark, sf).collect()
+    val b = SqlOps.q53Sample(spark, sf).collect()
+    assert(a.sameElements(b))
+    val total = Tables.documents(spark, sf).count()
+    assert(a.length > total / 50 && a.length < total / 3) // ~10% ± slack
+    val strat = SqlOps.q54StratifiedSample(spark, sf).collect()
+    val strat2 = SqlOps.q54StratifiedSample(spark, sf).collect()
+    assert(strat.sameElements(strat2))
+  }
+
+  test("null semantics: null and non-null counts partition each group") {
+    val r = SqlOps.q55NullSemantics(spark, sf)
+    import org.apache.spark.sql.functions._
+    val bad = r.filter(col("n_null") =!= col("n_nullsafe"))
+    assert(bad.count() == 0) // IS NOT DISTINCT FROM NULL == IS NULL
+    val total = r.agg(sum(col("n_nonnull") + col("n_null"))).head().getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
   test("grouping sets: both level totals equal the grand total") {
     val r = SqlOps.q50GroupingSets(spark, sf).collect()
     val grand = r.filter(_.getAs[Long]("gid") == 3L).map(_.getAs[Long]("n")).sum
