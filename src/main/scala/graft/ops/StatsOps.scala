@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Fx._
+
+/** Statistical aggregates with oracle-exact determinism.
+  *
+  * Built-in `corr`/`stddev` use streaming co-moment updates whose low bits
+  * depend on partition order, and sketch-based percentiles differ per
+  * engine — so each statistic here is REBUILT from exact integer sums
+  * (element-wise quantization, BIGINT accumulation) with the final formula
+  * a fixed sequence of IEEE double ops over identical integers. Same
+  * distributed shape as the built-ins: one partial+final aggregation.
+  */
+object StatsOps {
+
+  // ---- q56: exact percentiles (interpolated, over integer units) -------
+  // Spark `percentile` and DuckDB `quantile_cont` share the same
+  // definition (linear interpolation at rank p·(n−1)); feeding them
+  // integer cent values makes the sort total and the interpolation inputs
+  // exact, so the returned doubles agree bit-for-bit.
+  def q56Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("pu", toUnits(col("l_extendedprice")))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(pu, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (element_at(col("ps"), 1) / 100.0).as("p25"),
+        (element_at(col("ps"), 2) / 100.0).as("p50"),
+        (element_at(col("ps"), 3) / 100.0).as("p75"),
+        (element_at(col("ps"), 4) / 100.0).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  val q56Sql: String = s"""
+    SELECT l_returnflag, n,
+      ps[1] / 100.0 AS p25, ps[2] / 100.0 AS p50,
+      ps[3] / 100.0 AS p75, ps[4] / 100.0 AS p90
+    FROM (SELECT l_returnflag,
+            quantile_cont(${sqlUnits("l_extendedprice")},
+              [0.25, 0.5, 0.75, 0.9]) AS ps,
+            COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag)
+    ORDER BY l_returnflag"""
+
+  // ---- q57: Pearson correlation from exact integer sums ----------------
+  // r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²tot)(n·Σy² − Σy²tot)), with
+  // every Σ an exact BIGINT (x = quantity units, y = whole dollars to
+  // keep Σy² inside long range) and the final formula evaluated in
+  // double the same way on both engines.
+  def q57Correlation(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("x", toUnits(col("l_quantity"), 0))
+      // `div`, not `/`: Column./ is DOUBLE division in Spark — it would
+      // silently turn y into a float and break integer-sum exactness
+      .withColumn("y",
+        expr("cast(floor(l_extendedprice + 0.5) as bigint) div 100"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_qty_price",
+        (col("n").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+      .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
+  val q57Sql: String = s"""
+    SELECT l_returnflag, n,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+    FROM (SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx,
+            CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM (SELECT l_returnflag,
+                  ${sqlUnits("l_quantity", 0)} AS x,
+                  ${sqlUnits("l_extendedprice", 0)} // 100 AS y
+                FROM lineitem)
+          GROUP BY l_returnflag)
+    ORDER BY l_returnflag"""
+
+  // ---- q58: histogram (fixed-width integer bucketing) ------------------
+  // bucket = price // $10k — pure integer division, no width_bucket
+  // float-boundary ambiguity; the shape every data-profiling pass needs.
+  def q58Histogram(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("bucket", (toUnits(col("l_extendedprice")) / 1000000L)
+        .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q58Sql: String = s"""
+    SELECT ${sqlUnits("l_extendedprice")} // 1000000 AS bucket,
+      COUNT(*) AS n, ${sqlMoneySum("l_extendedprice")} AS sum_price
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_percentiles" -> q56Percentiles _,
+    "q57_correlation" -> q57Correlation _,
+    "q58_histogram"   -> q58Histogram _)
+
+  val oracles: Map[String, String] = Map(
+    "q56_percentiles" -> q56Sql,
+    "q57_correlation" -> q57Sql,
+    "q58_histogram"   -> q58Sql)
+}
