@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.Tables
 import Fx._
@@ -115,30 +116,50 @@ object SqlOps {
     FROM customer
     ORDER BY c_custkey, metric"""
 
-  // ---- q53/q54: seeded sampling (training-data subsampling) ------------
-  // Bernoulli and per-stratum sampling with a FIXED seed: deterministic
-  // within Spark (reruns agree — required by the driver's rows-only
-  // check) but engine-specific RNG, so no DuckDB oracle entry. At 100 TB
-  // these are the "inspect 0.1%" and "rebalance classes" primitives; both
-  // push the coin flip into the scan (no shuffle, no collect).
+  // ---- q53/q54: deterministic sampling (training-data subsampling) -----
+  // Hash-gated bernoulli: keep a row iff H(seed:id) % 1000 < rate‰. Unlike
+  // `df.sample(seed)` — whose per-partition RNG ties the sampled SET to
+  // the scan's split layout (core count, file sizes) — the hash gate is a
+  // pure row property: identical on any partitioning, any engine, any
+  // rerun. That makes these fully oracle-checkable AND the membership
+  // reproducible at 100 TB (the property that matters when a sample
+  // defines a training subset). The coin flip still rides the scan: no
+  // shuffle, no collect.
   def q53Sample(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
+    graft.expressions.Hash60.register(s)
     Tables.documents(s, d)
-      .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+      .filter(expr("h60(concat('smp:', cast(doc_id as string))) % 1000 < 100"))
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
+  val q53Sql: String = """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),
+      1, 15) AS BIGINT) % 1000 < 100
+    ORDER BY doc_id"""
+
+  // per-stratum rates in permille (class rebalancing)
   def q54StratifiedSample(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val fractions = Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.3,
-      "fr" -> 0.3, "zh" -> 0.1)
+    graft.expressions.Hash60.register(s)
+    val rate = expr("CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 " +
+      "ELSE 300 END")
     Tables.documents(s, d)
-      .stat.sampleBy("lang", fractions, 42L)
+      .filter(expr("h60(concat('smp:', cast(doc_id as string))) % 1000")
+        < rate)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy(col("lang"))
   }
+
+  val q54Sql: String = """
+    SELECT lang, COUNT(*) AS n_sampled
+    FROM documents
+    WHERE CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)),
+        1, 15) AS BIGINT) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 100 ELSE 300 END
+    GROUP BY lang ORDER BY lang"""
 
   // ---- q55: null semantics (P3 as a first-class query) -----------------
   // The corpus has no nulls, so NULLIF synthesizes them; the query then
@@ -172,12 +193,13 @@ object SqlOps {
     "q54_stratified_sample" -> q54StratifiedSample _,
     "q55_null_semantics"  -> q55NullSemantics _)
 
-  /** q53/q54 intentionally omitted (engine-specific RNG — rows-only). */
   val oracles: Map[String, String] = Map(
     "q48_scalar_subquery" -> q48Sql,
     "q49_set_all"         -> q49Sql,
     "q50_grouping_sets"   -> q50Sql,
     "q51_pivot"           -> q51Sql,
     "q52_unpivot"         -> q52Sql,
+    "q53_sample"          -> q53Sql,
+    "q54_stratified_sample" -> q54Sql,
     "q55_null_semantics"  -> q55Sql)
 }

@@ -21,7 +21,12 @@ object StatsOps {
   // Spark `percentile` and DuckDB `quantile_cont` share the same
   // definition (linear interpolation at rank p·(n−1)); feeding them
   // integer cent values makes the sort total and the interpolation inputs
-  // exact, so the returned doubles agree bit-for-bit.
+  // exact, so the returned doubles agree bit-for-bit. Scale caveat: exact
+  // percentile buffers per-group distinct values through an
+  // ObjectHashAggregate — correct but memory-heavy on high-cardinality
+  // measures; at 100 TB the default should be `approx_percentile`
+  // (KLL/GK sketch, constant state), with this exact form reserved for
+  // bounded-cardinality columns or final re-ranking.
   def q56Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .withColumn("pu", toUnits(col("l_extendedprice")))
@@ -55,9 +60,10 @@ object StatsOps {
     Tables.lineitem(s, d)
       .withColumn("x", toUnits(col("l_quantity"), 0))
       // `div`, not `/`: Column./ is DOUBLE division in Spark — it would
-      // silently turn y into a float and break integer-sum exactness
-      .withColumn("y",
-        expr("cast(floor(l_extendedprice + 0.5) as bigint) div 100"))
+      // silently turn y into a float and break integer-sum exactness.
+      // The quantization text comes from the same Fx helper the oracle
+      // uses, so the pair cannot drift apart.
+      .withColumn("y", expr(s"${sqlUnits("l_extendedprice", 0)} div 100"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
@@ -98,8 +104,8 @@ object StatsOps {
   // float-boundary ambiguity; the shape every data-profiling pass needs.
   def q58Histogram(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .withColumn("bucket", (toUnits(col("l_extendedprice")) / 1000000L)
-        .cast("long"))
+      .withColumn("bucket",
+        expr(s"${sqlUnits("l_extendedprice")} div 1000000"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         moneySum(col("l_extendedprice")).as("sum_price"))

@@ -158,9 +158,17 @@ object Streaming {
     * update. */
   def statefulUserTotals(spark: SparkSession,
                          events: org.apache.spark.sql.Dataset[
-                           org.apache.spark.sql.Row]): DataFrame = {
+                           org.apache.spark.sql.Row],
+                         idleTimeout: Option[String] = Some("1 hour"))
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    // With a timeout (the default), a user idle past it has its state
+    // REMOVED and a final row emitted — without one, state grows linearly
+    // with distinct keys forever (unacceptable on an unbounded stream;
+    // None is for deterministic batch-style tests only).
+    val timeoutConf = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     events
       .selectExpr("user_id", "value")
       .as[(Long, Double)]
@@ -169,18 +177,24 @@ object Streaming {
       // quantization as Fx.toUnits, so the running sum is independent of
       // arrival order (raw double accumulation would drift in the low
       // bits between runs)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](
-        GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](timeoutConf) {
         case (userId, rows, state) =>
-          val (prevN, prevUnits) = state.getOption.getOrElse((0L, 0L))
-          var n = prevN
-          var u = prevUnits
-          rows.foreach { r =>
-            n += 1
-            u += math.floor(r._2 * 100 + 0.5).toLong
+          if (state.hasTimedOut) {
+            val (n, u) = state.get
+            state.remove()
+            (userId, n, u / 100.0)
+          } else {
+            val (prevN, prevUnits) = state.getOption.getOrElse((0L, 0L))
+            var n = prevN
+            var u = prevUnits
+            rows.foreach { r =>
+              n += 1
+              u += math.floor(r._2 * 100 + 0.5).toLong
+            }
+            state.update((n, u))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            (userId, n, u / 100.0)
           }
-          state.update((n, u))
-          (userId, n, u / 100.0)
       }
       .toDF("user_id", "n_events", "sum_value")
   }

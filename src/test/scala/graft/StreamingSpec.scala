@@ -171,7 +171,9 @@ class StreamingSpec extends AnyFunSuite {
 
   test("mapGroupsWithState accumulates per-user state across triggers") {
     val input = MemoryStream[Ev]
-    val q = ops.Streaming.statefulUserTotals(spark, input.toDF())
+    // idleTimeout=None: ProcessingTimeTimeout keeps scheduling timeout
+    // triggers, which never lets processAllAvailable() settle in a test
+    val q = ops.Streaming.statefulUserTotals(spark, input.toDF(), None)
       .writeStream.format("memory").queryName("stateful")
       .outputMode("update").start()
     try {
