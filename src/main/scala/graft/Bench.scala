@@ -31,8 +31,11 @@ object Bench {
         try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      // elapsed is read BEFORE clearCache so the unpersist cost of
+      // feature-table caches (q31/q33/q34) is not billed to the query
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // don't let q31/q33/q34 caches accumulate
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

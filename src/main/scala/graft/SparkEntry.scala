@@ -14,7 +14,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ops.Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Caller contract: self-join queries persist() their feature table so
+    * the two join branches share one computation (q31/q33/q34 — see
+    * DedupOps). The returned DataFrame is lazy, so the function cannot
+    * unpersist after the caller's action; run
+    * `spark.catalog.clearCache()` between queries (Verify and Bench do)
+    * or the cached feature blocks outlive the query. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Ingest.queries ++ ops.Streaming.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++

@@ -87,30 +87,40 @@ object DedupOps {
       COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
-  // ---- q30: MinHash signatures (K=8 seeds, long format) ----------------
+  /** MinHash OR-band count — the RECALL knob, not a bucket-occupancy
+    * knob: candidates are pairs sharing any of the B per-seed minima, so
+    * recall at Jaccard j is 1-(1-j)^B (0.996 at j=0.5, B=8) and more
+    * bands only add candidates. Bucket occupancy is governed by the
+    * 60-bit minhash VALUE space (buckets = distinct minima, which grows
+    * with the corpus), so unlike a fixed-plane LSH this blocking does not
+    * degrade toward n² as n grows — B stays a quality constant at any
+    * scale. */
+  private[graft] val MinhashBands = 8
+
+  // ---- q30: MinHash signatures (MinhashBands seeds, long format) -------
   private def minhashCol(k: Int): Column = expr(
     s"array_min(transform(hv, h -> h ^ ${seedR(k)}L))")
 
-  // Shape: explode the shingle hashes once, take the 8 per-seed minima as
+  // Shape: explode the shingle hashes once, take the B per-seed minima as
   // codegen'd MIN aggregates (partial+final), then unpivot with stack —
-  // the all-HOF formulation interprets 8×|shingles| lambdas per row.
+  // the all-HOF formulation interprets B×|shingles| lambdas per row.
   def q30MinhashSig(s: SparkSession, d: String): DataFrame = {
     val exploded = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), explode(col("hv")).as("h"))
-    val mins = (0 until 8).map(k =>
+    val mins = (0 until MinhashBands).map(k =>
       min(expr(s"h ^ ${seedR(k)}L")).as(s"mh$k"))
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), expr("stack(8, " +
-        (0 until 8).map(k => s"${k}L, mh$k").mkString(", ") +
+      .select(col("doc_id"), expr(s"stack($MinhashBands, " +
+        (0 until MinhashBands).map(k => s"${k}L, mh$k").mkString(", ") +
         ") as (seed, minhash)"))
       .orderBy(col("doc_id"), col("seed"))
   }
 
-  private val sqlSeeds: String = """
+  private val sqlSeeds: String = s"""
       (SELECT k, CAST('0x' || substring(md5('seed:' || CAST(k AS VARCHAR)),
          1, 15) AS BIGINT) AS rk
-       FROM (SELECT unnest(range(0, 8)) AS k)) seeds"""
+       FROM (SELECT unnest(range(0, $MinhashBands)) AS k)) seeds"""
 
   val q30Sql: String = sqlShingles + s"""
     SELECT doc_id, CAST(k AS BIGINT) AS seed,
@@ -135,7 +145,8 @@ object DedupOps {
   def q31MinhashPairs(s: SparkSession, d: String): DataFrame = {
     val base = withShingles(Tables.documents(s, d))
       .select(col("doc_id"), col("hv"), array(
-        (0 until 8).map(k => struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*
+        (0 until MinhashBands).map(k =>
+          struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*
       ).as("bands"))
       .persist()
     def side(p: String): DataFrame =
@@ -244,19 +255,32 @@ object DedupOps {
     SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 
   // ---- q33: SimHash near-dup pairs (chunk-LSH + Hamming verify) --------
-  // 6 chunks of 10 bits: by pigeonhole, ANY pair at Hamming distance <= 5
-  // shares at least one untouched chunk — the blocking is lossless for the
-  // hd <= 5 contract, and candidate buckets stay tiny (2^10 values/chunk).
-  def q33SimhashPairs(s: SparkSession, d: String): DataFrame = {
-    // persisted fingerprint table: both self-join branches read the same
-    // computed simhashes instead of re-running shingling + 60-bit agg
-    val feat = withSimhash(Tables.documents(s, d)).persist()
+  // nChunks chunks of (60/nChunks) bits: by pigeonhole, ANY pair at
+  // Hamming distance <= nChunks-1 shares at least one untouched chunk —
+  // the blocking is lossless for the hd <= nChunks-1 contract.
+  //
+  // nChunks is the SCALE knob, with an explicit semantics tradeoff: each
+  // chunk has 2^(60/nChunks) bucket values, so expected occupancy is
+  // n / 2^width. q33's 6×10-bit split (1,024 values/chunk) is right for
+  // ~10^4–10^5 docs; at 10^8+ docs use 4×15 (32,768 values) or 3×20
+  // (1M values), accepting the tighter hd <= 3 / hd <= 2 contract —
+  // or move to a wider fingerprint (2×64-bit simhash limbs) if the
+  // hd-budget must stay. Unlike hyperplane LSH there is no free
+  // constant-occupancy scaling here: the pigeonhole guarantee ties
+  // bucket width to the hamming budget; that caveat is inherent to
+  // simhash chunk blocking, and the parameter makes the choice explicit.
+  private[graft] def simhashChunkPairs(feat: DataFrame, nChunks: Int)
+      : DataFrame = {
+    require(60 % nChunks == 0, s"chunk count $nChunks must divide 60")
+    val width = 60 / nChunks
+    val modV = 1L << width
     def chunks(alias: String): DataFrame =
       feat
         .select(col("doc_id").as(s"${alias}_id"),
           col("simhash").as(s"${alias}_sim"),
-          explode(expr("transform(sequence(0, 5), c -> named_struct(" +
-            "'c', c, 'v', shiftright(simhash, 10 * c) % 1024))")).as("ch"))
+          explode(expr(s"transform(sequence(0, ${nChunks - 1}), c -> " +
+            s"named_struct('c', c, 'v', shiftright(simhash, $width * c)" +
+            s" % ${modV}L))")).as("ch"))
         .select(col(s"${alias}_id"), col(s"${alias}_sim"),
           col("ch.c").as(s"${alias}_c"), col("ch.v").as(s"${alias}_v"))
     val a = chunks("a")
@@ -267,9 +291,16 @@ object DedupOps {
         col("a_sim").as("sim1"), col("b_sim").as("sim2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hd", expr("bit_count(sim1 ^ sim2)").cast("long"))
-      .filter(col("hd") <= 5)
+      .filter(col("hd") <= nChunks - 1)
       .select(col("id1"), col("id2"), col("hd"))
       .orderBy(col("id1"), col("id2"))
+  }
+
+  def q33SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    // persisted fingerprint table: both self-join branches read the same
+    // computed simhashes instead of re-running shingling + 60-bit agg
+    val feat = withSimhash(Tables.documents(s, d)).persist()
+    simhashChunkPairs(feat, nChunks = 6)
   }
 
   val q33Sql: String = sqlSimhash + """,

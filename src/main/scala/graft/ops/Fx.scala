@@ -20,9 +20,25 @@ object Fx {
   def toUnits(c: Column, s: Int = 2): Column =
     floor(c * math.pow(10, s) + lit(0.5)).cast("long")
 
-  /** Exact money sum: quantize each element, sum as long, scale back. */
+  /** Exact money sum: quantize each element, sum as long, scale back.
+    *
+    * Overflow headroom: the long accumulator wraps silently past 2^63.
+    * At s=4 a ~1e5-valued measure quantizes to ~1e9 units/row, so a
+    * single group can absorb ~9e9 rows (Long.MaxValue / 1e9) before
+    * wrapping — safe through ~1 TB-scale groups, NOT safe for a 100 TB
+    * single-group sum (~1e11 rows). Callers aggregating beyond that
+    * bound must use [[moneySumWide]], which accumulates in
+    * DECIMAL(38,0) (no wrap; ~10^38 headroom) at ~2× agg cost. */
   def moneySum(c: Column, s: Int = 2): Column =
     sum(toUnits(c, s)) / math.pow(10, s)
+
+  /** Overflow-safe money sum for very large groups: quantizes element-wise
+    * exactly like [[moneySum]] but sums as DECIMAL(38,0), trading ~2× agg
+    * cost for ~10^38 headroom. Result differs from moneySum only when the
+    * long path would have wrapped (i.e. when moneySum is wrong). */
+  def moneySumWide(c: Column, s: Int = 2): Column =
+    (sum(toUnits(c, s).cast("decimal(38,0)")).cast("double") /
+      math.pow(10, s))
 
   /** Exact money avg: integer sum divided by count — both engines perform
     * the same two IEEE divisions on identical integers. */

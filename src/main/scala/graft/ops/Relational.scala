@@ -16,9 +16,14 @@ import Fx._
   * ordering, element-wise integer quantization of float aggregates — see
   * [[Fx]]) so the driver's DuckDB hash-compare is exact.
   *
-  * Scale notes: dims (`nation`, `region`, `supplier`, `customer`) are
-  * broadcast explicitly; fact-fact joins shuffle on their keys; aggregates
-  * are partial+final (HashAggregate) automatically; no collect anywhere.
+  * Scale notes: only FIXED-cardinality dims (`nation` = 25 rows, `region`
+  * = 5 rows — constants independent of scale factor) carry explicit
+  * `broadcast()` hints. SF-scaling tables (`customer`, `supplier`, the
+  * facts) get NO hint: AQE + `spark.sql.autoBroadcastJoinThreshold` decide
+  * at runtime, so the same plan that broadcasts at sf0.1 degrades safely
+  * to a shuffle join at 100× instead of OOM-ing the driver. Fact-fact
+  * joins shuffle on their keys; aggregates are partial+final
+  * (HashAggregate) automatically; no collect anywhere.
   */
 object Relational {
 
@@ -64,13 +69,16 @@ object Relational {
     SELECT o_orderkey, o_totalprice, o_orderdate
     FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
-  // ---- q03: fact⋈fact⋈dim revenue (J1; broadcast small dim) -----------
+  // ---- q03: fact⋈fact⋈dim revenue (J1) --------------------------------
+  // customer scales with SF — no broadcast hint (AQE picks BHJ while it
+  // fits the threshold, shuffle join beyond; a forced hint would OOM at
+  // 100×).
   def q03RevenueBySegment(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val o  = Tables.orders(s, d)
     val c  = Tables.customer(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
@@ -98,7 +106,7 @@ object Relational {
     val n  = Tables.nation(s, d)
     val r  = Tables.region(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
@@ -206,7 +214,7 @@ object Relational {
   def q09Rollup(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .rollup(col("c_mktsegment"), col("o_orderpriority"))
       .agg(
         (grouping(col("c_mktsegment")) * 2 + grouping(col("o_orderpriority")))
@@ -325,7 +333,7 @@ object Relational {
     val c = Tables.customer(s, d)
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)

@@ -64,6 +64,39 @@ object SimOps {
         CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e9 + 0.5)
           AS BIGINT))) AS BIGINT)"""
 
+  /** Corpus-size-derived hyperplane count: the smallest P such that
+    * 2^P buckets hold the corpus at mean occupancy <= [[TargetBucketRows]],
+    * clamped to [4, 24]. This is THE 100-TB knob: with a fixed P the
+    * in-bucket self-join is O(n²/2^P) — quadratic in corpus size — while
+    * P = ceil(log2(n/32)) keeps expected bucket size constant, so
+    * candidate count grows ~linearly (c·n) with the corpus.
+    *
+    * Integer-exact on purpose (no float log2, whose 1-ulp wobble at exact
+    * powers of two could flip a ceil between engines): the oracle twin is
+    * LEAST(24, GREATEST(4, length(bin((count(*) + 31) // 32 - 1)))) —
+    * bit-length of ceil(n/32) - 1, computed by [[sqlPlanes]] inside the
+    * oracle query itself, so both engines derive P from the same count. */
+  private[graft] val TargetBucketRows = 32L
+  private[graft] def planesFor(n: Long): Int = {
+    val m = (n + TargetBucketRows - 1) / TargetBucketRows // ceil(n/32)
+    val p = if (m <= 1L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(24, math.max(4, p))
+  }
+  private[graft] val sqlPlanes: String =
+    s"LEAST(24, GREATEST(4, length(bin((count(*) + ${TargetBucketRows - 1})" +
+      s" // $TargetBucketRows - 1))))"
+
+  /** Corpus-size-derived IVF cell count: ceil(sqrt(n)), floored at 16.
+    * sqrt(n) cells balances assign cost (scan C centroids per row)
+    * against search cost (expected n/C ≈ sqrt(n) rows per cell). IEEE
+    * sqrt is correctly rounded in both engines, so ceil(sqrt(bigint))
+    * is bit-identical Spark↔DuckDB; oracle twin: [[sqlCells]]. */
+  private[graft] def cellsFor(n: Long): Long =
+    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+  private[graft] val sqlCells: String =
+    "GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))"
+
   /** Random-hyperplane LSH bucket (P planes): plane p has integer weights
     * w[p][i] = H("h:p:i") % 2001 - 1000 (H = 60-bit md5 prefix); bit p =
     * [sum_i w[p][i] * qa[i] > 0]. Sign-stable: all-integer arithmetic.
@@ -73,7 +106,7 @@ object SimOps {
   private def planeWeights(p: Int): Array[Long] =
     Array.tabulate(D)(i => DedupOps.h60(s"h:$p:$i") % 2001 - 1000)
 
-  private def bucketExpr(planes: Int): Column =
+  private[graft] def bucketExpr(planes: Int): Column =
     (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(col("qa"), lit(planeWeights(p)), (x, w) => x * w),
@@ -81,23 +114,28 @@ object SimOps {
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def sqlBucket(planes: Int): String =
+  /** Oracle bucket over a dynamic plane count: `np` is a column (from the
+    * `params` CTE in [[sqlEmb]]) so the oracle scales its bucket count
+    * from the same corpus count the Spark side uses. */
+  private val sqlBucketDyn: String =
     s"""list_reduce(list_concat([CAST(0 AS BIGINT)],
-        list_transform(range(0, $planes), p ->
+        list_transform(range(0, np), p ->
           CASE WHEN list_reduce(list_transform(range(1, $D + 1), i ->
             (CAST('0x' || substring(md5('h:' || CAST(p AS VARCHAR) || ':' ||
                CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)
             * qa[i]), (a, c) -> a + c) > 0
           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, c) -> a + c)"""
 
-  /** Shared SQL prelude: embeddings + quantized coords, norm, LSH bucket. */
+  /** Shared SQL prelude: embeddings + quantized coords, norm, LSH bucket
+    * with corpus-derived plane count. */
   private val sqlEmb: String = s"""
-    WITH e0 AS (
+    WITH params AS (SELECT $sqlPlanes AS np FROM embeddings),
+    e0 AS (
       SELECT vec_id, label, embedding, $sqlQa AS qa, $sqlNormQ AS nq
       FROM embeddings),
     e AS (
-      SELECT vec_id, label, embedding, qa, nq, ${sqlBucket(4)} AS bucket
-      FROM e0)"""
+      SELECT vec_id, label, embedding, qa, nq, $sqlBucketDyn AS bucket
+      FROM e0 CROSS JOIN params)"""
 
   // ---- q35: brute-force cosine top-k (exact baseline / re-ranker) ------
   // 10 query vectors broadcast against the corpus; top-3 neighbors each.
@@ -140,15 +178,18 @@ object SimOps {
     SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  // ---- q36: ANN top-1 via random-hyperplane LSH (4 planes, 16 buckets) -
+  // ---- q36: ANN top-1 via random-hyperplane LSH ------------------------
   // The scale path: candidates come from a bucket equi-join, never a cross
-  // join. Vectors alone in their bucket have no neighbor and drop out.
+  // join, and the plane count grows with the corpus (planesFor) so bucket
+  // occupancy — and with it candidate count per row — stays bounded as n
+  // grows. Vectors alone in their bucket have no neighbor and drop out.
   def q36AnnLsh(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
+    val emb = base
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
-      .withColumn("bucket", bucketExpr(4))
+      .withColumn("bucket", bucketExpr(planesFor(base.count())))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -186,10 +227,11 @@ object SimOps {
   // being boundary-sensitive (no pair sits AT the threshold).
   def q37CosineNeardup(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d)
+    val base = Tables.embeddings(s, d)
+    val emb = base
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
-      .withColumn("bucket", bucketExpr(4))
+      .withColumn("bucket", bucketExpr(planesFor(base.count())))
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("b_emb"),
@@ -214,18 +256,22 @@ object SimOps {
     ORDER BY id1, id2"""
 
   // ---- q47: IVF-bucketed ANN (coarse quantizer + in-cell search) -------
-  // The inverted-file-index alternative to q36's hyperplane LSH: a fixed
-  // coarse quantizer (the 16 vectors with vec_id < 16 — a deterministic
-  // seeding in place of k-means, which would need iterative training) maps
-  // each vector to its nearest centroid by cosine; search then only probes
-  // the vector's own cell. At scale: the centroid table broadcasts, cell
-  // assignment is a per-row argmax (no shuffle), and the in-cell search is
-  // a bucket equi-join exactly like LSH — candidates bounded by cell size,
-  // never n².
+  // The inverted-file-index alternative to q36's hyperplane LSH: a coarse
+  // quantizer of cellsFor(n) ≈ sqrt(n) seed vectors (the first C by
+  // vec_id — a deterministic seeding in place of k-means, which would
+  // need iterative training) maps each vector to its nearest centroid by
+  // cosine; search then only probes the vector's own cell. The sqrt(n)
+  // cell count is the classic IVF balance point: ~sqrt(n) centroids to
+  // scan per row at assign time, ~sqrt(n) expected cell occupancy at
+  // search time — both stay sublinear as the corpus grows (a FIXED cell
+  // count degenerates to O(n²/C)). At scale: the centroid table
+  // broadcasts (sqrt(n) rows), cell assignment is a per-row argmax (no
+  // shuffle), and the in-cell search is a bucket equi-join exactly like
+  // LSH — candidates bounded by cell size, never n².
   def q47IvfAnn(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
-    val cents = emb.filter(col("vec_id") < 16)
+    val cents = emb.filter(col("vec_id") < cellsFor(emb.count()))
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nq").as("c_nq"))
     // cell = argmax centroid cosine (ties → lowest centroid id)
@@ -260,7 +306,7 @@ object SimOps {
       SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
     cents AS (
       SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
-      FROM e WHERE vec_id < 16),
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
     scored AS (
       SELECT e.vec_id, e.embedding, e.nq, c_id,
         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY

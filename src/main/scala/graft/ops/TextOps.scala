@@ -76,15 +76,27 @@ object TextOps {
   // Per-language marker-token votes, argmax with a fixed priority order on
   // ties (en > de > es > fr > unknown). Confusion-matrix output: how the
   // prediction distributes over the labeled lang column.
+  //
+  // All four scores come from ONE `aggregate` pass over a single tokens
+  // array: the earlier 12-countTok form re-inlined the split() tree into
+  // every count after projection collapse (subexpression elimination does
+  // not reach through lambda scopes), tokenizing each document 12× —
+  // 4.3 s vs q25's 0.45 s on the same scan at sf0.1.
+  private val langVotes: Column = expr("""
+    aggregate(tokens,
+      named_struct('en', 0L, 'de', 0L, 'es', 0L, 'fr', 0L),
+      (acc, t) -> named_struct(
+        'en', acc.en + if(t in ('the', 'is', 'and'), 1L, 0L),
+        'de', acc.de + if(t in ('der', 'und', 'die'), 1L, 0L),
+        'es', acc.es + if(t in ('el', 'los', 'que'), 1L, 0L),
+        'fr', acc.fr + if(t in ('le', 'les', 'est'), 1L, 0L)))""")
+
   def q26LangId(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
-    val sEn = countTok(t, "the") + countTok(t, "is") + countTok(t, "and")
-    val sDe = countTok(t, "der") + countTok(t, "und") + countTok(t, "die")
-    val sEs = countTok(t, "el") + countTok(t, "los") + countTok(t, "que")
-    val sFr = countTok(t, "le") + countTok(t, "les") + countTok(t, "est")
     Tables.documents(s, d)
-      .withColumn("s_en", sEn).withColumn("s_de", sDe)
-      .withColumn("s_es", sEs).withColumn("s_fr", sFr)
+      .withColumn("tokens", toks(col("text")))
+      .withColumn("v", langVotes)
+      .select(col("lang"), col("v.en").as("s_en"), col("v.de").as("s_de"),
+        col("v.es").as("s_es"), col("v.fr").as("s_fr"))
       .withColumn("lang_pred",
         when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0,
           "unknown")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.{DedupOps, SimOps}
+
+/** Guards for the corpus-size-derived blocking parameters (VERDICT r1 #1):
+  * the LSH plane count and IVF cell count must GROW with the corpus so
+  * candidate generation stays ~linear — a fixed bucket count is O(n²/2^P)
+  * and silently degrades at 100×. These tests pin
+  *   (a) the integer-exact parameter formulas and their SQL twins,
+  *   (b) the bounded-candidates property the formulas exist to provide,
+  *   (c) refinement monotonicity (more planes never add candidates),
+  *   (d) the pigeonhole-losslessness of the parameterized simhash chunks.
+  */
+class ScaleParamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("planesFor grows with corpus size and clamps to [4, 24]") {
+    assert(SimOps.planesFor(0) == 4)
+    assert(SimOps.planesFor(1) == 4)
+    assert(SimOps.planesFor(500) == 4)    // sf0.001/sf0.01 corpus
+    assert(SimOps.planesFor(512) == 4)
+    assert(SimOps.planesFor(513) == 5)
+    assert(SimOps.planesFor(2000) == 6)   // sf0.1 corpus
+    assert(SimOps.planesFor(16416) == 10)
+    assert(SimOps.planesFor(1000000000L) == 24)
+    // occupancy contract: 2^P buckets suffice for mean occupancy <= 32
+    // (until the clamp kicks in)
+    for (n <- Seq(100L, 1000L, 50000L, 3000000L)) {
+      val p = SimOps.planesFor(n)
+      assert((1L << p) * SimOps.TargetBucketRows >= n,
+        s"n=$n planes=$p breaks the occupancy bound")
+    }
+  }
+
+  test("planesFor matches its SQL twin formula (bit-length of ceil(n/32)-1)") {
+    // Spark's bin()/div have the same integer semantics as DuckDB's
+    // bin()/'//' for non-negative inputs, so evaluating the twin here
+    // pins the formula the oracle runs.
+    for (n <- Seq(1L, 31L, 32L, 33L, 500L, 512L, 513L, 2000L, 16416L,
+        1000000L, 1000000000L)) {
+      val twin = spark.sql(
+        s"SELECT least(24, greatest(4, length(bin(($n + 31) div 32 - 1))))")
+        .head().getInt(0)
+      assert(twin == SimOps.planesFor(n), s"n=$n")
+    }
+  }
+
+  test("cellsFor is ceil(sqrt(n)) floored at 16, matching its SQL twin") {
+    assert(SimOps.cellsFor(0) == 16)
+    assert(SimOps.cellsFor(400) == 20)
+    assert(SimOps.cellsFor(500) == 23)
+    assert(SimOps.cellsFor(2000) == 45)
+    assert(SimOps.cellsFor(1000000L) == 1000)
+    for (n <- Seq(1L, 256L, 400L, 500L, 2000L, 999999L, 1000000L)) {
+      val twin = spark.sql(
+        s"SELECT greatest(16, cast(ceil(sqrt($n)) as bigint))")
+        .head().getLong(0)
+      assert(twin == SimOps.cellsFor(n), s"n=$n")
+    }
+  }
+
+  test("LSH candidate pairs stay O(n) at the derived plane count and " +
+      "never grow when planes increase") {
+    val base = Tables.embeddings(spark, sf)
+    val n = base.count()
+    val qa = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
+    def candidatePairs(planes: Int): Long =
+      base.withColumn("qa", qa)
+        .withColumn("bucket", SimOps.bucketExpr(planes))
+        .groupBy("bucket").count()
+        .agg(sum(col("count") * (col("count") - 1)))
+        .head().getLong(0) / 2
+    val p = SimOps.planesFor(n)
+    val atP = candidatePairs(p)
+    assert(atP <= 40 * n,
+      s"candidates $atP exceed 40·n (n=$n, planes=$p) — blocking too coarse")
+    // bucket(P+2) refines bucket(P): shared prefix bits ⇒ candidate subset
+    assert(candidatePairs(p + 2) <= atP)
+  }
+
+  test("parameterized simhash chunks keep the pigeonhole contract: " +
+      "4 wide chunks find exactly the hd<=3 subset of the 6-chunk pairs") {
+    val feat = DedupOps.withSimhash(Tables.documents(spark, sf))
+    val six = DedupOps.simhashChunkPairs(feat, nChunks = 6)
+      .filter(col("hd") <= 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val four = DedupOps.simhashChunkPairs(feat, nChunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(four.toSet == six.toSet,
+      "4-chunk blocking missed or invented hd<=3 pairs")
+  }
+}

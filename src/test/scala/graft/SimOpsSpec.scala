@@ -38,7 +38,8 @@ class SimOpsSpec extends AnyFunSuite {
   test("IVF ANN: every vector assigned a cell; cosine bounded by brute-force top-1") {
     val ivf = SimOps.q47IvfAnn(spark, sf)
     assert(ivf.count() == Tables.embeddings(spark, sf).count())
-    assert(ivf.filter(col("cell") < 0 || col("cell") > 15).count() == 0)
+    val nCells = SimOps.cellsFor(Tables.embeddings(spark, sf).count())
+    assert(ivf.filter(col("cell") < 0 || col("cell") >= nCells).count() == 0)
     val brute = SimOps.q35KnnBrute(spark, sf)
       .filter(col("rank") === 1)
       .select(col("q_id").as("vec_id"), col("cosine").as("best_cos"))
