@@ -29,8 +29,9 @@ class AllQueriesSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os.diff(qs)}")
-    // rows-only queries are the documented engine-specific ones
-    assert(qs.diff(os) == Set("q42_approx_distinct"),
+    // every query is oracle-checked (q42 asserts its sketch contract as a
+    // boolean column, so even the approx op has an exact oracle)
+    assert(qs.diff(os).isEmpty,
       s"unexpected rows-only queries: ${qs.diff(os)}")
   }
 

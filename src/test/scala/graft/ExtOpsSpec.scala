@@ -18,13 +18,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(a.filter(col("quote_ts").isNull).count() < purchases)
   }
 
-  test("approx distinct is within rsd bounds of exact") {
+  test("approx distinct: query contract column is all-true and the raw " +
+      "sketch sits within ~2 rsd of exact") {
     val r = ExtOps.q42ApproxDistinct(spark, sf).collect()
-    r.foreach { row =>
-      val approx = row.getAs[Long]("approx_users").toDouble
-      val exact = row.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx $approx vs exact $exact")
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Boolean]("approx_within_5pct"),
+      s"HLL drifted past 5% for ${row.getAs[String]("event_type")}"))
+    // the ±2% rsd claim on the raw estimate (the query only exposes the
+    // 5% contract boolean; this pins the tighter bound on the sketch)
+    val raw = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect()
+    raw.foreach { row =>
+      val (a, e) = (row.getAs[Long]("a").toDouble, row.getAs[Long]("e").toDouble)
+      assert(math.abs(a - e) / e <= 0.04, s"approx $a vs exact $e")
     }
   }
 
