@@ -328,13 +328,19 @@ object DedupOps {
   // precision-blocking complement to q31's recall-oriented OR-of-8).
   // Verified at char-gram j >= 0.5: background tops out at ~0.42 on this
   // corpus, planted pairs sit at ~0.9.
+  //
+  // Grams are carried as 60-bit hashes, not strings (the q31 trick): the
+  // per-pair array_intersect inside buckets compares longs instead of
+  // 4-char strings, and the persisted feature table shrinks ~4×. Both
+  // engines hash identically, so a (≈2^-60-rare) md5 collision changes
+  // BOTH sides the same way — oracle parity is unaffected.
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val base = withShingles(Tables.documents(s, d))
       .withColumn("txt", trim(lower(col("text"))))
       .filter(length(col("txt")) >= 4)
       .withColumn("grams", expr(
         "array_distinct(transform(sequence(1, length(txt) - 3)," +
-          " i -> substring(txt, i, 4)))"))
+          s" i -> ${hashOf("substring(txt, i, 4)")}))"))
       .withColumn("b1", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:0")}L))"))
       .withColumn("b2", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:1")}L))"))
       .select(col("doc_id"), col("grams"), col("b1"), col("b2"))
@@ -363,7 +369,8 @@ object DedupOps {
     gm AS (
       SELECT sh.doc_id,
         list_distinct(list_transform(range(1, length(d.txt) - 2),
-          i -> d.txt[i:i+3])) AS grams,
+          i -> CAST('0x' || substring(md5(d.txt[i:i+3]), 1, 15) AS BIGINT)))
+          AS grams,
         list_min(list_transform(sh.hv, h -> xor(h,
           CAST('0x' || substring(md5('pf:0'), 1, 15) AS BIGINT)))) AS b1,
         list_min(list_transform(sh.hv, h -> xor(h,
@@ -384,6 +391,12 @@ object DedupOps {
       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
     ORDER BY id1, id2"""
 
+  /** Caller contract: q31/q33/q34 `persist()` their feature table so the
+    * self-join's branches share one computation — a lazily returned
+    * DataFrame cannot unpersist behind its own action, so the CACHE
+    * LIFETIME IS THE CALLER'S. The driver harness (Verify/Bench/specs)
+    * runs `spark.catalog.clearCache()` between queries; any other caller
+    * must do the same or accept the cached blocks until session end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup"   -> q29ExactDedup _,
     "q30_minhash_sig"   -> q30MinhashSig _,
