@@ -25,17 +25,32 @@ object Bench {
     // string/scalar queries would measure nothing).
     // a failed query records -1 (not its crash latency) so a regression
     // into an exception can never read as a speedup in the emitted JSON
+    //
+    // Each query runs ITERS times and reports the per-query MIN: a single
+    // contended run on a shared machine can inflate one query by 10×+
+    // (observed: 3.7 s reproducible vs 16.8 s recorded), and min-of-N is
+    // the standard noise-robust latency estimator when the noise is purely
+    // additive (GC pause, CPU contention, page-cache miss). clearCache
+    // between iterations keeps every iteration cold at the Spark level
+    // (q31/q33/q34 persist feature tables), so the min measures the query,
+    // not a cache hit.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // elapsed is read BEFORE clearCache so the unpersist cost of
-      // feature-table caches (q31/q33/q34) is not billed to the query
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // don't let q31/q33/q34 caches accumulate
-      name -> (if (ok) elapsed else -1.0)
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // elapsed is read BEFORE clearCache so the unpersist cost of
+        // feature-table caches (q31/q33/q34) is not billed to the query
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (ok) elapsed else -1.0
+      }
+      // any failed iteration poisons the query to -1 (never report a min
+      // computed over a partial/failed set)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -70,20 +70,44 @@ object Streaming {
     * and `foreachBatch` applies the same idempotent key-merge as the batch
     * path, so overlapping rows across files dedup exactly like ON
     * CONFLICT. Returns after the trigger drains (call once per "cron
-    * firing"). At scale the sink merge is one hash shuffle on the key.
+    * firing").
+    *
+    * Scale contract — O(batch), not O(history): the sink is laid out as
+    * `sinkPath/<partitionCol>=<value>/` and each trigger merges ONLY the
+    * partitions whose values appear in the incoming batch. The existing
+    * side is read through a partition-pruned filter (Spark prunes the
+    * directory listing to the affected `date=` dirs), the merge shuffles
+    * O(batch + affected partitions) rows, and publication is a per-
+    * partition-directory rename swap — untouched partitions are never
+    * listed, read, or rewritten, so their files stay byte-identical
+    * across triggers. With ~daily partitions and a 15-minute cadence this
+    * turns each firing from a full-history rewrite into a constant-size
+    * job regardless of how much history has accumulated.
+    *
+    * Crash safety, per partition: each affected `date=d` dir is swapped
+    * via rename(live → backup); rename(staging → live); delete(backup),
+    * with backups under `sinkPath + "__prev"` (OUTSIDE the sink so a
+    * half-finished swap can never pollute partition discovery). A crash
+    * between the renames leaves the data at the backup; the next trigger
+    * restores any backup whose live dir is missing before merging.
+    *
+    * `partitionCol` must be non-null in the source (true for the NYT
+    * feeds' `date`; the reference's schema marks it NOT NULL,
+    * /root/reference/src/main/resources/schema.sql).
     */
   def ingestAvailableNow(spark: SparkSession, srcDir: String,
                          schema: org.apache.spark.sql.types.StructType,
                          keys: Seq[String], tiebreak: Seq[org.apache.spark.sql.Column],
-                         checkpoint: String, sinkPath: String): Unit = {
+                         checkpoint: String, sinkPath: String,
+                         partitionCol: String = "date"): Unit = {
     import org.apache.hadoop.fs.Path
     val q = spark.readStream
       .schema(schema)
       .option("header", "true")
       .option("dateFormat", "yyyy-MM-dd")
-      // one micro-batch per firing: the sink merge below rewrites the full
-      // sink, so splitting the backlog into B batches would pay that
-      // rewrite B times (quadratic over the backlog)
+      // one micro-batch per firing: each batch pays one merge of its
+      // affected partitions, so collapsing the backlog into a single batch
+      // merges every affected partition exactly once per firing
       .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .csv(srcDir)
       .writeStream
@@ -94,32 +118,65 @@ object Streaming {
         val conf = spark2.sparkContext.hadoopConfiguration
         val sink = new Path(sinkPath)
         val fs = sink.getFileSystem(conf) // sinkPath's OWN filesystem
-        val backup = new Path(sinkPath + "__prev")
-        // crash recovery: if a previous swap died between the two renames,
-        // the data lives at backup and sink is absent
-        if (!fs.exists(sink) && fs.exists(backup) &&
-            !fs.rename(backup, sink))
-          sys.error(s"cannot restore $backup to $sink")
-        // absent sink (first run) → empty; any OTHER read failure
-        // (corruption, permissions) must propagate, not masquerade as
-        // an empty sink and truncate history
-        val existing =
-          if (fs.exists(sink)) spark2.read.parquet(sinkPath)
-          else spark2.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
-        val merged = Ingest.appendIdempotent(existing, batch, keys, tiebreak)
-        // write-then-swap: parquet can't overwrite its own input in place.
-        // The swap is two renames with a backup in between — not atomic,
-        // but every intermediate state is recoverable (see above).
-        val staging = new Path(sinkPath + "__staging")
-        fs.delete(staging, true)
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(backup, true)
-        if (fs.exists(sink) && !fs.rename(sink, backup))
-          sys.error(s"cannot move $sink aside to $backup")
-        if (!fs.rename(staging, sink))
-          sys.error(s"cannot publish $staging to $sink")
-        fs.delete(backup, true)
+        val prevRoot = new Path(sinkPath + "__prev")
+        // crash recovery: a swap that died between its two renames left
+        // the partition's data at the backup and the live dir missing —
+        // restore those; a backup whose live dir EXISTS is a leftover
+        // from after a completed publish — drop it
+        if (fs.exists(prevRoot)) {
+          fs.listStatus(prevRoot).foreach { st =>
+            val live = new Path(sink, st.getPath.getName)
+            if (!fs.exists(live)) {
+              if (!fs.rename(st.getPath, live))
+                sys.error(s"cannot restore ${st.getPath} to $live")
+            } else fs.delete(st.getPath, true)
+          }
+          fs.delete(prevRoot, true)
+        }
+        // the partitions this batch touches — O(#distinct dates in batch),
+        // a handful of values, NOT a scan of the sink
+        val touched = batch.select(col(partitionCol)).distinct().collect()
+          .map(_.get(0)).filter(_ != null)
+        if (touched.nonEmpty) {
+          val hasData = fs.exists(sink) &&
+            fs.listStatus(sink).exists(_.getPath.getName.startsWith(partitionCol + "="))
+          // read ONLY the affected partitions: the isin filter on the
+          // partition column prunes the directory listing (PartitionFilters
+          // in the scan), so this reads O(affected partitions) files no
+          // matter how large the sink's history is. Absent/empty sink
+          // (first run) → empty frame; any OTHER read failure propagates
+          // rather than masquerading as empty and truncating a partition.
+          val existing =
+            if (hasData)
+              spark2.read.parquet(sinkPath)
+                .filter(col(partitionCol).isin(touched.toSeq: _*))
+            else spark2.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+          val merged = Ingest.appendIdempotent(existing, batch, keys, tiebreak)
+          // write-then-swap (parquet can't overwrite its own input): the
+          // merged slice lands in a staging dir partitioned identically,
+          // then each produced partition dir is swapped into the sink
+          val staging = new Path(sinkPath + "__staging")
+          fs.delete(staging, true)
+          merged.write.mode("overwrite")
+            .partitionBy(partitionCol).parquet(staging.toString)
+          fs.mkdirs(sink)
+          fs.mkdirs(prevRoot)
+          fs.listStatus(staging)
+            .filter(_.getPath.getName.startsWith(partitionCol + "="))
+            .foreach { st =>
+              val name = st.getPath.getName
+              val live = new Path(sink, name)
+              val backup = new Path(prevRoot, name)
+              if (fs.exists(live) && !fs.rename(live, backup))
+                sys.error(s"cannot move $live aside to $backup")
+              if (!fs.rename(st.getPath, live))
+                sys.error(s"cannot publish ${st.getPath} to $live")
+              fs.delete(backup, true)
+            }
+          fs.delete(staging, true)
+          fs.delete(prevRoot, true)
+        }
         ()
       }
       .start()

@@ -144,6 +144,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 3)
   }
 
+  test("incremental merge touches only the batch's partitions (O(batch), not O(history))") {
+    import java.nio.file.{Files, Path => JPath}
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("graft-part-src")
+    val checkpoint = Files.createTempDirectory("graft-part-ckpt").toString
+    val sinkRoot = Files.createTempDirectory("graft-part-sink")
+    val sink = sinkRoot.resolve("states").toString
+    def drop(name: String, lines: String*): Unit =
+      Files.writeString(src.resolve(name), lines.mkString("\n") + "\n")
+    def run(): Unit = ops.Streaming.ingestAvailableNow(spark, src.toString,
+      ops.Ingest.statesSchema, ops.Ingest.statesKey,
+      Seq(org.apache.spark.sql.functions.col("cases").asc),
+      checkpoint, sink)
+    // full byte-level snapshot of one partition directory: name → content
+    def snapshot(dir: JPath): Map[String, Seq[Byte]] =
+      Files.walk(dir).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => dir.relativize(p).toString ->
+          Files.readAllBytes(p).toSeq).toMap
+
+    drop("day1.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-15,Washington,53,904,48",
+      "2020-03-15,Oregon,41,30,1")
+    run()
+    val day1Dir = JPath.of(sink, "date=2020-03-15")
+    assert(Files.isDirectory(day1Dir), "sink must be date-partitioned")
+    val before = snapshot(day1Dir)
+    assert(before.nonEmpty)
+
+    // second firing touches ONLY 2020-03-16: the 03-15 partition must not
+    // be re-listed/rewritten — its files stay byte-identical
+    drop("day2.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-16,Washington,53,1000,52")
+    run()
+    assert(snapshot(day1Dir) == before,
+      "untouched partition was rewritten — merge is not partition-pruned")
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 3)
+
+    // third firing conflicts inside 03-16 only: 03-15 still byte-identical,
+    // 03-16 existing row wins (ON CONFLICT DO NOTHING semantics)
+    drop("day2b.csv",
+      "date,state,fips,cases,deaths",
+      "2020-03-16,Washington,53,9999,99",
+      "2020-03-16,Idaho,16,5,0")
+    run()
+    assert(snapshot(day1Dir) == before)
+    val day2 = spark.read.parquet(sink)
+      .filter(org.apache.spark.sql.functions.col("date") === "2020-03-16")
+    assert(day2.count() == 2)
+    assert(day2.filter(org.apache.spark.sql.functions.col("cases") === 1000)
+      .count() == 1) // existing row won
+  }
+
   test("stream-stream view/click join matches the batch join") {
     val views = MemoryStream[Ev]
     val clicks = MemoryStream[Ev]
