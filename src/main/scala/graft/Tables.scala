@@ -37,6 +37,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Memoized per-(dir, table) row count — the table-stats stand-in.
+    * Several queries derive blocking parameters from the corpus size
+    * (SimOps.planesFor/cellsFor, DedupOps.chunksFor); at 100 TB that
+    * number comes from catalog statistics, never a scan — here it is a
+    * parquet metadata-only count job, computed ONCE per session and
+    * shared across every query that needs it (previously q36/q37/q47
+    * each ran their own count action). Safe to memoize because the
+    * corpus fixtures are immutable for a session's lifetime. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countMemo.computeIfAbsent(s"$d/$name",
+      _ => load(s, d, name).count())
+
   /** SQL-API surface: register every corpus table as a temp view so users
     * can run raw `spark.sql(...)` — the direct analog of the SQL workload
     * the reference's Postgres tables serve (SURVEY.md §0). Views are

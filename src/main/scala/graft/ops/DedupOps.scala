@@ -269,6 +269,36 @@ object DedupOps {
   // constant-occupancy scaling here: the pigeonhole guarantee ties
   // bucket width to the hamming budget; that caveat is inherent to
   // simhash chunk blocking, and the parameter makes the choice explicit.
+  /** Corpus-size-derived chunk count — the q33 scale knob, selected the
+    * same way [[SimOps.planesFor]] picks hyperplanes: find the bucket
+    * bit-width that keeps expected chunk-bucket occupancy at or under
+    * [[TargetChunkRows]] (needed = bit-length of ceil(n/32) - 1), then
+    * take the SMALLEST chunk width in the divisor ladder of 60
+    * {10, 12, 15, 20, 30} that covers it. Fewer, wider chunks mean a
+    * tighter verified-pair contract (hd <= nChunks - 1 by pigeonhole):
+    *   n <= ~32·2^10 (3e4 docs) → 6×10-bit, hd <= 5
+    *   n <= ~32·2^12 (1e5)      → 5×12-bit, hd <= 4
+    *   n <= ~32·2^15 (1e6)      → 4×15-bit, hd <= 3
+    *   n <= ~32·2^20 (3e7)      → 3×20-bit, hd <= 2
+    *   beyond                   → 2×30-bit, hd <= 1
+    * That tightening is inherent to simhash chunk blocking (the
+    * pigeonhole guarantee ties bucket width to the hamming budget); a
+    * corpus needing hd <= 5 at 10^8+ docs should move to a wider
+    * fingerprint (2×64-bit limbs). Integer-exact like planesFor — the
+    * oracle twin derives the same count from the same COUNT(*) via
+    * bit-length-of-bin, so both engines pick the same ladder rung. */
+  private[graft] val TargetChunkRows = 32L
+  private[graft] def chunksFor(n: Long): Int = {
+    val m = (n + TargetChunkRows - 1) / TargetChunkRows // ceil(n/32)
+    val needed = if (m <= 1L) 0
+                 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    if (needed <= 10) 6 else if (needed <= 12) 5
+    else if (needed <= 15) 4 else if (needed <= 20) 3 else 2
+  }
+  private[graft] val sqlChunks: String =
+    s"""CASE WHEN bl <= 10 THEN 6 WHEN bl <= 12 THEN 5
+             WHEN bl <= 15 THEN 4 WHEN bl <= 20 THEN 3 ELSE 2 END"""
+
   private[graft] def simhashChunkPairs(feat: DataFrame, nChunks: Int)
       : DataFrame = {
     require(60 % nChunks == 0, s"chunk count $nChunks must divide 60")
@@ -300,13 +330,26 @@ object DedupOps {
     // persisted fingerprint table: both self-join branches read the same
     // computed simhashes instead of re-running shingling + 60-bit agg
     val feat = withSimhash(Tables.documents(s, d)).persist()
-    simhashChunkPairs(feat, nChunks = 6)
+    // chunk count from corpus size (shared session count memo — at 100 TB
+    // a catalog-stats lookup), mirroring the oracle's params CTE
+    simhashChunkPairs(feat, chunksFor(Tables.rowCount(s, d, "documents")))
   }
 
-  val q33Sql: String = sqlSimhash + """,
+  // params CTE derives the chunk count from the same COUNT(*) the Spark
+  // side uses (bit-length of ceil(n/32)-1 → ladder CASE — integer-exact
+  // on both engines); chunk extraction and the hd bound then read nc
+  // instead of the old hard-coded 6×10-bit split.
+  val q33Sql: String = sqlSimhash + s""",
+    params AS (
+      SELECT $sqlChunks AS nc
+      FROM (SELECT length(bin((count(*) + ${TargetChunkRows - 1})
+                   // $TargetChunkRows - 1)) AS bl FROM documents)),
     ch AS (
-      SELECT doc_id, simhash, c, (simhash >> (10 * c)) % 1024 AS v
-      FROM sim CROSS JOIN (SELECT unnest(range(0, 6)) AS c) cs),
+      SELECT doc_id, simhash, c,
+        (simhash >> ((60 // nc) * c)) % (CAST(1 AS BIGINT) << (60 // nc)) AS v
+      FROM sim CROSS JOIN params
+      CROSS JOIN (SELECT unnest(range(0, 6)) AS c) cs
+      WHERE c < nc),
     cand AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2,
         ANY_VALUE(a.simhash) AS sim1, ANY_VALUE(b.simhash) AS sim2
@@ -314,7 +357,8 @@ object DedupOps {
         ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS BIGINT) AS hd
-    FROM cand WHERE bit_count(xor(sim1, sim2)) <= 5
+    FROM cand CROSS JOIN params
+    WHERE bit_count(xor(sim1, sim2)) <= nc - 1
     ORDER BY id1, id2"""
 
   // ---- q34: char-4-gram Jaccard with minhash band blocking -------------

@@ -40,6 +40,14 @@ object Fx {
     (sum(toUnits(c, s).cast("decimal(38,0)")).cast("double") /
       math.pow(10, s))
 
+  /** SQL twin of [[moneySumWide]]: DuckDB's SUM(BIGINT) already
+    * accumulates in HUGEINT (128-bit — the wide accumulator), so the
+    * twin is just cast-to-double then the same single IEEE division.
+    * Sums below 2^53 units convert exactly, above that both engines
+    * round-to-nearest identically. */
+  def sqlMoneySumWide(x: String, s: Int = 2): String =
+    s"(CAST(SUM(${sqlUnits(x, s)}) AS DOUBLE) / 1e$s)"
+
   /** Exact money avg: integer sum divided by count — both engines perform
     * the same two IEEE divisions on identical integers. */
   def moneyAvg(c: Column, s: Int = 2): Column =

@@ -143,9 +143,47 @@ object Ingest {
           FROM lineitem)
     WHERE rn = 1 ORDER BY l_orderkey"""
 
+  // ---- q59: file-level JSON scan (S8) + overflow-safe wide sum ---------
+  // The reference's BASELINE claims "DataFrame ops over CSV/JSON"; this
+  // exercises the actual file-level JSON source path end-to-end: export
+  // events as JSONL (the JSON SINK), then read it back with an explicit
+  // schema (never schema inference — at 100 TB an inference pass is a
+  // full extra scan) and aggregate. The JSON round trip is lossless by
+  // construction: day is pre-formatted to a string before export, and
+  // doubles serialize via shortest-round-trip representation.
+  // The aggregate uses Fx.moneySumWide — the DECIMAL(38,0) accumulator —
+  // so the overflow-safe sum path is oracle-verified, not just documented
+  // (its DuckDB twin is HUGEINT accumulation, wide on both sides).
+  def q59JsonScan(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Fx._
+    val jsonDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-events-jsonl-" +
+        java.lang.Long.toHexString(DedupOps.h60(d))).getPath
+    Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("user_id"), col("value"))
+      .write.mode("overwrite").json(jsonDir)
+    val jsonSchema = StructType(Seq(
+      StructField("day", StringType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("user_id", LongType, nullable = true),
+      StructField("value", DoubleType, nullable = true)))
+    s.read.schema(jsonSchema).json(jsonDir)
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySumWide(col("value")).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q59Sql: String = s"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+      ${Fx.sqlMoneySumWide("value")} AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q21_dedup_first" -> q21DedupFirst _)
+    "q21_dedup_first" -> q21DedupFirst _,
+    "q59_json_scan"   -> q59JsonScan _)
 
   val oracles: Map[String, String] = Map(
-    "q21_dedup_first" -> q21Sql)
+    "q21_dedup_first" -> q21Sql,
+    "q59_json_scan"   -> q59Sql)
 }

@@ -185,11 +185,14 @@ object SimOps {
   // grows. Vectors alone in their bucket have no neighbor and drop out.
   def q36AnnLsh(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val base = Tables.embeddings(s, d)
-    val emb = base
+    val emb = Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
-      .withColumn("bucket", bucketExpr(planesFor(base.count())))
+      // corpus size via the shared session memo (one metadata count per
+      // session, not one scan action per query — at 100 TB this is a
+      // catalog-stats lookup)
+      .withColumn("bucket",
+        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -227,11 +230,11 @@ object SimOps {
   // being boundary-sensitive (no pair sits AT the threshold).
   def q37CosineNeardup(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val base = Tables.embeddings(s, d)
-    val emb = base
+    val emb = Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
       .withColumn("nq", normQ)
-      .withColumn("bucket", bucketExpr(planesFor(base.count())))
+      .withColumn("bucket",
+        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("b_emb"),
@@ -271,7 +274,8 @@ object SimOps {
   def q47IvfAnn(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
-    val cents = emb.filter(col("vec_id") < cellsFor(emb.count()))
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nq").as("c_nq"))
     // cell = argmax centroid cosine (ties → lowest centroid id)

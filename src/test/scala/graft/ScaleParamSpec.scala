@@ -62,6 +62,38 @@ class ScaleParamSpec extends AnyFunSuite {
     }
   }
 
+  test("chunksFor walks the divisor ladder of 60 and matches its SQL twin") {
+    // ladder: occupancy target 32 rows/bucket; wider chunks (fewer of
+    // them) as the corpus grows, tightening the hd contract by pigeonhole
+    assert(DedupOps.chunksFor(0) == 6)
+    assert(DedupOps.chunksFor(500) == 6)      // sf0.001/sf0.01 corpus
+    assert(DedupOps.chunksFor(5000) == 6)     // sf0.1 corpus
+    assert(DedupOps.chunksFor(32L << 10) == 6)      // last 6-chunk n
+    assert(DedupOps.chunksFor((32L << 10) + 1) == 5)
+    assert(DedupOps.chunksFor(32L << 12) == 5)
+    assert(DedupOps.chunksFor((32L << 12) + 1) == 4)
+    assert(DedupOps.chunksFor(32L << 15) == 4)
+    assert(DedupOps.chunksFor((32L << 15) + 1) == 3)
+    assert(DedupOps.chunksFor(32L << 20) == 3)
+    assert(DedupOps.chunksFor((32L << 20) + 1) == 2)
+    assert(DedupOps.chunksFor(100000000000L) == 2)
+    // every rung divides 60, so chunk widths are exact
+    for (n <- Seq(0L, 1L, 500L, 40000L, 200000L, 2000000L, 50000000L,
+        100000000000L))
+      assert(60 % DedupOps.chunksFor(n) == 0)
+    // SQL twin (the oracle's params CTE) picks the same rung
+    for (n <- Seq(1L, 500L, 5000L, 32L << 10, (32L << 10) + 1,
+        32L << 12, (32L << 12) + 1, 32L << 15, (32L << 15) + 1,
+        32L << 20, (32L << 20) + 1, 100000000000L)) {
+      val twin = spark.sql(
+        s"""SELECT CASE WHEN bl <= 10 THEN 6 WHEN bl <= 12 THEN 5
+                        WHEN bl <= 15 THEN 4 WHEN bl <= 20 THEN 3 ELSE 2 END
+            FROM (SELECT length(bin(($n + 31) div 32 - 1)) AS bl)""")
+        .head().getInt(0)
+      assert(twin == DedupOps.chunksFor(n), s"n=$n")
+    }
+  }
+
   test("LSH candidate pairs stay O(n) at the derived plane count and " +
       "never grow when planes increase") {
     val base = Tables.embeddings(spark, sf)
