@@ -94,13 +94,18 @@ object Streaming {
     * `partitionCol` must be non-null in the source (true for the NYT
     * feeds' `date`; the reference's schema marks it NOT NULL,
     * /root/reference/src/main/resources/schema.sql).
+    *
+    * Returns the distinct partition values this firing merged, so
+    * downstream mirrors (e.g. [[graft.NytJob]]'s JDBC upsert) can stay
+    * O(batch) too by touching only those partitions.
     */
   def ingestAvailableNow(spark: SparkSession, srcDir: String,
                          schema: org.apache.spark.sql.types.StructType,
                          keys: Seq[String], tiebreak: Seq[org.apache.spark.sql.Column],
                          checkpoint: String, sinkPath: String,
-                         partitionCol: String = "date"): Unit = {
+                         partitionCol: String = "date"): Seq[Any] = {
     import org.apache.hadoop.fs.Path
+    val touchedAll = new scala.collection.mutable.LinkedHashSet[Any]
     val q = spark.readStream
       .schema(schema)
       .option("header", "true")
@@ -137,6 +142,7 @@ object Streaming {
         // a handful of values, NOT a scan of the sink
         val touched = batch.select(col(partitionCol)).distinct().collect()
           .map(_.get(0)).filter(_ != null)
+        touchedAll.synchronized { touchedAll ++= touched }
         if (touched.nonEmpty) {
           val hasData = fs.exists(sink) &&
             fs.listStatus(sink).exists(_.getPath.getName.startsWith(partitionCol + "="))
@@ -181,6 +187,7 @@ object Streaming {
       }
       .start()
     q.awaitTermination()
+    touchedAll.synchronized { touchedAll.toSeq }
   }
 
   /** Stream-stream inner join (§2.9): views joined to the clicks that
