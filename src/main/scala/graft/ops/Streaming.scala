@@ -214,53 +214,108 @@ object Streaming {
   }
 
   /** Custom stateful processing (§2.9 "stateful ops"): per-user running
-    * aggregates via `mapGroupsWithState` — the escape hatch when windowed
-    * aggregation can't express the state machine. State is per-key and
-    * partitioned by the grouping key, so it scales horizontally; pair with
-    * a watermark + timeout in production so state is reclaimed. Kept
-    * deliberately small: a running (count, sum) per user emitted on every
-    * update. */
+    * aggregates via Spark 4.x `transformWithState` — the arbitrary-state
+    * operator that replaced `mapGroupsWithState` (deprecated; its
+    * processing-time timeouts were wall-clock-nondeterministic, breaking
+    * the engine's own SURVEY §7.3.6 determinism rule). State is per-key
+    * and partitioned by the grouping key, so it scales horizontally.
+    *
+    * Timeout semantics (EVENT-time, deterministic): after a user sits
+    * idle for `idleTimeout` of event time past the watermark, a FINAL row
+    * tagged `is_final = true` flushes their totals and their state is
+    * reclaimed — without that, state grows linearly with distinct keys
+    * forever on an unbounded stream. Totals are therefore per idle-
+    * delimited session, not lifetime: a user returning after the timeout
+    * restarts from zero (and the tag lets downstream tell the flush row
+    * from ordinary update-mode emissions, which it otherwise duplicates).
+    * `idleTimeout = None` disables timers (TimeMode.None) for
+    * deterministic batch-style tests.
+    *
+    * State holds (count, sum in integer cents) — the same element-wise
+    * quantization as Fx.toUnits, so the running sum is independent of
+    * arrival order. Requires the RocksDB state store provider (the only
+    * provider transformWithState supports). */
   def statefulUserTotals(spark: SparkSession,
                          events: org.apache.spark.sql.Dataset[
                            org.apache.spark.sql.Row],
                          idleTimeout: Option[String] = Some("1 hour"))
       : DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.GroupStateTimeout
-    // With a timeout (the default), a user idle past it has its state
-    // REMOVED and a final row emitted — without one, state grows linearly
-    // with distinct keys forever (unacceptable on an unbounded stream;
-    // None is for deterministic batch-style tests only).
-    val timeoutConf = idleTimeout.map(_ => GroupStateTimeout.ProcessingTimeTimeout())
-      .getOrElse(GroupStateTimeout.NoTimeout())
-    events
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val timeoutMs = idleTimeout.map(parseDurationMs)
+    // event-time timers need a watermark; 1h late tolerance as elsewhere
+    val src = if (timeoutMs.isDefined) events.withWatermark("ts", "1 hour")
+              else events
+    src
       .selectExpr("user_id", "value")
       .as[(Long, Double)]
       .groupByKey(_._1)
-      // state holds (count, sum in integer cents) — the same element-wise
-      // quantization as Fx.toUnits, so the running sum is independent of
-      // arrival order (raw double accumulation would drift in the low
-      // bits between runs)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](timeoutConf) {
-        case (userId, rows, state) =>
-          if (state.hasTimedOut) {
-            val (n, u) = state.get
-            state.remove()
-            (userId, n, u / 100.0)
-          } else {
-            val (prevN, prevUnits) = state.getOption.getOrElse((0L, 0L))
-            var n = prevN
-            var u = prevUnits
-            rows.foreach { r =>
-              n += 1
-              u += math.floor(r._2 * 100 + 0.5).toLong
-            }
-            state.update((n, u))
-            idleTimeout.foreach(state.setTimeoutDuration)
-            (userId, n, u / 100.0)
-          }
+      .transformWithState(new UserTotalsProcessor(timeoutMs),
+        if (timeoutMs.isDefined) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_value", "is_final")
+  }
+
+  /** "N unit" → millis for the idle timer (no java.time parsing so the
+    * accepted grammar matches the watermark-delay strings used above). */
+  private[ops] def parseDurationMs(s: String): Long = {
+    val Re = """(\d+)\s*(second|minute|hour|day)s?""".r
+    s.trim.toLowerCase match {
+      case Re(n, "second") => n.toLong * 1000L
+      case Re(n, "minute") => n.toLong * 60000L
+      case Re(n, "hour")   => n.toLong * 3600000L
+      case Re(n, "day")    => n.toLong * 86400000L
+      case other => sys.error(s"cannot parse duration '$other'")
+    }
+  }
+
+  /** The [[statefulUserTotals]] state machine. Each input batch refreshes
+    * a single per-key event-time timer at watermark + idleTimeout (the
+    * deterministic replacement for the old processing-time timeout); on
+    * expiry the totals flush once with `is_final = true` and the state is
+    * deleted. */
+  private class UserTotalsProcessor(idleTimeoutMs: Option[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double, Boolean)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 tv: TimerValues)
+        : Iterator[(Long, Long, Double, Boolean)] = {
+      val (prevN, prevU) = if (totals.exists()) totals.get() else (0L, 0L)
+      var n = prevN
+      var u = prevU
+      rows.foreach { r =>
+        n += 1
+        u += math.floor(r._2 * 100 + 0.5).toLong
       }
-      .toDF("user_id", "n_events", "sum_value")
+      totals.update((n, u))
+      idleTimeoutMs.foreach { t =>
+        // one live timer per key: new activity pushes the deadline out
+        getHandle.listTimers().foreach(old =>
+          getHandle.deleteTimer(old.asInstanceOf[Long]))
+        getHandle.registerTimer(tv.getCurrentWatermarkInMs() + t)
+      }
+      Iterator.single((key, n, u / 100.0, false))
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[(Long, Long, Double, Boolean)] = {
+      val out =
+        if (totals.exists()) {
+          val (n, u) = totals.get()
+          Iterator.single((key, n, u / 100.0, true))
+        } else Iterator.empty
+      totals.clear()
+      out
+    }
   }
 
   // ---- oracle-checked batch queries ------------------------------------

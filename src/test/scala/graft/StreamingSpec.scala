@@ -224,29 +224,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("mapGroupsWithState accumulates per-user state across triggers") {
-    val input = MemoryStream[Ev]
-    // idleTimeout=None: ProcessingTimeTimeout keeps scheduling timeout
-    // triggers, which never lets processAllAvailable() settle in a test
-    val q = ops.Streaming.statefulUserTotals(spark, input.toDF(), None)
-      .writeStream.format("memory").queryName("stateful")
-      .outputMode("update").start()
-    try {
-      input.addData(batch1)
-      q.processAllAvailable()
-      input.addData(batch2)
-      q.processAllAvailable()
-      // latest emitted state per user equals the batch aggregate
-      val latest = spark.table("stateful")
-        .groupBy("user_id")
-        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
-          org.apache.spark.sql.functions.max("sum_value").as("s"))
-        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
-        .toMap
-      val expected = (batch1 ++ batch2).groupBy(_.user_id)
-        .map { case (u, evs) => (u, (evs.size.toLong, evs.map(_.value).sum)) }
-      assert(latest == expected)
-    } finally q.stop()
+  // transformWithState supports only the RocksDB state store provider
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState accumulates per-user state across triggers") {
+    withRocksDb {
+      val input = MemoryStream[Ev]
+      // idleTimeout=None → TimeMode.None: no timers, pure accumulation
+      val q = ops.Streaming.statefulUserTotals(spark, input.toDF(), None)
+        .writeStream.format("memory").queryName("stateful")
+        .outputMode("update").start()
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+        // latest emitted state per user equals the batch aggregate
+        val latest = spark.table("stateful")
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+            org.apache.spark.sql.functions.max("sum_value").as("s"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .toMap
+        val expected = (batch1 ++ batch2).groupBy(_.user_id)
+          .map { case (u, evs) => (u, (evs.size.toLong, evs.map(_.value).sum)) }
+        assert(latest == expected)
+        // no timers → nothing is ever tagged final
+        assert(spark.table("stateful")
+          .filter(org.apache.spark.sql.functions.col("is_final")).count() == 0)
+      } finally q.stop()
+    }
+  }
+
+  test("event-time idle timeout flushes a tagged final row and resets state") {
+    withRocksDb {
+      val input = MemoryStream[Ev]
+      // 10-minute idle timeout; watermark delay is 1h (set inside
+      // statefulUserTotals), so batch2 at +3h20m drives the watermark far
+      // past every batch1 timer deadline
+      val q = ops.Streaming.statefulUserTotals(spark, input.toDF(),
+          Some("10 minutes"))
+        .writeStream.format("memory").queryName("stateful_et")
+        .outputMode("update").start()
+      try {
+        input.addData(batch1)
+        q.processAllAvailable()
+        input.addData(batch2)
+        q.processAllAvailable()
+        q.processAllAvailable() // no-data batch fires the expired timers
+        // timers are registered against the watermark as seen while the
+        // batch processes (one advance behind), so batch1's deadline has
+        // lapsed before batch2's rows merge: each batch flushes as its own
+        // idle-delimited session — totals are per session, not lifetime
+        val finals = spark.table("stateful_et")
+          .filter(org.apache.spark.sql.functions.col("is_final"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        val expected = (Seq(batch1, batch2) flatMap { b =>
+          b.groupBy(_.user_id).map { case (u, evs) =>
+            (u, evs.size.toLong, evs.map(_.value).sum) }
+        }).toSet
+        assert(finals == expected)
+        // state was deleted on flush: a late-arriving user restarts at 1
+        input.addData(Seq(Ev(7, ts(400), 10, "click", 9.0)))
+        q.processAllAvailable()
+        val restart = spark.table("stateful_et")
+          .filter(org.apache.spark.sql.functions.col("user_id") === 10 &&
+            !org.apache.spark.sql.functions.col("is_final"))
+          .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+          .collect()
+        assert(restart.exists(r => r.getLong(1) == 1L && r.getDouble(2) == 9.0),
+          "state not reset after timeout flush")
+      } finally q.stop()
+    }
   }
 
   test("batch session windows merge within gap inclusive, split beyond") {
