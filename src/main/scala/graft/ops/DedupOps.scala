@@ -435,19 +435,127 @@ object DedupOps {
       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
     ORDER BY id1, id2"""
 
-  /** Caller contract: q31/q33/q34 `persist()` their feature table so the
-    * self-join's branches share one computation — a lazily returned
-    * DataFrame cannot unpersist behind its own action, so the CACHE
-    * LIFETIME IS THE CALLER'S. The driver harness (Verify/Bench/specs)
-    * runs `spark.catalog.clearCache()` between queries; any other caller
-    * must do the same or accept the cached blocks until session end. */
+  // ---- q60: duplicate clusters via connected components ----------------
+  // The near-dup pipeline's FINAL step: verified pairs are edges; the doc
+  // to KEEP per cluster is the minimum doc_id of its connected component
+  // (pairs alone under-delete: {A~B, B~C} must collapse to one canonical
+  // doc even when A~C was never emitted by the LSH).
+
+  /** Min-label propagation to fixpoint — each node's label converges to
+    * the smallest doc_id reachable through dup edges. Per iteration: one
+    * shuffle join (neighbor-label lookup) + one aggregate; the driver
+    * loop runs until an iteration changes nothing. Iteration count is the
+    * cluster DIAMETER, not corpus size — near-dup components are
+    * clique-ish (every pair the verifier emitted is an edge), so real
+    * corpora converge in a handful of rounds regardless of n. At larger
+    * diameters switch to large-star/small-star (halves distances per
+    * round); at very deep iteration counts, checkpoint to cut lineage.
+    * Non-convergence inside `maxIter` is an ERROR — silently returning
+    * half-propagated labels would merge clusters wrongly. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 25)
+      : DataFrame = {
+    val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
+      .persist()
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val cand = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("cand"))
+      val next = labels
+        .join(cand, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      sys.error(s"connectedComponents: no fixpoint after $maxIter iterations")
+    labels.select(col("id").as("doc_id"), col("lbl").as("canon_id"))
+  }
+
+  def q60DedupGroups(s: SparkSession, d: String): DataFrame = {
+    val pairs = q31MinhashPairs(s, d).select(col("id1"), col("id2"))
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "canon_id")
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Oracle: exact min-reachable label via a recursive transitive closure
+  // (fine at oracle SF; the Spark side is the scale path). Reuses the
+  // full q31 pair derivation as the edge set.
+  val q60Sql: String = {
+    val pairCtes = (sqlShingles + s""",
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) + len(sb.hv)
+          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2),
+    dup_pairs AS (
+      SELECT id1, id2 FROM jac WHERE inter * 2 >= uni)""")
+      .replaceFirst("WITH toks", "WITH RECURSIVE toks")
+    pairCtes + """,
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id1 AS id FROM dup_pairs
+        UNION ALL SELECT id2 FROM dup_pairs)),
+    edges AS (
+      SELECT id1 AS u, id2 AS v FROM dup_pairs
+      UNION ALL SELECT id2, id1 FROM dup_pairs),
+    reach(src, node) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node),
+    cc AS (
+      SELECT src AS doc_id, MIN(node) AS canon_id FROM reach GROUP BY src),
+    sizes AS (
+      SELECT canon_id, COUNT(*) AS cluster_size FROM cc GROUP BY canon_id)
+    SELECT cc.doc_id, cc.canon_id, sizes.cluster_size
+    FROM cc JOIN sizes USING (canon_id)
+    ORDER BY cc.doc_id"""
+  }
+
+  /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
+    * feature table so the self-join's branches share one computation — a
+    * lazily returned DataFrame cannot unpersist behind its own action, so
+    * the CACHE LIFETIME IS THE CALLER'S. The driver harness
+    * (Verify/Bench/specs) runs `spark.catalog.clearCache()` between
+    * queries; any other caller must do the same or accept the cached
+    * blocks until session end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup"   -> q29ExactDedup _,
     "q30_minhash_sig"   -> q30MinhashSig _,
     "q31_minhash_pairs" -> q31MinhashPairs _,
     "q32_simhash"       -> q32Simhash _,
     "q33_simhash_pairs" -> q33SimhashPairs _,
-    "q34_ngram_jaccard" -> q34NgramJaccard _)
+    "q34_ngram_jaccard" -> q34NgramJaccard _,
+    "q60_dedup_groups"  -> q60DedupGroups _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -455,5 +563,6 @@ object DedupOps {
     "q31_minhash_pairs" -> q31Sql,
     "q32_simhash"       -> q32Sql,
     "q33_simhash_pairs" -> q33Sql,
-    "q34_ngram_jaccard" -> q34Sql)
+    "q34_ngram_jaccard" -> q34Sql,
+    "q60_dedup_groups"  -> q60Sql)
 }

@@ -69,4 +69,30 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(ng.intersect(mh).size * 10 >= math.max(ng.size, mh.size) * 8,
       s"ngram=$ng vs minhash=$mh diverge")
   }
+
+  test("connected components merge transitive chains the pair list never emitted") {
+    import spark.implicits._
+    // {1~2, 2~3} (A~C edge missing), {7~8}, and a 4-node path 10-11-12-13:
+    // labels must converge to the component MIN across multiple hops
+    val edges = Seq((2L, 3L), (1L, 2L), (7L, 8L),
+      (11L, 10L), (11L, 12L), (12L, 13L)).toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("q60 groups cover exactly the docs in q31 pairs; canonical is the min") {
+    val g = DedupOps.q60DedupGroups(spark, sf)
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val p = pairs(DedupOps.q31MinhashPairs(spark, sf))
+    val docsInPairs = p.flatMap(t => Seq(t._1, t._2))
+    assert(rows.map(_._1).toSet == docsInPairs)
+    // canonical id is a member of its own cluster and the minimum of it
+    val byCanon = rows.groupBy(_._2)
+    byCanon.foreach { case (canon, members) =>
+      assert(members.map(_._1).min == canon)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
 }
