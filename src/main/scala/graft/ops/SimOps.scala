@@ -332,6 +332,128 @@ object SimOps {
     SELECT vec_id, cell, neighbor_id, cosine
     FROM pairs WHERE rank = 1 ORDER BY vec_id"""
 
+  // ---- q61: trained IVF — deterministic Lloyd k-means refinement -------
+  // Closes q47's honest caveat ("centroids are the first sqrt(n) vectors,
+  // not trained"): the same deterministic seed, then KmeansIters Lloyd
+  // rounds of assign(argmax cosine) → recompute(per-dim mean), then the
+  // final cell assignment. Everything stays oracle-exact because every
+  // round's arithmetic flows from the SAME integers on both engines:
+  // centroids are rebuilt as CAST(sum(qa_i) AS DOUBLE)/1e6/count (exact
+  // BIGINT sums, two IEEE divisions), dots re-quantize per term, and ties
+  // break on cell id — so Spark and DuckDB walk identical trajectories,
+  // iteration by iteration.
+  //
+  // Scale: per round, one broadcast of k = cellsFor(n) ≈ sqrt(n) centroid
+  // rows (3e4 × 64 doubles at n = 1e9 — tiny), one n×k scored cross join
+  // (the IVF assign cost), one groupBy(cell) with 64 codegen'd SUMs. The
+  // round count is FIXED (not until-convergence), so the plan is static
+  // and the cost is KmeansIters × assign — the standard coarse-quantizer
+  // training budget. Empty cells drop out (standard Lloyd).
+  private[graft] val KmeansIters = 2
+
+  /** Argmax-cosine cell assignment against a (cell, centroid[], cnq)
+    * table; centroid coords are doubles, so the per-term quantized dot is
+    * the HOF form (float × double — QuantizedDot is float-only). */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cdot", expr(
+        "aggregate(zip_with(embedding, centroid, (x, c) ->" +
+          " cast(floor(cast(x as double) * c * 1e9 + 0.5) as long))," +
+          " 0L, (acc, t) -> acc + t)"))
+      .withColumn("ccos",
+        col("cdot").cast("double") / sqrt((col("nq") * col("cnq")).cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cdot", "cnq", "centroid")
+  }
+
+  /** Quantized squared norm of a double-array centroid column. */
+  private val centNorm: Column = expr(
+    "aggregate(centroid, 0L, (acc, c) ->" +
+      " acc + cast(floor(c * c * 1e9 + 0.5) as long))")
+
+  private[graft] def kmeansCells(s: SparkSession, d: String, iters: Int)
+      : DataFrame = {
+    val k = cellsFor(Tables.rowCount(s, d, "embeddings"))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .select(col("vec_id"), col("embedding"), col("qa"), col("nq"))
+      .persist() // re-read every round; caller clearCache contract applies
+    // seed centroids from the quantized coords (q/1e6 as double), so
+    // round 0 flows from the same integers as every later round
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        expr("transform(qa, q -> cast(q as double) / 1e6)").as("centroid"))
+      .withColumn("cnq", centNorm)
+    for (_ <- 1 to iters) {
+      val sums = (0 until D).map(i =>
+        sum(element_at(col("qa"), i + 1)).as(s"s$i"))
+      cents = assignCells(emb, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cell"), array((0 until D).map(i =>
+          col(s"s$i").cast("double") / 1e6 / col("cnt")): _*).as("centroid"))
+        .withColumn("cnq", centNorm)
+    }
+    assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"), col("ccos").as("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  def q61KmeansCells(s: SparkSession, d: String): DataFrame =
+    kmeansCells(s, d, KmeansIters)
+
+  // Oracle: the identical trajectory unrolled as CTEs (assign/means ×
+  // KmeansIters, then the final assign) from the same params CTE.
+  private def sqlKmAssign(out: String, cents: String): String = s"""
+    $out AS (
+      SELECT vec_id, embedding, qa, nq, cell, ccos FROM (
+        SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cell) AS rn
+        FROM (
+          SELECT e.vec_id, e.embedding, e.qa, e.nq, c.cell,
+            CAST(CAST(list_sum(list_transform(range(1, $D + 1), i ->
+              CAST(floor(CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
+              / sqrt(CAST(e.nq * c.cnq AS DOUBLE)) AS ccos
+          FROM e CROSS JOIN $cents c) sc) WHERE rn = 1)"""
+
+  private def sqlKmMeans(out: String, assigned: String): String = s"""
+    ${out}_sums AS (
+      SELECT cell, i, CAST(SUM(qa[i]) AS BIGINT) AS s, COUNT(*) AS c
+      FROM $assigned CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) dims
+      GROUP BY cell, i),
+    $out AS (
+      SELECT cell, centroid,
+        CAST(list_sum(list_transform(centroid, x ->
+          CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS cnq
+      FROM (SELECT cell, list(CAST(s AS DOUBLE) / 1e6 / c ORDER BY i)
+              AS centroid
+            FROM ${out}_sums GROUP BY cell))"""
+
+  val q61Sql: String = {
+    val rounds = (1 to KmeansIters).map(r =>
+      sqlKmAssign(s"a$r", s"c${r - 1}") + "," +
+        sqlKmMeans(s"c$r", s"a$r")).mkString(",")
+    s"""
+    WITH e AS (
+      SELECT vec_id, embedding, $sqlQa AS qa, $sqlNormQ AS nq
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cell,
+        list_transform(qa, q -> CAST(q AS DOUBLE) / 1e6) AS centroid,
+        CAST(list_sum(list_transform(qa, q ->
+          CAST(floor((CAST(q AS DOUBLE) / 1e6) * (CAST(q AS DOUBLE) / 1e6)
+            * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS cnq
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
+    $rounds,
+    ${sqlKmAssign("afinal", s"c$KmeansIters").trim}
+    SELECT vec_id, cell, ccos AS cosine FROM afinal ORDER BY vec_id"""
+  }
+
   // ---- q38: per-label centroids (vector-column aggregate) --------------
   def q38LabelCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -358,12 +480,14 @@ object SimOps {
     "q36_ann_lsh"         -> q36AnnLsh _,
     "q37_cosine_neardup"  -> q37CosineNeardup _,
     "q38_label_centroids" -> q38LabelCentroids _,
-    "q47_ivf_ann"         -> q47IvfAnn _)
+    "q47_ivf_ann"         -> q47IvfAnn _,
+    "q61_kmeans_cells"    -> q61KmeansCells _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
     "q36_ann_lsh"         -> q36Sql,
     "q37_cosine_neardup"  -> q37Sql,
     "q38_label_centroids" -> q38Sql,
-    "q47_ivf_ann"         -> q47Sql)
+    "q47_ivf_ann"         -> q47Sql,
+    "q61_kmeans_cells"    -> q61Sql)
 }

@@ -58,4 +58,26 @@ class SimOpsSpec extends AnyFunSuite {
       .agg(sum("n_vecs")).head().getLong(0)
     assert(perLabel == Tables.embeddings(spark, sf).count())
   }
+
+  test("Lloyd refinement assigns every vector and does not worsen mean cosine") {
+    val n = Tables.embeddings(spark, sf).count()
+    def meanCos(iters: Int): Double = {
+      val df = SimOps.kmeansCells(spark, sf, iters)
+      assert(df.count() == n)                       // total assignment
+      assert(df.select("vec_id").distinct().count() == n) // one cell each
+      val m = df.agg(avg("cosine")).head().getDouble(0)
+      spark.catalog.clearCache()
+      m
+    }
+    val untrained = meanCos(0) // q47's seeded coarse quantizer
+    val trained = meanCos(SimOps.KmeansIters)
+    assert(trained >= untrained - 1e-9,
+      s"training worsened the quantizer: $trained < $untrained")
+    // determinism: identical trajectory run-to-run
+    val a = SimOps.q61KmeansCells(spark, sf).collect()
+    spark.catalog.clearCache()
+    val b = SimOps.q61KmeansCells(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(a.sameElements(b))
+  }
 }
