@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Sink maintenance for the incremental pipeline (SURVEY.md §4.4).
+  *
+  * Every [[Streaming.ingestAvailableNow]] firing rewrites its affected
+  * partitions with one file per shuffle task, so a partition touched by
+  * many firings (or merged at high parallelism) fragments into many small
+  * files — and at 100 TB, small files are a scan-planning and NameNode/
+  * object-store-listing tax that compounds every 15 minutes. Compaction
+  * is the standard companion job: periodically rewrite fragmented
+  * partitions into target-sized files, using the SAME crash-safe
+  * per-partition swap as the ingest ([[PartitionSwap]]), so a compaction
+  * crash is healed by the next writer exactly like an ingest crash.
+  *
+  * Untouched partitions are never listed beyond a file count, never read,
+  * never rewritten.
+  */
+object SinkMaintenance {
+
+  /** Rewrite every partition of `sinkPath` whose data-file count exceeds
+    * `maxFiles` into ceil(bytes / targetBytes) files. Returns the names
+    * of the compacted partition dirs. Safe to run between (not during)
+    * ingest firings — both sides publish through [[PartitionSwap]]. */
+  def compactPartitions(spark: SparkSession, sinkPath: String,
+                        partitionCol: String = "date",
+                        maxFiles: Int = 4,
+                        targetBytes: Long = 128L * 1024 * 1024): Seq[String] = {
+    val sink = new Path(sinkPath)
+    val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sink)) return Nil
+    PartitionSwap.recover(fs, sink)
+    val fragmented = fs.listStatus(sink)
+      .filter(_.getPath.getName.startsWith(partitionCol + "="))
+      .flatMap { dir =>
+        val dataFiles = fs.listStatus(dir.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
+        if (dataFiles.length > maxFiles)
+          Some((dir.getPath, dataFiles.map(_.getLen).sum))
+        else None
+      }
+    if (fragmented.isEmpty) return Nil
+    val staging = new Path(sinkPath + "__staging")
+    fs.delete(staging, true)
+    // one coalesced rewrite per fragmented partition: reading the dir
+    // directly (not through partition discovery) keeps the job's listing
+    // O(fragmented), and the rewrite is a narrow coalesce — no shuffle
+    fragmented.foreach { case (dir, bytes) =>
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      spark.read.parquet(dir.toString)
+        .coalesce(nOut)
+        .write.mode("overwrite")
+        .parquet(new Path(staging, dir.getName).toString)
+    }
+    PartitionSwap.publish(fs, staging, sink, partitionCol)
+  }
+}

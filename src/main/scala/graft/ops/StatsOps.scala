@@ -116,13 +116,57 @@ object StatsOps {
       COUNT(*) AS n, ${sqlMoneySum("l_extendedprice")} AS sum_price
     FROM lineitem GROUP BY 1 ORDER BY 1"""
 
+  // ---- q62: approx percentile with a VERIFIED rank-error contract ------
+  // The scale path q56's caveat defers to: `approx_percentile` (GK
+  // sketch — constant state per group vs q56's buffer-all
+  // ObjectHashAggregate). Sketch internals differ per engine, so the
+  // approx VALUE can't be oracle-compared; what CAN be (the q42
+  // pattern) is the exact percentile plus a boolean asserting the
+  // sketch met its published guarantee — GK returns a value whose RANK
+  // is within n/accuracy of the target. The rank of the returned value
+  // is its [count(<)+1, count(<=)] interval (computed with one extra
+  // broadcast join + aggregate); the contract holds iff that interval
+  // overlaps the target window. The oracle emits the same exact
+  // percentile and literal TRUE — hash-equal only if the sketch
+  // actually delivered its bound.
+  private val ApproxAcc = 1000 // guaranteed rank error <= n/1000
+  def q62ApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
+    val g = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(pu, 0.5D)").as("exact_units"),
+        expr(s"approx_percentile(pu, 0.5D, $ApproxAcc)").as("ap"))
+    li.join(broadcast(g), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("n")).as("n"), first(col("exact_units")).as("exact_units"),
+        sum(when(col("pu") < col("ap"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("pu") <= col("ap"), 1L).otherwise(0L)).as("r_le"))
+      .select(col("l_returnflag"), col("n"),
+        (col("exact_units") / 100.0).as("p50"),
+        ((col("r_lt") + 1).cast("double") <=
+          col("n").cast("double") * 0.5 + col("n").cast("double") / ApproxAcc + 1
+          && col("r_le").cast("double") >=
+          col("n").cast("double") * 0.5 - col("n").cast("double") / ApproxAcc - 1)
+          .as("within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q62Sql: String = s"""
+    SELECT l_returnflag, COUNT(*) AS n,
+      quantile_cont(${sqlUnits("l_extendedprice")}, 0.5) / 100.0 AS p50,
+      TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
-    "q58_histogram"   -> q58Histogram _)
+    "q58_histogram"   -> q58Histogram _,
+    "q62_approx_percentile" -> q62ApproxPercentile _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
     "q57_correlation" -> q57Sql,
-    "q58_histogram"   -> q58Sql)
+    "q58_histogram"   -> q58Sql,
+    "q62_approx_percentile" -> q62Sql)
 }

@@ -123,21 +123,8 @@ object Streaming {
         val conf = spark2.sparkContext.hadoopConfiguration
         val sink = new Path(sinkPath)
         val fs = sink.getFileSystem(conf) // sinkPath's OWN filesystem
-        val prevRoot = new Path(sinkPath + "__prev")
-        // crash recovery: a swap that died between its two renames left
-        // the partition's data at the backup and the live dir missing —
-        // restore those; a backup whose live dir EXISTS is a leftover
-        // from after a completed publish — drop it
-        if (fs.exists(prevRoot)) {
-          fs.listStatus(prevRoot).foreach { st =>
-            val live = new Path(sink, st.getPath.getName)
-            if (!fs.exists(live)) {
-              if (!fs.rename(st.getPath, live))
-                sys.error(s"cannot restore ${st.getPath} to $live")
-            } else fs.delete(st.getPath, true)
-          }
-          fs.delete(prevRoot, true)
-        }
+        // heal any half-done swap a previous crash left behind
+        PartitionSwap.recover(fs, sink)
         // the partitions this batch touches — O(#distinct dates in batch),
         // a handful of values, NOT a scan of the sink
         val touched = batch.select(col(partitionCol)).distinct().collect()
@@ -166,22 +153,7 @@ object Streaming {
           fs.delete(staging, true)
           merged.write.mode("overwrite")
             .partitionBy(partitionCol).parquet(staging.toString)
-          fs.mkdirs(sink)
-          fs.mkdirs(prevRoot)
-          fs.listStatus(staging)
-            .filter(_.getPath.getName.startsWith(partitionCol + "="))
-            .foreach { st =>
-              val name = st.getPath.getName
-              val live = new Path(sink, name)
-              val backup = new Path(prevRoot, name)
-              if (fs.exists(live) && !fs.rename(live, backup))
-                sys.error(s"cannot move $live aside to $backup")
-              if (!fs.rename(st.getPath, live))
-                sys.error(s"cannot publish ${st.getPath} to $live")
-              fs.delete(backup, true)
-            }
-          fs.delete(staging, true)
-          fs.delete(prevRoot, true)
+          PartitionSwap.publish(fs, staging, sink, partitionCol)
         }
         ()
       }
