@@ -352,16 +352,13 @@ object SimOps {
   private[graft] val KmeansIters = 2
 
   /** Argmax-cosine cell assignment against a (cell, centroid[], cnq)
-    * table; centroid coords are doubles, so the per-term quantized dot is
-    * the HOF form (float × double — QuantizedDot is float-only). */
+    * table; centroid coords are doubles — QuantizedDot handles the
+    * float × double case with the same fused codegen loop. */
   private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cell").asc)
     emb.crossJoin(broadcast(cents))
-      .withColumn("cdot", expr(
-        "aggregate(zip_with(embedding, centroid, (x, c) ->" +
-          " cast(floor(cast(x as double) * c * 1e9 + 0.5) as long))," +
-          " 0L, (acc, t) -> acc + t)"))
+      .withColumn("cdot", dotQ("embedding", "centroid"))
       .withColumn("ccos",
         col("cdot").cast("double") / sqrt((col("nq") * col("cnq")).cast("double")))
       .withColumn("rn", row_number().over(w))
@@ -376,6 +373,7 @@ object SimOps {
 
   private[graft] def kmeansCells(s: SparkSession, d: String, iters: Int)
       : DataFrame = {
+    QuantizedDot.register(s)
     val k = cellsFor(Tables.rowCount(s, d, "embeddings"))
     val emb = Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
