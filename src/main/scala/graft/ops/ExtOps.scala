@@ -194,17 +194,91 @@ object ExtOps {
           FROM lineitem)
     GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- q63: cohort retention (the time-series analytic the reference's
+  // cumulative tables exist to feed). cohort = a user's first active day;
+  // retention cell (cohort_day, day_offset) counts distinct users from
+  // that cohort active offset days later. Shape at scale: one distinct
+  // over (user, day) — a single shuffle, heavily combinable map-side —
+  // one tiny per-user min, one broadcast-or-shuffle join back, one final
+  // aggregate; no window over the full event stream.
+  def q63Retention(s: SparkSession, d: String): DataFrame = {
+    val activity = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val q63Sql: String = """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+    SELECT c.cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+      COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q64: column profiling (the data-quality pass every ingest runs:
+  // null fraction, cardinality, range per measure). One aggregate pass
+  // computes all stats for all profiled columns (no per-column scans);
+  // stack unpivots to one row per column. Distincts are exact here;
+  // at 100 TB swap count_distinct for approx_count_distinct (q42's
+  // pattern proves the contract).
+  def q64Profile(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        min(toUnits(col(c))).as(s"mn_$c"),
+        max(toUnits(col(c))).as(s"mx_$c"))
+    }
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.length}, " + cols.map(c =>
+          s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ") +
+          ") as (col_name, n_nonnull, n_distinct, min_units, max_units)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"),
+        (col("min_units") / 100.0).as("min_v"),
+        (col("max_units") / 100.0).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val q64Sql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($c) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            MIN(${sqlUnits(c)}) / 100.0 AS min_v,
+            MAX(${sqlUnits(c)}) / 100.0 AS max_v
+          FROM lineitem"""
+    }.mkString("\n    UNION ALL\n    ") + "\n    ORDER BY col_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
     "q44_range_window"    -> q44RangeWindow _,
-    "q45_weighted_avg"    -> q45WeightedAvg _)
+    "q45_weighted_avg"    -> q45WeightedAvg _,
+    "q63_retention"       -> q63Retention _,
+    "q64_profile"         -> q64Profile _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,
     "q44_range_window"    -> q44Sql,
-    "q45_weighted_avg"    -> q45Sql)
+    "q45_weighted_avg"    -> q45Sql,
+    "q63_retention"       -> q63Sql,
+    "q64_profile"         -> q64Sql)
 }

@@ -45,7 +45,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("nested-loop joins appear only where a broadcast-bounded cross join is intended") {
-    val allowed = Set("q35_knn_brute", "q47_ivf_ann") // small side broadcast
+    // small side broadcast: q35 queries, q47/q61 centroids
+    val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -59,6 +60,31 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(q)
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q is not an equi-join:\n$p")
+    }
+  }
+
+  test("q59 reads JSON through an explicit schema (no inference pass)") {
+    val p = plan("q59_json_scan")
+    assert(p.contains("FileScan json"), p)
+    // the declared 4-column schema reaches the reader
+    assert(p.contains("day") && p.contains("event_type"), p)
+  }
+
+  test("q61 broadcasts the centroid table in every assign round") {
+    val p = plan("q61_kmeans_cells")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q61 assign is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the codegen'd dot is in the plan, not an interpreted HOF
+    assert(p.contains("quantized_dot"), p)
+  }
+
+  test("q60's component join and q63's cohort join stay equi-joins") {
+    Seq("q60_dedup_groups", "q63_retention").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q is not an equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
     }
   }
 }
