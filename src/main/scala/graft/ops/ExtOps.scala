@@ -264,6 +264,52 @@ object ExtOps {
     }.mkString("\n    UNION ALL\n    ") + "\n    ORDER BY col_name"
   }
 
+  // ---- q65: ordered funnel (view → click → purchase) -------------------
+  // Each stage is reached only via the one before it IN ORDER: first view,
+  // then first click at-or-after that view, then first purchase at-or-
+  // after that click. Three per-user MIN aggregates chained by equi-joins
+  // on user_id — no window over the whole stream, no per-user event
+  // sorting; each stage shuffles only the users still in the funnel.
+  def q65Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_users"))
+    stage(v, 1, "view").unionByName(stage(c, 2, "click"))
+      .unionByName(stage(p, 3, "purchase"))
+      .orderBy(col("stage_idx"))
+  }
+
+  val q65Sql: String = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+      COUNT(*) AS n_users FROM v
+    UNION ALL SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM c
+    UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p
+    ORDER BY stage_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
@@ -271,7 +317,8 @@ object ExtOps {
     "q44_range_window"    -> q44RangeWindow _,
     "q45_weighted_avg"    -> q45WeightedAvg _,
     "q63_retention"       -> q63Retention _,
-    "q64_profile"         -> q64Profile _)
+    "q64_profile"         -> q64Profile _,
+    "q65_funnel"          -> q65Funnel _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -280,5 +327,6 @@ object ExtOps {
     "q44_range_window"    -> q44Sql,
     "q45_weighted_avg"    -> q45Sql,
     "q63_retention"       -> q63Sql,
-    "q64_profile"         -> q64Sql)
+    "q64_profile"         -> q64Sql,
+    "q65_funnel"          -> q65Sql)
 }
