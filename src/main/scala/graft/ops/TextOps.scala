@@ -184,15 +184,72 @@ object TextOps {
         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
     FROM documents ORDER BY doc_id"""
 
+  // ---- q67: intra-document repetition (Gopher-style filter) ------------
+  // Duplicate word-2-gram fraction — one of the published Gopher quality
+  // gates: the share of OVERLAPPING bigrams that repeat an earlier one in
+  // the same doc, the standard cheap detector for boilerplate, looped
+  // generations, and templated spam. Per-row HOF work only (hash the
+  // bigrams, count vs distinct count), zero shuffle before the final
+  // sort; integer cross-multiplication gates the bands (never float
+  // thresholds — oracle-parity rule).
+  def q67Repetition(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    Tables.documents(s, d)
+      .withColumn("tokens", toks(col("text")))
+      .filter(size(col("tokens")) >= 2)
+      .withColumn("grams", expr(
+        "transform(sequence(1, size(tokens) - 1)," +
+          " i -> h60(array_join(slice(tokens, i, 2), ' ')))"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("rep_ratio",
+        (col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams").cast("double"))
+      .withColumn("rep_band",
+        when((col("n_grams") - col("n_distinct")) * 40 <= col("n_grams"),
+          "clean")
+          .when((col("n_grams") - col("n_distinct")) * 10 <= col("n_grams"),
+            "moderate")
+          .otherwise("repetitive"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("rep_ratio"), col("rep_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q67Sql: String = """
+    SELECT doc_id, n_grams, n_distinct,
+      CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        AS rep_ratio,
+      CASE WHEN (n_grams - n_distinct) * 40 <= n_grams THEN 'clean'
+           WHEN (n_grams - n_distinct) * 10 <= n_grams THEN 'moderate'
+           ELSE 'repetitive' END AS rep_band
+    FROM (SELECT doc_id,
+            CAST(length(grams) AS BIGINT) AS n_grams,
+            CAST(length(list_distinct(grams)) AS BIGINT) AS n_distinct
+          FROM (SELECT doc_id,
+                  list_transform(range(1, len(toks)), i ->
+                    CAST('0x' || substring(md5(
+                      array_to_string(toks[i:i+1], ' ')), 1, 15) AS BIGINT))
+                    AS grams
+                FROM (SELECT doc_id,
+                        string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')
+                          AS toks
+                      FROM documents)
+                WHERE len(toks) >= 2))
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
     "q27_token_counts" -> q27TokenCounts _,
-    "q28_fingerprint"  -> q28Fingerprint _)
+    "q28_fingerprint"  -> q28Fingerprint _,
+    "q67_repetition"   -> q67Repetition _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
     "q26_lang_id"      -> q26Sql,
     "q27_token_counts" -> q27Sql,
-    "q28_fingerprint"  -> q28Sql)
+    "q28_fingerprint"  -> q28Sql,
+    "q67_repetition"   -> q67Sql)
 }
