@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import expressions.{Hash60, QuantizedDot, RollingHash}
+import expressions.{CharGram4, Hash60, QuantizedDot, RollingHash}
 
 /** Library entry point via Spark's extension mechanism (SURVEY.md §4.3):
   *
@@ -12,11 +12,15 @@ import expressions.{Hash60, QuantizedDot, RollingHash}
   *
   * injects every graft custom expression into the session's function
   * registry at build time — SQL users get `quantized_dot` / `h60` /
-  * `rolling_hash` in plain `spark.sql(...)` with zero imperative
-  * registration calls, on every session of the application, including
-  * sessions the library never sees (a JDBC/Thrift server, a notebook
-  * kernel). The per-query `X.register(spark)` calls remain for embedded
-  * use; this is the deployment-grade path.
+  * `rolling_hash` / `char_gram4` in plain `spark.sql(...)` with zero
+  * imperative registration calls, on every session of the application,
+  * including sessions the library never sees (a JDBC/Thrift server, a
+  * notebook kernel). The per-query `X.register(spark)` calls remain for
+  * embedded use; this is the deployment-grade path.
+  *
+  * `spark.sql.extensions` is STATIC conf: Spark reads it from the
+  * SparkContext when the application's FIRST session is built, so it
+  * must be on the submit command / initial builder, not set afterwards.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -38,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("rolling_hash",
       "rolling_hash(s) - polynomial rolling hash mod 2^61-1 (fingerprint)",
       args => RollingHash(args.head)))
+    ext.injectFunction(fn("char_gram4",
+      "char_gram4(s) - all overlapping char-4-grams, injectively packed " +
+        "into BIGINTs (codegen rolling pass)",
+      args => CharGram4(args.head)))
   }
 }

@@ -373,18 +373,19 @@ object DedupOps {
   // Verified at char-gram j >= 0.5: background tops out at ~0.42 on this
   // corpus, planted pairs sit at ~0.9.
   //
-  // Grams are carried as 60-bit hashes, not strings (the q31 trick): the
-  // per-pair array_intersect inside buckets compares longs instead of
-  // 4-char strings, and the persisted feature table shrinks ~4×. Both
-  // engines hash identically, so a (≈2^-60-rare) md5 collision changes
-  // BOTH sides the same way — oracle parity is unaffected.
+  // Grams are carried as longs, not strings (the q31 trick): the per-pair
+  // array_intersect inside buckets compares longs instead of 4-char
+  // strings, and the persisted feature table shrinks ~4×. Since r3 the
+  // long is the [[graft.expressions.CharGram4]] INJECTIVE packing (4 ×
+  // 16-bit code units), not an md5 prefix: zero collisions, and ONE
+  // rolling codegen pass per row instead of one md5 per character
+  // position (this was the dominant cost — ~n_chars md5 calls per doc).
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.CharGram4.register(s)
     val base = withShingles(Tables.documents(s, d))
       .withColumn("txt", trim(lower(col("text"))))
       .filter(length(col("txt")) >= 4)
-      .withColumn("grams", expr(
-        "array_distinct(transform(sequence(1, length(txt) - 3)," +
-          s" i -> ${hashOf("substring(txt, i, 4)")}))"))
+      .withColumn("grams", expr("array_distinct(char_gram4(txt))"))
       .withColumn("b1", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:0")}L))"))
       .withColumn("b2", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:1")}L))"))
       .select(col("doc_id"), col("grams"), col("b1"), col("b2"))
@@ -413,7 +414,10 @@ object DedupOps {
     gm AS (
       SELECT sh.doc_id,
         list_distinct(list_transform(range(1, length(d.txt) - 2),
-          i -> CAST('0x' || substring(md5(d.txt[i:i+3]), 1, 15) AS BIGINT)))
+          i -> (CAST(ord(d.txt[i:i]) AS BIGINT) << 48)
+             | (CAST(ord(d.txt[i+1:i+1]) AS BIGINT) << 32)
+             | (CAST(ord(d.txt[i+2:i+2]) AS BIGINT) << 16)
+             |  CAST(ord(d.txt[i+3:i+3]) AS BIGINT)))
           AS grams,
         list_min(list_transform(sh.hv, h -> xor(h,
           CAST('0x' || substring(md5('pf:0'), 1, 15) AS BIGINT)))) AS b1,
