@@ -104,9 +104,17 @@ object DedupOps {
   // Shape: explode the shingle hashes once, take the B per-seed minima as
   // codegen'd MIN aggregates (partial+final), then unpivot with stack —
   // the all-HOF formulation interprets B×|shingles| lambdas per row.
+  //
+  // explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
+  // add `size(hv) > 0 AND isnotnull(hv)` below the projection, which
+  // re-inlines the ENTIRE tokenize→shingle→md5 tree into a Filter evaluated
+  // per scan row — tripling the dominant cost (measured 3.2 s → 1.2 s at
+  // sf0.1). hv is provably non-empty here (size(tokens) >= 3 upstream), so
+  // the inferred filter is pure waste and outer-explode semantics are
+  // identical.
   def q30MinhashSig(s: SparkSession, d: String): DataFrame = {
     val exploded = withShingles(Tables.documents(s, d))
-      .select(col("doc_id"), explode(col("hv")).as("h"))
+      .select(col("doc_id"), explode_outer(col("hv")).as("h"))
     val mins = (0 until MinhashBands).map(k =>
       min(expr(s"h ^ ${seedR(k)}L")).as(s"mh$k"))
     exploded.groupBy(col("doc_id"))
@@ -151,7 +159,9 @@ object DedupOps {
       .persist()
     def side(p: String): DataFrame =
       base.select(col("doc_id").as(s"${p}_id"), col("hv").as(s"${p}_hv"),
-          explode(col("bands")).as("b"))
+          // outer: the 8-element bands array is never empty; plain explode
+          // would re-inline its 8 array_min trees into a filter (q30 note)
+          explode_outer(col("bands")).as("b"))
         .select(col(s"${p}_id"), col(s"${p}_hv"),
           col("b.k").as(s"${p}_k"), col("b.mhv").as(s"${p}_mhv"))
     side("a").join(side("b"),
@@ -218,8 +228,8 @@ object DedupOps {
     val spreadC = (0 to 3).map(m => 1L << (15 * m)).sum // 4 copies of x
     val slotM = (0 to 3).map(m => 1L << (16 * m)).sum   // keep bit m at 16m
     val exploded = withShingles(df)
-      .select(col("doc_id"),
-        explode(expr(s"slice(hv, 1, $MaxSimhashShingles)")).as("h"))
+      .select(col("doc_id"), // outer: skip the inferred-filter re-inline (q30 note)
+        explode_outer(expr(s"slice(hv, 1, $MaxSimhashShingles)")).as("h"))
     val packedSums = (0 until 15).map(j =>
       sum(expr(s"((shiftright(h, ${4 * j}) & 15) * ${spreadC}L) & ${slotM}L"))
         .as(s"p$j"))
