@@ -224,6 +224,63 @@ object SimOps {
     SELECT vec_id, bucket, neighbor_id, cosine
     FROM ranked WHERE rank = 1 ORDER BY vec_id"""
 
+  // ---- q68: multi-probe LSH ANN --------------------------------------
+  // q36's recall upgrade: each vector probes its OWN bucket plus the P
+  // buckets at hamming distance 1 (one plane bit flipped) — the standard
+  // multi-probe trick: neighbors split by a single near-zero hyperplane
+  // margin land one bit away, so probing those buckets recovers most of
+  // the recall a single probe loses, for (P+1)× candidate volume instead
+  // of 2^P more buckets. Vectors isolated in their own bucket (no
+  // neighbor under q36) can now find one. Probe expansion is an
+  // explode_OUTER (the probe list is a never-empty literal-sized array —
+  // plain explode would re-inline the P×64-weight bucket tree into an
+  // inferred filter, the q30 lesson); candidates still come from an
+  // equi-join on (probe = bucket), never a cross join.
+  def q68MultiprobeAnn(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val p = planesFor(Tables.rowCount(s, d, "embeddings"))
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .withColumn("bucket", bucketExpr(p))
+    val probeList = array(col("bucket") +:
+      (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nq").as("a_nq"), explode_outer(probeList).as("probe"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("nq").as("b_nq"), col("bucket"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    a.join(b, col("probe") === col("bucket") && col("a_id") =!= col("b_id"))
+      .withColumn("cosine",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("a_id").as("vec_id"), col("b_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q68Sql: String = sqlEmb + s""",
+    probes AS (
+      SELECT vec_id AS a_id, embedding AS a_emb, nq AS a_nq,
+        unnest(list_concat([bucket],
+          list_transform(range(0, np), p ->
+            xor(bucket, CAST(1 AS BIGINT) << p)))) AS probe
+      FROM e CROSS JOIN params),
+    scored AS (
+      SELECT a.a_id AS vec_id, b.vec_id AS neighbor_id,
+        CAST(${sqlDotQ("a.a_emb", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.a_nq * b.nq AS DOUBLE)) AS cosine
+      FROM probes a JOIN e b ON a.probe = b.bucket AND a.a_id <> b.vec_id),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT vec_id, neighbor_id, cosine
+    FROM ranked WHERE rank = 1 ORDER BY vec_id"""
+
   // ---- q37: cosine near-dup pairs (bucket-blocked, cos >= 0.3) ---------
   // Threshold chosen against the corpus: background pairwise cosine tops
   // out near 0.51 with p99 at 0.29, so 0.3 keeps the output small without
@@ -479,7 +536,8 @@ object SimOps {
     "q37_cosine_neardup"  -> q37CosineNeardup _,
     "q38_label_centroids" -> q38LabelCentroids _,
     "q47_ivf_ann"         -> q47IvfAnn _,
-    "q61_kmeans_cells"    -> q61KmeansCells _)
+    "q61_kmeans_cells"    -> q61KmeansCells _,
+    "q68_multiprobe_ann"  -> q68MultiprobeAnn _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -487,5 +545,6 @@ object SimOps {
     "q37_cosine_neardup"  -> q37Sql,
     "q38_label_centroids" -> q38Sql,
     "q47_ivf_ann"         -> q47Sql,
-    "q61_kmeans_cells"    -> q61Sql)
+    "q61_kmeans_cells"    -> q61Sql,
+    "q68_multiprobe_ann"  -> q68Sql)
 }

@@ -59,6 +59,20 @@ class SimOpsSpec extends AnyFunSuite {
     assert(perLabel == Tables.embeddings(spark, sf).count())
   }
 
+  test("multi-probe ANN dominates single-probe: superset coverage, never-worse neighbors") {
+    val single = SimOps.q36AnnLsh(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val multi = SimOps.q68MultiprobeAnn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every vector with a single-probe neighbor keeps one under multi-probe
+    assert(single.keySet.subsetOf(multi.keySet),
+      s"multi-probe lost coverage: ${single.keySet.diff(multi.keySet)}")
+    // and its best candidate can only improve (probe set is a superset)
+    single.foreach { case (id, cos) =>
+      assert(multi(id) >= cos - 1e-12, s"vec $id: multi ${multi(id)} < single $cos")
+    }
+  }
+
   test("Lloyd refinement assigns every vector and does not worsen mean cosine") {
     val n = Tables.embeddings(spark, sf).count()
     def meanCos(iters: Int): Double = {
