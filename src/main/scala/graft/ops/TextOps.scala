@@ -239,17 +239,50 @@ object TextOps {
                 WHERE len(toks) >= 2))
     ORDER BY doc_id"""
 
+  // ---- q69: corpus vocabulary (global token frequency top-k) -----------
+  // The wordcount of training pipelines: the frequency table that seeds
+  // vocabulary/BPE construction and powers frequency-based filtering.
+  // Shape at scale: explode → one hash-shuffled aggregate with map-side
+  // partial counts (token cardinality ≪ token instances, so partials
+  // collapse hard), then a top-k that TakeOrderedAndProject fuses — no
+  // global sort of the vocabulary. Tie-break on the token string makes
+  // the rank-50 cut deterministic. doc_freq (distinct docs per token) is
+  // counted from the pre-deduped (token, doc) pairs in the same pass
+  // family — the signal IDF-style filters need.
+  def q69Vocab(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(50)
+
+  val q69Sql: String = """
+    SELECT token, COUNT(*) AS n_occurrences,
+      COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(
+            string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
     "q27_token_counts" -> q27TokenCounts _,
     "q28_fingerprint"  -> q28Fingerprint _,
-    "q67_repetition"   -> q67Repetition _)
+    "q67_repetition"   -> q67Repetition _,
+    "q69_vocab"        -> q69Vocab _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
     "q26_lang_id"      -> q26Sql,
     "q27_token_counts" -> q27Sql,
     "q28_fingerprint"  -> q28Sql,
-    "q67_repetition"   -> q67Sql)
+    "q67_repetition"   -> q67Sql,
+    "q69_vocab"        -> q69Sql)
 }
