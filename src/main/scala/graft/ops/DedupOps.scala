@@ -471,26 +471,31 @@ object DedupOps {
     val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
       .persist()
-    var labels = edges.groupBy(col("u").as("id"))
+    // `cached` is always the handle persist() was called on — unpersist
+    // must target that exact plan, not a derived select over it
+    var cached = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
       .persist()
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val cand = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy(col("u").as("id")).agg(min(col("vlbl")).as("cand"))
+      // carry the previous label alongside the new one so the convergence
+      // check is a filter on `next` itself, not a second join against the
+      // old labels frame (halves the per-iteration join count)
       val next = labels
         .join(cand, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
         .persist()
-      converged = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
       iter += 1
     }
     edges.unpersist()
