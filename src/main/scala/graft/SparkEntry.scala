@@ -26,7 +26,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Ingest.queries ++ ops.Streaming.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++
       ops.Multimodal.queries ++ ops.ExtOps.queries ++ ops.Skew.queries ++
-      ops.SqlOps.queries ++ ops.StatsOps.queries ++ ops.Pipeline.queries
+      ops.SqlOps.queries ++ ops.StatsOps.queries ++ ops.Pipeline.queries ++
+      ops.CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Ingest.oracles ++ ops.Streaming.oracles ++
       ops.TextOps.oracles ++ ops.DedupOps.oracles ++ ops.SimOps.oracles ++
       ops.Multimodal.oracles ++ ops.ExtOps.oracles ++ ops.Skew.oracles ++
-      ops.SqlOps.oracles ++ ops.StatsOps.oracles ++ ops.Pipeline.oracles
+      ops.SqlOps.oracles ++ ops.StatsOps.oracles ++ ops.Pipeline.oracles ++
+      ops.CurationOps.oracles
 }

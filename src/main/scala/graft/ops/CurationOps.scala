@@ -1,0 +1,399 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.12 [N] extension surface): PII redaction, eval-set
+  * contamination detection, boilerplate-segment removal, TF-IDF term
+  * scoring, sequence packing, and source-mixture resampling.
+  *
+  * These are the steps a pretraining-data pipeline runs between raw
+  * ingest and tokenization (the reference engine's implied downstream
+  * workload, generalized per BASELINE.json north_star). Every operator
+  * is per-row Column work + blocking equi-joins/aggregates only — no
+  * UDFs, no driver-side loops, no cross joins — so each scales with the
+  * corpus: per-row stages are embarrassingly parallel, and the shuffles
+  * are all keyed by high-cardinality hashes (gram/segment md5) that
+  * distribute evenly.
+  *
+  * Oracle parity (SURVEY.md §7.3.1): counts/ranks are integers; the only
+  * doubles emitted are single IEEE divisions of identical integers; md5
+  * digests of identical strings compare bit-equal in both engines.
+  */
+object CurationOps {
+
+  /** Whitespace tokens of lowercased text — same class as TextOps.toks
+    * (the Java/RE2 intersection; Java \s would include \x0B, RE2 not). */
+  private def toks(c: Column): Column =
+    split(trim(lower(c)), "[ \\t\\n\\r\\f]+")
+
+  private val sqlToks =
+    """string_split_regex(trim(lower(text)), '[ \t\n\r\f]+')"""
+
+  // ---- q70: PII redaction (regex scrub pass) ---------------------------
+  // The standard pre-release scrub: mask emails / IPv4s / phone-shaped
+  // strings. The corpus is synthetic and contains no PII, so the query
+  // PLANTS deterministic PII derived from doc_id, then counts and
+  // redacts it — the op under test is the regex scrub itself, which is
+  // pure per-row codegen'd work (regexp_count + chained regexp_replace),
+  // shuffle-free until the final ORDER BY. Patterns stay inside the
+  // Java∩RE2 dialect (explicit classes, no lookaround/backrefs).
+  // Replacement order (email → ip → phone) is part of the contract: a
+  // later pattern must not match inside an earlier placeholder.
+  private val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  def q70PiiRedaction(s: SparkSession, d: String): DataFrame = {
+    val synth = Tables.documents(s, d).withColumn("t",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example now"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.example"))).otherwise(lit("")),
+        lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.1")))
+    synth
+      .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
+      .withColumn("n_ip", regexp_count(col("t"), lit(ipRe)))
+      .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        length(col("redacted")).cast("long").as("red_len"),
+        md5(col("redacted")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q70Sql: String = raw"""
+    WITH synth AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example'
+                     ELSE '' END
+             || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t,
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+      CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+        '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS red_len,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        '555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+    FROM synth ORDER BY doc_id"""
+
+  // ---- q71: eval-set contamination (shared 8-gram detection) -----------
+  // Decontamination: flag training docs sharing any 8-token gram with the
+  // held-out eval shard (source = 'src9' plays the eval set). 8-gram keys
+  // are md5 digests — high-cardinality, evenly distributed — so the
+  // train⋈eval equi-join shuffles on a well-spread key; the eval side is
+  // the small one in practice and AQE broadcast-picks it at runtime (no
+  // hint, per the round-1 lesson on fixed-size broadcast assumptions).
+  // list_distinct per doc first: a gram repeated inside one doc must not
+  // inflate the shared-gram count.
+  def q71Contamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(
+          sequence(lit(1), size(col("t")) - 7),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(8)))))).as("gs"))
+    // explode_outer, not explode: gs is provably non-empty (len(t) >= 8
+    // guarantees ≥1 gram), and plain explode triggers
+    // InferFiltersFromGenerate, which re-inlines the whole md5-transform
+    // tree into a per-row Filter below the generate (the q30 lesson —
+    // 3× the necessary cost for identical semantics)
+    val tg = grams.filter(col("source") =!= "src9")
+      .select(col("doc_id"), explode_outer(col("gs")).as("g"))
+    val eg = grams.filter(col("source") === "src9")
+      .select(col("doc_id").as("eval_id"), explode_outer(col("gs")).as("g"))
+    tg.join(eg, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .withColumn("contaminated", col("n_shared_grams") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, source, $sqlToks AS t FROM documents),
+    grams AS (
+      SELECT doc_id, source,
+        list_distinct(list_transform(range(1, len(t) - 6),
+          i -> md5(array_to_string(t[i:i+7], ' ')))) AS gs
+      FROM toks WHERE len(t) >= 8),
+    tg AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src9'),
+    eg AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM grams WHERE source = 'src9')
+    SELECT tg.doc_id,
+      CAST(COUNT(DISTINCT tg.g) AS BIGINT) AS n_shared_grams,
+      CAST(COUNT(DISTINCT eg.eval_id) AS BIGINT) AS n_eval_docs,
+      COUNT(DISTINCT tg.g) >= 3 AS contaminated
+    FROM tg JOIN eg ON tg.g = eg.g
+    GROUP BY tg.doc_id ORDER BY tg.doc_id"""
+
+  // ---- q72: boilerplate-segment removal (corpus-wide segment dedup) ----
+  // The paragraph-dedup step of CCNet/Dolma-style pipelines, on aligned
+  // 10-token segments (this corpus has no newlines, so alignment stands
+  // in for paragraph boundaries). A segment seen in ≥2 distinct docs is
+  // boilerplate; each doc is rebuilt without its boilerplate segments.
+  // Two shuffles total: segment-hash aggregate (find boilerplate) and the
+  // rebuild groupBy doc_id. The rebuild sorts segments inside the
+  // aggregate (array_sort over (j, seg) structs) — collect_list order is
+  // not deterministic across retries, the sort makes the result so.
+  def q72SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val segs = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("nseg", (size(col("t")) / 10).cast("int"))
+      .filter(col("nseg") >= 1)
+      .select(col("doc_id"),
+        posexplode_outer(transform(sequence(lit(0), col("nseg") - 1),
+          j => concat_ws(" ", slice(col("t"), j * 10 + 1, lit(10))))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "seg")
+      .withColumn("seg_md5", md5(col("seg")))
+    val bp = segs.groupBy(col("seg_md5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("seg_md5"), lit(true).as("is_bp"))
+    segs.join(bp, Seq("seg_md5"), "left")
+      .withColumn("is_bp", coalesce(col("is_bp"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_dup_segs"),
+        md5(array_join(transform(
+          filter(array_sort(collect_list(struct(col("j"), col("seg"),
+            col("is_bp")))), x => !x.getField("is_bp")),
+          x => x.getField("seg")), " ")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, $sqlToks AS t FROM documents),
+    segs AS (
+      SELECT doc_id, j,
+        array_to_string(t[10*j+1 : 10*j+10], ' ') AS seg,
+        md5(array_to_string(t[10*j+1 : 10*j+10], ' ')) AS seg_md5
+      FROM toks, unnest(range(len(t) // 10)) AS u(j)
+      WHERE len(t) >= 10),
+    bp AS (
+      SELECT seg_md5 FROM segs GROUP BY seg_md5
+      HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_segs,
+      CAST(SUM(CASE WHEN bp.seg_md5 IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dup_segs,
+      md5(COALESCE(array_to_string(
+        list(s.seg ORDER BY s.j) FILTER (WHERE bp.seg_md5 IS NULL), ' '),
+        '')) AS clean_md5
+    FROM segs s LEFT JOIN bp ON s.seg_md5 = bp.seg_md5
+    GROUP BY s.doc_id ORDER BY s.doc_id"""
+
+  // ---- q73: TF-IDF top terms per document ------------------------------
+  // Term scoring with LINEAR idf (tf/df) rather than log idf: the ranking
+  // this produces is what downstream keyword extraction needs, and the
+  // score stays a single IEEE division of two exact integers — log-idf
+  // would hinge on ln() being bit-identical across engines, which neither
+  // guarantees (both are ≤1-ulp libm implementations, not correctly
+  // rounded). Plan: one explode + two keyed aggregates + a per-doc top-3
+  // window; df re-joins on term (low cardinality here, high in real
+  // corpora — either way an equi-join Catalyst can broadcast or shuffle
+  // as stats dictate).
+  def q73Tfidf(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+    scored.filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q73Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, $sqlToks AS t FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      WHERE term <> '' GROUP BY doc_id, term),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE) / df.df AS score,
+        row_number() OVER (PARTITION BY tf.doc_id
+          ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC) AS rk
+      FROM tf JOIN df USING (term))
+    SELECT doc_id, rk, term, tf, df, score FROM scored WHERE rk <= 3
+    ORDER BY doc_id, rk"""
+
+  // ---- q74: sequence packing (concat-and-chunk into token windows) -----
+  // GPT-style packing: concatenate docs in doc_id order, cut every 512
+  // tokens; a doc belongs to the chunk its first token lands in, and
+  // boundary docs (spanning a cut) are counted per chunk. The naive plan
+  // is a GLOBAL running sum — one window over an unpartitioned ORDER BY,
+  // i.e. a single task at 100 TB. This implementation computes the same
+  // prefix sum in two partitioned levels: intra-bucket running sums
+  // (windows partitioned by doc_id div 1024) plus a cross-bucket offset
+  // cumsum whose window runs over #buckets rows (n/1024 — itself
+  // bucketable into a third level if ever needed). Bucketing by doc_id
+  // ranges preserves the global order, so the result is identical to the
+  // single-window plan while every window stays partition-parallel.
+  private val chunkTokens = 512
+  private val bucketWidth = 1024
+
+  def q74SeqPacking(s: SparkSession, d: String): DataFrame = {
+    val nt = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(toks(col("text")), x => x =!= "")).cast("long")
+          .as("n_tok"))
+      .withColumn("bucket", (col("doc_id") / bucketWidth).cast("long"))
+    val intra = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = nt.withColumn("local_start",
+      coalesce(sum(col("n_tok")).over(intra), lit(0L)))
+    val bucketTotals = nt.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("btot"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    withLocal.join(offsets, "bucket")
+      .withColumn("start", col("offset") + col("local_start"))
+      .withColumn("chunk_id", expr(s"start div $chunkTokens"))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(expr(s"start div $chunkTokens") =!=
+          expr(s"(start + n_tok - 1) div $chunkTokens"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val q74Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM toks)
+    SELECT CAST(start // $chunkTokens AS BIGINT) AS chunk_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+      CAST(SUM(CASE WHEN start // $chunkTokens <>
+          (start + n_tok - 1) // $chunkTokens THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_boundary_docs
+    FROM pos GROUP BY 1 ORDER BY 1"""
+
+  // ---- q75: source-mixture resampling ----------------------------------
+  // Rebalance the corpus toward target per-source weights (the "data
+  // mixture" step before training): the limiting source caps the total,
+  // every source downsamples to its target count, and membership is
+  // decided by ranking docs on a salted hash — a deterministic,
+  // partition-independent, unbiased subsample (same property as
+  // q53/q54). All sizing arithmetic is integer (scaled by 1e4) so both
+  // engines compute identical targets; the only window partitions by
+  // source and orders by (md5, doc_id) — a total order.
+  private val mixWeights = Seq(
+    "src0" -> 4, "src1" -> 6, "src2" -> 8, "src3" -> 10, "src4" -> 12,
+    "src5" -> 10, "src6" -> 10, "src7" -> 14, "src8" -> 14, "src9" -> 12)
+
+  def q75SourceMixing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val w = mixWeights.toDF("source", "w")
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val lim = cnt.join(w, "source")
+      .agg(min(expr("n_orig * 10000 div w")).as("k"))
+    val tgt = cnt.join(w, "source").crossJoin(lim)
+      .select(col("source"), col("n_orig"),
+        expr("w * k div 10000").as("n_target"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          col("doc_id"))))
+    ranked.join(tgt, "source")
+      .groupBy(col("source"), col("n_orig"), col("n_target"))
+      .agg(sum(when(col("rk") <= col("n_target"), 1L).otherwise(0L))
+        .as("n_kept"),
+        sum(when(col("rk") <= col("n_target"), col("doc_id"))
+          .otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val q75Sql: String = {
+    val values = mixWeights
+      .map { case (s0, w0) => s"('$s0',$w0)" }.mkString(",")
+    raw"""
+    WITH w(source, w) AS (VALUES $values),
+    cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig
+      FROM documents GROUP BY source),
+    lim AS (
+      SELECT MIN(n_orig * 10000 // w) AS k FROM cnt JOIN w USING (source)),
+    tgt AS (
+      SELECT source, n_orig, w * k // 10000 AS n_target
+      FROM cnt JOIN w USING (source) CROSS JOIN lim),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      FROM documents d)
+    SELECT t.source, t.n_orig, CAST(t.n_target AS BIGINT) AS n_target,
+      CAST(SUM(CASE WHEN r.rk <= t.n_target THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN r.rk <= t.n_target THEN r.doc_id ELSE 0 END)
+        AS BIGINT) AS kept_id_sum
+    FROM ranked r JOIN tgt t USING (source)
+    GROUP BY t.source, t.n_orig, t.n_target ORDER BY t.source"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_pii_redaction" -> q70PiiRedaction _,
+    "q71_contamination" -> q71Contamination _,
+    "q72_segment_dedup" -> q72SegmentDedup _,
+    "q73_tfidf"         -> q73Tfidf _,
+    "q74_seq_packing"   -> q74SeqPacking _,
+    "q75_source_mixing" -> q75SourceMixing _)
+
+  val oracles: Map[String, String] = Map(
+    "q70_pii_redaction" -> q70Sql,
+    "q71_contamination" -> q71Sql,
+    "q72_segment_dedup" -> q72Sql,
+    "q73_tfidf"         -> q73Sql,
+    "q74_seq_packing"   -> q74Sql,
+    "q75_source_mixing" -> q75Sql)
+}

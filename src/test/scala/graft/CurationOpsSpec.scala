@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.CurationOps
+
+class CurationOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q70: planted PII is fully counted and fully scrubbed") {
+    val r = CurationOps.q70PiiRedaction(spark, sf)
+    // every doc gets exactly one planted phone + ip; a second email on
+    // doc_id % 3 == 0
+    assert(r.filter(col("n_phone") =!= 1 || col("n_ip") =!= 1).count() == 0)
+    assert(r.filter(col("n_email") =!=
+      when(col("doc_id") % 3 === 0, 2).otherwise(1)).count() == 0)
+    assert(r.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("q71: contamination flags only non-eval docs with bounded eval hits") {
+    val r = CurationOps.q71Contamination(spark, sf).collect()
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("source") === "src9").count()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_shared_grams") >= 1)
+      val hits = row.getAs[Long]("n_eval_docs")
+      assert(hits >= 1 && hits <= evalIds)
+    }
+  }
+
+  test("q72: dup segments bounded by total; clean docs keep their text") {
+    val r = CurationOps.q72SegmentDedup(spark, sf)
+    assert(r.filter(col("n_dup_segs") > col("n_segs")).count() == 0)
+    // independently rebuild the expected clean_md5 for docs with no
+    // boilerplate: it is just the first n_segs*10 tokens re-joined
+    val docs = Tables.documents(spark, sf)
+      .withColumn("t", split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+      .withColumn("nseg", (size(col("t")) / 10).cast("int"))
+      .filter(col("nseg") >= 1)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("t"), lit(1), col("nseg") * 10)))
+          .as("expect_md5"))
+    val mismatches = r.filter(col("n_dup_segs") === 0)
+      .join(docs, "doc_id")
+      .filter(col("clean_md5") =!= col("expect_md5"))
+    assert(mismatches.count() == 0)
+  }
+
+  test("q73: exactly min(3, distinct terms) ranks per doc, score consistent") {
+    val r = CurationOps.q73Tfidf(spark, sf)
+    assert(r.filter(col("rk") < 1 || col("rk") > 3).count() == 0)
+    assert(r.filter(
+      abs(col("score") - col("tf").cast("double") / col("df")) > 0).count() == 0)
+    // rank sequences are dense per doc: a doc with k rows has ranks 1..k
+    val perDoc = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("rk").as("maxrk"))
+    assert(perDoc.filter(col("k") =!= col("maxrk")).count() == 0)
+  }
+
+  test("q74: bucketed two-level prefix sum equals the naive global window") {
+    val r = CurationOps.q74SeqPacking(spark, sf)
+    // independent naive plan: one unpartitioned window (fine at test SF)
+    val naive = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          x => x =!= "")).cast("long").as("n_tok"))
+      .withColumn("start", coalesce(sum(col("n_tok")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_id", expr("start div 512"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        sum(when(expr("start div 512") =!=
+          expr("(start + n_tok - 1) div 512"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+    assert(r.exceptAll(naive).count() == 0 && naive.exceptAll(r).count() == 0)
+    // token conservation: chunks partition the concatenated corpus
+    val total = r.agg(sum("n_tokens")).head().getLong(0)
+    val expect = naive.agg(sum("n_tokens")).head().getLong(0)
+    assert(total == expect)
+  }
+
+  test("q75: every source downsamples to its integer target, never above") {
+    val r = CurationOps.q75SourceMixing(spark, sf).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") == row.getAs[Long]("n_target"))
+      assert(row.getAs[Long]("n_target") <= row.getAs[Long]("n_orig"))
+    }
+  }
+
+  test("curation queries are deterministic across runs") {
+    CurationOps.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf).collect()
+      val b = fn(spark, sf).collect()
+      assert(a.sameElements(b), s"$name not deterministic across runs")
+    }
+  }
+}

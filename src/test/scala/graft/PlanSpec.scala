@@ -45,8 +45,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("nested-loop joins appear only where a broadcast-bounded cross join is intended") {
-    // small side broadcast: q35 queries, q47/q61 centroids
-    val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells")
+    // small side broadcast: q35 queries, q47/q61 centroids; q75's
+    // single-row global-limit scalar attaches via a 1-row broadcast NLJ
+    val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q75_source_mixing")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
