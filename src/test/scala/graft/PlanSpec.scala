@@ -89,4 +89,41 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), p)
     }
   }
+
+  test("q74's prefix sum never plans a single-partition window") {
+    // the whole point of the two-level bucketed cumsum: the global
+    // running sum must not serialize the corpus through one task (the
+    // only SinglePartition exchange allowed is the final tiny
+    // cross-bucket offset window over n/1024 rows, which Catalyst plans
+    // over the bucket-totals aggregate, not the corpus)
+    val df = SparkEntry.queries("q74_seq_packing")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every window over corpus-sized input is partitioned by bucket
+    val corpusWindows = p.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .filter(_.contains("doc_id")).toSeq
+    assert(corpusWindows.forall(_.contains("bucket")),
+      s"corpus-sized window lost its bucket partitioning:\n$p")
+  }
+
+  test("q71's contamination join and q72's boilerplate join are equi-joins") {
+    Seq("q71_contamination", "q72_segment_dedup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q is not an equi-join:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q70's scrub is scan-projected per-row work (no shuffle before sort)") {
+    val p = plan("q70_pii_redaction")
+    // exactly one exchange: the final rangepartitioning for ORDER BY
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q70 shuffles beyond its output sort:\n$p")
+    // reads only the two needed columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
 }
