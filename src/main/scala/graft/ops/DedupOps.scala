@@ -87,6 +87,51 @@ object DedupOps {
       COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY doc_id"""
 
+  /** Incremental exact dedup against a persisted fingerprint store — the
+    * O(batch) form of q29 for a standing ingest (the reference's
+    * every-15-min rerun, `deploy/deploy.sh:29`, generalized to content
+    * identity): dedup the incoming batch WITHIN itself (keep min doc_id
+    * per content hash), anti-join it against the fingerprints of
+    * everything ever accepted, append only the novel fingerprints, and
+    * return the novel docs. Per firing this reads the store but never
+    * rewrites it — appends are new parquet files committed atomically by
+    * Spark's output committer, and re-running the same batch appends
+    * nothing (its hashes are already present), so the store never
+    * accumulates duplicates.
+    *
+    * Scale: both sides shuffle on content_md5 — uniformly distributed by
+    * construction, no skew. At 100 TB the store side dominates; since it
+    * is append-only and keyed by the join column, bucketing it by
+    * content_md5 (or relying on DPP over a hash-prefix partition column)
+    * removes the store's shuffle entirely — the batch side is the small
+    * one and shuffles O(batch) regardless.
+    *
+    * The returned frame is pinned via eager localCheckpoint BEFORE the
+    * store append: persist() alone is not enough — appending to storeDir
+    * triggers CacheManager.recacheByPath on every cached plan that reads
+    * that path, which would re-execute the anti-join against the
+    * now-grown store and return empty. Checkpointing truncates the plan
+    * so the result no longer references the path at all. Unpersist via
+    * the returned frame when done. */
+  def incrementalDedup(batch: DataFrame, storeDir: String): DataFrame = {
+    val s = batch.sparkSession
+    val hashed = batch.withColumn("content_md5", md5(col("text")))
+    val inBatch = hashed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val novel =
+      if (new java.io.File(storeDir).exists())
+        inBatch.join(s.read.parquet(storeDir), Seq("content_md5"),
+          "left_anti")
+      else inBatch
+    val pinned = novel.localCheckpoint(true)
+    pinned.select(col("content_md5"))
+      .write.mode("append").parquet(storeDir)
+    pinned
+  }
+
   /** MinHash OR-band count — the RECALL knob, not a bucket-occupancy
     * knob: candidates are pairs sharing any of the B per-seed minima, so
     * recall at Jaccard j is 1-(1-j)^B (0.996 at j=0.5, B=8) and more

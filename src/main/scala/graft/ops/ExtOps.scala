@@ -310,6 +310,51 @@ object ExtOps {
     UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p
     ORDER BY stage_idx"""
 
+  // ---- q76: ranking-window zoo (W2 closure) ----------------------------
+  // The remaining ANSI ranking/distribution window functions in one
+  // query: lead, ntile, percent_rank, cume_dist, nth_value, last_value —
+  // per customer over their order history. Parity notes: the window
+  // ORDER BY is a total order (o_orderdate, o_orderkey — orderkey is
+  // unique) so peer groups are single rows and RANGE vs ROWS frames
+  // cannot diverge; percent_rank/cume_dist are single IEEE divisions of
+  // identical integers; nth_value gets an explicit running frame and
+  // last_value an explicit full frame (engines disagree on the DEFAULT
+  // frame for neither under a total order, but explicit beats implied).
+  def q76WindowZoo(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("final_price", last(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val q76Sql: String = """
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+      LEAD(o_totalprice, 1) OVER w AS next_price,
+      NTILE(4) OVER w AS quartile,
+      PERCENT_RANK() OVER w AS pct_rank,
+      CUME_DIST() OVER w AS cume,
+      NTH_VALUE(o_totalprice, 2) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+      LAST_VALUE(o_totalprice) OVER
+        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS final_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
@@ -318,7 +363,8 @@ object ExtOps {
     "q45_weighted_avg"    -> q45WeightedAvg _,
     "q63_retention"       -> q63Retention _,
     "q64_profile"         -> q64Profile _,
-    "q65_funnel"          -> q65Funnel _)
+    "q65_funnel"          -> q65Funnel _,
+    "q76_window_zoo"      -> q76WindowZoo _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -328,5 +374,6 @@ object ExtOps {
     "q45_weighted_avg"    -> q45Sql,
     "q63_retention"       -> q63Sql,
     "q64_profile"         -> q64Sql,
-    "q65_funnel"          -> q65Sql)
+    "q65_funnel"          -> q65Sql,
+    "q76_window_zoo"      -> q76Sql)
 }

@@ -82,6 +82,30 @@ class DedupOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("incremental dedup accepts only novel content across firings") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("fp-store").toString + "/fp"
+    // firing 1: an internal duplicate (1,2 same text) collapses to min id
+    val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val n1 = ops.DedupOps.incrementalDedup(b1, store)
+    assert(n1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    n1.unpersist()
+    // firing 2: one seen text (under a NEW id), one novel
+    val b2 = Seq((10L, "alpha beta"), (11L, "delta")).toDF("doc_id", "text")
+    val n2 = ops.DedupOps.incrementalDedup(b2, store)
+    assert(n2.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    n2.unpersist()
+    // replaying firing 2 is a no-op (idempotent rerun, the reference's
+    // cron-rerun semantics) and the store holds each fingerprint once
+    val n3 = ops.DedupOps.incrementalDedup(b2, store)
+    assert(n3.count() == 0)
+    n3.unpersist()
+    val fp = spark.read.parquet(store)
+    assert(fp.count() == 3 && fp.distinct().count() == 3)
+  }
+
   test("q60 groups cover exactly the docs in q31 pairs; canonical is the min") {
     val g = DedupOps.q60DedupGroups(spark, sf)
     val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
