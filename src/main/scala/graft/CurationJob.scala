@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import ops.CurationOps
+
+/** End-to-end training-data curation job — the [N]-surface analog of
+  * NytJob: one `main` per firing that takes a drop directory of raw
+  * document parquet and produces scrubbed, deduplicated, token-balanced
+  * training shards, incrementally.
+  *
+  * Pipeline per firing (each stage a CurationOps/DedupOps operator, all
+  * composed into TWO Spark jobs — the dedup anti-join action and the
+  * shard write):
+  *
+  *   1. quality gate — drop docs under 10 whitespace tokens (the q25
+  *      "fair" floor);
+  *   2. PII scrub — the q70 regex pass over the kept text;
+  *   3. exact dedup vs ALL PRIOR FIRINGS — DedupOps.incrementalDedup
+  *      against the fingerprint store under `stateRoot` (O(batch) reads
+  *      of the store, append-only growth, idempotent reruns);
+  *   4. sequence packing — q74's bucketed prefix sum assigns each novel
+  *      doc its 512-token chunk;
+  *   5. token-balanced shard write — shards of ~64 chunks (~32k tokens)
+  *      via `partitionBy(shard)`: within a firing every shard except the
+  *      last holds the same token mass to within one document.
+  *
+  * Scale posture: no stage holds more than the firing's batch in flight;
+  * the only cross-firing state is the fingerprint store (content_md5
+  * only — not the text), and the shard writer partitions by a derived
+  * LOW-cardinality column so the write is one dynamic-partition job, not
+  * per-shard loops.
+  *
+  * Usage: `runMain graft.CurationJob <inDir> <shardRoot> <stateRoot>`.
+  * Each firing writes its shards under `shardRoot/firing=<n>/shard=<k>/`
+  * (firings are append-only; a rerun of the same input produces an EMPTY
+  * firing because every fingerprint is already in the store).
+  */
+object CurationJob {
+
+  private val minTokens = 10
+  private val chunksPerShard = 64
+
+  /** Stages 1–2 as one narrow projection (no shuffle): gate + scrub. */
+  private[graft] def gateAndScrub(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tok", CurationOps.tokenCount(col("text")))
+      .filter(col("n_tok") >= minTokens)
+      .withColumn("text", CurationOps.scrub(col("text")))
+
+  /** Stages 1–5 for one firing; returns (shard-assigned novel docs
+    * (doc_id, text, n_tok, chunk_id, shard), the pinned dedup result —
+    * unpersist the latter after the write action). */
+  private[graft] def curate(docs: DataFrame, stateRoot: String)
+      : (DataFrame, DataFrame) = {
+    val novel = ops.DedupOps.incrementalDedup(
+      gateAndScrub(docs).select(col("doc_id"), col("text"), col("n_tok")),
+      s"$stateRoot/fingerprints")
+    val curated = CurationOps
+      .assignChunks(novel.select(col("doc_id"), col("n_tok")))
+      .select(col("doc_id"), col("chunk_id"))
+      .join(novel, Seq("doc_id"))
+      .withColumn("shard", expr(s"chunk_id div $chunksPerShard"))
+      .select(col("doc_id"), col("text"), col("n_tok"), col("chunk_id"),
+        col("shard"))
+    (curated, novel)
+  }
+
+  /** One firing: curate `inDir` and append shards under a fresh
+    * firing=<n> directory. Returns the number of docs shipped. */
+  def runOnce(spark: SparkSession, inDir: String, shardRoot: String,
+              stateRoot: String): Long = {
+    val docs = spark.read.parquet(inDir)
+    val (curated, pinned) = curate(docs, stateRoot)
+    val firing = {
+      val root = new java.io.File(shardRoot)
+      val seen = Option(root.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("firing=")).map(_.drop(7).toLong)
+      if (seen.isEmpty) 0L else seen.max + 1
+    }
+    curated.write.partitionBy("shard")
+      .parquet(s"$shardRoot/firing=$firing")
+    // cheap recompute: curated derives from the localCheckpoint-pinned
+    // novel frame, so the count replays only the chunk-assign windows
+    val n = curated.count()
+    pinned.unpersist()
+    n
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: CurationJob <inDir> <shardRoot> <stateRoot>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-curation-job")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = runOnce(spark, args(0), args(1), args(2))
+    println(s"[curation-job] shipped $n docs")
+    spark.stop()
+  }
+}

@@ -48,6 +48,12 @@ object CurationOps {
   private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   private val phoneRe = "555-[0-9]{4}"
 
+  /** The scrub pass as a reusable Column transform (email → ip → phone,
+    * the q70 order contract). */
+  private[graft] def scrub(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")
+
   def q70PiiRedaction(s: SparkSession, d: String): DataFrame = {
     val synth = Tables.documents(s, d).withColumn("t",
       concat(col("text"),
@@ -64,9 +70,7 @@ object CurationOps {
       .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
       .withColumn("n_ip", regexp_count(col("t"), lit(ipRe)))
       .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(regexp_replace(col("t"),
-          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+      .withColumn("redacted", scrub(col("t")))
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
         length(col("redacted")).cast("long").as("red_len"),
         md5(col("redacted")).as("red_md5"))
@@ -268,12 +272,15 @@ object CurationOps {
   private val chunkTokens = 512
   private val bucketWidth = 1024
 
-  def q74SeqPacking(s: SparkSession, d: String): DataFrame = {
-    val nt = Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(filter(toks(col("text")), x => x =!= "")).cast("long")
-          .as("n_tok"))
-      .withColumn("bucket", (col("doc_id") / bucketWidth).cast("long"))
+  /** Per-doc chunk assignment via the two-level bucketed prefix sum: the
+    * input must carry (doc_id, n_tok); the result adds `start` (the
+    * doc's first-token offset in the doc_id-ordered concatenation) and
+    * `chunk_id` (= start div chunkTokens). Shared by q74 and the
+    * CurationJob shard writer. */
+  private[graft] def assignChunks(nt0: DataFrame, chunkTok: Int = chunkTokens)
+      : DataFrame = {
+    val nt = nt0.withColumn("bucket", (col("doc_id") / bucketWidth)
+      .cast("long"))
     val intra = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = nt.withColumn("local_start",
@@ -286,7 +293,18 @@ object CurationOps {
       .select(col("bucket"), col("offset"))
     withLocal.join(offsets, "bucket")
       .withColumn("start", col("offset") + col("local_start"))
-      .withColumn("chunk_id", expr(s"start div $chunkTokens"))
+      .withColumn("chunk_id", expr(s"start div $chunkTok"))
+      .drop("bucket", "local_start", "offset")
+  }
+
+  /** Token count of a text column under the engine's whitespace
+    * tokenizer (empty tokens excluded). */
+  private[graft] def tokenCount(c: Column): Column =
+    size(filter(toks(c), x => x =!= "")).cast("long")
+
+  def q74SeqPacking(s: SparkSession, d: String): DataFrame =
+    assignChunks(Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok")))
       .groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
@@ -296,7 +314,6 @@ object CurationOps {
           expr(s"(start + n_tok - 1) div $chunkTokens"), 1L).otherwise(0L))
           .as("n_boundary_docs"))
       .orderBy(col("chunk_id"))
-  }
 
   val q74Sql: String = raw"""
     WITH toks AS (

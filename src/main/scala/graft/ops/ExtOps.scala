@@ -355,6 +355,68 @@ object ExtOps {
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ORDER BY o_custkey, o_orderdate, o_orderkey"""
 
+  // ---- q77: calendar gap-fill + forward fill (time-series densify) -----
+  // The reference's tables are cumulative time series with missing days
+  // (no report → no row); every downstream daily-delta/moving-average
+  // query silently skips gaps unless the series is densified. This is
+  // the standard resample: per-entity date spine (sequence + explode —
+  // generated distributed, one spine row per entity-day, never a
+  // calendar × entity cross join), left join of observed days, zero-fill
+  // counts, forward-fill the last observation, and an exact running
+  // total. Both window frames are per-user running frames over a
+  // total-order key; sums run in quantized integer units end to end.
+  def q77GapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(toUnits(col("value"))).as("units"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode_outer(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(last(col("units"), ignoreNulls = true).over(w), lit(0L))
+          / 100.0).as("ffill_value"),
+        (sum(coalesce(col("units"), lit(0L))).over(w) / 100.0)
+          .as("cum_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q77Sql: String = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(FLOOR(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+          AS units
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+        CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span),
+    joined AS (
+      SELECT s.user_id, s.day,
+        COALESCE(d.n_events, 0) AS n_events, d.units AS units
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day, n_events,
+      COALESCE(last_value(units IGNORE NULLS) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) / 1e2
+        AS ffill_value,
+      CAST(SUM(COALESCE(units, 0)) OVER
+        (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 1e2
+        AS cum_value
+    FROM joined ORDER BY user_id, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
@@ -364,7 +426,8 @@ object ExtOps {
     "q63_retention"       -> q63Retention _,
     "q64_profile"         -> q64Profile _,
     "q65_funnel"          -> q65Funnel _,
-    "q76_window_zoo"      -> q76WindowZoo _)
+    "q76_window_zoo"      -> q76WindowZoo _,
+    "q77_gap_fill"        -> q77GapFill _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -375,5 +438,6 @@ object ExtOps {
     "q63_retention"       -> q63Sql,
     "q64_profile"         -> q64Sql,
     "q65_funnel"          -> q65Sql,
-    "q76_window_zoo"      -> q76Sql)
+    "q76_window_zoo"      -> q76Sql,
+    "q77_gap_fill"        -> q77Sql)
 }
