@@ -67,9 +67,9 @@ object CurationOps {
         lit(" from 10."), (col("doc_id") % 200).cast("string"),
         lit(".0.1")))
     synth
-      .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
-      .withColumn("n_ip", regexp_count(col("t"), lit(ipRe)))
-      .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)))
+      .withColumn("n_email", regexp_count(col("t"), lit(emailRe)).cast("long"))
+      .withColumn("n_ip", regexp_count(col("t"), lit(ipRe)).cast("long"))
+      .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)).cast("long"))
       .withColumn("redacted", scrub(col("t")))
       .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
         length(col("redacted")).cast("long").as("red_len"),
@@ -231,7 +231,7 @@ object CurationOps {
     val scored = tf.join(df, "term")
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term").asc)))
+        .orderBy(col("score").desc, col("term").asc)).cast("long"))
     scored.filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
         col("score"))

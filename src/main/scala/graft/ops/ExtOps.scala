@@ -327,7 +327,7 @@ object ExtOps {
       .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
         col("o_totalprice"))
       .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", percent_rank().over(w))
       .withColumn("cume", cume_dist().over(w))
       .withColumn("second_price", nth_value(col("o_totalprice"), 2)

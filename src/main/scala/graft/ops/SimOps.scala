@@ -530,6 +530,97 @@ object SimOps {
     CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) dims
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q79: product quantization (PQ codes + ADC top-k) ----------------
+  // The memory side of billion-scale ANN (IVF-PQ): each vector is
+  // compressed to M=4 sub-space codes (K=16 sub-centroids per sub-space
+  // of 16 dims — 4 nibbles ≈ 2 bytes/vector instead of 256 bytes), and a
+  // query scans CODES, not vectors: its M×K distance table is broadcast,
+  // each candidate's approximate distance is Σ_m table[m][code_m]
+  // (asymmetric distance computation), and only the ADC top-k would ever
+  // touch raw vectors for re-rank. Sub-centroids are seeded from the
+  // first K vectors (the q47 posture; q61 is the trained upgrade path).
+  //
+  // Parity: everything runs in quantized integer space end to end —
+  // sub-vectors and sub-centroids are 1e6-unit BIGINTs, so squared-L2
+  // distances and ADC sums are EXACT integer arithmetic in both engines;
+  // ties break on (distance, cell|vec_id) total orders.
+  private val PqM = 4        // sub-spaces
+  private val PqDs = D / PqM // dims per sub-space
+  private val PqK = 16       // sub-centroids per sub-space
+  private val PqNq = 8       // query vectors (vec_id < PqNq)
+  private val PqTopK = 5
+
+  def q79ProductQuantization(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m ->" +
+          s" struct(m AS m, slice(qa, m * $PqDs + 1, $PqDs) AS sq))"))
+        .as("sub"))
+      .select(col("vec_id"), col("sub.m").as("m"), col("sub.sq").as("sq"))
+    val cents = subs.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("cell"), col("m"), col("sq").as("cq"))
+    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
+      " 0L, (acc, x) -> acc + x)")
+    // codes: nearest sub-centroid per (vector, sub-space) — K×M is tiny,
+    // AQE broadcasts it; the window is per (vec_id, m), total order
+    val codes = subs.join(cents, "m")
+      .select(col("vec_id"), col("m"), col("cell"), sqL2.as("d2"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cell"))
+    // per-query distance tables over the same sub-centroids
+    val dt = subs.filter(col("vec_id") < PqNq)
+      .select(col("vec_id").as("query_id"), col("m"), col("sq"))
+      .join(cents, "m")
+      .select(col("query_id"), col("m"), col("cell"), sqL2.as("qd2"))
+    // ADC: codes ⋈ tables on (m, cell) — an equi-join on the code key,
+    // never a query × vector distance pass
+    codes.join(dt, Seq("m", "cell"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= PqTopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q79Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, $sqlQa AS qa FROM embeddings),
+    subs AS (
+      SELECT vec_id, m, qa[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+      FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m) ms),
+    cents AS (
+      SELECT vec_id AS cell, m, sq AS cq FROM subs WHERE vec_id < $PqK),
+    codes AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT s.vec_id, s.m, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            list_sum(list_transform(range(1, $PqDs + 1), i ->
+              (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i]))), c.cell) AS rk
+        FROM subs s JOIN cents c ON s.m = c.m) WHERE rk = 1),
+    dt AS (
+      SELECT s.vec_id AS query_id, s.m, c.cell,
+        CAST(list_sum(list_transform(range(1, $PqDs + 1), i ->
+          (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i]))) AS BIGINT) AS qd2
+      FROM subs s JOIN cents c ON s.m = c.m WHERE s.vec_id < $PqNq),
+    adc AS (
+      SELECT dt.query_id, codes.vec_id,
+        CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      FROM codes JOIN dt ON codes.m = dt.m AND codes.cell = dt.cell
+      GROUP BY 1, 2)
+    SELECT query_id, rk, vec_id, adc_d2 FROM (
+      SELECT query_id, vec_id, adc_d2,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, vec_id) AS BIGINT) AS rk
+      FROM adc) WHERE rk <= $PqTopK
+    ORDER BY query_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -537,7 +628,8 @@ object SimOps {
     "q38_label_centroids" -> q38LabelCentroids _,
     "q47_ivf_ann"         -> q47IvfAnn _,
     "q61_kmeans_cells"    -> q61KmeansCells _,
-    "q68_multiprobe_ann"  -> q68MultiprobeAnn _)
+    "q68_multiprobe_ann"  -> q68MultiprobeAnn _,
+    "q79_pq_adc"          -> q79ProductQuantization _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -546,5 +638,6 @@ object SimOps {
     "q38_label_centroids" -> q38Sql,
     "q47_ivf_ann"         -> q47Sql,
     "q61_kmeans_cells"    -> q61Sql,
-    "q68_multiprobe_ann"  -> q68Sql)
+    "q68_multiprobe_ann"  -> q68Sql,
+    "q79_pq_adc"          -> q79Sql)
 }

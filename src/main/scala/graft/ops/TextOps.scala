@@ -270,13 +270,66 @@ object TextOps {
     ORDER BY n_occurrences DESC, token
     LIMIT 50"""
 
+  // ---- q78: fuzzy token matching (levenshtein, bounded theta join) -----
+  // Spell-repair against the corpus vocabulary: deterministic typo
+  // variants (2nd char dropped) matched back to their closest vocab token
+  // under edit distance ≤ 2, best match by (distance, token) rank. The
+  // join is a THETA join (levenshtein is no equi-key), so it is only
+  // sane because both sides are the DISTINCT VOCABULARY — sublinear in
+  // corpus size (vocab grows ~log n) and broadcastable at any corpus
+  // scale. The corpus-sized fuzzy problem (doc text → vocab) stays an
+  // equi-join by construction: explode tokens, equi-join the vocab-sized
+  // fuzzy match result. Never run levenshtein row×row at corpus scale —
+  // that is the q34/q31 LSH blocking problem.
+  def q78FuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "" && length(col("tok")) >= 3)
+      .distinct()
+    val variants = v.select(col("tok").as("orig"),
+      concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)"))
+        .as("typo"))
+    val cand = variants.join(v,
+      levenshtein(col("typo"), col("tok")) <= 2)
+      .select(col("typo"), col("orig"), col("tok").as("match_tok"),
+        levenshtein(col("typo"), col("tok")).cast("long").as("dist"))
+    cand.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("typo"), col("orig"))
+        .orderBy(col("dist"), col("match_tok"))))
+      .filter(col("rk") === 1).drop("rk")
+      .orderBy(col("typo"), col("orig"))
+  }
+
+  val q78Sql: String = raw"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+')) AS tok
+      FROM documents),
+    v AS (SELECT tok FROM vocab WHERE tok <> '' AND length(tok) >= 3),
+    variants AS (
+      SELECT tok AS orig,
+        substring(tok, 1, 1) || substring(tok, 3) AS typo FROM v),
+    cand AS (
+      SELECT va.typo, va.orig, v.tok AS match_tok,
+        CAST(levenshtein(va.typo, v.tok) AS BIGINT) AS dist
+      FROM variants va JOIN v ON levenshtein(va.typo, v.tok) <= 2),
+    best AS (
+      SELECT typo, orig, match_tok, dist,
+        row_number() OVER (PARTITION BY typo, orig
+          ORDER BY dist, match_tok) AS rk
+      FROM cand)
+    SELECT typo, orig, match_tok, dist FROM best WHERE rk = 1
+    ORDER BY typo, orig"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
     "q27_token_counts" -> q27TokenCounts _,
     "q28_fingerprint"  -> q28Fingerprint _,
     "q67_repetition"   -> q67Repetition _,
-    "q69_vocab"        -> q69Vocab _)
+    "q69_vocab"        -> q69Vocab _,
+    "q78_fuzzy_match"  -> q78FuzzyMatch _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -284,5 +337,6 @@ object TextOps {
     "q27_token_counts" -> q27Sql,
     "q28_fingerprint"  -> q28Sql,
     "q67_repetition"   -> q67Sql,
-    "q69_vocab"        -> q69Sql)
+    "q69_vocab"        -> q69Sql,
+    "q78_fuzzy_match"  -> q78Sql)
 }

@@ -94,4 +94,20 @@ class SimOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(a.sameElements(b))
   }
+
+  test("q79 PQ: queries retrieve themselves at distance 0, ADC ranks monotone") {
+    val r = SimOps.q79ProductQuantization(spark, sf).collect()
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      // queries are seed vectors: their codes are their own cells, so
+      // ADC(q, q) is exactly 0 and must rank first
+      assert(sorted.head.getAs[Long]("vec_id") == q, s"query $q lost itself")
+      assert(sorted.head.getAs[Long]("adc_d2") == 0L)
+      val ds = sorted.map(_.getAs[Long]("adc_d2"))
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y },
+        s"ADC distances not monotone for query $q")
+    }
+  }
 }
