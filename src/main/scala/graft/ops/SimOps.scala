@@ -621,6 +621,161 @@ object SimOps {
       FROM adc) WHERE rk <= $PqTopK
     ORDER BY query_id, rk"""
 
+  // ---- q80: IVF-PQ (coarse cells + residual PQ codes + probed ADC) -----
+  // The full billion-scale ANN index shape, composed from q47's coarse
+  // quantizer posture and q79's PQ machinery — on RESIDUALS, as real
+  // IVF-PQ encodes them (residuals are smaller than raw vectors, so the
+  // same code budget quantizes finer): every vector is assigned to its
+  // nearest of C=ceil(sqrt(n)) seeded coarse cells (exact integer
+  // squared-L2 on 1e6-unit coords), its residual (qa - cell qa — exact
+  // integer subtraction) is PQ-coded against 16 sub-centroids per
+  // sub-space seeded from the residuals of vectors [C, C+16) (disjoint
+  // from the coarse seeds — a coarse seed's own residual is the zero
+  // vector and would degenerate the codebook), and a query probes its 2
+  // nearest cells, computing one per-cell residual distance table and
+  // summing code lookups (ADC). Everything is integer arithmetic; the
+  // probed-cell candidate set keeps the scan at n·(2/C) of the corpus.
+  private val PqProbes = 2
+
+  def q80IvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.rowCount(s, d, "embeddings")
+    val C = cellsFor(n)
+    val emb = Tables.embeddings(s, d).withColumn("qa", qaExpr)
+      .select(col("vec_id"), col("qa"))
+      .persist() // coarse assign + residual + query branches share it
+    val coarse = emb.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cell"), col("qa").as("cqa"))
+    val l2 = expr("aggregate(zip_with(qa, cqa, (a, b) -> (a - b) * (a - b))," +
+      " 0L, (acc, x) -> acc + x)")
+    // every vector -> nearest coarse cell, residual in exact integers
+    val assigned = emb.join(coarse)
+      .select(col("vec_id"), col("cell"), col("qa"), col("cqa"), l2.as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res"))
+    // residual sub-vectors; PQ codebook from residual seeds [C, C+16)
+    def subRes(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m ->" +
+          s" struct(m AS m, slice(res, m * $PqDs + 1, $PqDs) AS sq))"))
+        .as("sub"))
+      .select(col("vec_id"), col("cell"), col("sub.m").as("m"),
+        col("sub.sq").as("sq"))
+    val subs = subRes(assigned)
+    val cbook = subRes(assigned
+      .filter(col("vec_id") >= C && col("vec_id") < C + PqK))
+      .select(col("vec_id").as("code"), col("m"), col("sq").as("cq"))
+    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
+      " 0L, (acc, x) -> acc + x)")
+    val codes = subs.join(cbook.drop("cell"), "m")
+      .select(col("vec_id"), col("cell"), col("m"), col("code"),
+        sqL2.as("d2"))
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2"), col("code"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    // queries probe their 2 nearest cells
+    val probes = emb.filter(col("vec_id") < PqNq)
+      .select(col("vec_id").as("query_id"), col("qa"))
+      .join(coarse)
+      .select(col("query_id"), col("cell"), col("qa"), col("cqa"),
+        l2.as("cd2"))
+      .withColumn("pr", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("cd2"), col("cell"))))
+      .filter(col("pr") <= PqProbes)
+      .select(col("query_id"), col("cell"),
+        expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res"))
+    // per (query, probed cell) residual distance table over the codebook
+    val dt = probes
+      .select(col("query_id"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m ->" +
+          s" struct(m AS m, slice(res, m * $PqDs + 1, $PqDs) AS sq))"))
+        .as("sub"))
+      .select(col("query_id"), col("cell"), col("sub.m").as("m"),
+        col("sub.sq").as("sq"))
+      .join(cbook.drop("cell"), "m")
+      .select(col("query_id"), col("cell"), col("m"), col("code"),
+        sqL2.as("qd2"))
+    // ADC restricted to vectors living in the probed cells
+    codes.join(dt, Seq("cell", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2"), col("vec_id"))).cast("long"))
+      .filter(col("rk") <= PqTopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cell"),
+        col("adc_d2"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q80Sql: String = s"""
+    WITH params AS (SELECT $sqlCells AS c FROM embeddings),
+    e AS (SELECT vec_id, $sqlQa AS qa FROM embeddings),
+    coarse AS (
+      SELECT vec_id AS cell, qa AS cqa
+      FROM e CROSS JOIN params WHERE vec_id < c),
+    assigned AS (
+      SELECT vec_id, cell,
+        list_transform(range(1, $D + 1), i -> qa[i] - cqa[i]) AS res
+      FROM (
+        SELECT e.vec_id, co.cell, e.qa, co.cqa,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, $D + 1), i ->
+              (e.qa[i] - co.cqa[i]) * (e.qa[i] - co.cqa[i]))), co.cell)
+            AS rn
+        FROM e CROSS JOIN coarse co) WHERE rn = 1),
+    subs AS (
+      SELECT vec_id, cell, m,
+        res[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+      FROM assigned CROSS JOIN (SELECT unnest(range($PqM)) AS m) ms),
+    cbook AS (
+      SELECT vec_id AS code, m, sq AS cq
+      FROM subs CROSS JOIN params
+      WHERE vec_id >= c AND vec_id < c + $PqK),
+    codes AS (
+      SELECT vec_id, cell, m, code FROM (
+        SELECT s.vec_id, s.cell, s.m, cb.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            list_sum(list_transform(range(1, $PqDs + 1), i ->
+              (s.sq[i] - cb.cq[i]) * (s.sq[i] - cb.cq[i]))), cb.code) AS rk
+        FROM subs s JOIN cbook cb ON s.m = cb.m) WHERE rk = 1),
+    probes AS (
+      SELECT query_id, cell,
+        list_transform(range(1, $D + 1), i -> qa[i] - cqa[i]) AS res
+      FROM (
+        SELECT e.vec_id AS query_id, co.cell, e.qa, co.cqa,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, $D + 1), i ->
+              (e.qa[i] - co.cqa[i]) * (e.qa[i] - co.cqa[i]))), co.cell)
+            AS pr
+        FROM e CROSS JOIN coarse co WHERE e.vec_id < $PqNq)
+      WHERE pr <= $PqProbes),
+    dt AS (
+      SELECT p.query_id, p.cell, q.m, cb.code,
+        CAST(list_sum(list_transform(range(1, $PqDs + 1), i ->
+          (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))) AS BIGINT) AS qd2
+      FROM probes p
+      CROSS JOIN LATERAL (
+        SELECT m, p.res[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+        FROM (SELECT unnest(range($PqM)) AS m)) q
+      JOIN cbook cb ON q.m = cb.m),
+    adc AS (
+      SELECT dt.query_id, codes.vec_id, codes.cell,
+        CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      FROM codes JOIN dt ON codes.cell = dt.cell AND codes.m = dt.m
+        AND codes.code = dt.code
+      GROUP BY 1, 2, 3)
+    SELECT query_id, rk, vec_id, cell, adc_d2 FROM (
+      SELECT query_id, vec_id, cell, adc_d2,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY adc_d2, vec_id) AS BIGINT) AS rk
+      FROM adc) WHERE rk <= $PqTopK
+    ORDER BY query_id, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -629,7 +784,8 @@ object SimOps {
     "q47_ivf_ann"         -> q47IvfAnn _,
     "q61_kmeans_cells"    -> q61KmeansCells _,
     "q68_multiprobe_ann"  -> q68MultiprobeAnn _,
-    "q79_pq_adc"          -> q79ProductQuantization _)
+    "q79_pq_adc"          -> q79ProductQuantization _,
+    "q80_ivfpq_ann"       -> q80IvfPq _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -639,5 +795,6 @@ object SimOps {
     "q47_ivf_ann"         -> q47Sql,
     "q61_kmeans_cells"    -> q61Sql,
     "q68_multiprobe_ann"  -> q68Sql,
-    "q79_pq_adc"          -> q79Sql)
+    "q79_pq_adc"          -> q79Sql,
+    "q80_ivfpq_ann"       -> q80Sql)
 }

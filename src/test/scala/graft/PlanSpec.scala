@@ -48,7 +48,7 @@ class PlanSpec extends AnyFunSuite {
     // small side broadcast: q35 queries, q47/q61 centroids; q75's
     // single-row global-limit scalar attaches via a 1-row broadcast NLJ
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q75_source_mixing", "q78_fuzzy_match")
+      "q75_source_mixing", "q78_fuzzy_match", "q80_ivfpq_ann")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -110,4 +110,25 @@ class SimOpsSpec extends AnyFunSuite {
         s"ADC distances not monotone for query $q")
     }
   }
+
+  test("q80 IVF-PQ: results come from at most 2 probed cells, ranks dense") {
+    val r = SimOps.q80IvfPq(spark, sf).collect()
+    spark.catalog.clearCache()
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rows) =>
+      // candidate set is restricted to the probe list
+      assert(rows.map(_.getAs[Long]("cell")).distinct.length <= 2,
+        s"query $q drew candidates from more than its probed cells")
+      val rks = rows.map(_.getAs[Long]("rk")).sorted
+      assert(rks.toSeq == (1L to rks.length).toSeq,
+        s"ranks not dense for query $q")
+      val ds = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Long]("adc_d2"))
+      assert(ds.zip(ds.tail).forall { case (x, y) => x <= y })
+    }
+    // determinism across runs (seeded codebook, total-order ties)
+    val b = SimOps.q80IvfPq(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(r.sameElements(b))
+  }
 }
