@@ -158,15 +158,53 @@ object StatsOps {
       TRUE AS within_bound
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---- q81: mergeable HLL sketches (partial per day, union across) -----
+  // THE distributed-cardinality pattern at 100 TB: one Datasketches HLL
+  // sketch per (event_type, day) partial — built where the data lives —
+  // then a sketch UNION per event_type instead of re-scanning raw rows.
+  // The union is associative/commutative mergeable state, so daily
+  // partials can be persisted and the monthly rollup never touches the
+  // raw 100 TB again (q42 re-counts raw rows; this is the incremental
+  // upgrade). Like q42, the sketch bytes themselves are engine-specific,
+  // so the oracle checks the CONTRACT: the union estimate lands within
+  // 5% of the exact distinct count (integer cross-multiply, no float
+  // threshold), plus the exact count and partial count as hard values.
+  def q81SketchUnion(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val unioned = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    unioned.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 20 <= col("exact_users"))
+          .as("union_within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val q81Sql: String = """
+    SELECT event_type,
+      CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS union_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
     "q58_histogram"   -> q58Histogram _,
-    "q62_approx_percentile" -> q62ApproxPercentile _)
+    "q62_approx_percentile" -> q62ApproxPercentile _,
+    "q81_sketch_union" -> q81SketchUnion _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
     "q57_correlation" -> q57Sql,
     "q58_histogram"   -> q58Sql,
-    "q62_approx_percentile" -> q62Sql)
+    "q62_approx_percentile" -> q62Sql,
+    "q81_sketch_union" -> q81Sql)
 }

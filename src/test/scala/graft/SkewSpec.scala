@@ -41,4 +41,47 @@ class SkewSpec extends AnyFunSuite {
       .orderBy(col("s_name")).collect()
     assert(salted.sameElements(plain))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (no manual salt)") {
+    // the zero-code alternative to saltedJoin: AQE's skew-join rule
+    // splits oversized partitions after the shuffle materializes. Thresholds
+    // are lowered so the test corpus trips them the way a hot key would
+    // at production scale; production keeps the defaults.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val bigRows = (1 to 4000).map(i => (1L, i.toLong)) ++
+        (1 to 200).map(i => ((i % 7 + 2).toLong, i.toLong))
+      val rightRows = (1 to 500).map(i => (1L, i.toLong)) ++
+        (1 to 50).map(i => ((i % 7 + 2).toLong, i.toLong))
+      val big = bigRows.toDF("k", "payload")
+      val right = rightRows.toDF("k", "other")
+      val joined = big.join(right, "k")
+      // execute THIS dataframe's own plan (a write/count would build a
+      // separate QueryExecution and leave this one isFinalPlan=false)
+      val nRows = joined.queryExecution.executedPlan.execute().count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+      // correctness is untouched by the split
+      val bigCnt = bigRows.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val rightCnt = rightRows.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val expected = bigCnt.map { case (k, c) =>
+        c.toLong * rightCnt.getOrElse(k, 0) }.sum
+      assert(nRows == expected)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }
