@@ -344,6 +344,52 @@ object Streaming {
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start"""
 
+  /** Streaming exact dedup across micro-batches — the streaming form of
+    * DedupOps.incrementalDedup (content identity instead of a key
+    * column): the FIRST batch containing a content hash emits exactly
+    * one row for it (the batch's min doc_id — deterministic, unlike
+    * dropDuplicates' arrival-order winner), every later occurrence is
+    * dropped. State per key is one boolean in the RocksDB store; at
+    * ingest-pipeline scale the key space is the distinct-content count,
+    * and the store scales out with shuffle partitions. Append mode:
+    * emitted rows are immutable by construction. */
+  def streamingDedup(spark: SparkSession,
+                     docs: org.apache.spark.sql.Dataset[
+                       org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs.selectExpr("doc_id", "md5(text) AS content_md5")
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .transformWithState(new FirstSeenProcessor, TimeMode.None(),
+        OutputMode.Append())
+      .toDF("doc_id", "content_md5")
+  }
+
+  /** Emits the min doc_id the first time a content hash appears; drops
+    * the key forever after (seen flag in the value state). */
+  private class FirstSeenProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (Long, String), (Long, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(Long, String)],
+                                 tv: TimerValues)
+        : Iterator[(Long, String)] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single((rows.map(_._1).min, key))
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> q22Tumbling _,
     "q23_sliding_window"  -> q23Sliding _,

@@ -8,6 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import ops.Streaming
 
+case class SDoc(doc_id: Long, text: String)
+
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
@@ -320,5 +322,33 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id", "session_start").collect()
     assert(sess.count(_.getLong(0) == 1L) == 1) // merged at exactly-gap
     assert(sess.count(_.getLong(0) == 2L) == 2) // split beyond gap
+  }
+
+  test("streaming dedup emits each content hash once with the min-id winner") {
+    withRocksDb {
+      val input = MemoryStream[SDoc]
+      val q = ops.Streaming.streamingDedup(spark, input.toDF())
+        .writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").start()
+      try {
+        // batch 1: duplicate pair (2,1 same text) + a unique doc —
+        // within-batch winner is the MIN id even when it arrives later
+        input.addData(Seq(SDoc(2, "alpha beta"), SDoc(1, "alpha beta"),
+          SDoc(3, "gamma")))
+        q.processAllAvailable()
+        val b1 = spark.table("sdedup").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        assert(b1.map(_._1).sorted.toSeq == Seq(1L, 3L))
+        // batch 2: one seen text under a new id, one novel
+        input.addData(Seq(SDoc(10, "alpha beta"), SDoc(11, "delta")))
+        q.processAllAvailable()
+        val all = spark.table("sdedup").collect().map(_.getLong(0)).sorted
+        assert(all.toSeq == Seq(1L, 3L, 11L))
+        // agrees with the batch-side incremental semantics: distinct
+        // content count equals emitted row count
+        assert(spark.table("sdedup").select("content_md5")
+          .distinct().count() == 3)
+      } finally q.stop()
+    }
   }
 }
