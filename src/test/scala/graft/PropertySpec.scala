@@ -106,4 +106,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val docGen = for {
+    id <- Gen.choose(0L, 5000L)
+    nWords <- Gen.choose(1, 40)
+    words <- Gen.listOfN(nWords,
+      Gen.oneOf("spark", "data", "query", "fast", "table", "join"))
+  } yield (id, words.mkString(" "))
+
+  private val corpusGen = Gen.listOfN(50, docGen)
+    .map(_.distinctBy(_._1)) // doc_id is a key
+
+  test("property: chunk assignment conserves tokens and preserves doc order") {
+    forAll(corpusGen, n = 6) { docs =>
+      whenever(docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val assigned = ops.CurationOps.assignChunks(df, chunkTok = 16)
+          .select("doc_id", "n_tok", "start", "chunk_id")
+          .collect().sortBy(_.getAs[Long]("doc_id"))
+        // starts are the exclusive prefix sum in doc_id order
+        var expectStart = 0L
+        assigned.foreach { r =>
+          assert(r.getAs[Long]("start") == expectStart,
+            s"doc ${r.getAs[Long]("doc_id")} start drifted")
+          assert(r.getAs[Long]("chunk_id") == expectStart / 16)
+          expectStart += r.getAs[Long]("n_tok")
+        }
+        // conservation: chunks partition the concatenation
+        assert(expectStart == docs.map(_._2.split(" ").length.toLong).sum)
+      }
+    }
+  }
+
+  test("property: source-mixing targets never exceed availability and track weights") {
+    forAll(Gen.listOfN(10, Gen.choose(5L, 60L)), n = 6) { counts =>
+      // synthetic per-source counts -> the integer sizing formula must
+      // keep every target within availability and within one floor step
+      // of the exact proportional target
+      val weights = Seq(4, 6, 8, 10, 12, 10, 10, 14, 14, 12)
+      val k = counts.zip(weights).map { case (n, w) => n * 10000 / w }.min
+      counts.zip(weights).foreach { case (n, w) =>
+        val target = w * k / 10000
+        assert(target <= n, "target exceeds availability")
+        // within-one-floor-step of the exact rational w * min(n_s/w_s)
+        val exact = w.toDouble * counts.zip(weights)
+          .map { case (n2, w2) => n2.toDouble / w2 }.min
+        assert(target <= exact + 1e-9 && target >= exact - 2,
+          s"target $target drifted from exact $exact")
+      }
+    }
+  }
 }
