@@ -544,10 +544,10 @@ object SimOps {
   // sub-vectors and sub-centroids are 1e6-unit BIGINTs, so squared-L2
   // distances and ADC sums are EXACT integer arithmetic in both engines;
   // ties break on (distance, cell|vec_id) total orders.
-  private val PqM = 4        // sub-spaces
-  private val PqDs = D / PqM // dims per sub-space
-  private val PqK = 16       // sub-centroids per sub-space
-  private val PqNq = 8       // query vectors (vec_id < PqNq)
+  private[graft] val PqM = 4        // sub-spaces
+  private[graft] val PqDs = D / PqM // dims per sub-space
+  private[graft] val PqK = 16       // sub-centroids per sub-space
+  private[graft] val PqNq = 8       // query vectors (vec_id < PqNq)
   private val PqTopK = 5
 
   def q79ProductQuantization(s: SparkSession, d: String): DataFrame = {

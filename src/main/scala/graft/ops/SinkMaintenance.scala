@@ -57,4 +57,24 @@ object SinkMaintenance {
     }
     PartitionSwap.publish(fs, staging, sink, partitionCol)
   }
+
+  /** Sort-on-write for scan locality (§4.4): range-partition + sort by
+    * the dominant filter columns so each parquet row group covers a
+    * narrow key range. Parquet stores per-row-group min/max; a filtered
+    * scan then DECODES only the groups whose range intersects the
+    * predicate instead of every row — the poor man's clustering index,
+    * and at 100 TB the difference between scanning a day and scanning
+    * the decade. `rowGroupBytes` bounds group size so statistics stay
+    * fine-grained (production default 128 MB is right for HDFS-sized
+    * files; tests shrink it to get multiple groups from small data). */
+  def writeSorted(df: org.apache.spark.sql.DataFrame, sortCols: Seq[String],
+                  dest: String,
+                  rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write
+      .option("parquet.block.size", rowGroupBytes)
+      .mode("overwrite").parquet(dest)
+  }
 }

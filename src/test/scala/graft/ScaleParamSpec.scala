@@ -124,4 +124,20 @@ class ScaleParamSpec extends AnyFunSuite {
     assert(four.toSet == six.toSet,
       "4-chunk blocking missed or invented hd<=3 pairs")
   }
+
+  test("IVF-PQ seed ranges stay disjoint and inside the corpus at every scale") {
+    // q80 seeds coarse cells from [0, C) and the residual codebook from
+    // [C, C+K): the ranges are disjoint by construction, but both must
+    // fit in the corpus — C(n) + K <= n. With C = max(16, ceil(sqrt(n)))
+    // this holds for every n >= 33; the fixtures' smallest corpus is 500.
+    (Seq(33L, 100L, 500L, 2000L, 1000000L, 10000000000L)).foreach { n =>
+      val c = SimOps.cellsFor(n)
+      assert(c + SimOps.PqK <= n,
+        s"codebook seeds overflow the corpus at n=$n (C=$c)")
+      assert(SimOps.PqNq <= c, "queries must be coarse seeds for q79's " +
+        "self-retrieval contract")
+    }
+    // sub-space geometry: the M sub-slices tile the embedding exactly
+    assert(SimOps.PqM * SimOps.PqDs == 64)
+  }
 }
