@@ -478,6 +478,44 @@ object Relational {
     FROM customer ORDER BY c_custkey"""
 
   /** Query + oracle registries for SparkEntry. */
+  // ---- q82: full outer join (§2.3 closure) -----------------------------
+  // The J2 family's last member: two SPARSE per-nation aggregates (very
+  // high / very low balance customers) full-outer-joined so both
+  // null-extension directions are exercised — nations rich on one side
+  // only surface with the other side's counts null, then COALESCE folds
+  // them for the report. Same shuffle shape as any equi-join; FULL OUTER
+  // merely disables the broadcast strategy (both sides must stream), so
+  // its plan is the degenerate-free sort-merge join.
+  def q82FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val hi = c.filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_rich"))
+    val lo = c.filter(col("c_acctbal") < -900)
+      .groupBy(col("c_nationkey").as("nk2"))
+      .agg(count(lit(1)).as("n_debt"))
+    hi.join(lo, col("nk") === col("nk2"), "full_outer")
+      .select(coalesce(col("nk"), col("nk2")).as("c_nationkey"),
+        coalesce(col("n_rich"), lit(0L)).as("n_rich"),
+        coalesce(col("n_debt"), lit(0L)).as("n_debt"),
+        (col("n_rich").isNull || col("n_debt").isNull).as("one_sided"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q82Sql: String = """
+    WITH hi AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_rich
+      FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+    lo AS (
+      SELECT c_nationkey AS nk2, COUNT(*) AS n_debt
+      FROM customer WHERE c_acctbal < -900 GROUP BY 1)
+    SELECT COALESCE(nk, nk2) AS c_nationkey,
+      CAST(COALESCE(n_rich, 0) AS BIGINT) AS n_rich,
+      CAST(COALESCE(n_debt, 0) AS BIGINT) AS n_debt,
+      (n_rich IS NULL OR n_debt IS NULL) AS one_sided
+    FROM hi FULL OUTER JOIN lo ON nk = nk2
+    ORDER BY c_nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> q01PricingSummary _,
     "q02_topk_orders"      -> q02TopkOrders _,
@@ -498,7 +536,8 @@ object Relational {
     "q17_date_buckets"     -> q17DateBuckets _,
     "q18_json_extract"     -> q18JsonExtract _,
     "q19_case_math"        -> q19CaseMath _,
-    "q20_string_ops"       -> q20StringOps _)
+    "q20_string_ops"       -> q20StringOps _,
+    "q82_full_outer"       -> q82FullOuter _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"  -> q01Sql,
@@ -520,5 +559,6 @@ object Relational {
     "q17_date_buckets"     -> q17Sql,
     "q18_json_extract"     -> q18Sql,
     "q19_case_math"        -> q19Sql,
-    "q20_string_ops"       -> q20Sql)
+    "q20_string_ops"       -> q20Sql,
+    "q82_full_outer"       -> q82Sql)
 }
