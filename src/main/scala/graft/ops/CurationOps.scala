@@ -335,6 +335,48 @@ object CurationOps {
         AS BIGINT) AS n_boundary_docs
     FROM pos GROUP BY 1 ORDER BY 1"""
 
+  // ---- q83: pack spans (boundary-splitting sequence packing) -----------
+  // q74 assigns each doc to the chunk its first token lands in; this is
+  // the full tokenizer-facing contract: a doc straddling chunk cuts is
+  // SPLIT, emitting one span per chunk it touches with the exact token
+  // interval — what the training loader actually consumes. Pure integer
+  // interval arithmetic over the same two-level prefix sum; the generate
+  // explodes each doc into (last_chunk - first_chunk + 1) rows, which is
+  // 1 + tokens/512 — output stays linear in corpus tokens. Invariant
+  // (spec-pinned): every chunk except the last carries exactly 512 span
+  // tokens.
+  def q83PackSpans(s: SparkSession, d: String): DataFrame = {
+    val ct = chunkTokens
+    assignChunks(Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok")))
+      .withColumn("c", explode_outer(sequence(
+        expr(s"start div $ct"),
+        expr(s"(start + n_tok - 1) div $ct"))))
+      .select(col("c").as("chunk_id"), col("doc_id"),
+        greatest(col("c") * ct - col("start"), lit(0L)).as("doc_offset"),
+        (least((col("c") + 1) * ct, col("start") + col("n_tok"))
+          - greatest(col("c") * ct, col("start"))).as("span_len"))
+      .orderBy(col("chunk_id"), col("doc_id"))
+  }
+
+  val q83Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM toks)
+    SELECT c AS chunk_id, doc_id,
+      GREATEST(c * $chunkTokens - start, 0) AS doc_offset,
+      LEAST((c + 1) * $chunkTokens, start + n_tok)
+        - GREATEST(c * $chunkTokens, start) AS span_len
+    FROM pos, unnest(generate_series(CAST(start // $chunkTokens AS BIGINT),
+      CAST((start + n_tok - 1) // $chunkTokens AS BIGINT))) AS u(c)
+    ORDER BY chunk_id, doc_id"""
+
   // ---- q75: source-mixture resampling ----------------------------------
   // Rebalance the corpus toward target per-source weights (the "data
   // mixture" step before training): the limiting source caps the total,
@@ -404,7 +446,8 @@ object CurationOps {
     "q72_segment_dedup" -> q72SegmentDedup _,
     "q73_tfidf"         -> q73Tfidf _,
     "q74_seq_packing"   -> q74SeqPacking _,
-    "q75_source_mixing" -> q75SourceMixing _)
+    "q75_source_mixing" -> q75SourceMixing _,
+    "q83_pack_spans"    -> q83PackSpans _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -412,5 +455,6 @@ object CurationOps {
     "q72_segment_dedup" -> q72Sql,
     "q73_tfidf"         -> q73Sql,
     "q74_seq_packing"   -> q74Sql,
-    "q75_source_mixing" -> q75Sql)
+    "q75_source_mixing" -> q75Sql,
+    "q83_pack_spans"    -> q83Sql)
 }

@@ -92,6 +92,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q83: spans tile every chunk exactly and reassemble every doc") {
+    val spans = CurationOps.q83PackSpans(spark, sf)
+    // every chunk except the last carries exactly 512 span tokens
+    val perChunk = spans.groupBy("chunk_id")
+      .agg(sum("span_len").as("tok")).collect()
+    val lastChunk = perChunk.map(_.getAs[Long]("chunk_id")).max
+    perChunk.filter(_.getAs[Long]("chunk_id") != lastChunk).foreach { r =>
+      assert(r.getAs[Long]("tok") == 512L,
+        s"chunk ${r.getAs[Long]("chunk_id")} carries ${r.getAs[Long]("tok")}")
+    }
+    // per doc, spans are contiguous from offset 0 and sum to its tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          x => x =!= "")).cast("long").as("n_tok"))
+    val rebuilt = spans.groupBy("doc_id")
+      .agg(sum("span_len").as("tok"), min("doc_offset").as("off0"))
+    val bad = rebuilt.join(docs, "doc_id")
+      .filter(col("tok") =!= col("n_tok") || col("off0") =!= 0L)
+    assert(bad.count() == 0)
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
