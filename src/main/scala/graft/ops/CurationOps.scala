@@ -9,7 +9,8 @@ import graft.Tables
 /** Corpus-curation operators for a large-scale training-data pipeline
   * (SURVEY.md §2.12 [N] extension surface): PII redaction, eval-set
   * contamination detection, boilerplate-segment removal, TF-IDF term
-  * scoring, sequence packing, and source-mixture resampling.
+  * scoring, sequence packing (chunk ownership q74 + boundary-splitting
+  * spans q83), and source-mixture resampling.
   *
   * These are the steps a pretraining-data pipeline runs between raw
   * ingest and tokenization (the reference engine's implied downstream
