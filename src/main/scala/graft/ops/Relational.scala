@@ -516,6 +516,37 @@ object Relational {
     FROM hi FULL OUTER JOIN lo ON nk = nk2
     ORDER BY c_nationkey"""
 
+  // ---- q84: regexp capture-group extraction (F-surface closure) --------
+  // Structured-identifier parsing: pull the numeric id out of the
+  // 'Customer#NNNNN' name with a capture group and audit it against the
+  // key column — the parse-integrity check every ingest of stringly
+  // identifiers needs. Both engines return '' for a non-matching group
+  // and both TRY_CAST('') to NULL, so the ok-count is parity-exact; the
+  // pattern stays in the Java∩RE2 dialect.
+  def q84RegexpExtract(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("parsed_id",
+        regexp_extract(col("c_name"), "Customer#([0-9]+)", 1)
+          .cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("parsed_id") === col("c_custkey"), 1L).otherwise(0L))
+          .as("n_parse_ok"),
+        min(col("parsed_id")).as("min_id"),
+        max(col("parsed_id")).as("max_id"))
+      .orderBy(col("c_mktsegment"))
+
+  val q84Sql: String = """
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+      CAST(SUM(CASE WHEN TRY_CAST(regexp_extract(c_name,
+          'Customer#([0-9]+)', 1) AS BIGINT) = c_custkey
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_ok,
+      MIN(TRY_CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1)
+        AS BIGINT)) AS min_id,
+      MAX(TRY_CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1)
+        AS BIGINT)) AS max_id
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> q01PricingSummary _,
     "q02_topk_orders"      -> q02TopkOrders _,
@@ -537,7 +568,8 @@ object Relational {
     "q18_json_extract"     -> q18JsonExtract _,
     "q19_case_math"        -> q19CaseMath _,
     "q20_string_ops"       -> q20StringOps _,
-    "q82_full_outer"       -> q82FullOuter _)
+    "q82_full_outer"       -> q82FullOuter _,
+    "q84_regexp_extract"   -> q84RegexpExtract _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"  -> q01Sql,
@@ -560,5 +592,6 @@ object Relational {
     "q18_json_extract"     -> q18Sql,
     "q19_case_math"        -> q19Sql,
     "q20_string_ops"       -> q20Sql,
-    "q82_full_outer"       -> q82Sql)
+    "q82_full_outer"       -> q82Sql,
+    "q84_regexp_extract"   -> q84Sql)
 }
