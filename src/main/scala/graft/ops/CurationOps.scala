@@ -371,9 +371,9 @@ object CurationOps {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
       FROM toks)
     SELECT c AS chunk_id, doc_id,
-      GREATEST(c * $chunkTokens - start, 0) AS doc_offset,
-      LEAST((c + 1) * $chunkTokens, start + n_tok)
-        - GREATEST(c * $chunkTokens, start) AS span_len
+      CAST(GREATEST(c * $chunkTokens - start, 0) AS BIGINT) AS doc_offset,
+      CAST(LEAST((c + 1) * $chunkTokens, start + n_tok)
+        - GREATEST(c * $chunkTokens, start) AS BIGINT) AS span_len
     FROM pos, unnest(generate_series(CAST(start // $chunkTokens AS BIGINT),
       CAST((start + n_tok - 1) // $chunkTokens AS BIGINT))) AS u(c)
     ORDER BY chunk_id, doc_id"""

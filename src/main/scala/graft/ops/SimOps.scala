@@ -335,16 +335,19 @@ object SimOps {
         cellsFor(Tables.rowCount(s, d, "embeddings")))
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nq").as("c_nq"))
-    // cell = argmax centroid cosine (ties → lowest centroid id)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
+    // cell = argmax centroid cosine (ties → lowest centroid id). max_by,
+    // not a window: candidates collapse map-side inside the broadcast-join
+    // stage (partial aggregation), so the shuffle carries n rows, not n×C.
+    // (c_cos, -c_id) is a total order per vector — c_id is unique — so
+    // the pick is deterministic.
     val assigned = emb.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         cosine(dotQ("embedding", "c_emb"), col("nq"), col("c_nq")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nq"),
-        col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("nq"), col("c_id")),
+        struct(col("c_cos"), -col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.nq").as("nq"), col("m.c_id").as("cell"))
     val a = assigned.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nq").as("a_nq"), col("cell"))
     val b = assigned.select(col("vec_id").as("b_id"),
@@ -410,17 +413,25 @@ object SimOps {
 
   /** Argmax-cosine cell assignment against a (cell, centroid[], cnq)
     * table; centroid coords are doubles — QuantizedDot handles the
-    * float × double case with the same fused codegen loop. */
+    * float × double case with the same fused codegen loop.
+    *
+    * The argmax is a `max_by` AGGREGATE, not a window: a window over the
+    * expanded n×C cross join would shuffle-and-sort all n×C rows, while
+    * max_by collapses the C candidates per vector MAP-SIDE (partial
+    * aggregation in the same stage as the broadcast join), so only n
+    * result rows cross the wire. The ordering key (ccos, -cell) is a
+    * total order per group — cell ids are distinct — so the winner is
+    * deterministic and identical to the former row_number()=1 pick. */
   private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell").asc)
+    val payload = emb.columns.filterNot(_ == "vec_id") ++ Seq("cell", "ccos")
     emb.crossJoin(broadcast(cents))
-      .withColumn("cdot", dotQ("embedding", "centroid"))
       .withColumn("ccos",
-        col("cdot").cast("double") / sqrt((col("nq") * col("cnq")).cast("double")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cdot", "cnq", "centroid")
+        dotQ("embedding", "centroid").cast("double")
+          / sqrt((col("nq") * col("cnq")).cast("double")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(col("ccos"), -col("cell"))).as("m"))
+      .select(col("vec_id") +: payload.map(n => col(s"m.$n").as(n)): _*)
   }
 
   /** Quantized squared norm of a double-array centroid column. */
@@ -564,13 +575,13 @@ object SimOps {
     val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
       " 0L, (acc, x) -> acc + x)")
     // codes: nearest sub-centroid per (vector, sub-space) — K×M is tiny,
-    // AQE broadcasts it; the window is per (vec_id, m), total order
+    // AQE broadcasts it; min_by collapses the K candidates map-side
+    // ((d2, cell) is a total order — cell unique — so deterministic),
+    // shuffling n×M rows instead of windowing n×M×K
     val codes = subs.join(cents, "m")
       .select(col("vec_id"), col("m"), col("cell"), sqL2.as("d2"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("cell"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
       .select(col("vec_id"), col("m"), col("cell"))
     // per-query distance tables over the same sub-centroids
     val dt = subs.filter(col("vec_id") < PqNq)
@@ -648,14 +659,18 @@ object SimOps {
       .select(col("vec_id").as("cell"), col("qa").as("cqa"))
     val l2 = expr("aggregate(zip_with(qa, cqa, (a, b) -> (a - b) * (a - b))," +
       " 0L, (acc, x) -> acc + x)")
-    // every vector -> nearest coarse cell, residual in exact integers
+    // every vector -> nearest coarse cell, residual in exact integers.
+    // min_by aggregate (not a window): the C candidates per vector
+    // collapse map-side in the broadcast-join stage, so only n rows
+    // shuffle; (d2, cell) is a total order — cell unique — so the pick
+    // is deterministic and identical to the former row_number()=1.
     val assigned = emb.join(coarse)
       .select(col("vec_id"), col("cell"), col("qa"), col("cqa"), l2.as("d2"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("d2"), col("cell"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"),
-        expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("qa"), col("cqa")),
+        struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        expr("zip_with(m.qa, m.cqa, (a, b) -> a - b)").as("res"))
     // residual sub-vectors; PQ codebook from residual seeds [C, C+16)
     def subRes(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("cell"), explode(expr(
@@ -670,13 +685,13 @@ object SimOps {
       .select(col("vec_id").as("code"), col("m"), col("sq").as("cq"))
     val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
       " 0L, (acc, x) -> acc + x)")
+    // nearest sub-centroid per (vector, sub-space): same min_by shape —
+    // the K=16 candidates collapse map-side, n×M rows shuffle, not n×M×K
     val codes = subs.join(cbook.drop("cell"), "m")
       .select(col("vec_id"), col("cell"), col("m"), col("code"),
         sqL2.as("d2"))
-      .withColumn("rk", row_number().over(Window
-        .partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2"), col("code"))))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("cell"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
     // queries probe their 2 nearest cells
     val probes = emb.filter(col("vec_id") < PqNq)

@@ -115,6 +115,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assign is a map-side aggregate, never a window over the n×C join") {
+    // the argmax over centroid candidates must collapse via partial
+    // aggregation inside the broadcast-join stage (shuffle n rows), not
+    // shuffle-and-sort the n×C expanded join through a Window operator
+    Seq("q47_ivf_ann", "q61_kmeans_cells", "q80_ivfpq_ann").foreach { q =>
+      val p = plan(q)
+      // the only windows allowed are over already-reduced or
+      // constant-query-side sets (top-k rank per query, probe pick over
+      // Nq×C rows); a corpus-side argmax window partitions by vec_id
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"$q argmax went through a Window over centroid candidates:\n$p")
+      assert(p.contains("partial_max_by") || p.contains("partial_min_by")
+          || p.contains("Partial"),
+        s"$q assign shows no partial aggregation:\n$p")
+    }
+  }
+
   test("q70's scrub is scan-projected per-row work (no shuffle before sort)") {
     val p = plan("q70_pii_redaction")
     // exactly one exchange: the final rangepartitioning for ORDER BY
