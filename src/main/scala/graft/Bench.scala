@@ -64,7 +64,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist the record: the driver captures stdout through a tail
+    // window that has truncated ~20 of 84 per-query timings in a round —
+    // the file survives regardless of capture-buffer size
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

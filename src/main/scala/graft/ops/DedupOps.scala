@@ -508,11 +508,23 @@ object DedupOps {
     * clique-ish (every pair the verifier emitted is an edge), so real
     * corpora converge in a handful of rounds regardless of n. At larger
     * diameters switch to large-star/small-star (halves distances per
-    * round); at very deep iteration counts, checkpoint to cut lineage.
-    * Non-convergence inside `maxIter` is an ERROR — silently returning
-    * half-propagated labels would merge clusters wrongly. */
-  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 25)
-      : DataFrame = {
+    * round).
+    *
+    * Lineage: every `ckptEvery` iterations the label frame is
+    * localCheckpoint'ed (eagerly, so the plan roots at the materialized
+    * blocks) — without this, a diameter-d component builds a d-deep
+    * join lineage that Catalyst re-analyzes each round and that would
+    * have to replay from scratch on block loss. localCheckpoint trades
+    * executor-loss fault tolerance for speed (the standard iterative-
+    * algorithm posture, same as GraphX periodic checkpointing); a
+    * cluster deployment that needs recovery sets a reliable checkpoint
+    * dir instead. Non-convergence inside `maxIter` is an ERROR —
+    * silently returning half-propagated labels would merge clusters
+    * wrongly. */
+  private[graft] val CcCkptEvery = 5
+
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      ckptEvery: Int = CcCkptEvery): DataFrame = {
     val edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
       .union(pairs.select(col("id2").as("u"), col("id1").as("v")))
       .persist()
@@ -532,11 +544,14 @@ object DedupOps {
       // carry the previous label alongside the new one so the convergence
       // check is a filter on `next` itself, not a second join against the
       // old labels frame (halves the per-iteration join count)
-      val next = labels
+      val step = labels
         .join(cand, Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-        .persist()
+      // periodic lineage cut; eager so downstream plans root at blocks
+      val next =
+        if (iter % ckptEvery == ckptEvery - 1) step.localCheckpoint(true)
+        else step.persist()
       converged = next.filter(col("lbl") =!= col("old")).isEmpty
       cached.unpersist()
       cached = next

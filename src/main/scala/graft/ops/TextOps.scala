@@ -270,17 +270,34 @@ object TextOps {
     ORDER BY n_occurrences DESC, token
     LIMIT 50"""
 
-  // ---- q78: fuzzy token matching (levenshtein, bounded theta join) -----
+  // ---- q78: fuzzy token matching (SymSpell-blocked levenshtein) --------
   // Spell-repair against the corpus vocabulary: deterministic typo
   // variants (2nd char dropped) matched back to their closest vocab token
-  // under edit distance ≤ 2, best match by (distance, token) rank. The
-  // join is a THETA join (levenshtein is no equi-key), so it is only
-  // sane because both sides are the DISTINCT VOCABULARY — sublinear in
-  // corpus size (vocab grows ~log n) and broadcastable at any corpus
-  // scale. The corpus-sized fuzzy problem (doc text → vocab) stays an
-  // equi-join by construction: explode tokens, equi-join the vocab-sized
-  // fuzzy match result. Never run levenshtein row×row at corpus scale —
-  // that is the q34/q31 LSH blocking problem.
+  // under edit distance ≤ 2, best match by (distance, token) rank.
+  //
+  // Scale design — deletion-neighborhood (SymSpell) blocking: if
+  // lev(a, b) ≤ 2 then deleting ≤ 2 chars from each side reaches a
+  // common string (align the two words; drop from each the characters
+  // its side contributes to any substitution/insertion — at most one per
+  // edit). So both sides expand to their ≤2-char-deletion key sets, the
+  // candidate join is a hash EQUI-JOIN on the key (never a V×V
+  // nested-loop theta join — at web-scale vocab of 1e7–1e8 tokens the
+  // theta join is 1e14+ levenshtein calls), duplicates from multi-key
+  // hits collapse, and the banded 3-arg levenshtein (O(k·L), aborts past
+  // the threshold) refines. Key fan-out is 1 + L + L(L-1)/2 ≈ 40 keys
+  // per token — linear in vocab, and the blocking is LOSSLESS: the
+  // DuckDB oracle below stays the unblocked theta join, so the exact
+  // compare itself proves no candidate pair is missed.
+  private def delKeys(t: Column): Column = {
+    val s = t.toString
+    val d1 = s"transform(sequence(1, length($s)), i ->" +
+      s" concat(substring($s, 1, i - 1), substring($s, i + 1)))"
+    expr(s"array_distinct(concat(array($s), $d1," +
+      s" flatten(transform($d1, s1 -> transform(" +
+      "sequence(1, length(s1)), j ->" +
+      " concat(substring(s1, 1, j - 1), substring(s1, j + 1)))))))")
+  }
+
   def q78FuzzyMatch(s: SparkSession, d: String): DataFrame = {
     val v = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("tok"))
@@ -289,10 +306,16 @@ object TextOps {
     val variants = v.select(col("tok").as("orig"),
       concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)"))
         .as("typo"))
-    val cand = variants.join(v,
-      levenshtein(col("typo"), col("tok")) <= 2)
-      .select(col("typo"), col("orig"), col("tok").as("match_tok"),
-        levenshtein(col("typo"), col("tok")).cast("long").as("dist"))
+    val left = variants
+      .select(col("typo"), col("orig"), explode(delKeys(col("typo"))).as("k"))
+    val right = v
+      .select(col("tok").as("match_tok"), explode(delKeys(col("tok"))).as("k"))
+    val cand = left.join(right, "k")
+      .select(col("typo"), col("orig"), col("match_tok"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("typo"), col("match_tok"), 2).cast("long"))
+      .filter(col("dist") >= 0)
     cand.withColumn("rk", row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("typo"), col("orig"))

@@ -82,6 +82,25 @@ class DedupOpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
   }
 
+  test("connected components converge on a diameter-20 chain with bounded lineage") {
+    import spark.implicits._
+    // worst-case shape for label propagation: a pure path 0-1-…-20 needs
+    // ~20 rounds, which without the periodic localCheckpoint builds a
+    // 20-deep join lineage (re-analyzed each round, replayed on recompute)
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(chain, maxIter = 30)
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == (0L to 20L).map(_ -> 0L).toMap)
+    // the checkpoint actually cut the plan: the final frame's logical
+    // plan roots at materialized blocks, not a 20-join tree
+    // each iteration contributes 2 joins; at most ckptEvery-1 iterations
+    // can sit above the last checkpoint (without the cut: ~40 joins here)
+    val planDepth = cc.queryExecution.optimizedPlan.toString
+      .linesIterator.count(_.contains("Join"))
+    assert(planDepth <= 2 * DedupOps.CcCkptEvery,
+      s"lineage not cut: $planDepth joins in the final plan")
+  }
+
   test("incremental dedup accepts only novel content across firings") {
     import spark.implicits._
     val store = java.nio.file.Files

@@ -48,7 +48,7 @@ class PlanSpec extends AnyFunSuite {
     // small side broadcast: q35 queries, q47/q61 centroids; q75's
     // single-row global-limit scalar attaches via a 1-row broadcast NLJ
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q75_source_mixing", "q78_fuzzy_match", "q80_ivfpq_ann")
+      "q75_source_mixing", "q80_ivfpq_ann")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH pair queries are equi-joins (hash or sort-merge), never theta") {
     Seq("q31_minhash_pairs", "q33_simhash_pairs", "q34_ngram_jaccard",
-      "q36_ann_lsh", "q37_cosine_neardup").foreach { q =>
+      "q36_ann_lsh", "q37_cosine_neardup", "q78_fuzzy_match").foreach { q =>
       val p = plan(q)
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q is not an equi-join:\n$p")
