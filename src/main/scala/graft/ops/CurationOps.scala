@@ -273,25 +273,42 @@ object CurationOps {
   private val chunkTokens = 512
   private val bucketWidth = 1024
 
-  /** Per-doc chunk assignment via the two-level bucketed prefix sum: the
-    * input must carry (doc_id, n_tok); the result adds `start` (the
+  /** Per-doc chunk assignment via the THREE-level bucketed prefix sum:
+    * the input must carry (doc_id, n_tok); the result adds `start` (the
     * doc's first-token offset in the doc_id-ordered concatenation) and
-    * `chunk_id` (= start div chunkTokens). Shared by q74 and the
-    * CurationJob shard writer. */
-  private[graft] def assignChunks(nt0: DataFrame, chunkTok: Int = chunkTokens)
-      : DataFrame = {
-    val nt = nt0.withColumn("bucket", (col("doc_id") / bucketWidth)
-      .cast("long"))
+    * `chunk_id` (= start div chunkTokens). Shared by q74/q83 and the
+    * CurationJob shard writer.
+    *
+    * Levels: local_start within a width-W doc_id bucket (window
+    * partitioned by bucket), bucket offsets within a W² super-bucket
+    * (window over W bucket-total rows each), and super-bucket offsets
+    * through the one unpartitioned window — which now runs over n/W²
+    * rows, so the single-task stage stays trivial to ~1e12 docs
+    * (W=1024); a fourth level is mechanical if corpora ever outgrow
+    * that. The extra level costs one aggregate + one tiny join over
+    * bucket totals — nothing corpus-sized. */
+  private[graft] def assignChunks(nt0: DataFrame, chunkTok: Int = chunkTokens,
+      width: Int = bucketWidth): DataFrame = {
+    val nt = nt0.withColumn("bucket", (col("doc_id") / width).cast("long"))
     val intra = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = nt.withColumn("local_start",
       coalesce(sum(col("n_tok")).over(intra), lit(0L)))
     val bucketTotals = nt.groupBy(col("bucket"))
       .agg(sum(col("n_tok")).as("btot"))
-    val offsets = bucketTotals.withColumn("offset",
-      coalesce(sum(col("btot")).over(Window.orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("offset"))
+      .withColumn("b2", (col("bucket") / width).cast("long"))
+    val intra2 = Window.partitionBy(col("b2")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals.withColumn("off1",
+      coalesce(sum(col("btot")).over(intra2), lit(0L)))
+    val superOffsets = bucketTotals.groupBy(col("b2"))
+      .agg(sum(col("btot")).as("b2tot"))
+      .withColumn("off2",
+        coalesce(sum(col("b2tot")).over(Window.orderBy(col("b2"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b2"), col("off2"))
+    val offsets = bucketOffsets.join(superOffsets, "b2")
+      .select(col("bucket"), (col("off1") + col("off2")).as("offset"))
     withLocal.join(offsets, "bucket")
       .withColumn("start", col("offset") + col("local_start"))
       .withColumn("chunk_id", expr(s"start div $chunkTok"))

@@ -83,6 +83,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(total == expect)
   }
 
+  test("assignChunks three-level prefix sum is exact across super-buckets") {
+    import spark.implicits._
+    // width=4 forces ~25 level-1 buckets and ~7 level-2 super-buckets on
+    // 100 docs, so every level of the cumsum (intra-bucket, bucket-in-
+    // super-bucket, super-bucket-global) carries real offsets — at the
+    // production width the test corpus fits one bucket and the upper
+    // levels would be degenerate. Sparse doc_ids included.
+    val docs = (0L until 100L).filter(i => i % 7 != 3)
+      .map(i => (i, 1L + (i * 31 % 23))).toDF("doc_id", "n_tok")
+    val got = CurationOps.assignChunks(docs, chunkTok = 16, width = 4)
+      .select("doc_id", "start").as[(Long, Long)].collect().toMap
+    val rows = docs.as[(Long, Long)].collect().sortBy(_._1)
+    val expect = rows.map(_._1)
+      .zip(rows.map(_._2).scanLeft(0L)(_ + _)).toMap
+    assert(got == expect)
+  }
+
   test("q75: every source downsamples to its integer target, never above") {
     val r = CurationOps.q75SourceMixing(spark, sf).collect()
     assert(r.length == 10)
