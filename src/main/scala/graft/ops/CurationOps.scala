@@ -458,6 +458,80 @@ object CurationOps {
     GROUP BY t.source, t.n_orig, t.n_target ORDER BY t.source"""
   }
 
+  // ---- q86: mixture upsampling (epochs with replacement) ---------------
+  // q75 caps the mixture at the limiting source (pure downsample); real
+  // training mixtures also UPSAMPLE scarce high-weight sources — docs
+  // repeat across epochs. Target per source is w_s · F · N / Σw (exact
+  // integer arithmetic, F = epochFactor total epochs); each doc gets
+  // ⌊target/n⌋ copies plus one more for the (target mod n) docs ranked
+  // first on a salted hash — so per-source emitted counts hit the target
+  // EXACTLY, deterministically, partition-independently. The explode is
+  // linear in OUTPUT rows (sequence(1, copies) per doc — there is no
+  // candidate blow-up), and the only window is q75's per-source hash
+  // rank. A doc with zero copies drops out via explode-of-null, which
+  // also sidesteps Spark's descending-sequence trap (sequence(1, 0)
+  // counts DOWN, it is not empty). Emitted rows aggregate to a
+  // per-source contract row: n_emitted must equal n_target.
+  private val epochFactor = 2
+
+  def q86UpsampleMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val w = mixWeights.toDF("source", "w")
+    val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val tgt = cnt.join(w, "source").crossJoin(tot)
+      .select(col("source"), col("n_orig"),
+        expr(s"w * $epochFactor * n_total div 100").as("n_target"))
+    val ranked = docs.withColumn("rk",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("epoch:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long"))
+    ranked.join(tgt, "source")
+      .withColumn("copies", expr(
+        "n_target div n_orig + (CASE WHEN rk <= n_target % n_orig" +
+          " THEN 1 ELSE 0 END)"))
+      .select(col("source"), col("n_orig"), col("n_target"), col("doc_id"),
+        explode(when(col("copies") > 0,
+          sequence(lit(1L), col("copies")))).as("copy_id"))
+      .groupBy(col("source"), col("n_orig"), col("n_target"))
+      .agg(count(lit(1)).as("n_emitted"),
+        sum(col("doc_id")).as("emitted_id_sum"),
+        max(col("copy_id")).as("max_copies"))
+      .orderBy(col("source"))
+  }
+
+  val q86Sql: String = {
+    val values = mixWeights
+      .map { case (s0, w0) => s"('$s0',$w0)" }.mkString(",")
+    raw"""
+    WITH w(source, w) AS (VALUES $values),
+    cnt AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    tgt AS (
+      SELECT source, n_orig, w * $epochFactor * n_total // 100 AS n_target
+      FROM cnt JOIN w USING (source) CROSS JOIN tot),
+    ranked AS (
+      SELECT source, doc_id,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY md5('epoch:' || CAST(doc_id AS VARCHAR)), doc_id)
+          AS BIGINT) AS rk
+      FROM documents),
+    em AS (
+      SELECT r.source, t.n_orig, t.n_target, r.doc_id, u.copy_id
+      FROM ranked r JOIN tgt t USING (source),
+        unnest(generate_series(1, t.n_target // t.n_orig +
+          CASE WHEN r.rk <= t.n_target % t.n_orig THEN 1 ELSE 0 END))
+          AS u(copy_id))
+    SELECT source, n_orig, CAST(n_target AS BIGINT) AS n_target,
+      CAST(COUNT(*) AS BIGINT) AS n_emitted,
+      CAST(SUM(doc_id) AS BIGINT) AS emitted_id_sum,
+      CAST(MAX(copy_id) AS BIGINT) AS max_copies
+    FROM em GROUP BY 1, 2, 3 ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -465,7 +539,8 @@ object CurationOps {
     "q73_tfidf"         -> q73Tfidf _,
     "q74_seq_packing"   -> q74SeqPacking _,
     "q75_source_mixing" -> q75SourceMixing _,
-    "q83_pack_spans"    -> q83PackSpans _)
+    "q83_pack_spans"    -> q83PackSpans _,
+    "q86_upsample_mix"  -> q86UpsampleMix _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -474,5 +549,6 @@ object CurationOps {
     "q73_tfidf"         -> q73Sql,
     "q74_seq_packing"   -> q74Sql,
     "q75_source_mixing" -> q75Sql,
-    "q83_pack_spans"    -> q83Sql)
+    "q83_pack_spans"    -> q83Sql,
+    "q86_upsample_mix"  -> q86Sql)
 }

@@ -421,6 +421,66 @@ object ExtOps {
         AS cum_value
     FROM joined ORDER BY user_id, day"""
 
+  // ---- q88: interval join via bin blocking -----------------------------
+  // Point-in-interval join (the time-travel/audit primitive: "which
+  // shipments were in transit on day X"): lineitem carries an interval
+  // [l_shipdate, l_receiptdate], audit days are the month starts the
+  // corpus spans. The naive plan is a theta join (containment has no
+  // equi-key) — a BroadcastNestedLoopJoin that evaluates n·m interval
+  // tests. Bin blocking makes it an EQUI-JOIN: day numbers bucket into
+  // width-32 bins, each interval explodes to the bins it covers (TPC-H
+  // transit ≤ 30 days → ≤ 2 bins/row; fan-out is 1 + span/32, linear),
+  // a point lives in exactly one bin, the join key is the bin, and the
+  // exact containment test refines. The audit-day side is tiny and
+  // broadcasts, so the corpus side never shuffles AT ALL — at 100 TB
+  // this streams lineitem through a broadcast hash join once. The
+  // oracle below is the UNBLOCKED theta join, so the exact compare
+  // proves the binning drops no pair (same posture as q78's blocking).
+  private val binDays = 32
+
+  def q88RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    // the corpus has no receipt date; derive a deterministic 1–28 day
+    // transit interval from the line number (same arithmetic as the SQL)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_quantity"),
+        col("l_shipdate").cast("date").as("ship_day"),
+        expr("date_add(CAST(l_shipdate AS DATE)," +
+          " CAST(l_linenumber * 5 % 28 + 1 AS INT))").as("rcpt_day"))
+      .withColumn("sd", datediff(col("ship_day"), epoch))
+      .withColumn("rd", datediff(col("rcpt_day"), epoch))
+    val pts = li
+      .select(date_trunc("month", col("ship_day")).cast("date")
+        .as("audit_day"))
+      .distinct()
+      .withColumn("pd", datediff(col("audit_day"), epoch))
+      .withColumn("bin", expr(s"pd div $binDays"))
+    li.withColumn("bin",
+        explode_outer(sequence(expr(s"sd div $binDays"),
+          expr(s"rd div $binDays"))))
+      .join(broadcast(pts), "bin")
+      .filter(col("sd") <= col("pd") && col("pd") <= col("rd"))
+      .groupBy(col("audit_day"))
+      .agg(count(lit(1)).as("n_in_transit"),
+        sum(toUnits(col("l_quantity"))).as("qty_units"))
+      .orderBy(col("audit_day"))
+  }
+
+  val q88Sql: String = s"""
+    WITH li AS (
+      SELECT l_quantity, CAST(l_shipdate AS DATE) AS ship_day,
+        CAST(l_shipdate AS DATE)
+          + CAST(l_linenumber * 5 % 28 + 1 AS INTEGER) AS rcpt_day
+      FROM lineitem),
+    pts AS (
+      SELECT DISTINCT date_trunc('month', ship_day) AS audit_day
+      FROM li)
+    SELECT audit_day, CAST(COUNT(*) AS BIGINT) AS n_in_transit,
+      CAST(SUM(${sqlUnits("l_quantity")}) AS BIGINT) AS qty_units
+    FROM li JOIN pts
+      ON ship_day <= audit_day AND audit_day <= rcpt_day
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
@@ -431,7 +491,8 @@ object ExtOps {
     "q64_profile"         -> q64Profile _,
     "q65_funnel"          -> q65Funnel _,
     "q76_window_zoo"      -> q76WindowZoo _,
-    "q77_gap_fill"        -> q77GapFill _)
+    "q77_gap_fill"        -> q77GapFill _,
+    "q88_range_join"      -> q88RangeJoin _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -443,5 +504,6 @@ object ExtOps {
     "q64_profile"         -> q64Sql,
     "q65_funnel"          -> q65Sql,
     "q76_window_zoo"      -> q76Sql,
-    "q77_gap_fill"        -> q77Sql)
+    "q77_gap_fill"        -> q77Sql,
+    "q88_range_join"      -> q88Sql)
 }

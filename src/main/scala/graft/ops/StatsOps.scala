@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -194,17 +194,88 @@ object StatsOps {
       TRUE AS union_within_5pct
     FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // ---- q85: count-min heavy hitters (mergeable frequency sketch) -------
+  // q81 is the distributed-cardinality sketch; this is its FREQUENCY
+  // twin — the one-pass heavy-hitter pass a token-frequency / n-gram
+  // audit runs at 100 TB, where an exact token groupBy is fine but a
+  // sketch is mergeable state: the d×w counter grid is built with one
+  // partial+final aggregate (map-side collapse to ≤ d·w rows per
+  // partition regardless of input size), daily/shard partials union by
+  // plain cell-wise SUM, and the grid broadcasts for estimation. Every
+  // counter and hash is integer (h60-derived buckets), so unlike q81's
+  // engine-specific HLL bytes the ESTIMATES themselves are oracle-exact:
+  // DuckDB rebuilds the identical grid from the identical md5 buckets.
+  // The exact count rides along here to pin the CMS guarantee
+  // (est ≥ exact, always) as data; at 100 TB you keep only the sketch.
+  private val CmDepth = 4   // independent hash rows
+  private val CmWidth = 256 // counters per row; overshoot ≤ e·N/w w.h.p.
+
+  def q85CountMin(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val tok = Tables.documents(s, d)
+      .select(explode_outer(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+")).as("token"))
+      .filter(col("token") =!= "")
+    def bucket(t: Column, r: Column): Column =
+      expr(s"h60(concat(${t.toString}, '|cm', cast(${r.toString} as string)))")
+        .%(lit(CmWidth))
+    val sketch = tok
+      .select(col("token"), explode_outer(
+        sequence(lit(0), lit(CmDepth - 1))).as("r"))
+      .groupBy(col("r"), bucket(col("token"), col("r")).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("r").as("sr"), col("bucket").as("sb"), col("c"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("token"), col("exact"), explode_outer(
+        sequence(lit(0), lit(CmDepth - 1))).as("r"))
+      .join(broadcast(sketch),
+        col("r") === col("sr") && bucket(col("token"), col("r")) === col("sb"))
+      .groupBy(col("token"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .select(col("token"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overshoot"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(20)
+  }
+
+  val q85Sql: String = raw"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+')) AS token
+      FROM documents),
+    tok AS (SELECT token FROM t WHERE token <> ''),
+    rs AS (SELECT unnest(range(4)) AS r),
+    sk AS (
+      SELECT r,
+        CAST('0x' || substring(md5(token || '|cm' || CAST(r AS VARCHAR)),
+          1, 15) AS BIGINT) % 256 AS bucket,
+        COUNT(*) AS c
+      FROM tok CROSS JOIN rs GROUP BY 1, 2),
+    v AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY 1),
+    est AS (
+      SELECT v.token, v.exact, MIN(sk.c) AS est
+      FROM v CROSS JOIN rs
+      JOIN sk ON sk.r = rs.r AND sk.bucket =
+        CAST('0x' || substring(md5(v.token || '|cm' ||
+          CAST(rs.r AS VARCHAR)), 1, 15) AS BIGINT) % 256
+      GROUP BY 1, 2)
+    SELECT token, est, exact, est - exact AS overshoot
+    FROM est ORDER BY est DESC, token LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
     "q58_histogram"   -> q58Histogram _,
     "q62_approx_percentile" -> q62ApproxPercentile _,
-    "q81_sketch_union" -> q81SketchUnion _)
+    "q81_sketch_union" -> q81SketchUnion _,
+    "q85_countmin_topk" -> q85CountMin _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
     "q57_correlation" -> q57Sql,
     "q58_histogram"   -> q58Sql,
     "q62_approx_percentile" -> q62Sql,
-    "q81_sketch_union" -> q81Sql)
+    "q81_sketch_union" -> q81Sql,
+    "q85_countmin_topk" -> q85Sql)
 }

@@ -131,6 +131,18 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q86: every source emits exactly its target; scarce sources upsample") {
+    val r = CurationOps.q86UpsampleMix(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_emitted") == row.getAs[Long]("n_target"),
+        s"${row.getAs[String]("source")} missed its target")
+    }
+    // with epochFactor=2 the mean source doubles; at least one source
+    // must repeat docs (max_copies > 1) — the upsample path is exercised
+    assert(r.exists(_.getAs[Long]("max_copies") > 1L))
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()

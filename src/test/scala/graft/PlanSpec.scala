@@ -28,8 +28,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q02_topk_orders").contains("TakeOrderedAndProject"))
   }
 
-  test("dimension joins broadcast (q03, q04, q07)") {
-    Seq("q03_revenue_segment", "q04_region_revenue", "q07_anti_join")
+  test("dimension joins broadcast (q03, q04, q07, q88)") {
+    // q88: the bin-blocked interval join must broadcast the audit-day
+    // side so the corpus side streams without shuffling
+    Seq("q03_revenue_segment", "q04_region_revenue", "q07_anti_join",
+      "q88_range_join")
       .foreach { q =>
         val p = plan(q)
         assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
@@ -47,8 +50,10 @@ class PlanSpec extends AnyFunSuite {
   test("nested-loop joins appear only where a broadcast-bounded cross join is intended") {
     // small side broadcast: q35 queries, q47/q61 centroids; q75's
     // single-row global-limit scalar attaches via a 1-row broadcast NLJ
+    // q75/q86: the single-row corpus-total scalar attaches via a 1-row
+    // broadcast NLJ
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q75_source_mixing", "q80_ivfpq_ann")
+      "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
