@@ -481,6 +481,54 @@ object ExtOps {
       ON ship_day <= audit_day AND audit_day <= rcpt_day
     GROUP BY 1 ORDER BY 1"""
 
+  // ---- q89: z-order clustering keys (2-D locality audit) ---------------
+  // The layout side of SinkMaintenance.writeZOrdered as an auditable
+  // query: orders map to a 12-bit (custkey, order-day) grid, the Morton
+  // key interleaves the two coordinates, and per z-range bucket the
+  // query reports both dimensions' min/max spans. The z-order locality
+  // guarantee is visible in the output: the top 6 bits of z hold 3 bits
+  // of EACH coordinate, so every one of the 64 buckets spans ≤ 512 in x
+  // AND ≤ 512 in y — a single-column sort bounds only its own column
+  // and leaves the other's span at the full 4096 domain. Pure integer
+  // shift/mask arithmetic on both engines. SinkMaintenanceSpec proves
+  // the file-level effect (two-column predicates decode fewer row
+  // groups from a z-ordered layout than a one-column-sorted one).
+  def q89ZOrderStats(s: SparkSession, d: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val grid = Tables.orders(s, d).select(
+      (col("o_custkey") % 4096).as("x"),
+      (datediff(col("o_orderdate").cast("date"), epoch) % 4096)
+        .cast("long").as("y"))
+    grid
+      .withColumn("z", SinkMaintenance.zOrderKey(col("x"), col("y"), 12))
+      .withColumn("zbucket", expr(s"z div ${1 << 18}"))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .select(col("zbucket"), col("n"),
+        col("x_min"), col("x_max"), col("y_min"), col("y_max"),
+        (col("x_max") - col("x_min")).as("x_span"),
+        (col("y_max") - col("y_min")).as("y_span"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q89Sql: String = s"""
+    WITH b AS (
+      SELECT CAST(o_custkey % 4096 AS BIGINT) AS x,
+        CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 4096
+          AS BIGINT) AS y
+      FROM orders),
+    z AS (
+      SELECT x, y, CAST(list_sum(list_transform(range(0, 12), i ->
+        (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+        AS BIGINT) AS z
+      FROM b)
+    SELECT z // ${1 << 18} AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max,
+      MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+    FROM z GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
@@ -492,7 +540,8 @@ object ExtOps {
     "q65_funnel"          -> q65Funnel _,
     "q76_window_zoo"      -> q76WindowZoo _,
     "q77_gap_fill"        -> q77GapFill _,
-    "q88_range_join"      -> q88RangeJoin _)
+    "q88_range_join"      -> q88RangeJoin _,
+    "q89_zorder_stats"    -> q89ZOrderStats _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -505,5 +554,6 @@ object ExtOps {
     "q65_funnel"          -> q65Sql,
     "q76_window_zoo"      -> q76Sql,
     "q77_gap_fill"        -> q77Sql,
-    "q88_range_join"      -> q88Sql)
+    "q88_range_join"      -> q88Sql,
+    "q89_zorder_stats"    -> q89Sql)
 }

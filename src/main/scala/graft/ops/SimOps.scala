@@ -791,6 +791,85 @@ object SimOps {
       FROM adc) WHERE rk <= $PqTopK
     ORDER BY query_id, rk"""
 
+  // ---- q87: sparse lexical cosine via inverted-index join --------------
+  // The SPARSE-vector twin of q37's dense-embedding near-dup pass:
+  // documents as integer term-frequency vectors, cosine over the terms
+  // with document frequency ≤ MaxDf. The pairing never materializes
+  // doc×doc: the inverted index (one posting list per term) equi-joins
+  // with itself per token, each posting contributes tf_a·tf_b, and a
+  // groupBy(id1, id2) sums the exact integer dot. df-pruning is the
+  // contract AND the scale bound — candidate volume is Σ_t df(t)² ≤
+  // MaxDf·Σ df, linear in corpus size, and stopword posting lists (the
+  // n² risk: a term in every doc pairs everything with everything)
+  // never enter the join. This "informative-terms cosine" semantic is
+  // mirrored exactly in the oracle. Norms are computed over the SAME
+  // pruned vectors, so cosine stays a true cosine in the pruned space;
+  // dot and norms are exact BIGINTs, the final cosine one IEEE
+  // divide-by-sqrt over identical integers on both engines.
+  private val MaxDf = 64
+
+  def q87SparseCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val rare = tf.join(
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf)
+        .select(col("token")),
+      "token")
+      .persist() // posting join + norms share it; caller clearCache
+    val norms = rare.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("nq"))
+    val dots = rare.select(col("token"), col("doc_id").as("id1"),
+        col("tf").as("tf1"))
+      .join(rare.select(col("token"), col("doc_id").as("id2"),
+        col("tf").as("tf2")), "token")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("tf1") * col("tf2")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("id1"), col("nq").as("nq1")), "id1")
+      .join(norms.select(col("doc_id").as("id2"), col("nq").as("nq2")), "id2")
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt((col("nq1") * col("nq2"))
+          .cast("double")))
+      .filter(col("cosine") >= 0.5)
+      .select(col("id1"), col("id2"), col("dot"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q87Sql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t WHERE token <> '' GROUP BY 1, 2),
+    rare AS (
+      SELECT tf.* FROM tf JOIN (
+        SELECT token FROM tf GROUP BY token HAVING COUNT(*) <= $MaxDf) r
+        USING (token)),
+    norms AS (
+      SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nq
+      FROM rare GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM rare a JOIN rare b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id1, id2, dot,
+      CAST(dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.nq AS DOUBLE)) AS cosine
+    FROM dots
+    JOIN norms n1 ON n1.doc_id = id1
+    JOIN norms n2 ON n2.doc_id = id2
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.nq AS DOUBLE)) >= 0.5
+    ORDER BY id1, id2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -800,7 +879,8 @@ object SimOps {
     "q61_kmeans_cells"    -> q61KmeansCells _,
     "q68_multiprobe_ann"  -> q68MultiprobeAnn _,
     "q79_pq_adc"          -> q79ProductQuantization _,
-    "q80_ivfpq_ann"       -> q80IvfPq _)
+    "q80_ivfpq_ann"       -> q80IvfPq _,
+    "q87_sparse_cosine"   -> q87SparseCosine _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -811,5 +891,6 @@ object SimOps {
     "q61_kmeans_cells"    -> q61Sql,
     "q68_multiprobe_ann"  -> q68Sql,
     "q79_pq_adc"          -> q79Sql,
-    "q80_ivfpq_ann"       -> q80Sql)
+    "q80_ivfpq_ann"       -> q80Sql,
+    "q87_sparse_cosine"   -> q87Sql)
 }

@@ -63,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH pair queries are equi-joins (hash or sort-merge), never theta") {
     Seq("q31_minhash_pairs", "q33_simhash_pairs", "q34_ngram_jaccard",
-      "q36_ann_lsh", "q37_cosine_neardup", "q78_fuzzy_match").foreach { q =>
+      "q36_ann_lsh", "q37_cosine_neardup", "q78_fuzzy_match",
+      "q87_sparse_cosine").foreach { q =>
       val p = plan(q)
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q is not an equi-join:\n$p")

@@ -122,4 +122,43 @@ class SinkMaintenanceSpec extends AnyFunSuite {
       .count() == spark.read.parquet(unsorted)
       .filter(col("l_orderkey") < cut).count())
   }
+
+  test("z-ordered layout prunes two-column predicates better than one-column sort") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.{datediff, lit, min => fmin, to_date}
+    val o0 = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1970-01-01"))).cast("long").as("day"),
+        col("o_totalprice"))
+    // normalize the day axis to 0.. so it fits the 12-bit z grid
+    val day0 = o0.agg(fmin(col("day"))).head().getLong(0)
+    val o = o0.withColumn("y", col("day") - day0).drop("day")
+    val zDir = Files.createTempDirectory("z-sink").toString + "/o"
+    val xDir = Files.createTempDirectory("x-sink").toString + "/o"
+    ops.SinkMaintenance.writeZOrdered(o, "x", "y", zDir,
+      rowGroupBytes = 32L * 1024)
+    ops.SinkMaintenance.writeSorted(o, Seq("x"), xDir,
+      rowGroupBytes = 32L * 1024)
+    // predicate selective on BOTH dimensions: half the custkey range,
+    // a tenth of the day range
+    def scanned(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("x") < 750L && col("y") < 250L)
+      df.queryExecution.executedPlan.execute().count()
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.getOrElse(sys.error("no FileSourceScanExec in plan"))
+    }
+    val (zScan, xScan) = (scanned(zDir), scanned(xDir))
+    val total = o.count()
+    // the x-sorted layout can only prune the x half; z bounds BOTH axes
+    assert(zScan < xScan,
+      s"z-ordered ($zScan) not better than x-sorted ($xScan) of $total")
+    assert(zScan < total / 4, s"z-ordered scan decoded $zScan of $total")
+    // layouts agree on the answer
+    assert(spark.read.parquet(zDir).filter(col("x") < 750L && col("y") < 250L)
+      .count() == spark.read.parquet(xDir)
+      .filter(col("x") < 750L && col("y") < 250L).count())
+  }
 }
