@@ -101,6 +101,27 @@ class DedupOpsSpec extends AnyFunSuite {
       s"lineage not cut: $planDepth joins in the final plan")
   }
 
+  test("star CC matches label propagation and converges in O(log d) rounds") {
+    import spark.implicits._
+    // a diameter-80 chain: label propagation needs ~80 rounds; the
+    // alternating large-star/small-star halves height per round, so
+    // maxIter=10 both PINS the O(log d) bound and would fail loudly on
+    // a regression to linear convergence
+    val chain = (0L until 80L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val star = DedupOps.connectedComponentsStar(chain, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == (0L to 80L).map(_ -> 0L).toMap)
+    // equivalence with min-label propagation on a mixed-shape graph
+    val edges = Seq((2L, 3L), (1L, 2L), (7L, 8L), (11L, 10L), (11L, 12L),
+      (12L, 13L), (20L, 21L), (22L, 21L), (23L, 22L), (23L, 20L))
+      .toDF("id1", "id2")
+    val a = DedupOps.connectedComponentsStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = DedupOps.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("incremental dedup accepts only novel content across firings") {
     import spark.implicits._
     val store = java.nio.file.Files

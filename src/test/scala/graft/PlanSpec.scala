@@ -138,6 +138,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at 100 TB a fact⋈selective-dim join that is too big to broadcast
+    // still should not shuffle the whole fact side: Catalyst's runtime
+    // bloom filter (injected from the dim side's filtered keys) drops
+    // non-matching fact rows BEFORE the exchange. The production-default
+    // thresholds (10 GB application side) are right for real scale and
+    // unreachable in a test corpus, so the test lowers them to prove the
+    // rewrite fires for this engine's join shapes.
+    import org.apache.spark.sql.functions.{col, sum}
+    val c = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB")
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("q70's scrub is scan-projected per-row work (no shuffle before sort)") {
     val p = plan("q70_pii_redaction")
     // exactly one exchange: the final rangepartitioning for ORDER BY
