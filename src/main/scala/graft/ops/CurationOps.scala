@@ -395,6 +395,56 @@ object CurationOps {
       CAST((start + n_tok - 1) // $chunkTokens AS BIGINT))) AS u(c)
     ORDER BY chunk_id, doc_id"""
 
+  // ---- q93: sliding-window pack spans (overlapping chunks) -------------
+  // q83's chunks tile the token stream disjointly; context-window
+  // training often wants OVERLAPPING windows instead — window W = 512,
+  // stride S = 256, so every token (except the first/last S) appears in
+  // exactly W/S = 2 windows and no boundary token loses its left
+  // context. Window w covers token interval [w·S, w·S + W); a doc
+  // emits one span per window it intersects — fan-out 2 + tokens/S,
+  // linear in corpus tokens. Same three-level prefix sum for `start`;
+  // the first-window formula guards the start < W case explicitly
+  // because Spark's integer div truncates toward zero while DuckDB's
+  // // floors — they disagree on negative operands, so the arithmetic
+  // never goes negative on either engine.
+  private val slideW = 512
+  private val slideS = 256
+
+  def q93SlidingSpans(s: SparkSession, d: String): DataFrame = {
+    val (w0, st) = (slideW, slideS)
+    assignChunks(Tables.documents(s, d)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok")))
+      .withColumn("w", explode_outer(sequence(
+        expr(s"CASE WHEN start < $w0 THEN CAST(0 AS BIGINT)" +
+          s" ELSE (start - $w0) div $st + 1 END"),
+        expr(s"(start + n_tok - 1) div $st"))))
+      .select(col("w").as("window_id"), col("doc_id"),
+        greatest(col("w") * st - col("start"), lit(0L)).as("doc_offset"),
+        (least(col("w") * st + w0, col("start") + col("n_tok"))
+          - greatest(col("w") * st, col("start"))).as("span_len"))
+      .orderBy(col("window_id"), col("doc_id"))
+  }
+
+  val q93Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM toks)
+    SELECT w AS window_id, doc_id,
+      CAST(GREATEST(w * $slideS - start, 0) AS BIGINT) AS doc_offset,
+      CAST(LEAST(w * $slideS + $slideW, start + n_tok)
+        - GREATEST(w * $slideS, start) AS BIGINT) AS span_len
+    FROM pos, unnest(generate_series(
+      CAST(CASE WHEN start < $slideW THEN 0
+        ELSE (start - $slideW) // $slideS + 1 END AS BIGINT),
+      CAST((start + n_tok - 1) // $slideS AS BIGINT))) AS u(w)
+    ORDER BY window_id, doc_id"""
+
   // ---- q75: source-mixture resampling ----------------------------------
   // Rebalance the corpus toward target per-source weights (the "data
   // mixture" step before training): the limiting source caps the total,
@@ -540,7 +590,8 @@ object CurationOps {
     "q74_seq_packing"   -> q74SeqPacking _,
     "q75_source_mixing" -> q75SourceMixing _,
     "q83_pack_spans"    -> q83PackSpans _,
-    "q86_upsample_mix"  -> q86UpsampleMix _)
+    "q86_upsample_mix"  -> q86UpsampleMix _,
+    "q93_sliding_spans" -> q93SlidingSpans _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -550,5 +601,6 @@ object CurationOps {
     "q74_seq_packing"   -> q74Sql,
     "q75_source_mixing" -> q75Sql,
     "q83_pack_spans"    -> q83Sql,
-    "q86_upsample_mix"  -> q86Sql)
+    "q86_upsample_mix"  -> q86Sql,
+    "q93_sliding_spans" -> q93Sql)
 }

@@ -183,6 +183,41 @@ object SqlOps {
 
   val q55Sql: String = q55Text
 
+  // ---- q91: deterministic train/val/test split -------------------------
+  // The dataset-versioning primitive every training run needs: a 90/5/5
+  // split that is a pure function of the doc_id (salted h60 gate, the
+  // q53/q54 membership machinery) — stable across reruns, partitions,
+  // and cluster sizes, with no shuffle beyond the output aggregate; a
+  // doc can never migrate between splits when the corpus grows (its
+  // gate value never changes). Per (source, split) counts + id checksum
+  // pin the exact membership, not just the sizes.
+  def q91Split(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    Tables.documents(s, d)
+      .withColumn("g",
+        expr("h60(concat('split:', cast(doc_id as string))) % 100"))
+      .withColumn("split",
+        expr("CASE WHEN g < 90 THEN 'train' WHEN g < 95 THEN 'val'" +
+          " ELSE 'test' END"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q91Sql: String = """
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM (
+      SELECT source, doc_id,
+        CASE WHEN g < 90 THEN 'train' WHEN g < 95 THEN 'val'
+          ELSE 'test' END AS split
+      FROM (
+        SELECT source, doc_id,
+          CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+            1, 15) AS BIGINT) % 100 AS g
+        FROM documents))
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_scalar_subquery" -> q48ScalarSubquery _,
     "q49_set_all"         -> q49SetAll _,
@@ -191,7 +226,8 @@ object SqlOps {
     "q52_unpivot"         -> q52Unpivot _,
     "q53_sample"          -> q53Sample _,
     "q54_stratified_sample" -> q54StratifiedSample _,
-    "q55_null_semantics"  -> q55NullSemantics _)
+    "q55_null_semantics"  -> q55NullSemantics _,
+    "q91_split"           -> q91Split _)
 
   val oracles: Map[String, String] = Map(
     "q48_scalar_subquery" -> q48Sql,
@@ -201,5 +237,6 @@ object SqlOps {
     "q52_unpivot"         -> q52Sql,
     "q53_sample"          -> q53Sql,
     "q54_stratified_sample" -> q54Sql,
-    "q55_null_semantics"  -> q55Sql)
+    "q55_null_semantics"  -> q55Sql,
+    "q91_split"           -> q91Sql)
 }

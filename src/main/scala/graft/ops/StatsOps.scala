@@ -263,13 +263,56 @@ object StatsOps {
     SELECT token, est, exact, est - exact AS overshoot
     FROM est ORDER BY est DESC, token LIMIT 20"""
 
+  // ---- q92: equi-depth quantile binning (featurization) ----------------
+  // The discretization pass feature pipelines run before bucketized
+  // models / monotonic binning: quartile cut points from ONE exact
+  // percentile aggregate (integer cents in, interpolated doubles out —
+  // the q56-proven cross-engine-exact path), broadcast to every row as
+  // a 1-row cross join, binned by plain comparisons. No per-row window,
+  // no ntile (which would sort the corpus through a global window);
+  // the scan streams against broadcast cuts. At 100 TB swap the exact
+  // percentile for approx_percentile (q62's bounded-state contract)
+  // and the binning side stays identical.
+  def q92QuantileBins(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(toUnits(col("l_extendedprice")).as("pu"))
+    val cuts = li
+      .agg(expr("percentile(pu, array(0.25D, 0.5D, 0.75D))").as("cs"))
+      .select(element_at(col("cs"), 1).as("c1"),
+        element_at(col("cs"), 2).as("c2"),
+        element_at(col("cs"), 3).as("c3"))
+    li.crossJoin(broadcast(cuts))
+      .withColumn("bin", expr(
+        "CASE WHEN pu <= c1 THEN 0 WHEN pu <= c2 THEN 1" +
+          " WHEN pu <= c3 THEN 2 ELSE 3 END").cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pu")).as("min_units"), max(col("pu")).as("max_units"),
+        sum(col("pu")).as("sum_units"))
+      .orderBy(col("bin"))
+  }
+
+  val q92Sql: String = s"""
+    WITH u AS (
+      SELECT ${sqlUnits("l_extendedprice")} AS pu FROM lineitem),
+    cuts AS (
+      SELECT quantile_cont(pu, [0.25, 0.5, 0.75]) AS cs FROM u)
+    SELECT CAST(CASE WHEN pu <= cs[1] THEN 0 WHEN pu <= cs[2] THEN 1
+        WHEN pu <= cs[3] THEN 2 ELSE 3 END AS BIGINT) AS bin,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(pu) AS min_units, MAX(pu) AS max_units,
+      CAST(SUM(pu) AS BIGINT) AS sum_units
+    FROM u CROSS JOIN cuts
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
     "q58_histogram"   -> q58Histogram _,
     "q62_approx_percentile" -> q62ApproxPercentile _,
     "q81_sketch_union" -> q81SketchUnion _,
-    "q85_countmin_topk" -> q85CountMin _)
+    "q85_countmin_topk" -> q85CountMin _,
+    "q92_quantile_bins" -> q92QuantileBins _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -277,5 +320,6 @@ object StatsOps {
     "q58_histogram"   -> q58Sql,
     "q62_approx_percentile" -> q62Sql,
     "q81_sketch_union" -> q81Sql,
-    "q85_countmin_topk" -> q85Sql)
+    "q85_countmin_topk" -> q85Sql,
+    "q92_quantile_bins" -> q92Sql)
 }

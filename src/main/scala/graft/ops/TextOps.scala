@@ -345,6 +345,107 @@ object TextOps {
     SELECT typo, orig, match_tok, dist FROM best WHERE rk = 1
     ORDER BY typo, orig"""
 
+  // ---- q90: BM25-family retrieval scoring (inverted-index, rational idf)
+  // The relevance-ranking pass a retrieval-augmented pipeline runs over
+  // the corpus: literal query term sets → per-doc BM25 scores → top-10
+  // docs per query. Shape: the tf table SEMI-joins to the (broadcast)
+  // query terms, so only the query terms' posting lists are scored —
+  // never the whole vocabulary — and the ranking window covers only docs
+  // with ≥1 matching term. Parity: the idf is the RATIONAL N/df variant
+  // (q73's choice — ln's last-bit rounding differs across engines, so
+  // log-idf cannot exact-match); every per-term score is one double
+  // expression evaluated from exact integers through an IDENTICAL parse
+  // tree on both engines (the SQL text is shared verbatim), quantized to
+  // 1e6 units, and summed as BIGINT — order-independent.
+  private val Bm25K1 = "1.2"
+  private val Bm25B  = "0.75"
+  private val bm25Queries = Seq(
+    0L -> Seq("hash", "join"),
+    1L -> Seq("dup", "vector"),
+    2L -> Seq("stream", "window", "the"))
+
+  /** One BM25 term contribution as SQL text, over columns
+    * (tf, df, dl, n_docs, avgdl) — shared Spark/DuckDB so the IEEE op
+    * tree is identical. */
+  private val bm25TermSql: String =
+    s"(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))" +
+      s" * ((CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))" +
+      s" / (CAST(tf AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B)" +
+      s" + $Bm25B * (CAST(dl AS DOUBLE) / avgdl))))"
+  private val bm25UnitsSql: String =
+    s"CAST(FLOOR($bm25TermSql * 1e6 + 0.5) AS BIGINT)"
+
+  def q90Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qt = bm25Queries
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(qt.select(col("term").as("token")).distinct()), "token")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfN = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
+      .withColumn("avgdl",
+        col("n_tok").cast("double") / col("n_docs").cast("double"))
+      .select(col("n_docs"), col("avgdl"))
+    val scored = tf
+      .join(broadcast(dfN), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), qt("term") === col("token"))
+      .select(col("query_id"), col("doc_id"), expr(bm25UnitsSql).as("tu"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tu")).as("score_units"))
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("score_units").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_units"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q90Sql: String = {
+    val qvals = bm25Queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(",")
+    raw"""
+    WITH qt(query_id, term) AS (VALUES $qvals),
+    tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t WHERE token IN (SELECT DISTINCT term FROM qt)
+      GROUP BY 1, 2),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+    dfn AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+        CAST(SUM($bm25UnitsSql) AS BIGINT) AS score_units
+      FROM tf
+      JOIN dfn USING (token)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      JOIN qt ON qt.term = tf.token
+      GROUP BY 1, 2)
+    SELECT query_id, rank, doc_id, score_units FROM (
+      SELECT query_id, doc_id, score_units,
+        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score_units DESC, doc_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -352,7 +453,8 @@ object TextOps {
     "q28_fingerprint"  -> q28Fingerprint _,
     "q67_repetition"   -> q67Repetition _,
     "q69_vocab"        -> q69Vocab _,
-    "q78_fuzzy_match"  -> q78FuzzyMatch _)
+    "q78_fuzzy_match"  -> q78FuzzyMatch _,
+    "q90_bm25"         -> q90Bm25 _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -361,5 +463,6 @@ object TextOps {
     "q28_fingerprint"  -> q28Sql,
     "q67_repetition"   -> q67Sql,
     "q69_vocab"        -> q69Sql,
-    "q78_fuzzy_match"  -> q78Sql)
+    "q78_fuzzy_match"  -> q78Sql,
+    "q90_bm25"         -> q90Sql)
 }

@@ -143,6 +143,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.exists(_.getAs[Long]("max_copies") > 1L))
   }
 
+  test("q93: every full sliding window carries exactly W span tokens; coverage is W/S-fold") {
+    val spans = CurationOps.q93SlidingSpans(spark, sf)
+    val perWin = spans.groupBy(col("window_id"))
+      .agg(sum(col("span_len")).as("tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lastW = perWin.keys.max
+    // windows fully inside the token stream carry exactly 512 tokens
+    // (the last ~W/S windows taper); stride-256 overlap means total
+    // span tokens ≈ 2× corpus tokens
+    perWin.filter(_._1 < lastW - 1).values
+      .foreach(t => assert(t == 512L, s"full window carried $t tokens"))
+    val totalTok = Tables.documents(spark, sf)
+      .select(size(filter(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+"), x => x =!= "")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val totalSpan = perWin.values.sum
+    // every token is in 2 windows except the first/last stride's worth
+    assert(totalSpan >= 2 * totalTok - 2 * 512 && totalSpan <= 2 * totalTok,
+      s"coverage $totalSpan vs 2×$totalTok")
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()

@@ -50,10 +50,11 @@ class PlanSpec extends AnyFunSuite {
   test("nested-loop joins appear only where a broadcast-bounded cross join is intended") {
     // small side broadcast: q35 queries, q47/q61 centroids; q75's
     // single-row global-limit scalar attaches via a 1-row broadcast NLJ
-    // q75/q86: the single-row corpus-total scalar attaches via a 1-row
-    // broadcast NLJ
+    // q75/q86/q90/q92: a single-row scalar (corpus total / avgdl /
+    // quantile cuts) attaches via a 1-row broadcast NLJ
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix")
+      "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
+      "q90_bm25", "q92_quantile_bins")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
