@@ -179,11 +179,114 @@ object Ingest {
       ${Fx.sqlMoneySumWide("value")} AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q95: ingest expectations (data-quality validation pass) ---------
+  // The contract check every ingest runs before publishing a batch
+  // (range bounds, enum membership, date sanity): ALL rules evaluate in
+  // ONE scan-aggregate per table — a conditional-sum per rule, no
+  // shuffle beyond the two final rows per table unioned and unpivoted
+  // into a per-rule report. A violating-row id checksum rides along so
+  // the report pins WHICH rows fail, not just how many. Thresholds are
+  // chosen to exercise both zero- and nonzero-violation paths — a
+  // validator that can only report zero proves nothing.
+  def q95Expectations(s: SparkSession, d: String): DataFrame = {
+    def rule(name: String, bad: Column, id: Column) = struct(
+      lit(name).as("rule"),
+      sum(when(bad, 1L).otherwise(0L)).as("n_violations"),
+      sum(when(bad, id).otherwise(0L)).as("violation_id_sum"))
+    val li = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_checked"), array(
+        rule("li_quantity_in_1_50",
+          col("l_quantity") < 1.0 || col("l_quantity") > 50.0,
+          col("l_orderkey")),
+        rule("li_quantity_le_45", col("l_quantity") > 45.0,
+          col("l_orderkey")),
+        rule("li_discount_in_0_0.1",
+          col("l_discount") < 0.0 || col("l_discount") > 0.1,
+          col("l_orderkey")),
+        rule("li_price_positive", col("l_extendedprice") <= 0.0,
+          col("l_orderkey")),
+        rule("li_shipdate_in_range",
+          col("l_shipdate").cast("date") < to_date(lit("1992-01-01")) ||
+            col("l_shipdate").cast("date") > to_date(lit("1998-12-31")),
+          col("l_orderkey"))).as("rules"))
+      .select(lit("lineitem").as("tbl"), col("n_checked"),
+        explode(col("rules")).as("r"))
+    val o = Tables.orders(s, d)
+      .agg(count(lit(1)).as("n_checked"), array(
+        rule("o_status_enum",
+          !col("o_orderstatus").isin("F", "O", "P"), col("o_orderkey")),
+        rule("o_price_le_500k", col("o_totalprice") > 500000.0,
+          col("o_orderkey"))).as("rules"))
+      .select(lit("orders").as("tbl"), col("n_checked"),
+        explode(col("rules")).as("r"))
+    li.union(o)
+      .select(col("tbl"), col("r.rule").as("rule"), col("n_checked"),
+        col("r.n_violations").as("n_violations"),
+        col("r.violation_id_sum").as("violation_id_sum"))
+      .orderBy(col("tbl"), col("rule"))
+  }
+
+  val q95Sql: String = """
+    WITH li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+          THEN l_orderkey ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN l_quantity > 45.0 THEN l_orderkey ELSE 0 END)
+          AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+          THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        CAST(SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+          THEN l_orderkey ELSE 0 END) AS BIGINT) AS s3,
+        CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS v4,
+        CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN l_orderkey
+          ELSE 0 END) AS BIGINT) AS s4,
+        CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+          OR CAST(l_shipdate AS DATE) > DATE '1998-12-31'
+          THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1992-01-01'
+          OR CAST(l_shipdate AS DATE) > DATE '1998-12-31'
+          THEN l_orderkey ELSE 0 END) AS BIGINT) AS s5
+      FROM lineitem),
+    o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+          THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+          THEN o_orderkey ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN o_totalprice > 500000.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN o_totalprice > 500000.0 THEN o_orderkey
+          ELSE 0 END) AS BIGINT) AS s2
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'lineitem' AS tbl, 'li_quantity_in_1_50' AS rule,
+        n_checked, v1 AS n_violations, s1 AS violation_id_sum FROM li
+      UNION ALL
+      SELECT 'lineitem', 'li_quantity_le_45', n_checked, v2, s2 FROM li
+      UNION ALL
+      SELECT 'lineitem', 'li_discount_in_0_0.1', n_checked, v3, s3 FROM li
+      UNION ALL
+      SELECT 'lineitem', 'li_price_positive', n_checked, v4, s4 FROM li
+      UNION ALL
+      SELECT 'lineitem', 'li_shipdate_in_range', n_checked, v5, s5 FROM li
+      UNION ALL
+      SELECT 'orders', 'o_status_enum', n_checked, v1, s1 FROM o
+      UNION ALL
+      SELECT 'orders', 'o_price_le_500k', n_checked, v2, s2 FROM o)
+    ORDER BY tbl, rule"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_first" -> q21DedupFirst _,
-    "q59_json_scan"   -> q59JsonScan _)
+    "q59_json_scan"   -> q59JsonScan _,
+    "q95_expectations" -> q95Expectations _)
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_first" -> q21Sql,
-    "q59_json_scan"   -> q59Sql)
+    "q59_json_scan"   -> q59Sql,
+    "q95_expectations" -> q95Sql)
 }

@@ -305,6 +305,53 @@ object StatsOps {
     FROM u CROSS JOIN cuts
     GROUP BY 1 ORDER BY 1"""
 
+  // ---- q94: IQR outlier detection (per-group Tukey fences) -------------
+  // The anomaly gate a measure column gets before aggregation: per
+  // return flag, quartiles from one exact percentile aggregate (integer
+  // cents in — the q56 path), Tukey fences lo/hi = Q1∓1.5·IQR (1.5 is
+  // exact in binary, the fence arithmetic is the same IEEE op tree on
+  // both engines), then a broadcast join back on the group key flags
+  // rows outside the fences. Two passes over the measure, no window, no
+  // per-row state; the fence table is G rows and broadcasts. At 100 TB
+  // the quartile pass swaps to approx_percentile exactly as q92 notes.
+  def q94IqrOutliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
+    val fences = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(pu, array(0.25D, 0.75D))").as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    li.join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pu") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("pu") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("pu") < col("lo") || col("pu") > col("hi"), col("pu"))
+          .otherwise(0L)).as("outlier_units_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q94Sql: String = s"""
+    WITH u AS (
+      SELECT l_returnflag, ${sqlUnits("l_extendedprice")} AS pu
+      FROM lineitem),
+    f AS (
+      SELECT l_returnflag,
+        qs[1] - (qs[2] - qs[1]) * 1.5 AS lo,
+        qs[2] + (qs[2] - qs[1]) * 1.5 AS hi
+      FROM (SELECT l_returnflag,
+              quantile_cont(pu, [0.25, 0.75]) AS qs
+            FROM u GROUP BY 1))
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CASE WHEN pu < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      CAST(SUM(CASE WHEN pu > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      CAST(SUM(CASE WHEN pu < lo OR pu > hi THEN pu ELSE 0 END)
+        AS BIGINT) AS outlier_units_sum
+    FROM u JOIN f USING (l_returnflag)
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -312,7 +359,8 @@ object StatsOps {
     "q62_approx_percentile" -> q62ApproxPercentile _,
     "q81_sketch_union" -> q81SketchUnion _,
     "q85_countmin_topk" -> q85CountMin _,
-    "q92_quantile_bins" -> q92QuantileBins _)
+    "q92_quantile_bins" -> q92QuantileBins _,
+    "q94_iqr_outliers"  -> q94IqrOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -321,5 +369,6 @@ object StatsOps {
     "q62_approx_percentile" -> q62Sql,
     "q81_sketch_union" -> q81Sql,
     "q85_countmin_topk" -> q85Sql,
-    "q92_quantile_bins" -> q92Sql)
+    "q92_quantile_bins" -> q92Sql,
+    "q94_iqr_outliers"  -> q94Sql)
 }
