@@ -280,13 +280,45 @@ object Ingest {
       SELECT 'orders', 'o_price_le_500k', n_checked, v2, s2 FROM o)
     ORDER BY tbl, rule"""
 
+  // ---- q96: ORC round trip (columnar sink/source beyond parquet) -------
+  // The S7 surface generalized: the engine can land and re-read its
+  // results in ORC (Spark's second native columnar format — same
+  // predicate pushdown / column pruning / vectorized reader path as
+  // parquet). DuckDB cannot read ORC, so the oracle proves the round
+  // trip LOSSLESS instead: the query aggregates the re-read ORC data
+  // and must hash-match the same aggregate DuckDB computes from the
+  // original parquet — any drift through the ORC writer/reader
+  // (type mapping, nulls, ordering) breaks the compare.
+  def q96OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val orcDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-orders-orc-" +
+        java.lang.Long.toHexString(DedupOps.h60("orc:" + d))).getPath
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").orc(orcDir)
+    s.read.orc(orcDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Fx.moneySum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q96Sql: String = s"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+      ${Fx.sqlMoneySum("o_totalprice")} AS sum_price,
+      CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
-    "q95_expectations" -> q95Expectations _)
+    "q95_expectations" -> q95Expectations _,
+    "q96_orc_roundtrip" -> q96OrcRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
-    "q95_expectations" -> q95Sql)
+    "q95_expectations" -> q95Sql,
+    "q96_orc_roundtrip" -> q96Sql)
 }

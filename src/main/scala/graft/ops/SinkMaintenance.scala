@@ -97,6 +97,59 @@ object SinkMaintenance {
     }.reduce(_ + _)
   }
 
+  /** Keyed deletion from a partitioned parquet sink — the takedown /
+    * right-to-be-forgotten primitive a training-data pipeline must
+    * support (removal lists, licensing revocations, opt-outs).
+    *
+    * Shape: one column-pruned scan of (key, partition) finds which
+    * partitions actually contain victims (a key-based delete cannot
+    * partition-prune a priori — without a key index every partition's
+    * key column must be READ, but only the key column, and only
+    * affected partitions are REWRITTEN); those partitions re-read in
+    * full, anti-join the key list, and publish through the same
+    * crash-safe rename swap as compaction/ingest ([[PartitionSwap]]) —
+    * untouched partitions stay byte-identical, a rerun with the same
+    * keys is a no-op, and a crash mid-publish heals on the next call.
+    * The key list rides a broadcast (takedown lists are small); cost is
+    * O(one narrow scan + affected partitions), not O(history rewrite).
+    *
+    * Returns the partition values that were rewritten. */
+  def deleteKeyed(spark: org.apache.spark.sql.SparkSession,
+                  sinkPath: String, keyCol: String,
+                  keys: org.apache.spark.sql.DataFrame,
+                  partitionCol: String): Seq[Any] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sink = new Path(sinkPath)
+    val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionSwap.recover(fs, sink)
+    val k = keys.select(col(keyCol)).distinct()
+    val affected = spark.read.parquet(sinkPath)
+      .select(col(keyCol), col(partitionCol))
+      .join(broadcast(k), keyCol)
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).filter(_ != null).toSeq
+    if (affected.nonEmpty) {
+      val kept = spark.read.parquet(sinkPath)
+        .filter(col(partitionCol).isin(affected: _*))
+        .join(broadcast(k), Seq(keyCol), "left_anti")
+      val staging = new Path(sinkPath + "__staging")
+      fs.delete(staging, true)
+      kept.write.mode("overwrite")
+        .partitionBy(partitionCol).parquet(staging.toString)
+      // a partition whose every row was deleted produces no staging dir;
+      // its live dir must still go away or victims survive
+      val published = PartitionSwap
+        .publish(fs, staging, sink, partitionCol).toSet
+      affected.foreach { v =>
+        val name = s"$partitionCol=$v"
+        if (!published.contains(name))
+          fs.delete(new Path(sink, name), true)
+      }
+    }
+    affected
+  }
+
   /** Sort-on-write clustered by the z-order of two filter columns —
     * the multi-column locality upgrade of [[writeSorted]] (the same
     * posture as a lakehouse OPTIMIZE ZORDER BY (x, y)). */

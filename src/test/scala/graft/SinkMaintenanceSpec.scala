@@ -123,6 +123,39 @@ class SinkMaintenanceSpec extends AnyFunSuite {
       .filter(col("l_orderkey") < cut).count())
   }
 
+  test("deleteKeyed removes victims, leaves other partitions byte-identical, reruns no-op") {
+    import spark.implicits._
+    val sink = Files.createTempDirectory("del-sink").toString + "/docs"
+    // 3 date partitions; d=2000-01-03 will be fully emptied
+    val rows = Seq(
+      (1L, "2000-01-01", "a"), (2L, "2000-01-01", "b"),
+      (3L, "2000-01-02", "c"), (4L, "2000-01-02", "d"),
+      (5L, "2000-01-03", "e"))
+      .toDF("doc_id", "date", "payload")
+    rows.write.partitionBy("date").parquet(sink)
+    val before = snapshot(JPath.of(sink, "date=2000-01-02"))
+    // delete doc 1 (partial partition) and doc 5 (entire partition);
+    // doc 99 matches nothing
+    val victims = Seq(1L, 5L, 99L).toDF("doc_id")
+    // partition discovery infers date-shaped values as DATE — compare
+    // their string forms
+    val affected = ops.SinkMaintenance
+      .deleteKeyed(spark, sink, "doc_id", victims, "date")
+      .map(_.toString).toSet
+    assert(affected == Set("2000-01-01", "2000-01-03"))
+    val left = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().sorted
+    assert(left.sameElements(Array(2L, 3L, 4L)))
+    // fully-emptied partition dir is gone (victims must not survive)
+    assert(!Files.exists(JPath.of(sink, "date=2000-01-03")))
+    // untouched partition not rewritten
+    assert(snapshot(JPath.of(sink, "date=2000-01-02")) == before)
+    // idempotent rerun: nothing affected, data unchanged
+    assert(ops.SinkMaintenance
+      .deleteKeyed(spark, sink, "doc_id", victims, "date").isEmpty)
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
   test("z-ordered layout prunes two-column predicates better than one-column sort") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.functions.{datediff, lit, min => fmin, to_date}
