@@ -152,11 +152,56 @@ object Multimodal {
     WHERE doc_id % 2 = 1 AND text IS NOT NULL AND length(text) > 0
     ORDER BY asset_id"""
 
+  // ---- q97: binary format sniffing (REAL byte-level work, no codec) ----
+  // Unlike the stubbed decode, format sniffing needs no media library —
+  // it IS the real operation: payloads get genuine magic headers (PNG /
+  // RIFF) prepended via unhex, and the sniffer dispatches on the first
+  // four bytes, exactly what an ingest router does before handing a
+  // blob to the right decoder. Pure per-row binary work at the scan
+  // (hex + prefix compare, codegen'd), one aggregate, no shuffle
+  // beyond it. DuckDB 1.0 cannot slice BLOBs, so both engines sniff
+  // via substring(hex(payload), 1, 8) — the identical expression.
+  def q97BinarySniff(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        concat(
+          unhex(when(col("doc_id") % 2 === 0, "89504E47")
+            .otherwise("52494646")),
+          encode(col("text"), "UTF-8")).as("payload"))
+      .withColumn("sniffed", expr(
+        "CASE substring(hex(payload), 1, 8) WHEN '89504E47' THEN 'png'" +
+          " WHEN '52494646' THEN 'riff' ELSE 'unknown' END"))
+      .groupBy(col("kind"), col("sniffed"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"),
+        min(length(col("payload")).cast("long")).as("min_bytes"),
+        max(length(col("payload")).cast("long")).as("max_bytes"))
+      .orderBy(col("kind"), col("sniffed"))
+
+  val q97Sql: String = """
+    WITH a AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        unhex(CASE WHEN doc_id % 2 = 0 THEN '89504E47' ELSE '52494646' END)
+          || CAST(text AS BLOB) AS payload
+      FROM documents WHERE text IS NOT NULL)
+    SELECT kind,
+      CASE substring(hex(payload), 1, 8) WHEN '89504E47' THEN 'png'
+        WHEN '52494646' THEN 'riff' ELSE 'unknown' END AS sniffed,
+      CAST(COUNT(*) AS BIGINT) AS n_assets,
+      CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+      CAST(MIN(octet_length(payload)) AS BIGINT) AS min_bytes,
+      CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> q39MultimodalFeatures _,
-    "q40_frame_sample"        -> q40FrameSample _)
+    "q40_frame_sample"        -> q40FrameSample _,
+    "q97_binary_sniff"        -> q97BinarySniff _)
 
   val oracles: Map[String, String] = Map(
     "q39_multimodal_features" -> q39Sql,
-    "q40_frame_sample"        -> q40Sql)
+    "q40_frame_sample"        -> q40Sql,
+    "q97_binary_sniff"        -> q97Sql)
 }

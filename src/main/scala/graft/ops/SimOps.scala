@@ -335,19 +335,20 @@ object SimOps {
         cellsFor(Tables.rowCount(s, d, "embeddings")))
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("nq").as("c_nq"))
-    // cell = argmax centroid cosine (ties → lowest centroid id). max_by,
-    // not a window: candidates collapse map-side inside the broadcast-join
-    // stage (partial aggregation), so the shuffle carries n rows, not n×C.
-    // (c_cos, -c_id) is a total order per vector — c_id is unique — so
-    // the pick is deterministic.
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("c_cos",
-        cosine(dotQ("embedding", "c_emb"), col("nq"), col("c_nq")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("nq"), col("c_id")),
-        struct(col("c_cos"), -col("c_id"))).as("m"))
-      .select(col("vec_id"), col("m.embedding").as("embedding"),
-        col("m.nq").as("nq"), col("m.c_id").as("cell"))
+    // cell = argmax centroid cosine (ties → lowest centroid id), as the
+    // NearestCellCos codegen expression over the collected seed table:
+    // no candidate expansion, no shuffle — the scan emits each vector's
+    // winner directly (float seeds widen to double losslessly, so the
+    // quantized products match the oracle's cross join bit-for-bit)
+    val seedRows = cents.collect()
+    val assigned = emb
+      .withColumn("m", graft.expressions.NearestCellCos.column(
+        col("embedding"), col("nq"),
+        seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+        seedRows.map(_.getLong(2))))
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("m.cell").as("cell"))
     val a = assigned.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nq").as("a_nq"), col("cell"))
     val b = assigned.select(col("vec_id").as("b_id"),
@@ -412,26 +413,28 @@ object SimOps {
   private[graft] val KmeansIters = 2
 
   /** Argmax-cosine cell assignment against a (cell, centroid[], cnq)
-    * table; centroid coords are doubles — QuantizedDot handles the
-    * float × double case with the same fused codegen loop.
-    *
-    * The argmax is a `max_by` AGGREGATE, not a window: a window over the
-    * expanded n×C cross join would shuffle-and-sort all n×C rows, while
-    * max_by collapses the C candidates per vector MAP-SIDE (partial
-    * aggregation in the same stage as the broadcast join), so only n
-    * result rows cross the wire. The ordering key (ccos, -cell) is a
-    * total order per group — cell ids are distinct — so the winner is
-    * deterministic and identical to the former row_number()=1 pick. */
+    * table — as ONE codegen'd expression over the driver-collected
+    * centroid matrix ([[graft.expressions.NearestCellCos]]): no join, no
+    * aggregate, no shuffle; each scan row runs the fused C×D loop and
+    * emits its (cell, ccos) winner directly. Collecting the centroids is
+    * O(C) = O(√n) driver memory — the same footprint the broadcast join
+    * shipped — and the standard k-means posture (each Lloyd round
+    * materializes the C means anyway). Float centroids (q47's seeds)
+    * widen to double losslessly, so the quantized per-term products are
+    * bit-identical to QuantizedDot's float path and the oracle's cross
+    * join. */
   private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val payload = emb.columns.filterNot(_ == "vec_id") ++ Seq("cell", "ccos")
-    emb.crossJoin(broadcast(cents))
-      .withColumn("ccos",
-        dotQ("embedding", "centroid").cast("double")
-          / sqrt((col("nq") * col("cnq")).cast("double")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(payload.map(col): _*),
-        struct(col("ccos"), -col("cell"))).as("m"))
-      .select(col("vec_id") +: payload.map(n => col(s"m.$n").as(n)): _*)
+    val rows = cents.select(col("cell"), col("centroid"), col("cnq"))
+      .collect()
+    val m = graft.expressions.NearestCellCos.column(
+      col("embedding"), col("nq"),
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getLong(2)))
+    emb.withColumn("m", m)
+      .withColumn("cell", col("m.cell"))
+      .withColumn("ccos", col("m.ccos"))
+      .drop("m")
   }
 
   /** Quantized squared norm of a double-array centroid column. */

@@ -79,13 +79,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("day") && p.contains("event_type"), p)
   }
 
-  test("q61 broadcasts the centroid table in every assign round") {
-    val p = plan("q61_kmeans_cells")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"q61 assign is not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    // the codegen'd dot is in the plan, not an interpreted HOF
-    assert(p.contains("quantized_dot"), p)
+  test("q61/q47 assign is the NearestCellCos expression — no centroid join at all") {
+    // the argmax runs inside the scan's codegen pipeline over the
+    // driver-collected centroid matrix: the plan must show the custom
+    // expression and NO join/cross product for the assignment
+    Seq("q61_kmeans_cells", "q47_ivf_ann").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("nearest_cell_cos"),
+        s"$q assign lost the codegen expression:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    }
+    // q61's final plan (post-assign) must not join at all
+    val p61 = plan("q61_kmeans_cells")
+    assert(!p61.contains("Join"), s"q61 still joins:\n$p61")
   }
 
   test("q60's component join and q63's cohort join stay equi-joins") {
@@ -122,21 +128,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("IVF assign is a map-side aggregate, never a window over the n×C join") {
-    // the argmax over centroid candidates must collapse via partial
-    // aggregation inside the broadcast-join stage (shuffle n rows), not
-    // shuffle-and-sort the n×C expanded join through a Window operator
+  test("IVF assign never windows over the n×C candidate expansion") {
+    // cosine sites (q47/q61) assign via the NearestCellCos expression —
+    // no expansion exists at all; q80's integer-L2 coarse/code assigns
+    // collapse via min_by partial aggregation inside the join stage.
+    // Either way, a corpus-side argmax window (partitioned by vec_id)
+    // is the regression this guard exists to catch.
     Seq("q47_ivf_ann", "q61_kmeans_cells", "q80_ivfpq_ann").foreach { q =>
       val p = plan(q)
-      // the only windows allowed are over already-reduced or
-      // constant-query-side sets (top-k rank per query, probe pick over
-      // Nq×C rows); a corpus-side argmax window partitions by vec_id
       assert(!p.contains("windowspecdefinition(vec_id"),
         s"$q argmax went through a Window over centroid candidates:\n$p")
-      assert(p.contains("partial_max_by") || p.contains("partial_min_by")
-          || p.contains("Partial"),
-        s"$q assign shows no partial aggregation:\n$p")
     }
+    assert(plan("q80_ivfpq_ann").contains("min_by"),
+      "q80 assign lost its map-side min_by aggregate")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
