@@ -547,6 +547,67 @@ object Relational {
         AS BIGINT)) AS max_id
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  // ---- q98: ordered string aggregation (listagg surface) ---------------
+  // The report/export surface SQL users expect (LISTAGG / string_agg):
+  // deterministic ONLY with an explicit element order, so the Spark side
+  // sorts the collected array before joining — collect_list's arrival
+  // order is partition-dependent and would flake the oracle (and any
+  // rerun). Lists are per-group bounded (nations per region ≤ 5);
+  // unbounded-group listagg at 100 TB is an anti-pattern regardless of
+  // engine — cap or switch to top-k before aggregating.
+  def q98StringAgg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations_csv"),
+        length(concat_ws(",", sort_array(collect_list(col("n_name")))))
+          .cast("long").as("csv_len"))
+      .orderBy(col("r_name"))
+
+  val q98Sql: String = """
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+      string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+      CAST(length(string_agg(n_name, ',' ORDER BY n_name)) AS BIGINT)
+        AS csv_len
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name"""
+
+  // ---- q99: as-of snapshot (latest record per key at a cutoff) ---------
+  // The time-travel read every slowly-changing store serves: each
+  // user's state as of a cutoff timestamp = the max_by(event, ts) over
+  // events at-or-before the cutoff. One filter (pushed to the scan) +
+  // one partial+final max_by aggregate keyed by user — no window over
+  // the history, no sort; ties at the same ts break on event_id inside
+  // the ordering struct, so the snapshot is deterministic.
+  def q99Snapshot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"),
+            col("value")),
+          struct(col("ts"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_history"))
+      .select(col("user_id"), col("m.ts").as("ts"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.value").as("value"),
+        col("n_history"))
+      .orderBy(col("user_id"))
+
+  val q99Sql: String = """
+    SELECT user_id, ts, event_id, event_type, value,
+      CAST(n_history AS BIGINT) AS n_history
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_history,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+    WHERE rn = 1 ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> q01PricingSummary _,
     "q02_topk_orders"      -> q02TopkOrders _,
@@ -569,7 +630,9 @@ object Relational {
     "q19_case_math"        -> q19CaseMath _,
     "q20_string_ops"       -> q20StringOps _,
     "q82_full_outer"       -> q82FullOuter _,
-    "q84_regexp_extract"   -> q84RegexpExtract _)
+    "q84_regexp_extract"   -> q84RegexpExtract _,
+    "q98_string_agg"       -> q98StringAgg _,
+    "q99_snapshot"         -> q99Snapshot _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"  -> q01Sql,
@@ -593,5 +656,7 @@ object Relational {
     "q19_case_math"        -> q19Sql,
     "q20_string_ops"       -> q20Sql,
     "q82_full_outer"       -> q82Sql,
-    "q84_regexp_extract"   -> q84Sql)
+    "q84_regexp_extract"   -> q84Sql,
+    "q98_string_agg"       -> q98Sql,
+    "q99_snapshot"         -> q99Sql)
 }
