@@ -52,4 +52,21 @@ class SqlOpsSpec extends AnyFunSuite {
     assert(grand == Tables.orders(spark, sf).count())
     assert(byPrio == grand && byStatus == grand)
   }
+
+  test("q91 splits partition the corpus exactly (counts and id checksums)") {
+    val r = SqlOps.q91Split(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(r.map(_.getAs[Long]("n")).sum == docs.count())
+    assert(r.map(_.getAs[Long]("id_sum")).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("doc_id"))
+        .head().getLong(0))
+    // every source contributes a train split; the 90/5/5 gate keeps
+    // train dominant per source
+    val bySource = r.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val m = rows.map(x => x.getAs[String]("split") -> x.getAs[Long]("n")).toMap
+      assert(m.getOrElse("train", 0L) >
+        m.getOrElse("val", 0L) + m.getOrElse("test", 0L), s"$src: $m")
+    }
+  }
 }

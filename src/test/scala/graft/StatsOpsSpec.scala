@@ -37,4 +37,28 @@ class StatsOpsSpec extends AnyFunSuite {
       == Tables.lineitem(spark, sf).count())
     assert(h.filter(col("bucket") < 0).count() == 0)
   }
+
+  test("count-min never underestimates (overshoot >= 0 on every reported token)") {
+    // THE count-min guarantee: every row of the counter grid only ever
+    // increments, so min-over-rows is an upper bound of the true count
+    val r = StatsOps.q85CountMin(spark, sf)
+    assert(r.filter(col("overshoot") < 0).count() == 0)
+    assert(r.count() > 0)
+  }
+
+  test("quantile bins partition the measure into four ordered ranges") {
+    val b = StatsOps.q92QuantileBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(b.map(_._1).sameElements(Array(0L, 1L, 2L, 3L)))
+    assert(b.map(_._2).sum == Tables.lineitem(spark, sf).count())
+    // bin value ranges are disjoint and ordered: each bin's max stays
+    // below the next bin's min
+    b.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 < hi._3, s"bins overlap: $lo vs $hi")
+    }
+    // equi-depth: no bin is more than ~2x the smallest (quartiles over a
+    // near-continuous measure)
+    assert(b.map(_._2).max <= 2 * b.map(_._2).min)
+  }
 }
