@@ -185,6 +185,19 @@ object Streaming {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join (§2.9): an unbounded event stream
+    * joined to a bounded dimension table — the lookup-enrichment every
+    * streaming pipeline needs (user → segment, doc → license). Unlike a
+    * stream-stream join this keeps NO join state at all: the static side
+    * is re-planned per micro-batch (so a refreshed dim parquet is picked
+    * up on the next batch) and joined like any batch join — broadcast
+    * when small. No watermark is required on either side. The same
+    * function works on batch frames; the spec cross-checks. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("segment"))
+
   /** Custom stateful processing (§2.9 "stateful ops"): per-user running
     * aggregates via Spark 4.x `transformWithState` — the arbitrary-state
     * operator that replaced `mapGroupsWithState` (deprecated; its

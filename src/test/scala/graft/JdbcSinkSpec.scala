@@ -98,4 +98,24 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(back.columns.map(_.toLowerCase).toSet ==
       Set("date", "state", "fips", "cases", "deaths"))
   }
+
+  test("JDBC read-back pushes filters and prunes columns into the database") {
+    // the S4 source direction: a Spark read over the JDBC relation must
+    // ship the predicate and projection to the database (the JDBC twin
+    // of parquet's PushedFilters) — at scale the DB evaluates the WHERE,
+    // not the cluster after a full-table fetch
+    val src = fixtureCsv()
+    JdbcSink.writeJdbc(dedupedStates(src), url, "states_push", batchSize = 2)
+    val df = spark.read.jdbc(url, "states_push", new java.util.Properties)
+      .filter(col("cases") > 900L)
+      .select(col("state"), col("cases"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("cases"),
+      s"filter not pushed to JDBC:\n$p")
+    // only the two selected columns (plus the filter column) reach the
+    // relation — no SELECT *
+    assert(!p.toLowerCase.contains("deaths"), s"column pruning lost:\n$p")
+    assert(df.collect().map(_.getLong(1)).sorted.sameElements(
+      Array(904L, 1000L)))
+  }
 }

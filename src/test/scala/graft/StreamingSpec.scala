@@ -226,6 +226,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch join, keeps no state") {
+    val input = MemoryStream[Ev]
+    val dim = Seq((10L, "gold"), (11L, "silver"))
+      .toDF("user_id", "segment")
+    val q = ops.Streaming.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1 :+ Ev(9, ts(20), 99, "view", 0.0)) // 99: no dim row
+      q.processAllAvailable()
+      val streamed = spark.table("enriched")
+        .orderBy("event_id").collect()
+      val batch = ops.Streaming
+        .enrichWithDim((batch1 :+ Ev(9, ts(20), 99, "view", 0.0)).toDF(), dim)
+        .orderBy("event_id").collect()
+      assert(streamed.sameElements(batch))
+      // left join: the unknown user survives with a null segment
+      assert(streamed.exists(r => r.getLong(0) == 99L && r.isNullAt(4)))
+      // stateless: the progress report carries no stateful operators
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   // transformWithState supports only the RocksDB state store provider
   private def withRocksDb[A](body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
