@@ -582,6 +582,60 @@ object CurationOps {
     FROM em GROUP BY 1, 2, 3 ORDER BY source"""
   }
 
+  // ---- q100: curation summary (the whole pipeline as ONE plan) ---------
+  // The dashboard a data curator reads before a training run, and the
+  // composition proof for the operator family: quality gate (q25's
+  // posture), deterministic split (q91's gate), exact-dup detection
+  // (q29's md5 grouping), and token accounting (q27) all fuse into a
+  // single Catalyst plan — one scan of documents, one md5 groupBy, one
+  // broadcast-back join, one final aggregate. Nothing materializes
+  // between stages; at 100 TB this is one pass over the corpus plus a
+  // dup-key shuffle, not four pipeline jobs.
+  def q100CurationSummary(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("tok_cnt", tokenCount(col("text")))
+      .withColumn("split",
+        expr("CASE WHEN h60(concat('split:', cast(doc_id as string)))" +
+          " % 100 < 90 THEN 'train' WHEN h60(concat('split:'," +
+          " cast(doc_id as string))) % 100 < 95 THEN 'val'" +
+          " ELSE 'test' END"))
+      .withColumn("h", md5(col("text")))
+    val dupCounts = docs.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.join(dupCounts, "h")
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_cnt")).as("n_tokens"),
+        sum(when(col("tok_cnt").between(10, 1000), 1L).otherwise(0L))
+          .as("n_quality_pass"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val q100Sql: String = raw"""
+    WITH d AS (
+      SELECT doc_id, source, text,
+        CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT) AS tok_cnt,
+        CASE WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+          THEN 'train'
+          WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95
+          THEN 'val' ELSE 'test' END AS split,
+        md5(text) AS h
+      FROM documents),
+    dup AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM d GROUP BY h)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(tok_cnt) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN tok_cnt BETWEEN 10 AND 1000 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_quality_pass,
+      CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_docs
+    FROM d JOIN dup USING (h)
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -591,7 +645,8 @@ object CurationOps {
     "q75_source_mixing" -> q75SourceMixing _,
     "q83_pack_spans"    -> q83PackSpans _,
     "q86_upsample_mix"  -> q86UpsampleMix _,
-    "q93_sliding_spans" -> q93SlidingSpans _)
+    "q93_sliding_spans" -> q93SlidingSpans _,
+    "q100_curation_summary" -> q100CurationSummary _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -602,5 +657,6 @@ object CurationOps {
     "q75_source_mixing" -> q75Sql,
     "q83_pack_spans"    -> q83Sql,
     "q86_upsample_mix"  -> q86Sql,
-    "q93_sliding_spans" -> q93Sql)
+    "q93_sliding_spans" -> q93Sql,
+    "q100_curation_summary" -> q100Sql)
 }

@@ -663,17 +663,19 @@ object SimOps {
     val l2 = expr("aggregate(zip_with(qa, cqa, (a, b) -> (a - b) * (a - b))," +
       " 0L, (acc, x) -> acc + x)")
     // every vector -> nearest coarse cell, residual in exact integers.
-    // min_by aggregate (not a window): the C candidates per vector
-    // collapse map-side in the broadcast-join stage, so only n rows
-    // shuffle; (d2, cell) is a total order — cell unique — so the pick
-    // is deterministic and identical to the former row_number()=1.
-    val assigned = emb.join(coarse)
-      .select(col("vec_id"), col("cell"), col("qa"), col("cqa"), l2.as("d2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("qa"), col("cqa")),
-        struct(col("d2"), col("cell"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"),
-        expr("zip_with(m.qa, m.cqa, (a, b) -> a - b)").as("res"))
+    // NearestCellL2 expression over the collected coarse seeds: the
+    // exact-integer argmin runs fused inside the scan (no candidate
+    // expansion, no aggregate); the winning cell then re-joins the
+    // C-row broadcast coarse table once to fetch its cqa for the
+    // residual — n rows streaming through a broadcast hash join.
+    val coarseRows = coarse.collect()
+    val assigned = emb
+      .withColumn("cell", graft.expressions.NearestCellL2.column(col("qa"),
+        coarseRows.map(_.getLong(0)),
+        coarseRows.map(_.getSeq[Long](1).toArray)))
+      .join(broadcast(coarse), "cell")
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res"))
     // residual sub-vectors; PQ codebook from residual seeds [C, C+16)
     def subRes(df: DataFrame): DataFrame = df
       .select(col("vec_id"), col("cell"), explode(expr(
