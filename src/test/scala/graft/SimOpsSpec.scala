@@ -131,4 +131,34 @@ class SimOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(r.sameElements(b))
   }
+
+  test("NearestCell expressions break exact ties to the lowest cell id") {
+    import spark.implicits._
+    // two IDENTICAL centroids under different ids: every vector ties on
+    // distance/cosine, so the winner must always be the LOWER id — the
+    // contract the former row_number()/min_by ordering guaranteed and
+    // the corpus (distinct centroids) never exercises
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.5f, 0.5f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("nq", expr("aggregate(embedding, 0L, (a, x) -> a +" +
+        " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5)" +
+        " as bigint))"))
+    val cos = vecs.withColumn("m",
+      graft.expressions.NearestCellCos.column(col("embedding"), col("nq"),
+        Array(7L, 3L), // deliberately unsorted: iteration order ≠ id order
+        Array(Array(0.6, 0.6), Array(0.6, 0.6)),
+        Array(720000000L, 720000000L)))
+      .select(col("vec_id"), col("m.cell")).as[(Long, Long)].collect()
+    assert(cos.forall(_._2 == 3L), cos.mkString(","))
+    val qa = Seq((1L, Array(1000000L, 0L)), (2L, Array(0L, 1000000L)))
+      .toDF("vec_id", "qa")
+    val l2 = qa.withColumn("cell",
+      graft.expressions.NearestCellL2.column(col("qa"),
+        Array(9L, 4L),
+        Array(Array(500000L, 500000L), Array(500000L, 500000L))))
+      .select(col("vec_id"), col("cell")).as[(Long, Long)].collect()
+    assert(l2.forall(_._2 == 4L), l2.mkString(","))
+  }
 }
