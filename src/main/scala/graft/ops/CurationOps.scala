@@ -636,6 +636,51 @@ object CurationOps {
     FROM d JOIN dup USING (h)
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q101: importance-weighted subsampling ---------------------------
+  // Quality-weighted data selection (the DSIR/DoReMi-family primitive):
+  // every doc gets an acceptance probability PROPORTIONAL TO A PER-ROW
+  // WEIGHT — here length-derived, w = min(n_chars, 512), p = w/512 — not
+  // the per-stratum constant rate of q53/q54. Membership is a pure row
+  // property (salted-h60 gate, integer compare: h60 % 512 < w), so the
+  // sample is deterministic under reruns, repartitioning, and corpus
+  // growth, and the op is a shuffle-free per-row filter until the final
+  // G-row accounting aggregate — embarrassingly parallel at 100 TB.
+  // kept_chars / expected_chars audits the estimator: E[kept w] = Σw²/512
+  // exactly in integers, so the contract row shows realized vs expected
+  // intake per source with no floating point until the final division.
+  def q101WeightedSample(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    Tables.documents(s, d)
+      .withColumn("w", least(col("n_chars"), lit(512L)))
+      .withColumn("keep",
+        expr("h60(concat('iw:', cast(doc_id as string))) % 512") <
+          col("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"),
+        sum(when(col("keep"), col("w")).otherwise(0L)).as("kept_w"),
+        sum(col("w") * col("w")).as("w_sq_sum"))
+      .withColumn("expected_w", expr("w_sq_sum div 512"))
+      .drop("w_sq_sum")
+      .orderBy(col("source"))
+  }
+
+  val q101Sql: String = raw"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN keep THEN doc_id ELSE 0 END) AS BIGINT)
+        AS kept_id_sum,
+      CAST(SUM(CASE WHEN keep THEN w ELSE 0 END) AS BIGINT) AS kept_w,
+      CAST(SUM(w * w) // 512 AS BIGINT) AS expected_w
+    FROM (
+      SELECT source, doc_id, LEAST(n_chars, 512) AS w,
+        CAST('0x' || substring(md5('iw:' || CAST(doc_id AS VARCHAR)),
+          1, 15) AS BIGINT) % 512 < LEAST(n_chars, 512) AS keep
+      FROM documents)
+    GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -646,7 +691,8 @@ object CurationOps {
     "q83_pack_spans"    -> q83PackSpans _,
     "q86_upsample_mix"  -> q86UpsampleMix _,
     "q93_sliding_spans" -> q93SlidingSpans _,
-    "q100_curation_summary" -> q100CurationSummary _)
+    "q100_curation_summary" -> q100CurationSummary _,
+    "q101_weighted_sample" -> q101WeightedSample _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -658,5 +704,6 @@ object CurationOps {
     "q83_pack_spans"    -> q83Sql,
     "q86_upsample_mix"  -> q86Sql,
     "q93_sliding_spans" -> q93Sql,
-    "q100_curation_summary" -> q100Sql)
+    "q100_curation_summary" -> q100Sql,
+    "q101_weighted_sample" -> q101Sql)
 }

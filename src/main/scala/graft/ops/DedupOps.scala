@@ -648,8 +648,9 @@ object DedupOps {
 
   // Oracle: exact min-reachable label via a recursive transitive closure
   // (fine at oracle SF; the Spark side is the scale path). Reuses the
-  // full q31 pair derivation as the edge set.
-  val q60Sql: String = {
+  // full q31 pair derivation as the edge set. The CTE chain through `cc`
+  // is shared with q102, which layers canonical-selection on top.
+  private val sqlCc: String = {
     val pairCtes = (sqlShingles + s""",
     mh AS (
       SELECT doc_id, k,
@@ -684,13 +685,68 @@ object DedupOps {
       UNION
       SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node),
     cc AS (
-      SELECT src AS doc_id, MIN(node) AS canon_id FROM reach GROUP BY src),
+      SELECT src AS doc_id, MIN(node) AS canon_id FROM reach GROUP BY src)"""
+  }
+
+  val q60Sql: String = sqlCc + """,
     sizes AS (
       SELECT canon_id, COUNT(*) AS cluster_size FROM cc GROUP BY canon_id)
     SELECT cc.doc_id, cc.canon_id, sizes.cluster_size
     FROM cc JOIN sizes USING (canon_id)
     ORDER BY cc.doc_id"""
+
+  // ---- q102: canonical selection per dup cluster (keep-best) -----------
+  // q60 labels clusters; the curation decision a pipeline actually ships
+  // is WHICH copy to keep. Convention here: keep the LONGEST member
+  // (token count — near-dups often differ by truncation, and the longest
+  // copy preserves the most content), tie-broken to the smallest doc_id.
+  // Scale shape: canonical selection adds ONE equi-join (labels ⋈ token
+  // counts, keyed by doc_id) and ONE aggregate to the q60 plan. The
+  // argmax is max(struct(n_tokens, -doc_id)) — an ordinary partial-
+  // aggregatable MAX that collapses map-side, NOT a per-cluster
+  // row_number window (no sort of n rows; the same min_by/max_by shape
+  // that replaced the IVF assign window in round 5).
+  def q102ClusterCanonical(s: SparkSession, d: String): DataFrame = {
+    val pairs = q31MinhashPairs(s, d).select(col("id1"), col("id2"))
+    val cc = connectedComponents(pairs)
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .cast("long").as("n_tokens"))
+    cc.join(docs, "doc_id")
+      .groupBy(col("canon_id"))
+      .agg(
+        max(struct(col("n_tokens").as("nt"),
+          (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("cluster_size"),
+        sum(col("n_tokens")).as("cluster_tokens"))
+      .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"),
+        col("best.nt").as("kept_tokens"),
+        col("cluster_size"), col("cluster_tokens"))
+      .orderBy(col("canon_id"))
   }
+
+  val q102Sql: String = sqlCc + """,
+    tok AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'))
+          AS BIGINT) AS n_tokens
+      FROM documents),
+    j AS (
+      SELECT cc.canon_id, cc.doc_id, tok.n_tokens
+      FROM cc JOIN tok USING (doc_id)),
+    best AS (
+      SELECT canon_id, doc_id AS kept_doc_id, n_tokens AS kept_tokens,
+        row_number() OVER (PARTITION BY canon_id
+          ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM j),
+    agg AS (
+      SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+        CAST(SUM(n_tokens) AS BIGINT) AS cluster_tokens
+      FROM j GROUP BY canon_id)
+    SELECT b.canon_id, b.kept_doc_id, b.kept_tokens,
+      a.cluster_size, a.cluster_tokens
+    FROM best b JOIN agg a USING (canon_id)
+    WHERE b.rk = 1 ORDER BY b.canon_id"""
 
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
@@ -706,7 +762,8 @@ object DedupOps {
     "q32_simhash"       -> q32Simhash _,
     "q33_simhash_pairs" -> q33SimhashPairs _,
     "q34_ngram_jaccard" -> q34NgramJaccard _,
-    "q60_dedup_groups"  -> q60DedupGroups _)
+    "q60_dedup_groups"  -> q60DedupGroups _,
+    "q102_cluster_canonical" -> q102ClusterCanonical _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -715,5 +772,6 @@ object DedupOps {
     "q32_simhash"       -> q32Sql,
     "q33_simhash_pairs" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
-    "q60_dedup_groups"  -> q60Sql)
+    "q60_dedup_groups"  -> q60Sql,
+    "q102_cluster_canonical" -> q102Sql)
 }

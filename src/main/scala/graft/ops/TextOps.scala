@@ -270,6 +270,45 @@ object TextOps {
     ORDER BY n_occurrences DESC, token
     LIMIT 50"""
 
+  // ---- q103: adjacent-pair counts (the BPE-merge inner loop) -----------
+  // One step of byte-pair-encoding vocabulary training, lifted to token
+  // level: count every ADJACENT token pair across the corpus and rank the
+  // top candidates — the statistic a distributed tokenizer trainer
+  // recomputes once per merge. q69 counts unigrams; the pair statistic is
+  // what BPE actually merges on.
+  //
+  // Scale shape: pairs come from zip_with over the tokens array against
+  // its own 1-shifted slice — linear in corpus tokens, per-row codegen'd
+  // array work, no self-join. The count is a hash aggregate on the pair
+  // string (high cardinality → even distribution, map-side partial
+  // combine collapses each partition to its local vocabulary first), and
+  // the top-k is TakeOrderedAndProject — per-partition heaps, no global
+  // sort. At 100 TB this is one scan + one shuffle of the (bounded)
+  // per-partition pair vocabularies.
+  def q103BpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("tokens", toks(col("text")))
+      .select(explode(expr(
+        """zip_with(slice(tokens, 1, size(tokens) - 1),
+                    slice(tokens, 2, size(tokens) - 1),
+                    (a, b) -> concat(a, ' ', b))"""))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
+  val q103Sql: String = """
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i + 1])) AS pair
+          FROM (SELECT string_split_regex(trim(lower(text)),
+                  '[ \t\n\r\f]+') AS t
+                FROM documents))
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20"""
+
   // ---- q78: fuzzy token matching (SymSpell-blocked levenshtein) --------
   // Spell-repair against the corpus vocabulary: deterministic typo
   // variants (2nd char dropped) matched back to their closest vocab token
@@ -454,7 +493,8 @@ object TextOps {
     "q67_repetition"   -> q67Repetition _,
     "q69_vocab"        -> q69Vocab _,
     "q78_fuzzy_match"  -> q78FuzzyMatch _,
-    "q90_bm25"         -> q90Bm25 _)
+    "q90_bm25"         -> q90Bm25 _,
+    "q103_bpe_pairs"   -> q103BpePairs _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -464,5 +504,6 @@ object TextOps {
     "q67_repetition"   -> q67Sql,
     "q69_vocab"        -> q69Sql,
     "q78_fuzzy_match"  -> q78Sql,
-    "q90_bm25"         -> q90Sql)
+    "q90_bm25"         -> q90Sql,
+    "q103_bpe_pairs"   -> q103Sql)
 }
