@@ -164,6 +164,28 @@ class CurationOpsSpec extends AnyFunSuite {
       s"coverage $totalSpan vs 2×$totalTok")
   }
 
+  test("q101: membership matches an independent md5-route recount") {
+    // The query gates on the Hash60 codegen expression; rebuild the same
+    // gate from Spark's md5/conv built-ins (the h60 = first-60-md5-bits
+    // contract) and require per-source kept counts + id checksums agree.
+    val r = CurationOps.q101WeightedSample(spark, sf)
+    val expect = Tables.documents(spark, sf)
+      .withColumn("w", least(col("n_chars"), lit(512L)))
+      .withColumn("keep",
+        conv(substring(md5(concat(lit("iw:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 512 < col("w"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("e_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("e_id_sum"))
+    val bad = r.join(expect, "source")
+      .filter(col("n_kept") =!= col("e_kept") ||
+        col("kept_id_sum") =!= col("e_id_sum"))
+    assert(bad.count() == 0)
+    // intake accounting: kept never exceeds corpus, weights bounded
+    assert(r.filter(col("n_kept") > col("n_docs")).count() == 0)
+    assert(r.filter(col("kept_w") > col("n_kept") * 512).count() == 0)
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()

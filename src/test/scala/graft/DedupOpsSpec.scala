@@ -159,4 +159,29 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(members.forall(_._3 == members.length))
     }
   }
+
+  test("q102 keeps the longest member of each q60 cluster, min-id on ties") {
+    val groups = DedupOps.q60DedupGroups(spark, sf)
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"))
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .cast("long").as("nt"))
+    val members = groups.join(toks, "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("canon_id"),
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("nt"),
+          r.getAs[Long]("cluster_size"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val kept = DedupOps.q102ClusterCanonical(spark, sf).collect()
+    assert(kept.map(_.getAs[Long]("canon_id")).toSet == members.keySet)
+    kept.foreach { r =>
+      val ms = members(r.getAs[Long]("canon_id"))
+      val maxNt = ms.map(_._2).max
+      val want = ms.filter(_._2 == maxNt).map(_._1).min
+      assert(r.getAs[Long]("kept_doc_id") == want)
+      assert(r.getAs[Long]("kept_tokens") == maxNt)
+      assert(r.getAs[Long]("cluster_size") == ms.head._3)
+      assert(r.getAs[Long]("cluster_tokens") == ms.map(_._2).sum)
+    }
+  }
 }

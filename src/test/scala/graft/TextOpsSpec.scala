@@ -39,4 +39,23 @@ class TextOpsSpec extends AnyFunSuite {
     val t = TextOps.q27TokenCounts(spark, sf)
     assert(t.filter(col("sum_bpe_tokens") < col("sum_ws_tokens")).count() == 0)
   }
+
+  test("q103 pair counts are rank-ordered and match a posexplode recount") {
+    val top = TextOps.q103BpePairs(spark, sf).collect()
+    val counts = top.map(_.getAs[Long]("n"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    // independent recount of the #1 pair through a positional self-join
+    // (a mechanism q103 never uses: posexplode + pos+1 equi-join)
+    val Array(w1, w2) = top.head.getAs[String]("pair").split(" ", 2)
+    val pos = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(
+        split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .as(Seq("p", "tok")))
+    val n = pos.filter(col("tok") === w1).as("a")
+      .join(pos.filter(col("tok") === w2).as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.p") === col("a.p") + 1)
+      .count()
+    assert(n == top.head.getAs[Long]("n"))
+  }
 }
