@@ -875,6 +875,114 @@ object SimOps {
     WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.nq AS DOUBLE)) >= 0.5
     ORDER BY id1, id2"""
 
+  // ---- q104: ANN recall evaluation harness -----------------------------
+  // The quality monitor a production ANN deployment runs continuously:
+  // exact ground truth on a small sampled query set vs what each ANN
+  // variant actually returned. Ground truth is the q35 shape restricted
+  // to the eval set — a BROADCAST of |Q| = 32 query vectors against one
+  // linear corpus scan (O(n·|Q|) with no shuffle of the corpus), which is
+  // exactly why recall can be measured cheaply at 100 TB while the full
+  // n×n truth cannot. The ANN sides are the production paths themselves
+  // (q36 single-probe, q68 multi-probe), so the metric moves when the
+  // index parameters move. Output: per method, how many eval queries got
+  // an answer, and how many answers land in the exact top-1 / top-3.
+  private val EvalQueries = 32L
+
+  def q104AnnRecall(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val q = emb.filter(col("vec_id") < EvalQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nq").as("q_nq"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nq").as("c_nq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    val gt = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosine(dotQ("q_emb", "c_emb"), col("q_nq"), col("c_nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("q_id").as("g_id"), col("c_id").as("gt_id"), col("rank"))
+    val nQ = q.agg(count(lit(1)).as("n_queries"))
+    def evalMethod(name: String, ann: DataFrame): DataFrame =
+      ann.filter(col("vec_id") < EvalQueries)
+        .select(col("vec_id").as("q_id"), col("neighbor_id"))
+        .join(gt, col("q_id") === col("g_id") &&
+          col("neighbor_id") === col("gt_id"), "left")
+        .agg(count(lit(1)).as("n_answered"),
+          sum(when(col("rank") === 1, 1L).otherwise(0L)).as("top1_hits"),
+          sum(when(col("rank").isNotNull, 1L).otherwise(0L))
+            .as("top3_hits"))
+        .withColumn("method", lit(name))
+        .crossJoin(broadcast(nQ))
+        .select(col("method"), col("n_queries"), col("n_answered"),
+          col("top1_hits"), col("top3_hits"))
+    evalMethod("lsh_single_probe", q36AnnLsh(s, d))
+      .unionByName(evalMethod("lsh_multi_probe", q68MultiprobeAnn(s, d)))
+      .orderBy(col("method"))
+  }
+
+  val q104Sql: String = sqlEmb + s""",
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, nq AS q_nq
+      FROM e WHERE vec_id < $EvalQueries),
+    gt AS (
+      SELECT q_id AS g_id, gt_id, rank FROM (
+        SELECT q_id, e.vec_id AS gt_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+            CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
+              / sqrt(CAST(q_nq * e.nq AS DOUBLE)) DESC, e.vec_id)
+            AS BIGINT) AS rank
+        FROM q JOIN e ON e.vec_id <> q_id)
+      WHERE rank <= 3),
+    ann1 AS (
+      SELECT vec_id AS q_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+            CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < $EvalQueries)
+      WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS a_id, embedding AS a_emb, nq AS a_nq,
+        unnest(list_concat([bucket],
+          list_transform(range(0, np), p ->
+            xor(bucket, CAST(1 AS BIGINT) << p)))) AS probe
+      FROM e CROSS JOIN params WHERE vec_id < $EvalQueries),
+    ann2 AS (
+      SELECT a_id AS q_id, neighbor_id FROM (
+        SELECT a.a_id, b.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY a.a_id ORDER BY
+            CAST(${sqlDotQ("a.a_emb", "b.embedding")} AS DOUBLE)
+              / sqrt(CAST(a.a_nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+        FROM probes a JOIN e b ON a.probe = b.bucket AND a.a_id <> b.vec_id)
+      WHERE rk = 1),
+    nq_cte AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+    m1 AS (
+      SELECT 'lsh_single_probe' AS method,
+        (SELECT n_queries FROM nq_cte) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_answered,
+        CAST(SUM(CASE WHEN g.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS top1_hits,
+        CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS top3_hits
+      FROM ann1 LEFT JOIN gt g
+        ON g.g_id = ann1.q_id AND g.gt_id = ann1.neighbor_id),
+    m2 AS (
+      SELECT 'lsh_multi_probe' AS method,
+        (SELECT n_queries FROM nq_cte) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_answered,
+        CAST(SUM(CASE WHEN g.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS top1_hits,
+        CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS top3_hits
+      FROM ann2 LEFT JOIN gt g
+        ON g.g_id = ann2.q_id AND g.gt_id = ann2.neighbor_id)
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY method"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -885,7 +993,8 @@ object SimOps {
     "q68_multiprobe_ann"  -> q68MultiprobeAnn _,
     "q79_pq_adc"          -> q79ProductQuantization _,
     "q80_ivfpq_ann"       -> q80IvfPq _,
-    "q87_sparse_cosine"   -> q87SparseCosine _)
+    "q87_sparse_cosine"   -> q87SparseCosine _,
+    "q104_ann_recall"     -> q104AnnRecall _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -897,5 +1006,6 @@ object SimOps {
     "q68_multiprobe_ann"  -> q68Sql,
     "q79_pq_adc"          -> q79Sql,
     "q80_ivfpq_ann"       -> q80Sql,
-    "q87_sparse_cosine"   -> q87Sql)
+    "q87_sparse_cosine"   -> q87Sql,
+    "q104_ann_recall"     -> q104Sql)
 }

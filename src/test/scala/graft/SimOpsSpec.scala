@@ -161,4 +161,21 @@ class SimOpsSpec extends AnyFunSuite {
       .select(col("vec_id"), col("cell")).as[(Long, Long)].collect()
     assert(l2.forall(_._2 == 4L), l2.mkString(","))
   }
+
+  test("q104: multi-probe dominates single-probe on every recall column") {
+    // multi-probe's candidate set is a strict superset (own bucket +
+    // hamming-1 probes), so its answered count and its argmax cosine per
+    // query can only improve — recall columns must dominate.
+    val r = SimOps.q104AnnRecall(spark, sf).collect()
+      .map(row => row.getAs[String]("method") -> row).toMap
+    val single = r("lsh_single_probe"); val multi = r("lsh_multi_probe")
+    assert(multi.getAs[Long]("n_answered") >= single.getAs[Long]("n_answered"))
+    assert(multi.getAs[Long]("top1_hits") >= single.getAs[Long]("top1_hits"))
+    assert(multi.getAs[Long]("top3_hits") >= single.getAs[Long]("top3_hits"))
+    // hits are bounded by answers, answers by the eval-set size
+    Seq(single, multi).foreach { m =>
+      assert(m.getAs[Long]("top3_hits") >= m.getAs[Long]("top1_hits"))
+      assert(m.getAs[Long]("n_answered") <= m.getAs[Long]("n_queries"))
+    }
+  }
 }
