@@ -119,6 +119,22 @@ object Ingest {
      else writer).parquet(sinkPath)
   }
 
+  /** Schema-evolution read over a parquet sink whose batches were written
+    * with WIDENING schemas (column adds — the only evolution a long-lived
+    * append sink should permit). `mergeSchema` unions every file footer's
+    * schema and null-backfills columns absent from older files — correct,
+    * but planning reads ONE FOOTER PER FILE, so at 100 TB (millions of
+    * files) prefer passing the current catalog schema via `explicit`:
+    * the scan then plans from the declared schema alone and older files
+    * null-fill through the vectorized reader for free. Both paths return
+    * identical data; the spec pins that equivalence. */
+  def readEvolved(spark: SparkSession, path: String,
+                  explicit: Option[StructType] = None): DataFrame =
+    explicit match {
+      case Some(sc) => spark.read.schema(sc).parquet(path)
+      case None     => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   // ---- q21: A5 as an oracle-checked query over the corpus --------------
   // Keep-first line per order: the ON CONFLICT dedup pattern on a table
   // with genuinely repeating keys (lineitem has ~4 lines/order).

@@ -149,6 +149,34 @@ class IngestSpec extends AnyFunSuite {
     assert(math.abs(a - b) < 1e-6)
   }
 
+  test("widening schema evolution: mergeSchema and explicit-schema reads agree") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").resolve("sink").toString
+    // v1 batch: two columns; v2 batch adds a quality column
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.5))
+      .toDF("doc_id", "text", "quality").write.parquet(s"$dir/batch=2")
+    val merged = Ingest.readEvolved(spark, dir)
+    assert(merged.schema.fieldNames.toSet ==
+      Set("doc_id", "text", "quality", "batch"))
+    assert(merged.count() == 4)
+    // v1 rows null-backfill the added column; v2 rows keep their values
+    assert(merged.filter(col("quality").isNull).count() == 2)
+    assert(merged.filter(col("batch") === 1 && col("quality").isNotNull)
+      .count() == 0)
+    // the 100 TB path — explicit declared schema, no footer union — returns
+    // the same rows
+    val declared = Ingest.readEvolved(spark, dir,
+        Some(merged.drop("batch").schema))
+      .drop("batch") // partition col appends even under an explicit schema
+    assert(declared.count() == 4)
+    assert(declared.filter(col("quality").isNull).count() == 2)
+    val m = merged.drop("batch")
+    assert(m.exceptAll(declared).count() == 0 &&
+      declared.exceptAll(m).count() == 0)
+  }
+
   test("states feed round-trips through the generic ingest pipeline") {
     val statesCsv = writeFixture("us-states.csv",
       "date,state,fips,cases,deaths",

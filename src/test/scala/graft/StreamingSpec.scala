@@ -292,6 +292,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState recovers its state store across a query restart") {
+    withRocksDb {
+      // The operational property checkpointing exists for: stop the query
+      // after batch1, restart FROM THE SAME CHECKPOINT, and the per-user
+      // totals must CONTINUE from the recovered RocksDB state — not
+      // restart from zero. The memory sink refuses checkpoint recovery
+      // (not fault-tolerant), so the sink is foreachBatch → parquet
+      // append, the restartable production shape.
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-tws-restart").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-tws-out").resolve("rows").toString
+      val input = MemoryStream[Ev]
+      def start() = ops.Streaming.statefulUserTotals(spark, input.toDF(), None)
+        .writeStream.option("checkpointLocation", cp)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset
+            [org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(outDir): Unit
+        }
+        .start()
+      val q1 = start()
+      try {
+        input.addData(batch1)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      input.addData(batch2)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        // max emission per user across both lives of the query must equal
+        // the all-data batch aggregate: user 10 = 3 (recovered) + 1 = 4
+        // events — a state loss would cap at 3
+        val latest = spark.read.parquet(outDir)
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+            org.apache.spark.sql.functions.max("sum_value").as("s"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+          .toMap
+        val expected = (batch1 ++ batch2).groupBy(_.user_id)
+          .map { case (u, evs) => (u, (evs.size.toLong, evs.map(_.value).sum)) }
+        assert(latest == expected, s"state not recovered: $latest")
+      } finally q2.stop()
+    }
+  }
+
   test("event-time idle timeout flushes a tagged final row and resets state") {
     withRocksDb {
       val input = MemoryStream[Ev]
