@@ -983,6 +983,57 @@ object SimOps {
         ON g.g_id = ann2.q_id AND g.gt_id = ann2.neighbor_id)
     SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY method"""
 
+  // ---- q105: hard-negative mining (contrastive training pairs) ---------
+  // For each anchor, the most-similar vector with a DIFFERENT label —
+  // the "hard negative" a contrastive/embedding trainer pairs against
+  // the positive. Same scale shape as q36: candidates from the LSH
+  // bucket equi-join (never a cross join), label mismatch as a cheap
+  // post-join predicate, per-anchor argmax over bucket-bounded
+  // candidates. Anchors whose bucket holds only same-label vectors drop
+  // out (a miner batches them for a wider probe — q68's trick — rather
+  // than widening every anchor's search).
+  def q105HardNegatives(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .withColumn("bucket",
+        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
+    val a = emb.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"), col("bucket"))
+    val b = emb.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"), col("bucket"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cosine").desc, col("b_id").asc)
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") =!= col("b_id") &&
+        col("a_label") =!= col("b_label"))
+      .withColumn("cosine",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+        col("b_id").as("neg_id"), col("b_label").as("neg_label"),
+        col("cosine"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q105Sql: String = sqlEmb + s""",
+    scored AS (
+      SELECT a.vec_id AS vec_id, a.label AS label,
+        b.vec_id AS neg_id, b.label AS neg_label,
+        CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        AND a.label <> b.label),
+    ranked AS (
+      SELECT vec_id, label, neg_id, neg_label, cosine,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY cosine DESC, neg_id) AS rank
+      FROM scored)
+    SELECT vec_id, label, neg_id, neg_label, cosine
+    FROM ranked WHERE rank = 1 ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -994,7 +1045,8 @@ object SimOps {
     "q79_pq_adc"          -> q79ProductQuantization _,
     "q80_ivfpq_ann"       -> q80IvfPq _,
     "q87_sparse_cosine"   -> q87SparseCosine _,
-    "q104_ann_recall"     -> q104AnnRecall _)
+    "q104_ann_recall"     -> q104AnnRecall _,
+    "q105_hard_negatives" -> q105HardNegatives _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1007,5 +1059,6 @@ object SimOps {
     "q79_pq_adc"          -> q79Sql,
     "q80_ivfpq_ann"       -> q80Sql,
     "q87_sparse_cosine"   -> q87Sql,
-    "q104_ann_recall"     -> q104Sql)
+    "q104_ann_recall"     -> q104Sql,
+    "q105_hard_negatives" -> q105Sql)
 }

@@ -52,9 +52,11 @@ class PlanSpec extends AnyFunSuite {
     // single-row global-limit scalar attaches via a 1-row broadcast NLJ
     // q75/q86/q90/q92: a single-row scalar (corpus total / avgdl /
     // quantile cuts) attaches via a 1-row broadcast NLJ
+    // q104: recall ground truth = corpus × broadcast(32-vector eval set),
+    // plus the 1-row n_queries scalar attach
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
-      "q90_bm25", "q92_quantile_bins")
+      "q90_bm25", "q92_quantile_bins", "q104_ann_recall")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -178,6 +180,34 @@ class PlanSpec extends AnyFunSuite {
       case (k, Some(v)) => c.set(k, v)
       case (k, None)    => c.unset(k)
     }
+  }
+
+  test("q102's canonical argmax is a partial aggregate, not a window") {
+    // keep-best selection must collapse map-side via max(struct(...)):
+    // a per-cluster row_number window would sort every labeled doc
+    val p = plan("q102_cluster_canonical")
+    assert(!p.contains("windowspecdefinition(canon_id"),
+      s"q102 canonical selection went through a Window:\n$p")
+    assert(p.contains("max(") && p.contains("partial"),
+      s"q102 lost its partial aggregation:\n$p")
+  }
+
+  test("q103's top-k is TakeOrderedAndProject over a hash aggregate") {
+    // pair counting must not globally sort the pair vocabulary: the
+    // limit rides per-partition heaps
+    val p = plan("q103_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q103 lost its top-k fusion:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q104's ground truth broadcasts the eval set; ANN sides stay equi-joins") {
+    val p = plan("q104_ann_recall")
+    // exact GT: corpus × broadcast(32 queries) — the bounded NLJ shape
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q104 ground truth lost its broadcast:\n$p")
+    // no unbounded cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q70's scrub is scan-projected per-row work (no shuffle before sort)") {
