@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,22 +18,73 @@ import Fx._
   */
 object StatsOps {
 
-  // ---- q56: exact percentiles (interpolated, over integer units) -------
+  // ---- exact percentiles via a value HISTOGRAM -------------------------
   // Spark `percentile` and DuckDB `quantile_cont` share the same
   // definition (linear interpolation at rank p·(n−1)); feeding them
   // integer cent values makes the sort total and the interpolation inputs
-  // exact, so the returned doubles agree bit-for-bit. Scale caveat: exact
-  // percentile buffers per-group distinct values through an
-  // ObjectHashAggregate — correct but memory-heavy on high-cardinality
-  // measures; at 100 TB the default should be `approx_percentile`
-  // (KLL/GK sketch, constant state), with this exact form reserved for
-  // bounded-cardinality columns or final re-ranking.
+  // exact, so the returned doubles agree bit-for-bit. But the built-in
+  // exact percentile buffers every value through an ObjectHashAggregate —
+  // O(group rows) of executor state, the one aggregate here that could
+  // not survive 100 TB. This helper computes the SAME bits with bounded
+  // state: histogram the measure (groupBy distinct integer units — state
+  // is O(|value domain|), fixed by the money type's precision, NOT the
+  // corpus), per-group cumulative ranks over the histogram (window over
+  // domain-bounded rows), then each requested quantile finds its two
+  // boundary ranks via a broadcast join of the G×|qs| quantile spec and
+  // interpolates with Spark's own op tree
+  // (v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋), pos = q·(n−1)) so the output
+  // is bit-identical to the built-in and to quantile_cont.
+  private[graft] def histPercentiles(rows: DataFrame, groupCol: String,
+      vCol: String, qs: Seq[Double]): DataFrame = {
+    val counts = rows.groupBy(col(groupCol), col(vCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("hi_rank", sum(col("c")).over(w))
+      .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
+    val spec = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+      .select(col(groupCol), col("n"),
+        posexplode(lit(qs.toArray)).as(Seq("qi", "q")))
+      .withColumn("pos", (col("n") - 1).cast("double") * col("q"))
+      .withColumn("lo_idx", floor(col("pos")))
+      .withColumn("hi_idx", ceil(col("pos")))
+    def boundary(idx: String, out: String) =
+      cum.as("h").join(broadcast(spec.as("s")),
+          col(s"h.$groupCol") === col(s"s.$groupCol") &&
+            (col(s"s.$idx") + 1).between(col("h.lo_rank"), col("h.hi_rank")))
+        .select(col(s"s.$groupCol").as(groupCol), col("s.qi").as("qi"),
+          col("s.n").as("n"), col("s.pos").as("pos"),
+          col("s.lo_idx").as("lo_idx"), col("s.hi_idx").as("hi_idx"),
+          col("h.v").as(out))
+    val lo = boundary("lo_idx", "v_lo")
+    val hi = boundary("hi_idx", "v_hi")
+      .select(col(groupCol).as("g2"), col("qi").as("qi2"), col("v_hi"))
+    lo.join(hi, col(groupCol) === col("g2") && col("qi") === col("qi2"))
+      .withColumn("pval",
+        when(col("lo_idx") === col("hi_idx"), col("v_lo").cast("double"))
+          .otherwise(
+            col("v_lo").cast("double") *
+              (col("hi_idx").cast("double") - col("pos")) +
+            col("v_hi").cast("double") *
+              (col("pos") - col("lo_idx").cast("double"))))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sort_array(collect_list(struct(col("qi"), col("pval"))))
+        .as("kv"))
+      .withColumn("ps", expr("transform(kv, x -> x.pval)"))
+      .drop("kv")
+  }
+
+  // ---- q56: exact percentiles (interpolated, over integer units) -------
+  // Per-group p25/p50/p75/p90 through [[histPercentiles]]: exact, yet
+  // every stage is bounded-state at 100 TB (the scale problem the
+  // built-in exact percentile has and this path does not). q62 remains
+  // the sketch alternative when even a domain-sized histogram is too
+  // wide (true doubles, free-text lengths).
   def q56Percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .withColumn("pu", toUnits(col("l_extendedprice")))
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(pu, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"),
-        count(lit(1)).as("n"))
+    histPercentiles(
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu")),
+      "l_returnflag", "pu", Seq(0.25, 0.5, 0.75, 0.9))
       .select(col("l_returnflag"), col("n"),
         (element_at(col("ps"), 1) / 100.0).as("p25"),
         (element_at(col("ps"), 2) / 100.0).as("p50"),
@@ -276,11 +328,14 @@ object StatsOps {
   def q92QuantileBins(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(toUnits(col("l_extendedprice")).as("pu"))
-    val cuts = li
-      .agg(expr("percentile(pu, array(0.25D, 0.5D, 0.75D))").as("cs"))
-      .select(element_at(col("cs"), 1).as("c1"),
-        element_at(col("cs"), 2).as("c2"),
-        element_at(col("cs"), 3).as("c3"))
+    // cut points via the bounded-state histogram path (single group —
+    // the per-group window degrades to one task over the DOMAIN-sized
+    // histogram, a constant, not the corpus)
+    val cuts = histPercentiles(li.withColumn("g", lit(0)),
+        "g", "pu", Seq(0.25, 0.5, 0.75))
+      .select(element_at(col("ps"), 1).as("c1"),
+        element_at(col("ps"), 2).as("c2"),
+        element_at(col("ps"), 3).as("c3"))
     li.crossJoin(broadcast(cuts))
       .withColumn("bin", expr(
         "CASE WHEN pu <= c1 THEN 0 WHEN pu <= c2 THEN 1" +
@@ -307,20 +362,18 @@ object StatsOps {
 
   // ---- q94: IQR outlier detection (per-group Tukey fences) -------------
   // The anomaly gate a measure column gets before aggregation: per
-  // return flag, quartiles from one exact percentile aggregate (integer
-  // cents in — the q56 path), Tukey fences lo/hi = Q1∓1.5·IQR (1.5 is
-  // exact in binary, the fence arithmetic is the same IEEE op tree on
-  // both engines), then a broadcast join back on the group key flags
-  // rows outside the fences. Two passes over the measure, no window, no
-  // per-row state; the fence table is G rows and broadcasts. At 100 TB
-  // the quartile pass swaps to approx_percentile exactly as q92 notes.
+  // return flag, exact quartiles from the bounded-state histogram path
+  // (histPercentiles — integer cents in), Tukey fences lo/hi = Q1∓1.5·IQR
+  // (1.5 is exact in binary, the fence arithmetic is the same IEEE op
+  // tree on both engines), then a broadcast join back on the group key
+  // flags rows outside the fences. Two passes over the measure, no
+  // per-row state; the fence table is G rows and broadcasts.
   def q94IqrOutliers(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
-    val fences = li.groupBy(col("l_returnflag"))
-      .agg(expr("percentile(pu, array(0.25D, 0.75D))").as("qs"))
+    val fences = histPercentiles(li, "l_returnflag", "pu", Seq(0.25, 0.75))
       .select(col("l_returnflag"),
-        element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+        element_at(col("ps"), 1).as("q1"), element_at(col("ps"), 2).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
     li.join(broadcast(fences), "l_returnflag")
