@@ -34,10 +34,23 @@ object StatsOps {
   // interpolates with Spark's own op tree
   // (v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋), pos = q·(n−1)) so the output
   // is bit-identical to the built-in and to quantile_cont.
-  private[graft] def histPercentiles(rows: DataFrame, groupCol: String,
-      vCol: String, qs: Seq[Double]): DataFrame = {
-    val counts = rows.groupBy(col(groupCol), col(vCol).as("v"))
+  /** The (group, v, c) value histogram both percentile and downstream
+    * weighted passes ride. A caller that aggregates off the histogram
+    * twice in one plan (q92 bins, q94 fence sums) `persist()`s it — the
+    * DedupOps feature-table contract: the corpus scan runs once, both
+    * branches read the cached domain-sized histogram, and the harness's
+    * clearCache between queries bounds the cache lifetime. */
+  private[graft] def histogram(rows: DataFrame, groupCol: String,
+      vCol: String): DataFrame =
+    rows.groupBy(col(groupCol), col(vCol).as("v"))
       .agg(count(lit(1)).as("c"))
+
+  private[graft] def histPercentiles(rows: DataFrame, groupCol: String,
+      vCol: String, qs: Seq[Double]): DataFrame =
+    histPercentilesFromCounts(histogram(rows, groupCol, vCol), groupCol, qs)
+
+  private[graft] def histPercentilesFromCounts(counts: DataFrame,
+      groupCol: String, qs: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("hi_rank", sum(col("c")).over(w))
@@ -327,23 +340,25 @@ object StatsOps {
   // and the binning side stays identical.
   def q92QuantileBins(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .select(toUnits(col("l_extendedprice")).as("pu"))
+      .select(toUnits(col("l_extendedprice")).as("pu"), lit(0).as("g"))
     // cut points via the bounded-state histogram path (single group —
     // the per-group window degrades to one task over the DOMAIN-sized
-    // histogram, a constant, not the corpus)
-    val cuts = histPercentiles(li.withColumn("g", lit(0)),
-        "g", "pu", Seq(0.25, 0.5, 0.75))
+    // histogram, a constant, not the corpus); the BIN statistics then
+    // aggregate off the SAME persisted histogram weighted by its counts —
+    // the corpus is never scanned a second time
+    val counts = histogram(li, "g", "pu").persist()
+    val cuts = histPercentilesFromCounts(counts, "g", Seq(0.25, 0.5, 0.75))
       .select(element_at(col("ps"), 1).as("c1"),
         element_at(col("ps"), 2).as("c2"),
         element_at(col("ps"), 3).as("c3"))
-    li.crossJoin(broadcast(cuts))
+    counts.crossJoin(broadcast(cuts))
       .withColumn("bin", expr(
-        "CASE WHEN pu <= c1 THEN 0 WHEN pu <= c2 THEN 1" +
-          " WHEN pu <= c3 THEN 2 ELSE 3 END").cast("long"))
+        "CASE WHEN v <= c1 THEN 0 WHEN v <= c2 THEN 1" +
+          " WHEN v <= c3 THEN 2 ELSE 3 END").cast("long"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        min(col("pu")).as("min_units"), max(col("pu")).as("max_units"),
-        sum(col("pu")).as("sum_units"))
+      .agg(sum(col("c")).as("n"),
+        min(col("v")).as("min_units"), max(col("v")).as("max_units"),
+        sum(col("v") * col("c")).as("sum_units"))
       .orderBy(col("bin"))
   }
 
@@ -371,18 +386,22 @@ object StatsOps {
   def q94IqrOutliers(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
-    val fences = histPercentiles(li, "l_returnflag", "pu", Seq(0.25, 0.75))
+    val counts = histogram(li, "l_returnflag", "pu").persist()
+    val fences = histPercentilesFromCounts(counts, "l_returnflag",
+        Seq(0.25, 0.75))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("q1"), element_at(col("ps"), 2).as("q3"))
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
-    li.join(broadcast(fences), "l_returnflag")
+    // the flag pass rides the histogram too (counts weight every sum) —
+    // one corpus scan for the whole query
+    counts.join(broadcast(fences), "l_returnflag")
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("pu") < col("lo"), 1L).otherwise(0L)).as("n_low"),
-        sum(when(col("pu") > col("hi"), 1L).otherwise(0L)).as("n_high"),
-        sum(when(col("pu") < col("lo") || col("pu") > col("hi"), col("pu"))
-          .otherwise(0L)).as("outlier_units_sum"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("v") < col("lo"), col("c")).otherwise(0L)).as("n_low"),
+        sum(when(col("v") > col("hi"), col("c")).otherwise(0L)).as("n_high"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"),
+          col("v") * col("c")).otherwise(0L)).as("outlier_units_sum"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -46,6 +46,27 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r.count() > 0)
   }
 
+  test("histogram percentiles are bit-identical to the built-in exact percentile") {
+    // the drop-in contract: the bounded-state histogram path must emit the
+    // very doubles Spark's ObjectHashAggregate percentile does, including
+    // the interpolated (inexact-frac) p90 — awkward group sizes included
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_linenumber").cast("string").as("g"),
+        ops.Fx.toUnits(col("l_extendedprice")).as("pu"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val hist = StatsOps.histPercentiles(rows, "g", "pu", qs)
+      .select(col("g"), col("ps")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val builtin = rows.groupBy(col("g"))
+      .agg(expr("percentile(pu, array(0.25D, 0.5D, 0.75D, 0.9D))").as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(hist.keySet == builtin.keySet)
+    hist.foreach { case (g, ps) =>
+      // exact double equality, not tolerance — the whole point
+      assert(ps == builtin(g), s"group $g: $ps != ${builtin(g)}")
+    }
+  }
+
   test("quantile bins partition the measure into four ordered ranges") {
     val b = StatsOps.q92QuantileBins(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
