@@ -340,25 +340,28 @@ object StatsOps {
   // and the binning side stays identical.
   def q92QuantileBins(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-      .select(toUnits(col("l_extendedprice")).as("pu"), lit(0).as("g"))
+      .select(toUnits(col("l_extendedprice")).as("pu"))
     // cut points via the bounded-state histogram path (single group —
     // the per-group window degrades to one task over the DOMAIN-sized
-    // histogram, a constant, not the corpus); the BIN statistics then
-    // aggregate off the SAME persisted histogram weighted by its counts —
-    // the corpus is never scanned a second time
-    val counts = histogram(li, "g", "pu").persist()
-    val cuts = histPercentilesFromCounts(counts, "g", Seq(0.25, 0.5, 0.75))
+    // histogram, a constant, not the corpus). The bin pass re-scans the
+    // measure as an INDEPENDENT branch: A/B-measured, the two parallel
+    // scans beat persisting the shared histogram here (cache
+    // materialization serializes the branches; single-group q92 has no
+    // per-group parallelism to win back — q94, per-group, takes the
+    // opposite trade and persists).
+    val cuts = histPercentiles(li.withColumn("g", lit(0)),
+        "g", "pu", Seq(0.25, 0.5, 0.75))
       .select(element_at(col("ps"), 1).as("c1"),
         element_at(col("ps"), 2).as("c2"),
         element_at(col("ps"), 3).as("c3"))
-    counts.crossJoin(broadcast(cuts))
+    li.crossJoin(broadcast(cuts))
       .withColumn("bin", expr(
-        "CASE WHEN v <= c1 THEN 0 WHEN v <= c2 THEN 1" +
-          " WHEN v <= c3 THEN 2 ELSE 3 END").cast("long"))
+        "CASE WHEN pu <= c1 THEN 0 WHEN pu <= c2 THEN 1" +
+          " WHEN pu <= c3 THEN 2 ELSE 3 END").cast("long"))
       .groupBy(col("bin"))
-      .agg(sum(col("c")).as("n"),
-        min(col("v")).as("min_units"), max(col("v")).as("max_units"),
-        sum(col("v") * col("c")).as("sum_units"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pu")).as("min_units"), max(col("pu")).as("max_units"),
+        sum(col("pu")).as("sum_units"))
       .orderBy(col("bin"))
   }
 
