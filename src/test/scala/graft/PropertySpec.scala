@@ -158,4 +158,33 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val measureGen = for {
+    nGroups <- Gen.choose(1, 4)
+    rows <- Gen.listOfN(40, for {
+      g <- Gen.choose(0, nGroups - 1)
+      // narrow value range on purpose: heavy ties + all-equal groups
+      v <- Gen.choose(0L, 12L)
+    } yield (s"g$g", v))
+  } yield rows
+
+  test("property: histogram percentiles == built-in percentile on arbitrary data") {
+    // the q56 drop-in contract under shapes lineitem never exercises:
+    // singleton groups, all-equal values, group sizes where q·(n−1) has
+    // an inexact fractional part — exact double equality required
+    forAll(measureGen, n = 6) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("g", "v")
+        val qs = Seq(0.25, 0.5, 0.75, 0.9)
+        val hist = ops.StatsOps.histPercentiles(df, "g", "v", qs)
+          .select(col("g"), col("ps")).collect()
+          .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+        val builtin = df.groupBy(col("g"))
+          .agg(expr("percentile(v, array(0.25D, 0.5D, 0.75D, 0.9D))")
+            .as("ps"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+        assert(hist == builtin, s"diverged on ${rows.take(10)}…")
+      }
+    }
+  }
 }
