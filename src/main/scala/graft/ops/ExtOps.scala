@@ -29,11 +29,96 @@ class WeightedAvgQ extends Aggregator[(Long, Long), (Long, Long), Double] {
   def outputEncoder = Encoders.scalaDouble
 }
 
+/** Top-3 (value, key) pairs per group as a MERGEABLE bounded aggregate —
+  * the per-key analog of TakeOrderedAndProject, which Spark only has for
+  * GLOBAL top-k (q02). The window idiom (q14: row_number ≤ k) must sort
+  * every group's rows inside each partition and shuffle ALL N rows; this
+  * aggregator keeps a k-bounded buffer per key, so partial aggregation
+  * collapses each partition to ≤ k rows per key MAP-SIDE and the shuffle
+  * carries O(G·k) rows, not N. At 100 TB that is the difference between
+  * "sort the corpus" and "stream it once".
+  *
+  * Ordering: value desc, key asc (ties deterministic). The buffer is a
+  * fixed-width 6-long tuple (3 × (value, key), empty slots =
+  * Long.MinValue sentinels) — k is a compile-time constant, which keeps
+  * the buffer a flat primitive row (no per-row collection churn); a
+  * general-k variant swaps the tuple for an array buffer, same algebra.
+  * Insert and merge preserve "sorted best-first", so the aggregator is
+  * associative + commutative: any partial/merge tree yields the same
+  * buffer, the precondition for map-side combine.
+  */
+case class Top3Buf(v1: Long, k1: Long, v2: Long, k2: Long,
+                   v3: Long, k3: Long)
+
+class Top3Q extends Aggregator[(Long, Long), Top3Buf, Top3Buf] {
+  private val E = Long.MinValue
+  def zero: Top3Buf = Top3Buf(E, E, E, E, E, E)
+  // better = higher value, then lower key; empty slots sort last
+  private def better(v1: Long, k1: Long, v2: Long, k2: Long): Boolean =
+    v1 > v2 || (v1 == v2 && k1 < k2)
+  private def insert(b: Top3Buf, v: Long, k: Long): Top3Buf =
+    if (b.v1 == E || better(v, k, b.v1, b.k1))
+      Top3Buf(v, k, b.v1, b.k1, b.v2, b.k2)
+    else if (b.v2 == E || better(v, k, b.v2, b.k2))
+      Top3Buf(b.v1, b.k1, v, k, b.v2, b.k2)
+    else if (b.v3 == E || better(v, k, b.v3, b.k3))
+      Top3Buf(b.v1, b.k1, b.v2, b.k2, v, k)
+    else b
+  def reduce(b: Top3Buf, in: (Long, Long)): Top3Buf =
+    insert(b, in._1, in._2)
+  def merge(a: Top3Buf, b: Top3Buf): Top3Buf = {
+    var r = a
+    if (b.v1 != E) r = insert(r, b.v1, b.k1)
+    if (b.v2 != E) r = insert(r, b.v2, b.k2)
+    if (b.v3 != E) r = insert(r, b.v3, b.k3)
+    r
+  }
+  def finish(r: Top3Buf): Top3Buf = r
+  def bufferEncoder = Encoders.product[Top3Buf]
+  def outputEncoder = Encoders.product[Top3Buf]
+}
+
 /** Remaining SURVEY.md §2 operators: as-of join (J4), approximate distinct
   * (A2), map explode (F10), range-frame windows (W3 date-correct variant),
   * and the custom-UDAF surface (§2.10).
   */
 object ExtOps {
+
+  // ---- q106: top-k per group via the mergeable heap aggregate ----------
+  // Same semantic contract as q14 (top-3 orders per market segment by
+  // price), but the plan is ONE hash aggregate with map-side partial
+  // combine — no Window, no per-partition sort of the fact table, G·k
+  // rows through the shuffle (PlanSpec-guarded). Prices compare in exact
+  // integer units so the oracle's ROW_NUMBER ordering agrees bit-for-bit.
+  def q106TopkHeap(s: SparkSession, d: String): DataFrame = {
+    s.udf.register("top3q", udaf(new Top3Q()))
+    val slots = array(
+      struct(col("t.v1").as("pu"), col("t.k1").as("k")),
+      struct(col("t.v2").as("pu"), col("t.k2").as("k")),
+      struct(col("t.v3").as("pu"), col("t.k3").as("k")))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        toUnits(col("o_totalprice")).as("pu"), col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("top3q(pu, o_orderkey)").as("t"))
+      .select(col("c_mktsegment"), posexplode(slots).as(Seq("pos", "s")))
+      .filter(col("s.pu") =!= lit(Long.MinValue))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.k").as("o_orderkey"), col("s.pu").as("price_units"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  val q106Sql: String = s"""
+    SELECT c_mktsegment, rank, o_orderkey, price_units FROM (
+      SELECT c_mktsegment,
+        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+          ORDER BY pu DESC, o_orderkey) AS BIGINT) AS rank,
+        o_orderkey, pu AS price_units
+      FROM (SELECT c_mktsegment, ${sqlUnits("o_totalprice")} AS pu,
+              o_orderkey
+            FROM orders JOIN customer ON o_custkey = c_custkey))
+    WHERE rank <= 3 ORDER BY c_mktsegment, rank"""
 
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
@@ -541,7 +626,8 @@ object ExtOps {
     "q76_window_zoo"      -> q76WindowZoo _,
     "q77_gap_fill"        -> q77GapFill _,
     "q88_range_join"      -> q88RangeJoin _,
-    "q89_zorder_stats"    -> q89ZOrderStats _)
+    "q89_zorder_stats"    -> q89ZOrderStats _,
+    "q106_topk_heap"      -> q106TopkHeap _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -555,5 +641,6 @@ object ExtOps {
     "q76_window_zoo"      -> q76Sql,
     "q77_gap_fill"        -> q77Sql,
     "q88_range_join"      -> q88Sql,
-    "q89_zorder_stats"    -> q89Sql)
+    "q89_zorder_stats"    -> q89Sql,
+    "q106_topk_heap"      -> q106Sql)
 }

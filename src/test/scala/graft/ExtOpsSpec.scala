@@ -61,4 +61,17 @@ class ExtOpsSpec extends AnyFunSuite {
         col("wavg_price") > col("hi") + 1)
     assert(bad.count() == 0)
   }
+
+  test("q106 heap aggregate returns exactly q14's window top-k") {
+    // two implementations of one semantic: the mergeable-heap aggregate
+    // must reproduce the window idiom's (segment, rank, orderkey) rows
+    val heap = ExtOps.q106TopkHeap(spark, sf)
+      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val window = ops.Relational.q14TopkPerGroup(spark, sf)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(heap.sameElements(window),
+      s"heap=${heap.toSeq} window=${window.toSeq}")
+  }
 }

@@ -210,6 +210,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q106's per-group top-k is a partial-merge aggregate, not a window") {
+    // the mergeable-heap contract: no per-partition sort of the fact
+    // table, k-bounded buffers combine map-side before the shuffle
+    val p = plan("q106_topk_heap")
+    assert(!p.contains("windowspecdefinition"),
+      s"q106 fell back to a window sort:\n$p")
+    assert(p.contains("partial_top3q"),
+      s"q106 lost its map-side partial aggregation:\n$p")
+  }
+
   test("q94 scans the corpus once: both passes read the cached histogram") {
     // the quartile/fence pass and the weighted outlier pass aggregate off
     // the same persisted (group, v, c) histogram — the flag branch must
