@@ -648,13 +648,21 @@ object CurationOps {
   // kept_chars / expected_chars audits the estimator: E[kept w] = Σw²/512
   // exactly in integers, so the contract row shows realized vs expected
   // intake per source with no floating point until the final division.
+  /** The q101 acceptance gate as a reusable row-local predicate (needs
+    * `doc_id` and `n_chars` columns; caller registers Hash60). Because it
+    * is a pure row property — no state, no shuffle, no corpus statistics
+    * — the SAME expression gates a batch scan and a structured stream
+    * identically (StreamingSpec pins that parity): curation gates built
+    * this way backfill and stream from one code path. */
+  private[graft] def importanceGate: Column =
+    expr("h60(concat('iw:', cast(doc_id as string))) % 512") <
+      least(col("n_chars"), lit(512L))
+
   def q101WeightedSample(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
     Tables.documents(s, d)
       .withColumn("w", least(col("n_chars"), lit(512L)))
-      .withColumn("keep",
-        expr("h60(concat('iw:', cast(doc_id as string))) % 512") <
-          col("w"))
+      .withColumn("keep", importanceGate)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

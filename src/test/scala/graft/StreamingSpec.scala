@@ -10,6 +10,8 @@ import ops.Streaming
 
 case class SDoc(doc_id: Long, text: String)
 
+case class IDoc(doc_id: Long, source: String, n_chars: Long)
+
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
 
@@ -379,6 +381,35 @@ class StreamingSpec extends AnyFunSuite {
           "state not reset after timeout flush")
       } finally q.stop()
     }
+  }
+
+  test("row-local curation gate admits identical rows in batch and stream") {
+    // q101's importance gate is a pure row property (salted hash vs a
+    // row-derived weight) — the SAME Column must admit the same rows
+    // whether the docs arrive as a scan or as a stream, across any
+    // micro-batch slicing. This is the property that lets one curation
+    // code path serve both backfill and live ingest.
+    graft.expressions.Hash60.register(spark)
+    val docs = (0L until 200L).map(i => IDoc(i, s"src${i % 4}", 30 + i * 7))
+    val input = MemoryStream[IDoc]
+    val q = input.toDF().filter(ops.CurationOps.importanceGate)
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      // deliberately uneven micro-batches
+      input.addData(docs.take(13))
+      q.processAllAvailable()
+      input.addData(docs.slice(13, 140))
+      q.processAllAvailable()
+      input.addData(docs.drop(140))
+      q.processAllAvailable()
+      val streamed = spark.table("gate_stream")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      val batch = docs.toDF().filter(ops.CurationOps.importanceGate)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(streamed.sameElements(batch))
+      assert(batch.nonEmpty && batch.length < docs.length) // gate is real
+    } finally q.stop()
   }
 
   test("batch session windows merge within gap inclusive, split beyond") {
