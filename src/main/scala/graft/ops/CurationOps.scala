@@ -689,6 +689,80 @@ object CurationOps {
       FROM documents)
     GROUP BY source ORDER BY source"""
 
+  // ---- q107: duplicate-span detection (substring-level exact dedup) ----
+  // The span-granular form of exact dedup (Lee et al., "Deduplicating
+  // Training Data Makes Language Models Better", ACL'22): doc-level
+  // dedup (q29) misses a boilerplate paragraph pasted into otherwise-
+  // distinct pages, segment dedup (q72) only sees fixed 10-token
+  // alignment. Here every 8-token rolling gram (position-preserving —
+  // NOT array_distinct'ed like q71: positions are the output) that
+  // occurs >= 2 times anywhere in the corpus (cross-doc or repeated
+  // within one doc) marks its 8-token window duplicated, and per doc the
+  // marked windows merge into MAXIMAL spans (overlapping or adjacent
+  // coverage, i.e. next gram start <= prev start + 8).
+  //
+  // Scale shape: one shuffle on the gram md5 (high-cardinality, even) to
+  // find duplicated grams, one join back (AQE picks the build side), and
+  // the island-merge window partitions BY doc_id — per-doc state only,
+  // never a global sort. At 100 TB the gram table is ~n_tokens rows; the
+  // duplicated subset that reaches the window is a small fraction of it
+  // (and bounded by corpus redundancy, the thing being measured).
+  private val SpanGram = 8
+
+  def q107DupSpans(s: SparkSession, d: String): DataFrame = {
+    val k = SpanGram
+    val grams = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), posexplode_outer(transform(
+        sequence(lit(1), size(col("t")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select(col("g"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    grams.join(dup, "g")
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wOrd) > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val q107Sql: String = {
+    val k = SpanGram
+    raw"""
+    WITH toks AS (
+      SELECT doc_id, $sqlToks AS t FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+        md5(array_to_string(t[i:i+${k - 1}], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - ${k - 2})) AS u(i)
+      WHERE len(t) >= $k),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+    marked AS (
+      SELECT doc_id, i,
+        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $k
+          THEN 1 ELSE 0 END AS brk
+      FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, i,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      FROM marked)
+    SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+      CAST(MAX(i) + ${k - 1} AS BIGINT) AS span_end,
+      CAST(MAX(i) + ${k - 1} - MIN(i) + 1 AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -700,7 +774,8 @@ object CurationOps {
     "q86_upsample_mix"  -> q86UpsampleMix _,
     "q93_sliding_spans" -> q93SlidingSpans _,
     "q100_curation_summary" -> q100CurationSummary _,
-    "q101_weighted_sample" -> q101WeightedSample _)
+    "q101_weighted_sample" -> q101WeightedSample _,
+    "q107_dup_spans"    -> q107DupSpans _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -713,5 +788,6 @@ object CurationOps {
     "q86_upsample_mix"  -> q86Sql,
     "q93_sliding_spans" -> q93Sql,
     "q100_curation_summary" -> q100Sql,
-    "q101_weighted_sample" -> q101Sql)
+    "q101_weighted_sample" -> q101Sql,
+    "q107_dup_spans"    -> q107Sql)
 }

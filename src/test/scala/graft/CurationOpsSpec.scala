@@ -186,6 +186,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.filter(col("kept_w") > col("n_kept") * 512).count() == 0)
   }
 
+  test("q107: spans are maximal, in-bounds, and cover exact-dup docs fully") {
+    val r = CurationOps.q107DupSpans(spark, sf)
+    // every span covers at least one whole 8-gram and is internally sane
+    assert(r.filter(col("span_len") < 8).count() == 0)
+    assert(r.filter(col("span_end") =!=
+      col("span_start") + col("span_len") - 1).count() == 0)
+    // maximality: consecutive spans in a doc can never touch — adjacent
+    // or overlapping gram coverage would have merged into one island
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val prevEnd = lag(col("span_end"), 1).over(w)
+    assert(r.withColumn("pe", prevEnd)
+      .filter(col("pe").isNotNull && col("span_start") <= col("pe") + 1)
+      .count() == 0)
+    // bounds: spans live inside the doc's token range
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n_tok",
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+")).cast("long"))
+      .select(col("doc_id"), col("n_tok"))
+    assert(r.join(docs, "doc_id")
+      .filter(col("span_start") < 1 || col("span_end") > col("n_tok"))
+      .count() == 0)
+    // a doc whose FULL TEXT occurs >=2 times in the corpus is one
+    // wall-to-wall span: every gram in it is duplicated by its twin
+    val dupDocs = Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("n") >= 2)
+      .select(explode(col("ids")).as("doc_id"))
+      .join(docs, "doc_id").filter(col("n_tok") >= 8)
+    val full = r.join(dupDocs, "doc_id")
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_spans"),
+        min(col("span_start")).as("s"), max(col("span_end")).as("e"))
+    assert(full.count() == dupDocs.count())
+    assert(full.filter(col("n_spans") =!= 1 || col("s") =!= 1 ||
+      col("e") =!= col("n_tok")).count() == 0)
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
