@@ -748,6 +748,69 @@ object DedupOps {
     FROM best b JOIN agg a USING (canon_id)
     WHERE b.rk = 1 ORDER BY b.canon_id"""
 
+  // ---- q110: inter-source corpus overlap (MinHash sketch Jaccard) ------
+  // The mixing-decision input a pipeline computes before q75/q86: HOW
+  // MUCH does source A's content overlap source B's? Exact shingle-set
+  // Jaccard between two 10-TB sources is an n×n intersection; the sketch
+  // answer is one bottom-sketch per source (per seed k, the min over ALL
+  // the source's shingle hashes of H(x)^R_k — the same one-hash family
+  // as q30, min-merged across the whole source instead of per doc) and
+  // then a seeds-match count per source pair: P(min_a = min_b) = J(A,B),
+  // so n_match/K estimates the Jaccard with K=16 seeds (±1/16 lattice).
+  //
+  // Scale shape: ONE aggregate over the exploded shingle hashes,
+  // groupBy(source) with K codegen'd MINs — partial aggregation
+  // collapses every partition to |sources| rows map-side, so the shuffle
+  // is |sources|×K values no matter how big the corpus. The pair join is
+  // sketch×sketch (|sources|² rows) — driver-trivial forever. Estimates
+  // are integer-exact (minima + equality counts), so oracle parity is
+  // bit-for-bit; only est_jaccard divides, by 2^4, which IEEE represents
+  // exactly.
+  private[graft] val OverlapSeeds = 16
+
+  def q110CorpusOverlap(s: SparkSession, d: String): DataFrame = {
+    val ex = withShingles(Tables.documents(s, d))
+      .select(col("source"), explode_outer(col("hv")).as("h"))
+    val mins = (0 until OverlapSeeds).map(k =>
+      min(expr(s"h ^ ${seedR(k)}L")).as(s"m$k"))
+    val sk = ex.groupBy(col("source")).agg(mins.head, mins.tail: _*)
+      .select(col("source"), expr(s"stack($OverlapSeeds, " +
+        (0 until OverlapSeeds).map(k => s"${k}L, m$k").mkString(", ") +
+        ") as (k, m)"))
+    val a = sk.select(col("source").as("src_a"), col("k"),
+      col("m").as("ma"))
+    val b = sk.select(col("source").as("src_b"), col("k"),
+      col("m").as("mb"))
+    a.join(b, Seq("k")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / OverlapSeeds)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q110Sql: String = sqlShingles + s""",
+    ds AS (
+      SELECT d.source, unnest(sh.hv) AS h
+      FROM sh JOIN documents d USING (doc_id)),
+    mh AS (
+      SELECT source, k, MIN(xor(h, rk)) AS m
+      FROM ds CROSS JOIN
+        (SELECT k, CAST('0x' || substring(md5('seed:' || CAST(k AS VARCHAR)),
+           1, 15) AS BIGINT) AS rk
+         FROM (SELECT unnest(range(0, $OverlapSeeds)) AS k)) seeds
+      GROUP BY source, k),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+        CAST(SUM(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_match
+      FROM mh a JOIN mh b ON a.k = b.k AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_match,
+      CAST(n_match AS DOUBLE) / $OverlapSeeds AS est_jaccard
+    FROM pairs ORDER BY src_a, src_b"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -763,7 +826,8 @@ object DedupOps {
     "q33_simhash_pairs" -> q33SimhashPairs _,
     "q34_ngram_jaccard" -> q34NgramJaccard _,
     "q60_dedup_groups"  -> q60DedupGroups _,
-    "q102_cluster_canonical" -> q102ClusterCanonical _)
+    "q102_cluster_canonical" -> q102ClusterCanonical _,
+    "q110_corpus_overlap" -> q110CorpusOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -773,5 +837,6 @@ object DedupOps {
     "q33_simhash_pairs" -> q33Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q60_dedup_groups"  -> q60Sql,
-    "q102_cluster_canonical" -> q102Sql)
+    "q102_cluster_canonical" -> q102Sql,
+    "q110_corpus_overlap" -> q110Sql)
 }

@@ -184,4 +184,44 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cluster_tokens") == ms.map(_._2).sum)
     }
   }
+
+  test("q110: overlap sketch matches an independent md5-route recount") {
+    val r = DedupOps.q110CorpusOverlap(spark, sf)
+    val k = DedupOps.OverlapSeeds
+    // bounds + exact-division contract
+    assert(r.filter(col("n_match") < 0 || col("n_match") > k).count() == 0)
+    assert(r.filter(col("est_jaccard") =!=
+      col("n_match").cast("double") / k).count() == 0)
+    assert(r.filter(col("src_a") >= col("src_b")).count() == 0)
+    // every unordered pair of shingle-bearing sources appears exactly once
+    val srcs = Tables.documents(spark, sf)
+      .withColumn("t", split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source")).distinct().count()
+    assert(r.count() == srcs * (srcs - 1) / 2)
+    // rebuild the per-source sketch through Spark's md5/conv built-ins
+    // (NOT the Hash60 expression) and require identical match counts
+    val sh = Tables.documents(spark, sf)
+      .withColumn("t", split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 2)," +
+          " i -> array_join(slice(t, i, 3), ' ')))")).as("sg"))
+      .withColumn("h",
+        conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
+    val mins = (0 until k).map(j => min(expr(
+      s"h ^ ${DedupOps.h60(s"seed:$j")}L")).as(s"m$j"))
+    val sk = sh.groupBy(col("source")).agg(mins.head, mins.tail: _*)
+    val a = sk.select(col("source").as("src_a") +:
+      (0 until k).map(j => col(s"m$j").as(s"a$j")): _*)
+    val b = sk.select(col("source").as("src_b") +:
+      (0 until k).map(j => col(s"m$j").as(s"b$j")): _*)
+    val expect = a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("e_match", (0 until k).map(j =>
+        when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select(col("src_a"), col("src_b"), col("e_match"))
+    assert(r.join(expect, Seq("src_a", "src_b"))
+      .filter(col("n_match") =!= col("e_match")).count() == 0)
+  }
 }
