@@ -485,6 +485,59 @@ object TextOps {
     WHERE rank <= 10 ORDER BY query_id, rank"""
   }
 
+  // ---- q109: model-based quality scoring (hashed linear classifier) ----
+  // The fasttext-shaped quality filter pipelines run AFTER q25's cheap
+  // heuristics: score = w · φ(doc) where φ is a hashing-trick bag of
+  // words (token → bucket h60(tok) mod 64) and w is a trained weight
+  // vector. Here the weights are a fixed deterministic stand-in
+  // (h60("qw:"+j) mod 2001 - 1000 — the planeWeights recipe from the LSH
+  // family), because training is out of scope; INFERENCE is the operator
+  // under test. Kept all-integer on purpose: the logit is an exact
+  // BIGINT dot product, so the pass/fail gate is bit-identical across
+  // engines (a float sigmoid would only rescale the decision boundary).
+  //
+  // Scale shape: pure per-row projection — tokenize, bucket, one fused
+  // aggregate() over the token array against a 64-long literal weight
+  // array (no join: the "model" rides the codegen'd expression the same
+  // way LSH plane weights do). No shuffle at any size; a 100 TB scoring
+  // pass is scan-bound.
+  private val QBuckets = 64
+  private def qWeights: Array[Long] =
+    Array.tabulate(QBuckets)(j => DedupOps.h60(s"qw:$j") % 2001 - 1000)
+
+  def q109QualityModel(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val wArr = qWeights.mkString("array(", "L, ", "L)")
+    Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("logit", expr(
+        s"aggregate(t, 0L, (acc, tok) -> acc + element_at($wArr," +
+          s" cast(h60(tok) % $QBuckets as int) + 1))"))
+      .withColumn("pass", col("logit") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("logit"), col("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q109Sql: String = raw"""
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'),
+          x -> x <> '') AS t
+      FROM documents)
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      CAST(COALESCE(list_sum(list_transform(t, tok ->
+        CAST('0x' || substring(md5('qw:' || CAST(
+          CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % $QBuckets
+        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT)
+        AS logit,
+      CAST(COALESCE(list_sum(list_transform(t, tok ->
+        CAST('0x' || substring(md5('qw:' || CAST(
+          CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) % $QBuckets
+        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000)), 0) AS BIGINT) > 0
+        AS pass
+    FROM t ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -494,7 +547,8 @@ object TextOps {
     "q69_vocab"        -> q69Vocab _,
     "q78_fuzzy_match"  -> q78FuzzyMatch _,
     "q90_bm25"         -> q90Bm25 _,
-    "q103_bpe_pairs"   -> q103BpePairs _)
+    "q103_bpe_pairs"   -> q103BpePairs _,
+    "q109_quality_model" -> q109QualityModel _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -505,5 +559,6 @@ object TextOps {
     "q69_vocab"        -> q69Sql,
     "q78_fuzzy_match"  -> q78Sql,
     "q90_bm25"         -> q90Sql,
-    "q103_bpe_pairs"   -> q103Sql)
+    "q103_bpe_pairs"   -> q103Sql,
+    "q109_quality_model" -> q109Sql)
 }

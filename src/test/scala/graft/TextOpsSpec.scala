@@ -58,4 +58,30 @@ class TextOpsSpec extends AnyFunSuite {
       .count()
     assert(n == top.head.getAs[Long]("n"))
   }
+
+  test("q109: logit matches an md5-route recount; gate is logit > 0") {
+    val r = TextOps.q109QualityModel(spark, sf)
+    assert(r.count() == Tables.documents(spark, sf).count())
+    assert(r.filter(col("pass") =!= (col("logit") > 0)).count() == 0)
+    // weights live in [-1000, 1000], so |logit| <= 1000 * n_tokens
+    assert(r.filter(abs(col("logit")) > col("n_tokens") * 1000).count() == 0)
+    // rebuild the hashed-bag dot product through Spark's md5/conv
+    // built-ins (NOT the Hash60 expression): bucket = first-60-md5-bits
+    // mod 64, weight = first-60-md5-bits of 'qw:<bucket>' mod 2001 - 1000
+    val expect = Tables.documents(spark, sf)
+      .withColumn("tok", explode(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+")))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % 64)
+      .withColumn("w",
+        conv(substring(md5(concat(lit("qw:"), col("bucket").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2001 - 1000)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("e_logit"), count(lit(1)).as("e_n"))
+    val bad = r.join(expect, Seq("doc_id"), "left")
+      .filter(coalesce(col("e_logit"), lit(0L)) =!= col("logit") ||
+        coalesce(col("e_n"), lit(0L)) =!= col("n_tokens"))
+    assert(bad.count() == 0)
+  }
 }
