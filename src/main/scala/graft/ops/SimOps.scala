@@ -1034,6 +1034,91 @@ object SimOps {
     SELECT vec_id, label, neg_id, neg_label, cosine
     FROM ranked WHERE rank = 1 ORDER BY vec_id"""
 
+  // ---- q108: semantic dedup (SemDeDup — cluster, then in-cell cosine) --
+  // Embedding-space near-dup removal (Abbas et al., "SemDeDup", 2023):
+  // lexical dedup (q29/q31) misses paraphrases that embed nearly
+  // identically. Shape: coarse-cluster the corpus (q47's seeded cells —
+  // the paper uses k-means; the cells only need to CO-LOCATE likely
+  // dups), compare pairs WITHIN a cell only, and from every >=theta
+  // similar pair keep the member FARTHER from its centroid (the paper's
+  // keep-low-centroid-similarity rule: extremal points carry more
+  // information than cluster-center boilerplate; ties break to the
+  // smaller vec_id). A vector is removed iff some kept-preferred
+  // neighbor within its cell is >=theta similar.
+  //
+  // Scale shape: cell assign is the NearestCellCos codegen argmax over
+  // broadcast seeds (no shuffle); the pair search is a cell equi-join
+  // bounded by cell occupancy ~sqrt(n), never n²; the keep decision is
+  // one distinct + left join (rank-compare is pairwise-local — no
+  // connected components, no iteration, by design: the paper's rule
+  // needs no transitive closure).
+  private val SemTheta = 0.3
+
+  def q108SemDedup(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
+    val seedRows = cents.collect()
+    val assigned = emb
+      .withColumn("m", graft.expressions.NearestCellCos.column(
+        col("embedding"), col("nq"),
+        seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+        seedRows.map(_.getLong(2))))
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("m.cell").as("cell"), col("m.ccos").as("ccos"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"),
+      col("ccos").as("a_ccos"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"),
+      col("ccos").as("b_ccos"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .filter(col("cos") >= SemTheta &&
+        (col("a_ccos") < col("b_ccos") ||
+          (col("a_ccos") === col("b_ccos") && col("a_id") < col("b_id"))))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .withColumn("keep", coalesce(col("removed"), lit(false)) === false)
+      .select(col("vec_id"), col("cell"), col("ccos"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q108Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
+    scored AS (
+      SELECT e.vec_id, e.embedding, e.nq, c_id,
+        CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
+          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, embedding, nq, c_id AS cell, ccos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn
+        FROM scored) WHERE rn = 1),
+    removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) >= $SemTheta
+        AND (a.ccos < b.ccos
+          OR (a.ccos = b.ccos AND a.vec_id < b.vec_id)))
+    SELECT s.vec_id, s.cell, s.ccos, r.vec_id IS NULL AS keep
+    FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+    ORDER BY s.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -1046,7 +1131,8 @@ object SimOps {
     "q80_ivfpq_ann"       -> q80IvfPq _,
     "q87_sparse_cosine"   -> q87SparseCosine _,
     "q104_ann_recall"     -> q104AnnRecall _,
-    "q105_hard_negatives" -> q105HardNegatives _)
+    "q105_hard_negatives" -> q105HardNegatives _,
+    "q108_semdedup"       -> q108SemDedup _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1060,5 +1146,6 @@ object SimOps {
     "q80_ivfpq_ann"       -> q80Sql,
     "q87_sparse_cosine"   -> q87Sql,
     "q104_ann_recall"     -> q104Sql,
-    "q105_hard_negatives" -> q105Sql)
+    "q105_hard_negatives" -> q105Sql,
+    "q108_semdedup"       -> q108Sql)
 }

@@ -178,4 +178,47 @@ class SimOpsSpec extends AnyFunSuite {
       assert(m.getAs[Long]("n_answered") <= m.getAs[Long]("n_queries"))
     }
   }
+
+  test("q108: removal set matches an all-builtin recount; anchors survive") {
+    val r = SimOps.q108SemDedup(spark, sf)
+    assert(r.count() == Tables.embeddings(spark, sf).count())
+    // the per-cell (ccos, vec_id)-minimum can never be removed: removers
+    // must rank strictly lower, and nothing ranks below the minimum
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+    assert(r.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && !col("keep")).count() == 0)
+    // recount removals through built-in HOFs (zip_with/aggregate), not
+    // the QuantizedDot codegen expression the query used
+    val nqE = "aggregate(embedding, 0L, (acc, x) -> acc +" +
+      " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))"
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("nq", expr(nqE))
+      .select(col("vec_id"), col("embedding"), col("nq"))
+    val ass = r.join(emb, "vec_id")
+    val a = ass.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"),
+      col("ccos").as("a_ccos"))
+    val b = ass.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"),
+      col("ccos").as("b_ccos"))
+    val removedE = a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dq", expr("aggregate(zip_with(a_emb, b_emb," +
+        " (x, y) -> cast(floor(cast(x as double) * cast(y as double)" +
+        " * 1e9 + 0.5) as bigint)), 0L, (acc, t) -> acc + t)"))
+      .withColumn("cos",
+        col("dq").cast("double") /
+          sqrt((col("a_nq") * col("b_nq")).cast("double")))
+      .filter(col("cos") >= 0.3 &&
+        (col("a_ccos") < col("b_ccos") ||
+          (col("a_ccos") === col("b_ccos") && col("a_id") < col("b_id"))))
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("e_removed", lit(true))
+    // keep must be the exact negation of membership in the recount set
+    val bad = r.join(removedE, Seq("vec_id"), "left")
+      .withColumn("e_rm", coalesce(col("e_removed"), lit(false)))
+      .filter(col("keep") === col("e_rm"))
+    assert(bad.count() == 0)
+  }
 }
