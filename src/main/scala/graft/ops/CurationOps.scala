@@ -701,22 +701,25 @@ object CurationOps {
   // marked windows merge into MAXIMAL spans (overlapping or adjacent
   // coverage, i.e. next gram start <= prev start + 8).
   //
-  // Scale shape: one shuffle on the gram md5 (high-cardinality, even) to
-  // find duplicated grams, one join back (AQE picks the build side), and
-  // the island-merge window partitions BY doc_id — per-doc state only,
-  // never a global sort. At 100 TB the gram table is ~n_tokens rows; the
-  // duplicated subset that reaches the window is a small fraction of it
-  // (and bounded by corpus redundancy, the thing being measured).
+  // Scale shape: one shuffle on the 60-bit gram hash (high-cardinality,
+  // even; an 8-byte long, not the 32-char md5 hex — 4× less shuffle
+  // payload and integer compares) to find duplicated grams, one join
+  // back (AQE picks the build side), and the island-merge window
+  // partitions BY doc_id — per-doc state only, never a global sort. At
+  // 100 TB the gram table is ~n_tokens rows; the duplicated subset that
+  // reaches the window is a small fraction of it (and bounded by corpus
+  // redundancy, the thing being measured).
   private val SpanGram = 8
 
   def q107DupSpans(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
     val k = SpanGram
     val grams = Tables.documents(s, d)
       .withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= k)
-      .select(col("doc_id"), posexplode_outer(transform(
-        sequence(lit(1), size(col("t")) - (k - 1)),
-        i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))))
+      .select(col("doc_id"), posexplode_outer(expr(
+        s"transform(sequence(1, size(t) - ${k - 1})," +
+          s" i -> h60(concat_ws(' ', slice(t, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("g"))
     val dup = grams.groupBy(col("g"))
@@ -743,7 +746,8 @@ object CurationOps {
       SELECT doc_id, $sqlToks AS t FROM documents),
     grams AS (
       SELECT doc_id, CAST(i AS BIGINT) AS i,
-        md5(array_to_string(t[i:i+${k - 1}], ' ')) AS g
+        CAST('0x' || substring(md5(array_to_string(t[i:i+${k - 1}], ' ')),
+          1, 15) AS BIGINT) AS g
       FROM toks, unnest(range(1, len(t) - ${k - 2})) AS u(i)
       WHERE len(t) >= $k),
     dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
