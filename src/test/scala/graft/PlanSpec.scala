@@ -243,4 +243,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       readSchema)
   }
+
+  test("q107's island merge windows per doc, never over the whole corpus") {
+    val p = plan("q107_dup_spans")
+    // duplicated-gram detection is an equi-join on the 60-bit hash
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q107 gram join is not an equi-join:\n$p")
+    // both windows (lag + running island sum) stay partitioned by doc_id
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"q107 window lost its per-doc partitioning:\n$p")
+  }
+
+  test("q108's assign is the codegen argmax; pair search stays an equi-join") {
+    val p = plan("q108_semdedup")
+    assert(p.contains("nearest_cell_cos"),
+      s"q108 assign lost the codegen expression:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q108 in-cell pair search is not an equi-join:\n$p")
+    // the keep decision is pairwise-local: no window, no iteration
+    assert(!p.contains("windowspecdefinition"),
+      s"q108 planned a window it does not need:\n$p")
+  }
+
+  test("q109 inference is one scan: no join, no aggregate-shuffle") {
+    val p = plan("q109_quality_model")
+    assert(!p.contains("Join"), s"q109 joined for its weights:\n$p")
+    // only exchange: the final rangepartitioning for ORDER BY
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q109 shuffles beyond its output sort:\n$p")
+    // reads only doc_id + text
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("q110's sketch collapses map-side: partial_min before the exchange") {
+    val p = plan("q110_corpus_overlap")
+    // the per-source minima must partial-aggregate (shuffle carries
+    // |sources| rows, not the exploded shingle stream)
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"q110 lost map-side partial aggregation:\n$p")
+  }
 }
