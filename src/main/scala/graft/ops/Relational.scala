@@ -608,6 +608,74 @@ object Relational {
       FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
     WHERE rn = 1 ORDER BY user_id"""
 
+  // ---- q111: national market share (TPC-H Q8 shape; 7-table join) ------
+  // The deepest join tree in the surface — lineitem ⋈ orders ⋈ customer ⋈
+  // nation ⋈ region ⋈ part ⋈ supplier ⋈ nation — declared flat and left
+  // to Catalyst: selective filters (region, p_type, the 2-year date
+  // band) sit on the dimension/fact scans where pushdown lands them,
+  // fixed-size dims (nation ×2, region) get explicit broadcast hints,
+  // and the SF-scaled sides (customer, part, supplier) are UNhinted so
+  // AQE picks broadcast-vs-shuffle from runtime sizes (the q03 lesson —
+  // a forced hint OOMs at 100×). Share arithmetic stays exact: per-line
+  // volume quantizes to integer units, the numerator is a conditional
+  // SUM over the same units, and the only double is the final one-op
+  // division of two BIGINTs.
+  def q111MarketShare(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate").between(
+        lit("1995-01-01").cast("timestamp"),
+        lit("1996-12-31").cast("timestamp")))
+    val c = Tables.customer(s, d)
+    val p = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+    val sup = Tables.supplier(s, d)
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val r = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .withColumn("units",
+        toUnits(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("units"))
+          .otherwise(0L)).as("share_units"),
+        sum(col("units")).as("total_units"))
+      .withColumn("mkt_share",
+        col("share_units").cast("double") / col("total_units"))
+      .orderBy(col("o_year"))
+  }
+
+  val q111Sql: String = s"""
+    WITH j AS (
+      SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        n2.n_name AS supp_nation,
+        ${sqlUnits("l_extendedprice * (1 - l_discount)", 4)} AS units
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31')
+    SELECT o_year,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN units ELSE 0 END)
+        AS BIGINT) AS share_units,
+      CAST(SUM(units) AS BIGINT) AS total_units,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN units ELSE 0 END)
+        AS DOUBLE) / CAST(SUM(units) AS BIGINT) AS mkt_share
+    FROM j GROUP BY o_year ORDER BY o_year"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"  -> q01PricingSummary _,
     "q02_topk_orders"      -> q02TopkOrders _,
@@ -632,7 +700,8 @@ object Relational {
     "q82_full_outer"       -> q82FullOuter _,
     "q84_regexp_extract"   -> q84RegexpExtract _,
     "q98_string_agg"       -> q98StringAgg _,
-    "q99_snapshot"         -> q99Snapshot _)
+    "q99_snapshot"         -> q99Snapshot _,
+    "q111_market_share"    -> q111MarketShare _)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary"  -> q01Sql,
@@ -658,5 +727,6 @@ object Relational {
     "q82_full_outer"       -> q82Sql,
     "q84_regexp_extract"   -> q84Sql,
     "q98_string_agg"       -> q98Sql,
-    "q99_snapshot"         -> q99Sql)
+    "q99_snapshot"         -> q99Sql,
+    "q111_market_share"    -> q111Sql)
 }

@@ -403,13 +403,61 @@ object Streaming {
       }
   }
 
+  // ---- q112: event-burst dedup (debounce within 60 s per key) ----------
+  // Telemetry and clickstreams repeat the same logical event in bursts
+  // (retries, double-fires); the standard cleanup keeps an event only if
+  // it is the first of its (user, type) or arrived more than 60 s after
+  // its predecessor. Previous-ROW debounce on purpose (not previous-KEPT
+  // throttling, which is a sequential per-key fold that neither SQL nor
+  // a shuffle-parallel plan expresses): bursts collapse the same way,
+  // and the rule stays one window function. Microsecond integers on
+  // both engines (unix_micros / epoch_us over the micros-truncated ts —
+  // the q22 parity recipe), so the keep decision is exact.
+  //
+  // Scale shape: one shuffle — the (user_id, event_type) window
+  // partitioning; per-key state is a single lag. Output aggregates per
+  // key (count, kept count, kept-id checksum), so the dump stays small
+  // while pinning the exact kept SET.
+  def q112EventDedup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("kept",
+        col("prev").isNull || col("ts_us") - col("prev") > 60000000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("event_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val q112Sql: String = """
+    WITH m AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events)
+    SELECT user_id, event_type, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev > 60000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev > 60000000
+        THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM m GROUP BY user_id, event_type
+    ORDER BY user_id, event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_tumbling_window" -> q22Tumbling _,
     "q23_sliding_window"  -> q23Sliding _,
-    "q24_session_window"  -> q24Session _)
+    "q24_session_window"  -> q24Session _,
+    "q112_event_dedup"    -> q112EventDedup _)
 
   val oracles: Map[String, String] = Map(
     "q22_tumbling_window" -> q22Sql,
     "q23_sliding_window"  -> q23Sql,
-    "q24_session_window"  -> q24Sql)
+    "q24_session_window"  -> q24Sql,
+    "q112_event_dedup"    -> q112Sql)
 }

@@ -74,4 +74,20 @@ class RelationalSpec extends AnyFunSuite {
       .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
     assert((both | custOnly) == allCust)
   }
+
+  test("q111 market share: ratio consistent, bounded, one row per year") {
+    val rows = ops.Relational.q111MarketShare(spark, sf).collect()
+    // the 2-year date band admits exactly 1995 and 1996
+    assert(rows.map(_.getAs[Long]("o_year")).toSeq == Seq(1995L, 1996L))
+    rows.foreach { r =>
+      val share = r.getAs[Long]("share_units")
+      val total = r.getAs[Long]("total_units")
+      assert(share >= 0 && share <= total)
+      assert(r.getAs[Double]("mkt_share") == share.toDouble / total)
+    }
+    // the numerator nation is one of 25 uniform suppliers: its share
+    // should be visibly fractional, not 0 or 1 (sanity on the join tree —
+    // a dropped supplier⋈nation join would send every line to one bucket)
+    assert(rows.forall(r => r.getAs[Double]("mkt_share") < 0.5))
+  }
 }

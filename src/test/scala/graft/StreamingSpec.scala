@@ -452,4 +452,44 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("q112 debounce matches a join-route predecessor recount") {
+    import org.apache.spark.sql.functions._
+    val r = Streaming.q112EventDedup(spark, sf)
+    // every key keeps its first event; kept never exceeds total
+    assert(r.filter(col("n_kept") < 1 || col("n_kept") > col("n_events"))
+      .count() == 0)
+    // recount through a different mechanism: each event's predecessor by
+    // max_by over a self-join (not a window), then the same 60 s rule
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val a = e.select(col("user_id"), col("event_type"),
+      col("event_id"), col("ts_us"))
+    val b = e.select(col("user_id").as("b_uid"),
+      col("event_type").as("b_type"),
+      col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+    // predecessor condition INSIDE the left join: a first event keeps a
+    // single all-null match row instead of vanishing from the recount
+    val withPrev = a.join(b,
+      col("user_id") === col("b_uid") && col("event_type") === col("b_type")
+        && (col("p_ts") < col("ts_us") ||
+          (col("p_ts") === col("ts_us") && col("p_id") < col("event_id"))),
+      "left")
+      .groupBy(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+      .agg(max(col("p_ts")).as("pred_ts"))
+      .withColumn("kept", col("pred_ts").isNull ||
+        col("ts_us") - col("pred_ts") > 60000000L)
+    val expect = withPrev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("e_n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("e_kept"),
+        sum(when(col("kept"), col("event_id")).otherwise(0L))
+          .as("e_id_sum"))
+    val bad = r.join(expect, Seq("user_id", "event_type"))
+      .filter(col("n_events") =!= col("e_n") ||
+        col("n_kept") =!= col("e_kept") ||
+        col("kept_id_sum") =!= col("e_id_sum"))
+    assert(bad.count() == 0)
+  }
 }
