@@ -767,6 +767,66 @@ object CurationOps {
     ORDER BY doc_id, span_start"""
   }
 
+  // ---- q113: deterministic epoch reshuffle + sharding -------------------
+  // Training dataloaders need a DIFFERENT document order every epoch and
+  // the SAME order on re-run/resume (seekable, reproducible shuffles).
+  // The salted-hash trick gives both without a global permutation table:
+  // epoch e orders doc x by h60("ep:e:" + doc_id) — a fixed pseudo-random
+  // permutation per epoch — and shards by that hash mod Shards, so a
+  // shard's read order is just its hash-sorted slice. Output pins the
+  // contract per (epoch, shard): member count, token sum, and a
+  // position-weighted checksum (sum pos·doc_id) that any reordering or
+  // membership change would break.
+  //
+  // Scale shape: shard assignment is per-row arithmetic on the hash; the
+  // only shuffle is the (epoch, shard) window+aggregate — Epochs×Shards
+  // balanced partitions, each sorting its own ~n/Shards slice (exactly
+  // the sort a shard materialization performs anyway). Nothing global:
+  // no corpus-wide row_number, no permutation table join.
+  private val Epochs = 3
+  private val ShardCount = 8
+
+  def q113EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(filter(toks(col("text")), x => x =!= lit("")))
+          .cast("long").as("n_tok"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
+      .withColumn("h", expr(
+        "h60(concat('ep:', cast(epoch as string), ':'," +
+          " cast(doc_id as string)))"))
+      .withColumn("shard", col("h") % ShardCount)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tok_sum"),
+        sum(col("pos") * col("doc_id")).as("perm_sig"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  val q113Sql: String = raw"""
+    WITH docs AS (
+      SELECT doc_id,
+        CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    x AS (
+      SELECT doc_id, n_tok, e AS epoch,
+        CAST('0x' || substring(md5('ep:' || CAST(e AS VARCHAR) || ':' ||
+          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM docs CROSS JOIN (SELECT unnest(range(0, $Epochs)) AS e)),
+    p AS (
+      SELECT epoch, doc_id, n_tok, h % $ShardCount AS shard,
+        ROW_NUMBER() OVER (PARTITION BY epoch, h % $ShardCount
+          ORDER BY h, doc_id) AS pos
+      FROM x)
+    SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+      COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+      CAST(SUM(pos * doc_id) AS BIGINT) AS perm_sig
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -779,7 +839,8 @@ object CurationOps {
     "q93_sliding_spans" -> q93SlidingSpans _,
     "q100_curation_summary" -> q100CurationSummary _,
     "q101_weighted_sample" -> q101WeightedSample _,
-    "q107_dup_spans"    -> q107DupSpans _)
+    "q107_dup_spans"    -> q107DupSpans _,
+    "q113_epoch_shuffle" -> q113EpochShuffle _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -793,5 +854,6 @@ object CurationOps {
     "q93_sliding_spans" -> q93Sql,
     "q100_curation_summary" -> q100Sql,
     "q101_weighted_sample" -> q101Sql,
-    "q107_dup_spans"    -> q107Sql)
+    "q107_dup_spans"    -> q107Sql,
+    "q113_epoch_shuffle" -> q113Sql)
 }

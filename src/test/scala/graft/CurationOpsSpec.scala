@@ -224,6 +224,29 @@ class CurationOpsSpec extends AnyFunSuite {
       col("e") =!= col("n_tok")).count() == 0)
   }
 
+  test("q113: epochs repartition the same corpus; permutations differ") {
+    val r = CurationOps.q113EpochShuffle(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    val byEpoch = r.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    // every epoch shards the FULL corpus with identical token mass
+    val totals = byEpoch.view.mapValues(rows =>
+      (rows.map(_.getAs[Long]("n_docs")).sum,
+        rows.map(_.getAs[Long]("tok_sum")).sum)).toMap
+    assert(totals.values.forall(_._1 == docs), totals.toString)
+    assert(totals.values.map(_._2).toSet.size == 1, totals.toString)
+    // the reshuffle is real: epoch orderings produce different
+    // position-weighted signatures (identical permutations could only
+    // yield identical signature vectors)
+    val sigs = byEpoch.view.mapValues(rows =>
+      rows.sortBy(_.getAs[Long]("shard"))
+        .map(_.getAs[Long]("perm_sig")).toSeq).toMap
+    assert(sigs(0L) != sigs(1L) && sigs(1L) != sigs(2L))
+    // re-run is byte-stable (resume contract)
+    val again = CurationOps.q113EpochShuffle(spark, sf).collect()
+    assert(r.sameElements(again))
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
