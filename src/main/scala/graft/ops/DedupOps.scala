@@ -748,6 +748,86 @@ object DedupOps {
     FROM best b JOIN agg a USING (canon_id)
     WHERE b.rk = 1 ORDER BY b.canon_id"""
 
+  /** Verified-near-dup predicate over two 60-bit shingle-hash arrays:
+    * j >= 0.5 ⟺ 3·|A∩B| >= |A|+|B|, single array_intersect (q31 note). */
+  private def jaccardPass: Column =
+    size(array_intersect(col("hv1"), col("hv2"))) * 3 >=
+      size(col("hv1")) + size(col("hv2"))
+
+  /** Incremental MinHash near-dup against a persisted signature store —
+    * [[incrementalDedup]]'s contract extended from exact content identity
+    * to q31's verified near-dup semantics, for a standing ingest where
+    * each firing must reject paraphrases of anything EVER accepted
+    * without rescanning the corpus.
+    *
+    * Store layout under `storeDir`: `bands/` (doc_id, k, mhv — the 8
+    * per-seed minima, the blocking key) and `features/` (doc_id, hv —
+    * the shingle hash set, the verification payload). Per firing:
+    * within-batch near-dups drop first (band self-join + Jaccard >= 0.5,
+    * drop any doc pairing with a smaller id — the same pairwise-local
+    * keep rule as q108, no transitive closure); survivors block against
+    * the stored bands on (k, mhv), verify against the stored hv, and
+    * only the still-novel docs append their bands + features. Rerunning
+    * a firing is a no-op: every doc self-matches at j = 1.0.
+    *
+    * Scale: the batch side is O(batch) everywhere; the store side
+    * shuffles on the band key unless the store is bucketed by (k, mhv)
+    * — the same posture as incrementalDedup's content_md5 store, with
+    * ~8 rows per accepted doc. Docs too short to shingle (< 3 tokens)
+    * have no near-dup basis: they pass through every firing unstored —
+    * route them through incrementalDedup for exact identity instead.
+    * The returned frame is pinned via eager localCheckpoint BEFORE the
+    * store appends (the CacheManager.recacheByPath lesson, see
+    * [[incrementalDedup]]). */
+  def incrementalNearDup(batch: DataFrame, storeDir: String): DataFrame = {
+    val s = batch.sparkSession
+    val bandsDir = s"$storeDir/bands"
+    val featDir = s"$storeDir/features"
+    val feat = withShingles(batch)
+      .select(col("doc_id"), col("hv"), array(
+        (0 until MinhashBands).map(k =>
+          struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*).as("bands"))
+      .persist()
+    def bandRows(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode_outer(col("bands")).as("b"))
+        .select(col("doc_id"), col("b.k").as("k"), col("b.mhv").as("mhv"))
+    val br = bandRows(feat)
+    val wCand = br.select(col("doc_id").as("id1"), col("k"), col("mhv"))
+      .join(br.select(col("doc_id").as("id2"), col("k"), col("mhv")),
+        Seq("k", "mhv"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val withinDrop = wCand
+      .join(feat.select(col("doc_id").as("id1"), col("hv").as("hv1")), "id1")
+      .join(feat.select(col("doc_id").as("id2"), col("hv").as("hv2")), "id2")
+      .filter(jaccardPass)
+      .select(col("id2").as("doc_id")).distinct()
+    val alive = feat.join(withinDrop, Seq("doc_id"), "left_anti")
+    val crossDrop =
+      if (new java.io.File(bandsDir).exists()) {
+        val sb = s.read.parquet(bandsDir)
+          .select(col("doc_id").as("s_id"), col("k"), col("mhv"))
+        val sf = s.read.parquet(featDir)
+          .select(col("doc_id").as("s_id"), col("hv").as("hv2"))
+        bandRows(alive).join(sb, Seq("k", "mhv"))
+          .select(col("doc_id"), col("s_id")).distinct()
+          .join(alive.select(col("doc_id"), col("hv").as("hv1")), "doc_id")
+          .join(sf, "s_id")
+          .filter(jaccardPass)
+          .select(col("doc_id")).distinct()
+      } else feat.select(col("doc_id")).limit(0)
+    val novelFeat = alive.join(crossDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val novel = batch
+      .join(withinDrop.union(crossDrop), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    feat.unpersist()
+    bandRows(novelFeat).write.mode("append").parquet(bandsDir)
+    novelFeat.select(col("doc_id"), col("hv"))
+      .write.mode("append").parquet(featDir)
+    novel
+  }
+
   // ---- q110: inter-source corpus overlap (MinHash sketch Jaccard) ------
   // The mixing-decision input a pipeline computes before q75/q86: HOW
   // MUCH does source A's content overlap source B's? Exact shingle-set
