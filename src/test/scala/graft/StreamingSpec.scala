@@ -453,6 +453,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup runs as a foreachBatch sink across triggers") {
+    // the standing-ingest near-dup gate is store-backed, so the SAME
+    // function serves a batch backfill and a live stream: each
+    // micro-batch fires incrementalNearDup against the shared signature
+    // store — no separate streaming implementation to drift
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files
+      .createTempDirectory("snd-store").toString + "/nd"
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india" +
+      " juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fresh = "red orange yellow green blue indigo violet crimson amber" +
+      " teal navy maroon olive silver gold bronze copper pearl jade onyx"
+    val input = MemoryStream[SDoc]
+    val q = input.toDF().writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val novel = ops.DedupOps.incrementalNearDup(batch, store)
+        out.synchronized {
+          out ++= novel.select(col("doc_id")).collect().map(_.getLong(0))
+        }
+        novel.unpersist(); ()
+      }
+      .start()
+    try {
+      input.addData(Seq(SDoc(1, base)))
+      q.processAllAvailable()
+      // trigger 2: a paraphrase of trigger 1's doc plus a new doc —
+      // cross-TRIGGER memory comes from the store, not streaming state
+      input.addData(Seq(SDoc(10, base.replace("kilo", "KILO9")),
+        SDoc(11, fresh)))
+      q.processAllAvailable()
+      assert(out.sorted.toSeq == Seq(1L, 11L), out.toString)
+    } finally q.stop()
+  }
+
   test("q112 debounce matches a join-route predecessor recount") {
     import org.apache.spark.sql.functions._
     val r = Streaming.q112EventDedup(spark, sf)
