@@ -827,6 +827,61 @@ object CurationOps {
       CAST(SUM(pos * doc_id) AS BIGINT) AS perm_sig
     FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q114: per-doc novelty (first-occurrence gram attribution) -------
+  // The dedup-aware VALUE of a document: what fraction of its 8-gram
+  // content appears nowhere earlier in the corpus (ingestion order =
+  // doc_id)? q107 locates duplicated text; q114 prices each doc by how
+  // much it adds — the score a curation pipeline sorts on when trimming
+  // to a token budget (near-zero novelty ≈ pure re-statement, safe to
+  // drop first). Each distinct gram is attributed to its minimum doc_id
+  // (its first occurrence); a doc's novelty = owned grams / its grams.
+  //
+  // Scale shape: same family as q107 — gram explode, ONE groupBy on the
+  // 60-bit gram hash taking min(doc_id) (partial-aggregates map-side),
+  // one join back, one per-doc aggregate. All shuffles keyed by
+  // high-cardinality hashes or doc_id; nothing global, nothing
+  // iterative.
+  def q114Novelty(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val k = SpanGram
+    val grams = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode_outer(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${k - 1})," +
+          s" i -> h60(concat_ws(' ', slice(t, i, $k)))))")).as("g"))
+    val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
+    grams.join(owner, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("owner"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("novelty",
+        col("n_first").cast("double") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q114Sql: String = {
+    val k = SpanGram
+    raw"""
+    WITH toks AS (
+      SELECT doc_id, $sqlToks AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(t) - ${k - 2}),
+        i -> CAST('0x' || substring(md5(array_to_string(t[i:i+${k - 1}],
+          ' ')), 1, 15) AS BIGINT)))) AS g
+      FROM toks WHERE len(t) >= $k),
+    own AS (SELECT g, MIN(doc_id) AS owner FROM grams GROUP BY g)
+    SELECT doc_id, COUNT(*) AS n_grams,
+      CAST(SUM(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_first,
+      CAST(SUM(CASE WHEN doc_id = owner THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS novelty
+    FROM grams JOIN own USING (g)
+    GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -840,7 +895,8 @@ object CurationOps {
     "q100_curation_summary" -> q100CurationSummary _,
     "q101_weighted_sample" -> q101WeightedSample _,
     "q107_dup_spans"    -> q107DupSpans _,
-    "q113_epoch_shuffle" -> q113EpochShuffle _)
+    "q113_epoch_shuffle" -> q113EpochShuffle _,
+    "q114_novelty"      -> q114Novelty _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -855,5 +911,6 @@ object CurationOps {
     "q100_curation_summary" -> q100Sql,
     "q101_weighted_sample" -> q101Sql,
     "q107_dup_spans"    -> q107Sql,
-    "q113_epoch_shuffle" -> q113Sql)
+    "q113_epoch_shuffle" -> q113Sql,
+    "q114_novelty"      -> q114Sql)
 }

@@ -247,6 +247,38 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.sameElements(again))
   }
 
+  test("q114: novelty attribution is exhaustive; near-dup copies lose score") {
+    val r = CurationOps.q114Novelty(spark, sf)
+    // ratio consistency and bounds
+    assert(r.filter(col("n_first") < 0 || col("n_first") > col("n_grams"))
+      .count() == 0)
+    assert(r.filter(col("novelty") =!=
+      col("n_first").cast("double") / col("n_grams")).count() == 0)
+    // the first doc (min doc_id with >= 8 tokens) owns everything it says
+    val firstId = r.agg(min(col("doc_id"))).head().getLong(0)
+    assert(r.filter(col("doc_id") === firstId)
+      .head().getAs[Double]("novelty") == 1.0)
+    // attribution is exhaustive: total owned grams = total distinct grams
+    val totalFirst = r.agg(sum(col("n_first"))).head().getLong(0)
+    val distinctGrams = Tables.documents(spark, sf)
+      .withColumn("t", split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+      .filter(size(col("t")) >= 8)
+      .select(explode(expr("array_distinct(transform(" +
+        "sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8))))"))
+        .as("gs"))
+      .distinct().count()
+    assert(totalFirst == distinctGrams, s"$totalFirst vs $distinctGrams")
+    // the corpus plants NEAR-dups (small edits), never byte-identical
+    // copies — the later member of every verified near-dup pair shares
+    // 8-gram runs with its earlier twin, so its novelty must drop below 1
+    val laterNearDups = ops.DedupOps.q31MinhashPairs(spark, sf)
+      .select(col("id2").as("doc_id")).distinct()
+    assert(laterNearDups.count() > 0) // planted pairs exist at every SF
+    assert(r.join(laterNearDups, "doc_id")
+      .filter(col("novelty") >= 1.0).count() == 0)
+    spark.catalog.clearCache() // q31 persists its feature table
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
