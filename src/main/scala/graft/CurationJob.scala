@@ -20,17 +20,23 @@ import ops.CurationOps
   *   3. exact dedup vs ALL PRIOR FIRINGS — DedupOps.incrementalDedup
   *      against the fingerprint store under `stateRoot` (O(batch) reads
   *      of the store, append-only growth, idempotent reruns);
-  *   4. sequence packing — q74's bucketed prefix sum assigns each novel
+  *   4. near-dup dedup vs ALL PRIOR FIRINGS — DedupOps.incrementalNearDup
+  *      against the MinHash signature store: rejects PARAPHRASES of
+  *      anything ever shipped, which stage 3's byte-identity check admits
+  *      (the gate's 10-token floor guarantees every survivor shingles,
+  *      so the store covers all shipped docs);
+  *   5. sequence packing — q74's bucketed prefix sum assigns each novel
   *      doc its 512-token chunk;
-  *   5. token-balanced shard write — shards of ~64 chunks (~32k tokens)
+  *   6. token-balanced shard write — shards of ~64 chunks (~32k tokens)
   *      via `partitionBy(shard)`: within a firing every shard except the
   *      last holds the same token mass to within one document.
   *
   * Scale posture: no stage holds more than the firing's batch in flight;
   * the only cross-firing state is the fingerprint store (content_md5
-  * only — not the text), and the shard writer partitions by a derived
-  * LOW-cardinality column so the write is one dynamic-partition job, not
-  * per-shard loops.
+  * only — not the text) and the signature store (8 band rows + one
+  * shingle-hash array per shipped doc), and the shard writer partitions
+  * by a derived LOW-cardinality column so the write is one
+  * dynamic-partition job, not per-shard loops.
   *
   * Usage: `runMain graft.CurationJob <inDir> <shardRoot> <stateRoot>`.
   * Each firing writes its shards under `shardRoot/firing=<n>/shard=<k>/`
@@ -49,14 +55,19 @@ object CurationJob {
       .filter(col("n_tok") >= minTokens)
       .withColumn("text", CurationOps.scrub(col("text")))
 
-  /** Stages 1–5 for one firing; returns (shard-assigned novel docs
+  /** Stages 1–6 for one firing; returns (shard-assigned novel docs
     * (doc_id, text, n_tok, chunk_id, shard), the pinned dedup result —
     * unpersist the latter after the write action). */
   private[graft] def curate(docs: DataFrame, stateRoot: String)
       : (DataFrame, DataFrame) = {
-    val novel = ops.DedupOps.incrementalDedup(
+    val exactNovel = ops.DedupOps.incrementalDedup(
       gateAndScrub(docs).select(col("doc_id"), col("text"), col("n_tok")),
       s"$stateRoot/fingerprints")
+    // near-dup gate consumes the exact-dedup result eagerly (its return
+    // is checkpointed inside the call), so the input pin releases here
+    val novel = ops.DedupOps.incrementalNearDup(
+      exactNovel, s"$stateRoot/neardup")
+    exactNovel.unpersist()
     val curated = CurationOps
       .assignChunks(novel.select(col("doc_id"), col("n_tok")))
       .select(col("doc_id"), col("chunk_id"))

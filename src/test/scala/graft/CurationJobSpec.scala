@@ -60,5 +60,14 @@ class CurationJobSpec extends AnyFunSuite {
     assert(n3 == 1)
     val out3 = spark.read.parquet(s"$shards/firing=2")
     assert(out3.select("doc_id").as[Long].collect().toSeq == Seq(200001L))
+
+    // firing 4: a PARAPHRASE of firing 3's doc — not byte-identical, so
+    // the fingerprint store admits it; the near-dup signature store
+    // must reject it (one word changed out of 16)
+    Seq((300001L, ("fresh novel content stream " * 4).trim
+        .replaceAll("stream$", "river")))
+      .toDF("doc_id", "text").write.parquet(s"$in/batch4")
+    val n4 = CurationJob.runOnce(spark, s"$in/batch4", shards, state)
+    assert(n4 == 0, "paraphrase of a shipped doc must not ship")
   }
 }
