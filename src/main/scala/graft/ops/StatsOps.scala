@@ -427,6 +427,83 @@ object StatsOps {
     FROM u JOIN f USING (l_returnflag)
     GROUP BY 1 ORDER BY 1"""
 
+  // ---- q115: per-group OLS fit (closed-form simple regression) ---------
+  // q57 measures association; q115 fits the line — per source, regress
+  // token count on character count (the cheap length-model a pipeline
+  // uses to budget tokenization from raw bytes). Closed form from the
+  // same five exact integer sums as q57 (n, Σx, Σy, Σxy, Σx² (+Σy² for
+  // r²)): slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+  // (Σy − slope·Σx)/n, r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² −
+  // (Σy)²)). Every sum is an exact BIGINT; each is cast to double
+  // BEFORE combining (the q57 recipe — keeps n·Σxy out of long-overflow
+  // range AND off DuckDB's HUGEINT path), so both engines run the same
+  // IEEE op sequence on identical inputs.
+  //
+  // Scale shape: ONE groupBy(source) carrying six codegen'd integer
+  // SUM/COUNT columns — partial aggregation collapses to |sources| rows
+  // map-side; the closed form is per-group scalar arithmetic. This is
+  // how regression fits 100 TB: sufficient statistics, never a solver
+  // over rows.
+  def q115OlsFit(s: SparkSession, d: String): DataFrame = {
+    def d_(c: String): Column = col(c).cast("double")
+    Tables.documents(s, d)
+      .withColumn("x", col("n_chars"))
+      .withColumn("y",
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("slope",
+        (d_("n") * d_("sxy") - d_("sx") * d_("sy"))
+          / (d_("n") * d_("sxx") - d_("sx") * d_("sx")))
+      .withColumn("intercept",
+        (d_("sy") - col("slope") * d_("sx")) / d_("n"))
+      .withColumn("r2",
+        ((d_("n") * d_("sxy") - d_("sx") * d_("sy"))
+          * (d_("n") * d_("sxy") - d_("sx") * d_("sy")))
+          / ((d_("n") * d_("sxx") - d_("sx") * d_("sx"))
+            * (d_("n") * d_("syy") - d_("sy") * d_("sy"))))
+      .select(col("source"), col("n"), col("slope"), col("intercept"),
+        col("r2"))
+      .orderBy(col("source"))
+  }
+
+  val q115Sql: String = raw"""
+    WITH sums AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * y) AS BIGINT) AS sxy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM (SELECT source, n_chars AS x,
+              CAST(len(list_filter(string_split_regex(trim(lower(text)),
+                '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS y
+            FROM documents)
+      GROUP BY source)
+    SELECT source, n,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+    FROM sums ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -435,7 +512,8 @@ object StatsOps {
     "q81_sketch_union" -> q81SketchUnion _,
     "q85_countmin_topk" -> q85CountMin _,
     "q92_quantile_bins" -> q92QuantileBins _,
-    "q94_iqr_outliers"  -> q94IqrOutliers _)
+    "q94_iqr_outliers"  -> q94IqrOutliers _,
+    "q115_ols_fit"      -> q115OlsFit _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -445,5 +523,6 @@ object StatsOps {
     "q81_sketch_union" -> q81Sql,
     "q85_countmin_topk" -> q85Sql,
     "q92_quantile_bins" -> q92Sql,
-    "q94_iqr_outliers"  -> q94Sql)
+    "q94_iqr_outliers"  -> q94Sql,
+    "q115_ols_fit"      -> q115Sql)
 }

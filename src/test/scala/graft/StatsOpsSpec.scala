@@ -82,4 +82,44 @@ class StatsOpsSpec extends AnyFunSuite {
     // near-continuous measure)
     assert(b.map(_._2).max <= 2 * b.map(_._2).min)
   }
+
+  test("q115 OLS agrees with Spark's float covariance route; line is exact") {
+    val r = ops.StatsOps.q115OlsFit(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r2")
+      // token count grows with character count in any text corpus
+      assert(row.getAs[Double]("slope") > 0.0)
+    }
+    // the fitted line passes through the group mean: mean_y = slope *
+    // mean_x + intercept (algebraic identity of OLS, float-tight)
+    val xy = Tables.documents(spark, sf)
+      .withColumn("x", col("n_chars").cast("double"))
+      .withColumn("y",
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("double"))
+    val means = xy.groupBy(col("source"))
+      .agg(avg(col("x")).as("mx"), avg(col("y")).as("my"))
+    r.join(means, "source").collect().foreach { row =>
+      val lhs = row.getAs[Double]("my")
+      val rhs = row.getAs[Double]("slope") * row.getAs[Double]("mx") +
+        row.getAs[Double]("intercept")
+      assert(math.abs(lhs - rhs) <= 1e-6 * math.max(1.0, math.abs(lhs)),
+        s"line misses the mean: $lhs vs $rhs")
+    }
+    // cross-check slope/r2 against the float covar/corr builtins — a
+    // different numeric route, so tolerance not equality
+    val ref = xy.groupBy(col("source"))
+      .agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("e_slope"),
+        (corr(col("x"), col("y")) * corr(col("x"), col("y"))).as("e_r2"))
+    r.join(ref, "source").collect().foreach { row =>
+      assert(math.abs(row.getAs[Double]("slope") -
+        row.getAs[Double]("e_slope")) <=
+        1e-6 * math.abs(row.getAs[Double]("e_slope")))
+      assert(math.abs(row.getAs[Double]("r2") -
+        row.getAs[Double]("e_r2")) <= 1e-6)
+    }
+  }
 }
