@@ -650,8 +650,12 @@ object DedupOps {
   // (fine at oracle SF; the Spark side is the scale path). Reuses the
   // full q31 pair derivation as the edge set. The CTE chain through `cc`
   // is shared with q102, which layers canonical-selection on top.
-  private val sqlCc: String = {
-    val pairCtes = (sqlShingles + s""",
+  /** CTE prefix ending at the verified near-dup edge list `dup_pairs` —
+    * shared by the transitive-closure oracle (sqlCc) and the q116 triad
+    * census (which needs the edges but not the closure). The RECURSIVE
+    * keyword is only exercised by sqlCc's `reach`; DuckDB accepts it
+    * unused. */
+  private val sqlDupPairs: String = (sqlShingles + s""",
     mh AS (
       SELECT doc_id, k,
         list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
@@ -671,8 +675,10 @@ object DedupOps {
       JOIN sh sb ON sb.doc_id = id2),
     dup_pairs AS (
       SELECT id1, id2 FROM jac WHERE inter * 2 >= uni)""")
-      .replaceFirst("WITH toks", "WITH RECURSIVE toks")
-    pairCtes + """,
+    .replaceFirst("WITH toks", "WITH RECURSIVE toks")
+
+  private val sqlCc: String = {
+    sqlDupPairs + """,
     nodes AS (
       SELECT DISTINCT id FROM (
         SELECT id1 AS id FROM dup_pairs
@@ -891,6 +897,63 @@ object DedupOps {
       CAST(n_match AS DOUBLE) / $OverlapSeeds AS est_jaccard
     FROM pairs ORDER BY src_a, src_b"""
 
+  // ---- q116: triad census of the near-dup graph -------------------------
+  // Structural validation of the dedup pipeline's core assumption: q60's
+  // min-label CC is the right algorithm only while near-dup components
+  // are CLIQUE-ish (diameter ≈ 2); chain-shaped graphs need the star
+  // variant. The census quantifies that: wedges = Σ_v C(deg v, 2),
+  // triangles by ordered-edge enumeration (a<b<c — each triangle counted
+  // once, no orientation pass needed because the pair list is already
+  // canonical), global clustering = 3·T / wedges. All integers until the
+  // single final division.
+  //
+  // Scale shape: degrees are one groupBy over edge endpoints (map-side
+  // partials); the triangle join is edges⋈edges on the shared vertex
+  // then a closing-edge equi-join — work bounded by Σ deg², i.e. by the
+  // dup-cluster size distribution, which curation keeps small (a
+  // mega-cluster means the corpus has a bigger problem than this query).
+  // The three scalar aggregates attach via 1-row broadcast cross joins.
+  def q116TriadCensus(s: SparkSession, d: String): DataFrame = {
+    val e = q31MinhashPairs(s, d)
+      .select(col("id1").as("a"), col("id2").as("b")).persist()
+    val nodesEdges = e.select(col("a").as("v")).union(
+      e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nodesEdges.crossJoin(edges).crossJoin(tri)
+      .withColumn("clustering",
+        (col("n_triangles") * 3).cast("double") / col("n_wedges"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"), col("clustering"))
+  }
+
+  val q116Sql: String = sqlDupPairs + """,
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT id1 AS v FROM dup_pairs
+        UNION ALL SELECT id2 FROM dup_pairs)
+      GROUP BY v),
+    ne AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM dup_pairs),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM dup_pairs e1
+      JOIN dup_pairs e2 ON e1.id2 = e2.id1
+      JOIN dup_pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      CAST(n_triangles * 3 AS DOUBLE) / n_wedges AS clustering
+    FROM ne CROSS JOIN ec CROSS JOIN tri"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -907,7 +970,8 @@ object DedupOps {
     "q34_ngram_jaccard" -> q34NgramJaccard _,
     "q60_dedup_groups"  -> q60DedupGroups _,
     "q102_cluster_canonical" -> q102ClusterCanonical _,
-    "q110_corpus_overlap" -> q110CorpusOverlap _)
+    "q110_corpus_overlap" -> q110CorpusOverlap _,
+    "q116_triad_census" -> q116TriadCensus _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -918,5 +982,6 @@ object DedupOps {
     "q34_ngram_jaccard" -> q34Sql,
     "q60_dedup_groups"  -> q60Sql,
     "q102_cluster_canonical" -> q102Sql,
-    "q110_corpus_overlap" -> q110Sql)
+    "q110_corpus_overlap" -> q110Sql,
+    "q116_triad_census" -> q116Sql)
 }

@@ -234,6 +234,29 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q116: census matches a driver-side recount of the pair graph") {
+    val row = DedupOps.q116TriadCensus(spark, sf).head()
+    spark.catalog.clearCache()
+    val edges = pairs(DedupOps.q31MinhashPairs(spark, sf))
+    spark.catalog.clearCache()
+    // recount everything from the collected edge list (test-SF small)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val es = edges.toSet
+    val tri = (for {
+      (a, b) <- es; (b2, c) <- es if b2 == b && es.contains((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(row.getAs[Long]("n_nodes") == deg.size)
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_triangles") == tri)
+    assert(row.getAs[Double]("clustering") == 3.0 * tri / wedges)
+    // the assumption q60's min-label CC rests on: closed triads exist or
+    // components are tiny — either way 3T never exceeds the wedge count
+    assert(3 * row.getAs[Long]("n_triangles") <= row.getAs[Long]("n_wedges"))
+  }
+
   test("q110: overlap sketch matches an independent md5-route recount") {
     val r = DedupOps.q110CorpusOverlap(spark, sf)
     val k = DedupOps.OverlapSeeds

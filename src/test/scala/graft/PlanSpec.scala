@@ -54,9 +54,12 @@ class PlanSpec extends AnyFunSuite {
     // quantile cuts) attaches via a 1-row broadcast NLJ
     // q104: recall ground truth = corpus × broadcast(32-vector eval set),
     // plus the 1-row n_queries scalar attach
+    // q116: three 1-row census aggregates (nodes/edges/triangles) attach
+    // via broadcast cross joins
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
-      "q90_bm25", "q92_quantile_bins", "q104_ann_recall")
+      "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
+      "q116_triad_census")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
