@@ -921,6 +921,9 @@ object SimOps {
           col("top1_hits"), col("top3_hits"))
     evalMethod("lsh_single_probe", q36AnnLsh(s, d))
       .unionByName(evalMethod("lsh_multi_probe", q68MultiprobeAnn(s, d)))
+      // third index family: the production IVF path (q47) under the same
+      // ground truth — one harness watches every index the engine ships
+      .unionByName(evalMethod("ivf_cell", q47IvfAnn(s, d)))
       .orderBy(col("method"))
   }
 
@@ -980,8 +983,39 @@ object SimOps {
         CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS top3_hits
       FROM ann2 LEFT JOIN gt g
-        ON g.g_id = ann2.q_id AND g.gt_id = ann2.neighbor_id)
-    SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY method"""
+        ON g.g_id = ann2.q_id AND g.gt_id = ann2.neighbor_id),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
+    ivfassigned AS (
+      SELECT vec_id, embedding, nq, c_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, e.nq, c_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
+              / sqrt(CAST(e.nq * c_nq AS DOUBLE)) DESC, c_id) AS rn
+        FROM e CROSS JOIN cents) WHERE rn = 1),
+    ann3 AS (
+      SELECT vec_id AS q_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+            CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+        FROM ivfassigned a JOIN ivfassigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < $EvalQueries)
+      WHERE rk = 1),
+    m3 AS (
+      SELECT 'ivf_cell' AS method,
+        (SELECT n_queries FROM nq_cte) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_answered,
+        CAST(SUM(CASE WHEN g.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS top1_hits,
+        CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS top3_hits
+      FROM ann3 LEFT JOIN gt g
+        ON g.g_id = ann3.q_id AND g.gt_id = ann3.neighbor_id)
+    SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+    ORDER BY method"""
 
   // ---- q105: hard-negative mining (contrastive training pairs) ---------
   // For each anchor, the most-similar vector with a DIFFERENT label —

@@ -172,11 +172,17 @@ class SimOpsSpec extends AnyFunSuite {
     assert(multi.getAs[Long]("n_answered") >= single.getAs[Long]("n_answered"))
     assert(multi.getAs[Long]("top1_hits") >= single.getAs[Long]("top1_hits"))
     assert(multi.getAs[Long]("top3_hits") >= single.getAs[Long]("top3_hits"))
-    // hits are bounded by answers, answers by the eval-set size
-    Seq(single, multi).foreach { m =>
+    // hits are bounded by answers, answers by the eval-set size — for
+    // every index family the harness watches, including IVF
+    val ivf = r("ivf_cell")
+    Seq(single, multi, ivf).foreach { m =>
       assert(m.getAs[Long]("top3_hits") >= m.getAs[Long]("top1_hits"))
       assert(m.getAs[Long]("n_answered") <= m.getAs[Long]("n_queries"))
     }
+    // IVF assigns every vector a cell, so any query sharing its cell
+    // with >= 1 other vector answers; with sqrt(n) cells over the eval
+    // range that is effectively all of them — pin a non-trivial floor
+    assert(ivf.getAs[Long]("n_answered") > 0)
   }
 
   test("q108: removal set matches an all-builtin recount; anchors survive") {
