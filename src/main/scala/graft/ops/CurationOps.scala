@@ -711,6 +711,26 @@ object CurationOps {
   // redundancy, the thing being measured).
   private val SpanGram = 8
 
+  /** Island-merge kernel: window-start positions (doc_id, i), each
+    * covering tokens [i, i+k-1], merge into MAXIMAL spans per doc
+    * (positions whose coverage overlaps or touches — gap > k starts a
+    * new island). Windows partition by doc_id only: per-doc state,
+    * never a global sort. Shared by q107; property-tested against a
+    * driver-side interval-merge reference. */
+  private[graft] def mergeSpans(positions: DataFrame, k: Int): DataFrame = {
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    positions
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wOrd) > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   def q107DupSpans(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
     val k = SpanGram
@@ -725,17 +745,8 @@ object CurationOps {
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("g"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    grams.join(dup, "g")
-      .withColumn("brk",
-        when(col("i") - lag(col("i"), 1).over(wOrd) > k, 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("i")).as("span_start"),
-        (max(col("i")) + (k - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_len"))
+    mergeSpans(grams.join(dup, "g").select(col("doc_id"), col("i")),
+        SpanGram)
       .orderBy(col("doc_id"), col("span_start"))
   }
 

@@ -187,4 +187,41 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val posGen = for {
+    k <- Gen.choose(2, 9)
+    docs <- Gen.listOfN(4, Gen.choose(1L, 3L))
+    n <- Gen.choose(1, 40)
+    ps <- Gen.listOfN(n, for {
+      d <- Gen.oneOf(docs)
+      i <- Gen.choose(1L, 60L)
+    } yield (d, i))
+  } yield (k, ps.distinct)
+
+  test("property: span island-merge == brute-force interval merge") {
+    // the q107 kernel on arbitrary position sets (duplicate docs, dense
+    // runs, singletons) vs a driver-side reference: sort each doc's
+    // coverage intervals [i, i+k-1] and merge overlapping-or-adjacent
+    forAll(posGen, n = 8) { case (k, ps) =>
+      whenever(ps.nonEmpty) {
+        val got = ops.CurationOps
+          .mergeSpans(ps.toDF("doc_id", "i"), k)
+          .collect()
+          .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+            r.getAs[Long]("span_end"), r.getAs[Long]("span_len")))
+          .sortBy(t => (t._1, t._2))
+        val want = ps.groupBy(_._1).toSeq.flatMap { case (d, dps) =>
+          val ivs = dps.map(_._2).sorted.map(i => (i, i + k - 1))
+          val merged = ivs.tail.foldLeft(List(ivs.head)) {
+            case (acc @ ((s0, e0) :: rest), (s1, e1)) =>
+              if (s1 <= e0 + 1) (s0, math.max(e0, e1)) :: rest
+              else (s1, e1) :: acc
+            case (Nil, iv) => List(iv)
+          }.reverse
+          merged.map { case (s0, e0) => (d, s0, e0, e0 - s0 + 1) }
+        }.sortBy(t => (t._1, t._2))
+        assert(got.toSeq == want, s"k=$k ps=${ps.take(12)}…")
+      }
+    }
+  }
 }
