@@ -326,15 +326,61 @@ object Ingest {
       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
     FROM orders GROUP BY 1 ORDER BY 1"""
 
+  // ---- q117: JSONL round trip (the corpus-interchange format) ----------
+  // Training corpora ship between organizations as JSON Lines — one
+  // document object per line, splittable, schema-on-read. The engine
+  // must export and re-ingest it losslessly: write documents as
+  // compressed JSONL partitioned-free (each output file a shard), read
+  // back THROUGH AN EXPLICIT SCHEMA (the q59 rule — no inference pass
+  // over 100 TB), and aggregate; the oracle computes the same aggregate
+  // from the original parquet, so any drift through the JSON
+  // writer/reader (escaping, unicode, null handling, long precision)
+  // breaks the hash compare. text goes through md5 per row so the
+  // compare covers every byte of every document, not just counts.
+  def q117JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-docs-jsonl-" +
+        java.lang.Long.toHexString(DedupOps.h60("jsonl:" + d))).getPath
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    s.read.schema(schema).json(dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+          .as("content_md5"))
+      .orderBy(col("source"))
+  }
+
+  val q117Sql: String = """
+    SELECT source, COUNT(*) AS n,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+      md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+    FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
     "q95_expectations" -> q95Expectations _,
-    "q96_orc_roundtrip" -> q96OrcRoundtrip _)
+    "q96_orc_roundtrip" -> q96OrcRoundtrip _,
+    "q117_jsonl_roundtrip" -> q117JsonlRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
     "q95_expectations" -> q95Sql,
-    "q96_orc_roundtrip" -> q96Sql)
+    "q96_orc_roundtrip" -> q96Sql,
+    "q117_jsonl_roundtrip" -> q117Sql)
 }

@@ -192,4 +192,25 @@ class IngestSpec extends AnyFunSuite {
     assert(back.filter(col("state") === "Washington")
       .head().getAs[Long]("cases") == 904L)
   }
+
+  test("q117 JSONL round trip preserves every byte of every document") {
+    val viaJsonl = Ingest.q117JsonlRoundtrip(spark, sf).collect()
+    // the same aggregate straight off the parquet source: identical
+    // per-source counts, id/char sums, and content digests
+    val direct = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+          .as("content_md5"))
+      .orderBy(col("source")).collect()
+    assert(viaJsonl.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    // the export really is compressed JSON Lines (splittable shards)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-docs-jsonl-" + java.lang.Long.toHexString(
+        ops.DedupOps.h60("jsonl:" + sf)))
+    val files = dir.listFiles().map(_.getName).filter(_.endsWith(".json.gz"))
+    assert(files.nonEmpty, dir.listFiles().map(_.getName).mkString(","))
+  }
 }
