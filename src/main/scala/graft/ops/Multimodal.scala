@@ -89,6 +89,31 @@ object Multimodal {
     })
   }
 
+  /** Embedding stub — the binary→vector bridge into the ANN family. A
+    * real encoder is a model forward pass per batch; the stand-in
+    * accumulates byte values by position class (dim j sums bytes at
+    * positions ≡ j mod D), pure integer arithmetic widened to float, so
+    * the vector is deterministic while the PLUMBING is the real thing:
+    * partition-batched map (one encoder context per task), a fixed-D
+    * `array<float>` column, and output shaped exactly like the
+    * embeddings table the q35–q108 similarity operators consume. */
+  def embedStub(ds: Dataset[MediaAsset], dim: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { a =>
+      val bytes = if (a.payload == null) Array.emptyByteArray else a.payload
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) { acc(i % dim) += bytes(i) & 0xff; i += 1 }
+      // L2-normalize, as a real encoder would: unit-scale components keep
+      // the downstream integer-quantized cosine recipe inside long range
+      val norm = math.sqrt(acc.foldLeft(0d)((s, v) =>
+        s + v.toDouble * v.toDouble))
+      val vec = if (norm == 0d) acc.map(_.toFloat)
+                else acc.map(v => (v / norm).toFloat)
+      (a.asset_id, vec)
+    }).toDF("vec_id", "embedding")
+  }
+
   /** Frame sampling: keep every k-th frame of an audio/video payload —
     * emits (asset_id, frame_idx, frame_bytes) rows, the exploded shape a
     * downstream encoder consumes. */

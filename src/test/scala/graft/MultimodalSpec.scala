@@ -49,4 +49,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L, 4L))
     assert(frames.map(_.getLong(2)).toSeq == Seq(256L, 256L, 256L))
   }
+
+  test("embedStub bridges binary payloads into the ANN column shape") {
+    import spark.implicits._
+    // identical payloads embed identically; a different payload differs
+    val a = "the same bytes in both assets".getBytes("UTF-8")
+    val tiny = Seq(MediaAsset(1L, "image", a), MediaAsset(2L, "audio", a),
+      MediaAsset(3L, "image", "other bytes".getBytes("UTF-8"))).toDS()
+    val e = Multimodal.embedStub(tiny).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e(1L) == e(2L) && e(1L) != e(3L))
+    assert(e.values.forall(_.length == 64))
+    // corpus-wide: the output is consumable by the similarity operators'
+    // exact cosine machinery (fixed-D float arrays, positive norms)
+    val emb = Multimodal.embedStub(Multimodal.assets(spark, sf))
+    val nqE = "aggregate(embedding, 0L, (acc, x) -> acc +" +
+      " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))"
+    val withNorm = emb.withColumn("nq", expr(nqE))
+    assert(withNorm.filter(col("nq") <= 0).count() == 0)
+    assert(withNorm.count() ==
+      Tables.documents(spark, sf).filter(col("text").isNotNull).count())
+    // brute top-1 over the bridged vectors: a well-formed cosine in
+    // [-1, 1] for every asset, never the asset itself
+    val l = withNorm.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"))
+    val r = withNorm.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"))
+    val top = l.crossJoin(r).filter(col("a_id") =!= col("b_id"))
+      .withColumn("dq", expr("aggregate(zip_with(a_emb, b_emb," +
+        " (x, y) -> cast(floor(cast(x as double) * cast(y as double)" +
+        " * 1e9 + 0.5) as bigint)), 0L, (acc, t) -> acc + t)"))
+      .withColumn("cos", col("dq").cast("double") /
+        sqrt((col("a_nq") * col("b_nq")).cast("double")))
+      .groupBy(col("a_id"))
+      .agg(max(struct(col("cos"), (-col("b_id")).as("nb"))).as("best"))
+    assert(top.filter(col("best.cos") < -1.0 || col("best.cos") > 1.0)
+      .count() == 0)
+    assert(top.count() == withNorm.count())
+  }
 }
