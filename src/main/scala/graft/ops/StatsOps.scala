@@ -504,6 +504,101 @@ object StatsOps {
           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
     FROM sums ORDER BY source"""
 
+  // ---- q118: join-size estimation via AGMS sign sketches ---------------
+  // The cost-based-optimizer primitive: estimate |A ⋈ B| (and the
+  // self-join size F2 = Σ_k f_k², the optimizer's skew measure) WITHOUT
+  // executing the join. AGMS (Alon-Gianella-Matias-Szegedy) sketch:
+  // s[j] = Σ_rows sign_j(key) with ±1 hashes; E[s_a[j]·s_b[j]] = join
+  // size, E[s[j]²] = F2; averaging K=60 estimators gives relative error
+  // ~sqrt(2/K) ≈ 18%. The 60 signs come from the BITS of one h60 per
+  // row (one md5, not 60) — md5 bits are independent enough for the
+  // estimator and keep the sketch pass scan-bound. The query emits the
+  // estimate NEXT TO the exact size (the exact join is affordable at
+  // verify scale; at 100 TB only the sketch side runs — two single-pass
+  // aggregates of 60 integers each, no join, no shuffle beyond 1-row
+  // frames).
+  private val AgmsK = 60
+
+  private def agmsSketch(df: DataFrame, key: String, p: String): DataFrame = {
+    graft.expressions.Hash60.register(df.sparkSession)
+    val withH = df.select(
+      expr(s"h60(concat('agms:', cast($key as string)))").as("h"))
+    val cols = (0 until AgmsK).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 0, 1L).otherwise(-1L))
+        .as(s"$p$j"))
+    withH.agg(cols.head, cols.tail: _*)
+  }
+
+  def q118JoinSizeSketch(s: SparkSession, d: String): DataFrame = {
+    val sa = agmsSketch(Tables.orders(s, d), "o_custkey", "a")
+    val sb = agmsSketch(Tables.customer(s, d), "c_custkey", "b")
+    val dot = (0 until AgmsK).map(j => col(s"a$j") * col(s"b$j"))
+      .reduce(_ + _)
+    val dot2 = (0 until AgmsK).map(j => col(s"a$j") * col(s"a$j"))
+      .reduce(_ + _)
+    val exactJoin = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("ex_join"))
+    val exactF2 = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("ex_f2"))
+    val joined = sa.crossJoin(sb).crossJoin(exactJoin).crossJoin(exactF2)
+      .withColumn("est_join", dot.cast("double") / AgmsK)
+      .withColumn("est_f2", dot2.cast("double") / AgmsK)
+    joined.select(lit("join_orders_customer").as("metric"),
+        col("ex_join").as("exact_size"), col("est_join").as("est_size"),
+        (col("est_join") >= col("ex_join").cast("double") / 2 &&
+          col("est_join") <= col("ex_join").cast("double") * 2)
+          .as("within_2x"))
+      .unionByName(joined.select(lit("selfjoin_f2_custkey").as("metric"),
+        col("ex_f2").as("exact_size"), col("est_f2").as("est_size"),
+        (col("est_f2") >= col("ex_f2").cast("double") / 2 &&
+          col("est_f2") <= col("ex_f2").cast("double") * 2)
+          .as("within_2x")))
+      .orderBy(col("metric"))
+  }
+
+  val q118Sql: String = s"""
+    WITH ja AS (
+      SELECT j, CAST(SUM(CASE WHEN (h >> j) & 1 = 0 THEN 1 ELSE -1 END)
+        AS BIGINT) AS s
+      FROM (SELECT CAST('0x' || substring(md5('agms:' ||
+              CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM orders)
+      CROSS JOIN (SELECT unnest(range(0, $AgmsK)) AS j) GROUP BY j),
+    jb AS (
+      SELECT j, CAST(SUM(CASE WHEN (h >> j) & 1 = 0 THEN 1 ELSE -1 END)
+        AS BIGINT) AS s
+      FROM (SELECT CAST('0x' || substring(md5('agms:' ||
+              CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM customer)
+      CROSS JOIN (SELECT unnest(range(0, $AgmsK)) AS j) GROUP BY j),
+    est AS (
+      SELECT CAST(SUM(ja.s * jb.s) AS BIGINT) AS dot,
+        (SELECT CAST(SUM(s * s) AS BIGINT) FROM ja) AS dot2
+      FROM ja JOIN jb USING (j)),
+    ex1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ex_join
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    ex2 AS (
+      SELECT CAST(SUM(n * n) AS BIGINT) AS ex_f2
+      FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey))
+    SELECT metric, exact_size, est_size, within_2x FROM (
+      SELECT 'join_orders_customer' AS metric, ex_join AS exact_size,
+        CAST(dot AS DOUBLE) / $AgmsK AS est_size,
+        CAST(dot AS DOUBLE) / $AgmsK >= CAST(ex_join AS DOUBLE) / 2 AND
+        CAST(dot AS DOUBLE) / $AgmsK <= CAST(ex_join AS DOUBLE) * 2
+          AS within_2x
+      FROM est, ex1
+      UNION ALL
+      SELECT 'selfjoin_f2_custkey', ex_f2,
+        CAST(dot2 AS DOUBLE) / $AgmsK,
+        CAST(dot2 AS DOUBLE) / $AgmsK >= CAST(ex_f2 AS DOUBLE) / 2 AND
+        CAST(dot2 AS DOUBLE) / $AgmsK <= CAST(ex_f2 AS DOUBLE) * 2
+      FROM est, ex2)
+    ORDER BY metric"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -513,7 +608,8 @@ object StatsOps {
     "q85_countmin_topk" -> q85CountMin _,
     "q92_quantile_bins" -> q92QuantileBins _,
     "q94_iqr_outliers"  -> q94IqrOutliers _,
-    "q115_ols_fit"      -> q115OlsFit _)
+    "q115_ols_fit"      -> q115OlsFit _,
+    "q118_join_size_sketch" -> q118JoinSizeSketch _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -524,5 +620,6 @@ object StatsOps {
     "q85_countmin_topk" -> q85Sql,
     "q92_quantile_bins" -> q92Sql,
     "q94_iqr_outliers"  -> q94Sql,
-    "q115_ols_fit"      -> q115Sql)
+    "q115_ols_fit"      -> q115Sql,
+    "q118_join_size_sketch" -> q118Sql)
 }

@@ -56,10 +56,12 @@ class PlanSpec extends AnyFunSuite {
     // plus the 1-row n_queries scalar attach
     // q116: three 1-row census aggregates (nodes/edges/triangles) attach
     // via broadcast cross joins
+    // q118: four 1-row frames (two sketches, two exact counts) combine
+    // via broadcast cross joins
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
-      "q116_triad_census")
+      "q116_triad_census", "q118_join_size_sketch")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -83,6 +83,28 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(b.map(_._2).max <= 2 * b.map(_._2).min)
   }
 
+  test("q118 sketch estimates land within 2x of independently counted truth") {
+    val rows = ops.StatsOps.q118JoinSizeSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(rows.keySet == Set("join_orders_customer", "selfjoin_f2_custkey"))
+    // exact columns match independent recounts
+    val exJoin = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey")).count()
+    val exF2 = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head().getLong(0)
+    assert(rows("join_orders_customer").getAs[Long]("exact_size") == exJoin)
+    assert(rows("selfjoin_f2_custkey").getAs[Long]("exact_size") == exF2)
+    // the estimator's accuracy contract on this corpus
+    rows.values.foreach { r =>
+      assert(r.getAs[Boolean]("within_2x"),
+        s"${r.getAs[String]("metric")}: est ${r.getAs[Double]("est_size")}" +
+          s" vs exact ${r.getAs[Long]("exact_size")}")
+      assert(r.getAs[Double]("est_size") > 0)
+    }
+  }
+
   test("q115 OLS agrees with Spark's float covariance route; line is exact") {
     val r = ops.StatsOps.q115OlsFit(spark, sf)
     val rows = r.collect()
