@@ -120,6 +120,47 @@ object ExtOps {
             FROM orders JOIN customer ON o_custkey = c_custkey))
     WHERE rank <= 3 ORDER BY c_mktsegment, rank"""
 
+  // ---- q119: exact-k uniform sample per stratum (reservoir analog) -----
+  // q53/q54/q101 gate rows by hash ACCEPTANCE — sample sizes are only
+  // expected values. Eval-set construction wants EXACTLY k per stratum,
+  // reproducibly: rank docs by the salted hash h60("rs:"+doc_id) (a
+  // fixed uniform permutation) and keep each source's k smallest — a
+  // without-replacement uniform sample that any re-run, any partitioning,
+  // any engine reproduces bit-identically. The mechanism is the q106
+  // bounded-heap aggregate fed NEGATED hashes (max-heap of -h = min-k of
+  // h): ONE hash aggregate with map-side partial combine, G·k rows
+  // through the shuffle — the distributed reservoir; no window, no sort
+  // of the corpus (PlanSpec-guarded via the q106 family).
+  def q119ReservoirSample(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    s.udf.register("top3q", udaf(new Top3Q()))
+    val slots = array(
+      struct(col("t.v1").as("nh"), col("t.k1").as("k")),
+      struct(col("t.v2").as("nh"), col("t.k2").as("k")),
+      struct(col("t.v3").as("nh"), col("t.k3").as("k")))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        expr("h60(concat('rs:', cast(doc_id as string)))").as("h"))
+      .groupBy(col("source"))
+      .agg(expr("top3q(-h, doc_id)").as("t"))
+      .select(col("source"), posexplode(slots).as(Seq("pos", "s")))
+      .filter(col("s.nh") =!= lit(Long.MinValue))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.k").as("doc_id"), (-col("s.nh")).as("h"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q119Sql: String = """
+    SELECT source, rank, doc_id, h FROM (
+      SELECT source, doc_id, h,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY h, doc_id) AS BIGINT) AS rank
+      FROM (SELECT source, doc_id,
+              CAST('0x' || substring(md5('rs:' ||
+                CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM documents))
+    WHERE rank <= 3 ORDER BY source, rank"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -627,7 +668,8 @@ object ExtOps {
     "q77_gap_fill"        -> q77GapFill _,
     "q88_range_join"      -> q88RangeJoin _,
     "q89_zorder_stats"    -> q89ZOrderStats _,
-    "q106_topk_heap"      -> q106TopkHeap _)
+    "q106_topk_heap"      -> q106TopkHeap _,
+    "q119_reservoir_sample" -> q119ReservoirSample _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -642,5 +684,6 @@ object ExtOps {
     "q77_gap_fill"        -> q77Sql,
     "q88_range_join"      -> q88Sql,
     "q89_zorder_stats"    -> q89Sql,
-    "q106_topk_heap"      -> q106Sql)
+    "q106_topk_heap"      -> q106Sql,
+    "q119_reservoir_sample" -> q119Sql)
 }

@@ -74,4 +74,28 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(heap.sameElements(window),
       s"heap=${heap.toSeq} window=${window.toSeq}")
   }
+
+  test("q119 heap sample equals a window-route md5 recount") {
+    val r = ExtOps.q119ReservoirSample(spark, sf)
+    // dense ranks, never more than 3 per stratum
+    val perSrc = r.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), max(col("rank")).as("maxrk"))
+    assert(perSrc.filter(col("k") =!= col("maxrk") || col("k") > 3)
+      .count() == 0)
+    // independent recount: md5/conv builtins + a row_number window —
+    // neither the Hash60 expression nor the heap aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("eh"), col("doc_id"))
+    val expect = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(concat(lit("rs:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("eh"))
+      .withColumn("erk", row_number().over(w).cast("long"))
+      .filter(col("erk") <= 3)
+    val bad = r.join(expect, Seq("source", "doc_id"), "full")
+      .filter(col("rank") =!= col("erk") || col("h") =!= col("eh") ||
+        col("rank").isNull || col("erk").isNull)
+    assert(bad.count() == 0)
+  }
 }
