@@ -370,17 +370,124 @@ object Ingest {
       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
     FROM documents GROUP BY source ORDER BY source"""
 
+  // ---- q120: referential-integrity sweep (cross-table contracts) -------
+  // q95 validates ROW-LOCAL rules in one scan; the other half of a data
+  // contract is CROSS-TABLE: foreign-key coverage, key uniqueness, and
+  // reverse coverage (dimension members nothing references — not an
+  // error, but the drift signal warehouses monitor). Each check is one
+  // keyed anti-join (AQE broadcasts the dim side while it fits) or one
+  // groupBy-count — the shapes that stay shuffle-bounded at 100 TB; the
+  // per-check outputs are 1-row aggregates unioned into a report. A
+  // violator key checksum pins WHICH rows fail. One check is
+  // legitimately nonzero on this corpus — the generator reuses
+  // lineitem line numbers, so (l_orderkey, l_linenumber) uniqueness
+  // FAILS by design here — proving the validator can report
+  // violations, not just zeros.
+  def q120ReferentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    def fk(name: String, left: DataFrame, key: String,
+           right: DataFrame, rkey: String): DataFrame = {
+      val viol = left.select(col(key).cast("long").as("k"))
+        .join(right.select(col(rkey).cast("long").as("k")).distinct(),
+          Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"),
+          coalesce(sum(col("k")), lit(0L)).as("violation_key_sum"))
+      left.agg(count(lit(1)).as("n_checked")).crossJoin(viol)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"), col("violation_key_sum"))
+    }
+    def unique(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
+      val dups = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"),
+          coalesce(sum(col(keys.head).cast("long")), lit(0L))
+            .as("violation_key_sum"))
+      df.agg(count(lit(1)).as("n_checked")).crossJoin(dups)
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"), col("violation_key_sum"))
+    }
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
+    val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
+    fk("fk_orders_custkey", o, "o_custkey", c, "c_custkey")
+      .unionByName(fk("fk_lineitem_orderkey", li, "l_orderkey",
+        o, "o_orderkey"))
+      .unionByName(fk("fk_lineitem_partkey", li, "l_partkey",
+        p, "p_partkey"))
+      .unionByName(fk("fk_lineitem_suppkey", li, "l_suppkey",
+        sup, "s_suppkey"))
+      .unionByName(fk("fk_customer_nationkey", c, "c_nationkey",
+        n, "n_nationkey"))
+      .unionByName(fk("rev_parts_unordered", p, "p_partkey",
+        li, "l_partkey"))
+      .unionByName(fk("rev_customers_inactive", c, "c_custkey",
+        o, "o_custkey"))
+      .unionByName(unique("uniq_orders_orderkey", o, Seq("o_orderkey")))
+      .unionByName(unique("uniq_lineitem_order_line", li,
+        Seq("l_orderkey", "l_linenumber")))
+      .orderBy(col("check_name"))
+  }
+
+  val q120Sql: String = """
+    WITH checks AS (
+      SELECT 'fk_orders_custkey' AS check_name,
+        (SELECT COUNT(*) FROM orders) AS n_checked,
+        COUNT(*) AS n_violations,
+        COALESCE(SUM(o_custkey), 0) AS violation_key_sum
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      UNION ALL
+      SELECT 'fk_lineitem_orderkey', (SELECT COUNT(*) FROM lineitem),
+        COUNT(*), COALESCE(SUM(l_orderkey), 0)
+      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'fk_lineitem_partkey', (SELECT COUNT(*) FROM lineitem),
+        COUNT(*), COALESCE(SUM(l_partkey), 0)
+      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      UNION ALL
+      SELECT 'fk_lineitem_suppkey', (SELECT COUNT(*) FROM lineitem),
+        COUNT(*), COALESCE(SUM(l_suppkey), 0)
+      FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      UNION ALL
+      SELECT 'fk_customer_nationkey', (SELECT COUNT(*) FROM customer),
+        COUNT(*), COALESCE(SUM(c_nationkey), 0)
+      FROM customer
+      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'rev_parts_unordered', (SELECT COUNT(*) FROM part),
+        COUNT(*), COALESCE(SUM(p_partkey), 0)
+      FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      UNION ALL
+      SELECT 'rev_customers_inactive', (SELECT COUNT(*) FROM customer),
+        COUNT(*), COALESCE(SUM(c_custkey), 0)
+      FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'uniq_orders_orderkey', (SELECT COUNT(*) FROM orders),
+        COALESCE(SUM(n), 0), COALESCE(SUM(o_orderkey), 0)
+      FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders
+            GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'uniq_lineitem_order_line', (SELECT COUNT(*) FROM lineitem),
+        COALESCE(SUM(n), 0), COALESCE(SUM(l_orderkey), 0)
+      FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS n FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+    SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+      CAST(n_violations AS BIGINT) AS n_violations,
+      CAST(violation_key_sum AS BIGINT) AS violation_key_sum
+    FROM checks ORDER BY check_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
     "q95_expectations" -> q95Expectations _,
     "q96_orc_roundtrip" -> q96OrcRoundtrip _,
-    "q117_jsonl_roundtrip" -> q117JsonlRoundtrip _)
+    "q117_jsonl_roundtrip" -> q117JsonlRoundtrip _,
+    "q120_referential_integrity" -> q120ReferentialIntegrity _)
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
     "q95_expectations" -> q95Sql,
     "q96_orc_roundtrip" -> q96Sql,
-    "q117_jsonl_roundtrip" -> q117Sql)
+    "q117_jsonl_roundtrip" -> q117Sql,
+    "q120_referential_integrity" -> q120Sql)
 }

@@ -213,4 +213,28 @@ class IngestSpec extends AnyFunSuite {
     val files = dir.listFiles().map(_.getName).filter(_.endsWith(".json.gz"))
     assert(files.nonEmpty, dir.listFiles().map(_.getName).mkString(","))
   }
+
+  test("q120 integrity sweep: FKs hold, the planted uniqueness break is found") {
+    val rows = Ingest.q120ReferentialIntegrity(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") -> r).toMap
+    assert(rows.size == 9)
+    // all true foreign keys hold on this corpus
+    rows.filter(_._1.startsWith("fk_")).values.foreach { r =>
+      assert(r.getAs[Long]("n_violations") == 0L &&
+        r.getAs[Long]("violation_key_sum") == 0L, r.toString)
+    }
+    // the generator reuses lineitem line numbers: the uniqueness check
+    // must CATCH that (a validator that can only say zero proves nothing)
+    val u = rows("uniq_lineitem_order_line")
+    val expectDupRows = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    assert(u.getAs[Long]("n_violations") == expectDupRows)
+    assert(expectDupRows > 0, "corpus no longer plants the dup — update test")
+    // n_checked matches table sizes
+    assert(rows("fk_orders_custkey").getAs[Long]("n_checked") ==
+      Tables.orders(spark, sf).count())
+    assert(u.getAs[Long]("n_checked") == Tables.lineitem(spark, sf).count())
+  }
 }
