@@ -161,6 +161,40 @@ object ExtOps {
             FROM documents))
     WHERE rank <= 3 ORDER BY source, rank"""
 
+  // ---- q121: rolling 7-day active users (sliding-window distinct) ------
+  // WAU per day — the canonical sliding DISTINCT, which no window frame
+  // expresses (count_distinct over a range frame isn't partial-
+  // aggregatable). The scalable batch shape: collapse events to distinct
+  // (user, day) pairs first (the big shuffle, and the one that matters),
+  // then expand each pair to the <=7 window-end days it contributes to
+  // and count distinct users per end day. The 7× expansion runs on the
+  // COLLAPSED pair set, not raw events; end days past the observed range
+  // drop via the semi-join against observed days. At 100 TB the same
+  // plan holds (W× the pair set), with q42/q81's HLL route as the
+  // approximate fallback when W gets large.
+  def q121RollingWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("t_day")).distinct()
+    ud.select(col("user_id"), explode(
+        sequence(col("day"), date_add(col("day"), 6))).as("t_day"))
+      .join(days, Seq("t_day"))
+      .groupBy(col("t_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy(col("t_day"))
+  }
+
+  val q121Sql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day AS t_day FROM ud),
+    x AS (
+      SELECT user_id, day + CAST(k AS INTEGER) AS t_day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+    SELECT x.t_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM x JOIN days ON x.t_day = days.t_day
+    GROUP BY x.t_day ORDER BY x.t_day"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -669,7 +703,8 @@ object ExtOps {
     "q88_range_join"      -> q88RangeJoin _,
     "q89_zorder_stats"    -> q89ZOrderStats _,
     "q106_topk_heap"      -> q106TopkHeap _,
-    "q119_reservoir_sample" -> q119ReservoirSample _)
+    "q119_reservoir_sample" -> q119ReservoirSample _,
+    "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
     "q41_asof_join"       -> q41Sql,
@@ -685,5 +720,6 @@ object ExtOps {
     "q88_range_join"      -> q88Sql,
     "q89_zorder_stats"    -> q89Sql,
     "q106_topk_heap"      -> q106Sql,
-    "q119_reservoir_sample" -> q119Sql)
+    "q119_reservoir_sample" -> q119Sql,
+    "q121_rolling_wau"    -> q121Sql)
 }

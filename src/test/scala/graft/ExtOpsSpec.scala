@@ -75,6 +75,29 @@ class ExtOpsSpec extends AnyFunSuite {
       s"heap=${heap.toSeq} window=${window.toSeq}")
   }
 
+  test("q121 rolling WAU equals a per-day driver recount; bounds hold") {
+    val r = ExtOps.q121RollingWau(spark, sf).collect()
+      .map(row => row.getDate(0).toLocalDate -> row.getLong(1)).toMap
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(row => (row.getLong(0), row.getDate(1).toLocalDate))
+    val days = pairs.map(_._2).distinct
+    assert(r.keySet == days.toSet)
+    days.foreach { d =>
+      val expect = pairs.collect {
+        case (u, day) if !day.isAfter(d) &&
+          !day.isBefore(d.minusDays(6)) => u
+      }.distinct.length.toLong
+      assert(r(d) == expect, s"day $d: ${r(d)} vs $expect")
+      // WAU dominates DAU and never exceeds the global distinct count
+      val dau = pairs.collect { case (u, day) if day == d => u }
+        .distinct.length
+      assert(r(d) >= dau)
+    }
+    assert(r.values.max <= pairs.map(_._1).distinct.length)
+  }
+
   test("q119 heap sample equals a window-route md5 recount") {
     val r = ExtOps.q119ReservoirSample(spark, sf)
     // dense ranks, never more than 3 per stratum
