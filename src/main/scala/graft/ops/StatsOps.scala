@@ -599,6 +599,53 @@ object StatsOps {
       FROM est, ex2)
     ORDER BY metric"""
 
+  // ---- q122: weighted median per group ---------------------------------
+  // Token-weighted doc-length median per source: "the length such that
+  // half the TOKEN MASS sits in shorter docs" — the statistic length-
+  // filter thresholds should come from (an unweighted median over-weights
+  // the long tail of tiny docs). No weighted-median aggregate exists in
+  // either engine, and none can partial-aggregate; the shape is the
+  // classic cumulative-weight window: sort each group by value, running
+  // sum of weights, first value where 2·cum >= total. Windows partition
+  // by source — per-group sorts, no global ordering; all integers, ties
+  // broken by (value, doc_id).
+  def q122WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("source"))
+      .orderBy(col("v"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").as("v"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("total_w"),
+        min(when(col("cum") * 2 >= col("tot"), col("v")))
+          .as("weighted_median_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q122Sql: String = raw"""
+    WITH x AS (
+      SELECT source, doc_id, n_chars AS v,
+        CAST(len(list_filter(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS w
+      FROM documents),
+    c AS (
+      SELECT source, v,
+        CAST(SUM(w) OVER (PARTITION BY source ORDER BY v, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tot
+      FROM x)
+    SELECT source, MAX(tot) AS total_w,
+      CAST(MIN(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT)
+        AS weighted_median_chars,
+      COUNT(*) AS n_docs
+    FROM c GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -609,7 +656,8 @@ object StatsOps {
     "q92_quantile_bins" -> q92QuantileBins _,
     "q94_iqr_outliers"  -> q94IqrOutliers _,
     "q115_ols_fit"      -> q115OlsFit _,
-    "q118_join_size_sketch" -> q118JoinSizeSketch _)
+    "q118_join_size_sketch" -> q118JoinSizeSketch _,
+    "q122_weighted_median" -> q122WeightedMedian _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -621,5 +669,6 @@ object StatsOps {
     "q92_quantile_bins" -> q92Sql,
     "q94_iqr_outliers"  -> q94Sql,
     "q115_ols_fit"      -> q115Sql,
-    "q118_join_size_sketch" -> q118Sql)
+    "q118_join_size_sketch" -> q118Sql,
+    "q122_weighted_median" -> q122Sql)
 }

@@ -105,6 +105,31 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 weighted median satisfies the half-mass property per group") {
+    val r = ops.StatsOps.q122WeightedMedian(spark, sf).collect()
+      .map(row => row.getAs[String]("source") ->
+        (row.getAs[Long]("weighted_median_chars"),
+          row.getAs[Long]("total_w"))).toMap
+    val pairs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long").as("w"))
+      .collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2)))
+    pairs.groupBy(_._1).foreach { case (src, rows) =>
+      val (m, tot) = r(src)
+      assert(tot == rows.map(_._3).sum)
+      // defining property: mass at or below m covers half the total,
+      // and m is minimal — mass strictly below m does not
+      val massLe = rows.filter(_._2 <= m).map(_._3).sum
+      val massLt = rows.filter(_._2 < m).map(_._3).sum
+      assert(2 * massLe >= tot, s"$src: $massLe of $tot at median $m")
+      assert(2 * massLt < tot, s"$src: median $m not minimal")
+      // the median is an observed value of the group
+      assert(rows.exists(_._2 == m))
+    }
+  }
+
   test("q115 OLS agrees with Spark's float covariance route; line is exact") {
     val r = ops.StatsOps.q115OlsFit(spark, sf)
     val rows = r.collect()
