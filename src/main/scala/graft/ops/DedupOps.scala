@@ -897,6 +897,74 @@ object DedupOps {
       CAST(n_match AS DOUBLE) / $OverlapSeeds AS est_jaccard
     FROM pairs ORDER BY src_a, src_b"""
 
+  // ---- q123: containment pairs (asymmetric overlap / quote detection) --
+  // Jaccard misses the "B is INSIDE A" case: a tweet quoted whole in a
+  // news page has tiny symmetric similarity but containment(B→A) ≈ 1.
+  // Over the SAME banded candidates as q31 (one band join — no new
+  // blocking pass), report both directed containments c1 = |∩|/|A|,
+  // c2 = |∩|/|B| and keep pairs where either side is >= 60% contained.
+  // Honest recall caveat (documented, inherent): band-candidate recall
+  // is driven by JACCARD (P[shared minhash] = j), so a tiny doc inside
+  // a huge one can evade the bands even at containment 1.0 — the scale
+  // fix is more bands or a size-stratified index, the same knob as
+  // MinhashBands; the threshold here keeps the contract honest for the
+  // pairs the bands do surface.
+  def q123ContainmentPairs(s: SparkSession, d: String): DataFrame = {
+    val base = withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("hv"), array(
+        (0 until MinhashBands).map(k =>
+          struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*
+      ).as("bands"))
+      .persist()
+    def side(p: String): DataFrame =
+      base.select(col("doc_id").as(s"${p}_id"), col("hv").as(s"${p}_hv"),
+          explode_outer(col("bands")).as("b"))
+        .select(col(s"${p}_id"), col(s"${p}_hv"),
+          col("b.k").as(s"${p}_k"), col("b.mhv").as(s"${p}_mhv"))
+    side("a").join(side("b"),
+        col("a_k") === col("b_k") && col("a_mhv") === col("b_mhv")
+          && col("a_id") < col("b_id"))
+      .select(col("a_id").as("id1"), col("b_id").as("id2"),
+        col("a_hv").as("hv1"), col("b_hv").as("hv2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("inter",
+        size(array_intersect(col("hv1"), col("hv2"))).cast("long"))
+      .withColumn("n1", size(col("hv1")).cast("long"))
+      .withColumn("n2", size(col("hv2")).cast("long"))
+      // c >= 0.6 as exact integers: 5·inter >= 3·n
+      .filter(col("inter") * 5 >= col("n1") * 3 ||
+        col("inter") * 5 >= col("n2") * 3)
+      .withColumn("c1", col("inter").cast("double") / col("n1"))
+      .withColumn("c2", col("inter").cast("double") / col("n2"))
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+        col("c1"), col("c2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q123Sql: String = sqlShingles + s""",
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    m AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) AS BIGINT) AS n1,
+        CAST(len(sb.hv) AS BIGINT) AS n2
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2)
+    SELECT id1, id2, inter, n1, n2,
+      CAST(inter AS DOUBLE) / n1 AS c1,
+      CAST(inter AS DOUBLE) / n2 AS c2
+    FROM m WHERE inter * 5 >= n1 * 3 OR inter * 5 >= n2 * 3
+    ORDER BY id1, id2"""
+
   // ---- q116: triad census of the near-dup graph -------------------------
   // Structural validation of the dedup pipeline's core assumption: q60's
   // min-label CC is the right algorithm only while near-dup components
@@ -971,7 +1039,8 @@ object DedupOps {
     "q60_dedup_groups"  -> q60DedupGroups _,
     "q102_cluster_canonical" -> q102ClusterCanonical _,
     "q110_corpus_overlap" -> q110CorpusOverlap _,
-    "q116_triad_census" -> q116TriadCensus _)
+    "q116_triad_census" -> q116TriadCensus _,
+    "q123_containment"  -> q123ContainmentPairs _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -983,5 +1052,6 @@ object DedupOps {
     "q60_dedup_groups"  -> q60Sql,
     "q102_cluster_canonical" -> q102Sql,
     "q110_corpus_overlap" -> q110Sql,
-    "q116_triad_census" -> q116Sql)
+    "q116_triad_census" -> q116Sql,
+    "q123_containment"  -> q123Sql)
 }

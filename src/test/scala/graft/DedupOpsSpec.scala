@@ -234,6 +234,27 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q123: containment bounds hold; q31 near-dups are a subset") {
+    val rows = DedupOps.q123ContainmentPairs(spark, sf).collect()
+    spark.catalog.clearCache()
+    rows.foreach { r =>
+      val (inter, n1, n2) = (r.getAs[Long]("inter"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(inter >= 1 && inter <= math.min(n1, n2))
+      assert(r.getAs[Double]("c1") == inter.toDouble / n1)
+      assert(r.getAs[Double]("c2") == inter.toDouble / n2)
+      // the 60% gate: at least one side passes in exact integers
+      assert(inter * 5 >= n1 * 3 || inter * 5 >= n2 * 3, r.toString)
+    }
+    // j >= 0.5 implies max containment >= 2j/(1+j) >= 2/3 > 0.6, so
+    // every verified q31 near-dup pair must appear here
+    val cont = rows.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .toSet
+    val nd = pairs(DedupOps.q31MinhashPairs(spark, sf))
+    spark.catalog.clearCache()
+    assert(nd.subsetOf(cont), s"missing: ${nd -- cont}")
+  }
+
   test("q116: census matches a driver-side recount of the pair graph") {
     val row = DedupOps.q116TriadCensus(spark, sf).head()
     spark.catalog.clearCache()
