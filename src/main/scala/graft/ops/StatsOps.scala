@@ -646,6 +646,51 @@ object StatsOps {
       COUNT(*) AS n_docs
     FROM c GROUP BY source ORDER BY source"""
 
+  // ---- q124: per-group z-score standardization --------------------------
+  // The feature-engineering normalization pass: center and scale a
+  // measure within its group (doc length within source — lengths are
+  // only comparable per source). Group moments ride a WINDOW over the
+  // group key (one shuffle, stats broadcast back to every member row
+  // without a join), accumulated as exact integer sums and combined in
+  // the q57/q115 double-cast order, so z is the same IEEE expression on
+  // both engines. Population variance (n divisor) on purpose — the
+  // group IS the population here.
+  def q124ZScore(s: SparkSession, d: String): DataFrame = {
+    def d_(c: Column): Column = c.cast("double")
+    val w = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("v")).over(w))
+      .withColumn("sxx", sum(col("v") * col("v")).over(w))
+      .withColumn("mean", d_(col("sx")) / d_(col("n")))
+      .withColumn("variance",
+        (d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx")))
+          / (d_(col("n")) * d_(col("n"))))
+      .withColumn("z", (d_(col("v")) - col("mean")) / sqrt(col("variance")))
+      .select(col("doc_id"), col("source"), col("v"), col("mean"),
+        col("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q124Sql: String = """
+    SELECT doc_id, source, v, mean,
+      (CAST(v AS DOUBLE) - mean) / sqrt(variance) AS z
+    FROM (
+      SELECT doc_id, source, v,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance
+      FROM (
+        SELECT doc_id, source, n_chars AS v,
+          COUNT(*) OVER (PARTITION BY source) AS n,
+          CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS sx,
+          CAST(SUM(n_chars * n_chars) OVER (PARTITION BY source)
+            AS BIGINT) AS sxx
+        FROM documents))
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -657,7 +702,8 @@ object StatsOps {
     "q94_iqr_outliers"  -> q94IqrOutliers _,
     "q115_ols_fit"      -> q115OlsFit _,
     "q118_join_size_sketch" -> q118JoinSizeSketch _,
-    "q122_weighted_median" -> q122WeightedMedian _)
+    "q122_weighted_median" -> q122WeightedMedian _,
+    "q124_zscore"       -> q124ZScore _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -670,5 +716,6 @@ object StatsOps {
     "q94_iqr_outliers"  -> q94Sql,
     "q115_ols_fit"      -> q115Sql,
     "q118_join_size_sketch" -> q118Sql,
-    "q122_weighted_median" -> q122Sql)
+    "q122_weighted_median" -> q122Sql,
+    "q124_zscore"       -> q124Sql)
 }

@@ -105,6 +105,25 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 z-scores have zero mean and unit variance per group") {
+    val r = ops.StatsOps.q124ZScore(spark, sf)
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // standardization identities, to float tolerance: per source the
+    // z column must average ~0 with population variance ~1
+    val stats = r.groupBy(col("source"))
+      .agg(avg(col("z")).as("mz"), var_pop(col("z")).as("vz"),
+        count(lit(1)).as("n")).collect()
+    stats.foreach { row =>
+      assert(math.abs(row.getAs[Double]("mz")) < 1e-9, row.toString)
+      assert(math.abs(row.getAs[Double]("vz") - 1.0) < 1e-9, row.toString)
+    }
+    // direction: the group's max value gets its max z
+    val joined = r.groupBy(col("source"))
+      .agg(max(struct(col("v"), col("z"))).as("byV"),
+        max(struct(col("z"), col("v"))).as("byZ"))
+    assert(joined.filter(col("byV.v") =!= col("byZ.v")).count() == 0)
+  }
+
   test("q122 weighted median satisfies the half-mass property per group") {
     val r = ops.StatsOps.q122WeightedMedian(spark, sf).collect()
       .map(row => row.getAs[String]("source") ->
