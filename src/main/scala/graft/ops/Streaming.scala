@@ -241,6 +241,64 @@ object Streaming {
       .toDF("user_id", "n_events", "sum_value", "is_final")
   }
 
+  /** Streaming rate-limit THROTTLE — the semantics q112 documents as
+    * inexpressible in a shuffle-parallel batch plan: keep an event iff
+    * it arrives more than `gapMs` after the last KEPT event of its
+    * (user_id, event_type) key. Not the same as q112's previous-ROW
+    * debounce: under a sustained burst the throttle emits one event per
+    * gap window while the debounce suppresses everything after the
+    * burst's first row. The sequential per-key fold batch plans cannot
+    * express is exactly what keyed streaming state provides: ValueState
+    * holds the last-kept microsecond; each micro-batch sorts its slice
+    * by (ts, event_id) — per key per batch, bounded — and folds. State
+    * size: ONE long per active key, RocksDB-backed at scale. */
+  def streamingThrottle(spark: SparkSession,
+                        events: org.apache.spark.sql.Dataset[
+                          org.apache.spark.sql.Row],
+                        gapMs: Long = 60000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user_id", "event_type", "event_id",
+        "unix_micros(ts) as ts_us")
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new ThrottleProcessor(gapMs * 1000L),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+  }
+
+  /** The [[streamingThrottle]] state machine: last-kept event-time
+    * micros per key. */
+  private class ThrottleProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), (Long, String, Long, Long),
+        (Long, String, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var lastKept: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastKept = getHandle.getValueState[Long]("lastKept",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[(Long, String, Long, Long)], tv: TimerValues)
+        : Iterator[(Long, String, Long, Long)] = {
+      val ordered = rows.toSeq.sortBy(r => (r._4, r._3))
+      val out = Seq.newBuilder[(Long, String, Long, Long)]
+      var last = if (lastKept.exists()) Some(lastKept.get()) else None
+      ordered.foreach { r =>
+        if (last.forall(l => r._4 - l > gapUs)) {
+          out += r
+          last = Some(r._4)
+        }
+      }
+      last.foreach(lastKept.update)
+      out.result().iterator
+    }
+  }
+
   /** "N unit" → millis for the idle timer (no java.time parsing so the
     * accepted grammar matches the watermark-delay strings used above). */
   private[ops] def parseDurationMs(s: String): Long = {

@@ -9,6 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import ops.Streaming
 
 case class SDoc(doc_id: Long, text: String)
+case class SEvt(user_id: Long, event_type: String, event_id: Long,
+                ts: java.sql.Timestamp)
 
 case class IDoc(doc_id: Long, source: String, n_chars: Long)
 
@@ -487,6 +489,51 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(out.sorted.toSeq == Seq(1L, 11L), out.toString)
     } finally q.stop()
+  }
+
+  test("streaming throttle keeps one event per gap window across triggers") {
+    // the semantics the q112 batch plan CANNOT express (keep-vs-last-
+    // KEPT needs a sequential per-key fold): under a sustained burst the
+    // throttle re-emits once per gap window while the debounce keeps
+    // only the burst's first row — both behaviors pinned here
+    import org.apache.spark.sql.functions._
+    withRocksDb {
+      def at(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+      val input = MemoryStream[SEvt]
+      val q = ops.Streaming.streamingThrottle(spark, input.toDF())
+        .writeStream.format("memory").queryName("throttle")
+        .outputMode("append").start()
+      try {
+        // trigger 1: t=0 and a 10 s follow-up (inside the 60 s gap)
+        input.addData(Seq(SEvt(1, "click", 100, at(0)),
+          SEvt(1, "click", 101, at(10))))
+        q.processAllAvailable()
+        // trigger 2: 70 s (beyond gap vs last KEPT t=0 → keep),
+        // 100 s (30 s after the 70 s keep → drop), 140 s (70 s → keep)
+        input.addData(Seq(SEvt(1, "click", 102, at(70)),
+          SEvt(1, "click", 103, at(100)), SEvt(1, "click", 104, at(140))))
+        q.processAllAvailable()
+        val kept = spark.table("throttle")
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(kept == Seq(100L, 102L, 104L), kept.toString)
+      } finally q.stop()
+      // contrast: the q112 debounce rule over the same five events keeps
+      // ONLY the first (every inter-event gap is <= 60 s)
+      import spark.implicits._
+      val batch = Seq((1L, "click", 100L, 0L), (1L, "click", 101L, 10L),
+        (1L, "click", 102L, 70L), (1L, "click", 103L, 100L),
+        (1L, "click", 104L, 140L))
+        .toDF("user_id", "event_type", "event_id", "s")
+        .withColumn("ts_us", col("s") * 1000000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val debounceKept = batch
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev").isNull || col("ts_us") - col("prev") > 60000000L)
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(debounceKept == Seq(100L), debounceKept.toString)
+    }
   }
 
   test("q112 debounce matches a join-route predecessor recount") {
