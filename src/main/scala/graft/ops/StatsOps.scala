@@ -691,6 +691,74 @@ object StatsOps {
         FROM documents))
     ORDER BY doc_id"""
 
+  // ---- q125: per-source drift detection (Welch t vs rest-of-corpus) ----
+  // The monitoring question behind source mixing: is any source's length
+  // distribution drifting away from the corpus? One-vs-rest Welch t
+  // from sufficient statistics only: the corpus scan produces per-source
+  // (n, Σx, Σx²); the rest-of-corpus moments are EXACT integer
+  // differences from the global totals (no second scan, no join) — the
+  // totals ride an unpartitioned window over the |sources|-row AGGREGATE
+  // (the q74 bucket-totals pattern: tiny frame, never the corpus).
+  // Sample variances and t combine in the q57 double-cast order, so the
+  // statistic is bit-identical across engines; |t| > 3 flags drift.
+  def q125DriftT(s: SparkSession, d: String): DataFrame = {
+    def d_(c: Column): Column = c.cast("double")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("tn", sum(col("n")).over(wAll))
+      .withColumn("tsx", sum(col("sx")).over(wAll))
+      .withColumn("tsxx", sum(col("sxx")).over(wAll))
+      .withColumn("rn", col("tn") - col("n"))
+      .withColumn("rsx", col("tsx") - col("sx"))
+      .withColumn("rsxx", col("tsxx") - col("sxx"))
+    g.withColumn("m1", d_(col("sx")) / d_(col("n")))
+      .withColumn("m2", d_(col("rsx")) / d_(col("rn")))
+      .withColumn("v1",
+        (d_(col("sxx")) - d_(col("sx")) * d_(col("sx")) / d_(col("n")))
+          / (d_(col("n")) - 1))
+      .withColumn("v2",
+        (d_(col("rsxx")) - d_(col("rsx")) * d_(col("rsx")) / d_(col("rn")))
+          / (d_(col("rn")) - 1))
+      .withColumn("t_stat", (col("m1") - col("m2"))
+        / sqrt(col("v1") / d_(col("n")) + col("v2") / d_(col("rn"))))
+      .withColumn("drift", abs(col("t_stat")) > 3)
+      .select(col("source"), col("n"), col("m1").as("mean_chars"),
+        col("t_stat"), col("drift"))
+      .orderBy(col("source"))
+  }
+
+  val q125Sql: String = """
+    WITH g AS (
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sx,
+        CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT source, n, sx, sxx,
+        CAST(SUM(n) OVER () AS BIGINT) - n AS rn,
+        CAST(SUM(sx) OVER () AS BIGINT) - sx AS rsx,
+        CAST(SUM(sxx) OVER () AS BIGINT) - sxx AS rsxx
+      FROM g),
+    m AS (
+      SELECT source, n,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+        CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE) AS m2,
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v1,
+        (CAST(rsxx AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE)
+          / CAST(rn AS DOUBLE)) / (CAST(rn AS DOUBLE) - 1) AS v2,
+        CAST(n AS DOUBLE) AS nd, CAST(rn AS DOUBLE) AS rnd
+      FROM t)
+    SELECT source, n, m1 AS mean_chars,
+      (m1 - m2) / sqrt(v1 / nd + v2 / rnd) AS t_stat,
+      abs((m1 - m2) / sqrt(v1 / nd + v2 / rnd)) > 3 AS drift
+    FROM m ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -703,7 +771,8 @@ object StatsOps {
     "q115_ols_fit"      -> q115OlsFit _,
     "q118_join_size_sketch" -> q118JoinSizeSketch _,
     "q122_weighted_median" -> q122WeightedMedian _,
-    "q124_zscore"       -> q124ZScore _)
+    "q124_zscore"       -> q124ZScore _,
+    "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
     "q56_percentiles" -> q56Sql,
@@ -717,5 +786,6 @@ object StatsOps {
     "q115_ols_fit"      -> q115Sql,
     "q118_join_size_sketch" -> q118Sql,
     "q122_weighted_median" -> q122Sql,
-    "q124_zscore"       -> q124Sql)
+    "q124_zscore"       -> q124Sql,
+    "q125_drift_t"      -> q125Sql)
 }

@@ -105,6 +105,32 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 Welch t agrees with a driver-side recount per source") {
+    val r = ops.StatsOps.q125DriftT(spark, sf).collect()
+      .map(row => row.getAs[String]("source") -> row).toMap
+    val xs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(row => (row.getString(0), row.getLong(1)))
+    assert(r.keySet == xs.map(_._1).toSet)
+    r.foreach { case (src, row) =>
+      val mine = xs.filter(_._1 == src).map(_._2.toDouble)
+      val rest = xs.filter(_._1 != src).map(_._2.toDouble)
+      def meanVar(a: Array[Double]) = {
+        val m = a.sum / a.length
+        (m, a.map(x => (x - m) * (x - m)).sum / (a.length - 1))
+      }
+      val (m1, v1) = meanVar(mine); val (m2, v2) = meanVar(rest)
+      val t = (m1 - m2) / math.sqrt(v1 / mine.length + v2 / rest.length)
+      // driver recount uses the two-pass variance formula (different
+      // numeric route) — tolerance, not equality
+      assert(math.abs(row.getAs[Double]("t_stat") - t) <=
+        1e-6 * math.max(1.0, math.abs(t)), s"$src: ${row.getAs[Double]("t_stat")} vs $t")
+      assert(row.getAs[Boolean]("drift") ==
+        (math.abs(row.getAs[Double]("t_stat")) > 3))
+      assert(row.getAs[Long]("n") == mine.length)
+    }
+  }
+
   test("q124 z-scores have zero mean and unit variance per group") {
     val r = ops.StatsOps.q124ZScore(spark, sf)
     assert(r.count() == Tables.documents(spark, sf).count())
