@@ -73,13 +73,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LSH pair queries are equi-joins (hash or sort-merge), never theta") {
-    Seq("q31_minhash_pairs", "q33_simhash_pairs", "q34_ngram_jaccard",
+    Seq("q33_simhash_pairs", "q34_ngram_jaccard",
       "q36_ann_lsh", "q37_cosine_neardup", "q78_fuzzy_match",
       "q87_sparse_cosine").foreach { q =>
       val p = plan(q)
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q is not an equi-join:\n$p")
     }
+    // q31 (and q123/q60/q102/q116 behind it) consumes the shared
+    // band-candidate stage, whose materialized form roots at an RDD scan;
+    // guard the stage's OWN plan, where the band join lives
+    val p31 = ops.DedupOps.bandCandidatesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p31.contains("HashJoin") || p31.contains("SortMergeJoin"),
+      s"band-candidate stage is not an equi-join:\n$p31")
+    assert(!p31.contains("CartesianProduct"), p31)
   }
 
   test("q59 reads JSON through an explicit schema (no inference pass)") {
