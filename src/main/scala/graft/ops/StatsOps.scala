@@ -183,8 +183,8 @@ object StatsOps {
 
   // ---- q62: approx percentile with a VERIFIED rank-error contract ------
   // The scale path q56's caveat defers to: `approx_percentile` (GK
-  // sketch — constant state per group vs q56's buffer-all
-  // ObjectHashAggregate). Sketch internals differ per engine, so the
+  // sketch — constant state per group vs q56's domain-sized
+  // histogram, for measures too wide to histogram). Sketch internals differ per engine, so the
   // approx VALUE can't be oracle-compared; what CAN be (the q42
   // pattern) is the exact percentile plus a boolean asserting the
   // sketch met its published guarantee — GK returns a value whose RANK
@@ -194,19 +194,32 @@ object StatsOps {
   // overlaps the target window. The oracle emits the same exact
   // percentile and literal TRUE — hash-equal only if the sketch
   // actually delivered its bound.
+  // The exact-side contract column rides [[histPercentilesFromCounts]]
+  // (bounded, domain-sized state) rather than the buffer-all built-in
+  // `percentile` — q62 exists because buffer-all does not survive 100 TB,
+  // so its own verification column must not reintroduce the cliff. The
+  // rank interval of the sketch's answer is likewise counted off the
+  // persisted histogram (sum of counts below / at-or-below `ap`), so the
+  // corpus is scanned exactly twice: once to histogram, once for the GK
+  // sketch itself (whose per-group state is a constant-size quantile
+  // summary, the one ObjectHashAggregate allowed in this plan).
   private val ApproxAcc = 1000 // guaranteed rank error <= n/1000
   def q62ApproxPercentile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
-    val g = li.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        expr("percentile(pu, 0.5D)").as("exact_units"),
-        expr(s"approx_percentile(pu, 0.5D, $ApproxAcc)").as("ap"))
-    li.join(broadcast(g), "l_returnflag")
+    val hist = histogram(li, "l_returnflag", "pu").persist()
+    val exact = histPercentilesFromCounts(hist, "l_returnflag", Seq(0.5))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("ps"), 1).as("exact_units"))
+    val g = exact.join(
+      li.groupBy(col("l_returnflag"))
+        .agg(expr(s"approx_percentile(pu, 0.5D, $ApproxAcc)").as("ap")),
+      "l_returnflag")
+    hist.join(broadcast(g), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(first(col("n")).as("n"), first(col("exact_units")).as("exact_units"),
-        sum(when(col("pu") < col("ap"), 1L).otherwise(0L)).as("r_lt"),
-        sum(when(col("pu") <= col("ap"), 1L).otherwise(0L)).as("r_le"))
+        sum(when(col("v") < col("ap"), col("c")).otherwise(0L)).as("r_lt"),
+        sum(when(col("v") <= col("ap"), col("c")).otherwise(0L)).as("r_le"))
       .select(col("l_returnflag"), col("n"),
         (col("exact_units") / 100.0).as("p50"),
         ((col("r_lt") + 1).cast("double") <=

@@ -90,6 +90,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p31.contains("CartesianProduct"), p31)
   }
 
+  test("q62's only unbounded-looking aggregate is the GK sketch itself") {
+    // The exact contract column must come from the domain-sized histogram
+    // path, never the buffer-all built-in `percentile` (O(group rows)
+    // executor state). approx_percentile legitimately remains — its
+    // ObjectHashAggregate state is a constant-size quantile summary.
+    val p = plan("q62_approx_percentile")
+    assert(!p.replace("approx_percentile", "").contains("percentile("),
+      s"q62 reintroduced the buffer-all percentile:\n$p")
+  }
+
   test("q59 reads JSON through an explicit schema (no inference pass)") {
     val p = plan("q59_json_scan")
     assert(p.contains("FileScan json"), p)
