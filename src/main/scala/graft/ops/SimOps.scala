@@ -87,15 +87,26 @@ object SimOps {
     s"LEAST(24, GREATEST(4, length(bin((count(*) + ${TargetBucketRows - 1})" +
       s" // $TargetBucketRows - 1))))"
 
-  /** Corpus-size-derived IVF cell count: ceil(sqrt(n)), floored at 16.
-    * sqrt(n) cells balances assign cost (scan C centroids per row)
-    * against search cost (expected n/C ≈ sqrt(n) rows per cell). IEEE
-    * sqrt is correctly rounded in both engines, so ceil(sqrt(bigint))
-    * is bit-identical Spark↔DuckDB; oracle twin: [[sqlCells]]. */
+  /** Corpus-size-derived IVF cell count: ceil(sqrt(n)), clamped to
+    * [16, [[MaxIvfCells]]]. sqrt(n) cells balances assign cost (scan C
+    * centroids per row) against search cost (expected n/C ≈ sqrt(n) rows
+    * per cell). The ceiling decouples C from the corpus: the centroid
+    * table is collected to the driver and broadcast into the fused
+    * O(C·D) argmax, so an uncapped sqrt(1e11) ≈ 316k centroids would
+    * mean a ~160 MB driver collect AND 20M multiplies per scanned row.
+    * At the 2^16 cap both stay fixed (64k×64 doubles ≈ 33 MB broadcast —
+    * the C every billion-scale IVF deployment actually trains), and past
+    * it the design degrades the way a trained quantizer does: occupancy
+    * grows as n/C, which multi-probe (q68) and PQ re-rank (q80) are the
+    * documented answers to, not more cells. IEEE sqrt is correctly
+    * rounded in both engines, so the clamp is bit-identical Spark↔DuckDB;
+    * oracle twin: [[sqlCells]]. */
+  private[graft] val MaxIvfCells = 1L << 16
   private[graft] def cellsFor(n: Long): Long =
-    math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    math.min(MaxIvfCells,
+      math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong))
   private[graft] val sqlCells: String =
-    "GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))"
+    s"LEAST($MaxIvfCells, GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)))"
 
   /** Random-hyperplane LSH bucket (P planes): plane p has integer weights
     * w[p][i] = H("h:p:i") % 2001 - 1000 (H = 60-bit md5 prefix); bit p =

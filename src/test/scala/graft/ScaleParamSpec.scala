@@ -48,15 +48,23 @@ class ScaleParamSpec extends AnyFunSuite {
     }
   }
 
-  test("cellsFor is ceil(sqrt(n)) floored at 16, matching its SQL twin") {
+  test("cellsFor is ceil(sqrt(n)) clamped to [16, 2^16], matching its SQL twin") {
     assert(SimOps.cellsFor(0) == 16)
     assert(SimOps.cellsFor(400) == 20)
     assert(SimOps.cellsFor(500) == 23)
     assert(SimOps.cellsFor(2000) == 45)
     assert(SimOps.cellsFor(1000000L) == 1000)
-    for (n <- Seq(1L, 256L, 400L, 500L, 2000L, 999999L, 1000000L)) {
+    // the cap binds exactly where sqrt(n) crosses 2^16 — the driver
+    // collect and the per-row argmax stay bounded at ANY corpus size
+    assert(SimOps.cellsFor(1L << 32) == SimOps.MaxIvfCells)
+    assert(SimOps.cellsFor((1L << 32) - (1L << 17)) == 65535L)
+    assert(SimOps.cellsFor(100000000000L) == SimOps.MaxIvfCells)
+    assert(SimOps.cellsFor(Long.MaxValue) == SimOps.MaxIvfCells)
+    for (n <- Seq(1L, 256L, 400L, 500L, 2000L, 999999L, 1000000L,
+        (1L << 32) - (1L << 17), 1L << 32, 100000000000L)) {
       val twin = spark.sql(
-        s"SELECT greatest(16, cast(ceil(sqrt($n)) as bigint))")
+        s"SELECT least(${SimOps.MaxIvfCells}, " +
+          s"greatest(16, cast(ceil(sqrt($n)) as bigint)))")
         .head().getLong(0)
       assert(twin == SimOps.cellsFor(n), s"n=$n")
     }
