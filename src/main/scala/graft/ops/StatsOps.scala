@@ -49,13 +49,35 @@ object StatsOps {
       vCol: String, qs: Seq[Double]): DataFrame =
     histPercentilesFromCounts(histogram(rows, groupCol, vCol), groupCol, qs)
 
+  /** Histogram-percentile contract bound: max distinct values per group.
+    * The whole path is exact-with-bounded-state ONLY while the measure's
+    * domain is bounded (integer units — cents, token counts); on a true
+    * double measure the histogram degenerates to one row per value and
+    * the window/cum-rank state approaches O(group rows). 2^22 clears any
+    * plausible money/count domain by an order of magnitude while sitting
+    * far below per-group row counts at 100 TB, so a misrouted measure
+    * trips the guard instead of silently buffering. The guard is a
+    * runtime assert_true folded into the spec's `n` column (never pruned:
+    * n is load-bearing in every consumer); past it the query FAILS with a
+    * pointer at the GK-sketch path (q62) rather than degrade. */
+  private[graft] val MaxHistDomain = 1L << 22
+
   private[graft] def histPercentilesFromCounts(counts: DataFrame,
-      groupCol: String, qs: Seq[Double]): DataFrame = {
+      groupCol: String, qs: Seq[Double],
+      maxDomain: Long = MaxHistDomain): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("hi_rank", sum(col("c")).over(w))
       .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
-    val spec = counts.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val spec = counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("width"))
+      .withColumn("n", col("n") + coalesce(
+        assert_true(col("width") <= maxDomain,
+          concat(lit("histogram percentile domain exceeds "),
+            lit(maxDomain), lit(" distinct values for group "),
+            col(groupCol).cast("string"),
+            lit(" - this measure needs the GK sketch path (q62)")))
+          .cast("long"), lit(0L)))
       .select(col(groupCol), col("n"),
         posexplode(lit(qs.toArray)).as(Seq("qi", "q")))
       .withColumn("pos", (col("n") - 1).cast("double") * col("q"))

@@ -19,6 +19,28 @@ class StatsOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("histogram percentiles fail loudly past the domain-width bound") {
+    import spark.implicits._
+    // 5000 distinct values in one group, one in the other: the guard is
+    // per-group, so a narrow sibling group must not mask the wide one
+    val rows = (1 to 5000).map(i => ("wide", i.toLong)) :+ (("narrow", 7L))
+    val df = rows.toDF("g", "v")
+    val counts = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // under the bound: exact interpolated median comes back
+    val ok = StatsOps.histPercentilesFromCounts(counts, "g", Seq(0.5),
+      maxDomain = 5000L)
+    assert(ok.filter(col("g") === "wide").head().getAs[Seq[Double]]("ps")
+      .head == 2500.5)
+    // over the bound: the plan itself throws, naming the wide group
+    val e = intercept[Exception] {
+      StatsOps.histPercentilesFromCounts(counts, "g", Seq(0.5),
+        maxDomain = 4999L).collect()
+    }
+    assert(e.getMessage.contains("GK sketch") ||
+      Option(e.getCause).exists(_.getMessage.contains("GK sketch")),
+      s"guard error lost its routing hint: ${e.getMessage}")
+  }
+
   test("manual correlation is within [-1, 1] and close to Spark's corr") {
     val manual = StatsOps.q57Correlation(spark, sf)
     assert(manual.filter(abs(col("corr_qty_price")) > 1.0 + 1e-12).count() == 0)
