@@ -57,17 +57,19 @@ object CurationJob {
 
   /** Stages 1–6 for one firing; returns (shard-assigned novel docs
     * (doc_id, text, n_tok, chunk_id, shard), the pinned dedup result —
-    * unpersist the latter after the write action). */
+    * unpersist the latter after the write action, the deferred store
+    * commit — run it only AFTER the shard write has succeeded). */
   private[graft] def curate(docs: DataFrame, stateRoot: String)
-      : (DataFrame, DataFrame) = {
-    val exactNovel = ops.DedupOps.incrementalDedup(
+      : (DataFrame, DataFrame, () => Unit) = {
+    val exact = ops.DedupOps.incrementalDedupStaged(
       gateAndScrub(docs).select(col("doc_id"), col("text"), col("n_tok")),
       s"$stateRoot/fingerprints")
     // near-dup gate consumes the exact-dedup result eagerly (its return
     // is checkpointed inside the call), so the input pin releases here
-    val novel = ops.DedupOps.incrementalNearDup(
-      exactNovel, s"$stateRoot/neardup")
-    exactNovel.unpersist()
+    val near = ops.DedupOps.incrementalNearDupStaged(
+      exact.novel, s"$stateRoot/neardup")
+    val novel = near.novel
+    exact.novel.unpersist()
     val curated = CurationOps
       .assignChunks(novel.select(col("doc_id"), col("n_tok")))
       .select(col("doc_id"), col("chunk_id"))
@@ -75,15 +77,27 @@ object CurationJob {
       .withColumn("shard", expr(s"chunk_id div $chunksPerShard"))
       .select(col("doc_id"), col("text"), col("n_tok"), col("chunk_id"),
         col("shard"))
-    (curated, novel)
+    // near-dup store commits FIRST: if the job dies between the two
+    // commits, an exact re-submission of a shipped doc is still caught
+    // by the signature store (identical text ⇒ j = 1.0 near-dup), while
+    // the reverse order would leave shipped docs' signatures missing
+    // forever and admit future paraphrases
+    (curated, novel, () => { near.commit(); exact.commit() })
   }
 
   /** One firing: curate `inDir` and append shards under a fresh
-    * firing=<n> directory. Returns the number of docs shipped. */
+    * firing=<n> directory. Returns the number of docs shipped.
+    *
+    * Crash-ordering contract: the dedup stores append only after the
+    * firing's shards are durably written (shards ARE the commit marker).
+    * A crash before the store commit makes the rerun reship the batch
+    * into a fresh firing — at-least-once, visible downstream — instead
+    * of the old failure mode (store grown, shards never written: the
+    * rerun self-matched everything and silently shipped nothing). */
   def runOnce(spark: SparkSession, inDir: String, shardRoot: String,
               stateRoot: String): Long = {
     val docs = spark.read.parquet(inDir)
-    val (curated, pinned) = curate(docs, stateRoot)
+    val (curated, pinned, commitStores) = curate(docs, stateRoot)
     val firing = {
       val root = new java.io.File(shardRoot)
       val seen = Option(root.list()).getOrElse(Array.empty[String])
@@ -92,6 +106,7 @@ object CurationJob {
     }
     curated.write.partitionBy("shard")
       .parquet(s"$shardRoot/firing=$firing")
+    commitStores()
     // cheap recompute: curated derives from the localCheckpoint-pinned
     // novel frame, so the count replays only the chunk-assign windows
     val n = curated.count()

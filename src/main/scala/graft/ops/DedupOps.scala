@@ -114,6 +114,27 @@ object DedupOps {
     * so the result no longer references the path at all. Unpersist via
     * the returned frame when done. */
   def incrementalDedup(batch: DataFrame, storeDir: String): DataFrame = {
+    val staged = incrementalDedupStaged(batch, storeDir)
+    staged.commit()
+    staged.novel
+  }
+
+  /** A dedup firing whose store append is DEFERRED: [[novel]] is the
+    * pinned (eagerly checkpointed) novel set, usable immediately;
+    * [[commit]] performs the store append and must run only AFTER the
+    * caller has durably written the firing's output. Rationale: if the
+    * store grows before the output commits and the job crashes between
+    * the two, the rerun self-matches every doc and ships an EMPTY firing
+    * — the batch is recorded as shipped but never ships (silent loss).
+    * Deferring flips the failure mode to at-least-once: a crash between
+    * output write and commit() reships the batch on rerun, which the
+    * downstream can see and reconcile, instead of silently dropping it. */
+  final case class StagedDedup(novel: DataFrame, commit: () => Unit)
+
+  /** [[incrementalDedup]] with the store append staged behind
+    * [[StagedDedup.commit]]. */
+  def incrementalDedupStaged(batch: DataFrame, storeDir: String)
+      : StagedDedup = {
     val s = batch.sparkSession
     val hashed = batch.withColumn("content_md5", md5(col("text")))
     val inBatch = hashed
@@ -127,9 +148,9 @@ object DedupOps {
           "left_anti")
       else inBatch
     val pinned = novel.localCheckpoint(true)
-    pinned.select(col("content_md5"))
-      .write.mode("append").parquet(storeDir)
-    pinned
+    StagedDedup(pinned, () =>
+      pinned.select(col("content_md5"))
+        .write.mode("append").parquet(storeDir))
   }
 
   /** MinHash OR-band count — the RECALL knob, not a bucket-occupancy
@@ -857,6 +878,20 @@ object DedupOps {
     * store appends (the CacheManager.recacheByPath lesson, see
     * [[incrementalDedup]]). */
   def incrementalNearDup(batch: DataFrame, storeDir: String): DataFrame = {
+    val staged = incrementalNearDupStaged(batch, storeDir)
+    staged.commit()
+    staged.novel
+  }
+
+  /** [[incrementalNearDup]] with the store appends staged behind
+    * [[StagedDedup.commit]] (see there for the crash-ordering
+    * rationale). Within the commit, `features/` writes BEFORE `bands/`:
+    * the candidate verify join is band→feature inner, so an orphan
+    * FEATURE row (crash between the two appends) is unreachable dead
+    * data, while an orphan BAND row would silently drop every candidate
+    * it blocks in later firings. */
+  def incrementalNearDupStaged(batch: DataFrame, storeDir: String)
+      : StagedDedup = {
     val s = batch.sparkSession
     val bandsDir = s"$storeDir/bands"
     val featDir = s"$storeDir/features"
@@ -899,10 +934,11 @@ object DedupOps {
       .join(withinDrop.union(crossDrop), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     feat.unpersist()
-    bandRows(novelFeat).write.mode("append").parquet(bandsDir)
-    novelFeat.select(col("doc_id"), col("hv"))
-      .write.mode("append").parquet(featDir)
-    novel
+    StagedDedup(novel, () => {
+      novelFeat.select(col("doc_id"), col("hv"))
+        .write.mode("append").parquet(featDir)
+      bandRows(novelFeat).write.mode("append").parquet(bandsDir)
+    })
   }
 
   // ---- q110: inter-source corpus overlap (MinHash sketch Jaccard) ------

@@ -338,9 +338,14 @@ object Ingest {
   // breaks the hash compare. text goes through md5 per row so the
   // compare covers every byte of every document, not just counts.
   def q117JsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // scratch path carries the Spark applicationId: two concurrent
+    // harness runs over the same dataset would otherwise race on one
+    // fixed directory (one run's overwrite-delete mid-read of the other)
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-docs-jsonl-" +
-        java.lang.Long.toHexString(DedupOps.h60("jsonl:" + d))).getPath
+        java.lang.Long.toHexString(
+          DedupOps.h60("jsonl:" + d + ":" + s.sparkContext.applicationId)))
+      .getPath
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
       .write.mode("overwrite").option("compression", "gzip").json(dir)
@@ -353,14 +358,23 @@ object Ingest {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("n_chars",
         org.apache.spark.sql.types.LongType)))
-    s.read.schema(schema).json(dir)
+    val agg = s.read.schema(schema).json(dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("doc_id")).as("id_sum"),
         sum(col("n_chars")).as("char_sum"),
         md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
           .as("content_md5"))
-      .orderBy(col("source"))
+      // eager checkpoint forces the round trip NOW (|sources| rows of
+      // state), so the scratch dir can be deleted before returning
+      // instead of leaking a gzip copy of the corpus per run
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    agg.orderBy(col("source"))
   }
 
   val q117Sql: String = """
@@ -384,6 +398,13 @@ object Ingest {
   // FAILS by design here — proving the validator can report
   // violations, not just zeros.
   def q120ReferentialIntegrity(s: SparkSession, d: String): DataFrame = {
+    // NULL-key semantics, chosen on purpose for a validator of DIRTY
+    // data: a NULL-keyed child row IS an orphan (no parent key can equal
+    // NULL), so left_anti counts it as a violation. The oracle phrases
+    // every check as NOT EXISTS with an explicit key-equality predicate
+    // — the construct with exactly these semantics — never NOT IN, which
+    // inverts on NULLs (any NULL in the inner side zeroes ALL violations,
+    // and a NULL-keyed outer row is never flagged).
     def fk(name: String, left: DataFrame, key: String,
            right: DataFrame, rkey: String): DataFrame = {
       val viol = left.select(col(key).cast("long").as("k"))
@@ -434,32 +455,38 @@ object Ingest {
         (SELECT COUNT(*) FROM orders) AS n_checked,
         COUNT(*) AS n_violations,
         COALESCE(SUM(o_custkey), 0) AS violation_key_sum
-      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       UNION ALL
       SELECT 'fk_lineitem_orderkey', (SELECT COUNT(*) FROM lineitem),
         COUNT(*), COALESCE(SUM(l_orderkey), 0)
-      FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       UNION ALL
       SELECT 'fk_lineitem_partkey', (SELECT COUNT(*) FROM lineitem),
         COUNT(*), COALESCE(SUM(l_partkey), 0)
-      FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
       UNION ALL
       SELECT 'fk_lineitem_suppkey', (SELECT COUNT(*) FROM lineitem),
         COUNT(*), COALESCE(SUM(l_suppkey), 0)
-      FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
       UNION ALL
       SELECT 'fk_customer_nationkey', (SELECT COUNT(*) FROM customer),
         COUNT(*), COALESCE(SUM(c_nationkey), 0)
-      FROM customer
-      WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
       UNION ALL
       SELECT 'rev_parts_unordered', (SELECT COUNT(*) FROM part),
         COUNT(*), COALESCE(SUM(p_partkey), 0)
-      FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+      FROM part p WHERE NOT EXISTS
+        (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
       UNION ALL
       SELECT 'rev_customers_inactive', (SELECT COUNT(*) FROM customer),
         COUNT(*), COALESCE(SUM(c_custkey), 0)
-      FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       UNION ALL
       SELECT 'uniq_orders_orderkey', (SELECT COUNT(*) FROM orders),
         COALESCE(SUM(n), 0), COALESCE(SUM(o_orderkey), 0)

@@ -479,6 +479,12 @@ object StatsOps {
   // map-side; the closed form is per-group scalar arithmetic. This is
   // how regression fits 100 TB: sufficient statistics, never a solver
   // over rows.
+  //
+  // Degenerate groups (n = 1, or constant x/y) zero a denominator;
+  // Spark's double division returns NaN/±Inf there while DuckDB returns
+  // NULL — so every denominator is nullif-guarded IDENTICALLY on both
+  // sides and a degenerate group yields NULL slope/intercept/r2 in both
+  // engines (the honest answer: no line is determined).
   def q115OlsFit(s: SparkSession, d: String): DataFrame = {
     def d_(c: String): Column = col(c).cast("double")
     Tables.documents(s, d)
@@ -491,16 +497,14 @@ object StatsOps {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("slope",
-        (d_("n") * d_("sxy") - d_("sx") * d_("sy"))
-          / (d_("n") * d_("sxx") - d_("sx") * d_("sx")))
+      .withColumn("cov", d_("n") * d_("sxy") - d_("sx") * d_("sy"))
+      .withColumn("dxx", d_("n") * d_("sxx") - d_("sx") * d_("sx"))
+      .withColumn("dyy", d_("n") * d_("syy") - d_("sy") * d_("sy"))
+      .withColumn("slope", col("cov") / nullif(col("dxx"), lit(0d)))
       .withColumn("intercept",
         (d_("sy") - col("slope") * d_("sx")) / d_("n"))
-      .withColumn("r2",
-        ((d_("n") * d_("sxy") - d_("sx") * d_("sy"))
-          * (d_("n") * d_("sxy") - d_("sx") * d_("sy")))
-          / ((d_("n") * d_("sxx") - d_("sx") * d_("sx"))
-            * (d_("n") * d_("syy") - d_("sy") * d_("sy"))))
+      .withColumn("r2", (col("cov") * col("cov"))
+        / nullif(col("dxx") * col("dyy"), lit(0d)))
       .select(col("source"), col("n"), col("slope"), col("intercept"),
         col("r2"))
       .orderBy(col("source"))
@@ -517,27 +521,23 @@ object StatsOps {
               CAST(len(list_filter(string_split_regex(trim(lower(text)),
                 '[ \t\n\r\f]+'), t -> t <> '')) AS BIGINT) AS y
             FROM documents)
-      GROUP BY source)
+      GROUP BY source),
+    der AS (
+      SELECT source, n,
+        CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(n AS DOUBLE) AS nd
+      FROM sums)
     SELECT source, n,
-      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-      (CAST(sy AS DOUBLE)
-        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
-    FROM sums ORDER BY source"""
+      cov / NULLIF(dxx, 0) AS slope,
+      (syd - (cov / NULLIF(dxx, 0)) * sxd) / nd AS intercept,
+      (cov * cov) / NULLIF(dxx * dyy, 0) AS r2
+    FROM der ORDER BY source"""
 
   // ---- q118: join-size estimation via AGMS sign sketches ---------------
   // The cost-based-optimizer primitive: estimate |A ⋈ B| (and the
@@ -702,7 +702,10 @@ object StatsOps {
       .withColumn("variance",
         (d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx")))
           / (d_(col("n")) * d_(col("n"))))
-      .withColumn("z", (d_(col("v")) - col("mean")) / sqrt(col("variance")))
+      // constant group ⇒ variance 0 ⇒ z undefined: NULL on both engines
+      // (Spark would NaN, DuckDB would NULL — nullif aligns them)
+      .withColumn("z", (d_(col("v")) - col("mean"))
+        / nullif(sqrt(col("variance")), lit(0d)))
       .select(col("doc_id"), col("source"), col("v"), col("mean"),
         col("z"))
       .orderBy(col("doc_id"))
@@ -710,7 +713,7 @@ object StatsOps {
 
   val q124Sql: String = """
     SELECT doc_id, source, v, mean,
-      (CAST(v AS DOUBLE) - mean) / sqrt(variance) AS z
+      (CAST(v AS DOUBLE) - mean) / NULLIF(sqrt(variance), 0) AS z
     FROM (
       SELECT doc_id, source, v,
         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
@@ -751,16 +754,26 @@ object StatsOps {
       .withColumn("rn", col("tn") - col("n"))
       .withColumn("rsx", col("tsx") - col("sx"))
       .withColumn("rsxx", col("tsxx") - col("sxx"))
+    // Degenerate-group guards, mirrored verbatim in the oracle: a
+    // single-source corpus (rn = 0) or single-doc side (n-1 = 0) zeroes
+    // a denominator — Spark NaN vs DuckDB NULL without nullif — and the
+    // division inside the variance can round a true-zero variance to a
+    // tiny NEGATIVE, which DuckDB's sqrt rejects outright: clamp at 0
+    // through CASE (not greatest(), whose NULL handling differs between
+    // engines), and NULL the t when its denominator is 0.
+    def clamp0(c: Column): Column = when(c < 0d, lit(0d)).otherwise(c)
     g.withColumn("m1", d_(col("sx")) / d_(col("n")))
-      .withColumn("m2", d_(col("rsx")) / d_(col("rn")))
-      .withColumn("v1",
+      .withColumn("m2", d_(col("rsx")) / nullif(d_(col("rn")), lit(0d)))
+      .withColumn("v1", clamp0(
         (d_(col("sxx")) - d_(col("sx")) * d_(col("sx")) / d_(col("n")))
-          / (d_(col("n")) - 1))
-      .withColumn("v2",
-        (d_(col("rsxx")) - d_(col("rsx")) * d_(col("rsx")) / d_(col("rn")))
-          / (d_(col("rn")) - 1))
+          / nullif(d_(col("n")) - 1, lit(0d))))
+      .withColumn("v2", clamp0(
+        (d_(col("rsxx")) - d_(col("rsx")) * d_(col("rsx"))
+          / nullif(d_(col("rn")), lit(0d)))
+          / nullif(d_(col("rn")) - 1, lit(0d))))
       .withColumn("t_stat", (col("m1") - col("m2"))
-        / sqrt(col("v1") / d_(col("n")) + col("v2") / d_(col("rn"))))
+        / nullif(sqrt(col("v1") / d_(col("n")) + col("v2")
+          / nullif(d_(col("rn")), lit(0d))), lit(0d)))
       .withColumn("drift", abs(col("t_stat")) > 3)
       .select(col("source"), col("n"), col("m1").as("mean_chars"),
         col("t_stat"), col("drift"))
@@ -779,19 +792,27 @@ object StatsOps {
         CAST(SUM(sx) OVER () AS BIGINT) - sx AS rsx,
         CAST(SUM(sxx) OVER () AS BIGINT) - sxx AS rsxx
       FROM g),
-    m AS (
+    m0 AS (
       SELECT source, n,
         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
-        CAST(rsx AS DOUBLE) / CAST(rn AS DOUBLE) AS m2,
+        CAST(rsx AS DOUBLE) / NULLIF(CAST(rn AS DOUBLE), 0) AS m2,
         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v1,
+          / CAST(n AS DOUBLE))
+          / NULLIF(CAST(n AS DOUBLE) - 1, 0) AS v1r,
         (CAST(rsxx AS DOUBLE) - CAST(rsx AS DOUBLE) * CAST(rsx AS DOUBLE)
-          / CAST(rn AS DOUBLE)) / (CAST(rn AS DOUBLE) - 1) AS v2,
+          / NULLIF(CAST(rn AS DOUBLE), 0))
+          / NULLIF(CAST(rn AS DOUBLE) - 1, 0) AS v2r,
         CAST(n AS DOUBLE) AS nd, CAST(rn AS DOUBLE) AS rnd
-      FROM t)
+      FROM t),
+    m AS (
+      SELECT source, n, m1, m2, nd, rnd,
+        CASE WHEN v1r < 0 THEN 0 ELSE v1r END AS v1,
+        CASE WHEN v2r < 0 THEN 0 ELSE v2r END AS v2
+      FROM m0)
     SELECT source, n, m1 AS mean_chars,
-      (m1 - m2) / sqrt(v1 / nd + v2 / rnd) AS t_stat,
-      abs((m1 - m2) / sqrt(v1 / nd + v2 / rnd)) > 3 AS drift
+      (m1 - m2) / NULLIF(sqrt(v1 / nd + v2 / NULLIF(rnd, 0)), 0) AS t_stat,
+      abs((m1 - m2)
+        / NULLIF(sqrt(v1 / nd + v2 / NULLIF(rnd, 0)), 0)) > 3 AS drift
     FROM m ORDER BY source"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -53,6 +53,40 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q115/q124/q125 yield NULL (not NaN/Inf) on degenerate groups") {
+    import spark.implicits._
+    // constant-x source (zero variance), single-doc source — the legal
+    // inputs where an unguarded denominator is 0 and Spark's NaN would
+    // diverge from DuckDB's NULL
+    val dir = java.nio.file.Files
+      .createTempDirectory("degenerate-docs").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "const", 10L),
+      (2L, "delta epsilon zeta", "en", "const", 10L),
+      (3L, "lone document here", "en", "single", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def noNaN(r: org.apache.spark.sql.DataFrame, cols: Seq[String]): Unit =
+      cols.foreach { c =>
+        val bad = r.filter(isnan(col(c)) ||
+          col(c) === Double.PositiveInfinity ||
+          col(c) === Double.NegativeInfinity).count()
+        assert(bad == 0, s"$c produced NaN/Inf on a degenerate group")
+      }
+    val ols = StatsOps.q115OlsFit(spark, dir)
+    noNaN(ols, Seq("slope", "intercept", "r2"))
+    assert(ols.filter(col("source") === "const" && col("slope").isNull)
+      .count() == 1, "constant-x group should yield NULL slope")
+    val z = StatsOps.q124ZScore(spark, dir)
+    noNaN(z, Seq("z"))
+    assert(z.filter(col("source") === "single" && col("z").isNull)
+      .count() == 1, "single-doc group should yield NULL z")
+    val t = StatsOps.q125DriftT(spark, dir)
+    noNaN(t, Seq("t_stat"))
+    assert(t.filter(col("source") === "single" && col("t_stat").isNull)
+      .count() == 1, "single-doc source should yield NULL t")
+  }
+
   test("histogram buckets partition the table") {
     val h = StatsOps.q58Histogram(spark, sf)
     assert(h.agg(sum("n")).head().getLong(0)
