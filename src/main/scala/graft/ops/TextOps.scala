@@ -309,6 +309,90 @@ object TextOps {
     ORDER BY n DESC, pair
     LIMIT 20"""
 
+  // ---- q126: apply-BPE encode (merge-table application → token ids) ----
+  // q103 computes the statistic BPE TRAINS on; this applies a trained
+  // merge table and emits token ids — the encode step that turns packing
+  // (q74/q83/q93) into real-token-budget packing. The merge list is a
+  // small literal in PRIORITY ORDER (a real tokenizer ships thousands;
+  // the application algorithm is identical).
+  //
+  // Encoding trick that is exact on BOTH engines: a word becomes its
+  // chars joined by DOUBLE spaces with single-space ends (" t  h  e "),
+  // and applying merge (a,b) is replace(" a  b " → " ab "). The double
+  // separator makes left-to-right non-overlapping string replacement —
+  // the semantics both Spark's and DuckDB's replace() share — coincide
+  // with BPE's greedy leftmost merge: consuming a boundary space of one
+  // occurrence cannot destroy the NEXT occurrence's leading space
+  // (" t  h  t  h " → " th  th ", whereas single-spacing would strand
+  // the second pair). Each replacement re-establishes the invariant
+  // (single edge spaces, so adjacent tokens keep a double gap).
+  //
+  // Ids are the lexicographic rank over the EMERGENT symbol vocabulary
+  // (distinct post-merge symbols = single chars + merge outputs — a set
+  // bounded by charset + |merges|, NOT corpus size, so the global
+  // row_number window rides a few-hundred-row frame at any scale). The
+  // per-word pipeline is one scan + per-row codegen'd string work; the
+  // id join back is a broadcast of the tiny vocab.
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "s" -> "t")
+
+  private def mergeFold(spaced: String): String =
+    BpeMerges.foldLeft(spaced) {
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+    }
+
+  def q126BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+    val spaced = "concat(' ', regexp_replace(word, '(.)', '$1  '))"
+    val enc = words
+      .withColumn("syms", split(trim(expr(mergeFold(spaced))), " +"))
+    val vocab = enc.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sym"))).cast("long"))
+    enc.select(col("word"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .join(broadcast(vocab), "sym")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_sub"),
+        // ids as a '-'-joined string: the harness compare sorts rows by
+        // every column, which list/array cells break on both sides
+        concat_ws("-",
+          expr("transform(sort_array(collect_list(struct(pos, token_id)))," +
+            " x -> cast(x.token_id as string))")).as("ids"))
+      .orderBy(col("word"))
+      .select(col("word"), col("n_sub"), col("ids"))
+  }
+
+  val q126Sql: String = {
+    val spaced = raw"' ' || regexp_replace(word, '(.)', '\1  ', 'g')"
+    raw"""
+    WITH words AS (
+      SELECT DISTINCT unnest(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+')) AS word
+      FROM documents),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    enc AS (
+      SELECT word,
+        string_split_regex(trim(${mergeFold(spaced)}), ' +') AS syms
+      FROM w),
+    vocab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+        AS token_id
+      FROM (SELECT DISTINCT unnest(syms) AS sym FROM enc)),
+    ex AS (
+      SELECT word, pos, syms[pos] AS sym
+      FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS pos
+            FROM enc))
+    SELECT e.word, CAST(COUNT(*) AS BIGINT) AS n_sub,
+      string_agg(CAST(v.token_id AS VARCHAR), '-' ORDER BY e.pos) AS ids
+    FROM ex e JOIN vocab v USING (sym)
+    GROUP BY e.word ORDER BY e.word"""
+  }
+
   // ---- q78: fuzzy token matching (SymSpell-blocked levenshtein) --------
   // Spell-repair against the corpus vocabulary: deterministic typo
   // variants (2nd char dropped) matched back to their closest vocab token
@@ -548,7 +632,8 @@ object TextOps {
     "q78_fuzzy_match"  -> q78FuzzyMatch _,
     "q90_bm25"         -> q90Bm25 _,
     "q103_bpe_pairs"   -> q103BpePairs _,
-    "q109_quality_model" -> q109QualityModel _)
+    "q109_quality_model" -> q109QualityModel _,
+    "q126_bpe_encode"  -> q126BpeEncode _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -560,5 +645,6 @@ object TextOps {
     "q78_fuzzy_match"  -> q78Sql,
     "q90_bm25"         -> q90Sql,
     "q103_bpe_pairs"   -> q103Sql,
-    "q109_quality_model" -> q109Sql)
+    "q109_quality_model" -> q109Sql,
+    "q126_bpe_encode"  -> q126Sql)
 }

@@ -59,6 +59,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(n == top.head.getAs[Long]("n"))
   }
 
+  test("q126 applies merges greedily left-to-right with chaining") {
+    val enc = TextOps.q126BpeEncode(spark, sf).collect()
+      .map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("n_sub"), r.getAs[String]("ids"))).toMap
+    // "the": t+h -> th, then th+e -> the (chained merges) — one symbol
+    assert(enc.get("the").forall(_._1 == 1L),
+      s"'the' should collapse to one symbol: ${enc.get("the")}")
+    // "fast": only s+t fires -> [f, a, st]
+    assert(enc.get("fast").forall(_._1 == 3L), s"${enc.get("fast")}")
+    // "scan": only a+n fires -> [s, c, an]
+    assert(enc.get("scan").forall(_._1 == 3L), s"${enc.get("scan")}")
+    // ids are dense ranks over the emergent vocab: every id re-occurs
+    // consistently — same word twice through the encoder is identical
+    val again = TextOps.q126BpeEncode(spark, sf).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[String]("ids")).toMap
+    enc.foreach { case (w, (_, ids)) => assert(again(w) == ids) }
+  }
+
   test("q109: logit matches an md5-route recount; gate is logit > 0") {
     val r = TextOps.q109QualityModel(spark, sf)
     assert(r.count() == Tables.documents(spark, sf).count())
