@@ -622,6 +622,61 @@ object TextOps {
         AS pass
     FROM t ORDER BY doc_id"""
 
+  // ---- q127: logistic-regression training round (closes q109's loop) ---
+  // q109 runs inference with stand-in weights; this is the TRAINING side:
+  // one full-batch gradient step of logistic regression, label = "is the
+  // document English" (the lang column), features = the SAME hashed
+  // bag-of-words q109 scores with. The trick that makes a training step
+  // oracle-checkable bit-for-bit: start from w = 0, where σ(0) = ½
+  // exactly, so the log-loss gradient for bucket j collapses to
+  // −½·Σ_occurrences∈j (2y−1) — EXACT INTEGERS, no sigmoid float in
+  // sight. The fitted weight is the (η=2) step clamped into q109's
+  // ±1000 integer weight domain, so the trained vector is drop-in for
+  // q109's inference expression. (Round 2 would need float σ(w·φ) and
+  // drops to contract-style checking — the q42/q62 pattern; round 1 is
+  // where exact parity lives, and is precisely the step that proves the
+  // distributed training shape.)
+  //
+  // Scale shape: THE way regression trains at 100 TB — sufficient
+  // statistics, never a solver over rows: one explode + one
+  // groupBy(bucket) with codegen'd integer SUMs; partial aggregation
+  // collapses each partition to ≤64 rows map-side, the shuffle carries
+  // |buckets| rows total, and every later SGD round is the same
+  // one-scan aggregate with the previous w broadcast in the expression.
+  def q127LogisticFit(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    Tables.documents(s, d)
+      .withColumn("y2", when(col("lang") === "en", 1L).otherwise(-1L))
+      .select(col("y2"),
+        explode(filter(toks(col("text")), x => x =!= lit(""))).as("tok"))
+      .withColumn("bucket", expr(s"h60(tok) % $QBuckets"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("y2") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(col("y2")).as("grad"))
+      .withColumn("w_fitted",
+        greatest(lit(-1000L), least(lit(1000L), col("grad"))))
+      .select(col("bucket"), col("n_occ"), col("n_pos"), col("grad"),
+        col("w_fitted"))
+      .orderBy(col("bucket"))
+  }
+
+  val q127Sql: String = raw"""
+    WITH occ AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y2,
+        unnest(list_filter(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+'), x -> x <> '')) AS tok
+      FROM documents),
+    b AS (
+      SELECT CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+        % $QBuckets AS bucket, y2
+      FROM occ)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_occ,
+      CAST(SUM(CASE WHEN y2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      CAST(SUM(y2) AS BIGINT) AS grad,
+      CAST(GREATEST(-1000, LEAST(1000, SUM(y2))) AS BIGINT) AS w_fitted
+    FROM b GROUP BY bucket ORDER BY bucket"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -633,7 +688,8 @@ object TextOps {
     "q90_bm25"         -> q90Bm25 _,
     "q103_bpe_pairs"   -> q103BpePairs _,
     "q109_quality_model" -> q109QualityModel _,
-    "q126_bpe_encode"  -> q126BpeEncode _)
+    "q126_bpe_encode"  -> q126BpeEncode _,
+    "q127_logistic_fit" -> q127LogisticFit _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -646,5 +702,6 @@ object TextOps {
     "q90_bm25"         -> q90Sql,
     "q103_bpe_pairs"   -> q103Sql,
     "q109_quality_model" -> q109Sql,
-    "q126_bpe_encode"  -> q126Sql)
+    "q126_bpe_encode"  -> q126Sql,
+    "q127_logistic_fit" -> q127Sql)
 }

@@ -77,6 +77,25 @@ class TextOpsSpec extends AnyFunSuite {
     enc.foreach { case (w, (_, ids)) => assert(again(w) == ids) }
   }
 
+  test("q127 gradient is the exact signed occurrence count per bucket") {
+    val g = TextOps.q127LogisticFit(spark, sf).collect()
+    // per bucket: grad = n_pos - (n_occ - n_pos), and the clamp holds
+    g.foreach { r =>
+      val (occ, pos, grad, w) = (r.getAs[Long]("n_occ"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("grad"),
+        r.getAs[Long]("w_fitted"))
+      assert(grad == pos - (occ - pos), s"bucket ${r.get(0)}")
+      assert(w == math.max(-1000L, math.min(1000L, grad)))
+    }
+    // totals recount: sum of grads = signed token mass of the corpus
+    val expect = Tables.documents(spark, sf)
+      .select(when(col("lang") === "en", 1L).otherwise(-1L).as("y2"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long").as("n"))
+      .agg(sum(col("y2") * col("n"))).head().getLong(0)
+    assert(g.map(_.getAs[Long]("grad")).sum == expect)
+  }
+
   test("q109: logit matches an md5-route recount; gate is logit > 0") {
     val r = TextOps.q109QualityModel(spark, sf)
     assert(r.count() == Tables.documents(spark, sf).count())
