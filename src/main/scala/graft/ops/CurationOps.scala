@@ -893,6 +893,61 @@ object CurationOps {
     GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  // ---- q128: sequence packing on REAL BPE token counts -----------------
+  // q74 packs on whitespace-token counts; a training dataloader packs on
+  // TOKENIZER-output lengths — the boundary where q126's encode meets the
+  // packing family. Per-doc length = Σ over token occurrences of the
+  // word's post-merge symbol count, computed INLINE by one aggregate()
+  // HOF that runs the q126 merge fold on each occurrence: no vocab-table
+  // join (a corpus vocabulary is itself big at 100 TB), no shuffle — the
+  // count is a per-row projection, and the chunk assignment is q74's
+  // bucketed two-level prefix sum unchanged (512-token budget, now real
+  // subword tokens).
+  def q128BpePack(s: SparkSession, d: String): DataFrame = {
+    val spaced = "concat(' ', regexp_replace(w, '(.)', '$1  '))"
+    val nBpe = s"aggregate(filter(tokens, w -> w != ''), 0L, (acc, w) ->" +
+      s" acc + size(split(trim(${TextOps.mergeFold(spaced)}), ' +')))"
+    val docTok = Tables.documents(s, d)
+      .withColumn("tokens", toks(col("text")))
+      .select(col("doc_id"), expr(nBpe).cast("long").as("n_tok"))
+    assignChunks(docTok)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(when(expr(s"start div $chunkTokens") =!=
+          expr(s"(start + n_tok - 1) div $chunkTokens"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val q128Sql: String = {
+    val spaced = raw"' ' || regexp_replace(w, '(.)', '\1  ', 'g')"
+    raw"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(COALESCE(list_sum(list_transform(
+          list_filter($sqlToks, x -> x <> ''),
+          w -> len(string_split_regex(trim(${TextOps.mergeFold(spaced)}),
+            ' +')))), 0) AS BIGINT) AS n_tok
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM toks)
+    SELECT CAST(start // $chunkTokens AS BIGINT) AS chunk_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+      CAST(SUM(CASE WHEN start // $chunkTokens
+        <> (start + n_tok - 1) // $chunkTokens THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_boundary_docs
+    FROM pos GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -907,7 +962,8 @@ object CurationOps {
     "q101_weighted_sample" -> q101WeightedSample _,
     "q107_dup_spans"    -> q107DupSpans _,
     "q113_epoch_shuffle" -> q113EpochShuffle _,
-    "q114_novelty"      -> q114Novelty _)
+    "q114_novelty"      -> q114Novelty _,
+    "q128_bpe_pack"     -> q128BpePack _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -923,5 +979,6 @@ object CurationOps {
     "q101_weighted_sample" -> q101Sql,
     "q107_dup_spans"    -> q107Sql,
     "q113_epoch_shuffle" -> q113Sql,
-    "q114_novelty"      -> q114Sql)
+    "q114_novelty"      -> q114Sql,
+    "q128_bpe_pack"     -> q128Sql)
 }

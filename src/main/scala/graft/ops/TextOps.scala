@@ -338,7 +338,7 @@ object TextOps {
     "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
     "o" -> "r", "s" -> "t")
 
-  private def mergeFold(spaced: String): String =
+  private[graft] def mergeFold(spaced: String): String =
     BpeMerges.foldLeft(spaced) {
       case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' ${a + b} ')"
     }
