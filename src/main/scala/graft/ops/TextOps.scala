@@ -677,6 +677,95 @@ object TextOps {
       CAST(GREATEST(-1000, LEAST(1000, SUM(y2))) AS BIGINT) AS w_fitted
     FROM b GROUP BY bucket ORDER BY bucket"""
 
+  // ---- q129: corpus bigram-LM fluency scoring (perplexity filter) ------
+  // The CCNet-shaped filter: train an n-gram LM on the corpus, score each
+  // document by how predictable its text is under that LM, band the tail
+  // for removal. Model = add-one-smoothed bigram conditionals
+  // P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), trained and applied in the same
+  // plan. The house parity discipline keeps it transcendental-free: each
+  // conditional is quantized to parts-per-million by EXACT integer floor
+  // division ((c_bi+1)*1e6 div (c_ctx+V) — both engines floor-divide
+  // positive BIGINTs identically), summed exactly, and the band gate is
+  // integer cross-multiplication. The score is a smoothed per-bigram
+  // likelihood rather than log-perplexity — same ordering for filtering
+  // purposes on the high-probability end, and bit-identical to the oracle
+  // (a float log would flake the hash-compare in the last ulp).
+  //
+  // Scale shape: the corpus collapses to per-(doc, bigram) counts FIRST
+  // (map-side combine — repeated bigrams within a doc never cross the
+  // wire twice), the LM tables derive from that same aggregate (counted
+  // once, persisted — the q31 caller contract), and scoring is two
+  // shuffle equi-joins keyed by (w1,w2) / w1 plus a 1-row broadcast of
+  // |V|. Hot contexts ("the" as w1) skew the ctx join → AQE skew-join
+  // splits it (enabled session-wide); no step is ever all-pairs and no
+  // state exceeds the bigram-type count.
+  def q129BigramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), filter(toks(col("text")), x => x =!= lit(""))
+        .as("t"))
+    val docBig = docs.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+      .persist()
+    val big = docBig.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c_bi"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_ctx"))
+    val voc = docs.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    docBig.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * expr("(c_bi + 1) * 1000000 div (c_ctx + v)"))
+          .as("sum_ppm"))
+      .withColumn("mean_ppm",
+        col("sum_ppm").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("fluency_band",
+        when(col("sum_ppm") >= col("n_bigrams") * 35000L, "high")
+          .when(col("sum_ppm") >= col("n_bigrams") * 33500L, "mid")
+          .otherwise("low"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_ppm"),
+        col("mean_ppm"), col("fluency_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q129Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    occ AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+        FROM toks WHERE len(t) >= 2)),
+    docbig AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+      FROM occ GROUP BY ALL),
+    big AS (
+      SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c_bi
+      FROM docbig GROUP BY ALL),
+    ctx AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx
+      FROM big GROUP BY ALL),
+    voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        CAST(SUM(k * ((c_bi + 1) * 1000000 // (c_ctx + v))) AS BIGINT)
+          AS sum_ppm
+      FROM docbig JOIN big USING (w1, w2) JOIN ctx USING (w1)
+      CROSS JOIN voc
+      GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, sum_ppm,
+      CAST(sum_ppm AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS mean_ppm,
+      CASE WHEN sum_ppm >= n_bigrams * 35000 THEN 'high'
+           WHEN sum_ppm >= n_bigrams * 33500 THEN 'mid'
+           ELSE 'low' END AS fluency_band
+    FROM scored ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -689,7 +778,8 @@ object TextOps {
     "q103_bpe_pairs"   -> q103BpePairs _,
     "q109_quality_model" -> q109QualityModel _,
     "q126_bpe_encode"  -> q126BpeEncode _,
-    "q127_logistic_fit" -> q127LogisticFit _)
+    "q127_logistic_fit" -> q127LogisticFit _,
+    "q129_bigram_lm"   -> q129BigramLm _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -703,5 +793,6 @@ object TextOps {
     "q103_bpe_pairs"   -> q103Sql,
     "q109_quality_model" -> q109Sql,
     "q126_bpe_encode"  -> q126Sql,
-    "q127_logistic_fit" -> q127Sql)
+    "q127_logistic_fit" -> q127Sql,
+    "q129_bigram_lm"   -> q129Sql)
 }

@@ -121,4 +121,29 @@ class TextOpsSpec extends AnyFunSuite {
         coalesce(col("e_n"), lit(0L)) =!= col("n_tokens"))
     assert(bad.count() == 0)
   }
+
+  test("q129 bigram-LM: probability mass and bigram counts reconcile") {
+    val r = TextOps.q129BigramLm(spark, sf)
+    // per-doc bigram count recount: n_bigrams = n_tokens - 1 (docs with
+    // >= 2 tokens; shorter docs are excluded on both engines)
+    val expect = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long").as("n"))
+      .filter(col("n") >= 2)
+    assert(r.count() == expect.count())
+    val bad = r.join(expect, "doc_id")
+      .filter(col("n_bigrams") =!= col("n") - 1)
+    assert(bad.count() == 0)
+    // each smoothed conditional is a probability: 0 < ppm term, and the
+    // per-doc mean stays under 1e6 (floor division can't reach 1.0 when
+    // the denominator strictly exceeds the numerator: V > c_bi+1-c_ctx)
+    assert(r.filter(col("sum_ppm") <= 0 ||
+      col("sum_ppm") >= col("n_bigrams") * 1000000L).count() == 0)
+    // band gate is the integer cross-multiplication it claims to be
+    assert(r.filter(col("fluency_band") === "high" &&
+      col("sum_ppm") < col("n_bigrams") * 35000L).count() == 0)
+    assert(r.filter(col("fluency_band") === "low" &&
+      col("sum_ppm") >= col("n_bigrams") * 33500L).count() == 0)
+  }
 }
