@@ -1164,6 +1164,96 @@ object SimOps {
     FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
     ORDER BY s.vec_id"""
 
+  // ---- q130: k-NN graph construction (cell-bounded, mutual-flagged) ----
+  // The curation graph primitive under cluster-pruning, graph-dedup and
+  // diversity sampling: every vector's top-k nearest neighbors plus
+  // whether each edge is reciprocated (mutual kNN edges are the standard
+  // high-precision subgraph for community detection / SemDeDup-style
+  // pruning). Candidates come from the SAME coarse cells q47/q108 use —
+  // a vector's neighbors are searched within its cell only, so the
+  // candidate join is an equi-join bounded by cell occupancy, never n².
+  // Approximation is the documented IVF trade (q104 scores this recall);
+  // the per-vector top-k is a window over that bounded candidate set,
+  // and the mutual flag is one self-equi-join of the (already tiny)
+  // edge list on the reversed key.
+  //
+  // Parity: cosine = quantized-integer dot / sqrt of quantized norms —
+  // the q108 discipline (identical integers into one IEEE division and
+  // sqrt on both engines); ties on cosine break by neighbor id.
+  private val KnnK = 5
+
+  def q130KnnGraph(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
+    val seedRows = cents.collect()
+    val assigned = emb
+      .withColumn("m", graft.expressions.NearestCellCos.column(
+        col("embedding"), col("nq"),
+        seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+        seedRows.map(_.getLong(2))))
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("m.cell").as("cell"))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"))
+    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+    val rev = edges.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), lit(true).as("has_rev"))
+    edges.join(rev, Seq("vec_id", "nbr_id"), "left")
+      .withColumn("mutual", coalesce(col("has_rev"), lit(false)))
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"),
+        col("mutual"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val q130Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
+    scored AS (
+      SELECT e.vec_id, e.embedding, e.nq, c_id,
+        CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
+          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, embedding, nq, c_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn
+        FROM scored) WHERE rn = 1),
+    edges AS (
+      SELECT vec_id, rank, nbr_id, cos FROM (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+          CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+            / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos,
+          CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
+              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id)
+            AS BIGINT) AS rank
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+      WHERE rank <= $KnnK)
+    SELECT g.vec_id, g.rank, g.nbr_id, g.cos,
+      r.vec_id IS NOT NULL AS mutual
+    FROM edges g LEFT JOIN edges r
+      ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
+    ORDER BY g.vec_id, g.rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -1177,7 +1267,8 @@ object SimOps {
     "q87_sparse_cosine"   -> q87SparseCosine _,
     "q104_ann_recall"     -> q104AnnRecall _,
     "q105_hard_negatives" -> q105HardNegatives _,
-    "q108_semdedup"       -> q108SemDedup _)
+    "q108_semdedup"       -> q108SemDedup _,
+    "q130_knn_graph"      -> q130KnnGraph _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1192,5 +1283,6 @@ object SimOps {
     "q87_sparse_cosine"   -> q87Sql,
     "q104_ann_recall"     -> q104Sql,
     "q105_hard_negatives" -> q105Sql,
-    "q108_semdedup"       -> q108Sql)
+    "q108_semdedup"       -> q108Sql,
+    "q130_knn_graph"      -> q130Sql)
 }

@@ -227,4 +227,23 @@ class SimOpsSpec extends AnyFunSuite {
       .filter(col("keep") === col("e_rm"))
     assert(bad.count() == 0)
   }
+
+  test("q130 kNN graph: dense ranks, bounded cos, mutual iff reversed edge") {
+    val g = SimOps.q130KnnGraph(spark, sf).persist()
+    // ranks are dense 1..deg per vector (deg <= K, short only in small cells)
+    val deg = g.groupBy("vec_id")
+      .agg(count(lit(1)).as("deg"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(deg.filter(col("mx") =!= col("deg") || col("mn") =!= 1L ||
+      col("deg") > 5).count() == 0)
+    // cosine of unit-ish embeddings stays in [-1 - eps, 1 + eps]
+    assert(g.filter(col("cos") < -1.000001 || col("cos") > 1.000001)
+      .count() == 0)
+    // mutual is exactly "the reversed (nbr -> vec) edge exists"
+    val rev = g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"))
+      .withColumn("e", lit(true))
+    val bad = g.join(rev, Seq("vec_id", "nbr_id"), "left")
+      .filter(col("mutual") =!= coalesce(col("e"), lit(false)))
+    assert(bad.count() == 0)
+    g.unpersist()
+  }
 }
