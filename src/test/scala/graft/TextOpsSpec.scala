@@ -122,6 +122,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q131 round 2: gradient bounded by occurrence mass, step descends") {
+    val r = TextOps.q131SgdRound2(spark, sf).collect()
+    r.foreach { row =>
+      val (occ, g, w1, w2) = (row.getAs[Long]("n_occ"),
+        row.getAs[Long]("g_num"), row.getAs[Long]("w_round1"),
+        row.getAs[Long]("w_round2"))
+      // |Σ(y·L − p_num)| <= n_occ · L — each term is a probability gap
+      assert(math.abs(g) <= occ * (1L << 20), s"bucket ${row.get(0)}")
+      // the update is w1 + floor(2·g/L) clamped — recompute exactly
+      val step = Math.floorDiv(2 * g, 1L << 20)
+      val expect = math.max(-1000L, math.min(1000L, w1 + step))
+      assert(w2 == expect, s"bucket ${row.get(0)}: $w2 != $expect")
+    }
+    // round-1 weights must agree with q127's fitted weights per bucket
+    val w127 = TextOps.q127LogisticFit(spark, sf).collect()
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("w_fitted")).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("w_round1") ==
+        w127(row.getAs[Long]("bucket")))
+    }
+  }
+
   test("q129 bigram-LM: probability mass and bigram counts reconcile") {
     val r = TextOps.q129BigramLm(spark, sf)
     // per-doc bigram count recount: n_bigrams = n_tokens - 1 (docs with
