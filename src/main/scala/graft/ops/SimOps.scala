@@ -1182,7 +1182,12 @@ object SimOps {
   // sqrt on both engines); ties on cosine break by neighbor id.
   private val KnnK = 5
 
-  def q130KnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** Shared node/edge derivation for q130 (graph dump) and q132 (rank
+    * propagation): (nodes = every vec_id, edges = cell-bounded top-K).
+    * The cell assignment is persisted; both consumers run inside one
+    * Verify/Bench query slot each, and the session cache is cleared
+    * between slots (SparkEntry caller contract). */
+  private def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     QuantizedDot.register(s)
     val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
     val cents = emb.filter(col("vec_id") <
@@ -1211,6 +1216,11 @@ object SimOps {
         .orderBy(col("cos").desc, col("nbr_id"))).cast("long"))
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+    (assigned.select(col("vec_id")), edges)
+  }
+
+  def q130KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = knnEdges(s, d)
     val rev = edges.select(col("nbr_id").as("vec_id"),
       col("vec_id").as("nbr_id"), lit(true).as("has_rev"))
     edges.join(rev, Seq("vec_id", "nbr_id"), "left")
@@ -1220,7 +1230,9 @@ object SimOps {
       .orderBy(col("vec_id"), col("rank"))
   }
 
-  val q130Sql: String = s"""
+  /** Shared CTE prelude (nodes + cell-bounded top-K edge list) for the
+    * q130/q132 oracles — mirrors [[knnEdges]]. */
+  private val sqlKnnCtes: String = s"""
     WITH e AS (
       SELECT vec_id, embedding, $sqlNormQ AS nq FROM embeddings),
     cents AS (
@@ -1247,12 +1259,88 @@ object SimOps {
             AS BIGINT) AS rank
         FROM assigned a JOIN assigned b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-      WHERE rank <= $KnnK)
+      WHERE rank <= $KnnK)"""
+
+  val q130Sql: String = s"""$sqlKnnCtes
     SELECT g.vec_id, g.rank, g.nbr_id, g.cos,
       r.vec_id IS NOT NULL AS mutual
     FROM edges g LEFT JOIN edges r
       ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
     ORDER BY g.vec_id, g.rank"""
+
+  // ---- q132: rank propagation over the kNN graph (fixed-point PR) ------
+  // Graph-based centrality for coreset/diversity selection: three exact
+  // PageRank iterations over q130's edge list (pr <- 0.15 + 0.85 *
+  // Σ_in pr/outdeg), in 1e-6 fixed point so both engines agree
+  // bit-for-bit — contributions are pr div outdeg, damping is
+  // (inflow * 85) div 100, every intermediate a positive BIGINT (so
+  // Spark's truncating `div` and DuckDB's flooring `//` coincide; no
+  // shift needed, unlike q131's signed step). Dangling vectors (alone in
+  // their cell) contribute nothing — the standard simplification;
+  // teleport keeps their rank at 0.15.
+  //
+  // Scale shape: a fixed unrolled iteration count — each step is one
+  // equi-join of the 5n-row edge list with the n-row rank table keyed by
+  // vec_id plus an aggregate keyed by nbr_id. No driver iteration state,
+  // no lineage growth beyond 3 steps, and the edge list derivation is
+  // the same occupancy-bounded cell join q130 uses.
+  def q132GraphRank(s: SparkSession, d: String): DataFrame = {
+    val (nodes0, edges0) = knnEdges(s, d)
+    val nodes = nodes0.persist()
+    val edges = edges0.select(col("vec_id"), col("nbr_id")).persist()
+    val deg = edges.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_out"))
+    def step(pr: DataFrame): DataFrame = {
+      val inflow = edges.join(deg, "vec_id").join(pr, "vec_id")
+        .withColumn("contrib", expr("pr div n_out"))
+        .groupBy(col("nbr_id").as("vec_id"))
+        .agg(sum(col("contrib")).as("inflow"))
+      nodes.join(inflow, Seq("vec_id"), "left")
+        .withColumn("pr",
+          lit(150000L) + expr("(coalesce(inflow, 0L) * 85) div 100"))
+        .select(col("vec_id"), col("pr"))
+    }
+    val pr1 = step(nodes.withColumn("pr", lit(1000000L))
+      .select(col("vec_id"), col("pr")))
+    val pr2 = step(pr1)
+    val pr3 = step(pr2)
+    nodes.join(deg, Seq("vec_id"), "left")
+      .withColumn("n_out", coalesce(col("n_out"), lit(0L)))
+      .join(pr1.withColumnRenamed("pr", "pr1"), "vec_id")
+      .join(pr2.withColumnRenamed("pr", "pr2"), "vec_id")
+      .join(pr3.withColumnRenamed("pr", "pr3"), "vec_id")
+      .select(col("vec_id"), col("n_out"), col("pr1"), col("pr2"),
+        col("pr3"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q132Sql: String = {
+    def stepSql(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT n.vec_id, CAST(150000 +
+        (COALESCE(SUM(p.pr // d.n_out), 0) * 85) // 100 AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.nbr_id = n.vec_id
+      LEFT JOIN deg d ON d.vec_id = e.vec_id
+      LEFT JOIN $prev p ON p.vec_id = e.vec_id
+      GROUP BY n.vec_id)"""
+    s"""$sqlKnnCtes,
+    nodes AS (SELECT vec_id FROM assigned),
+    deg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_out
+      FROM edges GROUP BY vec_id),
+    pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    ${stepSql("pr0", "pr1")},
+    ${stepSql("pr1", "pr2")},
+    ${stepSql("pr2", "pr3")}
+    SELECT n.vec_id, CAST(COALESCE(d.n_out, 0) AS BIGINT) AS n_out,
+      pr1.pr AS pr1, pr2.pr AS pr2, pr3.pr AS pr3
+    FROM nodes n
+    LEFT JOIN deg d ON d.vec_id = n.vec_id
+    JOIN pr1 ON pr1.vec_id = n.vec_id
+    JOIN pr2 ON pr2.vec_id = n.vec_id
+    JOIN pr3 ON pr3.vec_id = n.vec_id
+    ORDER BY n.vec_id"""
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
@@ -1268,7 +1356,8 @@ object SimOps {
     "q104_ann_recall"     -> q104AnnRecall _,
     "q105_hard_negatives" -> q105HardNegatives _,
     "q108_semdedup"       -> q108SemDedup _,
-    "q130_knn_graph"      -> q130KnnGraph _)
+    "q130_knn_graph"      -> q130KnnGraph _,
+    "q132_graph_rank"     -> q132GraphRank _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1284,5 +1373,6 @@ object SimOps {
     "q104_ann_recall"     -> q104Sql,
     "q105_hard_negatives" -> q105Sql,
     "q108_semdedup"       -> q108Sql,
-    "q130_knn_graph"      -> q130Sql)
+    "q130_knn_graph"      -> q130Sql,
+    "q132_graph_rank"     -> q132Sql)
 }

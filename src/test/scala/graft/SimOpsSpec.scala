@@ -228,6 +228,30 @@ class SimOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("q132: fixed-point PR recomputes exactly from the q130 edge dump") {
+    val g = SimOps.q130KnnGraph(spark, sf)
+      .select(col("vec_id"), col("nbr_id")).persist()
+    val r = SimOps.q132GraphRank(spark, sf).persist()
+    // teleport floor: no rank ever below 0.15 (fixed point 150000)
+    assert(r.filter(col("pr1") < 150000L || col("pr2") < 150000L ||
+      col("pr3") < 150000L).count() == 0)
+    // independent recount of iteration 1 off the q130 dump
+    val deg = g.groupBy("vec_id").agg(count(lit(1)).as("e_out"))
+    val inflow = g.join(deg, "vec_id")
+      .withColumn("contrib", expr("1000000 div e_out"))
+      .groupBy(col("nbr_id").as("vec_id")).agg(sum("contrib").as("inflow"))
+    val bad = r.join(inflow, Seq("vec_id"), "left")
+      .withColumn("e_pr1",
+        lit(150000L) + expr("(coalesce(inflow, 0L) * 85) div 100"))
+      .filter(col("pr1") =!= col("e_pr1"))
+    assert(bad.count() == 0)
+    // out-degree column matches the dump's
+    assert(r.join(deg, Seq("vec_id"), "left")
+      .filter(col("n_out") =!= coalesce(col("e_out"), lit(0L)))
+      .count() == 0)
+    g.unpersist(); r.unpersist()
+  }
+
   test("q130 kNN graph: dense ranks, bounded cos, mutual iff reversed edge") {
     val g = SimOps.q130KnnGraph(spark, sf).persist()
     // ranks are dense 1..deg per vector (deg <= K, short only in small cells)
