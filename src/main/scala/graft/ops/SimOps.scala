@@ -1342,6 +1342,92 @@ object SimOps {
     ORDER BY n.vec_id"""
   }
 
+  // ---- q134: semantic decontamination (train-vs-heldout cosine) --------
+  // q71 catches eval contamination by shared 8-grams; paraphrased or
+  // re-embedded leakage needs the SEMANTIC test: a training vector is
+  // contaminated when some held-out vector (label 9 — the q71 'src9'
+  // convention) sits >= theta cosine from it. Same cell-bounded shape as
+  // q108: both sets are assigned to the shared coarse cells, candidates
+  // are the train x eval pairs WITHIN a cell (equi-join bounded by
+  // occupancy, never |train| x |eval|), and each flagged vector reports
+  // its nearest offending eval vector (argmax by cosine, ties to the
+  // lower id). Cell-bounded recall caveat is q108's, documented there;
+  // theta reuses SemTheta so the two dedup/decontam families gate
+  // identically.
+  def q134SemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
+    val seedRows = cents.collect()
+    val assigned = emb
+      .withColumn("m", graft.expressions.NearestCellCos.column(
+        col("embedding"), col("nq"),
+        seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+        seedRows.map(_.getLong(2))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("nq"),
+        col("m.cell").as("cell"))
+      .persist()
+    val ev = assigned.filter(col("label") === 9)
+      .select(col("cell"), col("vec_id").as("e_id"),
+        col("embedding").as("e_emb"), col("nq").as("e_nq"))
+    val tr = assigned.filter(col("label") =!= 9)
+    val hits = tr.join(ev, Seq("cell"))
+      .withColumn("cos",
+        cosine(dotQ("embedding", "e_emb"), col("nq"), col("e_nq")))
+      .filter(col("cos") >= SemTheta)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("e_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e_id").as("near_eval"),
+        col("cos").as("near_cos"))
+    tr.select(col("vec_id"), col("cell"))
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("contaminated", col("near_eval").isNotNull)
+      .select(col("vec_id"), col("cell"), col("contaminated"),
+        col("near_eval"), col("near_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q134Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, $sqlNormQ AS nq FROM embeddings),
+    cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb, nq AS c_nq
+      FROM e WHERE vec_id < (SELECT $sqlCells FROM embeddings)),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, e.nq, c_id,
+        CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
+          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+      FROM e CROSS JOIN cents),
+    assigned AS (
+      SELECT vec_id, label, embedding, nq, c_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn
+        FROM scored) WHERE rn = 1),
+    ev AS (SELECT cell, vec_id AS e_id, embedding AS e_emb, nq AS e_nq
+      FROM assigned WHERE label = 9),
+    tr AS (SELECT * FROM assigned WHERE label <> 9),
+    hits AS (
+      SELECT vec_id, e_id AS near_eval, cos AS near_cos FROM (
+        SELECT tr.vec_id, ev.e_id,
+          CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
+            / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) AS cos,
+          ROW_NUMBER() OVER (PARTITION BY tr.vec_id
+            ORDER BY CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
+              / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) DESC, ev.e_id) AS rn
+        FROM tr JOIN ev USING (cell)
+        WHERE CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
+          / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) >= $SemTheta)
+      WHERE rn = 1)
+    SELECT tr.vec_id, tr.cell, h.near_eval IS NOT NULL AS contaminated,
+      h.near_eval, h.near_cos
+    FROM tr LEFT JOIN hits h ON h.vec_id = tr.vec_id
+    ORDER BY tr.vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -1357,7 +1443,8 @@ object SimOps {
     "q105_hard_negatives" -> q105HardNegatives _,
     "q108_semdedup"       -> q108SemDedup _,
     "q130_knn_graph"      -> q130KnnGraph _,
-    "q132_graph_rank"     -> q132GraphRank _)
+    "q132_graph_rank"     -> q132GraphRank _,
+    "q134_sem_decontam"   -> q134SemanticDecontam _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1374,5 +1461,6 @@ object SimOps {
     "q105_hard_negatives" -> q105Sql,
     "q108_semdedup"       -> q108Sql,
     "q130_knn_graph"      -> q130Sql,
-    "q132_graph_rank"     -> q132Sql)
+    "q132_graph_rank"     -> q132Sql,
+    "q134_sem_decontam"   -> q134Sql)
 }

@@ -849,6 +849,51 @@ object TextOps {
            ELSE 'low' END AS fluency_band
     FROM scored ORDER BY doc_id"""
 
+  // ---- q133: filter ensemble (per-doc verdict with attribution) --------
+  // The Dolma-attributes integration step: every upstream filter writes
+  // its signal as a COLUMN (heuristic band from q25, model logit from
+  // q109, LM fluency band from q129), and one mixer applies the keep/
+  // drop rule with per-rule attribution — which filter killed the doc —
+  // so corpus ablations can be replayed from the attribute table without
+  // re-running the filters. Drop priority: heuristic (cheapest) first,
+  // then model, then LM — the order a production pipeline would
+  // short-circuit in. Docs the LM cannot score (< 2 tokens) coalesce to
+  // the 'low' fluency band on both engines.
+  //
+  // Scale shape: three independent per-doc signal plans (each
+  // scan-bound; q129's is the only one with joins, all bucket-bounded)
+  // composed by two equi-joins on doc_id — at 100 TB each signal is its
+  // own materialized attribute table and the mixer is this exact join.
+  def q133FilterEnsemble(s: SparkSession, d: String): DataFrame = {
+    val h = q25TextQuality(s, d).select(col("doc_id"), col("quality_band"))
+    val m = q109QualityModel(s, d).select(col("doc_id"), col("logit"))
+    val f = q129BigramLm(s, d).select(col("doc_id"), col("fluency_band"))
+    h.join(m, "doc_id").join(f, Seq("doc_id"), "left")
+      .withColumn("fluency_band", coalesce(col("fluency_band"), lit("low")))
+      .withColumn("model_pass", col("logit") > 0)
+      .withColumn("verdict",
+        when(col("quality_band") === "low", "drop:heuristic")
+          .when(col("logit") <= 0, "drop:model")
+          .when(col("fluency_band") === "low", "drop:fluency")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("quality_band"), col("model_pass"),
+        col("fluency_band"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q133Sql: String = s"""
+    WITH h AS ($q25Sql),
+    m AS ($q109Sql),
+    f AS ($q129Sql)
+    SELECT doc_id, quality_band, logit > 0 AS model_pass,
+      COALESCE(f.fluency_band, 'low') AS fluency_band,
+      CASE WHEN quality_band = 'low' THEN 'drop:heuristic'
+           WHEN logit <= 0 THEN 'drop:model'
+           WHEN COALESCE(f.fluency_band, 'low') = 'low' THEN 'drop:fluency'
+           ELSE 'keep' END AS verdict
+    FROM h JOIN m USING (doc_id) LEFT JOIN f USING (doc_id)
+    ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -863,7 +908,8 @@ object TextOps {
     "q126_bpe_encode"  -> q126BpeEncode _,
     "q127_logistic_fit" -> q127LogisticFit _,
     "q129_bigram_lm"   -> q129BigramLm _,
-    "q131_sgd_round2"  -> q131SgdRound2 _)
+    "q131_sgd_round2"  -> q131SgdRound2 _,
+    "q133_filter_ensemble" -> q133FilterEnsemble _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -879,5 +925,6 @@ object TextOps {
     "q126_bpe_encode"  -> q126Sql,
     "q127_logistic_fit" -> q127Sql,
     "q129_bigram_lm"   -> q129Sql,
-    "q131_sgd_round2"  -> q131Sql)
+    "q131_sgd_round2"  -> q131Sql,
+    "q133_filter_ensemble" -> q133Sql)
 }

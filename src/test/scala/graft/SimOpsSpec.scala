@@ -252,6 +252,25 @@ class SimOpsSpec extends AnyFunSuite {
     g.unpersist(); r.unpersist()
   }
 
+  test("q134: every train vector verdicted; hits are theta-bounded evals") {
+    val r = SimOps.q134SemanticDecontam(spark, sf).persist()
+    val emb = Tables.embeddings(spark, sf)
+    // exactly the non-heldout vectors appear, each once
+    assert(r.count() == emb.filter(col("label") =!= 9).count())
+    assert(r.select("vec_id").distinct().count() == r.count())
+    // flag is exactly nearest-eval presence; cosine clears the gate
+    assert(r.filter(col("contaminated") =!= col("near_eval").isNotNull)
+      .count() == 0)
+    assert(r.filter(col("near_cos").isNotNull && col("near_cos") < 0.3)
+      .count() == 0)
+    // every reported neighbor really is a held-out (label 9) vector
+    val evalIds = emb.filter(col("label") === 9)
+      .select(col("vec_id").as("near_eval"))
+    assert(r.filter(col("near_eval").isNotNull)
+      .join(evalIds, Seq("near_eval"), "left_anti").count() == 0)
+    r.unpersist()
+  }
+
   test("q130 kNN graph: dense ranks, bounded cos, mutual iff reversed edge") {
     val g = SimOps.q130KnnGraph(spark, sf).persist()
     // ranks are dense 1..deg per vector (deg <= K, short only in small cells)

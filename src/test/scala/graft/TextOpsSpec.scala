@@ -144,6 +144,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 ensemble: verdict is the stated priority over the signals") {
+    val r = TextOps.q133FilterEnsemble(spark, sf)
+    assert(r.count() == Tables.documents(spark, sf).count())
+    // replay the mixer rule from the signal columns — must reproduce it
+    val bad = r.withColumn("e_verdict",
+      when(col("quality_band") === "low", "drop:heuristic")
+        .when(!col("model_pass"), "drop:model")
+        .when(col("fluency_band") === "low", "drop:fluency")
+        .otherwise("keep"))
+      .filter(col("verdict") =!= col("e_verdict"))
+    assert(bad.count() == 0)
+    // attribution partitions: every doc has exactly one verdict value
+    assert(r.filter(!col("verdict").isin(
+      "drop:heuristic", "drop:model", "drop:fluency", "keep")).count() == 0)
+  }
+
   test("q129 bigram-LM: probability mass and bigram counts reconcile") {
     val r = TextOps.q129BigramLm(spark, sf)
     // per-doc bigram count recount: n_bigrams = n_tokens - 1 (docs with
