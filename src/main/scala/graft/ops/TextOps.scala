@@ -849,6 +849,107 @@ object TextOps {
            ELSE 'low' END AS fluency_band
     FROM scored ORDER BY doc_id"""
 
+  // ---- q135: DSIR importance scoring (target-vs-corpus hashed LM) ------
+  // Data Selection via Importance Resampling (Xie et al., 2023): score
+  // every document by how much more likely it is under a TARGET
+  // distribution than under the corpus, using hashed n-gram LMs. Target
+  // here = the lang='en' slice (the labeled high-quality sample a real
+  // pipeline seeds DSIR with); features = bigrams hashed to 4096
+  // buckets (hashing is what makes the LM table O(1) at 100 TB).
+  // Parity discipline: both LMs are add-one-smoothed bucket frequencies
+  // quantized to ppm by positive BIGINT floor division, and the per-doc
+  // importance is the SUM of signed ppm differences Σ(ppm_t − ppm_c) —
+  // an additive fixed-point surrogate for the paper's log-ratio (same
+  // selection direction; exact integers instead of transcendental logs,
+  // so the gate hash-matches). The floor in every ppm biases all scores
+  // slightly negative, so an absolute zero threshold would be
+  // degenerate; the keep gate is self-normalizing instead — selected
+  // iff score is above the corpus MEAN, tested as the exact integer
+  // cross-multiplication score·N > Σscores (no division at all).
+  //
+  // Scale shape: occurrences collapse to per-(doc, bucket) counts
+  // map-side; both LM tables are <= 4096 rows (broadcast); scoring is
+  // one bucket equi-join + doc-keyed sum. Every stage is bounded by the
+  // bucket count, not the vocabulary.
+  private val DsirBuckets = 4096
+
+  def q135DsirScore(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val occ = Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> concat(t[i], ' ', t[i + 1]))")).as("gram"))
+      .withColumn("bucket", expr(s"h60(gram) % $DsirBuckets"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .persist()
+    val corpus = occ.groupBy(col("bucket")).agg(sum(col("k")).as("c_c"))
+    val target = occ.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("k")).as("c_t"))
+    val nC = corpus.agg(sum(col("c_c")).as("n_c"))
+    val nT = target.agg(sum(col("c_t")).as("n_t"))
+    val lm = corpus.join(target, Seq("bucket"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+      .withColumn("ppm_t",
+        expr(s"(c_t + 1) * 1000000 div (n_t + $DsirBuckets)"))
+      .withColumn("ppm_c",
+        expr(s"(c_c + 1) * 1000000 div (n_c + $DsirBuckets)"))
+      .select(col("bucket"), col("ppm_t"), col("ppm_c"))
+    val scored = occ.join(broadcast(lm), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * (col("ppm_t") - col("ppm_c"))).as("score"))
+    val tot = scored.agg(count(lit(1)).as("n_docs"),
+      sum(col("score")).as("s_total"))
+    scored.crossJoin(broadcast(tot))
+      .withColumn("selected", col("score") * col("n_docs") > col("s_total"))
+      .select(col("doc_id"), col("n_bigrams"), col("score"),
+        col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Sql: String = raw"""
+    WITH occ AS (
+      SELECT doc_id, lang, bucket, CAST(COUNT(*) AS BIGINT) AS k FROM (
+        SELECT doc_id, lang,
+          CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT)
+            % $DsirBuckets AS bucket
+        FROM (
+          SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(t)),
+              i -> t[i] || ' ' || t[i+1])) AS gram
+          FROM (SELECT doc_id, lang,
+                  list_filter(string_split_regex(trim(lower(text)),
+                    '[ \t\n\r\f]+'), x -> x <> '') AS t
+                FROM documents)
+          WHERE len(t) >= 2))
+      GROUP BY doc_id, lang, bucket),
+    corpus AS (
+      SELECT bucket, CAST(SUM(k) AS BIGINT) AS c_c FROM occ GROUP BY bucket),
+    target AS (
+      SELECT bucket, CAST(SUM(k) AS BIGINT) AS c_t FROM occ
+      WHERE lang = 'en' GROUP BY bucket),
+    nc AS (SELECT CAST(SUM(c_c) AS BIGINT) AS n_c FROM corpus),
+    nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t FROM target),
+    lm AS (
+      SELECT bucket,
+        (COALESCE(c_t, 0) + 1) * 1000000 // (n_t + $DsirBuckets) AS ppm_t,
+        (c_c + 1) * 1000000 // (n_c + $DsirBuckets) AS ppm_c
+      FROM corpus LEFT JOIN target USING (bucket)
+      CROSS JOIN nc CROSS JOIN nt),
+    scored AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+        CAST(SUM(k * (ppm_t - ppm_c)) AS BIGINT) AS score
+      FROM occ JOIN lm USING (bucket)
+      GROUP BY doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(score) AS BIGINT) AS s_total FROM scored)
+    SELECT doc_id, n_bigrams, score, score * n_docs > s_total AS selected
+    FROM scored CROSS JOIN tot ORDER BY doc_id"""
+
   // ---- q133: filter ensemble (per-doc verdict with attribution) --------
   // The Dolma-attributes integration step: every upstream filter writes
   // its signal as a COLUMN (heuristic band from q25, model logit from
@@ -909,7 +1010,8 @@ object TextOps {
     "q127_logistic_fit" -> q127LogisticFit _,
     "q129_bigram_lm"   -> q129BigramLm _,
     "q131_sgd_round2"  -> q131SgdRound2 _,
-    "q133_filter_ensemble" -> q133FilterEnsemble _)
+    "q133_filter_ensemble" -> q133FilterEnsemble _,
+    "q135_dsir_score"  -> q135DsirScore _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -926,5 +1028,6 @@ object TextOps {
     "q127_logistic_fit" -> q127Sql,
     "q129_bigram_lm"   -> q129Sql,
     "q131_sgd_round2"  -> q131Sql,
-    "q133_filter_ensemble" -> q133Sql)
+    "q133_filter_ensemble" -> q133Sql,
+    "q135_dsir_score"  -> q135Sql)
 }

@@ -62,12 +62,14 @@ class PlanSpec extends AnyFunSuite {
     // to the 1-row n_checked count the same way
     // q129 (and q133, which composes it): the 1-row vocab-size scalar
     // attaches to the smoothing denominator via a 1-row broadcast NLJ
+    // q135: the 1-row LM-mass totals and the 1-row corpus-mean frame
+    // attach the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",
       "q120_referential_integrity", "q129_bigram_lm",
-      "q133_filter_ensemble")
+      "q133_filter_ensemble", "q135_dsir_score")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),

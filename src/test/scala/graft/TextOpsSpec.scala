@@ -160,6 +160,28 @@ class TextOpsSpec extends AnyFunSuite {
       "drop:heuristic", "drop:model", "drop:fluency", "keep")).count() == 0)
   }
 
+  test("q135 DSIR: target slice scores above the rest; gate is the mean") {
+    val r = TextOps.q135DsirScore(spark, sf).persist()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    // the en slice trained the target LM — its mean score must exceed
+    // the non-target mean (the selection direction DSIR promises)
+    val m = r.join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("score").cast("double")).as("a"))
+      .collect().map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    assert(m(true) > m(false), s"en ${m(true)} !> rest ${m(false)}")
+    // selected is exactly the above-mean set (integer cross-mult replay)
+    val tot = r.agg(count(lit(1)).cast("long").as("n"),
+      sum("score").as("s")).collect()(0)
+    val (n, sTot) = (tot.getLong(0), tot.getLong(1))
+    assert(r.filter(col("selected") =!=
+      (col("score") * n > sTot)).count() == 0)
+    // a non-degenerate split: both sides populated
+    assert(r.filter(col("selected")).count() > 0)
+    assert(r.filter(!col("selected")).count() > 0)
+    r.unpersist()
+  }
+
   test("q129 bigram-LM: probability mass and bigram counts reconcile") {
     val r = TextOps.q129BigramLm(spark, sf)
     // per-doc bigram count recount: n_bigrams = n_tokens - 1 (docs with
