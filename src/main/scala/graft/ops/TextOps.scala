@@ -849,6 +849,91 @@ object TextOps {
            ELSE 'low' END AS fluency_band
     FROM scored ORDER BY doc_id"""
 
+  // ---- q136: BPE TRAINING loop (argmax → merge → recount, unrolled) ----
+  // q103 computes the pair statistic; q126 applies a FIXED merge table.
+  // This is the missing middle: actual vocabulary training — pick the
+  // most frequent adjacent symbol pair, apply that DATA-DERIVED merge
+  // corpus-wide, recount, pick the next. Two unrolled iterations (the
+  // loop body is what matters; production runs it |vocab| times with
+  // the identical plan per step). The merge learned in step 1 reaches
+  // step 2's replace() as COLUMNS from a 1-row broadcast — nothing is
+  // hardcoded, which is exactly what q126 cannot show.
+  //
+  // Trainer state is the WORD-FREQUENCY table (distinct words + counts),
+  // not raw occurrences — the standard BPE-trainer reduction: pair
+  // counts are Σ word_freq over each word's adjacent pairs, so each
+  // iteration is one scan of |vocab_words| rows however big the corpus
+  // is. The spaced-char/double-space replace discipline is q126's
+  // (greedy leftmost semantics shared by both engines' replace()).
+  def q136BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("w"))
+      .withColumn("spaced",
+        expr("concat(' ', regexp_replace(word, '(.)', '$1  '))"))
+      .select(col("w"), col("spaced"))
+      .persist()
+    def pairCounts(df: DataFrame): DataFrame =
+      df.withColumn("syms", split(trim(col("spaced")), " +"))
+        .select(col("w"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+                      slice(syms, 2, size(syms) - 1),
+                      (a, b) -> concat(a, ' ', b))""")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("w")).as("n"))
+    val t1 = pairCounts(wc).orderBy(col("n").desc, col("pair")).limit(1)
+      .withColumn("a", split(col("pair"), " ")(0))
+      .withColumn("b", split(col("pair"), " ")(1))
+      .persist()
+    val sp2 = wc.crossJoin(broadcast(t1.select(col("a"), col("b"))))
+      .withColumn("spaced", expr(
+        "replace(spaced, concat(' ', a, '  ', b, ' ')," +
+          " concat(' ', a, b, ' '))"))
+      .select(col("w"), col("spaced"))
+    val t2 = pairCounts(sp2).orderBy(col("n").desc, col("pair")).limit(1)
+    t1.select(lit(1L).as("iter"), col("pair"), col("n"))
+      .unionByName(t2.select(lit(2L).as("iter"), col("pair"), col("n")))
+      .orderBy(col("iter"))
+  }
+
+  val q136Sql: String = raw"""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word),
+    sp AS (
+      SELECT w, ' ' || regexp_replace(word, '(.)', '\1  ', 'g') AS spaced
+      FROM wc),
+    p1 AS (
+      SELECT pair, CAST(SUM(w) AS BIGINT) AS n FROM (
+        SELECT w, unnest(list_transform(range(1, len(syms)),
+          i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT w, string_split_regex(trim(spaced), ' +') AS syms
+              FROM sp))
+      GROUP BY pair),
+    t1 AS (
+      SELECT pair, n, string_split(pair, ' ')[1] AS a,
+        string_split(pair, ' ')[2] AS b
+      FROM p1 ORDER BY n DESC, pair LIMIT 1),
+    sp2 AS (
+      SELECT w, replace(spaced, ' ' || a || '  ' || b || ' ',
+        ' ' || a || b || ' ') AS spaced
+      FROM sp CROSS JOIN t1),
+    p2 AS (
+      SELECT pair, CAST(SUM(w) AS BIGINT) AS n FROM (
+        SELECT w, unnest(list_transform(range(1, len(syms)),
+          i -> syms[i] || ' ' || syms[i+1])) AS pair
+        FROM (SELECT w, string_split_regex(trim(spaced), ' +') AS syms
+              FROM sp2))
+      GROUP BY pair),
+    t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS iter, pair, n FROM t1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS iter, pair, n FROM t2
+    ORDER BY iter"""
+
   // ---- q135: DSIR importance scoring (target-vs-corpus hashed LM) ------
   // Data Selection via Importance Resampling (Xie et al., 2023): score
   // every document by how much more likely it is under a TARGET
@@ -1011,7 +1096,8 @@ object TextOps {
     "q129_bigram_lm"   -> q129BigramLm _,
     "q131_sgd_round2"  -> q131SgdRound2 _,
     "q133_filter_ensemble" -> q133FilterEnsemble _,
-    "q135_dsir_score"  -> q135DsirScore _)
+    "q135_dsir_score"  -> q135DsirScore _,
+    "q136_bpe_train"   -> q136BpeTrain _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1029,5 +1115,6 @@ object TextOps {
     "q129_bigram_lm"   -> q129Sql,
     "q131_sgd_round2"  -> q131Sql,
     "q133_filter_ensemble" -> q133Sql,
-    "q135_dsir_score"  -> q135Sql)
+    "q135_dsir_score"  -> q135Sql,
+    "q136_bpe_train"   -> q136Sql)
 }

@@ -160,6 +160,33 @@ class TextOpsSpec extends AnyFunSuite {
       "drop:heuristic", "drop:model", "drop:fluency", "keep")).count() == 0)
   }
 
+  test("q136 BPE training: true argmax, merge consumes its pair, n2 <= n1") {
+    val r = TextOps.q136BpeTrain(spark, sf).collect().sortBy(_.getLong(0))
+    assert(r.length == 2)
+    val (p1, n1) = (r(0).getAs[String]("pair"), r(0).getAs[Long]("n"))
+    val (p2, n2) = (r(1).getAs[String]("pair"), r(1).getAs[Long]("n"))
+    // the merged pair cannot survive its own replacement → next argmax
+    // is a different pair, and no new pair can out-count the old max
+    assert(p1 != p2)
+    assert(n2 <= n1)
+    // iteration 1's argmax recounted independently via q103's machinery
+    // weighted by word frequency (char-level: expand each word)
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("w"))
+      .withColumn("cs", split(expr("regexp_replace(word, '(.)', '$1 ')"),
+        " ").as("cs"))
+    val top = wc.select(col("w"), explode(expr(
+      """zip_with(slice(cs, 1, size(cs) - 2),
+                  slice(cs, 2, size(cs) - 2),
+                  (a, b) -> concat(a, ' ', b))""")).as("pair"))
+      .groupBy("pair").agg(sum("w").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(1).collect()(0)
+    assert(top.getAs[String]("pair") == p1 && top.getAs[Long]("n") == n1)
+  }
+
   test("q135 DSIR: target slice scores above the rest; gate is the mean") {
     val r = TextOps.q135DsirScore(spark, sf).persist()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
