@@ -849,6 +849,70 @@ object TextOps {
            ELSE 'low' END AS fluency_band
     FROM scored ORDER BY doc_id"""
 
+  // ---- q137: vocabulary growth curve (Heaps'-law checkpoints) ----------
+  // The tokenizer-sizing / dedup-health statistic: distinct-vocabulary
+  // size as a function of corpus prefix, at ten doc-order checkpoints.
+  // A healthy crawl grows vocab ~ tokens^β (Heaps); a stalling curve
+  // signals saturation/duplication. The distributed trick: NEVER count
+  // distinct per prefix (10 distinct-aggregates over growing prefixes =
+  // 10 corpus scans); instead each word contributes exactly once at the
+  // checkpoint of its FIRST occurrence (min doc_id), so the whole curve
+  // is one explode + one word-keyed min + a 10-row cumulative sum.
+  // Checkpoint k of doc i = (i*10) div N + 1 — positive integers, both
+  // engines floor-divide identically.
+  def q137VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(toks(col("text")), x => x =!= lit("")).as("t"))
+      .persist()
+    val n = docs.agg(count(lit(1)).as("n_all"))
+    val db = docs.crossJoin(broadcast(n))
+      .withColumn("ck", expr("(doc_id * 10) div n_all + 1"))
+    val mass = db.groupBy(col("ck"))
+      .agg(count(lit(1)).as("b_docs"),
+        sum(size(col("t")).cast("long")).as("b_tokens"))
+    val firstSeen = db
+      .select(col("ck"), explode(col("t")).as("word"))
+      .groupBy(col("word")).agg(min(col("ck")).as("ck"))
+      .groupBy(col("ck")).agg(count(lit(1)).as("b_vocab"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ck"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    mass.join(firstSeen, Seq("ck"), "left")
+      .withColumn("b_vocab", coalesce(col("b_vocab"), lit(0L)))
+      .withColumn("docs_cum", sum(col("b_docs")).over(w))
+      .withColumn("tokens_cum", sum(col("b_tokens")).over(w))
+      .withColumn("vocab_cum", sum(col("b_vocab")).over(w))
+      .select(col("ck").as("checkpoint"), col("docs_cum"),
+        col("tokens_cum"), col("vocab_cum"))
+      .orderBy(col("checkpoint"))
+  }
+
+  val q137Sql: String = raw"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
+    db AS (SELECT doc_id, t, (doc_id * 10) // n_all + 1 AS ck
+      FROM d CROSS JOIN n),
+    mass AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS b_docs,
+        CAST(SUM(len(t)) AS BIGINT) AS b_tokens
+      FROM db GROUP BY ck),
+    fs AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS b_vocab FROM (
+        SELECT word, MIN(ck) AS ck
+        FROM (SELECT ck, unnest(t) AS word FROM db)
+        GROUP BY word)
+      GROUP BY ck)
+    SELECT ck AS checkpoint,
+      CAST(SUM(b_docs) OVER (ORDER BY ck) AS BIGINT) AS docs_cum,
+      CAST(SUM(b_tokens) OVER (ORDER BY ck) AS BIGINT) AS tokens_cum,
+      CAST(SUM(COALESCE(b_vocab, 0)) OVER (ORDER BY ck) AS BIGINT)
+        AS vocab_cum
+    FROM mass LEFT JOIN fs USING (ck)
+    ORDER BY checkpoint"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, unrolled) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1097,7 +1161,8 @@ object TextOps {
     "q131_sgd_round2"  -> q131SgdRound2 _,
     "q133_filter_ensemble" -> q133FilterEnsemble _,
     "q135_dsir_score"  -> q135DsirScore _,
-    "q136_bpe_train"   -> q136BpeTrain _)
+    "q136_bpe_train"   -> q136BpeTrain _,
+    "q137_vocab_growth" -> q137VocabGrowth _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1116,5 +1181,6 @@ object TextOps {
     "q131_sgd_round2"  -> q131Sql,
     "q133_filter_ensemble" -> q133Sql,
     "q135_dsir_score"  -> q135Sql,
-    "q136_bpe_train"   -> q136Sql)
+    "q136_bpe_train"   -> q136Sql,
+    "q137_vocab_growth" -> q137Sql)
 }

@@ -66,12 +66,14 @@ class PlanSpec extends AnyFunSuite {
     // attach the same way
     // q136: the learned 1-row merge (a, b) reaches the corpus-wide
     // replace() via a 1-row broadcast cross join
+    // q137: the 1-row corpus-size scalar feeds the checkpoint formula
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",
       "q120_referential_integrity", "q129_bigram_lm",
-      "q133_filter_ensemble", "q135_dsir_score", "q136_bpe_train")
+      "q133_filter_ensemble", "q135_dsir_score", "q136_bpe_train",
+      "q137_vocab_growth")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
@@ -319,5 +321,35 @@ class PlanSpec extends AnyFunSuite {
     // |sources| rows, not the exploded shingle stream)
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"q110 lost map-side partial aggregation:\n$p")
+  }
+
+  test("q129's LM scoring joins are equi-joins over the bigram key") {
+    val p = plan("q129_bigram_lm")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q129 lost its equi-joins:\n$p")
+    // the only NLJ is the 1-row vocab scalar attach
+    val nljs = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).size
+    assert(nljs <= 1, s"q129 plans $nljs nested-loop joins:\n$p")
+  }
+
+  test("q130/q132/q134 candidate joins stay cell/key equi-joins") {
+    Seq("q130_knn_graph", "q132_graph_rank", "q134_sem_decontam")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+          s"$q is not an equi-join:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q fell back to a nested-loop join:\n$p")
+        // assignment is the codegen argmax, never a centroid join
+        assert(p.contains("nearest_cell_cos"),
+          s"$q assign lost the codegen expression:\n$p")
+      }
+  }
+
+  test("q135's scoring join broadcasts the 4096-row LM table") {
+    val p = plan("q135_dsir_score")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q135 shuffles the corpus against a 4096-row table:\n$p")
   }
 }

@@ -160,6 +160,28 @@ class TextOpsSpec extends AnyFunSuite {
       "drop:heuristic", "drop:model", "drop:fluency", "keep")).count() == 0)
   }
 
+  test("q137 growth curve: monotone, ends at exact corpus totals") {
+    val r = TextOps.q137VocabGrowth(spark, sf).collect()
+      .sortBy(_.getAs[Long]("checkpoint"))
+    assert(r.length == 10)
+    // all three cumulative series are non-decreasing
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("docs_cum") <= b.getAs[Long]("docs_cum"))
+      assert(a.getAs[Long]("tokens_cum") <= b.getAs[Long]("tokens_cum"))
+      assert(a.getAs[Long]("vocab_cum") <= b.getAs[Long]("vocab_cum"))
+    }
+    // checkpoint 10 = the whole corpus, recounted independently
+    val docs = Tables.documents(spark, sf)
+      .withColumn("t", filter(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+"), x => x =!= lit("")))
+    val last = r.last
+    assert(last.getAs[Long]("docs_cum") == docs.count())
+    assert(last.getAs[Long]("tokens_cum") ==
+      docs.agg(sum(size(col("t")).cast("long"))).head().getLong(0))
+    assert(last.getAs[Long]("vocab_cum") ==
+      docs.select(explode(col("t")).as("w")).distinct().count())
+  }
+
   test("q136 BPE training: true argmax, merge consumes its pair, n2 <= n1") {
     val r = TextOps.q136BpeTrain(spark, sf).collect().sortBy(_.getLong(0))
     assert(r.length == 2)
