@@ -948,6 +948,138 @@ object CurationOps {
     FROM pos GROUP BY 1 ORDER BY 1"""
   }
 
+  // ---- q139: curriculum ordering (staged difficulty, sharded order) ----
+  // Curriculum training consumes the corpus easy→hard: stage = fixed
+  // integer difficulty band (milli-mean-word-length, exact ⌊Σlen·1000/n⌋
+  // — positive, so Spark `div` and DuckDB `//` coincide), and within a
+  // stage the read order is a salted-hash permutation — q113's seekable
+  // reproducible-shuffle trick, here keyed "cur:" so the curriculum
+  // permutation is independent of every epoch permutation.
+  //
+  // Scale shape: difficulty and stage are per-row projections; the only
+  // shuffle is the (stage, shard) window — Stages×Shards balanced
+  // partitions each sorting its own slice (the dataloader's shard sort).
+  // No global row_number: the curriculum order is the lexicographic
+  // (stage, shard, pos) triple, which is exactly how a sharded loader
+  // consumes it.
+  private val CurShards = 4
+
+  def q139Curriculum(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .withColumn("difficulty", expr(
+        "aggregate(t, 0L, (a, x) -> a + length(x)) * 1000 div size(t)"))
+      .withColumn("stage",
+        when(col("difficulty") < 4400, 1L)
+          .when(col("difficulty") < 4510, 2L)
+          .when(col("difficulty") < 4620, 3L).otherwise(4L))
+      .withColumn("h",
+        expr("h60(concat('cur:', cast(doc_id as string)))"))
+      .withColumn("shard", col("h") % CurShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("difficulty"), col("stage"),
+        col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q139Sql: String = raw"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(list_filter($sqlToks, x -> x <> ''),
+          x -> length(x))) AS BIGINT) * 1000
+          // len(list_filter($sqlToks, x -> x <> '')) AS difficulty,
+        CAST('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)),
+          1, 15) AS BIGINT) AS h
+      FROM documents),
+    st AS (
+      SELECT doc_id, difficulty,
+        CASE WHEN difficulty < 4400 THEN 1
+             WHEN difficulty < 4510 THEN 2
+             WHEN difficulty < 4620 THEN 3 ELSE 4 END AS stage,
+        h, h % $CurShards AS shard
+      FROM s)
+    SELECT doc_id, difficulty, CAST(stage AS BIGINT) AS stage,
+      CAST(shard AS BIGINT) AS shard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard
+        ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM st ORDER BY doc_id"""
+
+  // ---- q140: temperature-scaled source sampling (T = 2) ----------------
+  // The multilingual/multi-source mixing rule: draw probability ∝ n^(1/T)
+  // flattens the source distribution so small sources aren't drowned
+  // (Conneau & Lample 2019 style). T = 2 means weights = √tokens — kept
+  // EXACT by an integer sqrt: s₀ = ⌊sqrt(double)⌋ then ±1 correction by
+  // integer cross-check, so a one-ulp libm difference between engines
+  // cannot change the weight. Draw quotas allocate a fixed budget by
+  // largest remainder (floor quota + top-deficit ranks get one extra),
+  // summing to the budget exactly — deterministic, no float shares.
+  //
+  // Scale shape: one map-side token-count aggregate to |sources| rows;
+  // everything after is arithmetic on that tiny table (the two scalar
+  // attaches are 1-row broadcasts).
+  private val DrawBudget = 1000L
+
+  def q140TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .groupBy(col("source"))
+      .agg(sum(size(col("t")).cast("long")).as("n_tok"))
+    val s0 = expr("cast(floor(sqrt(cast(n_tok as double))) as bigint)")
+    val weighted = cnt.withColumn("s0", s0)
+      .withColumn("w", col("s0")
+        - when(col("s0") * col("s0") > col("n_tok"), 1L).otherwise(0L)
+        + when((col("s0") + 1) * (col("s0") + 1) <= col("n_tok"), 1L)
+          .otherwise(0L))
+    val tot = weighted.agg(sum(col("w")).as("w_sum"))
+    val quotas = weighted.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w * 1000000 div w_sum"))
+      .withColumn("f", expr(s"$DrawBudget * w div w_sum"))
+      .withColumn("rem", lit(DrawBudget) * col("w") - col("f") * col("w_sum"))
+    val deficit = quotas.agg((lit(DrawBudget) - sum(col("f")))
+      .as("deficit"))
+    quotas.crossJoin(broadcast(deficit))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("quota",
+        col("f") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tok"), col("w"), col("share_ppm"),
+        col("quota"))
+      .orderBy(col("source"))
+  }
+
+  val q140Sql: String = raw"""
+    WITH cnt AS (
+      SELECT source,
+        CAST(SUM(len(list_filter($sqlToks, x -> x <> ''))) AS BIGINT)
+          AS n_tok
+      FROM documents GROUP BY source),
+    wt AS (
+      SELECT source, n_tok,
+        CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT)
+          - (CASE WHEN CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT)
+               * CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT) > n_tok
+             THEN 1 ELSE 0 END)
+          + (CASE WHEN (CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT)
+               + 1) * (CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT)
+               + 1) <= n_tok THEN 1 ELSE 0 END) AS w
+      FROM cnt),
+    tot AS (SELECT SUM(w) AS w_sum FROM wt),
+    q AS (
+      SELECT source, n_tok, w,
+        w * 1000000 // w_sum AS share_ppm,
+        $DrawBudget * w // w_sum AS f,
+        $DrawBudget * w - ($DrawBudget * w // w_sum) * w_sum AS rem
+      FROM wt CROSS JOIN tot),
+    dfc AS (SELECT $DrawBudget - SUM(f) AS deficit FROM q)
+    SELECT source, n_tok, CAST(w AS BIGINT) AS w,
+      CAST(share_ppm AS BIGINT) AS share_ppm,
+      CAST(f + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+        <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
+    FROM q CROSS JOIN dfc ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -963,7 +1095,9 @@ object CurationOps {
     "q107_dup_spans"    -> q107DupSpans _,
     "q113_epoch_shuffle" -> q113EpochShuffle _,
     "q114_novelty"      -> q114Novelty _,
-    "q128_bpe_pack"     -> q128BpePack _)
+    "q128_bpe_pack"     -> q128BpePack _,
+    "q139_curriculum"   -> q139Curriculum _,
+    "q140_temperature_mix" -> q140TemperatureMix _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -980,5 +1114,7 @@ object CurationOps {
     "q107_dup_spans"    -> q107Sql,
     "q113_epoch_shuffle" -> q113Sql,
     "q114_novelty"      -> q114Sql,
-    "q128_bpe_pack"     -> q128Sql)
+    "q128_bpe_pack"     -> q128Sql,
+    "q139_curriculum"   -> q139Sql,
+    "q140_temperature_mix" -> q140Sql)
 }

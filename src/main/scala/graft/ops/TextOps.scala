@@ -913,6 +913,88 @@ object TextOps {
     FROM mass LEFT JOIN fs USING (ck)
     ORDER BY checkpoint"""
 
+  // ---- q138: Gopher-style rule filter (named per-rule attribution) -----
+  // The Rae et al. 2021 quality-rule shape: a battery of NAMED document
+  // rules, each reported individually (the audit artifact a curation run
+  // ships), plus the combined keep verdict. q25 gives one composite band;
+  // this gives the per-rule breakdown a pipeline debugs against. Corpus
+  // has no lines/symbols/digits, so the symbol/bullet/numeral rules are
+  // replaced by the discriminating subset for word-soup text: token
+  // count, mean word length, type-token ratio, single-char-token ratio,
+  // stopword floor. Every threshold is an integer cross-multiplication —
+  // the mean-word-length band [4.3, 4.7] is 43·n ≤ 10·Σlen ≤ 47·n, never
+  // a float divide feeding a comparison.
+  //
+  // Scale: pure per-row Column expressions over one tokens array (single
+  // aggregate/filter pass each), zero shuffle before the ORDER BY — the
+  // same embarrassingly-parallel scan shape as q25/q67 at any corpus.
+  def q138GopherRules(s: SparkSession, d: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(t, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("n_single",
+        size(filter(col("t"), x => length(x) === 1)).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("t"), x => x.isInCollection(stops))).cast("long"))
+      .withColumn("r_count", col("n_tokens") >= 40)
+      .withColumn("r_meanlen",
+        col("sum_len") * 10 >= col("n_tokens") * 43 &&
+          col("sum_len") * 10 <= col("n_tokens") * 47)
+      .withColumn("r_ttr", col("n_distinct") * 20 >= col("n_tokens") * 9)
+      .withColumn("r_single", col("n_single") * 20 <= col("n_tokens"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("n_failed",
+        Seq("r_count", "r_meanlen", "r_ttr", "r_single", "r_stop")
+          .map(r => when(col(r), 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("gopher_keep", col("n_failed") === 0)
+      .select(col("doc_id"), col("n_tokens"), col("r_count"),
+        col("r_meanlen"), col("r_ttr"), col("r_single"), col("r_stop"),
+        col("n_failed"), col("gopher_keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q138Sql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+          AS sum_len,
+        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(t, x -> length(x) = 1)) AS BIGINT) AS n_single,
+        CAST(len(list_filter(t, x -> list_contains(
+          ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+          AS n_stop
+      FROM t),
+    r AS (
+      SELECT doc_id, n_tokens,
+        n_tokens >= 40 AS r_count,
+        sum_len * 10 >= n_tokens * 43 AND sum_len * 10 <= n_tokens * 47
+          AS r_meanlen,
+        n_distinct * 20 >= n_tokens * 9 AS r_ttr,
+        n_single * 20 <= n_tokens AS r_single,
+        n_stop >= 2 AS r_stop
+      FROM s)
+    SELECT doc_id, n_tokens, r_count, r_meanlen, r_ttr, r_single, r_stop,
+      CAST((CASE WHEN r_count THEN 0 ELSE 1 END)
+         + (CASE WHEN r_meanlen THEN 0 ELSE 1 END)
+         + (CASE WHEN r_ttr THEN 0 ELSE 1 END)
+         + (CASE WHEN r_single THEN 0 ELSE 1 END)
+         + (CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+      (CASE WHEN r_count THEN 0 ELSE 1 END)
+        + (CASE WHEN r_meanlen THEN 0 ELSE 1 END)
+        + (CASE WHEN r_ttr THEN 0 ELSE 1 END)
+        + (CASE WHEN r_single THEN 0 ELSE 1 END)
+        + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS gopher_keep
+    FROM r ORDER BY doc_id"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, unrolled) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1162,7 +1244,8 @@ object TextOps {
     "q133_filter_ensemble" -> q133FilterEnsemble _,
     "q135_dsir_score"  -> q135DsirScore _,
     "q136_bpe_train"   -> q136BpeTrain _,
-    "q137_vocab_growth" -> q137VocabGrowth _)
+    "q137_vocab_growth" -> q137VocabGrowth _,
+    "q138_gopher_rules" -> q138GopherRules _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1182,5 +1265,6 @@ object TextOps {
     "q133_filter_ensemble" -> q133Sql,
     "q135_dsir_score"  -> q135Sql,
     "q136_bpe_train"   -> q136Sql,
-    "q137_vocab_growth" -> q137Sql)
+    "q137_vocab_growth" -> q137Sql,
+    "q138_gopher_rules" -> q138Sql)
 }

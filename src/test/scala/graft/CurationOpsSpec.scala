@@ -247,6 +247,45 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.sameElements(again))
   }
 
+  test("q139: stages partition the corpus; per-(stage,shard) positions are dense") {
+    val r = CurationOps.q139Curriculum(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(r.count() == docs)
+    // every stage occurs (thresholds discriminate on this corpus)
+    assert(r.select("stage").distinct().count() == 4)
+    // positions within each (stage, shard) are exactly 1..n — dense,
+    // no gaps, no duplicates (the seekable-order contract)
+    val slots = r.groupBy(col("stage"), col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("lo"),
+        max(col("pos")).as("hi"),
+        countDistinct(col("pos")).as("nd"))
+    assert(slots.filter(col("lo") =!= 1 || col("hi") =!= col("n") ||
+      col("nd") =!= col("n")).count() == 0)
+    // stage is a pure function of difficulty
+    assert(r.filter(
+      (col("difficulty") < 4400 && col("stage") =!= 1) ||
+      (col("difficulty") >= 4400 && col("difficulty") < 4510 &&
+        col("stage") =!= 2) ||
+      (col("difficulty") >= 4620 && col("stage") =!= 4)).count() == 0)
+  }
+
+  test("q140: quotas spend the budget exactly; isqrt weights are exact") {
+    val r = CurationOps.q140TemperatureMix(spark, sf)
+    val rows = r.collect()
+    // largest-remainder allocation sums to the budget, exactly
+    assert(rows.map(_.getAs[Long]("quota")).sum == 1000L)
+    // w is the true integer sqrt of the token count
+    rows.foreach { row =>
+      val (n, w) = (row.getAs[Long]("n_tok"), row.getAs[Long]("w"))
+      assert(w * w <= n && (w + 1) * (w + 1) > n, s"isqrt broken: n=$n w=$w")
+    }
+    // temperature flattens: quota spread is strictly narrower than the
+    // raw token-mass spread (the point of T = 2 sampling)
+    val toks = rows.map(_.getAs[Long]("n_tok")).map(_.toDouble)
+    val quotas = rows.map(_.getAs[Long]("quota")).map(_.toDouble)
+    assert(toks.max / toks.min > quotas.max / quotas.min)
+  }
+
   test("q114: novelty attribution is exhaustive; near-dup copies lose score") {
     val r = CurationOps.q114Novelty(spark, sf)
     // ratio consistency and bounds

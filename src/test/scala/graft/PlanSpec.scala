@@ -67,13 +67,14 @@ class PlanSpec extends AnyFunSuite {
     // q136: the learned 1-row merge (a, b) reaches the corpus-wide
     // replace() via a 1-row broadcast cross join
     // q137: the 1-row corpus-size scalar feeds the checkpoint formula
+    // q140: the 1-row Σw and deficit scalars attach to the |sources| table
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",
       "q120_referential_integrity", "q129_bigram_lm",
       "q133_filter_ensemble", "q135_dsir_score", "q136_bpe_train",
-      "q137_vocab_growth")
+      "q137_vocab_growth", "q140_temperature_mix")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),

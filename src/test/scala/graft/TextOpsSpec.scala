@@ -182,6 +182,28 @@ class TextOpsSpec extends AnyFunSuite {
       docs.select(explode(col("t")).as("w")).distinct().count())
   }
 
+  test("q138 Gopher rules: n_failed reconciles, verdict matches, battery discriminates") {
+    val r = TextOps.q138GopherRules(spark, sf)
+    val rules = Seq("r_count", "r_meanlen", "r_ttr", "r_single", "r_stop")
+    // n_failed is exactly the count of false rules, keep iff none failed
+    val recount = rules.map(c => when(col(c), 0L).otherwise(1L)).reduce(_ + _)
+    assert(r.filter(col("n_failed") =!= recount).count() == 0)
+    assert(r.filter(col("gopher_keep") =!= (col("n_failed") === 0)).count() == 0)
+    // the battery discriminates on this corpus: both verdicts occur, and
+    // every rule individually fails somewhere (no vacuous rule shipped)
+    assert(r.filter(col("gopher_keep")).count() > 0)
+    assert(r.filter(!col("gopher_keep")).count() > 0)
+    rules.foreach { c =>
+      assert(r.filter(!col(c)).count() > 0, s"rule $c never fires")
+    }
+    // spot-recompute one rule from raw text: token-count floor
+    val n = Tables.documents(spark, sf)
+      .withColumn("n", size(filter(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+"), x => x =!= lit(""))).cast("long"))
+    val joined = r.join(n, "doc_id")
+    assert(joined.filter(col("r_count") =!= (col("n") >= 40)).count() == 0)
+  }
+
   test("q136 BPE training: true argmax, merge consumes its pair, n2 <= n1") {
     val r = TextOps.q136BpeTrain(spark, sf).collect().sortBy(_.getLong(0))
     assert(r.length == 2)
