@@ -1428,6 +1428,73 @@ object SimOps {
     FROM tr LEFT JOIN hits h ON h.vec_id = tr.vec_id
     ORDER BY tr.vec_id"""
 
+  // ---- q142: int8 embedding quantization (storage-side compression) ----
+  // The serving/storage companion to q79's PQ: symmetric per-vector int8
+  // quantization (absmax scaling), the format embedding stores ship to
+  // disk at 4× compression. Everything stays in the 1e6-quantized
+  // coordinate space, so codes AND reconstruction errors are exact
+  // BIGINTs on both engines: code = sign · ⌊(|qa|·254 + am) / (2·am)⌋
+  // (round-half-up of |qa|·127/am — operands positive, so Spark `div` and
+  // DuckDB `//` coincide; the max coordinate lands exactly on ±127), and
+  // the error contract is |qa·127 − code·am| — the scaled reconstruction
+  // residual, zero iff the coordinate is exactly representable.
+  //
+  // Scale shape: pure per-row HOFs over the embedding array (one
+  // transform + aggregates, zero shuffle before the ORDER BY) — the
+  // whole corpus quantizes embarrassingly parallel, like the scan half
+  // of q79's codebook path.
+  def q142Int8Quant(s: SparkSession, d: String): DataFrame = {
+    Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("amax", expr(
+        "aggregate(qa, 0L, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("am", greatest(col("amax"), lit(1L)))
+      .withColumn("codes", expr(
+        "transform(qa, x -> if(x < 0, -1L, 1L)" +
+          " * ((abs(x) * 254 + am) div (2 * am)))"))
+      .withColumn("code_min", expr("aggregate(codes, 127L," +
+        " (a, c) -> least(a, c))"))
+      .withColumn("code_max", expr("aggregate(codes, -127L," +
+        " (a, c) -> greatest(a, c))"))
+      .withColumn("code_checksum", expr(
+        "aggregate(zip_with(codes, sequence(1L, cast(size(codes) as" +
+          " long)), (c, i) -> c * i), 0L, (a, x) -> a + x)"))
+      .withColumn("err_max", expr(
+        "aggregate(zip_with(qa, codes, (x, c) -> abs(x * 127 - c * am))," +
+          " 0L, (a, e) -> greatest(a, e))"))
+      .withColumn("err_sum", expr(
+        "aggregate(zip_with(qa, codes, (x, c) -> abs(x * 127 - c * am))," +
+          " 0L, (a, e) -> a + e)"))
+      .select(col("vec_id"), col("amax"), col("code_min"), col("code_max"),
+        col("code_checksum"), col("err_max"), col("err_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q142Sql: String = s"""
+    WITH q AS (
+      SELECT vec_id, $sqlQa AS qa FROM embeddings),
+    a AS (
+      SELECT vec_id, qa,
+        GREATEST(CAST(list_max(list_transform(qa, x -> abs(x)))
+          AS BIGINT), 1) AS am,
+        CAST(list_max(list_transform(qa, x -> abs(x))) AS BIGINT) AS amax
+      FROM q),
+    c AS (
+      SELECT vec_id, qa, am, amax,
+        list_transform(qa, x -> (CASE WHEN x < 0 THEN -1 ELSE 1 END)
+          * ((abs(x) * 254 + am) // (2 * am))) AS codes
+      FROM a)
+    SELECT vec_id, amax,
+      CAST(list_min(codes) AS BIGINT) AS code_min,
+      CAST(list_max(codes) AS BIGINT) AS code_max,
+      CAST(list_sum(list_transform(range(1, $D + 1), i -> codes[i] * i))
+        AS BIGINT) AS code_checksum,
+      CAST(list_max(list_transform(range(1, $D + 1), i ->
+        abs(qa[i] * 127 - codes[i] * am))) AS BIGINT) AS err_max,
+      CAST(list_sum(list_transform(range(1, $D + 1), i ->
+        abs(qa[i] * 127 - codes[i] * am))) AS BIGINT) AS err_sum
+    FROM c ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
@@ -1444,7 +1511,8 @@ object SimOps {
     "q108_semdedup"       -> q108SemDedup _,
     "q130_knn_graph"      -> q130KnnGraph _,
     "q132_graph_rank"     -> q132GraphRank _,
-    "q134_sem_decontam"   -> q134SemanticDecontam _)
+    "q134_sem_decontam"   -> q134SemanticDecontam _,
+    "q142_int8_quant"     -> q142Int8Quant _)
 
   val oracles: Map[String, String] = Map(
     "q35_knn_brute"       -> q35Sql,
@@ -1462,5 +1530,6 @@ object SimOps {
     "q108_semdedup"       -> q108Sql,
     "q130_knn_graph"      -> q130Sql,
     "q132_graph_rank"     -> q132Sql,
-    "q134_sem_decontam"   -> q134Sql)
+    "q134_sem_decontam"   -> q134Sql,
+    "q142_int8_quant"     -> q142Sql)
 }

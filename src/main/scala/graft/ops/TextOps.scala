@@ -995,6 +995,87 @@ object TextOps {
         + (CASE WHEN r_stop THEN 0 ELSE 1 END) = 0 AS gopher_keep
     FROM r ORDER BY doc_id"""
 
+  // ---- q141: per-source token-distribution drift (TV distance) ---------
+  // q125 tests MEAN drift (Welch t on a scalar); this tests the
+  // DISTRIBUTION: total-variation distance between each source's token
+  // frequencies and the corpus baseline, the categorical drift a
+  // vocabulary shift shows long before any mean moves. Exact-integer
+  // discipline: rates quantized to ppm by BIGINT floor division (all
+  // operands positive, so Spark `div` = DuckDB `//`), TV = ½ Σ|r_s − r_c|
+  // summed as BIGINTs — no float summation order anywhere. The absent-word
+  // mass (words the source never says) is NOT a vocab×sources join: it is
+  // T − Σ_present r_c, two scalars.
+  //
+  // Scale shape: corpus collapses to (source, word) counts map-side; the
+  // per-source join is against the corpus word table (vocab-sized,
+  // broadcast); the corpus-mass scalar is a 1-row attach. Top offender
+  // word rides the same aggregate as a packed lpad(gap)||word max —
+  // no second pass, deterministic ties.
+  def q141TokenDrift(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"),
+        explode(filter(toks(col("text")), x => x =!= lit("")))
+          .as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("o_sw"))
+    val srcTot = sw.groupBy(col("source"))
+      .agg(sum(col("o_sw")).as("n_s"))
+    val corpus = sw.groupBy(col("word")).agg(sum(col("o_sw")).as("o_w"))
+      .crossJoin(broadcast(
+        sw.agg(sum(col("o_sw")).as("n_all"))))
+      .withColumn("r_c", expr("o_w * 1000000 div n_all"))
+      .select(col("word"), col("r_c"))
+    val tMass = corpus.agg(sum(col("r_c")).as("t_mass"))
+    sw.join(srcTot, "source")
+      .withColumn("r_s", expr("o_sw * 1000000 div n_s"))
+      .join(broadcast(corpus), "word")
+      .withColumn("gap", abs(col("r_s") - col("r_c")))
+      .withColumn("packed",
+        concat(lpad(col("gap").cast("string"), 7, "0"), lit(":"),
+          col("word")))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tok"),
+        sum(col("gap")).as("gap_present"),
+        sum(col("r_c")).as("rc_present"),
+        max(col("packed")).as("top_packed"))
+      .crossJoin(broadcast(tMass))
+      .withColumn("tv_ppm", expr(
+        "(gap_present + t_mass - rc_present) div 2"))
+      .withColumn("top_word", substring_index(col("top_packed"), ":", -1))
+      .withColumn("top_gap_ppm",
+        substring(col("top_packed"), 1, 7).cast("long"))
+      .select(col("source"), col("n_tok"), col("tv_ppm"),
+        col("top_word"), col("top_gap_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q141Sql: String = raw"""
+    WITH sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS o_sw
+      FROM (SELECT source, unnest(list_filter(string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY source, word),
+    st AS (SELECT source, SUM(o_sw) AS n_s FROM sw GROUP BY source),
+    corpus AS (
+      SELECT word,
+        SUM(o_sw) * 1000000 // (SELECT SUM(o_sw) FROM sw) AS r_c
+      FROM sw GROUP BY word),
+    tm AS (SELECT SUM(r_c) AS t_mass FROM corpus),
+    j AS (
+      SELECT sw.source, st.n_s,
+        ABS(sw.o_sw * 1000000 // st.n_s - corpus.r_c) AS gap,
+        corpus.r_c,
+        lpad(CAST(ABS(sw.o_sw * 1000000 // st.n_s - corpus.r_c)
+          AS VARCHAR), 7, '0') || ':' || sw.word AS packed
+      FROM sw JOIN st USING (source) JOIN corpus USING (word))
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tok,
+      CAST((SUM(gap) + (SELECT t_mass FROM tm) - SUM(r_c)) // 2 AS BIGINT)
+        AS tv_ppm,
+      split_part(MAX(packed), ':', 2) AS top_word,
+      CAST(substring(MAX(packed), 1, 7) AS BIGINT) AS top_gap_ppm
+    FROM j GROUP BY source ORDER BY source"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, unrolled) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1245,7 +1326,8 @@ object TextOps {
     "q135_dsir_score"  -> q135DsirScore _,
     "q136_bpe_train"   -> q136BpeTrain _,
     "q137_vocab_growth" -> q137VocabGrowth _,
-    "q138_gopher_rules" -> q138GopherRules _)
+    "q138_gopher_rules" -> q138GopherRules _,
+    "q141_token_drift"  -> q141TokenDrift _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1266,5 +1348,6 @@ object TextOps {
     "q135_dsir_score"  -> q135Sql,
     "q136_bpe_train"   -> q136Sql,
     "q137_vocab_growth" -> q137Sql,
-    "q138_gopher_rules" -> q138Sql)
+    "q138_gopher_rules" -> q138Sql,
+    "q141_token_drift"  -> q141Sql)
 }

@@ -74,7 +74,7 @@ class PlanSpec extends AnyFunSuite {
       "q116_triad_census", "q118_join_size_sketch",
       "q120_referential_integrity", "q129_bigram_lm",
       "q133_filter_ensemble", "q135_dsir_score", "q136_bpe_train",
-      "q137_vocab_growth", "q140_temperature_mix")
+      "q137_vocab_growth", "q140_temperature_mix", "q141_token_drift")
     SparkEntry.queries.keys.filterNot(allowed).foreach { q =>
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),

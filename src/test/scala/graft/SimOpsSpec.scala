@@ -252,6 +252,20 @@ class SimOpsSpec extends AnyFunSuite {
     g.unpersist(); r.unpersist()
   }
 
+  test("q142: codes saturate at the absmax coordinate; error bounded by am/2") {
+    val r = SimOps.q142Int8Quant(spark, sf)
+    assert(r.count() == Tables.embeddings(spark, sf).count())
+    // int8 range respected
+    assert(r.filter(col("code_min") < -127 || col("code_max") > 127)
+      .count() == 0)
+    // the absmax coordinate maps exactly onto ±127 (symmetric scaling)
+    assert(r.filter(col("amax") > 0 &&
+      col("code_max") =!= 127 && col("code_min") =!= -127).count() == 0)
+    // round-half-up bound: |qa·127 − c·am| ≤ am/2 (am = max(amax, 1))
+    assert(r.filter(col("err_max") * 2 > greatest(col("amax"), lit(1L)))
+      .count() == 0)
+  }
+
   test("q134: every train vector verdicted; hits are theta-bounded evals") {
     val r = SimOps.q134SemanticDecontam(spark, sf).persist()
     val emb = Tables.embeddings(spark, sf)

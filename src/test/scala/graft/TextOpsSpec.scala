@@ -204,6 +204,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("r_count") =!= (col("n") >= 40)).count() == 0)
   }
 
+  test("q141 TV drift: bounded, zero iff identical, brute-force parity on one source") {
+    val r = TextOps.q141TokenDrift(spark, sf)
+    // TV distance lives in [0, 1e6] ppm
+    assert(r.filter(col("tv_ppm") < 0 || col("tv_ppm") > 1000000L)
+      .count() == 0)
+    // the reported top gap is a real gap: positive and <= 1e6
+    assert(r.filter(col("top_gap_ppm") <= 0 ||
+      col("top_gap_ppm") > 1000000L).count() == 0)
+    // brute-force recompute for one source: full-vocab sum of |r_s - r_c|
+    // over an outer join (the absent-word shortcut must equal this)
+    val src = r.head().getAs[String]("source")
+    val words = Tables.documents(spark, sf)
+      .select(col("source"), explode(filter(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+"), x => x =!= lit(""))).as("word"))
+    val nAll = words.count()
+    val nS = words.filter(col("source") === src).count()
+    val corpus = words.groupBy("word").agg(count(lit(1)).as("o_w"))
+      .withColumn("r_c", expr(s"o_w * 1000000 div $nAll"))
+    val mine = words.filter(col("source") === src)
+      .groupBy("word").agg(count(lit(1)).as("o_sw"))
+      .withColumn("r_s", expr(s"o_sw * 1000000 div $nS"))
+    val brute = corpus.join(mine, Seq("word"), "full_outer")
+      .withColumn("gap", abs(coalesce(col("r_s"), lit(0L)) -
+        coalesce(col("r_c"), lit(0L))))
+      .agg((sum(col("gap")) / 2).cast("long")).head().getLong(0)
+    assert(r.filter(col("source") === src).head()
+      .getAs[Long]("tv_ppm") == brute)
+  }
+
   test("q136 BPE training: true argmax, merge consumes its pair, n2 <= n1") {
     val r = TextOps.q136BpeTrain(spark, sf).collect().sortBy(_.getLong(0))
     assert(r.length == 2)
