@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,7 +45,36 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Shared pinned stages (StageCache) are charged as their OWN units,
+    // derived cold up front: previously whichever consumer query ran
+    // first absorbed the whole derivation (r7: q123 0.20→3.49 s while
+    // q31 rode the pin at 0.14 s), so per-query times depended on run
+    // order. With the stage cost explicit, every consumer measures only
+    // its own work and the record is stable under query reordering.
+    // Builders materialize eagerly (localCheckpoint(true)), so calling
+    // them IS the derivation. Skipped under SPARK_GRAFT_BENCH_ONLY
+    // unless a selected query consumes them (prefix match keeps targeted
+    // profiling runs honest without paying unrelated stage cost).
+    ops.StageCache.clearAll()
+    val stageBuilders: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("stage_band_candidates", Set("q31", "q60", "q102", "q116", "q123"),
+        () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
+      ("stage_cc_labels", Set("q60", "q102"),
+        () => { ops.DedupOps.ccLabels(spark, sfDir); () }),
+      ("stage_knn_edges", Set("q130", "q132"),
+        () => { ops.SimOps.knnEdges(spark, sfDir); () }))
+    val stageResults = stageBuilders
+      .filter { case (_, consumers, _) =>
+        selected.keys.exists(q => consumers.exists(q.startsWith)) }
+      .map { case (name, _, run) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) Seq(elapsed) else Seq(-1.0))
+      }
+    val queryResults = selected.map { case (name, fn) =>
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -62,6 +92,7 @@ object Bench {
       name -> (if (times.exists(_ < 0)) Seq(-1.0)
                else times.sorted)
     }
+    val results = stageResults.toMap ++ queryResults
     def fmt(pick: Seq[Double] => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + pick(v) }
       .mkString("{", ",", "}")
@@ -71,10 +102,16 @@ object Bench {
     // cost" — no re-run needed to adjudicate (the r5 lesson, where a
     // 5.5 s outlier took a judge re-bench to refute)
     val med = fmt(v => v(v.size / 2))
-    val total = results.values.map(_.head).sum
+    // a crashed query records -1 per-query but must NEVER shrink the
+    // headline total (a broken round would read as a faster round) —
+    // sum only the passing mins and surface the failures explicitly
+    val failed = results.collect { case (k, v) if v.head < 0 => k }.toSeq.sorted
+    val total = results.values.map(_.head).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$med,"sf":"$sfDir"}"""
+        s""""queries_median":$med,"failed":${failed.size},""" +
+        s""""failed_names":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the record: the driver captures stdout through a tail
     // window that has truncated ~20 of 84 per-query timings in a round —

@@ -25,14 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read nanos as long and truncate to micros — exactly what DuckDB's
-    * micro-precision timestamp does, so oracle parity is preserved. */
+  /** `events.ts` has shipped as two different parquet physical types across
+    * fixture generations: TIMESTAMP(NANOS) (which Spark's reader surfaces
+    * only as a raw long under `nanosAsLong`) and TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP_NTZ or TIMESTAMP depending on isAdjustedToUTC).
+    * Branch on the *read* schema — one loader, both generations, identical
+    * micro-precision semantics to DuckDB's oracle timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>      // old fixtures: NANOS read as long → truncate to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // current fixtures: timestamp[us], no UTC flag
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw       // already session TIMESTAMP
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

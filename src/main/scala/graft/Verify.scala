@@ -17,6 +17,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // start from a clean stage registry — pinned stages from any prior
+    // session state must never leak into a correctness run (the cache is
+    // also mtime-keyed, so this is belt-and-braces)
+    ops.StageCache.clearAll()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

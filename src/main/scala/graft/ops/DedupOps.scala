@@ -212,8 +212,10 @@ object DedupOps {
   // computed once per (session, dataset) and pinned via eager
   // localCheckpoint. RDD-level checkpoint blocks are NOT CacheManager
   // entries, so the harness's `spark.catalog.clearCache()` between
-  // queries leaves them alive — lifetime is the session (or an explicit
-  // [[clearStageCache]]). At cluster scale the same stage would be a temp
+  // queries leaves them alive — lifetime is the (session, dataset
+  // version) via the unified [[StageCache]] (mtime-keyed, so a
+  // regenerated fixture under the same path can never serve stale
+  // candidates). At cluster scale the same stage would be a temp
   // parquet/Delta table (the incrementalDedup store pattern); in-session
   // block pinning is the single-app equivalent. Candidate rows are 5
   // longs each and bounded by band-bucket occupancy, so the pinned
@@ -221,21 +223,13 @@ object DedupOps {
   //
   // Every oracle stays standalone (full CTE chain from raw text), so the
   // correctness gate still verifies the WHOLE derivation per query.
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-      DataFrame]()
-
   private def cachedStage(s: SparkSession, d: String, stage: String)
       (compute: => DataFrame): DataFrame =
-    stageCache.computeIfAbsent((s, d, stage), _ => compute)
+    StageCache.getOrCompute(s, d, stage)(compute)
 
   /** Drop all pinned shared stages (tests / long-lived sessions that
     * mutate the underlying documents table between runs). */
-  def clearStageCache(): Unit = {
-    stageCache.forEach((_, df) =>
-      try df.unpersist(blocking = false) catch { case _: Exception => () })
-    stageCache.clear()
-  }
+  def clearStageCache(): Unit = StageCache.clearAll()
 
   /** Banded candidate pairs with exact hash-set intersection — the shared
     * expensive stage. Two deliberate hot-path choices carried over from

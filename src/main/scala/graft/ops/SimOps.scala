@@ -1187,42 +1187,64 @@ object SimOps {
     * The cell assignment is persisted; both consumers run inside one
     * Verify/Bench query slot each, and the session cache is cleared
     * between slots (SparkEntry caller contract). */
-  private def knnEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** The raw edge derivation: (persisted cell-assignment base, un-pinned
+    * edge plan). The base is persisted so the cell self-join's two
+    * branches share one assignment pass; callers that pin the edges must
+    * unpersist it afterwards. */
+  private def buildKnnEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
+    val seedRows = cents.collect()
+    val assigned = emb
+      .withColumn("m", graft.expressions.NearestCellCos.column(
+        col("embedding"), col("nq"),
+        seedRows.map(_.getLong(0)),
+        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
+        seedRows.map(_.getLong(2))))
+      .select(col("vec_id"), col("embedding"), col("nq"),
+        col("m.cell").as("cell"))
+      .persist()
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_id"),
+      col("embedding").as("a_emb"), col("nq").as("a_nq"))
+    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("b_emb"), col("nq").as("b_nq"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos").desc, col("nbr_id"))).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+    (assigned, edges)
+  }
+
+  /** The UNMATERIALIZED edge plan — for plan-shape guards (`PlanSpec`):
+    * the pinned [[knnEdges]] plan roots at an RDD scan, hiding the
+    * cell equi-join + codegen `nearest_cell_cos` assignment this stage
+    * exists to pin (the `bandCandidatesPlan` pattern). */
+  private[graft] def knnEdgesPlan(s: SparkSession, d: String): DataFrame =
+    buildKnnEdges(s, d)._2
+
+  private[graft] def knnEdges(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     // The edge list is a shared stage: q130 (graph + mutual flag) and
     // q132 (rank propagation) both consume it; standalone they ran the
     // cell join + per-vector window twice per bench pass. Pinned via
-    // StageCache, the derivation executes once per (session, dataset) —
-    // edges are n·K rows of 4 scalars, tiny next to the vectors.
+    // StageCache, the derivation executes once per (session, dataset
+    // version) — edges are n·K rows of 4 scalars, tiny next to the
+    // vectors.
     val edges = StageCache.getOrCompute(s, d, "knn_edges") {
-      QuantizedDot.register(s)
-      val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
-      val cents = emb.filter(col("vec_id") <
-          cellsFor(Tables.rowCount(s, d, "embeddings")))
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-          col("nq").as("c_nq"))
-      val seedRows = cents.collect()
-      val assigned = emb
-        .withColumn("m", graft.expressions.NearestCellCos.column(
-          col("embedding"), col("nq"),
-          seedRows.map(_.getLong(0)),
-          seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
-          seedRows.map(_.getLong(2))))
-        .select(col("vec_id"), col("embedding"), col("nq"),
-          col("m.cell").as("cell"))
-        .persist()
-      val a = assigned.select(col("cell"), col("vec_id").as("vec_id"),
-        col("embedding").as("a_emb"), col("nq").as("a_nq"))
-      val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("embedding").as("b_emb"), col("nq").as("b_nq"))
-      a.join(b, Seq("cell"))
-        .filter(col("vec_id") =!= col("nbr_id"))
-        .withColumn("cos",
-          cosine(dotQ("a_emb", "b_emb"), col("a_nq"), col("b_nq")))
-        .withColumn("rank",
-          row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(col("cos").desc, col("nbr_id"))).cast("long"))
-        .filter(col("rank") <= KnnK)
-        .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+      val (base, plan) = buildKnnEdges(s, d)
+      val pinned = plan.localCheckpoint(true) // eager, while base is pinned
+      base.unpersist()
+      pinned
     }
     // Every vector is assigned to a cell, so the node set is just the
     // vec_id column — no need to touch the edge derivation for it.

@@ -7,18 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Session-scoped registry of materialized pipeline stages shared by
   * several registry queries — the generalization of the near-dup
   * band-candidate pinning in [[DedupOps]] (SURVEY.md "pipeline stage
-  * sharing"). A stage is computed once per (session, dataset, name) and
-  * pinned via EAGER `localCheckpoint`: RDD checkpoint blocks are not
-  * CacheManager entries, so a harness `spark.catalog.clearCache()`
-  * between queries leaves them alive, and the consumer plans root at the
-  * materialized blocks (no lineage growth, no recompute races between
-  * sibling subtrees of one action).
+  * sharing"). A stage is computed once per (session, dataset-version,
+  * name) and pinned by its builder via EAGER `localCheckpoint`: RDD
+  * checkpoint blocks are not CacheManager entries, so a harness
+  * `spark.catalog.clearCache()` between queries leaves them alive, and
+  * the consumer plans root at the materialized blocks (no lineage
+  * growth, no recompute races between sibling subtrees of one action).
   *
-  * At cluster scale the same boundary is a temp parquet/Delta table (the
-  * `DedupOps.incrementalDedup` store pattern); in-session block pinning
-  * is the single-app equivalent. Only SMALL derived tables belong here —
-  * candidate/edge/score tables bounded well below the corpus — never a
-  * corpus-sized intermediate.
+  * Invalidation: the cache key carries a dataset VERSION — the max
+  * last-modified timestamp over the dataset directory tree — so a
+  * regenerated fixture under the same path can never serve stale pinned
+  * candidates; the stale entry is unpersisted and evicted on the first
+  * access under the new version. At cluster scale the version is a
+  * catalog snapshot/table version and the boundary a temp parquet/Delta
+  * table (the `DedupOps.incrementalDedup` store pattern); in-session
+  * block pinning plus mtime versioning is the single-app equivalent.
+  * Only SMALL derived tables belong here — candidate/edge/score tables
+  * bounded well below the corpus — never a corpus-sized intermediate.
   *
   * Oracles of consuming queries stay standalone (full CTE chain from the
   * raw tables), so the correctness gate still verifies each query's
@@ -26,14 +31,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StageCache {
 
-  private val cache =
-    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private final case class Key(
+      s: SparkSession, d: String, version: Long, stage: String)
 
-  /** The stage pinned for (session, dataset); `compute` runs at most
-    * once per key and its result is eagerly checkpointed. */
+  private val cache = new ConcurrentHashMap[Key, DataFrame]()
+
+  /** Dataset version = max lastModified over the directory tree. One
+    * shallow-recursive walk of ~10 table dirs — metadata-only, no data
+    * read. NOT memoized: detecting regeneration is the whole point. */
+  def version(d: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: f.listFiles().toSeq.map(walk)).max
+      else f.lastModified
+    val root = new java.io.File(d)
+    if (root.exists()) walk(root) else 0L
+  }
+
+  /** The stage pinned for (session, dataset, current dataset version);
+    * `compute` runs at most once per key and MUST return an already
+    * materialized frame (eager `localCheckpoint` / persisted). Stale
+    * entries for prior versions of the same (session, dataset, stage)
+    * are unpersisted and evicted. */
   def getOrCompute(s: SparkSession, d: String, stage: String)
-      (compute: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, d, stage), _ => compute.localCheckpoint(true))
+      (compute: => DataFrame): DataFrame = {
+    val v = version(d)
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if (k.s == s && k.d == d && k.stage == stage && k.version != v) {
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Exception => () }
+        it.remove()
+      }
+    }
+    cache.computeIfAbsent(Key(s, d, v, stage), _ => compute)
+  }
 
   /** Drop every pinned stage (tests / sessions that mutate the
     * underlying tables between runs). */

@@ -342,10 +342,29 @@ class PlanSpec extends AnyFunSuite {
           s"$q is not an equi-join:\n$p")
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$q fell back to a nested-loop join:\n$p")
-        // assignment is the codegen argmax, never a centroid join
-        assert(p.contains("nearest_cell_cos"),
-          s"$q assign lost the codegen expression:\n$p")
       }
+    // q134 assigns inline: the codegen argmax must survive in its final
+    // plan (never a centroid join)
+    assert(plan("q134_sem_decontam").contains("nearest_cell_cos"),
+      "q134 assign lost the codegen expression")
+    // q130/q132 consume the PINNED knn-edge stage, which roots their
+    // final plans at a checkpointed RDD scan — so the cell-join +
+    // codegen-argmax shape is guarded on the un-pinned twin (the
+    // bandCandidatesPlan pattern), and the pinned path is asserted to
+    // actually root at the materialized blocks.
+    val edgePlan = ops.SimOps.knnEdgesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(edgePlan.contains("nearest_cell_cos"),
+      s"knn edge derivation lost the codegen assignment:\n$edgePlan")
+    assert(edgePlan.contains("HashJoin") || edgePlan.contains("SortMergeJoin"),
+      s"knn edge derivation is not a cell equi-join:\n$edgePlan")
+    assert(!edgePlan.contains("CartesianProduct"),
+      s"knn edge derivation fell back to a cartesian product:\n$edgePlan")
+    Seq("q130_knn_graph", "q132_graph_rank").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$q no longer roots at the pinned (checkpointed) edge stage:\n$p")
+    }
   }
 
   test("q135's scoring join broadcasts the 4096-row LM table") {
