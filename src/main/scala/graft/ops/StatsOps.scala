@@ -639,27 +639,46 @@ object StatsOps {
   // half the TOKEN MASS sits in shorter docs" — the statistic length-
   // filter thresholds should come from (an unweighted median over-weights
   // the long tail of tiny docs). No weighted-median aggregate exists in
-  // either engine, and none can partial-aggregate; the shape is the
-  // classic cumulative-weight window: sort each group by value, running
-  // sum of weights, first value where 2·cum >= total. Windows partition
-  // by source — per-group sorts, no global ordering; all integers, ties
-  // broken by (value, doc_id).
+  // either engine, and none can partial-aggregate raw — but the MEASURE
+  // is an integer char count, so the [[histogram]] discipline applies:
+  // aggregate to per-(source, value) weight sums FIRST (map-side
+  // combinable; the shuffle carries |sources|·|distinct n_chars| rows,
+  // never the corpus), then the cumulative walk runs over the
+  // domain-sized histogram. The previous shape — an ordered cumulative
+  // window over EVERY doc row partitioned by a handful of sources — put
+  // a whole source's slice through one task's sequential cumsum: a
+  // straight scale-killer at 100 TB. Equivalence: all docs sharing a
+  // value land in one histogram bucket, and the first-value-where-
+  // 2·cum ≥ total test only ever fires at a bucket boundary, so the
+  // per-doc tie-break order inside a bucket cannot change the answer.
+  // Same [[MaxHistDomain]] guard as q56: a misrouted unbounded measure
+  // trips the assert instead of silently buffering.
   def q122WeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val wOrd = Window.partitionBy(col("source"))
-      .orderBy(col("v"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("source"))
-    Tables.documents(s, d)
-      .select(col("source"), col("doc_id"), col("n_chars").as("v"),
+    val hist = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("v"),
         size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
           t => t =!= lit(""))).cast("long").as("w"))
-      .withColumn("cum", sum(col("w")).over(wOrd))
-      .withColumn("tot", sum(col("w")).over(wAll))
+      .groupBy(col("source"), col("v"))
+      .agg(sum(col("w")).as("wc"), count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("wc")).over(wOrd))
+    val spec = hist.groupBy(col("source"))
+      .agg(sum(col("wc")).as("tot"), sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("width"))
+      .withColumn("tot", col("tot") + coalesce(
+        assert_true(col("width") <= MaxHistDomain,
+          concat(lit("weighted-median domain exceeds "),
+            lit(MaxHistDomain), lit(" distinct values for source "),
+            col("source").cast("string"),
+            lit(" - this measure needs the GK sketch path (q62)")))
+          .cast("long"), lit(0L)))
+    cum.join(broadcast(spec), "source")
       .groupBy(col("source"))
       .agg(max(col("tot")).as("total_w"),
         min(when(col("cum") * 2 >= col("tot"), col("v")))
           .as("weighted_median_chars"),
-        count(lit(1)).as("n_docs"))
+        max(col("n_docs")).as("n_docs"))
       .orderBy(col("source"))
   }
 
@@ -684,20 +703,22 @@ object StatsOps {
   // ---- q124: per-group z-score standardization --------------------------
   // The feature-engineering normalization pass: center and scale a
   // measure within its group (doc length within source — lengths are
-  // only comparable per source). Group moments ride a WINDOW over the
-  // group key (one shuffle, stats broadcast back to every member row
-  // without a join), accumulated as exact integer sums and combined in
-  // the q57/q115 double-cast order, so z is the same IEEE expression on
-  // both engines. Population variance (n divisor) on purpose — the
-  // group IS the population here.
+  // only comparable per source). Group moments come from a
+  // partial-aggregatable `groupBy` (shuffle carries |sources| rows)
+  // broadcast-joined back to the member rows — NOT a window over the
+  // group key, which would move every row of a source to one reducer
+  // (the q122 scale hazard in milder form). Moments are exact integer
+  // sums combined in the q57/q115 double-cast order, so z is the same
+  // IEEE expression on both engines. Population variance (n divisor) on
+  // purpose — the group IS the population here.
   def q124ZScore(s: SparkSession, d: String): DataFrame = {
     def d_(c: Column): Column = c.cast("double")
-    val w = Window.partitionBy(col("source"))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars").as("v"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("v")).over(w))
-      .withColumn("sxx", sum(col("v") * col("v")).over(w))
+    val moments = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"))
+    base.join(broadcast(moments), "source")
       .withColumn("mean", d_(col("sx")) / d_(col("n")))
       .withColumn("variance",
         (d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx")))
