@@ -47,7 +47,8 @@ object StatsOps {
 
   private[graft] def histPercentiles(rows: DataFrame, groupCol: String,
       vCol: String, qs: Seq[Double]): DataFrame =
-    histPercentilesFromCounts(histogram(rows, groupCol, vCol), groupCol, qs)
+    histPercentilesFromCounts(histogram(rows, groupCol, vCol), groupCol, qs,
+      sketchFallback = Some(rows.select(col(groupCol), col(vCol).as("v"))))
 
   /** Histogram-percentile contract bound: max distinct values per group.
     * The whole path is exact-with-bounded-state ONLY while the measure's
@@ -56,28 +57,50 @@ object StatsOps {
     * the window/cum-rank state approaches O(group rows). 2^22 clears any
     * plausible money/count domain by an order of magnitude while sitting
     * far below per-group row counts at 100 TB, so a misrouted measure
-    * trips the guard instead of silently buffering. The guard is a
-    * runtime assert_true folded into the spec's `n` column (never pruned:
-    * n is load-bearing in every consumer); past it the query FAILS with a
-    * pointer at the GK-sketch path (q62) rather than degrade. */
+    * trips the guard instead of silently buffering. Callers that can
+    * hand over the raw rows (`sketchFallback`) DEGRADE instead of die:
+    * over-domain groups detach from the exact path and take the GK
+    * sketch (`approx_percentile`, the q62 machinery — constant state per
+    * group, published rank bound n/accuracy); in-bound groups keep the
+    * bit-exact histogram answer. Callers without raw rows keep the
+    * fail-fast assert (folded into the spec's `n` column — never pruned:
+    * n is load-bearing in every consumer). */
   private[graft] val MaxHistDomain = 1L << 22
 
   private[graft] def histPercentilesFromCounts(counts: DataFrame,
       groupCol: String, qs: Seq[Double],
-      maxDomain: Long = MaxHistDomain): DataFrame = {
+      maxDomain: Long = MaxHistDomain,
+      sketchFallback: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.withColumn("hi_rank", sum(col("c")).over(w))
+    val widths = counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("width"))
+    // With a fallback: over-domain groups leave the exact path entirely
+    // (their histogram rows are filtered out BEFORE the cumulative
+    // window, so the bounded-state contract holds for what remains) and
+    // re-aggregate from raw rows under GK. |groups| ≪ rows, so the
+    // routing joins broadcast.
+    val (exactCounts, sketchRows) = sketchFallback match {
+      case Some(rows) =>
+        val wide = widths.filter(col("width") > maxDomain)
+          .select(col(groupCol))
+        (counts.join(broadcast(wide), Seq(groupCol), "left_anti"),
+          Some(rows.join(broadcast(wide), Seq(groupCol))))
+      case None => (counts, None)
+    }
+    val cum = exactCounts.withColumn("hi_rank", sum(col("c")).over(w))
       .withColumn("lo_rank", col("hi_rank") - col("c") + 1)
-    val spec = counts.groupBy(col(groupCol))
+    val spec = exactCounts.groupBy(col(groupCol))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("width"))
-      .withColumn("n", col("n") + coalesce(
-        assert_true(col("width") <= maxDomain,
-          concat(lit("histogram percentile domain exceeds "),
-            lit(maxDomain), lit(" distinct values for group "),
-            col(groupCol).cast("string"),
-            lit(" - this measure needs the GK sketch path (q62)")))
-          .cast("long"), lit(0L)))
+      .withColumn("n",
+        if (sketchFallback.isDefined) col("n")
+        else col("n") + coalesce(
+          assert_true(col("width") <= maxDomain,
+            concat(lit("histogram percentile domain exceeds "),
+              lit(maxDomain), lit(" distinct values for group "),
+              col(groupCol).cast("string"),
+              lit(" - this measure needs the GK sketch path (q62)")))
+            .cast("long"), lit(0L)))
       .select(col(groupCol), col("n"),
         posexplode(lit(qs.toArray)).as(Seq("qi", "q")))
       .withColumn("pos", (col("n") - 1).cast("double") * col("q"))
@@ -94,7 +117,8 @@ object StatsOps {
     val lo = boundary("lo_idx", "v_lo")
     val hi = boundary("hi_idx", "v_hi")
       .select(col(groupCol).as("g2"), col("qi").as("qi2"), col("v_hi"))
-    lo.join(hi, col(groupCol) === col("g2") && col("qi") === col("qi2"))
+    val exact = lo
+      .join(hi, col(groupCol) === col("g2") && col("qi") === col("qi2"))
       .withColumn("pval",
         when(col("lo_idx") === col("hi_idx"), col("v_lo").cast("double"))
           .otherwise(
@@ -107,6 +131,20 @@ object StatsOps {
         .as("kv"))
       .withColumn("ps", expr("transform(kv, x -> x.pval)"))
       .drop("kv")
+    sketchRows match {
+      case None => exact
+      case Some(rows) =>
+        // GK degrade for the routed-out groups: same output contract
+        // (group, n, ps) with approx values in place of interpolated
+        // exact ones — rank error within n/ApproxAcc, constant state.
+        val qArr = qs.map(q => s"${q}D").mkString("array(", ",", ")")
+        val approx = rows.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n"),
+            expr(s"approx_percentile(v, $qArr, $ApproxAcc)").as("av"))
+          .select(col(groupCol), col("n"),
+            expr("transform(av, x -> cast(x as double))").as("ps"))
+        exact.unionByName(approx)
+    }
   }
 
   // ---- q56: exact percentiles (interpolated, over integer units) -------
@@ -230,7 +268,12 @@ object StatsOps {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag"), toUnits(col("l_extendedprice")).as("pu"))
     val hist = histogram(li, "l_returnflag", "pu").persist()
-    val exact = histPercentilesFromCounts(hist, "l_returnflag", Seq(0.5))
+    // sketchFallback: an over-domain group degrades its reference column
+    // to a second GK read instead of failing the whole query — the rank
+    // contract below is window-free (plain aggregates off the histogram)
+    // so it survives any domain.
+    val exact = histPercentilesFromCounts(hist, "l_returnflag", Seq(0.5),
+      sketchFallback = Some(li.select(col("l_returnflag"), col("pu").as("v"))))
       .select(col("l_returnflag"), col("n"),
         element_at(col("ps"), 1).as("exact_units"))
     val g = exact.join(

@@ -41,6 +41,26 @@ class StatsOpsSpec extends AnyFunSuite {
       s"guard error lost its routing hint: ${e.getMessage}")
   }
 
+  test("over-domain groups degrade to the GK sketch when raw rows are supplied") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => ("wide", i.toLong)) ++
+      Seq(("narrow", 7L), ("narrow", 9L))
+    val df = rows.toDF("g", "v")
+    val counts = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    // same over-bound domain that throws above — with the fallback it
+    // returns: wide group via GK (rank within n/1000 of the median),
+    // narrow group still bit-exact interpolated
+    val r = StatsOps.histPercentilesFromCounts(counts, "g", Seq(0.5),
+      maxDomain = 4999L, sketchFallback = Some(df))
+      .collect().map(x => x.getAs[String]("g") ->
+        (x.getAs[Long]("n"), x.getAs[Seq[Double]]("ps").head)).toMap
+    assert(r("narrow") == ((2L, 8.0)), s"narrow group lost exactness: $r")
+    val (nWide, pWide) = r("wide")
+    assert(nWide == 5000L)
+    // GK rank bound: returned value's rank within 0.5*n ± n/1000 ± 1
+    assert(pWide >= 2500 - 6 && pWide <= 2501 + 6, s"GK median off: $pWide")
+  }
+
   test("manual correlation is within [-1, 1] and close to Spark's corr") {
     val manual = StatsOps.q57Correlation(spark, sf)
     assert(manual.filter(abs(col("corr_qty_price")) > 1.0 + 1e-12).count() == 0)
