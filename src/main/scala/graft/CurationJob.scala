@@ -69,7 +69,6 @@ object CurationJob {
     val near = ops.DedupOps.incrementalNearDupStaged(
       exact.novel, s"$stateRoot/neardup")
     val novel = near.novel
-    exact.novel.unpersist()
     val curated = CurationOps
       .assignChunks(novel.select(col("doc_id"), col("n_tok")))
       .select(col("doc_id"), col("chunk_id"))
@@ -81,8 +80,12 @@ object CurationJob {
     // commits, an exact re-submission of a shipped doc is still caught
     // by the signature store (identical text ⇒ j = 1.0 near-dup), while
     // the reverse order would leave shipped docs' signatures missing
-    // forever and admit future paraphrases
-    (curated, novel, () => { near.commit(); exact.commit() })
+    // forever and admit future paraphrases. exact.novel's pin releases
+    // here too — only after the shard write succeeded — so no consumer
+    // (including a retried write) can silently recompute the dedup from
+    // a store the commits are about to advance
+    (curated, novel, () => {
+      exact.novel.unpersist(); near.commit(); exact.commit() })
   }
 
   /** One firing: curate `inDir` and append shards under a fresh

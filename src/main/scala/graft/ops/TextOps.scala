@@ -1041,7 +1041,11 @@ object TextOps {
       .crossJoin(broadcast(tMass))
       .withColumn("tv_ppm", expr(
         "(gap_present + t_mass - rc_present) div 2"))
-      .withColumn("top_word", substring_index(col("top_packed"), ":", -1))
+      // fixed-width strip (7-digit gap + ':' = 8 chars): delimiter
+      // parsing diverges per engine the moment a word itself contains
+      // ':' (substring_index takes the LAST segment, split_part the
+      // second) — position 9 is delimiter-blind on both
+      .withColumn("top_word", expr("substring(top_packed, 9)"))
       .withColumn("top_gap_ppm",
         substring(col("top_packed"), 1, 7).cast("long"))
       .select(col("source"), col("n_tok"), col("tv_ppm"),
@@ -1072,7 +1076,7 @@ object TextOps {
     SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tok,
       CAST((SUM(gap) + (SELECT t_mass FROM tm) - SUM(r_c)) // 2 AS BIGINT)
         AS tv_ppm,
-      split_part(MAX(packed), ':', 2) AS top_word,
+      substring(MAX(packed), 9) AS top_word,
       CAST(substring(MAX(packed), 1, 7) AS BIGINT) AS top_gap_ppm
     FROM j GROUP BY source ORDER BY source"""
 
