@@ -1080,31 +1080,31 @@ object TextOps {
       CAST(substring(MAX(packed), 1, 7) AS BIGINT) AS top_gap_ppm
     FROM j GROUP BY source ORDER BY source"""
 
-  // ---- q136: BPE TRAINING loop (argmax → merge → recount, unrolled) ----
+  // ---- q136: BPE TRAINING loop (argmax → merge → recount, K merges) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
   // most frequent adjacent symbol pair, apply that DATA-DERIVED merge
-  // corpus-wide, recount, pick the next. Two unrolled iterations (the
-  // loop body is what matters; production runs it |vocab| times with
-  // the identical plan per step). The merge learned in step 1 reaches
-  // step 2's replace() as COLUMNS from a 1-row broadcast — nothing is
-  // hardcoded, which is exactly what q126 cannot show.
+  // corpus-wide, recount, pick the next, K times (production runs it
+  // |vocab| times; the oracle pins K=2, `BpeTrainSpec` smoke-runs K=8).
+  // The merge learned at step i reaches step i+1's replace() as COLUMNS
+  // from a 1-row broadcast — nothing is hardcoded, which is exactly
+  // what q126 cannot show.
   //
   // Trainer state is the WORD-FREQUENCY table (distinct words + counts),
   // not raw occurrences — the standard BPE-trainer reduction: pair
   // counts are Σ word_freq over each word's adjacent pairs, so each
   // iteration is one scan of |vocab_words| rows however big the corpus
-  // is. The spaced-char/double-space replace discipline is q126's
-  // (greedy leftmost semantics shared by both engines' replace()).
-  def q136BpeTrain(s: SparkSession, d: String): DataFrame = {
-    val wc = Tables.documents(s, d)
-      .select(explode(toks(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("w"))
-      .withColumn("spaced",
-        expr("concat(' ', regexp_replace(word, '(.)', '$1  '))"))
-      .select(col("w"), col("spaced"))
-      .persist()
+  // is. The loop is the q132 checkpointed-iteration discipline: both
+  // loop-carried frames (the 1-row argmax and the rewritten vocab) are
+  // EAGERLY localCheckpoint'ed each step, so the plan per iteration is
+  // constant-size — no lineage growth, no re-derivation of step i-1's
+  // argmax inside step i's rewrite (at cluster scale the same boundary
+  // is a temp-table write per iteration). The spaced-char/double-space
+  // replace discipline is q126's (greedy leftmost semantics shared by
+  // both engines' replace()).
+  private[graft] def bpeTrain(s: SparkSession, d: String, merges: Int)
+      : DataFrame = {
+    require(merges >= 1, "bpeTrain needs at least one merge")
     def pairCounts(df: DataFrame): DataFrame =
       df.withColumn("syms", split(trim(col("spaced")), " +"))
         .select(col("w"), explode(expr(
@@ -1112,20 +1112,43 @@ object TextOps {
                       slice(syms, 2, size(syms) - 1),
                       (a, b) -> concat(a, ' ', b))""")).as("pair"))
         .groupBy(col("pair")).agg(sum(col("w")).as("n"))
-    val t1 = pairCounts(wc).orderBy(col("n").desc, col("pair")).limit(1)
-      .withColumn("a", split(col("pair"), " ")(0))
-      .withColumn("b", split(col("pair"), " ")(1))
-      .persist()
-    val sp2 = wc.crossJoin(broadcast(t1.select(col("a"), col("b"))))
-      .withColumn("spaced", expr(
-        "replace(spaced, concat(' ', a, '  ', b, ' ')," +
-          " concat(' ', a, b, ' '))"))
+    var spaced = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("w"))
+      .withColumn("spaced",
+        expr("concat(' ', regexp_replace(word, '(.)', '$1  '))"))
       .select(col("w"), col("spaced"))
-    val t2 = pairCounts(sp2).orderBy(col("n").desc, col("pair")).limit(1)
-    t1.select(lit(1L).as("iter"), col("pair"), col("n"))
-      .unionByName(t2.select(lit(2L).as("iter"), col("pair"), col("n")))
-      .orderBy(col("iter"))
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[DataFrame]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val t = pairCounts(spaced).orderBy(col("n").desc, col("pair")).limit(1)
+        .withColumn("a", split(col("pair"), " ")(0))
+        .withColumn("b", split(col("pair"), " ")(1))
+        .localCheckpoint(true) // 1 row — the loop-carried merge decision
+      if (t.isEmpty) exhausted = true // vocab fully merged before K
+      else {
+        learned += t.select(lit(i.toLong).as("iter"), col("pair"), col("n"))
+        if (i < merges) {
+          val next = spaced
+            .crossJoin(broadcast(t.select(col("a"), col("b"))))
+            .withColumn("spaced", expr(
+              "replace(spaced, concat(' ', a, '  ', b, ' ')," +
+                " concat(' ', a, b, ' '))"))
+            .select(col("w"), col("spaced"))
+            .localCheckpoint(true)
+          spaced.unpersist()
+          spaced = next
+        }
+      }
+    }
+    spaced.unpersist()
+    learned.result().reduce(_ unionByName _).orderBy(col("iter"))
   }
+
+  def q136BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d, merges = 2)
 
   val q136Sql: String = raw"""
     WITH wc AS (

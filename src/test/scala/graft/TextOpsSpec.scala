@@ -260,6 +260,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top.getAs[String]("pair") == p1 && top.getAs[Long]("n") == n1)
   }
 
+  test("bpeTrain generalizes to K merges: 8 distinct merges, prefix-stable") {
+    val r8 = TextOps.bpeTrain(spark, sf, merges = 8)
+      .collect().sortBy(_.getLong(0))
+    assert(r8.length == 8, s"expected 8 merges, got ${r8.length}")
+    assert(r8.map(_.getLong(0)).toSeq == (1L to 8L),
+      "iterations must be consecutive from 1")
+    // each merge consumes its pair; a learned pair never recurs
+    val pairs = r8.map(_.getAs[String]("pair"))
+    assert(pairs.distinct.length == 8, s"repeated merge: ${pairs.toSeq}")
+    // greedy training: the argmax count is non-increasing across steps
+    val ns = r8.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"argmax counts must be non-increasing: ${ns.toSeq}")
+    // K=2 is exactly the first two steps of K=8 (prefix property of the
+    // greedy loop — also ties the looped path to the oracle'd q136)
+    val r2 = TextOps.q136BpeTrain(spark, sf).collect().sortBy(_.getLong(0))
+    assert(r2.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      r8.take(2).map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
   test("q135 DSIR: target slice scores above the rest; gate is the mean") {
     val r = TextOps.q135DsirScore(spark, sf).persist()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
