@@ -930,11 +930,27 @@ object SimOps {
         .crossJoin(broadcast(nQ))
         .select(col("method"), col("n_queries"), col("n_answered"),
           col("top1_hits"), col("top3_hits"))
+    // PQ families (q79 ADC, q80 IVF-PQ) answer with their best NON-SELF
+    // ADC neighbor: their raw output is a self-inclusive top-5, and the
+    // best non-self row of that list IS the global non-self argmin (at
+    // most one self row can precede it). They serve PqNq eval queries —
+    // n_answered reports exactly how many.
+    def top1NonSelf(df: DataFrame): DataFrame = df
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(min_by(col("vec_id"), struct(col("rk"), col("vec_id")))
+        .as("neighbor_id"))
+      .select(col("query_id").as("vec_id"), col("neighbor_id"))
     evalMethod("lsh_single_probe", q36AnnLsh(s, d))
       .unionByName(evalMethod("lsh_multi_probe", q68MultiprobeAnn(s, d)))
       // third index family: the production IVF path (q47) under the same
       // ground truth — one harness watches every index the engine ships
       .unionByName(evalMethod("ivf_cell", q47IvfAnn(s, d)))
+      // fourth + fifth: the compressed-code families under the SAME
+      // broadcast ground truth — the full index zoo in one monitor
+      .unionByName(evalMethod("pq_adc",
+        top1NonSelf(q79ProductQuantization(s, d))))
+      .unionByName(evalMethod("ivf_pq", top1NonSelf(q80IvfPq(s, d))))
       .orderBy(col("method"))
   }
 
@@ -1024,8 +1040,119 @@ object SimOps {
         CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
           AS top3_hits
       FROM ann3 LEFT JOIN gt g
-        ON g.g_id = ann3.q_id AND g.gt_id = ann3.neighbor_id)
+        ON g.g_id = ann3.q_id AND g.gt_id = ann3.neighbor_id),
+    p4subs AS (
+      SELECT vec_id, m, qa[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+      FROM e CROSS JOIN (SELECT unnest(range($PqM)) AS m) ms),
+    p4cents AS (
+      SELECT vec_id AS cell, m, sq AS cq FROM p4subs WHERE vec_id < $PqK),
+    p4codes AS (
+      SELECT vec_id, m, cell FROM (
+        SELECT s.vec_id, s.m, c.cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            list_sum(list_transform(range(1, $PqDs + 1), i ->
+              (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i]))), c.cell) AS rk
+        FROM p4subs s JOIN p4cents c ON s.m = c.m) WHERE rk = 1),
+    p4dt AS (
+      SELECT s.vec_id AS query_id, s.m, c.cell,
+        CAST(list_sum(list_transform(range(1, $PqDs + 1), i ->
+          (s.sq[i] - c.cq[i]) * (s.sq[i] - c.cq[i]))) AS BIGINT) AS qd2
+      FROM p4subs s JOIN p4cents c ON s.m = c.m WHERE s.vec_id < $PqNq),
+    p4adc AS (
+      SELECT dt.query_id, p4codes.vec_id,
+        CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      FROM p4codes JOIN p4dt dt
+        ON p4codes.m = dt.m AND p4codes.cell = dt.cell
+      GROUP BY 1, 2),
+    ann4 AS (
+      SELECT query_id AS q_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, vec_id) AS rk
+        FROM p4adc WHERE vec_id <> query_id) WHERE rk = 1),
+    m4 AS (
+      SELECT 'pq_adc' AS method,
+        (SELECT n_queries FROM nq_cte) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_answered,
+        CAST(SUM(CASE WHEN g.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS top1_hits,
+        CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS top3_hits
+      FROM ann4 LEFT JOIN gt g
+        ON g.g_id = ann4.q_id AND g.gt_id = ann4.neighbor_id),
+    i5params AS (SELECT $sqlCells AS c FROM embeddings),
+    i5coarse AS (
+      SELECT vec_id AS cell, qa AS cqa
+      FROM e CROSS JOIN i5params WHERE vec_id < c),
+    i5assigned AS (
+      SELECT vec_id, cell,
+        list_transform(range(1, $D + 1), i -> qa[i] - cqa[i]) AS res
+      FROM (
+        SELECT e.vec_id, co.cell, e.qa, co.cqa,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, $D + 1), i ->
+              (e.qa[i] - co.cqa[i]) * (e.qa[i] - co.cqa[i]))), co.cell)
+            AS rn
+        FROM e CROSS JOIN i5coarse co) WHERE rn = 1),
+    i5subs AS (
+      SELECT vec_id, cell, m,
+        res[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+      FROM i5assigned CROSS JOIN (SELECT unnest(range($PqM)) AS m) ms),
+    i5cbook AS (
+      SELECT vec_id AS code, m, sq AS cq
+      FROM i5subs CROSS JOIN i5params
+      WHERE vec_id >= c AND vec_id < c + $PqK),
+    i5codes AS (
+      SELECT vec_id, cell, m, code FROM (
+        SELECT s.vec_id, s.cell, s.m, cb.code,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+            list_sum(list_transform(range(1, $PqDs + 1), i ->
+              (s.sq[i] - cb.cq[i]) * (s.sq[i] - cb.cq[i]))), cb.code) AS rk
+        FROM i5subs s JOIN i5cbook cb ON s.m = cb.m) WHERE rk = 1),
+    i5probes AS (
+      SELECT query_id, cell,
+        list_transform(range(1, $D + 1), i -> qa[i] - cqa[i]) AS res
+      FROM (
+        SELECT e.vec_id AS query_id, co.cell, e.qa, co.cqa,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+            list_sum(list_transform(range(1, $D + 1), i ->
+              (e.qa[i] - co.cqa[i]) * (e.qa[i] - co.cqa[i]))), co.cell)
+            AS pr
+        FROM e CROSS JOIN i5coarse co WHERE e.vec_id < $PqNq)
+      WHERE pr <= $PqProbes),
+    i5dt AS (
+      SELECT p.query_id, p.cell, q.m, cb.code,
+        CAST(list_sum(list_transform(range(1, $PqDs + 1), i ->
+          (q.sq[i] - cb.cq[i]) * (q.sq[i] - cb.cq[i]))) AS BIGINT) AS qd2
+      FROM i5probes p
+      CROSS JOIN LATERAL (
+        SELECT m, p.res[m * $PqDs + 1 : m * $PqDs + $PqDs] AS sq
+        FROM (SELECT unnest(range($PqM)) AS m)) q
+      JOIN i5cbook cb ON q.m = cb.m),
+    i5adc AS (
+      SELECT dt.query_id, i5codes.vec_id,
+        CAST(SUM(dt.qd2) AS BIGINT) AS adc_d2
+      FROM i5codes JOIN i5dt dt ON i5codes.cell = dt.cell
+        AND i5codes.m = dt.m AND i5codes.code = dt.code
+      GROUP BY 1, 2),
+    ann5 AS (
+      SELECT query_id AS q_id, vec_id AS neighbor_id FROM (
+        SELECT query_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_d2, vec_id) AS rk
+        FROM i5adc WHERE vec_id <> query_id) WHERE rk = 1),
+    m5 AS (
+      SELECT 'ivf_pq' AS method,
+        (SELECT n_queries FROM nq_cte) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_answered,
+        CAST(SUM(CASE WHEN g.rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS top1_hits,
+        CAST(SUM(CASE WHEN g.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS top3_hits
+      FROM ann5 LEFT JOIN gt g
+        ON g.g_id = ann5.q_id AND g.gt_id = ann5.neighbor_id)
     SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+    UNION ALL SELECT * FROM m4 UNION ALL SELECT * FROM m5
     ORDER BY method"""
 
   // ---- q105: hard-negative mining (contrastive training pairs) ---------

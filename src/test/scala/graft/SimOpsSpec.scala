@@ -183,6 +183,17 @@ class SimOpsSpec extends AnyFunSuite {
     // with >= 1 other vector answers; with sqrt(n) cells over the eval
     // range that is effectively all of them — pin a non-trivial floor
     assert(ivf.getAs[Long]("n_answered") > 0)
+    // the compressed-code families report under the same ground truth:
+    // all 5 index families in one harness, PQ answering its 8 ADC
+    // queries (each query has >= 1 non-self candidate by construction)
+    assert(r.size == 5, s"expected 5 method rows, got ${r.keys.toSeq}")
+    val pq = r("pq_adc"); val ivfpq = r("ivf_pq")
+    assert(pq.getAs[Long]("n_answered") == 8L)
+    Seq(pq, ivfpq).foreach { m =>
+      assert(m.getAs[Long]("top3_hits") >= m.getAs[Long]("top1_hits"))
+      assert(m.getAs[Long]("n_answered") <= 8L)
+      assert(m.getAs[Long]("n_answered") > 0L)
+    }
   }
 
   test("q108: removal set matches an all-builtin recount; anchors survive") {
