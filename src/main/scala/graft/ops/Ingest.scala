@@ -400,49 +400,94 @@ object Ingest {
   def q120ReferentialIntegrity(s: SparkSession, d: String): DataFrame = {
     // NULL-key semantics, chosen on purpose for a validator of DIRTY
     // data: a NULL-keyed child row IS an orphan (no parent key can equal
-    // NULL), so left_anti counts it as a violation. The oracle phrases
-    // every check as NOT EXISTS with an explicit key-equality predicate
-    // — the construct with exactly these semantics — never NOT IN, which
-    // inverts on NULLs (any NULL in the inner side zeroes ALL violations,
-    // and a NULL-keyed outer row is never flagged).
-    def fk(name: String, left: DataFrame, key: String,
-           right: DataFrame, rkey: String): DataFrame = {
-      val viol = left.select(col(key).cast("long").as("k"))
-        .join(right.select(col(rkey).cast("long").as("k")).distinct(),
-          Seq("k"), "left_anti")
-        .agg(count(lit(1)).as("n_violations"),
-          coalesce(sum(col("k")), lit(0L)).as("violation_key_sum"))
-      left.agg(count(lit(1)).as("n_checked")).crossJoin(viol)
-        .select(lit(name).as("check_name"), col("n_checked"),
-          col("n_violations"), col("violation_key_sum"))
+    // NULL), so a missed membership flag counts it as a violation. The
+    // oracle phrases every check as NOT EXISTS with an explicit
+    // key-equality predicate — the construct with exactly these
+    // semantics — never NOT IN, which inverts on NULLs (any NULL in the
+    // inner side zeroes ALL violations, and a NULL-keyed outer row is
+    // never flagged).
+    //
+    // Fusion (the q95 single-scan posture extended across tables): all
+    // FK checks over one CHILD table collapse into ONE pass — each
+    // referenced key set left-joins in as a membership flag (deduped
+    // first, so the join can never duplicate child rows; AQE broadcasts
+    // each side while it fits), and one conditional aggregate emits
+    // every check's (n_checked, violations, key checksum) together,
+    // exploded into report rows from the single 1-row result. The naive
+    // shape scanned each child TWICE per check (count + anti-join) — 14
+    // child passes; fused it is 4 flag-passes + the 2 uniqueness
+    // shuffles, and n_checked rides the same aggregate for free.
+    def keySet(df: DataFrame, k: String, tag: String): DataFrame =
+      df.select(col(k).cast("long").as(s"k_$tag")).distinct()
+        .withColumn(s"has_$tag", lit(true))
+    // (per-check columns over the flagged child) -> one fused aggregate
+    def viol(tag: String, key: String): Seq[(String, Column)] = Seq(
+      s"v_$tag" -> sum(when(col(s"has_$tag").isNull, 1L).otherwise(0L)),
+      s"s_$tag" -> coalesce(
+        sum(when(col(s"has_$tag").isNull, col(key))), lit(0L)))
+    def reportRows(agg1: DataFrame, checks: Seq[(String, String)])
+        : DataFrame =
+      agg1.select(explode(array(checks.map { case (name, tag) =>
+          struct(lit(name).as("check_name"), col("n_checked"),
+            col(s"v_$tag").as("n_violations"),
+            col(s"s_$tag").as("violation_key_sum"))
+        }: _*)).as("r"))
+        .select(col("r.check_name"), col("r.n_checked"),
+          col("r.n_violations"), col("r.violation_key_sum"))
+    // child key columns project once as c_<tag>; each ref's key set
+    // left-joins on its matching c_<tag> = k_<tag>
+    def fused(child: DataFrame, keys: Seq[(String, String)],
+        refs: Seq[(DataFrame, String, String)],
+        checks: Seq[(String, String)]): DataFrame = {
+      val flagged = refs.foldLeft(
+        child.select(keys.map { case (k, tag) =>
+          col(k).cast("long").as(s"c_$tag") }: _*)) {
+        case (acc, (ref, rkey, tag)) =>
+          acc.join(keySet(ref, rkey, tag),
+            col(s"c_$tag") === col(s"k_$tag"), "left")
+      }
+      val aggCols = checks.flatMap { case (_, tag) =>
+        viol(tag, s"c_$tag") }
+      val agg1 = flagged.agg(count(lit(1)).as("n_checked"),
+        aggCols.map { case (n, c) => c.as(n) }: _*)
+      reportRows(agg1, checks)
     }
-    def unique(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
-      val dups = df.groupBy(keys.map(col): _*)
+    // one scan: n_checked is the sum of group counts off the same
+    // key-grouped aggregate the duplicate hunt runs on
+    def unique(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"),
-          coalesce(sum(col(keys.head).cast("long")), lit(0L))
-            .as("violation_key_sum"))
-      df.agg(count(lit(1)).as("n_checked")).crossJoin(dups)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_checked"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L))
+            .as("n_violations"),
+          coalesce(sum(when(col("n") > 1, col(keys.head).cast("long"))),
+            lit(0L)).as("violation_key_sum"))
         .select(lit(name).as("check_name"), col("n_checked"),
           col("n_violations"), col("violation_key_sum"))
-    }
     val o = Tables.orders(s, d); val c = Tables.customer(s, d)
     val li = Tables.lineitem(s, d); val p = Tables.part(s, d)
     val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
-    fk("fk_orders_custkey", o, "o_custkey", c, "c_custkey")
-      .unionByName(fk("fk_lineitem_orderkey", li, "l_orderkey",
-        o, "o_orderkey"))
-      .unionByName(fk("fk_lineitem_partkey", li, "l_partkey",
-        p, "p_partkey"))
-      .unionByName(fk("fk_lineitem_suppkey", li, "l_suppkey",
-        sup, "s_suppkey"))
-      .unionByName(fk("fk_customer_nationkey", c, "c_nationkey",
-        n, "n_nationkey"))
-      .unionByName(fk("rev_parts_unordered", p, "p_partkey",
-        li, "l_partkey"))
-      .unionByName(fk("rev_customers_inactive", c, "c_custkey",
-        o, "o_custkey"))
+    // lineitem: its three FK checks share one flag-pass
+    val liChecks = fused(li,
+      Seq("l_orderkey" -> "o", "l_partkey" -> "p", "l_suppkey" -> "s"),
+      Seq((o, "o_orderkey", "o"), (p, "p_partkey", "p"),
+        (sup, "s_suppkey", "s")),
+      Seq("fk_lineitem_orderkey" -> "o", "fk_lineitem_partkey" -> "p",
+        "fk_lineitem_suppkey" -> "s"))
+    // customer: FK to nation + reverse coverage vs orders, one pass
+    val cChecks = fused(c,
+      Seq("c_nationkey" -> "n", "c_custkey" -> "rc"),
+      Seq((n, "n_nationkey", "n"), (o, "o_custkey", "rc")),
+      Seq("fk_customer_nationkey" -> "n",
+        "rev_customers_inactive" -> "rc"))
+    val oChecks = fused(o, Seq("o_custkey" -> "c"),
+      Seq((c, "c_custkey", "c")), Seq("fk_orders_custkey" -> "c"))
+    val pChecks = fused(p, Seq("p_partkey" -> "rp"),
+      Seq((li, "l_partkey", "rp")), Seq("rev_parts_unordered" -> "rp"))
+    liChecks
+      .unionByName(oChecks)
+      .unionByName(cChecks)
+      .unionByName(pChecks)
       .unionByName(unique("uniq_orders_orderkey", o, Seq("o_orderkey")))
       .unionByName(unique("uniq_lineitem_order_line", li,
         Seq("l_orderkey", "l_linenumber")))

@@ -206,12 +206,15 @@ class IngestSpec extends AnyFunSuite {
           .as("content_md5"))
       .orderBy(col("source")).collect()
     assert(viaJsonl.map(_.toString).toSeq == direct.map(_.toString).toSeq)
-    // the export really is compressed JSON Lines (splittable shards)
+    // the scratch export is session-salted and CLEANED UP after the
+    // eager checkpoint (the no-leaked-gzip-corpus contract) — asserting
+    // shard files exist post-hoc is impossible by design; the byte
+    // parity above already proves the JSONL round trip happened
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-docs-jsonl-" + java.lang.Long.toHexString(
-        ops.DedupOps.h60("jsonl:" + sf)))
-    val files = dir.listFiles().map(_.getName).filter(_.endsWith(".json.gz"))
-    assert(files.nonEmpty, dir.listFiles().map(_.getName).mkString(","))
+        ops.DedupOps.h60(
+          "jsonl:" + sf + ":" + spark.sparkContext.applicationId)))
+    assert(!dir.exists, s"q117 leaked its scratch export at $dir")
   }
 
   test("q120 integrity sweep: FKs hold, the planted uniqueness break is found") {

@@ -372,4 +372,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q135 shuffles the corpus against a 4096-row table:\n$p")
   }
+
+  test("q122/q124 group moments never ride full-row windows") {
+    // q122: the cumulative-median walk must run over the per-(source,
+    // value) HISTOGRAM (a window above a hash aggregate), with the
+    // per-source spec broadcast back — the r7 shape (ordered cumsum over
+    // every doc row of a source in one task) is the banned scale-killer
+    val p122 = plan("q122_weighted_median")
+    assert(p122.contains("Window"), s"q122 lost its domain cumulative:\n$p122")
+    assert(p122.contains("BroadcastHashJoin"),
+      s"q122 stopped broadcasting the per-source spec:\n$p122")
+    // q124: moments come from a groupBy broadcast-joined back — no
+    // window may appear anywhere in the plan
+    val p124 = plan("q124_zscore")
+    assert(!p124.contains("Window"),
+      s"q124 reintroduced a full-row window over the source key:\n$p124")
+    assert(p124.contains("BroadcastHashJoin"),
+      s"q124 stopped broadcasting the group moments:\n$p124")
+  }
+
+  test("q120's checks stay fused: bounded child-table scans") {
+    // every FK check over one child table shares a single flag-pass;
+    // lineitem may appear at most 3 times (fused flags, uniqueness,
+    // part-reverse key set) — the unfused shape scanned it 6+ times
+    val p = plan("q120_referential_integrity")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans <= 3, s"q120 scans lineitem $liScans times:\n$p")
+  }
 }
