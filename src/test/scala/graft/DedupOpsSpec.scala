@@ -12,6 +12,41 @@ class DedupOpsSpec extends AnyFunSuite {
     df.select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("StageCache: a regenerated dataset can never serve stale pinned stages") {
+    import ops.StageCache
+    val dir = java.nio.file.Files.createTempDirectory("graft-stagecache-")
+      .toFile
+    try {
+      def write(v: String): Unit = {
+        java.nio.file.Files.writeString(
+          new java.io.File(dir, "t.txt").toPath, v)
+        // mtime resolution on some filesystems is 1s — force distinct
+        new java.io.File(dir, "t.txt")
+          .setLastModified(System.currentTimeMillis() +
+            (if (v == "new") 5000 else 0)): Unit
+      }
+      import spark.implicits._
+      write("old")
+      var computes = 0
+      def stage(): org.apache.spark.sql.DataFrame =
+        StageCache.getOrCompute(spark, dir.getPath, "probe") {
+          computes += 1
+          Seq(computes).toDF("v").localCheckpoint(true)
+        }
+      assert(stage().head().getInt(0) == 1)
+      // same dataset version: pinned, no recompute
+      assert(stage().head().getInt(0) == 1 && computes == 1)
+      // regenerate the fixture under the SAME path: version moves,
+      // the stale pin is evicted, the stage re-derives
+      write("new")
+      assert(stage().head().getInt(0) == 2,
+        "stale stage served after dataset regeneration")
+      assert(computes == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("exact dedup partitions the corpus (copies sum to row count)") {
     val d = DedupOps.q29ExactDedup(spark, sf)
     assert(d.agg(sum("n_copies")).head().getLong(0)
