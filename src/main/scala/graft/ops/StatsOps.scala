@@ -45,10 +45,17 @@ object StatsOps {
     rows.groupBy(col(groupCol), col(vCol).as("v"))
       .agg(count(lit(1)).as("c"))
 
+  /** `degrade = false` keeps the fail-fast assert and the UNPERSISTED
+    * histogram — the right trade for single-group callers (q92) whose
+    * parallel independent scans beat cache serialization and whose
+    * documented 100 TB posture is switching to the q62 sketch wholesale
+    * rather than per-group routing. */
   private[graft] def histPercentiles(rows: DataFrame, groupCol: String,
-      vCol: String, qs: Seq[Double]): DataFrame =
+      vCol: String, qs: Seq[Double], degrade: Boolean = true): DataFrame =
     histPercentilesFromCounts(histogram(rows, groupCol, vCol), groupCol, qs,
-      sketchFallback = Some(rows.select(col(groupCol), col(vCol).as("v"))))
+      sketchFallback =
+        if (degrade) Some(rows.select(col(groupCol), col(vCol).as("v")))
+        else None)
 
   /** Histogram-percentile contract bound: max distinct values per group.
     * The whole path is exact-with-bounded-state ONLY while the measure's
@@ -73,19 +80,29 @@ object StatsOps {
       sketchFallback: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val widths = counts.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("width"))
-    // With a fallback: over-domain groups leave the exact path entirely
-    // (their histogram rows are filtered out BEFORE the cumulative
-    // window, so the bounded-state contract holds for what remains) and
-    // re-aggregate from raw rows under GK. |groups| ≪ rows, so the
-    // routing joins broadcast.
+    // With a fallback: the routing decision is taken NOW, driver-side,
+    // off the persisted domain-sized histogram (an aggregate of ≤
+    // |groups| rows — the same bounded collect the IVF centroid tables
+    // use), so the common no-over-domain case keeps the EXACT-ONLY plan
+    // with zero extra branches: an always-on union with an (empty)
+    // GK branch was A/B-measured to cost a full extra corpus scan per
+    // query (q56 1.68→2.91 s at sf0.1) because the raw-rows scan under
+    // the empty-side join is not eliminated. Persisting the histogram
+    // also lets the cum/spec/boundary subtrees below share ONE corpus
+    // scan. Over-domain groups (rare, dirty-measure territory) leave
+    // the exact path entirely — their histogram rows are filtered out
+    // before the cumulative window, so the bounded-state contract holds
+    // for what remains — and re-aggregate from raw rows under GK.
     val (exactCounts, sketchRows) = sketchFallback match {
       case Some(rows) =>
-        val wide = widths.filter(col("width") > maxDomain)
-          .select(col(groupCol))
-        (counts.join(broadcast(wide), Seq(groupCol), "left_anti"),
-          Some(rows.join(broadcast(wide), Seq(groupCol))))
+        val cached = counts.persist()
+        val wideKeys = cached.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("width"))
+          .filter(col("width") > maxDomain)
+          .select(col(groupCol)).collect().map(_.get(0)).toSeq
+        if (wideKeys.isEmpty) (cached, None)
+        else (cached.filter(!col(groupCol).isin(wideKeys: _*)),
+          Some(rows.filter(col(groupCol).isin(wideKeys: _*))))
       case None => (counts, None)
     }
     val cum = exactCounts.withColumn("hi_rank", sum(col("c")).over(w))
@@ -428,7 +445,7 @@ object StatsOps {
     // per-group parallelism to win back — q94, per-group, takes the
     // opposite trade and persists).
     val cuts = histPercentiles(li.withColumn("g", lit(0)),
-        "g", "pu", Seq(0.25, 0.5, 0.75))
+        "g", "pu", Seq(0.25, 0.5, 0.75), degrade = false)
       .select(element_at(col("ps"), 1).as("c1"),
         element_at(col("ps"), 2).as("c2"),
         element_at(col("ps"), 3).as("c3"))
