@@ -252,19 +252,31 @@ object DedupOps {
           struct(lit(k).as("k"), minhashCol(k).as("mhv"))): _*
       ).as("bands"))
       .persist()
+    // The band self-join ships ONLY (id, k, mhv) — three longs per
+    // exploded row. The previous shape carried each side's full shingle
+    // hash array through the 8-way band explosion, so the join shuffled
+    // ~16× the corpus's hv payload (8 copies per doc per side) plus the
+    // pair-dedup exchange; the arrays re-join AFTER the dedup instead,
+    // one corpus-sized hv pass per side. Locally the stage is
+    // scan/CPU-bound so the win is modest (7.3 → 6.8 s at sf0.1,
+    // BASELINE.md §stage A/B r8), but the shuffled-bytes reduction is
+    // the property that matters on a real cluster where the exchange,
+    // not the scan, is the bottleneck.
     def side(p: String): DataFrame =
-      base.select(col("doc_id").as(s"${p}_id"), col("hv").as(s"${p}_hv"),
+      base.select(col("doc_id").as(s"${p}_id"),
           // outer: the 8-element bands array is never empty; plain explode
           // would re-inline its 8 array_min trees into a filter (q30 note)
           explode_outer(col("bands")).as("b"))
-        .select(col(s"${p}_id"), col(s"${p}_hv"),
+        .select(col(s"${p}_id"),
           col("b.k").as(s"${p}_k"), col("b.mhv").as(s"${p}_mhv"))
-    val cand = side("a").join(side("b"),
+    val pairs = side("a").join(side("b"),
         col("a_k") === col("b_k") && col("a_mhv") === col("b_mhv")
           && col("a_id") < col("b_id"))
-      .select(col("a_id").as("id1"), col("b_id").as("id2"),
-        col("a_hv").as("hv1"), col("b_hv").as("hv2"))
+      .select(col("a_id").as("id1"), col("b_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val cand = pairs
+      .join(base.select(col("doc_id").as("id1"), col("hv").as("hv1")), "id1")
+      .join(base.select(col("doc_id").as("id2"), col("hv").as("hv2")), "id2")
       .select(col("id1"), col("id2"),
         size(array_intersect(col("hv1"), col("hv2"))).cast("long")
           .as("inter"),
