@@ -220,13 +220,78 @@ object Multimodal {
       CAST(MAX(octet_length(payload)) AS BIGINT) AS max_bytes
     FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q143: raw-file landing via the binaryFile source ----------------
+  // The step BEFORE every multimodal operator above: media arrives as
+  // RAW FILES under an object-store prefix, and the landing job turns
+  // them into the binary-column table the pipeline consumes — Spark's
+  // built-in `binaryFile` source reads (path, length, content) with
+  // pathGlobFilter pushdown, no codec required. Deterministic fixture: a
+  // bounded slice of the derived asset corpus (asset_id < LandN) spills
+  // as one .bin file per asset into a session-salted scratch dir (at
+  // scale the prefix ALREADY exists — the file-per-object layout is the
+  // source's shape, and ending it is this job's purpose), re-ingests
+  // through binaryFile, and aggregates per kind with a sorted content
+  // digest, so the oracle (recomputed from `documents`) verifies every
+  // byte of every file survived the round trip. Scratch is deleted
+  // before returning (the q117 checkpoint-then-clean discipline).
+  private val LandN = 500L
+
+  def q143BinaryLanding(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-assets-land-" + java.lang.Long.toHexString(
+        DedupOps.h60("land:" + d + ":" + s.sparkContext.applicationId)))
+    dir.mkdirs()
+    val root = dir.getPath
+    assets(s, d).filter(_.asset_id < LandN)
+      .foreachPartition { batch: Iterator[MediaAsset] =>
+        batch.foreach { a =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, s"${a.kind}-${a.asset_id}.bin"),
+            a.payload): Unit
+        }
+      }
+    val landed = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(root)
+      .select(
+        regexp_extract(col("path"), "([a-z]+)-\\d+\\.bin$", 1).as("kind"),
+        col("length"), md5(col("content")).as("h"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("length")).as("total_bytes"),
+        md5(concat_ws("", sort_array(collect_list(col("h")))))
+          .as("content_md5"))
+      .orderBy(col("kind"))
+      // eager checkpoint forces the binaryFile read NOW (4 rows of
+      // state), so the scratch files can be deleted before returning
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(dir)
+    landed
+  }
+
+  // ASCII corpus ⇒ DuckDB length(text) == payload bytes and md5(text)
+  // == md5 of the file's content — the q117 digest discipline
+  val q143Sql: String = s"""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      CAST(COUNT(*) AS BIGINT) AS n_assets,
+      CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id < $LandN
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q39_multimodal_features" -> q39MultimodalFeatures _,
     "q40_frame_sample"        -> q40FrameSample _,
-    "q97_binary_sniff"        -> q97BinarySniff _)
+    "q97_binary_sniff"        -> q97BinarySniff _,
+    "q143_binary_landing"     -> q143BinaryLanding _)
 
   val oracles: Map[String, String] = Map(
     "q39_multimodal_features" -> q39Sql,
     "q40_frame_sample"        -> q40Sql,
-    "q97_binary_sniff"        -> q97Sql)
+    "q97_binary_sniff"        -> q97Sql,
+    "q143_binary_landing"     -> q143Sql)
 }

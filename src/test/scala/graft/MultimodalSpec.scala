@@ -87,4 +87,37 @@ class MultimodalSpec extends AnyFunSuite {
       .count() == 0)
     assert(top.count() == withNorm.count())
   }
+
+  test("q143 binary landing: file round trip preserves every byte; scratch cleaned") {
+    val landed = Multimodal.q143BinaryLanding(spark, sf).collect()
+      .map(r => r.getAs[String]("kind") -> r).toMap
+    // direct recount from the documents slice the assets derive from —
+    // same per-kind counts, byte totals, and sorted content digests
+    val direct = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("doc_id") < 500)
+      .select(
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("payload")).cast("long")).as("total_bytes"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("payload"))))))
+          .as("content_md5"))
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(landed.keySet == direct.keySet && landed.keySet == Set("image", "audio"))
+    landed.keySet.foreach { k =>
+      assert(landed(k).getAs[Long]("n_assets") ==
+        direct(k).getAs[Long]("n_assets"), s"kind $k count")
+      assert(landed(k).getAs[Long]("total_bytes") ==
+        direct(k).getAs[Long]("total_bytes"), s"kind $k bytes")
+      assert(landed(k).getAs[String]("content_md5") ==
+        direct(k).getAs[String]("content_md5"), s"kind $k digest")
+    }
+    // the session-salted scratch dir is gone (no leaked file-per-asset
+    // copy of the corpus slice)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-assets-land-" + java.lang.Long.toHexString(
+        ops.DedupOps.h60("land:" + sf + ":" + spark.sparkContext.applicationId)))
+    assert(!dir.exists, s"q143 leaked its scratch landing dir at $dir")
+  }
 }
