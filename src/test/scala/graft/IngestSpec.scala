@@ -217,6 +217,33 @@ class IngestSpec extends AnyFunSuite {
     assert(!dir.exists, s"q117 leaked its scratch export at $dir")
   }
 
+  test("q120's fused flag semantics match naive NOT-EXISTS on dirty data") {
+    import spark.implicits._
+    // orphan child keys, NULL child keys (an orphan by the documented
+    // NULL-key contract), and duplicate parent keys (the membership set
+    // must dedupe or the flag join would multiply child rows)
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None, None)
+      .toDF("k")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent on purpose
+    val flagged = child
+      .join(parent.select(col("pk")).distinct()
+        .withColumn("has", lit(true)), col("k") === col("pk"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("has").isNull, 1L).otherwise(0L)).as("n_violations"),
+        coalesce(sum(when(col("has").isNull, col("k"))), lit(0L))
+          .as("violation_key_sum"))
+      .head()
+    // naive recount: NOT EXISTS via left_anti (the pre-fusion shape)
+    val anti = child.join(parent.select(col("pk").as("k")).distinct(),
+      Seq("k"), "left_anti")
+    assert(flagged.getAs[Long]("n_checked") == 6L)     // rows never multiply
+    assert(flagged.getAs[Long]("n_violations") == anti.count()) // 3: 99 + 2 nulls
+    assert(flagged.getAs[Long]("n_violations") == 3L)
+    assert(flagged.getAs[Long]("violation_key_sum") ==
+      anti.agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)) // 99
+    assert(flagged.getAs[Long]("violation_key_sum") == 99L)
+  }
+
   test("q120 integrity sweep: FKs hold, the planted uniqueness break is found") {
     val rows = Ingest.q120ReferentialIntegrity(spark, sf).collect()
       .map(r => r.getAs[String]("check_name") -> r).toMap
