@@ -1080,6 +1080,72 @@ object TextOps {
       CAST(substring(MAX(packed), 1, 7) AS BIGINT) AS top_gap_ppm
     FROM j GROUP BY source ORDER BY source"""
 
+  // ---- q144: vocabulary coverage / OOV rate per source -----------------
+  // The metric that closes the tokenizer loop (train q136 → apply q126 →
+  // growth q137 → drift q141): against a trained top-K vocabulary, what
+  // fraction of each source's TOKEN MASS is out-of-vocabulary? This is
+  // the number that decides vocab size and flags a source whose domain
+  // the tokenizer underserves (code, non-English) before training pays
+  // for it in fragmented sequences. Vocab = top-K words by corpus
+  // frequency with the deterministic (count desc, word) total order both
+  // engines share; OOV is reported as exact integer ppm (floor-div
+  // discipline, no engine-divergent floats).
+  //
+  // Scale shape: per-(source, word) counts aggregate map-side (the
+  // q141 reduction); the top-K is a TakeOrdered over the corpus-level
+  // word counts (bounded state K, never a full sort materialized); the
+  // K-word set broadcast-joins back; one final |sources|-row aggregate.
+  private val VocabK = 1000
+
+  def q144VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"), explode_outer(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("o_sw"))
+      .persist() // vocab ranking + coverage join share one derivation
+    val vocab = sw.groupBy(col("word")).agg(sum(col("o_sw")).as("o_w"))
+      .orderBy(col("o_w").desc, col("word")).limit(VocabK)
+      .select(col("word"), lit(true).as("in_vocab"))
+    sw.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("o_sw")).as("n_tok"),
+        coalesce(sum(when(col("in_vocab"), col("o_sw"))), lit(0L))
+          .as("in_vocab_tok"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("in_vocab"), 1L)), lit(0L))
+          .as("in_vocab_types"))
+      .withColumn("oov_ppm", expr(
+        "(n_tok - in_vocab_tok) * 1000000 div n_tok"))
+      .select(col("source"), col("n_tok"), col("in_vocab_tok"),
+        col("oov_ppm"), col("n_types"), col("in_vocab_types"))
+      .orderBy(col("source"))
+  }
+
+  val q144Sql: String = raw"""
+    WITH sw AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS o_sw
+      FROM (SELECT source, unnest(list_filter(string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY source, word),
+    vocab AS (
+      SELECT word FROM (
+        SELECT word, SUM(o_sw) AS o_w FROM sw GROUP BY word)
+      ORDER BY o_w DESC, word LIMIT $VocabK),
+    j AS (
+      SELECT sw.source, sw.o_sw, v.word IS NOT NULL AS in_vocab
+      FROM sw LEFT JOIN vocab v USING (word))
+    SELECT source, CAST(SUM(o_sw) AS BIGINT) AS n_tok,
+      CAST(COALESCE(SUM(CASE WHEN in_vocab THEN o_sw END), 0) AS BIGINT)
+        AS in_vocab_tok,
+      CAST((SUM(o_sw) - COALESCE(SUM(CASE WHEN in_vocab THEN o_sw END), 0))
+        * 1000000 // SUM(o_sw) AS BIGINT) AS oov_ppm,
+      CAST(COUNT(*) AS BIGINT) AS n_types,
+      CAST(COALESCE(SUM(CASE WHEN in_vocab THEN 1 END), 0) AS BIGINT)
+        AS in_vocab_types
+    FROM j GROUP BY source ORDER BY source"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, K merges) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1354,7 +1420,8 @@ object TextOps {
     "q136_bpe_train"   -> q136BpeTrain _,
     "q137_vocab_growth" -> q137VocabGrowth _,
     "q138_gopher_rules" -> q138GopherRules _,
-    "q141_token_drift"  -> q141TokenDrift _)
+    "q141_token_drift"  -> q141TokenDrift _,
+    "q144_vocab_coverage" -> q144VocabCoverage _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1376,5 +1443,6 @@ object TextOps {
     "q136_bpe_train"   -> q136Sql,
     "q137_vocab_growth" -> q137Sql,
     "q138_gopher_rules" -> q138Sql,
-    "q141_token_drift"  -> q141Sql)
+    "q141_token_drift"  -> q141Sql,
+    "q144_vocab_coverage" -> q144Sql)
 }

@@ -280,6 +280,36 @@ class TextOpsSpec extends AnyFunSuite {
       r8.take(2).map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
   }
 
+  test("q144 vocab coverage: ppm bounded, one source recounted independently") {
+    val r = TextOps.q144VocabCoverage(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val oov = row.getAs[Long]("oov_ppm")
+      assert(oov >= 0L && oov <= 1000000L, row.toString)
+      assert(row.getAs[Long]("in_vocab_tok") <= row.getAs[Long]("n_tok"))
+      assert(row.getAs[Long]("in_vocab_types") <=
+        math.min(row.getAs[Long]("n_types"), 1000L))
+    }
+    // brute recount for the first source: top-1000 corpus words via the
+    // same (count desc, word) order, then token-mass coverage off raw text
+    val words = Tables.documents(spark, sf)
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+          .as("word"))
+      .filter(col("word") =!= "")
+    val vocabSet = words.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(1000)
+      .select("word").collect().map(_.getString(0)).toSet
+    val src = r.head.getAs[String]("source")
+    val toks = words.filter(col("source") === src)
+      .select("word").collect().map(_.getString(0))
+    val inVocab = toks.count(vocabSet.contains)
+    assert(r.head.getAs[Long]("n_tok") == toks.length.toLong)
+    assert(r.head.getAs[Long]("in_vocab_tok") == inVocab.toLong)
+    assert(r.head.getAs[Long]("oov_ppm") ==
+      (toks.length.toLong - inVocab) * 1000000L / toks.length)
+  }
+
   test("q135 DSIR: target slice scores above the rest; gate is the mean") {
     val r = TextOps.q135DsirScore(spark, sf).persist()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
