@@ -720,6 +720,9 @@ object StatsOps {
           t => t =!= lit(""))).cast("long").as("w"))
       .groupBy(col("source"), col("v"))
       .agg(sum(col("w")).as("wc"), count(lit(1)).as("cnt"))
+      // the cumulative walk AND the per-source spec both read the
+      // histogram; unpersisted, each would re-run the tokenize pass
+      .persist()
     val wOrd = Window.partitionBy(col("source")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("wc")).over(wOrd))
