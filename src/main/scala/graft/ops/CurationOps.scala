@@ -742,6 +742,11 @@ object CurationOps {
           s" i -> h60(concat_ws(' ', slice(t, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
         col("col").as("g"))
+      // the dup aggregate and the membership join both read the gram
+      // stream; unpersisted, each re-ran the tokenize+hash pass (3
+      // integer cols per gram — far smaller than the text it derives
+      // from)
+      .persist()
     val dup = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
       .select(col("g"))

@@ -786,6 +786,10 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), filter(toks(col("text")), x => x =!= lit(""))
         .as("t"))
+    // NOTE deliberately NOT persisted: the vocab branch's extra tokenize
+    // scan beats materializing corpus-sized token arrays (A/B r8: persist
+    // made q129 2.0 → 3.4 s — the q92 cache-serialization lesson; the
+    // compact INTEGER frames q107/q122 cache are the profitable cases)
     val docBig = docs.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 2)," +
