@@ -866,6 +866,9 @@ object CurationOps {
       .select(col("doc_id"), explode_outer(expr(
         s"array_distinct(transform(sequence(1, size(t) - ${k - 1})," +
           s" i -> h60(concat_ws(' ', slice(t, i, $k)))))")).as("g"))
+      // owner aggregate + membership join both read the gram stream —
+      // 2 longs per gram, the profitable persist case (q107 pattern)
+      .persist()
     val owner = grams.groupBy(col("g")).agg(min(col("doc_id")).as("owner"))
     grams.join(owner, "g")
       .groupBy(col("doc_id"))
