@@ -45,6 +45,25 @@ object Bench {
         SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // Contention canary: a fixed IO-free CPU job (hash-reduce over an
+    // in-memory range) timed before the stage builders and again before
+    // each query's iteration batch. Its known-idle cost is ~0.05-0.1 s
+    // at 32 threads (BASELINE.md records the box's value); a record whose
+    // canary median/max sit far above that is CONTENDED and says so
+    // itself — min-of-3 rejects transient spikes but not a box that is
+    // oversubscribed for the whole run (the r8 driver record needed a
+    // judge re-bench to refute 6 false regressions; this stamps the
+    // record instead).
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(): Unit = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: ANSI mode makes a 16M-term long sum overflow
+      spark.range(0, 1L << 24, 1, cpus.toInt)
+        .select(bit_xor(xxhash64(col("id"))))
+        .write.mode("overwrite").format("noop").save()
+      canaryTimes += (System.nanoTime() - t0) / 1e9
+    }
     // Shared pinned stages (StageCache) are charged as their OWN units,
     // derived cold up front: previously whichever consumer query ran
     // first absorbed the whole derivation (r7: q123 0.20→3.49 s while
@@ -53,20 +72,31 @@ object Bench {
     // its own work and the record is stable under query reordering.
     // Builders materialize eagerly (localCheckpoint(true)), so calling
     // them IS the derivation. Skipped under SPARK_GRAFT_BENCH_ONLY
-    // unless a selected query consumes them (prefix match keeps targeted
-    // profiling runs honest without paying unrelated stage cost).
+    // unless a selected query consumes them. Consumer sets are FULL
+    // query names matched exactly against the selected set (prefix
+    // matching made `SPARK_GRAFT_BENCH_ONLY=q30` derive the band stage
+    // via the q3 prefix family — misleading for targeted profiling).
     ops.StageCache.clearAll()
     val stageBuilders: Seq[(String, Set[String], () => Unit)] = Seq(
-      ("stage_band_candidates", Set("q31", "q60", "q102", "q116", "q123"),
+      ("stage_band_candidates",
+        Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
+          "q116_triad_census", "q123_containment"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
-      ("stage_cc_labels", Set("q60", "q102"),
+      ("stage_cc_labels", Set("q60_dedup_groups", "q102_cluster_canonical"),
         () => { ops.DedupOps.ccLabels(spark, sfDir); () }),
-      ("stage_knn_edges", Set("q130", "q132"),
+      ("stage_knn_edges", Set("q130_knn_graph", "q132_graph_rank"),
         () => { ops.SimOps.knnEdges(spark, sfDir); () }))
+    // every declared consumer must be a real registry query — a renamed
+    // query would otherwise silently stop deriving its stage
+    stageBuilders.foreach { case (st, consumers, _) =>
+      val unknown = consumers.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"$st consumers not in registry: $unknown")
+    }
+    val selectedNames = selected.keySet
     val stageResults = stageBuilders
-      .filter { case (_, consumers, _) =>
-        selected.keys.exists(q => consumers.exists(q.startsWith)) }
+      .filter { case (_, consumers, _) => consumers.exists(selectedNames) }
       .map { case (name, _, run) =>
+        canary()
         val t0 = System.nanoTime()
         val ok = try { run(); true }
           catch { case e: Throwable =>
@@ -75,6 +105,7 @@ object Bench {
         name -> (if (ok) Seq(elapsed) else Seq(-1.0))
       }
     val queryResults = selected.map { case (name, fn) =>
+      canary()
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -108,9 +139,17 @@ object Bench {
     val failed = results.collect { case (k, v) if v.head < 0 => k }.toSeq.sorted
     val total = results.values.map(_.head).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // canary summary: one sample per unit, spread across the whole run —
+    // min = the box's achievable floor, median/max = sustained contention
+    val cs = canaryTimes.sorted
+    val canaryJson =
+      if (cs.isEmpty) "null"
+      else s"""{"n":${cs.size},"min":${cs.head},""" +
+        s""""median":${cs(cs.size / 2)},"max":${cs.last}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$med,"failed":${failed.size},""" +
+        s""""queries_median":$med,"canary":$canaryJson,""" +
+        s""""failed":${failed.size},""" +
         s""""failed_names":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the record: the driver captures stdout through a tail

@@ -288,8 +288,14 @@ object DedupOps {
   /** The UNMATERIALIZED candidate plan — for plan-shape guards
     * (`PlanSpec`): the checkpointed [[bandCandidates]] plan roots at an
     * RDD scan, hiding the band equi-join this stage exists to pin. */
-  private[graft] def bandCandidatesPlan(s: SparkSession, d: String): DataFrame =
-    buildBandCandidates(s, d)._2
+  private[graft] def bandCandidatesPlan(s: SparkSession, d: String): DataFrame = {
+    val (base, cand) = buildBandCandidates(s, d)
+    // plan-guard-only variant: release the builder's pinned base NOW
+    // (nothing materialized yet — the guard reads the plan, not data),
+    // so repeated calls don't accumulate corpus-derived cache entries
+    base.unpersist()
+    cand
+  }
 
   private[graft] def bandCandidates(s: SparkSession, d: String): DataFrame =
     cachedStage(s, d, "band_candidates") {

@@ -242,13 +242,17 @@ object Multimodal {
         DedupOps.h60("land:" + d + ":" + s.sparkContext.applicationId)))
     dir.mkdirs()
     val root = dir.getPath
-    assets(s, d).filter(_.asset_id < LandN)
-      .foreachPartition { batch: Iterator[MediaAsset] =>
-        batch.foreach { a =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(root, s"${a.kind}-${a.asset_id}.bin"),
-            a.payload): Unit
-        }
+    // The fixture slice is written from the DRIVER (collect of LandN=500
+    // tiny rows), not foreachPartition: executor-side local writes are
+    // only visible to the driver-side binaryFile re-read in local mode,
+    // so the executor variant was silently environment-coupled. At real
+    // scale the landing prefix is shared storage (S3/HDFS) and already
+    // exists — this query models the re-ingest, not the scatter.
+    assets(s, d).filter(_.asset_id < LandN).collect()
+      .foreach { a =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, s"${a.kind}-${a.asset_id}.bin"),
+          a.payload): Unit
       }
     val landed = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin").load(root)

@@ -1356,8 +1356,14 @@ object SimOps {
     * the pinned [[knnEdges]] plan roots at an RDD scan, hiding the
     * cell equi-join + codegen `nearest_cell_cos` assignment this stage
     * exists to pin (the `bandCandidatesPlan` pattern). */
-  private[graft] def knnEdgesPlan(s: SparkSession, d: String): DataFrame =
-    buildKnnEdges(s, d)._2
+  private[graft] def knnEdgesPlan(s: SparkSession, d: String): DataFrame = {
+    val (base, plan) = buildKnnEdges(s, d)
+    // plan-guard-only variant: release the builder's pinned base NOW
+    // (nothing materialized yet — the guard reads the plan, not data),
+    // so repeated calls don't accumulate corpus-derived cache entries
+    base.unpersist()
+    plan
+  }
 
   private[graft] def knnEdges(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {

@@ -36,14 +36,25 @@ object StageCache {
 
   private val cache = new ConcurrentHashMap[Key, DataFrame]()
 
-  /** Dataset version = max lastModified over the directory tree. One
-    * shallow-recursive walk of ~10 table dirs — metadata-only, no data
-    * read. NOT memoized: detecting regeneration is the whole point. */
+  /** Dataset version = order-independent fold of (name, mtime, size)
+    * over the directory tree. One shallow-recursive walk of ~10 table
+    * dirs — metadata-only, no data read. NOT memoized: detecting
+    * regeneration is the whole point. Folding sizes and names (not just
+    * max mtime) hardens against coarse 1s-mtime filesystems where a
+    * same-second regeneration would otherwise serve a stale pin; a null
+    * `listFiles` (transient I/O / permission failure) degrades to an
+    * empty child list instead of an NPE — worst case a spurious
+    * recompute, never a crash or a stale serve. */
   def version(d: String): Long = {
+    def entry(f: java.io.File): Long =
+      scala.util.hashing.MurmurHash3.stringHash(f.getName).toLong ^
+        java.lang.Long.rotateLeft(f.lastModified, 17) ^
+        java.lang.Long.rotateLeft(f.length, 41)
     def walk(f: java.io.File): Long =
       if (f.isDirectory)
-        (f.lastModified +: f.listFiles().toSeq.map(walk)).max
-      else f.lastModified
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foldLeft(entry(f))((acc, c) => acc ^ walk(c))
+      else entry(f)
     val root = new java.io.File(d)
     if (root.exists()) walk(root) else 0L
   }

@@ -101,8 +101,21 @@ object StatsOps {
           .filter(col("width") > maxDomain)
           .select(col(groupCol)).collect().map(_.get(0)).toSeq
         if (wideKeys.isEmpty) (cached, None)
-        else (cached.filter(!col(groupCol).isin(wideKeys: _*)),
-          Some(rows.filter(col(groupCol).isin(wideKeys: _*))))
+        else {
+          // NULL-safe routing: `isin` over a NULL key evaluates to NULL,
+          // which a plain filter drops from BOTH branches — a NULL-keyed
+          // group would silently vanish from the output (this module's
+          // whole posture is validating dirty data, so NULL groups are
+          // in-contract). Split the wide-key list so the predicate is
+          // never NULL: non-null wide keys route via coalesced isin,
+          // a NULL wide key routes via isNull.
+          val (nullWide, nonNullWide) = wideKeys.partition(_ == null)
+          val isWide =
+            (if (nonNullWide.isEmpty) lit(false)
+             else coalesce(col(groupCol).isin(nonNullWide: _*), lit(false))) ||
+              (col(groupCol).isNull && lit(nullWide.nonEmpty))
+          (cached.filter(!isWide), Some(rows.filter(isWide)))
+        }
       case None => (counts, None)
     }
     val cum = exactCounts.withColumn("hi_rank", sum(col("c")).over(w))
@@ -713,36 +726,139 @@ object StatsOps {
   // per-doc tie-break order inside a bucket cannot change the answer.
   // Same [[MaxHistDomain]] guard as q56: a misrouted unbounded measure
   // trips the assert instead of silently buffering.
-  def q122WeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val hist = Tables.documents(s, d)
-      .select(col("source"), col("n_chars").as("v"),
-        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
-          t => t =!= lit(""))).cast("long").as("w"))
-      .groupBy(col("source"), col("v"))
-      .agg(sum(col("w")).as("wc"), count(lit(1)).as("cnt"))
-      // the cumulative walk AND the per-source spec both read the
-      // histogram; unpersisted, each would re-run the tokenize pass
-      .persist()
-    val wOrd = Window.partitionBy(col("source")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum(col("wc")).over(wOrd))
-    val spec = hist.groupBy(col("source"))
-      .agg(sum(col("wc")).as("tot"), sum(col("cnt")).as("n_docs"),
-        count(lit(1)).as("width"))
-      .withColumn("tot", col("tot") + coalesce(
-        assert_true(col("width") <= MaxHistDomain,
-          concat(lit("weighted-median domain exceeds "),
-            lit(MaxHistDomain), lit(" distinct values for source "),
-            col("source").cast("string"),
-            lit(" - this measure needs the GK sketch path (q62)")))
-          .cast("long"), lit(0L)))
-    cum.join(broadcast(spec), "source")
-      .groupBy(col("source"))
-      .agg(max(col("tot")).as("total_w"),
-        min(when(col("cum") * 2 >= col("tot"), col("v")))
-          .as("weighted_median_chars"),
-        max(col("n_docs")).as("n_docs"))
+  def q122WeightedMedian(s: SparkSession, d: String): DataFrame =
+    weightedMedianByGroup(
+      s,
+      Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("v"),
+          size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+            t => t =!= lit(""))).cast("long").as("w")),
+      "source")
       .orderBy(col("source"))
+
+  /** Weighted median per group over (group, v, w) rows, output
+    * (group, total_w, weighted_median_chars, n_docs). Exact for EVERY
+    * group, bounded-state at any domain width:
+    *
+    * - In-bound groups (distinct v ≤ maxDomain — the integer-measure
+    *   contract) take the direct histogram walk: one window over the
+    *   domain-sized per-(group, v) weight histogram.
+    * - Over-domain groups (dirty/true-double measures; the case that
+    *   used to fail-fast via `assert_true`) DEGRADE in state, not in
+    *   answer, through two-phase refinement: coarsen v into ≤ maxDomain
+    *   equi-width buckets (per-group shift chosen driver-side off the
+    *   persisted histogram — the q56/q62 probe discipline), walk the
+    *   bucket histogram to find the half-mass bucket, then re-walk ONLY
+    *   that bucket's values seeded with the mass below it. The crossing
+    *   value is inside that bucket by construction, so the result is
+    *   bit-identical to the direct walk. Window state: ≤ maxDomain rows
+    *   per group in phase 1; in phase 2 the median bucket's occupancy —
+    *   expected width/maxDomain, i.e. ≤ maxDomain distinct values for
+    *   any measure whose domain fits in (maxDomain)² = 2^44 values; a
+    *   further refinement level (not needed for integer measures) would
+    *   repeat the same step inside the bucket.
+    *
+    * Chosen over a weighted GK sketch: Spark has no weight-aware
+    * quantile sketch, and the refinement is exact where GK is not,
+    * reusing the histogram machinery instead of new sketch code. */
+  private[graft] def weightedMedianByGroup(s: SparkSession, rows: DataFrame,
+      groupCol: String, maxDomain: Long = MaxHistDomain): DataFrame = {
+    val hist = rows
+      .groupBy(col(groupCol), col("v"))
+      .agg(sum(col("w")).as("wc"), count(lit(1)).as("cnt"))
+      // the cumulative walk AND the per-group spec both read the
+      // histogram; unpersisted, each would re-run the upstream pass
+      .persist()
+    // routing probe: |groups| rows, driver-side (the q56/q62 pattern —
+    // an always-on empty union branch was A/B-measured to cost a full
+    // extra corpus scan)
+    val stats = hist.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("width"), min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"), sum(col("wc")).as("tot"),
+        sum(col("cnt")).as("n_docs"))
+      .collect()
+    val wide = stats.filter(_.getAs[Long]("width") > maxDomain)
+    // NULL-safe wide-group predicate (see histPercentilesFromCounts)
+    val (nullWide, nonNullWide) = wide.map(_.get(0)).toSeq.partition(_ == null)
+    val isWide =
+      (if (nonNullWide.isEmpty) lit(false)
+       else coalesce(col(groupCol).isin(nonNullWide: _*), lit(false))) ||
+        (col(groupCol).isNull && lit(nullWide.nonEmpty))
+    def walk(h: DataFrame, seed: Column): DataFrame = {
+      val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", seed + sum(col("wc")).over(wOrd))
+    }
+    // NULL-SAFE broadcast equi-join on the group key: a using-join
+    // (`join(df, groupCol)`) never matches NULL = NULL, so a NULL-keyed
+    // group would silently vanish — the q124 hazard from ADVICE r8.
+    def joinOnGroup(l: DataFrame, r: DataFrame): DataFrame = {
+      val rr = r.withColumnRenamed(groupCol, "__g")
+      l.join(broadcast(rr), l(groupCol) <=> rr("__g")).drop("__g")
+    }
+    val exact = {
+      val h = if (wide.isEmpty) hist else hist.filter(!isWide)
+      val spec = h.groupBy(col(groupCol))
+        .agg(sum(col("wc")).as("tot"), sum(col("cnt")).as("n_docs"))
+      joinOnGroup(walk(h, lit(0L)), spec)
+        .groupBy(col(groupCol))
+        .agg(max(col("tot")).as("total_w"),
+          min(when(col("cum") * 2 >= col("tot"), col("v")))
+            .as("weighted_median_chars"),
+          max(col("n_docs")).as("n_docs"))
+    }
+    if (wide.isEmpty) exact
+    else {
+      // per-group coarsening spec: smallest shift with ≤ maxDomain
+      // buckets over [vmin, vmax] — a |wide-groups|-row broadcast
+      val shifts = wide.map { r =>
+        val vmin = r.getAs[Long]("vmin")
+        val range = r.getAs[Long]("vmax") - vmin
+        var shift = 0
+        while ((range >> shift) >= maxDomain) shift += 1
+        (r.get(0).asInstanceOf[Any], vmin, 1L << shift,
+          r.getAs[Long]("tot"), r.getAs[Long]("n_docs"))
+      }
+      val shiftDf = s.createDataFrame(
+          s.sparkContext.parallelize(shifts.toSeq.map(t =>
+            org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            hist.schema(groupCol),
+            org.apache.spark.sql.types.StructField("vmin",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("pow2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("tot",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_docs",
+              org.apache.spark.sql.types.LongType))))
+      val wideHist = joinOnGroup(hist.filter(isWide), shiftDf)
+        // integral DIV, not `/`: double division would lose exactness
+        // past 2^53 on wide long domains
+        .withColumn("b", expr("(v - vmin) DIV pow2"))
+      // phase 1: half-mass bucket + the cumulative mass strictly below it
+      val wB = Window.partitionBy(col(groupCol)).orderBy(col("b"))
+      val bpick = wideHist.groupBy(col(groupCol), col("b"))
+        .agg(sum(col("wc")).as("bw"), max(col("tot")).as("tot"))
+        .withColumn("cumb", sum(col("bw")).over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cumb") * 2 >= col("tot"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col(groupCol), col("b").as("bstar"),
+          (col("cumb") - col("bw")).as("cum_below"))
+      // phase 2: exact walk inside the half-mass bucket only
+      val refined = walk(
+          joinOnGroup(wideHist, bpick)
+            .filter(col("b") === col("bstar")),
+          col("cum_below"))
+        .groupBy(col(groupCol))
+        .agg(max(col("tot")).as("total_w"),
+          min(when(col("cum") * 2 >= col("tot"), col("v")))
+            .as("weighted_median_chars"),
+          max(col("n_docs")).as("n_docs"))
+      exact.unionByName(refined)
+    }
   }
 
   val q122Sql: String = raw"""

@@ -1214,7 +1214,14 @@ object TextOps {
       }
     }
     spaced.unpersist()
-    learned.result().reduce(_ unionByName _).orderBy(col("iter"))
+    val out = learned.result()
+    // A corpus of only single-character words yields zero learnable
+    // merges — return an empty (iter, pair, n) frame instead of letting
+    // reduce throw on the empty builder.
+    if (out.isEmpty) {
+      import s.implicits._
+      Seq.empty[(Long, String, Long)].toDF("iter", "pair", "n")
+    } else out.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
   def q136BpeTrain(s: SparkSession, d: String): DataFrame =
