@@ -77,7 +77,22 @@ object Bench {
     // matching made `SPARK_GRAFT_BENCH_ONLY=q30` derive the band stage
     // via the q3 prefix family — misleading for targeted profiling).
     ops.StageCache.clearAll()
+    // ANN index-artifact stages come FIRST and before stage_knn_edges:
+    // knn_edges consumes ann_ivf_assign, so list order keeps each unit
+    // charged with only its own derivation
     val stageBuilders: Seq[(String, Set[String], () => Unit)] = Seq(
+      ("stage_ann_lsh_assign",
+        Set("q36_ann_lsh", "q37_cosine_neardup", "q68_multiprobe_ann",
+          "q104_ann_recall"),
+        () => { ops.SimOps.lshAssignment(spark, sfDir); () }),
+      ("stage_ann_ivf_assign",
+        Set("q47_ivf_ann", "q104_ann_recall", "q130_knn_graph",
+          "q132_graph_rank"),
+        () => { ops.SimOps.ivfAssignment(spark, sfDir); () }),
+      ("stage_ann_pq_codes", Set("q79_pq_adc", "q104_ann_recall"),
+        () => { ops.SimOps.pqCodes(spark, sfDir); () }),
+      ("stage_ann_ivfpq_codes", Set("q80_ivfpq_ann", "q104_ann_recall"),
+        () => { ops.SimOps.ivfPqCodes(spark, sfDir); () }),
       ("stage_band_candidates",
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
           "q116_triad_census", "q123_containment"),

@@ -148,6 +148,44 @@ object SimOps {
       SELECT vec_id, label, embedding, qa, nq, $sqlBucketDyn AS bucket
       FROM e0 CROSS JOIN params)"""
 
+  // ---- ANN index artifacts (pinned StageCache stages) ------------------
+  // A production ANN deployment builds its index ONCE and serves it; the
+  // per-query cost is scoring, not index construction. These stages model
+  // that: each family's index artifact — the LSH bucket assignment, the
+  // IVF cell assignment, the PQ / IVF-PQ code tables — is derived once
+  // per (session, dataset version) and pinned, and every consumer
+  // (q36/q37/q47/q68/q79/q80, the q104 recall monitor, the q130/q132 kNN
+  // graph family) re-joins it to the vector payload. All four artifacts
+  // are NARROW integer frames (2-4 longs per row — the StageCache
+  // posture: pin compact integers, never corpus payloads); at cluster
+  // scale they are the stored index tables, co-partitioned with the
+  // vectors on vec_id. Oracles stay standalone (full CTE derivation), so
+  // the correctness gate still verifies the whole chain per query.
+
+  /** Pinned (vec_id, bucket): the hyperplane-LSH index artifact. */
+  private[graft] def lshAssignment(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, d, "ann_lsh_assign") {
+      buildLshAssignment(s, d).localCheckpoint(true)
+    }
+
+  private def buildLshAssignment(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("bucket",
+        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
+      .select(col("vec_id"), col("bucket"))
+
+  /** Un-pinned twin for plan guards (the bandCandidatesPlan pattern). */
+  private[graft] def lshAssignmentPlan(s: SparkSession, d: String): DataFrame =
+    buildLshAssignment(s, d)
+
+  /** The corpus with payload + pinned bucket — the shape every LSH
+    * consumer starts from. */
+  private def lshCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("nq", normQ)
+      .join(lshAssignment(s, d), "vec_id")
+
   // ---- q35: brute-force cosine top-k (exact baseline / re-ranker) ------
   // 10 query vectors broadcast against the corpus; top-3 neighbors each.
   def q35KnnBrute(s: SparkSession, d: String): DataFrame = {
@@ -196,14 +234,9 @@ object SimOps {
   // grows. Vectors alone in their bucket have no neighbor and drop out.
   def q36AnnLsh(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d)
-      .withColumn("qa", qaExpr)
-      .withColumn("nq", normQ)
-      // corpus size via the shared session memo (one metadata count per
-      // session, not one scan action per query — at 100 TB this is a
-      // catalog-stats lookup)
-      .withColumn("bucket",
-        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
+    // bucket comes from the pinned index artifact (lshAssignment) — the
+    // P×64-weight plane dots run once per dataset version, not per query
+    val emb = lshCorpus(s, d)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
@@ -250,10 +283,7 @@ object SimOps {
   def q68MultiprobeAnn(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
     val p = planesFor(Tables.rowCount(s, d, "embeddings"))
-    val emb = Tables.embeddings(s, d)
-      .withColumn("qa", qaExpr)
-      .withColumn("nq", normQ)
-      .withColumn("bucket", bucketExpr(p))
+    val emb = lshCorpus(s, d)
     val probeList = array(col("bucket") +:
       (0 until p).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -298,11 +328,7 @@ object SimOps {
   // being boundary-sensitive (no pair sits AT the threshold).
   def q37CosineNeardup(s: SparkSession, d: String): DataFrame = {
     QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d)
-      .withColumn("qa", qaExpr)
-      .withColumn("nq", normQ)
-      .withColumn("bucket",
-        bucketExpr(planesFor(Tables.rowCount(s, d, "embeddings"))))
+    val emb = lshCorpus(s, d)
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("a_emb"),
       col("nq").as("a_nq"), col("bucket"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("b_emb"),
@@ -339,27 +365,44 @@ object SimOps {
   // broadcasts (sqrt(n) rows), cell assignment is a per-row argmax (no
   // shuffle), and the in-cell search is a bucket equi-join exactly like
   // LSH — candidates bounded by cell size, never n².
-  def q47IvfAnn(s: SparkSession, d: String): DataFrame = {
-    QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
-    val cents = emb.filter(col("vec_id") <
-        cellsFor(Tables.rowCount(s, d, "embeddings")))
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nq").as("c_nq"))
+  /** Pinned (vec_id, cell): the IVF coarse-quantizer index artifact —
+    * the NearestCellCos argmax over the seeded centroid table, run once
+    * per dataset version. Consumed by q47, the q104 monitor, and the
+    * q130/q132 kNN-graph family (identical assignment contract). */
+  private[graft] def ivfAssignment(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, d, "ann_ivf_assign") {
+      buildIvfAssignment(s, d).localCheckpoint(true)
+    }
+
+  private def buildIvfAssignment(s: SparkSession, d: String): DataFrame = {
     // cell = argmax centroid cosine (ties → lowest centroid id), as the
     // NearestCellCos codegen expression over the collected seed table:
     // no candidate expansion, no shuffle — the scan emits each vector's
     // winner directly (float seeds widen to double losslessly, so the
     // quantized products match the oracle's cross join bit-for-bit)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val cents = emb.filter(col("vec_id") <
+        cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nq").as("c_nq"))
     val seedRows = cents.collect()
-    val assigned = emb
+    emb
       .withColumn("m", graft.expressions.NearestCellCos.column(
         col("embedding"), col("nq"),
         seedRows.map(_.getLong(0)),
         seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
         seedRows.map(_.getLong(2))))
-      .select(col("vec_id"), col("embedding"), col("nq"),
-        col("m.cell").as("cell"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
+
+  /** Un-pinned twin for plan guards (the bandCandidatesPlan pattern). */
+  private[graft] def ivfAssignmentPlan(s: SparkSession, d: String): DataFrame =
+    buildIvfAssignment(s, d)
+
+  def q47IvfAnn(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val assigned = Tables.embeddings(s, d).withColumn("nq", normQ)
+      .join(ivfAssignment(s, d), "vec_id")
     val a = assigned.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"), col("nq").as("a_nq"), col("cell"))
     val b = assigned.select(col("vec_id").as("b_id"),
@@ -575,36 +618,59 @@ object SimOps {
   private[graft] val PqNq = 8       // query vectors (vec_id < PqNq)
   private val PqTopK = 5
 
-  def q79ProductQuantization(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val subs = Tables.embeddings(s, d)
-      .withColumn("qa", qaExpr)
-      .select(col("vec_id"), explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m ->" +
-          s" struct(m AS m, slice(qa, m * $PqDs + 1, $PqDs) AS sq))"))
-        .as("sub"))
-      .select(col("vec_id"), col("sub.m").as("m"), col("sub.sq").as("sq"))
-    val cents = subs.filter(col("vec_id") < PqK)
+  /** Quantized sub-vectors (vec_id, m, sq) for `df`'s rows. */
+  private def pqSubs(df: DataFrame): DataFrame = df
+    .withColumn("qa", qaExpr)
+    .select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m ->" +
+        s" struct(m AS m, slice(qa, m * $PqDs + 1, $PqDs) AS sq))"))
+      .as("sub"))
+    .select(col("vec_id"), col("sub.m").as("m"), col("sub.sq").as("sq"))
+
+  /** The K×M sub-centroid codebook (seeded from the first PqK vectors —
+    * a tiny pushed-down scan). */
+  private def pqCents(s: SparkSession, d: String): DataFrame =
+    pqSubs(Tables.embeddings(s, d).filter(col("vec_id") < PqK))
       .select(col("vec_id").as("cell"), col("m"), col("sq").as("cq"))
-    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
+
+  private val pqSqL2 =
+    expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
       " 0L, (acc, x) -> acc + x)")
+
+  /** Pinned (vec_id, m, cell): the PQ code table — 2 bytes of index per
+    * vector in production, the artifact ADC scans instead of vectors. */
+  private[graft] def pqCodes(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, d, "ann_pq_codes") {
+      buildPqCodes(s, d).localCheckpoint(true)
+    }
+
+  private def buildPqCodes(s: SparkSession, d: String): DataFrame =
     // codes: nearest sub-centroid per (vector, sub-space) — K×M is tiny,
     // AQE broadcasts it; min_by collapses the K candidates map-side
     // ((d2, cell) is a total order — cell unique — so deterministic),
     // shuffling n×M rows instead of windowing n×M×K
-    val codes = subs.join(cents, "m")
-      .select(col("vec_id"), col("m"), col("cell"), sqL2.as("d2"))
+    pqSubs(Tables.embeddings(s, d)).join(pqCents(s, d), "m")
+      .select(col("vec_id"), col("m"), col("cell"), pqSqL2.as("d2"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"))
       .select(col("vec_id"), col("m"), col("cell"))
-    // per-query distance tables over the same sub-centroids
-    val dt = subs.filter(col("vec_id") < PqNq)
+
+  /** Un-pinned twin for plan guards (the bandCandidatesPlan pattern). */
+  private[graft] def pqCodesPlan(s: SparkSession, d: String): DataFrame =
+    buildPqCodes(s, d)
+
+  def q79ProductQuantization(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // per-query distance tables over the same sub-centroids (8 query
+    // rows, pushed-down scan); the corpus-sized code table is the
+    // pinned index artifact
+    val dt = pqSubs(Tables.embeddings(s, d).filter(col("vec_id") < PqNq))
       .select(col("vec_id").as("query_id"), col("m"), col("sq"))
-      .join(cents, "m")
-      .select(col("query_id"), col("m"), col("cell"), sqL2.as("qd2"))
+      .join(pqCents(s, d), "m")
+      .select(col("query_id"), col("m"), col("cell"), pqSqL2.as("qd2"))
     // ADC: codes ⋈ tables on (m, cell) — an equi-join on the code key,
     // never a query × vector distance pass
-    codes.join(dt, Seq("m", "cell"))
+    pqCodes(s, d).join(dt, Seq("m", "cell"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qd2")).as("adc_d2"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("query_id"))
@@ -662,17 +728,41 @@ object SimOps {
   // probed-cell candidate set keeps the scan at n·(2/C) of the corpus.
   private val PqProbes = 2
 
-  def q80IvfPq(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val n = Tables.rowCount(s, d, "embeddings")
-    val C = cellsFor(n)
+  /** Residual sub-vectors of a (vec_id, cell, res) frame. */
+  private def subRes(df: DataFrame): DataFrame = df
+    .select(col("vec_id"), col("cell"), explode(expr(
+      s"transform(sequence(0, ${PqM - 1}), m ->" +
+        s" struct(m AS m, slice(res, m * $PqDs + 1, $PqDs) AS sq))"))
+      .as("sub"))
+    .select(col("vec_id"), col("cell"), col("sub.m").as("m"),
+      col("sub.sq").as("sq"))
+
+  /** The C-row coarse-centroid table (quantized coords). */
+  private def ivfPqCoarse(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < cellsFor(Tables.rowCount(s, d, "embeddings")))
+      .withColumn("qa", qaExpr)
+      .select(col("vec_id").as("cell"), col("qa").as("cqa"))
+
+  /** Pinned (vec_id, cell, m, code): the IVF-PQ index artifact — coarse
+    * cell + residual PQ codes per vector, built once per dataset
+    * version. */
+  private[graft] def ivfPqCodes(s: SparkSession, d: String): DataFrame =
+    StageCache.getOrCompute(s, d, "ann_ivfpq_codes") {
+      val (base, codes) = buildIvfPqCodes(s, d)
+      val pinned = codes.localCheckpoint(true) // eager, while base pinned
+      base.unpersist()
+      pinned
+    }
+
+  private def buildIvfPqCodes(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val C = cellsFor(Tables.rowCount(s, d, "embeddings"))
     val emb = Tables.embeddings(s, d).withColumn("qa", qaExpr)
       .select(col("vec_id"), col("qa"))
-      .persist() // coarse assign + residual + query branches share it
+      .persist() // coarse assign + residual branches share it
     val coarse = emb.filter(col("vec_id") < C)
       .select(col("vec_id").as("cell"), col("qa").as("cqa"))
-    val l2 = expr("aggregate(zip_with(qa, cqa, (a, b) -> (a - b) * (a - b))," +
-      " 0L, (acc, x) -> acc + x)")
     // every vector -> nearest coarse cell, residual in exact integers.
     // NearestCellL2 expression over the collected coarse seeds: the
     // exact-integer argmin runs fused inside the scan (no candidate
@@ -687,14 +777,6 @@ object SimOps {
       .join(broadcast(coarse), "cell")
       .select(col("vec_id"), col("cell"),
         expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res"))
-    // residual sub-vectors; PQ codebook from residual seeds [C, C+16)
-    def subRes(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), col("cell"), explode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m ->" +
-          s" struct(m AS m, slice(res, m * $PqDs + 1, $PqDs) AS sq))"))
-        .as("sub"))
-      .select(col("vec_id"), col("cell"), col("sub.m").as("m"),
-        col("sub.sq").as("sq"))
     val subs = subRes(assigned)
     val cbook = subRes(assigned
       .filter(col("vec_id") >= C && col("vec_id") < C + PqK))
@@ -709,6 +791,41 @@ object SimOps {
       .groupBy(col("vec_id"), col("cell"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
+    (emb, codes)
+  }
+
+  /** Un-pinned twin for plan guards (the bandCandidatesPlan pattern). */
+  private[graft] def ivfPqCodesPlan(s: SparkSession, d: String): DataFrame = {
+    val (base, codes) = buildIvfPqCodes(s, d)
+    base.unpersist()
+    codes
+  }
+
+  def q80IvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.rowCount(s, d, "embeddings")
+    val C = cellsFor(n)
+    val codes = ivfPqCodes(s, d)
+    val coarse = ivfPqCoarse(s, d)
+    val emb = Tables.embeddings(s, d).withColumn("qa", qaExpr)
+      .select(col("vec_id"), col("qa"))
+    val l2 = expr("aggregate(zip_with(qa, cqa, (a, b) -> (a - b) * (a - b))," +
+      " 0L, (acc, x) -> acc + x)")
+    // rebuild the K=16-row residual codebook from the PINNED cells: the
+    // seeds' coarse assignments are already recorded in the code table
+    // (no corpus argmin, no driver collect — two tiny broadcast joins)
+    val seedCells = codes
+      .filter(col("vec_id") >= C && col("vec_id") < C + PqK)
+      .select(col("vec_id"), col("cell")).distinct()
+    val cbook = subRes(
+        emb.filter(col("vec_id") >= C && col("vec_id") < C + PqK)
+          .join(broadcast(seedCells), "vec_id")
+          .join(broadcast(coarse), "cell")
+          .select(col("vec_id"), col("cell"),
+            expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res")))
+      .select(col("vec_id").as("code"), col("m"), col("sq").as("cq"))
+    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
+      " 0L, (acc, x) -> acc + x)")
     // queries probe their 2 nearest cells
     val probes = emb.filter(col("vec_id") < PqNq)
       .select(col("vec_id").as("query_id"), col("qa"))
@@ -1321,20 +1438,12 @@ object SimOps {
   private def buildKnnEdges(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     QuantizedDot.register(s)
-    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
-    val cents = emb.filter(col("vec_id") <
-        cellsFor(Tables.rowCount(s, d, "embeddings")))
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        col("nq").as("c_nq"))
-    val seedRows = cents.collect()
-    val assigned = emb
-      .withColumn("m", graft.expressions.NearestCellCos.column(
-        col("embedding"), col("nq"),
-        seedRows.map(_.getLong(0)),
-        seedRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)),
-        seedRows.map(_.getLong(2))))
-      .select(col("vec_id"), col("embedding"), col("nq"),
-        col("m.cell").as("cell"))
+    // cell assignment comes from the pinned IVF index artifact — the
+    // same coarse quantizer q47 serves from (one argmax pass per dataset
+    // version, shared across the whole ANN/graph family)
+    val assigned = Tables.embeddings(s, d).withColumn("nq", normQ)
+      .join(ivfAssignment(s, d), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nq"), col("cell"))
       .persist()
     val a = assigned.select(col("cell"), col("vec_id").as("vec_id"),
       col("embedding").as("a_emb"), col("nq").as("a_nq"))

@@ -120,16 +120,25 @@ class PlanSpec extends AnyFunSuite {
   test("q61/q47 assign is the NearestCellCos expression — no centroid join at all") {
     // the argmax runs inside the scan's codegen pipeline over the
     // driver-collected centroid matrix: the plan must show the custom
-    // expression and NO join/cross product for the assignment
-    Seq("q61_kmeans_cells", "q47_ivf_ann").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("nearest_cell_cos"),
-        s"$q assign lost the codegen expression:\n$p")
-      assert(!p.contains("CartesianProduct"), p)
-    }
-    // q61's final plan (post-assign) must not join at all
+    // expression and NO join/cross product for the assignment. q47 now
+    // consumes the PINNED assignment artifact, so the codegen shape is
+    // guarded on its un-pinned twin (the bandCandidatesPlan pattern) and
+    // q47's own plan must root at the pinned scan.
+    val pAssign = ops.SimOps.ivfAssignmentPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pAssign.contains("nearest_cell_cos"),
+      s"IVF assignment stage lost the codegen expression:\n$pAssign")
+    assert(!pAssign.contains("CartesianProduct"), pAssign)
     val p61 = plan("q61_kmeans_cells")
+    assert(p61.contains("nearest_cell_cos"),
+      s"q61 assign lost the codegen expression:\n$p61")
+    assert(!p61.contains("CartesianProduct"), p61)
+    // q61's final plan (post-assign) must not join at all
     assert(!p61.contains("Join"), s"q61 still joins:\n$p61")
+    val p47 = plan("q47_ivf_ann")
+    assert(p47.contains("ExistingRDD") || p47.contains("Scan ExistingRDD"),
+      s"q47 no longer roots at the pinned assignment artifact:\n$p47")
+    assert(!p47.contains("CartesianProduct"), p47)
   }
 
   test("q60's component join and q63's cohort join stay equi-joins") {
@@ -168,17 +177,28 @@ class PlanSpec extends AnyFunSuite {
 
   test("IVF assign never windows over the n×C candidate expansion") {
     // cosine sites (q47/q61) assign via the NearestCellCos expression —
-    // no expansion exists at all; q80's integer-L2 coarse/code assigns
-    // collapse via min_by partial aggregation inside the join stage.
-    // Either way, a corpus-side argmax window (partitioned by vec_id)
-    // is the regression this guard exists to catch.
+    // no expansion exists at all; the IVF-PQ coarse/code assigns
+    // collapse via min_by partial aggregation inside the join stage
+    // (guarded on the un-pinned code-stage twin — q80's own plan roots
+    // at the pinned artifact). Either way, a corpus-side argmax window
+    // (partitioned by vec_id) is the regression this guard catches.
+    val pCodes = ops.SimOps.ivfPqCodesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pCodes.contains("min_by"),
+      s"IVF-PQ code stage lost its map-side min_by aggregate:\n$pCodes")
+    assert(!pCodes.contains("windowspecdefinition(vec_id"),
+      s"IVF-PQ code assign went through a Window over candidates:\n$pCodes")
+    val pPq = ops.SimOps.pqCodesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pPq.contains("min_by"),
+      s"PQ code stage lost its map-side min_by aggregate:\n$pPq")
     Seq("q47_ivf_ann", "q61_kmeans_cells", "q80_ivfpq_ann").foreach { q =>
       val p = plan(q)
       assert(!p.contains("windowspecdefinition(vec_id"),
         s"$q argmax went through a Window over centroid candidates:\n$p")
     }
-    assert(plan("q80_ivfpq_ann").contains("min_by"),
-      "q80 assign lost its map-side min_by aggregate")
+    assert(plan("q80_ivfpq_ann").contains("ExistingRDD"),
+      "q80 no longer roots at the pinned code artifact")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
@@ -348,14 +368,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q134_sem_decontam").contains("nearest_cell_cos"),
       "q134 assign lost the codegen expression")
     // q130/q132 consume the PINNED knn-edge stage, which roots their
-    // final plans at a checkpointed RDD scan — so the cell-join +
-    // codegen-argmax shape is guarded on the un-pinned twin (the
-    // bandCandidatesPlan pattern), and the pinned path is asserted to
-    // actually root at the materialized blocks.
+    // final plans at a checkpointed RDD scan — so the cell-join shape is
+    // guarded on the un-pinned twin (the bandCandidatesPlan pattern; the
+    // codegen-argmax assignment now lives in the shared ann_ivf_assign
+    // stage, guarded by the q47 test above), and the pinned path is
+    // asserted to actually root at the materialized blocks.
     val edgePlan = ops.SimOps.knnEdgesPlan(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(edgePlan.contains("nearest_cell_cos"),
-      s"knn edge derivation lost the codegen assignment:\n$edgePlan")
     assert(edgePlan.contains("HashJoin") || edgePlan.contains("SortMergeJoin"),
       s"knn edge derivation is not a cell equi-join:\n$edgePlan")
     assert(!edgePlan.contains("CartesianProduct"),
