@@ -536,6 +536,74 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture drive: N-batch slicing matches 1-batch end state for both stateful ops") {
+    // The strongest local substitute for a streaming oracle (VERDICT r8
+    // #7): the events FIXTURE — not synthetic rows — sliced into
+    // deterministic micro-batches and driven through foreachBatch →
+    // parquet (the production restartable sink shape). The end state of
+    // an N-slice run must hash-equal the 1-slice run for both stateful
+    // operators: micro-batch boundaries are an execution detail, never a
+    // semantics input.
+    import org.apache.spark.sql.functions._
+    withRocksDb {
+      val rows = Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[Ev].collect().toSeq
+      assert(rows.nonEmpty, "events fixture is empty")
+      // deterministic slicing: 7 contiguous event-time ranges
+      val nSlices = 7
+      val per = (rows.size + nSlices - 1) / nSlices
+      val slicesN = rows.grouped(per).toSeq
+      def drive(slices: Seq[Seq[Ev]],
+          op: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-slice-drive").resolve("rows").toString
+        val cp = java.nio.file.Files
+          .createTempDirectory("graft-slice-cp").toString
+        val input = MemoryStream[Ev]
+        val q = op(input.toDF())
+          .writeStream.option("checkpointLocation", cp)
+          .outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset
+              [org.apache.spark.sql.Row], _: Long) =>
+            df.write.mode("append").parquet(outDir): Unit
+          }
+          .start()
+        try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+        finally q.stop()
+        spark.read.parquet(outDir)
+      }
+      def stateHash(df: org.apache.spark.sql.DataFrame): String =
+        df.agg(md5(concat_ws(",", sort_array(collect_list(
+          concat_ws(":", df.columns.map(col): _*))))))
+          .collect().head.getString(0)
+      // statefulUserTotals (TimeMode.None — pure accumulation): the
+      // LATEST emission per user is the end state; update mode re-emits
+      // per batch, so reduce to max(n_events) per user first
+      def totalsEnd(df: org.apache.spark.sql.DataFrame) = stateHash(
+        df.groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n"), max(col("sum_value")).as("s")))
+      val t1 = totalsEnd(drive(Seq(rows),
+        ops.Streaming.statefulUserTotals(spark, _, None)))
+      val tN = totalsEnd(drive(slicesN,
+        ops.Streaming.statefulUserTotals(spark, _, None)))
+      assert(t1 == tN, "stateful totals diverge under micro-batch slicing")
+      // streamingThrottle (append mode): the KEPT EVENT SET is the end
+      // state — every kept event_id must survive identically
+      def keptEnd(df: org.apache.spark.sql.DataFrame) = stateHash(
+        df.select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_us")))
+      val k1 = keptEnd(drive(Seq(rows),
+        ops.Streaming.streamingThrottle(spark, _)))
+      val kN = keptEnd(drive(slicesN,
+        ops.Streaming.streamingThrottle(spark, _)))
+      assert(k1 == kN, "throttle kept-set diverges under micro-batch slicing")
+    }
+  }
+
   test("q112 debounce matches a join-route predecessor recount") {
     import org.apache.spark.sql.functions._
     val r = Streaming.q112EventDedup(spark, sf)
