@@ -93,6 +93,15 @@ object Bench {
         () => { ops.SimOps.pqCodes(spark, sfDir); () }),
       ("stage_ann_ivfpq_codes", Set("q80_ivfpq_ann", "q104_ann_recall"),
         () => { ops.SimOps.ivfPqCodes(spark, sfDir); () }),
+      ("stage_attr_heuristic",
+        Set("q25_text_quality", "q133_filter_ensemble"),
+        () => { ops.TextOps.attrHeuristic(spark, sfDir); () }),
+      ("stage_attr_model",
+        Set("q109_quality_model", "q133_filter_ensemble"),
+        () => { ops.TextOps.attrModel(spark, sfDir); () }),
+      ("stage_attr_fluency",
+        Set("q129_bigram_lm", "q133_filter_ensemble"),
+        () => { ops.TextOps.attrFluency(spark, sfDir); () }),
       ("stage_band_candidates",
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
           "q116_triad_census", "q123_containment"),

@@ -324,16 +324,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q109 inference is one scan: no join, no aggregate-shuffle") {
-    val p = plan("q109_quality_model")
-    assert(!p.contains("Join"), s"q109 joined for its weights:\n$p")
-    // only exchange: the final rangepartitioning for ORDER BY
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
-      s"q109 shuffles beyond its output sort:\n$p")
+    // the derivation is guarded on the un-pinned attribute-stage twin
+    // (q109 itself now serves from the pinned attr_model table)
+    val p = ops.TextOps.attrModelPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"attr_model joined for its weights:\n$p")
+    // no exchange at all pre-sort: per-row scoring is scan-local
+    assert(!p.contains("Exchange"),
+      s"attr_model shuffles for per-row work:\n$p")
     // reads only doc_id + text
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
       readSchema)
+    val pQ = plan("q109_quality_model")
+    assert(pQ.contains("ExistingRDD"),
+      s"q109 no longer roots at the pinned attribute table:\n$pQ")
   }
 
   test("q110's sketch collapses map-side: partial_min before the exchange") {
@@ -345,13 +350,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q129's LM scoring joins are equi-joins over the bigram key") {
-    val p = plan("q129_bigram_lm")
+    // guarded on the un-pinned attribute-stage twin (q129 itself now
+    // serves from the pinned attr_fluency table)
+    val p = ops.TextOps.attrFluencyPlan(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
-      s"q129 lost its equi-joins:\n$p")
+      s"attr_fluency lost its equi-joins:\n$p")
     // the only NLJ is the 1-row vocab scalar attach
     val nljs = p.linesIterator
       .filter(_.contains("BroadcastNestedLoopJoin")).size
-    assert(nljs <= 1, s"q129 plans $nljs nested-loop joins:\n$p")
+    assert(nljs <= 1, s"attr_fluency plans $nljs nested-loop joins:\n$p")
+    assert(plan("q129_bigram_lm").contains("ExistingRDD"),
+      "q129 no longer roots at the pinned attribute table")
   }
 
   test("q130/q132/q134 candidate joins stay cell/key equi-joins") {
