@@ -117,17 +117,47 @@ object Bench {
       require(unknown.isEmpty, s"$st consumers not in registry: $unknown")
     }
     val selectedNames = selected.keySet
+    // Stage units are timed min-of-ITERS like queries: a one-shot cold
+    // charge has NO contention rejection, and a single noisy window
+    // during the ~minute of stage derivations inflated one stage 6×
+    // in a full-run record (isolated re-run 9.5 s vs 57.6 s recorded —
+    // the same false-regression class min-of-3 already fixes for
+    // queries). Between iterations only THIS stage's pin is evicted
+    // (`StageCache.clear`), so a stage consuming an upstream stage
+    // (knn_edges → ann_ivf_assign) still measures only its own work;
+    // after the last iteration the pin stays live for the consumers.
     val stageResults = stageBuilders
       .filter { case (_, consumers, _) => consumers.exists(selectedNames) }
       .map { case (name, _, run) =>
-        canary()
-        val t0 = System.nanoTime()
-        val ok = try { run(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        name -> (if (ok) Seq(elapsed) else Seq(-1.0))
+        val cacheKey = name.stripPrefix("stage_")
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        var i = 1
+        while (i <= iters && !failed) {
+          // a failed evict means this iteration would time a CACHE HIT
+          // and report a near-zero min — fail loudly instead (only
+          // reachable after a successful derivation, so the pin exists)
+          if (i > 1) require(ops.StageCache.clear(sfDir, cacheKey),
+            s"$name did not pin cache key '$cacheKey' - unit/key drift")
+          canary()
+          val t0 = System.nanoTime()
+          val ok = try { run(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          if (ok) times += elapsed else failed = true
+          i += 1
+        }
+        // head of the UNSORTED buffer = iteration 1 = the true cold
+        // per-session derivation cost (JIT + codegen + data), which the
+        // min deliberately rejects as noise; emitted as stages_cold so
+        // the record keeps the cold-accounting story (BASELINE.md r9
+        // attr A/B) while the headline min stays contention-robust
+        name -> (if (failed) (Seq(-1.0), -1.0)
+                 else (times.sorted.toSeq, times.head))
       }
+    val stagesCold = stageResults.map { case (n, (_, cold)) => n -> cold }
     val queryResults = selected.map { case (name, fn) =>
       canary()
       val times = (1 to iters).map { _ =>
@@ -147,7 +177,8 @@ object Bench {
       name -> (if (times.exists(_ < 0)) Seq(-1.0)
                else times.sorted)
     }
-    val results = stageResults.toMap ++ queryResults
+    val results = stageResults.map { case (n, (t, _)) => n -> t }.toMap ++
+      queryResults
     def fmt(pick: Seq[Double] => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + pick(v) }
       .mkString("{", ",", "}")
@@ -170,9 +201,13 @@ object Bench {
       if (cs.isEmpty) "null"
       else s"""{"n":${cs.size},"min":${cs.head},""" +
         s""""median":${cs(cs.size / 2)},"max":${cs.last}}"""
+    val stagesColdJson = stagesCold
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_median":$med,"canary":$canaryJson,""" +
+        s""""queries_median":$med,"stages_cold":$stagesColdJson,""" +
+        s""""canary":$canaryJson,""" +
         s""""failed":${failed.size},""" +
         s""""failed_names":$failedJson,"sf":"$sfDir"}"""
     println(json)
