@@ -1088,6 +1088,58 @@ object CurationOps {
         <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS quota
     FROM q CROSS JOIN dfc ORDER BY source"""
 
+  // ---- q145: RAG-style document chunking (token windows + stride) ------
+  // Split every document into fixed-width token windows advanced by a
+  // stride < width, the retrieval-prep step an embedding pipeline runs
+  // before chunk-level encoding: start positions 0, S, 2S, … while the
+  // start still lands inside the document; each chunk keeps `width`
+  // tokens (the tail chunks run short). Case is PRESERVED (unlike the
+  // lowercased analysis `toks` — chunks feed an embedder, which wants
+  // the original surface form); the split regex stays the proven
+  // Java/RE2-identical character class. Per-row map + explode only —
+  // no shuffle besides the gate's deterministic ORDER BY — so the op
+  // is embarrassingly parallel at any corpus size, and `chunk_md5`
+  // gives downstream chunk-level dedup (q72-style) a join key without
+  // re-tokenizing.
+  private val chunkWidth = 32
+  private val chunkStride = 24
+
+  def q145DocChunks(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (chunkWidth, chunkStride)
+    Tables.documents(s, d)
+      .withColumn("t", split(trim(col("text")), "[ \\t\\n\\r\\f]+"))
+      .select(col("doc_id"), col("lang"), col("t"),
+        posexplode(sequence(lit(0L),
+          greatest(size(col("t")) - 1, lit(0)).cast("long"),
+          lit(st.toLong))))
+      .withColumn("chunk", slice(col("t"), col("col").cast("int") + 1, lit(w)))
+      .withColumn("chunk_text", concat_ws(" ", col("chunk")))
+      .select(col("doc_id"), col("lang"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(col("chunk_text")).as("chunk_md5"),
+        col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q145Sql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, CAST(st AS BIGINT) AS start_tok,
+        list_slice(toks, st + 1, st + $chunkWidth) AS chunk
+      FROM t, unnest(generate_series(CAST(0 AS BIGINT),
+        CAST(GREATEST(len(toks) - 1, 0) AS BIGINT),
+        CAST($chunkStride AS BIGINT))) AS u(st))
+    SELECT doc_id, lang, start_tok // $chunkStride AS chunk_idx, start_tok,
+      CAST(len(chunk) AS BIGINT) AS n_toks,
+      md5(array_to_string(chunk, ' ')) AS chunk_md5,
+      array_to_string(chunk, ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -1105,7 +1157,8 @@ object CurationOps {
     "q114_novelty"      -> q114Novelty _,
     "q128_bpe_pack"     -> q128BpePack _,
     "q139_curriculum"   -> q139Curriculum _,
-    "q140_temperature_mix" -> q140TemperatureMix _)
+    "q140_temperature_mix" -> q140TemperatureMix _,
+    "q145_doc_chunks"   -> q145DocChunks _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -1124,5 +1177,6 @@ object CurationOps {
     "q114_novelty"      -> q114Sql,
     "q128_bpe_pack"     -> q128Sql,
     "q139_curriculum"   -> q139Sql,
-    "q140_temperature_mix" -> q140Sql)
+    "q140_temperature_mix" -> q140Sql,
+    "q145_doc_chunks"   -> q145Sql)
 }

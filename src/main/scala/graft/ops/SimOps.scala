@@ -1026,6 +1026,10 @@ object SimOps {
       col("embedding").as("c_emb"), col("nq").as("c_nq"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("c_id").asc)
+    // All five evalMethod legs join against the same ground truth; the
+    // persist makes the exact O(n·|Q|) corpus scan run ONCE for the whole
+    // union instead of once per leg (the frame itself is |Q|·3 rows).
+    // Caller contract: Verify/Bench clearCache between queries.
     val gt = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -1033,6 +1037,7 @@ object SimOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("q_id").as("g_id"), col("c_id").as("gt_id"), col("rank"))
+      .persist()
     val nQ = q.agg(count(lit(1)).as("n_queries"))
     def evalMethod(name: String, ann: DataFrame): DataFrame =
       ann.filter(col("vec_id") < EvalQueries)

@@ -318,6 +318,36 @@ class CurationOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // q31 persists its feature table
   }
 
+  test("q145: chunk lattice covers every token; stride/overlap invariants hold") {
+    val r = CurationOps.q145DocChunks(spark, sf).persist()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\r\\f]+")).cast("long").as("n"))
+    assert(r.select("doc_id").distinct().count() == docs.count())
+    assert(r.filter(col("start_tok") =!= col("chunk_idx") * 24).count() == 0)
+    assert(r.filter(col("n_toks") < 1 || col("n_toks") > 32).count() == 0)
+    // the last chunk ends exactly at the doc's token count and every
+    // start lies inside the doc
+    val ends = r.groupBy("doc_id").agg(
+      max(col("start_tok") + col("n_toks")).as("end"),
+      max("start_tok").as("last_start"))
+    assert(ends.join(docs, "doc_id")
+      .filter(col("end") =!= col("n") || col("last_start") > col("n") - 1)
+      .count() == 0)
+    // consecutive chunks overlap by width - stride = 8 tokens: a full
+    // chunk's 8-token suffix is its successor's 8-token prefix
+    val w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    val bad = r.withColumn("next_text", lead(col("chunk_text"), 1).over(w))
+      .filter(col("n_toks") === 32 && col("next_text").isNotNull)
+      .withColumn("suffix",
+        concat_ws(" ", slice(split(col("chunk_text"), " "), 25, 8)))
+      .withColumn("prefix",
+        concat_ws(" ", slice(split(col("next_text"), " "), 1, 8)))
+      .filter(col("suffix") =!= col("prefix"))
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
