@@ -1344,23 +1344,30 @@ object TextOps {
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("k"))
       .persist()
-    val corpus = occ.groupBy(col("bucket")).agg(sum(col("k")).as("c_c"))
-    val target = occ.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(sum(col("k")).as("c_t"))
-    val nC = corpus.agg(sum(col("c_c")).as("n_c"))
-    val nT = target.agg(sum(col("c_t")).as("n_t"))
-    val lm = corpus.join(target, Seq("bucket"), "left")
-      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
-      .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+    // Both LMs in ONE pass over occ (target is a conditional sum, not a
+    // second scan + left join), and both totals in one broadcast: a
+    // bucket absent from the en slice sums to 0, exactly the old
+    // left-join coalesce.
+    val bucketCounts = occ.groupBy(col("bucket"))
+      .agg(sum(col("k")).as("c_c"),
+        sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("c_t"))
+    val tots = bucketCounts.agg(sum(col("c_c")).as("n_c"),
+      sum(col("c_t")).as("n_t"))
+    val lm = bucketCounts.crossJoin(broadcast(tots))
       .withColumn("ppm_t",
         expr(s"(c_t + 1) * 1000000 div (n_t + $DsirBuckets)"))
       .withColumn("ppm_c",
         expr(s"(c_c + 1) * 1000000 div (n_c + $DsirBuckets)"))
       .select(col("bucket"), col("ppm_t"), col("ppm_c"))
+    // Per-doc scores feed BOTH the corpus-mean broadcast and the final
+    // projection — persist the compact integer frame (the BASELINE.md
+    // double-derivation audit rule) so the bucket join + doc sum runs
+    // once, not once per subtree.
     val scored = occ.join(broadcast(lm), "bucket")
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_bigrams"),
         sum(col("k") * (col("ppm_t") - col("ppm_c"))).as("score"))
+      .persist()
     val tot = scored.agg(count(lit(1)).as("n_docs"),
       sum(col("score")).as("s_total"))
     scored.crossJoin(broadcast(tot))

@@ -300,6 +300,18 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("q145 chunking is scan-local: no join, no aggregate, one sort exchange") {
+    val p = plan("q145_doc_chunks")
+    assert(!p.contains("Join"), s"q145 planned a join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q145 shuffles beyond its output sort:\n$p")
+    // reads only the three needed columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      readSchema)
+  }
+
   test("q107's island merge windows per doc, never over the whole corpus") {
     val p = plan("q107_dup_spans")
     // duplicated-gram detection is an equi-join on the 60-bit hash
