@@ -222,11 +222,16 @@ object CurationOps {
   // corpora — either way an equi-join Catalyst can broadcast or shuffle
   // as stats dictate).
   def q73Tfidf(s: SparkSession, d: String): DataFrame = {
+    // (doc, term, tf) feeds BOTH the df aggregate and the scoring join —
+    // persist the compact frame so tokenize+explode+count runs once
+    // (A/B at sf0.1 and the sf1 drive; the corpus-sized-array caveat in
+    // buildAttrFluency does not apply to a 3-narrow-column frame)
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val scored = tf.join(df, "term")
