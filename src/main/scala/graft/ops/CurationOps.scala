@@ -223,9 +223,11 @@ object CurationOps {
   // as stats dictate).
   def q73Tfidf(s: SparkSession, d: String): DataFrame = {
     // (doc, term, tf) feeds BOTH the df aggregate and the scoring join —
-    // persist the compact frame so tokenize+explode+count runs once
-    // (A/B at sf0.1 and the sf1 drive; the corpus-sized-array caveat in
-    // buildAttrFluency does not apply to a 3-narrow-column frame)
+    // persist so tokenize+explode+count runs once (no cross-subtree CSE
+    // in Spark). Crossover A/B in BASELINE.md round 9: the cache write
+    // costs ~0.4 s at sf0.1 but wins 23% at the sf1 drive and flattens
+    // the unit's scaling band — kept for the scale side, where the
+    // re-derivation is a second full corpus scan.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term") =!= "")
