@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   *
   * Builds a ~sf(0.1 × N) corpus under a scratch dir by unioning the
   * read-only sf0.1 fixtures N times with per-replica key offsets, so the
-  * full 144-query registry can be driven at ~10× bench scale without
+  * full query registry can be driven at ~10× bench scale without
   * touching the driver-owned fixtures (TESTDATA.md forbids regeneration).
   * This is a robustness/scaling drive, not a correctness gate — the
   * DuckDB oracle stays pinned at sf0.01.

@@ -1114,7 +1114,12 @@ object CurationOps {
   def q145DocChunks(s: SparkSession, d: String): DataFrame = {
     val (w, st) = (chunkWidth, chunkStride)
     Tables.documents(s, d)
-      .withColumn("t", split(trim(col("text")), "[ \\t\\n\\r\\f]+"))
+      // coalesce pins the NULL-text edge to the empty-text behavior on
+      // BOTH engines (Spark alone would emit n_toks = -1 / md5('') rows
+      // where DuckDB null-propagates — latent until a nullable-text
+      // fixture appears)
+      .withColumn("t",
+        split(trim(coalesce(col("text"), lit(""))), "[ \\t\\n\\r\\f]+"))
       .select(col("doc_id"), col("lang"), col("t"),
         posexplode(sequence(lit(0L),
           greatest(size(col("t")) - 1, lit(0)).cast("long"),
@@ -1133,7 +1138,7 @@ object CurationOps {
   val q145Sql: String = raw"""
     WITH t AS (
       SELECT doc_id, lang,
-        string_split_regex(trim(text), '[ \t\n\r\f]+') AS toks
+        string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS toks
       FROM documents),
     c AS (
       SELECT doc_id, lang, CAST(st AS BIGINT) AS start_tok,

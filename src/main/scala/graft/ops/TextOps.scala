@@ -1351,8 +1351,13 @@ object TextOps {
     val bucketCounts = occ.groupBy(col("bucket"))
       .agg(sum(col("k")).as("c_c"),
         sum(when(col("lang") === "en", col("k")).otherwise(0L)).as("c_t"))
+    // nullif preserves the pre-refactor empty-target edge: with zero
+    // 'en' bigrams the old target-frame SUM was NULL (empty aggregate),
+    // and the unchanged DuckDB oracle still null-propagates — a 0 here
+    // would fabricate concrete ppm_t/selected values the oracle lacks.
+    // An 'en' doc always contributes >= 1 bigram, so 0 <=> no target.
     val tots = bucketCounts.agg(sum(col("c_c")).as("n_c"),
-      sum(col("c_t")).as("n_t"))
+      nullif(sum(col("c_t")), lit(0L)).as("n_t"))
     val lm = bucketCounts.crossJoin(broadcast(tots))
       .withColumn("ppm_t",
         expr(s"(c_t + 1) * 1000000 div (n_t + $DsirBuckets)"))

@@ -351,7 +351,12 @@ class CurationOpsSpec extends AnyFunSuite {
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()
+      // evict persisted subtrees (q73's tf frame) so run b re-executes
+      // the whole derivation instead of reading run a's cache — without
+      // this the test compares cached data against itself
+      spark.catalog.clearCache()
       val b = fn(spark, sf).collect()
+      spark.catalog.clearCache()
       assert(a.sameElements(b), s"$name not deterministic across runs")
     }
   }

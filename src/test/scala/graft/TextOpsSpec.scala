@@ -356,4 +356,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("fluency_band") === "low" &&
       col("sum_ppm") >= col("n_bigrams") * 33500L).count() == 0)
   }
+
+  test("q135 null-propagates when the corpus has no target-language slice") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("no-en-docs").toString
+    Seq(
+      (1L, "der hund und die katze", "de", "src0", 22L),
+      (2L, "el gato que come pescado", "es", "src0", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // with zero 'en' bigrams the target LM is undefined: score and the
+    // keep gate must be NULL (DuckDB's empty-aggregate SUM), never
+    // values fabricated from an all-zero-count LM
+    val r = TextOps.q135DsirScore(spark, dir)
+    assert(r.count() == 2)
+    assert(r.filter(col("score").isNotNull ||
+      col("selected").isNotNull).count() == 0)
+    assert(r.filter(col("n_bigrams").isNull).count() == 0)
+    spark.catalog.clearCache() // q135 persists occ + scored
+  }
 }
