@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import ops.{CurationOps, SimOps}
+
+/** End-to-end retrieval-index build job — the SERVING-side complement of
+  * [[CurationJob]]'s training-side pipeline: where CurationJob turns raw
+  * documents into training shards, this job turns the same corpus into a
+  * chunk-level ANN index an embedding-retrieval (RAG) service reads.
+  *
+  * Build per run (`runMain graft.RagIndexJob <sfDir> <indexRoot>`):
+  *
+  *   1. chunking — the q145 token-window lattice (width 32 / stride 24,
+  *      case-preserving), via [[CurationOps.docChunks]];
+  *   2. chunk-level exact dedup — one canonical chunk per `chunk_md5`,
+  *      the lexicographic-min (doc_id, chunk_idx) survivor (the
+  *      overlapping lattice makes intra-doc duplicates common and
+  *      boilerplate makes cross-doc ones common; indexing them all
+  *      wastes index space and returns redundant hits);
+  *   3. stub chunk encoder — UTF-8 byte-fold into a Dim-length integer
+  *      vector ([[ops.Multimodal.embedStub]]'s text twin: the real
+  *      encoder is the sandbox-stubbed model, the PLUMBING — schema,
+  *      partition-batched map, fixed-dim vector column — is the real
+  *      thing and swaps for a model server call without plan changes);
+  *   4. LSH bucketing — the SAME corpus-size-derived sign-random-
+  *      projection the ANN operators use ([[SimOps.planesFor]] /
+  *      `bucketExpr`), so bucket balance carries over;
+  *   5. artifact write — `vectors.parquet` range-partitioned and sorted
+  *      by bucket, so a serve-time `bucket = q` filter prunes files and
+  *      row groups by parquet min/max stats instead of scanning the
+  *      index. At cluster scale this layout is `bucketBy` into the
+  *      catalog; a 1-row `manifest.parquet` pins the plane count so
+  *      lookups never re-derive corpus statistics.
+  *
+  * Serve path ([[lookup]]): embed the query with the same stub, bucket
+  * it with the same planes, read ONLY the matching index slice, exact
+  * integer-dot cosine re-rank, top-k. O(bucket) work per query — the
+  * build-once / serve-many contract the pinned ANN stages model inside
+  * the bench, here as durable on-disk artifacts.
+  *
+  * Determinism: every stage is a pure function of the corpus bytes, so
+  * a rerun rewrites byte-identical artifacts (spec-pinned) — the
+  * idempotence CurationJob gets from fingerprint stores, this job gets
+  * from having no state at all.
+  */
+object RagIndexJob {
+
+  private[graft] val Dim = 64
+
+  private def foldBytes(bytes: Array[Byte]): Array[Long] = {
+    val acc = new Array[Long](Dim)
+    var i = 0
+    while (i < bytes.length) { acc(i % Dim) += (bytes(i) & 0xff).toLong; i += 1 }
+    acc
+  }
+
+  /** Deterministic integer chunk vectors (column `qa`, [[SimOps]]'s
+    * quantized-vector convention). */
+  private[graft] def encodeChunks(chunks: DataFrame): DataFrame = {
+    import chunks.sparkSession.implicits._
+    chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .as[(Long, Long, String)]
+      .map { case (docId, ci, txt) =>
+        (docId, ci,
+          foldBytes(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+      .toDF("doc_id", "chunk_idx", "qa")
+  }
+
+  /** Builds the index artifacts; returns (total chunks, unique chunks,
+    * planes). */
+  def build(spark: SparkSession, sfDir: String, indexRoot: String)
+      : (Long, Long, Int) = {
+    import spark.implicits._
+    val chunks = CurationOps.docChunks(spark, sfDir).persist()
+    val nChunks = chunks.count()
+    // canonical survivor per fingerprint: struct min = lexicographic-min
+    // (doc_id, chunk_idx) — deterministic under any partitioning
+    val unique = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_text"))).as("r"))
+      .select(col("chunk_md5"), col("r.doc_id").as("doc_id"),
+        col("r.chunk_idx").as("chunk_idx"), col("r.n_toks").as("n_toks"),
+        col("r.chunk_text").as("chunk_text"))
+      .persist()
+    val nUnique = unique.count()
+    chunks.unpersist()
+    val planes = SimOps.planesFor(nUnique)
+    val vectors = encodeChunks(unique)
+      .withColumn("bucket", SimOps.bucketExpr(planes))
+    vectors.repartitionByRange(8, col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").parquet(s"$indexRoot/vectors.parquet")
+    unique.write.mode("overwrite").parquet(s"$indexRoot/chunks.parquet")
+    unique.unpersist()
+    Seq((planes, Dim)).toDF("planes", "dim")
+      .write.mode("overwrite").parquet(s"$indexRoot/manifest.parquet")
+    (nChunks, nUnique, planes)
+  }
+
+  /** Serve path: top-k unique chunks for a query string. Reads only the
+    * `bucket = <query bucket>` slice of the index (file/row-group pruned
+    * via the bucket-sorted layout); candidates re-rank by exact cosine
+    * over the integer vectors. Ties break on (doc_id, chunk_idx) for a
+    * total order. */
+  def lookup(spark: SparkSession, indexRoot: String, queryText: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(s"$indexRoot/manifest.parquet")
+      .collect()(0)
+    val planes = manifest.getAs[Int]("planes")
+    val qa = foldBytes(
+      queryText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the query rides the SAME bucket expression the build used, on a
+    // 1-row frame — no reimplementation that could drift
+    val qBucket = Seq(Tuple1(qa)).toDF("qa")
+      .select(SimOps.bucketExpr(planes).as("b")).collect()(0).getLong(0)
+    val qNorm = qa.foldLeft(0d)((s, v) => s + v.toDouble * v.toDouble)
+    spark.read.parquet(s"$indexRoot/vectors.parquet")
+      .filter(col("bucket") === qBucket)
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), lit(qa), (x, w) => x * w),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("nq",
+        aggregate(transform(col("qa"), x => x * x), lit(0L),
+          (acc, t) => acc + t))
+      // norm product in double: both squared norms can reach ~1e10, and
+      // their long product would overflow; the cosine is serve-side
+      // ranking only (no oracle twin), so IEEE is the right type
+      .withColumn("cosine",
+        col("dot").cast("double") /
+          sqrt(col("nq").cast("double") * lit(qNorm)))
+      .orderBy(col("cosine").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(k)
+      .select(col("doc_id"), col("chunk_idx"), col("bucket"), col("cosine"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: RagIndexJob <sfDir> <indexRoot>")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-rag-index-job")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (n, u, p) = build(spark, args(0), args(1))
+    println(s"[rag-index-job] indexed $u unique of $n chunks, $p planes")
+    spark.stop()
+  }
+}

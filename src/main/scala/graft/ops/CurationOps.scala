@@ -1111,7 +1111,10 @@ object CurationOps {
   private val chunkWidth = 32
   private val chunkStride = 24
 
-  def q145DocChunks(s: SparkSession, d: String): DataFrame = {
+  /** Un-ordered chunk lattice — q145's builder, also consumed by
+    * [[graft.RagIndexJob]] (which must not inherit the gate's global
+    * sort). */
+  private[graft] def docChunks(s: SparkSession, d: String): DataFrame = {
     val (w, st) = (chunkWidth, chunkStride)
     Tables.documents(s, d)
       // coalesce pins the NULL-text edge to the empty-text behavior on
@@ -1132,8 +1135,10 @@ object CurationOps {
         size(col("chunk")).cast("long").as("n_toks"),
         md5(col("chunk_text")).as("chunk_md5"),
         col("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  def q145DocChunks(s: SparkSession, d: String): DataFrame =
+    docChunks(s, d).orderBy(col("doc_id"), col("chunk_idx"))
 
   val q145Sql: String = raw"""
     WITH t AS (

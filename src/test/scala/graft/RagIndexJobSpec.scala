@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RagIndexJobSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val root = {
+    val dir = java.nio.file.Files.createTempDirectory("rag-index").toString
+    RagIndexJob.build(spark, sf, dir) -> dir
+  }
+
+  test("build dedups the chunk lattice and writes all three artifacts") {
+    val ((n, u, p), dir) = root
+    assert(n > 0 && u > 0 && u <= n)
+    assert(p >= 4 && p <= 24)
+    val chunks = spark.read.parquet(s"$dir/chunks.parquet")
+    val vectors = spark.read.parquet(s"$dir/vectors.parquet")
+    assert(chunks.count() == u && vectors.count() == u)
+    // one canonical row per fingerprint, and it is the lexicographic-min
+    // survivor: no other chunk with the same md5 sorts before it
+    assert(chunks.select("chunk_md5").distinct().count() == u)
+    val lattice = ops.CurationOps.q145DocChunks(spark, sf)
+    val earlier = lattice.as("l")
+      .join(chunks.as("c"), col("l.chunk_md5") === col("c.chunk_md5") &&
+        struct(col("l.doc_id"), col("l.chunk_idx")) <
+          struct(col("c.doc_id"), col("c.chunk_idx")))
+    assert(earlier.count() == 0)
+  }
+
+  test("rebuild is byte-deterministic (stateless idempotence)") {
+    val (_, dir) = root
+    def digest(): String = spark.read.parquet(s"$dir/vectors.parquet")
+      .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+        md5(to_json(struct(col("qa")))).as("h"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .agg(md5(concat_ws(",",
+        collect_list(concat_ws(":", col("doc_id"), col("chunk_idx"),
+          col("bucket"), col("h"))))).as("d"))
+      .collect()(0).getString(0)
+    val before = digest()
+    RagIndexJob.build(spark, sf, dir)
+    assert(digest() == before)
+  }
+
+  test("lookup self-retrieves an indexed chunk as top-1 through the bucket slice") {
+    val (_, dir) = root
+    // pick a mid-corpus canonical chunk and query its exact text: the
+    // byte-fold embeds it identically, the same planes bucket it
+    // identically, so the pruned slice must contain it and cosine = 1
+    // must rank it first
+    val probe = spark.read.parquet(s"$dir/chunks.parquet")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .filter(col("n_toks") >= 8).limit(50).collect()(25)
+    val hits = RagIndexJob.lookup(spark, dir,
+      probe.getAs[String]("chunk_text"), 5).collect()
+    assert(hits.nonEmpty)
+    assert(hits(0).getAs[Long]("doc_id") == probe.getAs[Long]("doc_id") &&
+      hits(0).getAs[Long]("chunk_idx") == probe.getAs[Long]("chunk_idx"),
+      s"self-retrieval missed: ${hits.mkString(";")}")
+    assert(math.abs(hits(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+  }
+
+  test("the serve scan pushes the bucket filter into the parquet source") {
+    val (_, dir) = root
+    val plan = spark.read.parquet(s"$dir/vectors.parquet")
+      .filter(col("bucket") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bucket"),
+      s"bucket filter not pushed to the index scan:\n$plan")
+  }
+}
