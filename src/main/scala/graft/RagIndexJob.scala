@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 import ops.{CurationOps, SimOps}
 
-/** End-to-end retrieval-index build job — the SERVING-side complement of
+/** End-to-end retrieval-index job — the SERVING-side complement of
   * [[CurationJob]]'s training-side pipeline: where CurationJob turns raw
   * documents into training shards, this job turns the same corpus into a
   * chunk-level ANN index an embedding-retrieval (RAG) service reads.
   *
-  * Build per run (`runMain graft.RagIndexJob <sfDir> <indexRoot>`):
+  * Build (`runMain graft.RagIndexJob <sfDir> <indexRoot>`):
   *
   *   1. chunking — the q145 token-window lattice (width 32 / stride 24,
   *      case-preserving), via [[CurationOps.docChunks]];
@@ -27,23 +27,34 @@ import ops.{CurationOps, SimOps}
   *   4. LSH bucketing — the SAME corpus-size-derived sign-random-
   *      projection the ANN operators use ([[SimOps.planesFor]] /
   *      `bucketExpr`), so bucket balance carries over;
-  *   5. artifact write — `vectors.parquet` range-partitioned and sorted
-  *      by bucket, so a serve-time `bucket = q` filter prunes files and
-  *      row groups by parquet min/max stats instead of scanning the
-  *      index. At cluster scale this layout is `bucketBy` into the
-  *      catalog; a 1-row `manifest.parquet` pins the plane count so
-  *      lookups never re-derive corpus statistics.
+  *   5. one index artifact — `index.parquet` (md5, ids, text, vector,
+  *      bucket) range-partitioned and sorted by bucket, so a serve-time
+  *      `bucket = q` filter prunes files and row groups by parquet
+  *      min/max stats instead of scanning the index. At cluster scale
+  *      this layout is `bucketBy` into the catalog; a 1-row
+  *      `manifest.parquet` pins the plane count so neither lookups nor
+  *      updates re-derive corpus statistics.
+  *
+  * Incremental ingest ([[update]]): chunk the new batch, canonicalize
+  * within it, LEFT-ANTI probe the index's md5 ledger, and append only
+  * novel chunks bucketed under the MANIFEST's pinned planes — O(batch)
+  * writes per firing, the [[ops.DedupOps.incrementalDedup]] store
+  * contract with the index itself as the ledger. Because the ledger and
+  * the serve artifact are ONE file set written by ONE job commit,
+  * a crashed firing leaves no partial state and a rerun appends zero
+  * rows (idempotent). Appended file sets are bucket-sorted internally;
+  * [[ops.SinkMaintenance]]-style compaction restores the global layout
+  * when append debt accumulates. A full rebuild re-tunes the plane
+  * count to the grown corpus.
   *
   * Serve path ([[lookup]]): embed the query with the same stub, bucket
   * it with the same planes, read ONLY the matching index slice, exact
-  * integer-dot cosine re-rank, top-k. O(bucket) work per query — the
-  * build-once / serve-many contract the pinned ANN stages model inside
-  * the bench, here as durable on-disk artifacts.
+  * integer-dot cosine re-rank, top-k with the chunk text. O(bucket)
+  * work per query — the build-once / serve-many contract the pinned ANN
+  * stages model inside the bench, here as durable on-disk artifacts.
   *
   * Determinism: every stage is a pure function of the corpus bytes, so
-  * a rerun rewrites byte-identical artifacts (spec-pinned) — the
-  * idempotence CurationJob gets from fingerprint stores, this job gets
-  * from having no state at all.
+  * a rebuild rewrites byte-identical artifacts (spec-pinned).
   */
 object RagIndexJob {
 
@@ -56,18 +67,37 @@ object RagIndexJob {
     acc
   }
 
+  /** Canonical survivor per fingerprint: struct min = lexicographic-min
+    * (doc_id, chunk_idx) — deterministic under any partitioning. */
+  private def canonicalChunks(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("n_toks"),
+        col("chunk_text"))).as("r"))
+      .select(col("chunk_md5"), col("r.doc_id").as("doc_id"),
+        col("r.chunk_idx").as("chunk_idx"), col("r.n_toks").as("n_toks"),
+        col("r.chunk_text").as("chunk_text"))
+
   /** Deterministic integer chunk vectors (column `qa`, [[SimOps]]'s
-    * quantized-vector convention). */
+    * quantized-vector convention), carried alongside the chunk row. */
   private[graft] def encodeChunks(chunks: DataFrame): DataFrame = {
     import chunks.sparkSession.implicits._
-    chunks.select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
-      .as[(Long, Long, String)]
-      .map { case (docId, ci, txt) =>
-        (docId, ci,
+    chunks.select(col("chunk_md5"), col("doc_id"), col("chunk_idx"),
+        col("n_toks"), col("chunk_text"))
+      .as[(String, Long, Long, Long, String)]
+      .map { case (md5v, docId, ci, nt, txt) =>
+        (md5v, docId, ci, nt, txt,
           foldBytes(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
-      .toDF("doc_id", "chunk_idx", "qa")
+      .toDF("chunk_md5", "doc_id", "chunk_idx", "n_toks", "chunk_text",
+        "qa")
   }
+
+  private def writeSlice(indexed: DataFrame, indexRoot: String,
+      mode: String, files: Int): Unit =
+    indexed.repartitionByRange(files, col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode(mode).parquet(s"$indexRoot/index.parquet")
 
   /** Builds the index artifacts; returns (total chunks, unique chunks,
     * planes). */
@@ -76,29 +106,37 @@ object RagIndexJob {
     import spark.implicits._
     val chunks = CurationOps.docChunks(spark, sfDir).persist()
     val nChunks = chunks.count()
-    // canonical survivor per fingerprint: struct min = lexicographic-min
-    // (doc_id, chunk_idx) — deterministic under any partitioning
-    val unique = chunks
-      .groupBy(col("chunk_md5"))
-      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("n_toks"),
-        col("chunk_text"))).as("r"))
-      .select(col("chunk_md5"), col("r.doc_id").as("doc_id"),
-        col("r.chunk_idx").as("chunk_idx"), col("r.n_toks").as("n_toks"),
-        col("r.chunk_text").as("chunk_text"))
-      .persist()
+    val unique = canonicalChunks(chunks).persist()
     val nUnique = unique.count()
     chunks.unpersist()
     val planes = SimOps.planesFor(nUnique)
-    val vectors = encodeChunks(unique)
-      .withColumn("bucket", SimOps.bucketExpr(planes))
-    vectors.repartitionByRange(8, col("bucket"))
-      .sortWithinPartitions(col("bucket"))
-      .write.mode("overwrite").parquet(s"$indexRoot/vectors.parquet")
-    unique.write.mode("overwrite").parquet(s"$indexRoot/chunks.parquet")
+    writeSlice(
+      encodeChunks(unique).withColumn("bucket", SimOps.bucketExpr(planes)),
+      indexRoot, "overwrite", files = 8)
     unique.unpersist()
     Seq((planes, Dim)).toDF("planes", "dim")
       .write.mode("overwrite").parquet(s"$indexRoot/manifest.parquet")
     (nChunks, nUnique, planes)
+  }
+
+  /** Incremental firing: index every chunk of `batchDir`'s documents not
+    * already in the ledger. Returns the number of appended chunks. */
+  def update(spark: SparkSession, batchDir: String, indexRoot: String)
+      : Long = {
+    val planes = spark.read.parquet(s"$indexRoot/manifest.parquet")
+      .collect()(0).getAs[Int]("planes")
+    val ledger = spark.read.parquet(s"$indexRoot/index.parquet")
+      .select(col("chunk_md5"))
+    val novel = canonicalChunks(CurationOps.docChunks(spark, batchDir))
+      .join(ledger, Seq("chunk_md5"), "left_anti")
+      .persist()
+    val n = novel.count()
+    if (n > 0)
+      writeSlice(
+        encodeChunks(novel).withColumn("bucket", SimOps.bucketExpr(planes)),
+        indexRoot, "append", files = 2)
+    novel.unpersist()
+    n
   }
 
   /** Serve path: top-k unique chunks for a query string. Reads only the
@@ -109,9 +147,8 @@ object RagIndexJob {
   def lookup(spark: SparkSession, indexRoot: String, queryText: String,
       k: Int): DataFrame = {
     import spark.implicits._
-    val manifest = spark.read.parquet(s"$indexRoot/manifest.parquet")
-      .collect()(0)
-    val planes = manifest.getAs[Int]("planes")
+    val planes = spark.read.parquet(s"$indexRoot/manifest.parquet")
+      .collect()(0).getAs[Int]("planes")
     val qa = foldBytes(
       queryText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the query rides the SAME bucket expression the build used, on a
@@ -119,7 +156,7 @@ object RagIndexJob {
     val qBucket = Seq(Tuple1(qa)).toDF("qa")
       .select(SimOps.bucketExpr(planes).as("b")).collect()(0).getLong(0)
     val qNorm = qa.foldLeft(0d)((s, v) => s + v.toDouble * v.toDouble)
-    spark.read.parquet(s"$indexRoot/vectors.parquet")
+    spark.read.parquet(s"$indexRoot/index.parquet")
       .filter(col("bucket") === qBucket)
       .withColumn("dot",
         aggregate(zip_with(col("qa"), lit(qa), (x, w) => x * w),
@@ -135,7 +172,8 @@ object RagIndexJob {
           sqrt(col("nq").cast("double") * lit(qNorm)))
       .orderBy(col("cosine").desc, col("doc_id").asc, col("chunk_idx").asc)
       .limit(k)
-      .select(col("doc_id"), col("chunk_idx"), col("bucket"), col("cosine"))
+      .select(col("doc_id"), col("chunk_idx"), col("bucket"),
+        col("cosine"), col("chunk_text"))
   }
 
   def main(args: Array[String]): Unit = {
