@@ -140,12 +140,16 @@ object RagIndexJob {
   }
 
   /** Serve path: top-k unique chunks for a query string. Reads only the
-    * `bucket = <query bucket>` slice of the index (file/row-group pruned
-    * via the bucket-sorted layout); candidates re-rank by exact cosine
-    * over the integer vectors. Ties break on (doc_id, chunk_idx) for a
-    * total order. */
+    * query-bucket slice of the index (file/row-group pruned via the
+    * bucket-sorted layout); candidates re-rank by exact cosine over the
+    * integer vectors. Ties break on (doc_id, chunk_idx) for a total
+    * order. `multiProbe` widens the slice to every single-bit-flip
+    * neighbor bucket (the q68 trick: a near-identical chunk whose
+    * vector sits on the wrong side of ONE near-zero hyperplane lands
+    * one Hamming bit away) — planes+1 pruned slices instead of one,
+    * still never a scan of the index. */
   def lookup(spark: SparkSession, indexRoot: String, queryText: String,
-      k: Int): DataFrame = {
+      k: Int, multiProbe: Boolean = false): DataFrame = {
     import spark.implicits._
     val planes = spark.read.parquet(s"$indexRoot/manifest.parquet")
       .collect()(0).getAs[Int]("planes")
@@ -155,9 +159,12 @@ object RagIndexJob {
     // 1-row frame — no reimplementation that could drift
     val qBucket = Seq(Tuple1(qa)).toDF("qa")
       .select(SimOps.bucketExpr(planes).as("b")).collect()(0).getLong(0)
+    val probed: Seq[Long] =
+      if (multiProbe) qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+      else Seq(qBucket)
     val qNorm = qa.foldLeft(0d)((s, v) => s + v.toDouble * v.toDouble)
     spark.read.parquet(s"$indexRoot/index.parquet")
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(probed: _*))
       .withColumn("dot",
         aggregate(zip_with(col("qa"), lit(qa), (x, w) => x * w),
           lit(0L), (acc, t) => acc + t))

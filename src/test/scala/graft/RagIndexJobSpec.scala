@@ -94,6 +94,27 @@ class RagIndexJobSpec extends AnyFunSuite {
       probe.getAs[String]("chunk_text"))
   }
 
+  test("multi-probe widens the slice monotonically and keeps self-retrieval") {
+    val (_, dir) = root
+    val probe = spark.read.parquet(s"$dir/index.parquet")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .filter(col("n_toks") >= 8).limit(50).collect()(30)
+    val q = probe.getAs[String]("chunk_text")
+    val single = RagIndexJob.lookup(spark, dir, q, 3).collect()
+    val multi = RagIndexJob.lookup(spark, dir, q, 3,
+      multiProbe = true).collect()
+    // the self bucket is always probed, so the exact hit survives, and
+    // widening the candidate slice can only improve (or tie) the
+    // best-runner-up cosine
+    assert(multi(0).getAs[Long]("doc_id") == single(0).getAs[Long]("doc_id")
+      && multi(0).getAs[Long]("chunk_idx") ==
+        single(0).getAs[Long]("chunk_idx"))
+    if (single.length > 1 && multi.length > 1)
+      assert(multi(1).getAs[Double]("cosine") >=
+        single(1).getAs[Double]("cosine") - 1e-15)
+    assert(multi.length >= single.length)
+  }
+
   test("the serve scan pushes the bucket filter into the parquet source") {
     val (_, dir) = root
     val plan = spark.read.parquet(s"$dir/index.parquet")
