@@ -336,7 +336,7 @@ object CurationOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
         sum(when(expr(s"start div $chunkTokens") =!=
-          expr(s"(start + n_tok - 1) div $chunkTokens"), 1L).otherwise(0L))
+          expr(s"(start + greatest(n_tok, 1) - 1) div $chunkTokens"), 1L).otherwise(0L))
           .as("n_boundary_docs"))
       .orderBy(col("chunk_id"))
 
@@ -356,7 +356,7 @@ object CurationOps {
       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
       CAST(SUM(CASE WHEN start // $chunkTokens <>
-          (start + n_tok - 1) // $chunkTokens THEN 1 ELSE 0 END)
+          (start + GREATEST(n_tok, 1) - 1) // $chunkTokens THEN 1 ELSE 0 END)
         AS BIGINT) AS n_boundary_docs
     FROM pos GROUP BY 1 ORDER BY 1"""
 
@@ -376,7 +376,7 @@ object CurationOps {
       .select(col("doc_id"), tokenCount(col("text")).as("n_tok")))
       .withColumn("c", explode_outer(sequence(
         expr(s"start div $ct"),
-        expr(s"(start + n_tok - 1) div $ct"))))
+        expr(s"(start + greatest(n_tok, 1) - 1) div $ct"))))
       .select(col("c").as("chunk_id"), col("doc_id"),
         greatest(col("c") * ct - col("start"), lit(0L)).as("doc_offset"),
         (least((col("c") + 1) * ct, col("start") + col("n_tok"))
@@ -399,7 +399,7 @@ object CurationOps {
       CAST(LEAST((c + 1) * $chunkTokens, start + n_tok)
         - GREATEST(c * $chunkTokens, start) AS BIGINT) AS span_len
     FROM pos, unnest(generate_series(CAST(start // $chunkTokens AS BIGINT),
-      CAST((start + n_tok - 1) // $chunkTokens AS BIGINT))) AS u(c)
+      CAST((start + GREATEST(n_tok, 1) - 1) // $chunkTokens AS BIGINT))) AS u(c)
     ORDER BY chunk_id, doc_id"""
 
   // ---- q93: sliding-window pack spans (overlapping chunks) -------------
@@ -413,7 +413,12 @@ object CurationOps {
   // the first-window formula guards the start < W case explicitly
   // because Spark's integer div truncates toward zero while DuckDB's
   // // floors — they disagree on negative operands, so the arithmetic
-  // never goes negative on either engine.
+  // never goes negative on either engine. The end bound clamps n_tok
+  // at 1 for the same reason (shared by q74/q83/q128): a zero-token
+  // doc would otherwise drive start + n_tok - 1 below start, where the
+  // engines' div semantics AND their sequence/generate_series
+  // descending behaviors both diverge; clamped, it emits the
+  // zero-length span at its own position on both engines.
   private val slideW = 512
   private val slideS = 256
 
@@ -424,7 +429,7 @@ object CurationOps {
       .withColumn("w", explode_outer(sequence(
         expr(s"CASE WHEN start < $w0 THEN CAST(0 AS BIGINT)" +
           s" ELSE (start - $w0) div $st + 1 END"),
-        expr(s"(start + n_tok - 1) div $st"))))
+        expr(s"(start + greatest(n_tok, 1) - 1) div $st"))))
       .select(col("w").as("window_id"), col("doc_id"),
         greatest(col("w") * st - col("start"), lit(0L)).as("doc_offset"),
         (least(col("w") * st + w0, col("start") + col("n_tok"))
@@ -449,7 +454,7 @@ object CurationOps {
     FROM pos, unnest(generate_series(
       CAST(CASE WHEN start < $slideW THEN 0
         ELSE (start - $slideW) // $slideS + 1 END AS BIGINT),
-      CAST((start + n_tok - 1) // $slideS AS BIGINT))) AS u(w)
+      CAST((start + GREATEST(n_tok, 1) - 1) // $slideS AS BIGINT))) AS u(w)
     ORDER BY window_id, doc_id"""
 
   // ---- q75: source-mixture resampling ----------------------------------
@@ -814,9 +819,7 @@ object CurationOps {
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h"), col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        size(filter(toks(col("text")), x => x =!= lit("")))
-          .cast("long").as("n_tok"))
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
       .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
       .withColumn("h", expr(
         "h60(concat('ep:', cast(epoch as string), ':'," +
@@ -932,7 +935,7 @@ object CurationOps {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
         sum(when(expr(s"start div $chunkTokens") =!=
-          expr(s"(start + n_tok - 1) div $chunkTokens"), 1L).otherwise(0L))
+          expr(s"(start + greatest(n_tok, 1) - 1) div $chunkTokens"), 1L).otherwise(0L))
           .as("n_boundary_docs"))
       .orderBy(col("chunk_id"))
   }
@@ -958,7 +961,7 @@ object CurationOps {
       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
       CAST(SUM(CASE WHEN start // $chunkTokens
-        <> (start + n_tok - 1) // $chunkTokens THEN 1 ELSE 0 END)
+        <> (start + GREATEST(n_tok, 1) - 1) // $chunkTokens THEN 1 ELSE 0 END)
         AS BIGINT) AS n_boundary_docs
     FROM pos GROUP BY 1 ORDER BY 1"""
   }

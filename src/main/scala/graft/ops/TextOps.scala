@@ -363,6 +363,11 @@ object TextOps {
     val spaced = "concat(' ', regexp_replace(word, '(.)', '$1  '))"
     val enc = words
       .withColumn("syms", split(trim(expr(mergeFold(spaced))), " +"))
+      // vocab derivation + the final posexplode join both read enc, and
+      // its 12-step regexp fold over the distinct-word table is the
+      // expensive part — persist the vocab-sized frame so the fold runs
+      // once (caller contract: Verify/Bench clearCache)
+      .persist()
     val vocab = enc.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("token_id",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -424,8 +429,11 @@ object TextOps {
   // per token — linear in vocab, and the blocking is LOSSLESS: the
   // DuckDB oracle below stays the unblocked theta join, so the exact
   // compare itself proves no candidate pair is missed.
-  private def delKeys(t: Column): Column = {
-    val s = t.toString
+  /** Deletion-neighborhood keys (SymSpell blocking). Takes the column
+    * NAME — it is spliced into a SQL expression string, where only a
+    * bare identifier re-parses (a derived Column's rendered form would
+    * silently build a wrong or unparseable expression). */
+  private def delKeys(s: String): Column = {
     val d1 = s"transform(sequence(1, length($s)), i ->" +
       s" concat(substring($s, 1, i - 1), substring($s, i + 1)))"
     expr(s"array_distinct(concat(array($s), $d1," +
@@ -443,9 +451,9 @@ object TextOps {
       concat(substring(col("tok"), 1, 1), expr("substring(tok, 3)"))
         .as("typo"))
     val left = variants
-      .select(col("typo"), col("orig"), explode(delKeys(col("typo"))).as("k"))
+      .select(col("typo"), col("orig"), explode(delKeys("typo")).as("k"))
     val right = v
-      .select(col("tok").as("match_tok"), explode(delKeys(col("tok"))).as("k"))
+      .select(col("tok").as("match_tok"), explode(delKeys("tok")).as("k"))
     val cand = left.join(right, "k")
       .select(col("typo"), col("orig"), col("match_tok"))
       .distinct()
@@ -518,10 +526,18 @@ object TextOps {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
       .filter(col("token") =!= "")
+    // tf (query terms only — tiny) feeds dfN + scored; dl (per-doc
+    // lengths) feeds stats + scored: persist both compact frames so the
+    // corpus tokenizes twice (tf pass + dl pass) instead of four times
+    // (caller contract: Verify/Bench clearCache). The exploded token
+    // stream itself stays unpersisted — corpus-sized strings, the q129
+    // cache-serialization anti-case.
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(qt.select(col("term").as("token")).distinct()), "token")
+      .persist()
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .persist()
     val dfN = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
       .withColumn("avgdl",
@@ -913,8 +929,17 @@ object TextOps {
         filter(toks(col("text")), x => x =!= lit("")).as("t"))
       .persist()
     val n = docs.agg(count(lit(1)).as("n_all"))
-    val db = docs.crossJoin(broadcast(n))
-      .withColumn("ck", expr("(doc_id * 10) div n_all + 1"))
+    // 0-based doc RANK via the bucketed prefix sum (CurationOps
+    // .assignChunks with unit weights: `start` = docs before this one in
+    // doc_id order): checkpoints follow DOC ORDER, not the id VALUE, so
+    // gapped/offset id spaces (StressGen's replica offsets, 1-based ids)
+    // still yield ten corpus-prefix deciles — the id-value formula this
+    // replaces degenerated there — and no single-partition rank window
+    // ever plans.
+    val db = CurationOps.assignChunks(docs.withColumn("n_tok", lit(1L)))
+      .drop("n_tok", "chunk_id")
+      .crossJoin(broadcast(n))
+      .withColumn("ck", expr("(start * 10) div n_all + 1"))
     val mass = db.groupBy(col("ck"))
       .agg(count(lit(1)).as("b_docs"),
         sum(size(col("t")).cast("long")).as("b_tokens"))
@@ -940,7 +965,8 @@ object TextOps {
         '[ \t\n\r\f]+'), x -> x <> '') AS t
       FROM documents),
     n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM d),
-    db AS (SELECT doc_id, t, (doc_id * 10) // n_all + 1 AS ck
+    db AS (SELECT doc_id, t,
+        (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) * 10 // n_all + 1 AS ck
       FROM d CROSS JOIN n),
     mass AS (
       SELECT ck, CAST(COUNT(*) AS BIGINT) AS b_docs,
@@ -1072,6 +1098,13 @@ object TextOps {
         sw.agg(sum(col("o_sw")).as("n_all"))))
       .withColumn("r_c", expr("o_w * 1000000 div n_all"))
       .select(col("word"), col("r_c"))
+    // NOTE deliberately NO persist anywhere in this query: its five
+    // re-derivations of the (source, word) aggregate are each one cheap
+    // pipelined scan, and every cache variant measured SLOWER at sf0.1
+    // AND the sf1 drive (sw persist 0.57→0.84 s, corpus persist
+    // 0.57→0.89 s; word-keyed string caching is the q129
+    // cache-serialization case, not the compact-integer case —
+    // BASELINE.md round 9)
     val tMass = corpus.agg(sum(col("r_c")).as("t_mass"))
     sw.join(srcTot, "source")
       .withColumn("r_s", expr("o_sw * 1000000 div n_s"))
