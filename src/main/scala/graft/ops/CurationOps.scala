@@ -1160,6 +1160,70 @@ object CurationOps {
       array_to_string(chunk, ' ') AS chunk_text
     FROM c ORDER BY doc_id, chunk_idx"""
 
+  // ---- q147: per-domain document cap (histogram accounting) ------------
+  // The RefinedWeb/C4-class anti-spam control: no single domain/source
+  // may contribute more than CapK documents, priority to the longest
+  // (n_chars DESC, doc_id ASC — a total order, doc_id is unique). The
+  // report is the per-source admission accounting a curation run logs:
+  // docs and char mass kept vs dropped by the cap.
+  //
+  // Scale shape — deliberately NOT a row_number over the corpus: a
+  // per-source window sorts each domain in ONE task, and domains are the
+  // canonical skewed key (a crawl's biggest domain is millions of docs).
+  // Instead the cap is resolved on the (source, n_chars) HISTOGRAM — the
+  // q122 move: n_chars has a bounded domain, so the histogram is a tiny
+  // frame; the running count locates the admission boundary per source,
+  // and the boundary level admits `CapK - cum_above` of its docs. Docs
+  // at one level all carry the same char mass, so the accounting needs
+  // no per-doc tiebreak at all: one map-side-combining aggregate over
+  // the corpus, then window + arithmetic on the histogram rows only.
+  private val CapK = 15L
+
+  def q147DomainCap(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val above = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_above", coalesce(sum(col("cnt")).over(above),
+        lit(0L)))
+      .withColumn("kept_here",
+        greatest(lit(0L), least(col("cnt"), lit(CapK) - col("cum_above"))))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        sum(col("kept_here")).as("kept_docs"),
+        (sum(col("cnt")) - sum(col("kept_here"))).as("dropped_docs"),
+        sum(col("kept_here") * col("n_chars")).as("kept_chars"),
+        (sum(col("cnt") * col("n_chars"))
+          - sum(col("kept_here") * col("n_chars"))).as("dropped_chars"))
+      .orderBy(col("source"))
+  }
+
+  val q147Sql: String = raw"""
+    WITH hist AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, n_chars),
+    lev AS (
+      SELECT source, n_chars, cnt,
+        COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS cum_above
+      FROM hist),
+    adm AS (
+      SELECT source, n_chars, cnt,
+        GREATEST(0, LEAST(cnt, $CapK - cum_above)) AS kept_here
+      FROM lev)
+    SELECT source,
+      CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      CAST(SUM(kept_here) AS BIGINT) AS kept_docs,
+      CAST(SUM(cnt) - SUM(kept_here) AS BIGINT) AS dropped_docs,
+      CAST(SUM(kept_here * n_chars) AS BIGINT) AS kept_chars,
+      CAST(SUM(cnt * n_chars) - SUM(kept_here * n_chars) AS BIGINT)
+        AS dropped_chars
+    FROM adm GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -1178,7 +1242,8 @@ object CurationOps {
     "q128_bpe_pack"     -> q128BpePack _,
     "q139_curriculum"   -> q139Curriculum _,
     "q140_temperature_mix" -> q140TemperatureMix _,
-    "q145_doc_chunks"   -> q145DocChunks _)
+    "q145_doc_chunks"   -> q145DocChunks _,
+    "q147_domain_cap"   -> q147DomainCap _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -1198,5 +1263,6 @@ object CurationOps {
     "q128_bpe_pack"     -> q128Sql,
     "q139_curriculum"   -> q139Sql,
     "q140_temperature_mix" -> q140Sql,
-    "q145_doc_chunks"   -> q145Sql)
+    "q145_doc_chunks"   -> q145Sql,
+    "q147_domain_cap"   -> q147Sql)
 }

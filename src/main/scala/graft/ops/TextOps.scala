@@ -1226,6 +1226,136 @@ object TextOps {
         AS in_vocab_types
     FROM j GROUP BY source ORDER BY source"""
 
+  // ---- q146: bigram association strength (PMI-class collocations) ------
+  // The collocation statistic behind phrase mining / tokenizer merge
+  // candidates / stop-phrase lists: for every adjacent word pair, how far
+  // does its observed corpus frequency sit from the independence
+  // expectation p(w1)·p(w2)? Reported as LIFT in exact integer ppm — the
+  // fixed-point surrogate for PMI = log(lift) the q135 pattern
+  // establishes (log is monotone, so bands and ordering are identical
+  // and the oracle hash-matches; a float log would flake in the last
+  // ulp). Margins come from the bigram table itself (c_l = Σ_w2 c_bi,
+  // c_r = Σ_w1 c_bi), so lift = c_bi·N / (c_l·c_r) with N = Σ c_bi.
+  //
+  // The division is staged ((c_bi·1e6 div c_l)·N div c_r) so every
+  // intermediate stays ≤ 1e6·N — no Long overflow up to N ≈ 9e12
+  // bigrams; past that (true 100 TB corpora) the same expression shape
+  // runs on Decimal(38,0) unchanged. Staged floor-div is deterministic
+  // and identical in both engines (all operands positive).
+  //
+  // Scale shape: one explode → one (w1,w2) count with map-side combine
+  // (state bounded by vocab², not corpus); margins and the total are
+  // derived from that vocab²-row frame (tiny); the scalar N attaches via
+  // broadcast. Zero corpus-sized shuffles beyond the pair count.
+  def q146PmiAssoc(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.documents(s, d)
+      .select(filter(toks(col("text")), x => x =!= lit("")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2)," +
+          " i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_bi"))
+      .persist() // margins + total + score all derive from this tiny frame
+    val left  = big.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_l"))
+    val right = big.groupBy(col("w2")).agg(sum(col("c_bi")).as("c_r"))
+    val total = big.agg(sum(col("c_bi")).as("n_bi"))
+    big.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm",
+        expr("(c_bi * 1000000 div c_l) * n_bi div c_r"))
+      .withColumn("assoc_band",
+        when(col("lift_ppm") >= 1200000L, "assoc")
+          .when(col("lift_ppm") <= 800000L, "repel")
+          .otherwise("indep"))
+      .select(col("w1"), col("w2"), col("c_bi"), col("lift_ppm"),
+        col("assoc_band"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val q146Sql: String = raw"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    big AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_bi
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+              i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY ALL),
+    l AS (SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_l FROM big GROUP BY 1),
+    r AS (SELECT w2, CAST(SUM(c_bi) AS BIGINT) AS c_r FROM big GROUP BY 1),
+    n AS (SELECT CAST(SUM(c_bi) AS BIGINT) AS n_bi FROM big)
+    SELECT w1, w2, c_bi,
+      CAST((c_bi * 1000000 // c_l) * n_bi // c_r AS BIGINT) AS lift_ppm,
+      CASE WHEN (c_bi * 1000000 // c_l) * n_bi // c_r >= 1200000
+             THEN 'assoc'
+           WHEN (c_bi * 1000000 // c_l) * n_bi // c_r <= 800000
+             THEN 'repel'
+           ELSE 'indep' END AS assoc_band
+    FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+    ORDER BY w1, w2"""
+
+  // ---- q148: per-doc lexical diversity (TTR + Simpson concentration) ---
+  // The unigram complement to q67's bigram repetition: type-token ratio
+  // (vocabulary richness) and the Simpson/Herfindahl concentration
+  // Σ c_w² / n² — the exact-integer surrogate for Rényi-2 entropy
+  // (H₂ = -log Σ p²; log is monotone, so concentration bands order
+  // identically). Keyword-stuffed / template / gibberish-repetitive docs
+  // spike concentration long before a human-visible pattern; diversity
+  // filters use exactly this pair of signals.
+  //
+  // Scale shape: pure per-row array expressions — zero shuffle until the
+  // final sort. The per-doc count vector is computed in-array
+  // (O(len · distinct) per doc); for adversarially long documents the
+  // explode + (doc_id, word) groupBy is the fallback shape, but it
+  // shuffles a corpus-sized frame for what is here scan-local work.
+  def q148LexicalDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("n_types",
+        size(array_distinct(col("t"))).cast("long"))
+      .withColumn("c2", expr(
+        "aggregate(transform(array_distinct(t)," +
+          " w -> CAST(size(filter(t, x -> x = w)) AS BIGINT))," +
+          " 0L, (acc, c) -> acc + c * c)"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .withColumn("simpson_ppm",
+        expr("c2 * 1000000 div (n_tokens * n_tokens)"))
+      .withColumn("diversity_band",
+        when(col("c2") * 25L >= col("n_tokens") * col("n_tokens") * 2L,
+          "concentrated")
+          .when(col("c2") * 20L >= col("n_tokens") * col("n_tokens"),
+            "mid")
+          .otherwise("diverse"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("ttr_ppm"), col("simpson_ppm"), col("diversity_band"))
+      .orderBy(col("doc_id"))
+
+  val q148Sql: String = raw"""
+    WITH st AS (
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+        CAST(list_sum(list_transform(
+          list_transform(list_distinct(t),
+            w -> CAST(len(list_filter(t, x -> x = w)) AS BIGINT)),
+          c -> c * c)) AS BIGINT) AS c2
+      FROM (SELECT doc_id, list_filter(string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 1)
+    SELECT doc_id, n_tokens, n_types,
+      n_types * 1000000 // n_tokens AS ttr_ppm,
+      c2 * 1000000 // (n_tokens * n_tokens) AS simpson_ppm,
+      CASE WHEN c2 * 25 >= n_tokens * n_tokens * 2 THEN 'concentrated'
+           WHEN c2 * 20 >= n_tokens * n_tokens THEN 'mid'
+           ELSE 'diverse' END AS diversity_band
+    FROM st ORDER BY doc_id"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, K merges) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1522,7 +1652,9 @@ object TextOps {
     "q137_vocab_growth" -> q137VocabGrowth _,
     "q138_gopher_rules" -> q138GopherRules _,
     "q141_token_drift"  -> q141TokenDrift _,
-    "q144_vocab_coverage" -> q144VocabCoverage _)
+    "q144_vocab_coverage" -> q144VocabCoverage _,
+    "q146_pmi_assoc"    -> q146PmiAssoc _,
+    "q148_lexical_diversity" -> q148LexicalDiversity _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1545,5 +1677,7 @@ object TextOps {
     "q137_vocab_growth" -> q137Sql,
     "q138_gopher_rules" -> q138Sql,
     "q141_token_drift"  -> q141Sql,
-    "q144_vocab_coverage" -> q144Sql)
+    "q144_vocab_coverage" -> q144Sql,
+    "q146_pmi_assoc"    -> q146Sql,
+    "q148_lexical_diversity" -> q148Sql)
 }

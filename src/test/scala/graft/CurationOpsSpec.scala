@@ -348,6 +348,30 @@ class CurationOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q147 domain cap: histogram accounting equals brute top-K selection") {
+    val r = CurationOps.q147DomainCap(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val bySource = docs.groupBy(_._1)
+    assert(r.length == bySource.size, "one row per source")
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val ds = bySource(src)
+      // brute selection: sort by the cap's priority order, keep first 15
+      val kept = ds.sortBy { case (_, id, nc) => (-nc, id) }.take(15)
+      assert(row.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(row.getAs[Long]("kept_docs") == kept.length.toLong)
+      assert(row.getAs[Long]("dropped_docs") ==
+        (ds.length - kept.length).toLong)
+      assert(row.getAs[Long]("kept_chars") == kept.map(_._3).sum)
+      assert(row.getAs[Long]("dropped_chars") ==
+        ds.map(_._3).sum - kept.map(_._3).sum)
+    }
+    // accounting identities hold globally
+    assert(r.map(_.getAs[Long]("kept_docs")).forall(_ <= 15L))
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()

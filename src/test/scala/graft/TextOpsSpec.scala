@@ -310,6 +310,57 @@ class TextOpsSpec extends AnyFunSuite {
       (toks.length.toLong - inVocab) * 1000000L / toks.length)
   }
 
+  test("q146 PMI assoc: brute bigram recount reproduces lift and bands") {
+    val r = TextOps.q146PmiAssoc(spark, sf).collect()
+    assert(r.nonEmpty)
+    // driver-side recount from raw text
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val w = t.trim.toLowerCase.split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      w.zip(w.drop(1))
+    }
+    val cBi = bigrams.groupBy(identity).map { case (k, v) =>
+      (k, v.length.toLong)
+    }
+    val cL = cBi.groupBy(_._1._1).map { case (w, m) => (w, m.values.sum) }
+    val cR = cBi.groupBy(_._1._2).map { case (w, m) => (w, m.values.sum) }
+    val n = cBi.values.sum
+    assert(r.length == cBi.size, "one row per distinct bigram")
+    r.foreach { row =>
+      val k = (row.getAs[String]("w1"), row.getAs[String]("w2"))
+      assert(row.getAs[Long]("c_bi") == cBi(k), s"count mismatch at $k")
+      val lift = (cBi(k) * 1000000L / cL(k._1)) * n / cR(k._2)
+      assert(row.getAs[Long]("lift_ppm") == lift, s"lift mismatch at $k")
+      val band = if (lift >= 1200000L) "assoc"
+        else if (lift <= 800000L) "repel" else "indep"
+      assert(row.getAs[String]("assoc_band") == band, s"band at $k")
+    }
+    // the corpus must actually exercise more than one band
+    assert(r.map(_.getAs[String]("assoc_band")).distinct.length >= 2)
+  }
+
+  test("q148 lexical diversity: brute per-doc recount matches every row") {
+    val r = TextOps.q148LexicalDiversity(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toMap
+    assert(r.length == docs.size, "all docs have >=1 token at this SF")
+    r.foreach { row =>
+      val t = docs(row.getAs[Long]("doc_id")).trim.toLowerCase
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+      val n = t.length.toLong
+      val counts = t.groupBy(identity).map(_._2.length.toLong)
+      val c2 = counts.map(c => c * c).sum
+      assert(row.getAs[Long]("n_tokens") == n)
+      assert(row.getAs[Long]("n_types") == counts.size.toLong)
+      assert(row.getAs[Long]("ttr_ppm") == counts.size * 1000000L / n)
+      assert(row.getAs[Long]("simpson_ppm") == c2 * 1000000L / (n * n))
+      val band = if (c2 * 25L >= n * n * 2L) "concentrated"
+        else if (c2 * 20L >= n * n) "mid" else "diverse"
+      assert(row.getAs[String]("diversity_band") == band)
+    }
+  }
+
   test("q135 DSIR: target slice scores above the rest; gate is the mean") {
     val r = TextOps.q135DsirScore(spark, sf).persist()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
