@@ -1356,6 +1356,107 @@ object TextOps {
            ELSE 'diverse' END AS diversity_band
     FROM st ORDER BY doc_id"""
 
+  // ---- q149: keyword-in-context (KWIC) blocklist audit ----------------
+  // The review-queue op behind every blocklist filter: for each hit of a
+  // flagged term, emit the hit position and its ±2-token context window
+  // so a human (or a second-stage model) can adjudicate without pulling
+  // whole documents. Corpus-linguistics KWIC concordance, restricted to
+  // the blocklist. Positions are 1-based (both engines' list convention)
+  // and the window clamps at doc edges.
+  //
+  // Scale shape: pure per-row array expressions (filter positions →
+  // transform to context structs → explode) — zero shuffle until the
+  // gate's ORDER BY; at 100 TB this runs as a scan-side flatMap and the
+  // output is proportional to HIT count, not corpus size.
+  private val Blocklist = Seq("slow", "big")
+
+  def q149KwicContexts(s: SparkSession, d: String): DataFrame = {
+    val listLit = Blocklist.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(1, size(t)), p -> array_contains($listLit, t[p - 1])),
+              p -> struct(
+                CAST(p AS BIGINT) AS pos,
+                t[p - 1] AS term,
+                array_join(slice(t, greatest(1, p - 2),
+                  least(size(t), p + 2) - greatest(1, p - 2) + 1), ' ')
+                  AS context))""")).as("h"))
+      .select(col("doc_id"), col("h.pos"), col("h.term"), col("h.context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q149Sql: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id, unnest(list_transform(
+        list_filter(range(1, len(t) + 1),
+          p -> list_contains(['slow', 'big'], t[p])),
+        p -> {'pos': CAST(p AS BIGINT), 'term': t[p],
+              'context': array_to_string(
+                t[greatest(1, p - 2):least(len(t), p + 2)], ' ')})) AS h
+      FROM toks)
+    SELECT doc_id, h.pos AS pos, h.term AS term, h.context AS context
+    FROM hits ORDER BY doc_id, pos"""
+
+  // ---- q150: context-length padding-waste report ----------------------
+  // The sizing study that motivates sequence packing (q74/q83/q128): if
+  // each document naively occupies one fixed-length training sequence,
+  // how much of the token budget is padding and how much document mass
+  // is truncated, per candidate context length? `util_ppm` (kept tokens
+  // over allocated slots) is the number a packing pipeline quotes as its
+  // baseline. Exact integers throughout; one corpus scan exploded over
+  // the 3 candidate lengths, map-side combined to 3 output rows.
+  private val CtxLens = Seq(32L, 64L, 128L)
+
+  def q150PaddingWaste(s: SparkSession, d: String): DataFrame = {
+    val lens = CtxLens.map(l => lit(l))
+    Tables.documents(s, d)
+      .withColumn("n_tok",
+        size(filter(toks(col("text")), x => x =!= lit(""))).cast("long"))
+      .select(col("n_tok"), explode(array(lens: _*)).as("ctx_len"))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") <= col("ctx_len"), 1L).otherwise(0L))
+          .as("fit_docs"),
+        sum(least(col("n_tok"), col("ctx_len"))).as("kept_tokens"),
+        sum(greatest(col("ctx_len") - col("n_tok"), lit(0L)))
+          .as("padded_tokens"),
+        sum(greatest(col("n_tok") - col("ctx_len"), lit(0L)))
+          .as("truncated_tokens"))
+      .withColumn("util_ppm",
+        expr("kept_tokens * 1000000 div (n_docs * ctx_len)"))
+      .select(col("ctx_len"), col("n_docs"), col("fit_docs"),
+        col("kept_tokens"), col("padded_tokens"), col("truncated_tokens"),
+        col("util_ppm"))
+      .orderBy(col("ctx_len"))
+  }
+
+  val q150Sql: String = raw"""
+    WITH n AS (
+      SELECT CAST(len(list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    x AS (
+      SELECT n_tok, unnest([CAST(32 AS BIGINT), CAST(64 AS BIGINT),
+        CAST(128 AS BIGINT)]) AS ctx_len
+      FROM n)
+    SELECT ctx_len,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN n_tok <= ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        AS fit_docs,
+      CAST(SUM(LEAST(n_tok, ctx_len)) AS BIGINT) AS kept_tokens,
+      CAST(SUM(GREATEST(ctx_len - n_tok, 0)) AS BIGINT) AS padded_tokens,
+      CAST(SUM(GREATEST(n_tok - ctx_len, 0)) AS BIGINT)
+        AS truncated_tokens,
+      CAST(SUM(LEAST(n_tok, ctx_len)) * 1000000
+        // (COUNT(*) * ctx_len) AS BIGINT) AS util_ppm
+    FROM x GROUP BY ctx_len ORDER BY ctx_len"""
+
   // ---- q136: BPE TRAINING loop (argmax → merge → recount, K merges) ----
   // q103 computes the pair statistic; q126 applies a FIXED merge table.
   // This is the missing middle: actual vocabulary training — pick the
@@ -1654,7 +1755,9 @@ object TextOps {
     "q141_token_drift"  -> q141TokenDrift _,
     "q144_vocab_coverage" -> q144VocabCoverage _,
     "q146_pmi_assoc"    -> q146PmiAssoc _,
-    "q148_lexical_diversity" -> q148LexicalDiversity _)
+    "q148_lexical_diversity" -> q148LexicalDiversity _,
+    "q149_kwic_contexts" -> q149KwicContexts _,
+    "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
     "q25_text_quality" -> q25Sql,
@@ -1679,5 +1782,7 @@ object TextOps {
     "q141_token_drift"  -> q141Sql,
     "q144_vocab_coverage" -> q144Sql,
     "q146_pmi_assoc"    -> q146Sql,
-    "q148_lexical_diversity" -> q148Sql)
+    "q148_lexical_diversity" -> q148Sql,
+    "q149_kwic_contexts" -> q149Sql,
+    "q150_padding_waste" -> q150Sql)
 }

@@ -68,7 +68,10 @@ class PlanSpec extends AnyFunSuite {
     // replace() via a 1-row broadcast cross join
     // q137: the 1-row corpus-size scalar feeds the checkpoint formula
     // q140: the 1-row Σw and deficit scalars attach to the |sources| table
+    // q146: the 1-row Σc_bi bigram total attaches to the vocab²-row
+    // association frame via a 1-row broadcast cross join
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q146_pmi_assoc",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",
@@ -430,6 +433,30 @@ class PlanSpec extends AnyFunSuite {
       s"q124 reintroduced a full-row window over the source key:\n$p124")
     assert(p124.contains("BroadcastHashJoin"),
       s"q124 stopped broadcasting the group moments:\n$p124")
+  }
+
+  test("q147's cap resolves on the histogram: window partitioned by source above an aggregate") {
+    // the banned shape is a corpus row_number per domain (one task per
+    // skewed domain); the guarded shape windows the (source, n_chars)
+    // histogram — every window spec keeps the source partitioning and a
+    // hash aggregate runs below it
+    val p = plan("q147_domain_cap")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"q147 window lost its per-source partitioning:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"q147 lost the histogram aggregate below the window:\n$p")
+    assert(!p.contains("row_number"),
+      s"q147 reintroduced a per-doc row_number:\n$p")
+  }
+
+  test("q148 diversity is scan-local: no join, no shuffle before the sort") {
+    val p = plan("q148_lexical_diversity")
+    assert(!p.contains("Join"), s"q148 planned a join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"q148 shuffles beyond its output sort:\n$p")
   }
 
   test("q120's checks stay fused: bounded child-table scans") {

@@ -361,6 +361,58 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 KWIC: every blocklist hit appears once with a clamped context") {
+    val r = TextOps.q149KwicContexts(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val block = Set("slow", "big")
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.trim.toLowerCase.split("[ \\t\\n\\r\\f]+")
+        .filter(_.nonEmpty)
+      t.zipWithIndex.collect { case (w, i) if block(w) =>
+        val lo = math.max(0, i - 2)
+        val hi = math.min(t.length - 1, i + 2)
+        (id, (i + 1).toLong, w, t.slice(lo, hi + 1).mkString(" "))
+      }
+    }.sortBy(x => (x._1, x._2))
+    assert(r.length == expected.length)
+    r.zip(expected).foreach { case (row, e) =>
+      assert((row.getAs[Long]("doc_id"), row.getAs[Long]("pos"),
+        row.getAs[String]("term"), row.getAs[String]("context")) == e)
+    }
+    // edge clamp is actually exercised: some hit sits within 2 tokens of
+    // a doc boundary (context shorter than 5 tokens)
+    assert(r.exists(_.getAs[String]("context")
+      .split(" ").length < 5))
+  }
+
+  test("q150 padding waste: conservation identities per context length") {
+    val r = TextOps.q150PaddingWaste(spark, sf).collect()
+    assert(r.length == 3)
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val nDocs = texts.length.toLong
+    val totTok = texts.map(_.trim.toLowerCase
+      .split("[ \\t\\n\\r\\f]+").count(_.nonEmpty).toLong).sum
+    r.foreach { row =>
+      val l = row.getAs[Long]("ctx_len")
+      assert(row.getAs[Long]("n_docs") == nDocs)
+      // slot conservation: kept + padded = every doc's full window
+      assert(row.getAs[Long]("kept_tokens") +
+        row.getAs[Long]("padded_tokens") == nDocs * l)
+      // mass conservation: kept + truncated = corpus token mass
+      assert(row.getAs[Long]("kept_tokens") +
+        row.getAs[Long]("truncated_tokens") == totTok)
+      assert(row.getAs[Long]("util_ppm") ==
+        row.getAs[Long]("kept_tokens") * 1000000L / (nDocs * l))
+    }
+    // longer context ⇒ monotonically more kept mass, never more waste-
+    // free: utilization must strictly fall once everything fits
+    val byLen = r.sortBy(_.getAs[Long]("ctx_len"))
+    val kept = byLen.map(_.getAs[Long]("kept_tokens"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => b >= a })
+  }
+
   test("q135 DSIR: target slice scores above the rest; gate is the mean") {
     val r = TextOps.q135DsirScore(spark, sf).persist()
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
