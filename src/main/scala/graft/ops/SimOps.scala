@@ -1779,7 +1779,75 @@ object SimOps {
         abs(qa[i] * 127 - codes[i] * am))) AS BIGINT) AS err_sum
     FROM c ORDER BY vec_id"""
 
+  // ---- q151: embedding hygiene report (norm audit per label) -----------
+  // The pre-index data-quality gate every vector pipeline runs before
+  // building ANN structures: per label, vector count, dimension
+  // consistency (a ragged dim breaks every dot product downstream),
+  // quantized-norm spread, zero vectors (un-normalizable — they poison
+  // cosine), and norm outliers (>2× or <½ the label mean — the classic
+  // symptom of an encoder fed truncated/empty input). All statistics in
+  // the nq integer space (Σ⌊x²·1e9+0.5⌋), so the oracle is exact; the
+  // outlier gates are integer cross-multiplications (nq·n vs 2·Σnq).
+  // mean_nq is the single IEEE division of two identical integers.
+  //
+  // Scale shape: the q124 move — one map-side-combining label aggregate,
+  // broadcast back (labels are bounded), one outlier-count aggregate.
+  // Two scans of a narrow (label, nq) projection; at 100 TB the nq·n
+  // cross-mults move to Decimal(38,0) (n_vecs per label beyond ~1e8
+  // overflows the Long product; same expression shape).
+  def q151EmbeddingHygiene(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), size(col("embedding")).cast("long").as("dim"),
+        normQ.as("nq"))
+    val agg = e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        min(col("nq")).as("nq_min"), max(col("nq")).as("nq_max"),
+        sum(col("nq")).as("nq_sum"),
+        sum(when(col("nq") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val out = e.join(broadcast(agg), Seq("label"))
+      .groupBy(col("label"))
+      .agg(sum(when(col("nq") * col("n_vecs") > col("nq_sum") * 2L, 1L)
+          .otherwise(0L)).as("n_hi_outlier"),
+        sum(when(col("nq") * col("n_vecs") * 2L < col("nq_sum"), 1L)
+          .otherwise(0L)).as("n_lo_outlier"))
+    agg.join(out, Seq("label"))
+      .withColumn("mean_nq",
+        col("nq_sum").cast("double") / col("n_vecs").cast("double"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("dim_min"), col("dim_max"), col("nq_min"), col("nq_max"),
+        col("mean_nq"), col("n_zero"), col("n_hi_outlier"),
+        col("n_lo_outlier"))
+      .orderBy(col("label"))
+  }
+
+  val q151Sql: String = s"""
+    WITH e AS (
+      SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+        $sqlNormQ AS nq
+      FROM embeddings),
+    a AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+        MIN(nq) AS nq_min, MAX(nq) AS nq_max,
+        CAST(SUM(nq) AS BIGINT) AS nq_sum,
+        CAST(SUM(CASE WHEN nq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM e GROUP BY label),
+    o AS (
+      SELECT e.label,
+        CAST(SUM(CASE WHEN e.nq * a.n_vecs > a.nq_sum * 2 THEN 1 ELSE 0
+          END) AS BIGINT) AS n_hi_outlier,
+        CAST(SUM(CASE WHEN e.nq * a.n_vecs * 2 < a.nq_sum THEN 1 ELSE 0
+          END) AS BIGINT) AS n_lo_outlier
+      FROM e JOIN a USING (label) GROUP BY e.label)
+    SELECT CAST(label AS BIGINT) AS label, n_vecs, dim_min, dim_max,
+      nq_min, nq_max,
+      CAST(nq_sum AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_nq,
+      n_zero, n_hi_outlier, n_lo_outlier
+    FROM a JOIN o USING (label) ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
     "q37_cosine_neardup"  -> q37CosineNeardup _,
@@ -1799,6 +1867,7 @@ object SimOps {
     "q142_int8_quant"     -> q142Int8Quant _)
 
   val oracles: Map[String, String] = Map(
+    "q151_embedding_hygiene" -> q151Sql,
     "q35_knn_brute"       -> q35Sql,
     "q36_ann_lsh"         -> q36Sql,
     "q37_cosine_neardup"  -> q37Sql,

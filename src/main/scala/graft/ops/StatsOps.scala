@@ -1015,7 +1015,62 @@ object StatsOps {
         / NULLIF(sqrt(v1 / nd + v2 / NULLIF(rnd, 0)), 0)) > 3 AS drift
     FROM m ORDER BY source"""
 
+  // ---- q152: corpus composition independence (source × lang) ----------
+  // The doc-level categorical complement to q141's token drift: is the
+  // language mix independent of the source, or does some source
+  // over/under-represent a language? Per cell, the observed-over-
+  // expected ratio O·T / (R·C) in exact integer ppm (the contingency-
+  // table lift; the χ² statistic aggregates the same deviations — the
+  // per-cell ratio is the actionable view, naming WHICH source×lang
+  // cell skews). Staged floor-div ((O·1e6 div R)·T div C) keeps every
+  // intermediate ≤ 1e6·T; past ~9e12 docs the same shape runs on
+  // Decimal(38,0).
+  //
+  // Scale shape: one map-side-combining (source, lang) count — cell
+  // count is |sources|·|langs|-bounded — margins and the total derived
+  // from that tiny frame, scalar attach via broadcast. Zero corpus-
+  // sized shuffles beyond the cell count.
+  def q152CompositionSkew(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .persist() // margins + total + score all derive from this frame
+    val srcm = cells.groupBy(col("source")).agg(sum(col("n_docs")).as("r"))
+    val langm = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("c"))
+    val tot = cells.agg(sum(col("n_docs")).as("t"))
+    cells.join(srcm, Seq("source")).join(langm, Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio_ppm", expr("(n_docs * 1000000 div r) * t div c"))
+      .withColumn("skew_band",
+        when(col("ratio_ppm") >= 1200000L, "over")
+          .when(col("ratio_ppm") <= 800000L, "under")
+          .otherwise("indep"))
+      .select(col("source"), col("lang"), col("n_docs"), col("ratio_ppm"),
+        col("skew_band"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q152Sql: String = raw"""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang),
+    r AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS r
+          FROM cells GROUP BY 1),
+    c AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS c
+          FROM cells GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM cells)
+    SELECT source, lang, n_docs,
+      CAST((n_docs * 1000000 // r.r) * t.t // c.c AS BIGINT) AS ratio_ppm,
+      CASE WHEN (n_docs * 1000000 // r.r) * t.t // c.c >= 1200000
+             THEN 'over'
+           WHEN (n_docs * 1000000 // r.r) * t.t // c.c <= 800000
+             THEN 'under'
+           ELSE 'indep' END AS skew_band
+    FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
+    ORDER BY source, lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_composition_skew" -> q152CompositionSkew _,
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
     "q58_histogram"   -> q58Histogram _,
@@ -1031,6 +1086,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q152_composition_skew" -> q152Sql,
     "q56_percentiles" -> q56Sql,
     "q57_correlation" -> q57Sql,
     "q58_histogram"   -> q58Sql,

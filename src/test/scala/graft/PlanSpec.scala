@@ -70,8 +70,10 @@ class PlanSpec extends AnyFunSuite {
     // q140: the 1-row Σw and deficit scalars attach to the |sources| table
     // q146: the 1-row Σc_bi bigram total attaches to the vocab²-row
     // association frame via a 1-row broadcast cross join
+    // q152: the 1-row corpus total attaches to the |sources|·|langs|
+    // contingency cells the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q146_pmi_assoc",
+      "q146_pmi_assoc", "q152_composition_skew",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",

@@ -314,4 +314,33 @@ class SimOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
     g.unpersist()
   }
+  test("q151 hygiene: brute recount of norms, zeros, and outliers per label") {
+    val r = SimOps.q151EmbeddingHygiene(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(x => (x.getInt(0).toLong,
+        x.getSeq[Float](1).map(_.toDouble).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    assert(r.length == byLabel.size)
+    r.foreach { row =>
+      val lbl = row.getAs[Long]("label")
+      val nqs = byLabel(lbl).map { case (_, e) =>
+        e.map(x => math.floor(x * x * 1e9 + 0.5).toLong).sum
+      }
+      val n = nqs.length.toLong
+      assert(row.getAs[Long]("n_vecs") == n)
+      assert(row.getAs[Long]("dim_min") == 64L)
+      assert(row.getAs[Long]("dim_max") == 64L)
+      assert(row.getAs[Long]("nq_min") == nqs.min)
+      assert(row.getAs[Long]("nq_max") == nqs.max)
+      assert(row.getAs[Double]("mean_nq") ==
+        nqs.sum.toDouble / n.toDouble)
+      assert(row.getAs[Long]("n_zero") == nqs.count(_ == 0L).toLong)
+      assert(row.getAs[Long]("n_hi_outlier") ==
+        nqs.count(q => q * n > nqs.sum * 2).toLong)
+      assert(row.getAs[Long]("n_lo_outlier") ==
+        nqs.count(q => q * n * 2 < nqs.sum).toLong)
+    }
+  }
+
 }

@@ -337,4 +337,30 @@ class StatsOpsSpec extends AnyFunSuite {
         row.getAs[Double]("e_r2")) <= 1e-6)
     }
   }
+  test("q152 composition: margins reconcile and ratios recount exactly") {
+    val r = StatsOps.q152CompositionSkew(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val cells = docs.groupBy(identity).map { case (k, v) =>
+      (k, v.length.toLong)
+    }
+    val rM = cells.groupBy(_._1._1).map { case (k, m) => (k, m.values.sum) }
+    val cM = cells.groupBy(_._1._2).map { case (k, m) => (k, m.values.sum) }
+    val t = docs.length.toLong
+    assert(r.length == cells.size, "one row per occupied cell")
+    r.foreach { row =>
+      val k = (row.getAs[String]("source"), row.getAs[String]("lang"))
+      val o = cells(k)
+      assert(row.getAs[Long]("n_docs") == o)
+      val ratio = (o * 1000000L / rM(k._1)) * t / cM(k._2)
+      assert(row.getAs[Long]("ratio_ppm") == ratio, s"ratio at $k")
+      val band = if (ratio >= 1200000L) "over"
+        else if (ratio <= 800000L) "under" else "indep"
+      assert(row.getAs[String]("skew_band") == band)
+    }
+    // cell counts sum back to the corpus
+    assert(r.map(_.getAs[Long]("n_docs")).sum == t)
+  }
+
 }
