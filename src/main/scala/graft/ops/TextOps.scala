@@ -1374,6 +1374,11 @@ object TextOps {
     val listLit = Blocklist.map(w => s"'$w'").mkString("array(", ", ", ")")
     Tables.documents(s, d)
       .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      // zero-token docs: Spark's sequence(1, 0) counts DOWN (the q83
+      // descending-sequence edge) and t[0] then throws — DuckDB's
+      // range(1, 1) is just empty. A doc with no tokens has no hits in
+      // either engine, so drop it before the position scan.
+      .filter(size(col("t")) >= 1)
       .select(col("doc_id"), explode(expr(
         s"""transform(
               filter(sequence(1, size(t)), p -> array_contains($listLit, t[p - 1])),

@@ -64,6 +64,40 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(total == 1099L) // corpus token mass conserved
   }
 
+  test("q146/q148/q149/q150 survive zero-token docs and gapped ids") {
+    // q149: zero-token docs used to throw (sequence(1, 0) counts DOWN in
+    // Spark, then t[0] on the empty array errors); now they contribute
+    // no hits — and this corpus has no blocklist words at all
+    assert(ops.TextOps.q149KwicContexts(spark, dir).count() == 0)
+    // q148: the two zero-token docs drop out (both engines filter
+    // len >= 1); every tagged word is unique per doc, so TTR is exactly
+    // 1e6 and concentration is minimal (sum c^2 = n)
+    val div = ops.TextOps.q148LexicalDiversity(spark, dir).collect()
+    assert(div.length == 11)
+    assert(div.forall(_.getAs[Long]("ttr_ppm") == 1000000L))
+    div.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("simpson_ppm") == n * 1000000L / (n * n))
+      assert(r.getAs[String]("diversity_band") == "diverse")
+    }
+    // q146: all-unique words per doc -> every adjacent bigram is
+    // distinct, one row each: sum(max(len - 1, 0))
+    assert(ops.TextOps.q146PmiAssoc(spark, dir).count() ==
+      (4 * 127 + 76 + 299 + 39 + 40 + 41 + 42 + 43).toLong)
+    spark.catalog.clearCache() // q146 persists its pair frame
+    // q150: zero-token docs pad their whole window; identities hold
+    val pw = ops.TextOps.q150PaddingWaste(spark, dir).collect()
+    val totTok = 1099L
+    pw.foreach { r =>
+      val l = r.getAs[Long]("ctx_len")
+      assert(r.getAs[Long]("n_docs") == 13L)
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("padded_tokens") == 13L * l)
+      assert(r.getAs[Long]("kept_tokens") +
+        r.getAs[Long]("truncated_tokens") == totTok)
+    }
+  }
+
   test("q137 checkpoints follow doc order, not id values, on gapped/offset ids") {
     val r = ops.TextOps.q137VocabGrowth(spark, dir).collect()
     assert(r.length == 10, s"expected 10 checkpoints: ${r.toSeq}")
