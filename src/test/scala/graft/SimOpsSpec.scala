@@ -296,6 +296,33 @@ class SimOpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q151 flags exactly the planted pathologies: zero vec, ragged dim, norm outliers") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("edge-emb").toString
+    val ok = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)(0.5f), 0))           // nq = 8·0.25e9 = 2e9
+    val planted = Seq(
+      (100L, Array.fill(8)(0.0f), 1),               // zero vector
+      (101L, Array.fill(4)(0.5f), 1),               // ragged dim
+      (102L, Array.fill(8)(5.0f), 1),               // hi outlier (nq 2e11)
+      (103L, Array.fill(8)(0.5f), 1))               // normal companion
+    (ok ++ planted).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val r = ops.SimOps.q151EmbeddingHygiene(spark, d).collect()
+    val l0 = r.find(_.getAs[Long]("label") == 0L).get
+    assert(l0.getAs[Long]("n_zero") == 0L &&
+      l0.getAs[Long]("n_hi_outlier") == 0L &&
+      l0.getAs[Long]("n_lo_outlier") == 0L &&
+      l0.getAs[Long]("dim_min") == 8L && l0.getAs[Long]("dim_max") == 8L)
+    val l1 = r.find(_.getAs[Long]("label") == 1L).get
+    assert(l1.getAs[Long]("n_zero") == 1L, l1.toString)
+    assert(l1.getAs[Long]("dim_min") == 4L && l1.getAs[Long]("dim_max") == 8L)
+    // the 5x-norm vector dominates the label mean; it is the only hi
+    // outlier and drags everything else under half the mean
+    assert(l1.getAs[Long]("n_hi_outlier") == 1L, l1.toString)
+    assert(l1.getAs[Long]("n_lo_outlier") == 3L, l1.toString)
+  }
+
   test("q130 kNN graph: dense ranks, bounded cos, mutual iff reversed edge") {
     val g = SimOps.q130KnnGraph(spark, sf).persist()
     // ranks are dense 1..deg per vector (deg <= K, short only in small cells)
