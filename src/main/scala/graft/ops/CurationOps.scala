@@ -853,6 +853,84 @@ object CurationOps {
       CAST(SUM(pos * doc_id) AS BIGINT) AS perm_sig
     FROM p GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q153: shuffle mixing quality (adjacent same-source rate) --------
+  // The dataloader health check on q113's epoch shuffle: in each epoch's
+  // shard read order, how often do ADJACENT documents share a source,
+  // vs the without-replacement independence expectation Σc·(c−1)/t·(t−1)?
+  // A clumped shuffle feeds the trainer long same-source runs (gradient
+  // correlation, the thing epoch shuffling exists to prevent); a healthy
+  // salted-hash permutation sits at the expectation. Both rates are
+  // exact integer ppm; the band compares the two ppm integers directly
+  // (no large cross-multiplication, so Long-safe to ~9e12 docs).
+  //
+  // Scale shape: q113's exact partitioning — the lag window runs per
+  // (epoch, shard) over each shard's own slice (the sort the shard
+  // materialization performs anyway), aggregates collapse to |epochs|
+  // rows, and the 1-row corpus expectation attaches via broadcast.
+  def q153ShuffleMixing(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    val adj = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(Epochs - 1L))))
+      .withColumn("h", expr(
+        "h60(concat('ep:', cast(epoch as string), ':'," +
+          " cast(doc_id as string)))"))
+      .withColumn("shard", col("h") % ShardCount)
+      .withColumn("prev_src", lag(col("source"), 1).over(w))
+      .filter(col("prev_src").isNotNull)
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_adj"),
+        sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
+          .as("n_same"))
+    val exp = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1L)).as("pairs_num"),
+        sum(col("c")).as("t"))
+      .select(expr("pairs_num * 1000000 div (t * (t - 1))").as("exp_ppm"))
+    adj.crossJoin(broadcast(exp))
+      .withColumn("same_ppm", expr("n_same * 1000000 div n_adj"))
+      .withColumn("mixing_band",
+        when(col("same_ppm") > col("exp_ppm") * 2L, "clumped")
+          .when(col("same_ppm") * 2L < col("exp_ppm"), "anti_clumped")
+          .otherwise("mixed"))
+      .select(col("epoch").cast("long").as("epoch"), col("n_adj"),
+        col("n_same"), col("same_ppm"), col("exp_ppm"),
+        col("mixing_band"))
+      .orderBy(col("epoch"))
+  }
+
+  val q153Sql: String = raw"""
+    WITH x AS (
+      SELECT doc_id, source, e AS epoch,
+        CAST('0x' || substring(md5('ep:' || CAST(e AS VARCHAR) || ':' ||
+          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM documents CROSS JOIN (SELECT unnest(range(0, $Epochs)) AS e)),
+    p AS (
+      SELECT epoch, source,
+        LAG(source) OVER (PARTITION BY epoch, h % $ShardCount
+          ORDER BY h, doc_id) AS prev_src
+      FROM x),
+    adj AS (
+      SELECT CAST(epoch AS BIGINT) AS epoch,
+        CAST(COUNT(*) AS BIGINT) AS n_adj,
+        CAST(SUM(CASE WHEN source = prev_src THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_same
+      FROM p WHERE prev_src IS NOT NULL GROUP BY 1),
+    exp AS (
+      SELECT CAST(SUM(c * (c - 1)) * 1000000 // (SUM(c) * (SUM(c) - 1))
+        AS BIGINT) AS exp_ppm
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source))
+    SELECT epoch, n_adj, n_same,
+      n_same * 1000000 // n_adj AS same_ppm, exp_ppm,
+      CASE WHEN n_same * 1000000 // n_adj > exp_ppm * 2 THEN 'clumped'
+           WHEN (n_same * 1000000 // n_adj) * 2 < exp_ppm
+             THEN 'anti_clumped'
+           ELSE 'mixed' END AS mixing_band
+    FROM adj CROSS JOIN exp ORDER BY epoch"""
+
   // ---- q114: per-doc novelty (first-occurrence gram attribution) -------
   // The dedup-aware VALUE of a document: what fraction of its 8-gram
   // content appears nowhere earlier in the corpus (ingestion order =
@@ -1243,7 +1321,8 @@ object CurationOps {
     "q139_curriculum"   -> q139Curriculum _,
     "q140_temperature_mix" -> q140TemperatureMix _,
     "q145_doc_chunks"   -> q145DocChunks _,
-    "q147_domain_cap"   -> q147DomainCap _)
+    "q147_domain_cap"   -> q147DomainCap _,
+    "q153_shuffle_mixing" -> q153ShuffleMixing _)
 
   val oracles: Map[String, String] = Map(
     "q70_pii_redaction" -> q70Sql,
@@ -1264,5 +1343,6 @@ object CurationOps {
     "q139_curriculum"   -> q139Sql,
     "q140_temperature_mix" -> q140Sql,
     "q145_doc_chunks"   -> q145Sql,
-    "q147_domain_cap"   -> q147Sql)
+    "q147_domain_cap"   -> q147Sql,
+    "q153_shuffle_mixing" -> q153Sql)
 }

@@ -372,6 +372,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("kept_docs")).forall(_ <= 15L))
   }
 
+  test("q153 mixing: adjacency recount from the q113 order; rate sits at expectation") {
+    val r = CurationOps.q153ShuffleMixing(spark, sf).collect()
+    assert(r.length == 3) // one row per epoch
+    // brute recount for epoch 0 using the same salted-hash order
+    graft.expressions.Hash60.register(spark)
+    val ordered = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", expr("h60(concat('ep:0:', cast(doc_id as string)))"))
+      .collect()
+      .map(x => (x.getAs[Long]("h") % 8L, x.getAs[Long]("h"),
+        x.getAs[Long]("doc_id"), x.getAs[String]("source")))
+    val pairs = ordered.groupBy(_._1).values.flatMap { shard =>
+      val s0 = shard.sortBy(x => (x._2, x._3)).map(_._4)
+      s0.zip(s0.drop(1))
+    }.toSeq
+    val e0 = r.find(_.getAs[Long]("epoch") == 0L).get
+    assert(e0.getAs[Long]("n_adj") == pairs.length.toLong)
+    assert(e0.getAs[Long]("n_same") ==
+      pairs.count { case (a, b) => a == b }.toLong)
+    // a salted-hash permutation must read healthy, every epoch
+    assert(r.forall(_.getAs[String]("mixing_band") == "mixed"))
+  }
+
   test("curation queries are deterministic across runs") {
     CurationOps.queries.foreach { case (name, fn) =>
       val a = fn(spark, sf).collect()

@@ -72,8 +72,10 @@ class PlanSpec extends AnyFunSuite {
     // association frame via a 1-row broadcast cross join
     // q152: the 1-row corpus total attaches to the |sources|·|langs|
     // contingency cells the same way
+    // q153: the 1-row corpus mixing expectation attaches to the
+    // |epochs|-row adjacency frame the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q146_pmi_assoc", "q152_composition_skew",
+      "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
       "q116_triad_census", "q118_join_size_sketch",
