@@ -860,8 +860,11 @@ object CurationOps {
   // A clumped shuffle feeds the trainer long same-source runs (gradient
   // correlation, the thing epoch shuffling exists to prevent); a healthy
   // salted-hash permutation sits at the expectation. Both rates are
-  // exact integer ppm; the band compares the two ppm integers directly
-  // (no large cross-multiplication, so Long-safe to ~9e12 docs).
+  // exact integer ppm, and the band compares the two ppm integers
+  // directly. The expectation runs on Decimal(38,0): Σc(c−1) overflows
+  // Long at a single ~3e9-doc source and t(t−1) at t ≈ 3e9 docs total,
+  // while DuckDB's SUM is HUGEINT — decimal keeps the engines exact-
+  // identical to ~1e19 docs (c² ≤ 1e38), far past any real corpus.
   //
   // Scale shape: q113's exact partitioning — the lag window runs per
   // (epoch, shard) over each shard's own slice (the sort the shard
@@ -886,8 +889,11 @@ object CurationOps {
           .as("n_same"))
     val exp = Tables.documents(s, d)
       .groupBy(col("source")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1L)).as("pairs_num"),
-        sum(col("c")).as("t"))
+      .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1L))
+          .as("pairs_num"),
+        sum(col("c")).cast("decimal(38,0)").as("t"))
+      // div on decimal operands is exact integral division returning
+      // BIGINT — the same Long exp_ppm column type as before
       .select(expr("pairs_num * 1000000 div (t * (t - 1))").as("exp_ppm"))
     adj.crossJoin(broadcast(exp))
       .withColumn("same_ppm", expr("n_same * 1000000 div n_adj"))

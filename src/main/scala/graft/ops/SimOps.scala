@@ -1789,6 +1789,9 @@ object SimOps {
   // the nq integer space (Σ⌊x²·1e9+0.5⌋), so the oracle is exact; the
   // outlier gates are integer cross-multiplications (nq·n vs 2·Σnq).
   // mean_nq is the single IEEE division of two identical integers.
+  // Categories are DISJOINT: a zero vector (nq = 0) counts in n_zero
+  // only — the lo-outlier gate requires nq > 0, so a consumer summing
+  // n_zero + n_lo_outlier + n_hi_outlier never double-counts a vector.
   //
   // Scale shape: the q124 move — one map-side-combining label aggregate,
   // broadcast back (labels are bounded), one outlier-count aggregate.
@@ -1809,7 +1812,8 @@ object SimOps {
       .groupBy(col("label"))
       .agg(sum(when(col("nq") * col("n_vecs") > col("nq_sum") * 2L, 1L)
           .otherwise(0L)).as("n_hi_outlier"),
-        sum(when(col("nq") * col("n_vecs") * 2L < col("nq_sum"), 1L)
+        sum(when(col("nq") > 0L &&
+            col("nq") * col("n_vecs") * 2L < col("nq_sum"), 1L)
           .otherwise(0L)).as("n_lo_outlier"))
     agg.join(out, Seq("label"))
       .withColumn("mean_nq",
@@ -1837,8 +1841,8 @@ object SimOps {
       SELECT e.label,
         CAST(SUM(CASE WHEN e.nq * a.n_vecs > a.nq_sum * 2 THEN 1 ELSE 0
           END) AS BIGINT) AS n_hi_outlier,
-        CAST(SUM(CASE WHEN e.nq * a.n_vecs * 2 < a.nq_sum THEN 1 ELSE 0
-          END) AS BIGINT) AS n_lo_outlier
+        CAST(SUM(CASE WHEN e.nq > 0 AND e.nq * a.n_vecs * 2 < a.nq_sum
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_outlier
       FROM e JOIN a USING (label) GROUP BY e.label)
     SELECT CAST(label AS BIGINT) AS label, n_vecs, dim_min, dim_max,
       nq_min, nq_max,

@@ -318,9 +318,11 @@ class SimOpsSpec extends AnyFunSuite {
     assert(l1.getAs[Long]("n_zero") == 1L, l1.toString)
     assert(l1.getAs[Long]("dim_min") == 4L && l1.getAs[Long]("dim_max") == 8L)
     // the 5x-norm vector dominates the label mean; it is the only hi
-    // outlier and drags everything else under half the mean
+    // outlier and drags everything else under half the mean. The zero
+    // vector is NOT among the lo outliers — categories are disjoint
+    // (n_zero only), so the two non-zero companions are the lo set.
     assert(l1.getAs[Long]("n_hi_outlier") == 1L, l1.toString)
-    assert(l1.getAs[Long]("n_lo_outlier") == 3L, l1.toString)
+    assert(l1.getAs[Long]("n_lo_outlier") == 2L, l1.toString)
   }
 
   test("q130 kNN graph: dense ranks, bounded cos, mutual iff reversed edge") {
@@ -366,7 +368,7 @@ class SimOpsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("n_hi_outlier") ==
         nqs.count(q => q * n > nqs.sum * 2).toLong)
       assert(row.getAs[Long]("n_lo_outlier") ==
-        nqs.count(q => q * n * 2 < nqs.sum).toLong)
+        nqs.count(q => q > 0L && q * n * 2 < nqs.sum).toLong)
     }
   }
 
