@@ -64,6 +64,35 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       canaryTimes += (System.nanoTime() - t0) / 1e9
     }
+    // Memory-pressure canary: the CPU canary cannot see HEAP contention —
+    // the r9 driver record carried a healthy canary (median 0.105) yet
+    // q73 read 6.98 s vs a 1.25 s idle re-bench, because a full 153-query
+    // run on the default 8 g heap accumulates GC/eviction pressure the
+    // per-unit CPU probe never touches. So alongside each unit's time we
+    // record the JVM's cumulative-GC-time DELTA for the iteration that
+    // produced the reported min (if even the best-of-3 iteration paid
+    // heavy GC, the pressure is sustained, not transient), plus run-wide
+    // heap stats. Units whose min iteration spent >25% of its wall time
+    // in GC are stamped into gc_suspects and flip contended_by_gc — the
+    // record self-labels its q73-class inflation instead of needing a
+    // judge re-bench. Full-registry runs should export
+    // SPARK_DRIVER_MEM=32g (build.sbt wires it to -Xmx); BASELINE.md
+    // records both contracts.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcSeconds(): Double = {
+      var s = 0L
+      val it = gcBeans.iterator()
+      while (it.hasNext) { val t = it.next().getCollectionTime
+        if (t > 0) s += t }
+      s / 1e3
+    }
+    val memBean = java.lang.management.ManagementFactory.getMemoryMXBean
+    var heapUsedMax = 0.0
+    def sampleHeap(): Unit = {
+      val gb = memBean.getHeapMemoryUsage.getUsed / 1e9
+      if (gb > heapUsedMax) heapUsedMax = gb
+    }
     // Shared pinned stages (StageCache) are charged as their OWN units,
     // derived cold up front: previously whichever consumer query ran
     // first absorbed the whole derivation (r7: q123 0.20→3.49 s while
@@ -116,6 +145,43 @@ object Bench {
       val unknown = consumers.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty, s"$st consumers not in registry: $unknown")
     }
+    // SPARK_GRAFT_BENCH_STAGES_COLD=1 — the isolated cold-stage record:
+    // this fork IS a fresh JVM, so each builder's one-shot time here is
+    // its true cold derivation cost after only the shared warm-up job —
+    // no 150-query session behind it. The in-drive stages_cold numbers
+    // absorb whole-session state (BASELINE.md r9: attr_fluency 57.6 s
+    // recorded in-drive vs 9.5 s isolated); this mode pins the honest
+    // number once per round without burdening the full record's runtime.
+    if (sys.env.get("SPARK_GRAFT_BENCH_STAGES_COLD").contains("1")) {
+      ops.StageCache.clearAll()
+      val cold = stageBuilders.map { case (name, _, run) =>
+        canary()
+        val gc0 = gcSeconds()
+        val t0 = System.nanoTime()
+        val ok = try { run(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        (name, if (ok) elapsed else -1.0, gcSeconds() - gc0)
+      }
+      val cs0 = canaryTimes.sorted
+      val json =
+        s"""{"metric":"stages_cold_isolated","unit":"sec","stages":""" +
+          cold.map { case (n, t, _) => s"\"$n\":$t" }
+            .mkString("{", ",", "}") +
+          s""","stages_gc":""" +
+          cold.map { case (n, _, g) => s"\"$n\":" + f"$g%.3f" }
+            .mkString("{", ",", "}") +
+          s""","canary":{"n":${cs0.size},"min":${cs0.head},""" +
+          s""""median":${cs0(cs0.size / 2)},"max":${cs0.last}},""" +
+          s""""sf":"$sfDir"}"""
+      println(json)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_stages_cold.json"), json + "\n")
+      spark.stop()
+      return
+    }
     val selectedNames = selected.keySet
     // Stage units are timed min-of-ITERS like queries: a one-shot cold
     // charge has NO contention rejection, and a single noisy window
@@ -131,6 +197,7 @@ object Bench {
       .map { case (name, _, run) =>
         val cacheKey = name.stripPrefix("stage_")
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val gcs = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
         var i = 1
         while (i <= iters && !failed) {
@@ -139,14 +206,17 @@ object Bench {
           // reachable after a successful derivation, so the pin exists)
           if (i > 1) require(ops.StageCache.clear(sfDir, cacheKey),
             s"$name did not pin cache key '$cacheKey' - unit/key drift")
-          canary()
+          canary(); sampleHeap()
+          val gc0 = gcSeconds()
           val t0 = System.nanoTime()
           val ok = try { run(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false }
           val elapsed = (System.nanoTime() - t0) / 1e9
-          if (ok) times += elapsed else failed = true
+          if (ok) { times += elapsed; gcs += gcSeconds() - gc0 }
+          else failed = true
+          sampleHeap()
           i += 1
         }
         // head of the UNSORTED buffer = iteration 1 = the true cold
@@ -154,13 +224,15 @@ object Bench {
         // min deliberately rejects as noise; emitted as stages_cold so
         // the record keeps the cold-accounting story (BASELINE.md r9
         // attr A/B) while the headline min stays contention-robust
-        name -> (if (failed) (Seq(-1.0), -1.0)
-                 else (times.sorted.toSeq, times.head))
+        val gcOfMin = if (failed) -1.0 else gcs(times.indexOf(times.min))
+        name -> (if (failed) (Seq(-1.0), -1.0, -1.0)
+                 else (times.sorted.toSeq, times.head, gcOfMin))
       }
-    val stagesCold = stageResults.map { case (n, (_, cold)) => n -> cold }
+    val stagesCold = stageResults.map { case (n, (_, cold, _)) => n -> cold }
     val queryResults = selected.map { case (name, fn) =>
-      canary()
-      val times = (1 to iters).map { _ =>
+      canary(); sampleHeap()
+      val runs = (1 to iters).map { _ =>
+        val gc0 = gcSeconds()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -169,16 +241,24 @@ object Bench {
         // elapsed is read BEFORE clearCache so the unpersist cost of
         // feature-table caches (q31/q33/q34) is not billed to the query
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcSeconds() - gc0
         spark.catalog.clearCache()
-        if (ok) elapsed else -1.0
+        sampleHeap()
+        (if (ok) elapsed else -1.0, gcDelta)
       }
+      val times = runs.map(_._1)
       // any failed iteration poisons the query to -1 (never report a min
       // computed over a partial/failed set)
-      name -> (if (times.exists(_ < 0)) Seq(-1.0)
-               else times.sorted)
+      val gcOfMin = if (times.exists(_ < 0)) -1.0
+                    else runs(times.indexOf(times.min))._2
+      name -> (if (times.exists(_ < 0)) (Seq(-1.0), gcOfMin)
+               else (times.sorted, gcOfMin))
     }
-    val results = stageResults.map { case (n, (t, _)) => n -> t }.toMap ++
-      queryResults
+    val gcByUnit =
+      stageResults.map { case (n, (_, _, g)) => n -> g } ++
+        queryResults.map { case (n, (_, g)) => n -> g }
+    val results = stageResults.map { case (n, (t, _, _)) => n -> t }.toMap ++
+      queryResults.map { case (n, (t, _)) => n -> t }
     def fmt(pick: Seq[Double] => Double): String = results
       .map { case (k, v) => s"\"" + k + "\":" + pick(v) }
       .mkString("{", ",", "}")
@@ -204,10 +284,31 @@ object Bench {
     val stagesColdJson = stagesCold
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // GC stamp: per-unit GC seconds spent during the iteration that
+    // produced the reported min, a suspect list (units whose min paid
+    // >25% of its wall time in GC, ignoring sub-0.5 s units where one
+    // young-gen pause dominates any ratio), and run-wide heap stats.
+    // contended_by_gc=true means per-unit numbers in THIS record may be
+    // heap-pressure-inflated — rerun with a larger SPARK_DRIVER_MEM
+    // before reading them as regressions.
+    val gcJson = gcByUnit
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val gcSuspects = gcByUnit.collect { case (k, g)
+      if g >= 0 && results(k).head >= 0.5 && g > 0.25 * results(k).head => k
+    }.toSeq.sorted
+    val gcSuspectsJson = gcSuspects.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val heapJson =
+      f"""{"used_max_gb":$heapUsedMax%.2f,""" +
+        f""""limit_gb":${Runtime.getRuntime.maxMemory / 1e9}%.2f,""" +
+        f""""gc_total_sec":${gcSeconds()}%.1f}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"stages_cold":$stagesColdJson,""" +
         s""""canary":$canaryJson,""" +
+        s""""queries_gc":$gcJson,"gc_suspects":$gcSuspectsJson,""" +
+        s""""contended_by_gc":${gcSuspects.nonEmpty},"heap":$heapJson,""" +
         s""""failed":${failed.size},""" +
         s""""failed_names":$failedJson,"sf":"$sfDir"}"""
     println(json)

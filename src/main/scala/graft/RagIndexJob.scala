@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import ops.{CurationOps, SimOps}
+import org.apache.hadoop.fs.Path
+
+import ops.{CurationOps, PartitionSwap, SimOps}
 
 /** End-to-end retrieval-index job — the SERVING-side complement of
   * [[CurationJob]]'s training-side pipeline: where CurationJob turns raw
@@ -43,9 +45,18 @@ import ops.{CurationOps, SimOps}
   * the serve artifact are ONE file set written by ONE job commit,
   * a crashed firing leaves no partial state and a rerun appends zero
   * rows (idempotent). Appended file sets are bucket-sorted internally;
-  * [[ops.SinkMaintenance]]-style compaction restores the global layout
-  * when append debt accumulates. A full rebuild re-tunes the plane
-  * count to the grown corpus.
+  * [[compact]] merges them back into the single global bucket-sorted
+  * layout when append debt accumulates (each appended set adds files
+  * every probed bucket must touch — serve-side pruning degrades
+  * linearly in firings until compaction restores it), and
+  * [[retunePlanes]] re-buckets the index from its own stored vectors
+  * when the grown corpus has drifted past the manifest's pinned plane
+  * count. Both publish through [[ops.PartitionSwap.swapDir]] — the
+  * index and its manifest move as ONE directory swap, so no crash
+  * point can ever pair a new index with an old manifest (which would
+  * silently mis-bucket every lookup). [[maintain]] is the scheduled
+  * wrapper: retune if drifted (a retune also restores the layout),
+  * else compact if fragmented, else no-op.
   *
   * Serve path ([[lookup]]): embed the query with the same stub, bucket
   * it with the same planes, read ONLY the matching index slice, exact
@@ -79,15 +90,29 @@ object RagIndexJob {
         col("r.chunk_text").as("chunk_text"))
 
   /** Deterministic integer chunk vectors (column `qa`, [[SimOps]]'s
-    * quantized-vector convention), carried alongside the chunk row. */
+    * quantized-vector convention), carried alongside the chunk row.
+    *
+    * Partition-batched, [[ops.Multimodal.embedStub]]'s shape: one
+    * encoder context per task, rows encoded in fixed-size batches — the
+    * contract a real model-server call has (per-batch forward pass, not
+    * per-row round trips through the row encoders). Swapping the stub
+    * for an RPC changes only the body of the `grouped` block. */
+  private val EncodeBatch = 64
+
   private[graft] def encodeChunks(chunks: DataFrame): DataFrame = {
     import chunks.sparkSession.implicits._
     chunks.select(col("chunk_md5"), col("doc_id"), col("chunk_idx"),
         col("n_toks"), col("chunk_text"))
       .as[(String, Long, Long, Long, String)]
-      .map { case (md5v, docId, ci, nt, txt) =>
-        (md5v, docId, ci, nt, txt,
-          foldBytes(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .mapPartitions { rows =>
+        // one "encoder" per task; each grouped(..) slice models one
+        // batched forward pass over EncodeBatch chunk texts
+        rows.grouped(EncodeBatch).flatMap { batch =>
+          batch.map { case (md5v, docId, ci, nt, txt) =>
+            (md5v, docId, ci, nt, txt, foldBytes(
+              txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
       }
       .toDF("chunk_md5", "doc_id", "chunk_idx", "n_toks", "chunk_text",
         "qa")
@@ -99,11 +124,114 @@ object RagIndexJob {
       .sortWithinPartitions(col("bucket"))
       .write.mode(mode).parquet(s"$indexRoot/index.parquet")
 
+  private def rootFs(spark: SparkSession, indexRoot: String) =
+    new Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Heal any maintenance swap a crash left half-done; every entry point
+    * that reads the root calls this first. */
+  private def recoverRoot(spark: SparkSession, indexRoot: String): Unit =
+    PartitionSwap.recoverDir(rootFs(spark, indexRoot), new Path(indexRoot))
+
+  /** Data files currently under the index artifact (append debt =
+    * anything beyond the build's global layout). */
+  private[graft] def indexDataFiles(spark: SparkSession,
+      indexRoot: String): Int = {
+    val fs = rootFs(spark, indexRoot)
+    val dir = new Path(s"$indexRoot/index.parquet")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith("."))
+  }
+
+  private def manifestPlanes(spark: SparkSession, indexRoot: String): Int =
+    spark.read.parquet(s"$indexRoot/manifest.parquet")
+      .collect()(0).getAs[Int]("planes")
+
+  /** Stage `index` (+ a fresh manifest pinning `planes`) as a sibling
+    * root and swap it in whole — the index and manifest change together
+    * or not at all. */
+  private def publishRoot(spark: SparkSession, indexRoot: String,
+      index: DataFrame, planes: Int, files: Int): Unit = {
+    import spark.implicits._
+    val fs = rootFs(spark, indexRoot)
+    val staging = new Path(indexRoot + "__staging")
+    fs.delete(staging, true)
+    writeSlice(index, staging.toString, "overwrite", files)
+    Seq((planes, Dim)).toDF("planes", "dim")
+      .write.mode("overwrite").parquet(s"$staging/manifest.parquet")
+    PartitionSwap.swapDir(fs, staging, new Path(indexRoot))
+  }
+
+  /** Compaction: merge the appended file sets back into the single
+    * global bucket-sorted layout the build wrote, restoring serve-side
+    * file/row-group pruning (each append made every probed bucket touch
+    * one more file set). One bucket-range shuffle of the index — the
+    * scheduled companion job, run between (never during) update
+    * firings. Returns (files before, files after); a no-op below
+    * `maxFiles` debt. */
+  def compact(spark: SparkSession, indexRoot: String,
+      maxFiles: Int = 8, targetFiles: Int = 8): (Int, Int) = {
+    recoverRoot(spark, indexRoot)
+    val before = indexDataFiles(spark, indexRoot)
+    if (before <= maxFiles) return (before, before)
+    publishRoot(spark, indexRoot,
+      spark.read.parquet(s"$indexRoot/index.parquet"),
+      manifestPlanes(spark, indexRoot), targetFiles)
+    (before, indexDataFiles(spark, indexRoot))
+  }
+
+  /** True when the corpus has grown (or shrunk) past the manifest's
+    * pinned plane count — the rebuild trigger: stale planes mean each
+    * bucket holds ~2× the target rows per missing plane, degrading
+    * lookup cost, while too many planes starve buckets and hurt recall. */
+  def needsRetune(spark: SparkSession, indexRoot: String): Boolean = {
+    recoverRoot(spark, indexRoot)
+    SimOps.planesFor(
+      spark.read.parquet(s"$indexRoot/index.parquet").count()) !=
+      manifestPlanes(spark, indexRoot)
+  }
+
+  /** Re-tune the plane count to the grown corpus WITHOUT the source
+    * documents: the index stores every chunk's vector, so re-bucketing
+    * is one scan of the index itself (re-chunking and re-encoding 100 TB
+    * of source text would be the expensive path; this is O(index)).
+    * Returns the new plane count, or None if already tuned. */
+  def retunePlanes(spark: SparkSession, indexRoot: String)
+      : Option[Int] = {
+    recoverRoot(spark, indexRoot)
+    val idx = spark.read.parquet(s"$indexRoot/index.parquet")
+    val target = SimOps.planesFor(idx.count())
+    if (target == manifestPlanes(spark, indexRoot)) None
+    else {
+      publishRoot(spark, indexRoot,
+        idx.drop("bucket")
+          .withColumn("bucket", SimOps.bucketExpr(target)),
+        target, files = 8)
+      Some(target)
+    }
+  }
+
+  /** Scheduled maintenance policy: retune if the plane count drifted (a
+    * retune rewrites the global layout, subsuming compaction), else
+    * compact if append debt accumulated, else nothing. Returns what it
+    * did. */
+  def maintain(spark: SparkSession, indexRoot: String,
+      maxFiles: Int = 8): String =
+    retunePlanes(spark, indexRoot) match {
+      case Some(p) => s"retuned:$p"
+      case None =>
+        val (before, after) = compact(spark, indexRoot, maxFiles)
+        if (after < before) s"compacted:$before->$after" else "noop"
+    }
+
   /** Builds the index artifacts; returns (total chunks, unique chunks,
     * planes). */
   def build(spark: SparkSession, sfDir: String, indexRoot: String)
       : (Long, Long, Int) = {
     import spark.implicits._
+    recoverRoot(spark, indexRoot)
     val chunks = CurationOps.docChunks(spark, sfDir).persist()
     val nChunks = chunks.count()
     val unique = canonicalChunks(chunks).persist()
@@ -123,8 +251,8 @@ object RagIndexJob {
     * already in the ledger. Returns the number of appended chunks. */
   def update(spark: SparkSession, batchDir: String, indexRoot: String)
       : Long = {
-    val planes = spark.read.parquet(s"$indexRoot/manifest.parquet")
-      .collect()(0).getAs[Int]("planes")
+    recoverRoot(spark, indexRoot)
+    val planes = manifestPlanes(spark, indexRoot)
     val ledger = spark.read.parquet(s"$indexRoot/index.parquet")
       .select(col("chunk_md5"))
     val novel = canonicalChunks(CurationOps.docChunks(spark, batchDir))
@@ -151,8 +279,8 @@ object RagIndexJob {
   def lookup(spark: SparkSession, indexRoot: String, queryText: String,
       k: Int, multiProbe: Boolean = false): DataFrame = {
     import spark.implicits._
-    val planes = spark.read.parquet(s"$indexRoot/manifest.parquet")
-      .collect()(0).getAs[Int]("planes")
+    recoverRoot(spark, indexRoot)
+    val planes = manifestPlanes(spark, indexRoot)
     val qa = foldBytes(
       queryText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the query rides the SAME bucket expression the build used, on a

@@ -15,9 +15,37 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * (crash after publish, before cleanup). Writers on the same sink must
   * call [[recover]] before publishing — both call sites do.
   */
-private[ops] object PartitionSwap {
+private[graft] object PartitionSwap {
 
   def prevRootFor(sinkPath: String): Path = new Path(sinkPath + "__prev")
+
+  /** Heal a half-done WHOLE-DIRECTORY swap ([[swapDir]]). Idempotent;
+    * every reader/writer of a swapped root must call this first. */
+  def recoverDir(fs: FileSystem, live: Path): Unit = {
+    val prev = prevRootFor(live.toString)
+    if (fs.exists(prev)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(prev, live))
+          sys.error(s"cannot restore $prev to $live")
+      } else fs.delete(prev, true)
+    }
+  }
+
+  /** Crash-safe publication of a whole directory: `staging` replaces
+    * `live` via the same rename protocol as the per-partition swap
+    * (live → `<live>__prev`; staging → live; delete prev). Used when an
+    * artifact is a SET of files that must change together (e.g. the RAG
+    * index + its manifest): any crash point leaves either the old set or
+    * the new set recoverable, never a mix. */
+  def swapDir(fs: FileSystem, staging: Path, live: Path): Unit = {
+    recoverDir(fs, live)
+    val prev = prevRootFor(live.toString)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      sys.error(s"cannot move $live aside to $prev")
+    if (!fs.rename(staging, live))
+      sys.error(s"cannot publish $staging to $live")
+    fs.delete(prev, true)
+  }
 
   /** Heal any swap a previous crash left half-done. Idempotent. */
   def recover(fs: FileSystem, sink: Path): Unit = {

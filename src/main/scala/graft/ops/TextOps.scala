@@ -1306,22 +1306,42 @@ object TextOps {
   // spike concentration long before a human-visible pattern; diversity
   // filters use exactly this pair of signals.
   //
-  // Scale shape: pure per-row array expressions — zero shuffle until the
-  // final sort. The per-doc count vector is computed in-array
-  // (O(len · distinct) per doc); for adversarially long documents the
-  // explode + (doc_id, word) groupBy is the fallback shape, but it
-  // shuffles a corpus-sized frame for what is here scan-local work.
-  def q148LexicalDiversity(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  // Scale shape: per-row array expressions for every in-bound doc — zero
+  // shuffle until the final sort. The in-array count vector is
+  // O(len · distinct) per doc, quadratic for an adversarially long
+  // high-diversity document (a 1M-token doc would stall its task), so
+  // docs above LexDivTokenBound self-police onto the explode +
+  // (doc_id, word) groupBy route — the q56/q62/q122 degrade-don't-die
+  // precedent: the shuffled frame is proportional to the LONG-doc slice
+  // only (empty on a healthy corpus; bounded by the length cap any real
+  // crawl pipeline enforces upstream), while the corpus-sized bulk stays
+  // scan-local. Both routes compute identical exact integers, so the
+  // oracle is route-blind.
+  private[graft] val LexDivTokenBound = 10000L
+
+  def q148LexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
       .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
       .withColumn("n_tokens", size(col("t")).cast("long"))
       .filter(col("n_tokens") >= 1)
+    val inBound = base.filter(col("n_tokens") <= LexDivTokenBound)
       .withColumn("n_types",
         size(array_distinct(col("t"))).cast("long"))
       .withColumn("c2", expr(
         "aggregate(transform(array_distinct(t)," +
           " w -> CAST(size(filter(t, x -> x = w)) AS BIGINT))," +
           " 0L, (acc, c) -> acc + c * c)"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("c2"))
+    // degrade route: distinct-counting as a distributed aggregate —
+    // O(len) rows per long doc, never an O(len·distinct) single-task loop
+    val overBound = base.filter(col("n_tokens") > LexDivTokenBound)
+      .select(col("doc_id"), col("n_tokens"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("c2"))
+    inBound.unionByName(overBound)
       .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
       .withColumn("simpson_ppm",
         expr("c2 * 1000000 div (n_tokens * n_tokens)"))
@@ -1334,6 +1354,7 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         col("ttr_ppm"), col("simpson_ppm"), col("diversity_band"))
       .orderBy(col("doc_id"))
+  }
 
   val q148Sql: String = raw"""
     WITH st AS (

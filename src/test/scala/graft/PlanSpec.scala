@@ -455,12 +455,21 @@ class PlanSpec extends AnyFunSuite {
       s"q147 reintroduced a per-doc row_number:\n$p")
   }
 
-  test("q148 diversity is scan-local: no join, no shuffle before the sort") {
+  test("q148 diversity: bulk stays scan-local, only the long-doc degrade route shuffles") {
     val p = plan("q148_lexical_diversity")
     assert(!p.contains("Join"), s"q148 planned a join:\n$p")
-    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")),
-      s"q148 shuffles beyond its output sort:\n$p")
+    // the in-bound bulk is scan-local per-row array work; the only hash
+    // exchanges allowed are the degrade route's doc_id-keyed aggregates
+    // over the (empty-on-healthy-corpora) long-doc slice
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange") &&
+        !l.contains("rangepartitioning")).toSeq
+    assert(hashEx.forall(_.contains("doc_id")),
+      s"q148 shuffles outside the doc_id-keyed degrade route:\n$p")
+    // the degrade route exists and is gated on the token bound (the
+    // in-array path must never see an over-bound doc, and vice versa)
+    assert(p.contains("10000"),
+      s"q148 lost its length-bound routing filter:\n$p")
   }
 
   test("q120's checks stay fused: bounded child-table scans") {

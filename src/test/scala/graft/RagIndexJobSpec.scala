@@ -115,6 +115,82 @@ class RagIndexJobSpec extends AnyFunSuite {
     assert(multi.length >= single.length)
   }
 
+  test("compact after N updates: identical lookups, file count restored, pruning kept") {
+    import spark.implicits._
+    // a private copy of the index so the shared `root` fixture stays
+    // untouched for the other tests
+    val dir = java.nio.file.Files.createTempDirectory("rag-compact").toString
+    RagIndexJob.build(spark, sf, dir)
+    val baseFiles = RagIndexJob.indexDataFiles(spark, dir)
+    // N firings, each with novel content -> append debt accumulates
+    (1 to 3).foreach { b =>
+      val batch =
+        java.nio.file.Files.createTempDirectory(s"rag-cbatch$b").toString
+      val txt = (1 to 40).map(i => s"compactbatch${b}term$i").mkString(" ")
+      Seq((910000L + b, txt, "en", "srcC", txt.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$batch/documents.parquet")
+      assert(RagIndexJob.update(spark, batch, dir) > 0L)
+    }
+    val fragmented = RagIndexJob.indexDataFiles(spark, dir)
+    assert(fragmented > baseFiles, s"updates added no files ($fragmented)")
+    // freeze lookup results + full index content before compaction
+    val q1 = spark.read.parquet(s"$dir/index.parquet")
+      .filter(col("doc_id") === 910001L).orderBy(col("chunk_idx"))
+      .collect()(0).getAs[String]("chunk_text")
+    val hitsBefore = RagIndexJob.lookup(spark, dir, q1, 5).collect().toSeq
+    val contentBefore = digest(dir)
+    val (before, after) = RagIndexJob.compact(spark, dir, maxFiles = 8)
+    assert(before == fragmented && after <= 8 && after < before,
+      s"compact $before->$after")
+    // byte-identical serving: same rows, same order, same cosines
+    assert(digest(dir) == contentBefore)
+    assert(RagIndexJob.lookup(spark, dir, q1, 5).collect().toSeq ==
+      hitsBefore)
+    // the compacted layout still prunes: bucket filter reaches the scan
+    val plan = spark.read.parquet(s"$dir/index.parquet")
+      .filter(col("bucket") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("bucket"))
+    // compaction is idempotent: second call is a no-op
+    assert(RagIndexJob.compact(spark, dir, maxFiles = 8) == (after, after))
+  }
+
+  test("retunePlanes re-buckets from the index's own vectors when the corpus outgrows the pin") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rag-retune").toString
+    val (_, u0, p0) = RagIndexJob.build(spark, sf, dir)
+    assert(!RagIndexJob.needsRetune(spark, dir))
+    // grow the corpus past the next power-of-two bucket-count boundary:
+    // planesFor(n) = clamped ceil(log2(ceil(n/32))), so from u0≈1350
+    // (p=6) the pin drifts once unique chunks exceed 2048 — 600 novel
+    // 40-token docs add ~1200 unique chunks (2 lattice windows each)
+    val batch = java.nio.file.Files.createTempDirectory("rag-grow").toString
+    val docs = (1 to 600).map { d =>
+      val txt = (1 to 40).map(i => s"growterm${d}x$i").mkString(" ")
+      (920000L + d, txt, "en", "srcG", txt.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$batch/documents.parquet")
+    assert(RagIndexJob.update(spark, batch, dir) > 0L)
+    assert(RagIndexJob.needsRetune(spark, dir),
+      s"planes did not drift (u0=$u0, p0=$p0)")
+    val probe = spark.read.parquet(s"$dir/index.parquet")
+      .filter(col("doc_id") === 920005L).orderBy(col("chunk_idx"))
+      .collect()(0).getAs[String]("chunk_text")
+    val pNew = RagIndexJob.maintain(spark, dir)
+    assert(pNew.startsWith("retuned:"), pNew)
+    assert(!RagIndexJob.needsRetune(spark, dir))
+    // manifest and index moved together: the new planes serve correctly
+    val hits = RagIndexJob.lookup(spark, dir, probe, 3).collect()
+    assert(hits(0).getAs[Long]("doc_id") == 920005L)
+    assert(math.abs(hits(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    // a retune also restores the global layout
+    assert(RagIndexJob.indexDataFiles(spark, dir) <= 8)
+    // second maintain call: nothing left to do
+    assert(RagIndexJob.maintain(spark, dir) == "noop")
+  }
+
   test("the serve scan pushes the bucket filter into the parquet source") {
     val (_, dir) = root
     val plan = spark.read.parquet(s"$dir/index.parquet")

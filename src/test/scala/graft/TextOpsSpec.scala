@@ -361,6 +361,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q148 degrade route: an over-bound doc gets identical TTR/Simpson via explode+groupBy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lexdiv-long").toString
+    // an adversarially long doc (> LexDivTokenBound tokens) with a
+    // mid-diversity profile, plus an in-bound control with the SAME
+    // token multiset — the two routes must agree exactly
+    val rnd = new scala.util.Random(42)
+    val longToks = (0 until 12000).map(_ => s"w${rnd.nextInt(3000)}")
+    val shortToks = (0 until 200).map(_ => s"w${rnd.nextInt(60)}")
+    Seq((1L, longToks.mkString(" "), "en", "srcL"),
+        (2L, shortToks.mkString(" "), "en", "srcL"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    assert(longToks.length > ops.TextOps.LexDivTokenBound)
+    val r = TextOps.q148LexicalDiversity(spark, dir).collect()
+    assert(r.length == 2)
+    Seq(1L -> longToks, 2L -> shortToks).foreach { case (id, toks) =>
+      val row = r.find(_.getAs[Long]("doc_id") == id).get
+      val n = toks.length.toLong
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val c2 = counts.map(c => c * c).sum
+      assert(row.getAs[Long]("n_tokens") == n)
+      assert(row.getAs[Long]("n_types") == counts.size.toLong)
+      assert(row.getAs[Long]("ttr_ppm") == counts.size * 1000000L / n)
+      assert(row.getAs[Long]("simpson_ppm") == c2 * 1000000L / (n * n))
+    }
+  }
+
   test("q149 KWIC: every blocklist hit appears once with a clamped context") {
     val r = TextOps.q149KwicContexts(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
