@@ -133,9 +133,11 @@ object Bench {
         () => { ops.TextOps.attrFluency(spark, sfDir); () }),
       ("stage_band_candidates",
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
-          "q116_triad_census", "q123_containment"),
+          "q116_triad_census", "q123_containment", "q156_cluster_tightness"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
-      ("stage_cc_labels", Set("q60_dedup_groups", "q102_cluster_canonical"),
+      ("stage_cc_labels",
+        Set("q60_dedup_groups", "q102_cluster_canonical",
+          "q156_cluster_tightness"),
         () => { ops.DedupOps.ccLabels(spark, sfDir); () }),
       ("stage_knn_edges", Set("q130_knn_graph", "q132_graph_rank"),
         () => { ops.SimOps.knnEdges(spark, sfDir); () }))

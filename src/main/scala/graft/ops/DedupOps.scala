@@ -1120,6 +1120,182 @@ object DedupOps {
       CAST(n_triangles * 3 AS DOUBLE) / n_wedges AS clustering
     FROM ne CROSS JOIN ec CROSS JOIN tri"""
 
+  // ---- q154: winnowing fingerprints (MOSS-style robust minimizers) -----
+  // Schleimer/Wilkerson/Aiken (SIGMOD 2003) winnowing, the MOSS
+  // plagiarism-detector kernel and the third fingerprinting family next
+  // to minhash (q31, set-similarity) and simhash (q33, bit-similarity):
+  // hash every word K-gram, slide a window of W consecutive gram hashes,
+  // keep each window's MINIMUM — the kept values are the document's
+  // fingerprints. Guarantee: any shared token run of length >= W + K - 1
+  // tokens shares at least one fingerprint, while only ~2/(W+1) of the
+  // grams are stored — position-robust partial-overlap detection (a
+  // paragraph pasted into a different document still collides), which
+  // whole-set minhash dilutes and simhash averages away.
+  //
+  // Candidate generation is the standard index shape: explode distinct
+  // fingerprints, drop "stop fingerprints" shared by > StopFpDocs docs
+  // (boilerplate — the exploding-bucket guard, same role as q31's band
+  // bound), then a fingerprint equi-join (id1 < id2) counting shared
+  // fingerprints per pair; containment vs the SMALLER doc's fingerprint
+  // count, in exact ppm.
+  //
+  // Scale shape: per-row array HOFs (gram hash, window min) until the
+  // fingerprint explode; one groupBy(fp) for document frequency; one
+  // fp-keyed equi-join bounded by StopFpDocs per bucket — never
+  // all-pairs. At 100 TB this is the Dolma/MOSS span-index build: the
+  // fingerprint postings list IS the shuffle, capped per key.
+  private[graft] val WinnowK = 4 // gram width (tokens)
+  private[graft] val WinnowW = 4 // window (grams per window)
+  private val StopFpDocs = 50L
+
+  def q154Winnowing(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val (k, w) = (WinnowK, WinnowW)
+    // The gram-hash frame is PINNED before the window-min pass: without
+    // the barrier, projection collapse re-inlines the O(len) md5 gram
+    // expression into the window lambda (subexpression elimination does
+    // not reach through lambda scopes — the q26 lesson), making each doc
+    // O(len²) md5 calls: measured 223 s vs ~2 s at sf0.1. Compact
+    // integer arrays (~8·len bytes/doc), the q107 persist rule.
+    val gh = Tables.documents(s, d)
+      .withColumn("t",
+        filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          x => x =!= lit("")))
+      .filter(size(col("t")) >= k + w - 1)
+      .withColumn("gh", expr(
+        s"transform(sequence(1, size(t) - ${k - 1})," +
+          s" i -> h60(concat_ws(' ', slice(t, i, $k))))"))
+      .select(col("doc_id"), col("gh"))
+      .persist()
+    val fps = gh
+      .withColumn("fp", expr(
+        s"array_distinct(transform(sequence(1, size(gh) - ${w - 1})," +
+          s" i -> array_min(slice(gh, i, $w))))"))
+      .withColumn("n_fp", size(col("fp")).cast("long"))
+      .select(col("doc_id"), col("n_fp"), explode(col("fp")).as("fp"))
+      .persist() // df pass + pair join share the fingerprint postings
+    val hot = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > StopFpDocs)
+      .select(col("fp"))
+    val clean = fps.join(hot, Seq("fp"), "left_anti")
+    clean.select(col("fp"), col("doc_id").as("id1"),
+        col("n_fp").as("n_fp1"))
+      .join(clean.select(col("fp"), col("doc_id").as("id2"),
+        col("n_fp").as("n_fp2")), Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"), col("n_fp1"), col("n_fp2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .withColumn("contain_ppm",
+        expr("n_shared * 1000000 div least(n_fp1, n_fp2)"))
+      .select(col("id1"), col("id2"), col("n_fp1"), col("n_fp2"),
+        col("n_shared"), col("contain_ppm"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q154Sql: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    raw"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    gh AS (
+      SELECT doc_id,
+        list_transform(range(1, len(t) - ${k - 2}), i ->
+          CAST('0x' || substring(md5(array_to_string(t[i:i+${k - 1}], ' ')),
+            1, 15) AS BIGINT)) AS gh
+      FROM toks WHERE len(t) >= ${k + w - 1}),
+    fpx AS (
+      SELECT doc_id, CAST(len(fpl) AS BIGINT) AS n_fp, unnest(fpl) AS fp
+      FROM (SELECT doc_id,
+              list_distinct(list_transform(range(1, len(gh) - ${w - 2}),
+                i -> list_min(gh[i:i+${w - 1}]))) AS fpl
+            FROM gh)),
+    hot AS (SELECT fp FROM fpx GROUP BY fp HAVING COUNT(*) > $StopFpDocs),
+    clean AS (SELECT * FROM fpx WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      a.n_fp AS n_fp1, b.n_fp AS n_fp2,
+      CAST(COUNT(*) AS BIGINT) AS n_shared,
+      CAST(COUNT(*) * 1000000 // LEAST(a.n_fp, b.n_fp) AS BIGINT)
+        AS contain_ppm
+    FROM clean a JOIN clean b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+    HAVING COUNT(*) >= 2
+    ORDER BY id1, id2"""
+  }
+
+  // ---- q156: dup-cluster tightness audit --------------------------------
+  // The quality gate ON the dedup pipeline itself: q60's min-label CC is
+  // only the right clustering while components are clique-ish, and a
+  // "cluster" glued together by one weak chain edge deletes documents
+  // that are NOT near-dups of the kept canonical. Per cluster: member
+  // count, verified-edge count, edge coverage vs the C(n,2) clique bound
+  // (exact ppm), and the min/sum of the member-pair Jaccards — clusters
+  // band as clique (every pair verified), dense (>= half), or chained
+  // (the transitive-glue risk class a curation run should re-verify
+  // before deleting).
+  //
+  // Scale shape: rides the pinned band-candidate and cc-label stages
+  // (zero new corpus scans); one edge->label equi-join keyed by doc_id,
+  // two bounded aggregates (clusters, not docs). The same monitor
+  // family as q116's triad census, resolved per cluster instead of
+  // globally.
+  def q156ClusterTightness(s: SparkSession, d: String): DataFrame = {
+    val edges = bandCandidates(s, d)
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .withColumn("j_ppm", expr("inter * 1000000 div uni"))
+      .select(col("id1"), col("id2"), col("j_ppm"))
+    val cc = ccLabels(s, d)
+    val members = cc.groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val perCluster = edges
+      .join(cc.withColumnRenamed("doc_id", "id1"), "id1")
+      .groupBy(col("canon_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("j_ppm")).as("min_j_ppm"),
+        sum(col("j_ppm")).as("sum_j_ppm"))
+    members.join(perCluster, Seq("canon_id"))
+      .filter(col("n_members") >= 2)
+      .withColumn("edge_cov_ppm", expr(
+        "n_edges * 1000000 div (n_members * (n_members - 1) div 2)"))
+      .withColumn("tightness_band",
+        when(col("edge_cov_ppm") === 1000000L, "clique")
+          .when(col("edge_cov_ppm") * 2L >= 1000000L, "dense")
+          .otherwise("chained"))
+      .select(col("canon_id"), col("n_members"), col("n_edges"),
+        col("edge_cov_ppm"), col("min_j_ppm"), col("sum_j_ppm"),
+        col("tightness_band"))
+      .orderBy(col("canon_id"))
+  }
+
+  val q156Sql: String = sqlCc + """,
+    ep AS (
+      SELECT id1, id2, CAST(inter * 1000000 // uni AS BIGINT) AS j_ppm
+      FROM jac WHERE inter * 2 >= uni),
+    mem AS (
+      SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM cc GROUP BY 1),
+    ea AS (
+      SELECT cc.canon_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(MIN(j_ppm) AS BIGINT) AS min_j_ppm,
+        CAST(SUM(j_ppm) AS BIGINT) AS sum_j_ppm
+      FROM ep JOIN cc ON cc.doc_id = ep.id1 GROUP BY 1)
+    SELECT canon_id, n_members, n_edges,
+      CAST(n_edges * 1000000 // (n_members * (n_members - 1) // 2)
+        AS BIGINT) AS edge_cov_ppm,
+      min_j_ppm, sum_j_ppm,
+      CASE WHEN n_edges * 1000000 // (n_members * (n_members - 1) // 2)
+             = 1000000 THEN 'clique'
+           WHEN (n_edges * 1000000 // (n_members * (n_members - 1) // 2))
+             * 2 >= 1000000 THEN 'dense'
+           ELSE 'chained' END AS tightness_band
+    FROM mem JOIN ea USING (canon_id)
+    WHERE n_members >= 2
+    ORDER BY canon_id"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1138,7 +1314,9 @@ object DedupOps {
     "q102_cluster_canonical" -> q102ClusterCanonical _,
     "q110_corpus_overlap" -> q110CorpusOverlap _,
     "q116_triad_census" -> q116TriadCensus _,
-    "q123_containment"  -> q123ContainmentPairs _)
+    "q123_containment"  -> q123ContainmentPairs _,
+    "q154_winnowing"    -> q154Winnowing _,
+    "q156_cluster_tightness" -> q156ClusterTightness _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1151,5 +1329,7 @@ object DedupOps {
     "q102_cluster_canonical" -> q102Sql,
     "q110_corpus_overlap" -> q110Sql,
     "q116_triad_census" -> q116Sql,
-    "q123_containment"  -> q123Sql)
+    "q123_containment"  -> q123Sql,
+    "q154_winnowing"    -> q154Sql,
+    "q156_cluster_tightness" -> q156Sql)
 }

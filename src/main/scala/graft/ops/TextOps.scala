@@ -1377,6 +1377,141 @@ object TextOps {
            ELSE 'diverse' END AS diversity_band
     FROM st ORDER BY doc_id"""
 
+  // ---- q155: code-switching / chunk-level language consistency ---------
+  // q26 labels a DOCUMENT's language; this op checks whether the label
+  // holds THROUGHOUT the document: split the token stream into fixed
+  // 50-token chunks, lang-id each chunk with q26's marker-vote heuristic
+  // (same markers, same en>de>es>fr>unknown tie order), and report how
+  // the chunks distribute. A scraped page with an embedded foreign-
+  // language block, concatenated multilingual boilerplate, or a
+  // template wrapper around translated content all show up as
+  // disagreeing chunks — the standard reason doc-level lang-id
+  // mislabels training data, and a filter axis doc-level ID cannot see.
+  //
+  // Scale shape: pure per-row array HOFs (chunk slices -> per-chunk vote
+  // structs -> per-chunk preds -> count columns) — zero shuffle before
+  // the output sort; bands are exact integer comparisons.
+  private val ChunkToks = 50
+
+  def q155LangConsistency(s: SparkSession, d: String): DataFrame = {
+    val c = ChunkToks
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 1)
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, (size(t) - 1) div $c)," +
+          s" ci -> slice(t, cast(ci * $c + 1 as int), $c))"))
+      .withColumn("votes", expr("""
+        transform(chunks, ch -> named_struct(
+          'en', size(filter(ch, t -> t in ('the', 'is', 'and'))),
+          'de', size(filter(ch, t -> t in ('der', 'und', 'die'))),
+          'es', size(filter(ch, t -> t in ('el', 'los', 'que'))),
+          'fr', size(filter(ch, t -> t in ('le', 'les', 'est')))))"""))
+      .withColumn("preds", expr("""
+        transform(votes, v ->
+          CASE WHEN v.en + v.de + v.es + v.fr = 0 THEN 'unknown'
+               WHEN v.en >= v.de AND v.en >= v.es AND v.en >= v.fr
+                 THEN 'en'
+               WHEN v.de >= v.es AND v.de >= v.fr THEN 'de'
+               WHEN v.es >= v.fr THEN 'es'
+               ELSE 'fr' END)"""))
+      .withColumn("n_chunks", size(col("preds")).cast("long"))
+      .withColumn("c_en", expr(
+        "cast(size(filter(preds, p -> p = 'en')) as bigint)"))
+      .withColumn("c_de", expr(
+        "cast(size(filter(preds, p -> p = 'de')) as bigint)"))
+      .withColumn("c_es", expr(
+        "cast(size(filter(preds, p -> p = 'es')) as bigint)"))
+      .withColumn("c_fr", expr(
+        "cast(size(filter(preds, p -> p = 'fr')) as bigint)"))
+      .withColumn("c_unk",
+        col("n_chunks") - col("c_en") - col("c_de") - col("c_es")
+          - col("c_fr"))
+      // majority language, q26's fixed tie order (unknown only when
+      // nothing else appears at the same count is NOT the q26 rule —
+      // unknown wins ties here only if it strictly exceeds all langs,
+      // mirroring argmax with the lang priority en>de>es>fr>unknown)
+      .withColumn("lang_major",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+          col("c_en") >= col("c_fr") && col("c_en") >= col("c_unk"), "en")
+          .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr")
+            && col("c_de") >= col("c_unk"), "de")
+          .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_unk"),
+            "es")
+          .when(col("c_fr") >= col("c_unk"), "fr")
+          .otherwise("unknown"))
+      .withColumn("n_major",
+        greatest(col("c_en"), col("c_de"), col("c_es"), col("c_fr"),
+          col("c_unk")))
+      .withColumn("consistency_band",
+        when(col("n_major") === col("n_chunks"), "uniform")
+          .when(col("n_major") * 4L >= col("n_chunks") * 3L, "minor_mix")
+          .otherwise("code_switched"))
+      .select(col("doc_id"), col("n_chunks"), col("c_en"), col("c_de"),
+        col("c_es"), col("c_fr"), col("c_unk"), col("lang_major"),
+        col("consistency_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q155Sql: String = {
+    val c = ChunkToks
+    raw"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    ch AS (
+      SELECT doc_id,
+        list_transform(range(0, (len(t) - 1) // $c + 1),
+          ci -> t[ci * $c + 1 : ci * $c + $c]) AS chunks
+      FROM toks WHERE len(t) >= 1),
+    v AS (
+      SELECT doc_id,
+        list_transform(list_transform(chunks, cx -> {
+            'en': len(list_filter(cx, t ->
+              list_contains(['the', 'is', 'and'], t))),
+            'de': len(list_filter(cx, t ->
+              list_contains(['der', 'und', 'die'], t))),
+            'es': len(list_filter(cx, t ->
+              list_contains(['el', 'los', 'que'], t))),
+            'fr': len(list_filter(cx, t ->
+              list_contains(['le', 'les', 'est'], t)))}),
+          vx -> CASE
+            WHEN vx.en + vx.de + vx.es + vx.fr = 0 THEN 'unknown'
+            WHEN vx.en >= vx.de AND vx.en >= vx.es AND vx.en >= vx.fr
+              THEN 'en'
+            WHEN vx.de >= vx.es AND vx.de >= vx.fr THEN 'de'
+            WHEN vx.es >= vx.fr THEN 'es'
+            ELSE 'fr' END) AS preds
+      FROM ch),
+    cnt AS (
+      SELECT doc_id,
+        CAST(len(preds) AS BIGINT) AS n_chunks,
+        CAST(len(list_filter(preds, p -> p = 'en')) AS BIGINT) AS c_en,
+        CAST(len(list_filter(preds, p -> p = 'de')) AS BIGINT) AS c_de,
+        CAST(len(list_filter(preds, p -> p = 'es')) AS BIGINT) AS c_es,
+        CAST(len(list_filter(preds, p -> p = 'fr')) AS BIGINT) AS c_fr
+      FROM v)
+    SELECT doc_id, n_chunks, c_en, c_de, c_es, c_fr,
+      n_chunks - c_en - c_de - c_es - c_fr AS c_unk,
+      CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr
+             AND c_en >= n_chunks - c_en - c_de - c_es - c_fr THEN 'en'
+           WHEN c_de >= c_es AND c_de >= c_fr
+             AND c_de >= n_chunks - c_en - c_de - c_es - c_fr THEN 'de'
+           WHEN c_es >= c_fr
+             AND c_es >= n_chunks - c_en - c_de - c_es - c_fr THEN 'es'
+           WHEN c_fr >= n_chunks - c_en - c_de - c_es - c_fr THEN 'fr'
+           ELSE 'unknown' END AS lang_major,
+      CASE WHEN GREATEST(c_en, c_de, c_es, c_fr,
+             n_chunks - c_en - c_de - c_es - c_fr) = n_chunks
+             THEN 'uniform'
+           WHEN GREATEST(c_en, c_de, c_es, c_fr,
+             n_chunks - c_en - c_de - c_es - c_fr) * 4 >= n_chunks * 3
+             THEN 'minor_mix'
+           ELSE 'code_switched' END AS consistency_band
+    FROM cnt ORDER BY doc_id"""
+  }
+
   // ---- q149: keyword-in-context (KWIC) blocklist audit ----------------
   // The review-queue op behind every blocklist filter: for each hit of a
   // flagged term, emit the hit position and its ±2-token context window
@@ -1783,6 +1918,7 @@ object TextOps {
     "q146_pmi_assoc"    -> q146PmiAssoc _,
     "q148_lexical_diversity" -> q148LexicalDiversity _,
     "q149_kwic_contexts" -> q149KwicContexts _,
+    "q155_lang_consistency" -> q155LangConsistency _,
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
@@ -1810,5 +1946,6 @@ object TextOps {
     "q146_pmi_assoc"    -> q146Sql,
     "q148_lexical_diversity" -> q148Sql,
     "q149_kwic_contexts" -> q149Sql,
+    "q155_lang_consistency" -> q155Sql,
     "q150_padding_waste" -> q150Sql)
 }

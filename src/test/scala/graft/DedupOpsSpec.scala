@@ -405,4 +405,75 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.join(expect, Seq("src_a", "src_b"))
       .filter(col("n_match") =!= col("e_match")).count() == 0)
   }
+
+  test("q154 winnowing: brute fingerprint recount reproduces every pair row") {
+    val r = DedupOps.q154Winnowing(spark, sf).collect()
+      .map(x => ((x.getAs[Long]("id1"), x.getAs[Long]("id2")),
+        (x.getAs[Long]("n_fp1"), x.getAs[Long]("n_fp2"),
+          x.getAs[Long]("n_shared"), x.getAs[Long]("contain_ppm"))))
+      .toMap
+    val (k, w) = (DedupOps.WinnowK, DedupOps.WinnowW)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val fps: Map[Long, Set[Long]] = docs.flatMap { case (id, text) =>
+      val t = text.trim.toLowerCase.split("[ \\t\\n\\r\\f]+")
+        .filter(_.nonEmpty)
+      if (t.length < k + w - 1) None
+      else {
+        val gh = t.sliding(k).map(g => DedupOps.h60(g.mkString(" "))).toArray
+        Some(id -> gh.sliding(w).map(_.min).toSet)
+      }
+    }.toMap
+    val df = fps.values.flatten.groupBy(identity).map { case (f, o) =>
+      f -> o.size
+    }
+    val hot = df.filter(_._2 > 50).keySet
+    val clean = fps.map { case (id, s) => id -> s.diff(hot) }
+    val ids = clean.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      shared = clean(i).intersect(clean(j)).size if shared >= 2
+    } yield (i, j) -> (fps(i).size.toLong, fps(j).size.toLong,
+      shared.toLong,
+      shared.toLong * 1000000L / math.min(fps(i).size, fps(j).size)))
+      .toMap
+    assert(r == expected,
+      s"spark ${r.size} rows vs brute ${expected.size}")
+    // the winnowing guarantee is exercised: the corpus yields pairs
+    assert(r.nonEmpty)
+  }
+
+  test("q156 tightness: recount from the q31 edge list and q60 labels") {
+    val r = DedupOps.q156ClusterTightness(spark, sf).collect()
+    val labels = DedupOps.q60DedupGroups(spark, sf)
+      .select("doc_id", "canon_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val edges = DedupOps.q31MinhashPairs(spark, sf)
+      .select("id1", "id2", "inter", "uni").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        x.getLong(2) * 1000000L / x.getLong(3)))
+    val members = labels.values.groupBy(identity).map { case (c, o) =>
+      c -> o.size.toLong
+    }
+    val byCluster = edges.groupBy { case (id1, _, _) => labels(id1) }
+    assert(r.length == byCluster.size)
+    r.foreach { row =>
+      val c = row.getAs[Long]("canon_id")
+      val es = byCluster(c)
+      val n = members(c)
+      // both endpoints carry the same label (sanity on the CC itself)
+      es.foreach { case (id1, id2, _) =>
+        assert(labels(id1) == c && labels(id2) == c)
+      }
+      assert(row.getAs[Long]("n_members") == n)
+      assert(row.getAs[Long]("n_edges") == es.length.toLong)
+      assert(row.getAs[Long]("min_j_ppm") == es.map(_._3).min)
+      assert(row.getAs[Long]("sum_j_ppm") == es.map(_._3).sum)
+      val cov = es.length.toLong * 1000000L / (n * (n - 1) / 2)
+      assert(row.getAs[Long]("edge_cov_ppm") == cov)
+      val band = if (cov == 1000000L) "clique"
+        else if (cov * 2 >= 1000000L) "dense" else "chained"
+      assert(row.getAs[String]("tightness_band") == band)
+    }
+  }
 }

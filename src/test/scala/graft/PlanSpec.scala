@@ -107,6 +107,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p31.contains("CartesianProduct"), p31)
   }
 
+  test("q154's pair generation is an fp-keyed equi-join over the stop-filtered postings") {
+    val p = plan("q154_winnowing")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q154 pair join is not an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q154 fell back to an unbounded join:\n$p")
+  }
+
+  test("q156 roots at the pinned band/cc stages, not fresh corpus scans") {
+    // both inputs are localCheckpoint'ed stage artifacts: the plan must
+    // read RDD scan roots, never re-derive shingles from documents
+    ops.DedupOps.bandCandidates(spark, sf)
+    ops.DedupOps.ccLabels(spark, sf)
+    val p = plan("q156_cluster_tightness")
+    assert(!p.contains("documents.parquet"),
+      s"q156 re-scans the corpus instead of riding its stages:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q156 lost its stage roots:\n$p")
+  }
+
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
     // The exact contract column must come from the domain-sized histogram
     // path, never the buffer-all built-in `percentile` (O(group rows)

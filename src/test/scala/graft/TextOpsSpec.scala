@@ -391,6 +391,79 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q155 lang consistency: brute per-chunk vote recount matches every doc") {
+    val r = TextOps.q155LangConsistency(spark, sf).collect()
+    val markers = Map(
+      "en" -> Set("the", "is", "and"), "de" -> Set("der", "und", "die"),
+      "es" -> Set("el", "los", "que"), "fr" -> Set("le", "les", "est"))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+      .filter { case (_, text) =>
+        text.trim.toLowerCase.split("[ \\t\\n\\r\\f]+")
+          .count(_.nonEmpty) >= 1
+      }
+    assert(r.length == docs.length)
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x).toMap
+    docs.foreach { case (id, text) =>
+      val t = text.trim.toLowerCase.split("[ \\t\\n\\r\\f]+")
+        .filter(_.nonEmpty)
+      val preds = t.grouped(50).map { ch =>
+        val v = Seq("en", "de", "es", "fr")
+          .map(l => l -> ch.count(markers(l))).toMap
+        if (v.values.sum == 0) "unknown"
+        else if (v("en") >= v("de") && v("en") >= v("es") &&
+          v("en") >= v("fr")) "en"
+        else if (v("de") >= v("es") && v("de") >= v("fr")) "de"
+        else if (v("es") >= v("fr")) "es"
+        else "fr"
+      }.toSeq
+      val row = byId(id)
+      val counts = Seq("en", "de", "es", "fr", "unknown")
+        .map(l => l -> preds.count(_ == l).toLong).toMap
+      assert(row.getAs[Long]("n_chunks") == preds.length.toLong)
+      assert(row.getAs[Long]("c_en") == counts("en"))
+      assert(row.getAs[Long]("c_de") == counts("de"))
+      assert(row.getAs[Long]("c_es") == counts("es"))
+      assert(row.getAs[Long]("c_fr") == counts("fr"))
+      assert(row.getAs[Long]("c_unk") == counts("unknown"))
+      val major =
+        if (counts("en") >= counts("de") && counts("en") >= counts("es")
+          && counts("en") >= counts("fr")
+          && counts("en") >= counts("unknown")) "en"
+        else if (counts("de") >= counts("es") && counts("de") >= counts("fr")
+          && counts("de") >= counts("unknown")) "de"
+        else if (counts("es") >= counts("fr")
+          && counts("es") >= counts("unknown")) "es"
+        else if (counts("fr") >= counts("unknown")) "fr"
+        else "unknown"
+      assert(row.getAs[String]("lang_major") == major)
+      val nMaj = counts.values.max
+      val band = if (nMaj == preds.length.toLong) "uniform"
+        else if (nMaj * 4 >= preds.length.toLong * 3) "minor_mix"
+        else "code_switched"
+      assert(row.getAs[String]("consistency_band") == band)
+    }
+  }
+
+  test("q155 flags a planted bilingual document as code_switched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("langmix").toString
+    val en = (1 to 60).map(i => s"the cat is w$i and").mkString(" ")
+    val de = (1 to 60).map(i => s"der hund und w$i die").mkString(" ")
+    Seq((1L, s"$en $de", "en", "srcM"), (2L, en, "en", "srcM"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextOps.q155LangConsistency(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[String]("consistency_band") == "code_switched",
+      r(1L).toString)
+    assert(r(1L).getAs[Long]("c_en") >= 1L && r(1L).getAs[Long]("c_de") >= 1L)
+    assert(r(2L).getAs[String]("consistency_band") == "uniform")
+    assert(r(2L).getAs[String]("lang_major") == "en")
+  }
+
   test("q149 KWIC: every blocklist hit appears once with a clamped context") {
     val r = TextOps.q149KwicContexts(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
