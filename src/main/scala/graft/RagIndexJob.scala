@@ -311,9 +311,14 @@ object RagIndexJob {
         col("cosine"), col("chunk_text"))
   }
 
+  private val Usage =
+    """usage: RagIndexJob build <sfDir> <indexRoot>
+      |       RagIndexJob update <batchDir> <indexRoot>
+      |       RagIndexJob maintain <indexRoot>
+      |       RagIndexJob lookup <indexRoot> <queryText> [k]
+      |       RagIndexJob <sfDir> <indexRoot>          (legacy = build)""".stripMargin
+
   def main(args: Array[String]): Unit = {
-    require(args.length == 2,
-      "usage: RagIndexJob <sfDir> <indexRoot>")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-rag-index-job")
@@ -323,8 +328,28 @@ object RagIndexJob {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (n, u, p) = build(spark, args(0), args(1))
-    println(s"[rag-index-job] indexed $u unique of $n chunks, $p planes")
+    args.toList match {
+      case "build" :: sfDir :: root :: Nil =>
+        val (n, u, p) = build(spark, sfDir, root)
+        println(s"[rag-index-job] indexed $u unique of $n chunks, $p planes")
+      case "update" :: batchDir :: root :: Nil =>
+        val n = update(spark, batchDir, root)
+        println(s"[rag-index-job] appended $n novel chunks")
+      case "maintain" :: root :: Nil =>
+        println(s"[rag-index-job] maintain: ${maintain(spark, root)}")
+      case "lookup" :: root :: query :: rest if rest.length <= 1 =>
+        val k = rest.headOption.map(_.toInt).getOrElse(5)
+        lookup(spark, root, query, k).collect().foreach { r =>
+          println(s"[rag-index-job] hit doc=${r.getAs[Long]("doc_id")}" +
+            s" chunk=${r.getAs[Long]("chunk_idx")}" +
+            f" cos=${r.getAs[Double]("cosine")}%.4f")
+        }
+      case sfDir :: root :: Nil
+          if !Set("build", "update", "maintain", "lookup")(sfDir) =>
+        val (n, u, p) = build(spark, sfDir, root)
+        println(s"[rag-index-job] indexed $u unique of $n chunks, $p planes")
+      case _ => System.err.println(Usage); sys.exit(2)
+    }
     spark.stop()
   }
 }

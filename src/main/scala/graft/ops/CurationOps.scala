@@ -1308,7 +1308,90 @@ object CurationOps {
         AS dropped_chars
     FROM adm GROUP BY source ORDER BY source"""
 
+  // ---- q157: token-budget admission by quality-score histogram ---------
+  // The curation endgame: a training run has a TOKEN budget, not a doc
+  // budget — admit the highest-quality token mass until the budget is
+  // spent. Quality score = stopword per-mille (q25's naturalness signal,
+  // quantized to a BOUNDED 0..1000 domain); budget = 1/BudgetDiv of the
+  // corpus token mass. The admission cutoff is resolved on the
+  // (score, token-mass) HISTOGRAM — the q147/q122 bounded-domain move:
+  // never a corpus-wide quality sort or row_number. Output is the
+  // per-band admission ledger (full / partial / dropped with masses);
+  // a pipeline then admits `score > cutoff` as a per-row filter plus a
+  // deterministic tiebreak inside the one partial band.
+  //
+  // Scale shape: one map-side-combining groupBy onto ≤1001 rows, a
+  // window over that bounded frame (unpartitioned is safe: the frame IS
+  // the domain, not the corpus), and the 1-row budget scalar attaches
+  // via broadcast. Zero corpus-sized shuffles, zero global sorts.
+  private val BudgetDiv = 4L
+
+  def q157BudgetAdmission(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("n_stop", expr(
+        "cast(size(filter(t, x -> x in" +
+          " ('the','a','of','and','to','in','is','it'))) as bigint)"))
+      .withColumn("score", expr("n_stop * 1000 div n_tok"))
+      .select(col("score"), col("n_tok"))
+    val hist = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"))
+    val total = scored.agg(
+      expr(s"sum(n_tok) div $BudgetDiv").as("budget"))
+    val above = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.crossJoin(broadcast(total))
+      .withColumn("cum_above",
+        coalesce(sum(col("tok_mass")).over(above), lit(0L)))
+      .withColumn("admitted_here",
+        greatest(lit(0L),
+          least(col("tok_mass"), col("budget") - col("cum_above"))))
+      .withColumn("band_status",
+        when(col("admitted_here") === col("tok_mass"), "full")
+          .when(col("admitted_here") > 0L, "partial")
+          .otherwise("dropped"))
+      .select(col("score"), col("n_docs"), col("tok_mass"),
+        col("cum_above"), col("admitted_here"), col("band_status"))
+      .orderBy(col("score").desc)
+  }
+
+  val q157Sql: String = raw"""
+    WITH sc AS (
+      SELECT CAST(len(list_filter(t, x -> list_contains(
+               ['the','a','of','and','to','in','is','it'], x)))
+             AS BIGINT) * 1000
+             // CAST(len(t) AS BIGINT) AS score,
+        CAST(len(t) AS BIGINT) AS n_tok
+      FROM (SELECT list_filter(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 1),
+    hist AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS tok_mass
+      FROM sc GROUP BY score),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) // $BudgetDiv AS budget
+            FROM sc),
+    lev AS (
+      SELECT score, n_docs, tok_mass,
+        CAST(COALESCE(SUM(tok_mass) OVER (ORDER BY score DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_above
+      FROM hist)
+    SELECT score, n_docs, tok_mass, cum_above,
+      CAST(GREATEST(0, LEAST(tok_mass, budget - cum_above)) AS BIGINT)
+        AS admitted_here,
+      CASE WHEN GREATEST(0, LEAST(tok_mass, budget - cum_above))
+             = tok_mass THEN 'full'
+           WHEN GREATEST(0, LEAST(tok_mass, budget - cum_above)) > 0
+             THEN 'partial'
+           ELSE 'dropped' END AS band_status
+    FROM lev CROSS JOIN tot ORDER BY score DESC"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_budget_admission" -> q157BudgetAdmission _,
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
     "q72_segment_dedup" -> q72SegmentDedup _,
@@ -1331,6 +1414,7 @@ object CurationOps {
     "q153_shuffle_mixing" -> q153ShuffleMixing _)
 
   val oracles: Map[String, String] = Map(
+    "q157_budget_admission" -> q157Sql,
     "q70_pii_redaction" -> q70Sql,
     "q71_contamination" -> q71Sql,
     "q72_segment_dedup" -> q72Sql,

@@ -1069,7 +1069,126 @@ object StatsOps {
     FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t
     ORDER BY source, lang"""
 
+  // ---- q158: per-source KS drift (max CDF gap over a bounded domain) ---
+  // The distributional complement to q125 (mean shift) and q141 (token
+  // TV distance): the two-sample Kolmogorov-Smirnov statistic between
+  // each source's quality-score distribution and the corpus — D =
+  // max over score levels of |CDF_source − CDF_corpus|, the standard
+  // "did this source's quality profile drift" alarm, sensitive to shape
+  // changes a mean test misses. Score = stopword per-mille (the q157
+  // signal; BOUNDED 0..1000 domain so the CDF grid is bounded). Exact
+  // integers end to end: both CDFs as floor-div ppm of nonnegative
+  // cumulative counts (identical in both engines), the per-source max +
+  // its argmax level packed as max(d_ppm·10⁴ + score) — deterministic
+  // tie-break toward the higher score, no float compare, no arg_max.
+  //
+  // Scale shape: one map-side-combining groupBy onto ≤ |sources|·1001
+  // histogram rows; the evaluation grid is sources × corpus score
+  // levels (bounded, broadcast); windows run over the bounded grid.
+  // Zero corpus-sized shuffles beyond the histogram aggregate.
+  def q158KsDrift(s: SparkSession, d: String): DataFrame = {
+    val sc = Tables.documents(s, d)
+      .withColumn("t",
+        filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          x => x =!= lit("")))
+      .withColumn("n_tok", size(col("t")).cast("long"))
+      .filter(col("n_tok") >= 1)
+      .withColumn("score", expr(
+        "cast(size(filter(t, x -> x in" +
+          " ('the','a','of','and','to','in','is','it'))) as bigint)" +
+          " * 1000 div n_tok"))
+      .select(col("source"), col("score"))
+    val sh = sc.groupBy(col("source"), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // source totals, corpus histogram, and the grid all
+                 // derive from this bounded integer frame
+    val st = sh.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val chist = sh.groupBy(col("score")).agg(sum(col("cnt")).as("c_cnt"))
+    val ctot = chist.agg(sum(col("c_cnt")).as("n_c"))
+    // corpus CDF over its own (bounded) level set
+    val ccum = chist
+      .withColumn("cum_c", sum(col("c_cnt")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("score"), col("cum_c"))
+    // evaluation grid: every source × every corpus score level — the KS
+    // sup is attained at a jump point of either CDF, and every source
+    // level is a corpus level by construction
+    val grid = sh.select(col("source")).distinct()
+      .crossJoin(broadcast(chist.select(col("score"))))
+      .join(sh, Seq("source", "score"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_s",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    grid.join(broadcast(ccum), Seq("score"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("d_ppm", abs(
+        expr("cum_s * 1000000 div n_s") - expr("cum_c * 1000000 div n_c")))
+      .groupBy(col("source"), col("n_s"))
+      .agg(max(col("d_ppm") * 10000L + col("score")).as("pk"))
+      .select(col("source"), col("n_s").as("n_docs"),
+        expr("pk div 10000").as("ks_ppm"),
+        expr("pk % 10000").as("worst_score"))
+      .withColumn("drift_band",
+        when(col("ks_ppm") >= 200000L, "shifted")
+          .when(col("ks_ppm") >= 50000L, "drifted")
+          .otherwise("aligned"))
+      .orderBy(col("source"))
+  }
+
+  val q158Sql: String = raw"""
+    WITH sc AS (
+      SELECT source,
+        CAST(len(list_filter(t, x -> list_contains(
+          ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+          * 1000 // CAST(len(t) AS BIGINT) AS score
+      FROM (SELECT source, list_filter(string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) >= 1),
+    sh AS (
+      SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM sc GROUP BY 1, 2),
+    st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s
+           FROM sh GROUP BY 1),
+    chist AS (SELECT score, CAST(SUM(cnt) AS BIGINT) AS c_cnt
+              FROM sh GROUP BY 1),
+    ctot AS (SELECT CAST(SUM(c_cnt) AS BIGINT) AS n_c FROM chist),
+    ccum AS (
+      SELECT score, CAST(SUM(c_cnt) OVER (ORDER BY score
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_c
+      FROM chist),
+    grid AS (
+      SELECT s.source, g.score, COALESCE(sh.cnt, 0) AS cnt
+      FROM (SELECT DISTINCT source FROM sh) s
+      CROSS JOIN (SELECT score FROM chist) g
+      LEFT JOIN sh ON sh.source = s.source AND sh.score = g.score),
+    cum AS (
+      SELECT source, score, CAST(SUM(cnt) OVER (PARTITION BY source
+        ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cum_s
+      FROM grid),
+    dv AS (
+      SELECT cum.source, st.n_s,
+        abs(cum_s * 1000000 // n_s - cum_c * 1000000 // n_c) AS d_ppm,
+        cum.score
+      FROM cum JOIN ccum USING (score) JOIN st USING (source)
+      CROSS JOIN ctot)
+    SELECT source, n_s AS n_docs,
+      CAST(MAX(d_ppm * 10000 + score) // 10000 AS BIGINT) AS ks_ppm,
+      CAST(MAX(d_ppm * 10000 + score) % 10000 AS BIGINT) AS worst_score,
+      CASE WHEN MAX(d_ppm * 10000 + score) // 10000 >= 200000
+             THEN 'shifted'
+           WHEN MAX(d_ppm * 10000 + score) // 10000 >= 50000
+             THEN 'drifted'
+           ELSE 'aligned' END AS drift_band
+    FROM dv GROUP BY source, n_s ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_ks_drift" -> q158KsDrift _,
     "q152_composition_skew" -> q152CompositionSkew _,
     "q56_percentiles" -> q56Percentiles _,
     "q57_correlation" -> q57Correlation _,
@@ -1086,6 +1205,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q158_ks_drift" -> q158Sql,
     "q152_composition_skew" -> q152Sql,
     "q56_percentiles" -> q56Sql,
     "q57_correlation" -> q57Sql,

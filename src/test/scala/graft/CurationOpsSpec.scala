@@ -407,4 +407,41 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(a.sameElements(b), s"$name not deterministic across runs")
     }
   }
+
+  test("q157 budget admission: brute histogram recount + conservation") {
+    val r = CurationOps.q157BudgetAdmission(spark, sf).collect()
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.toLowerCase
+        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .map(t => (t.count(stops).toLong * 1000L / t.length, t.length.toLong))
+    val budget = docs.map(_._2).sum / 4L
+    val hist = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    assert(r.length == hist.size)
+    // rows arrive score-descending; replay the greedy admission
+    var cum = 0L
+    r.foreach { row =>
+      val s = row.getAs[Long]("score")
+      val (nd, mass) = hist(s)
+      val admit = math.max(0L, math.min(mass, budget - cum))
+      assert(row.getAs[Long]("n_docs") == nd)
+      assert(row.getAs[Long]("tok_mass") == mass)
+      assert(row.getAs[Long]("cum_above") == cum, s"score $s")
+      assert(row.getAs[Long]("admitted_here") == admit)
+      val status = if (admit == mass) "full"
+        else if (admit > 0) "partial" else "dropped"
+      assert(row.getAs[String]("band_status") == status)
+      cum += mass
+    }
+    // conservation: admitted mass = the budget exactly (corpus exceeds
+    // the budget at this SF), and exactly one band is partial
+    assert(r.map(_.getAs[Long]("admitted_here")).sum == budget)
+    assert(r.count(_.getAs[String]("band_status") == "partial") <= 1)
+    // the ledger exercises all three states
+    assert(r.exists(_.getAs[String]("band_status") == "full"))
+    assert(r.exists(_.getAs[String]("band_status") == "dropped"))
+  }
 }

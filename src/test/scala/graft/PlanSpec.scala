@@ -74,7 +74,12 @@ class PlanSpec extends AnyFunSuite {
     // contingency cells the same way
     // q153: the 1-row corpus mixing expectation attaches to the
     // |epochs|-row adjacency frame the same way
+    // q157: the 1-row token-budget scalar attaches to the ≤1001-row
+    // score histogram the same way
+    // q158: the KS evaluation grid is sources × broadcast(corpus score
+    // levels) — bounded both sides — plus the 1-row corpus-total scalar
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q157_budget_admission", "q158_ks_drift",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",

@@ -363,4 +363,55 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("n_docs")).sum == t)
   }
 
+  test("q158 KS drift: brute per-source max-CDF-gap recount") {
+    val r = ops.StatsOps.q158KsDrift(spark, sf).collect()
+    val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map { x =>
+        val t = x.getString(1).trim.toLowerCase
+          .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
+        (x.getString(0), t)
+      }.filter(_._2.nonEmpty)
+      .map { case (src, t) =>
+        (src, t.count(stops).toLong * 1000L / t.length) }
+    val levels = docs.map(_._2).distinct.sorted
+    val nC = docs.length.toLong
+    def cdf(xs: Seq[Long], n: Long): Map[Long, Long] =
+      levels.map(l => l -> xs.count(_ <= l).toLong * 1000000L / n).toMap
+    val corpus = cdf(docs.map(_._2), nC)
+    val bySrc = docs.groupBy(_._1)
+    assert(r.length == bySrc.size)
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val ss = bySrc(src).map(_._2).toSeq
+      val mine = cdf(ss, ss.length.toLong)
+      val packed = levels.map(l =>
+        math.abs(mine(l) - corpus(l)) * 10000L + l).max
+      assert(row.getAs[Long]("n_docs") == ss.length.toLong)
+      assert(row.getAs[Long]("ks_ppm") == packed / 10000L, src)
+      assert(row.getAs[Long]("worst_score") == packed % 10000L, src)
+    }
+  }
+
+  test("q158 flags a planted shape-shifted source a mean test would score as aligned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ks-drift").toString
+    // srcA: every doc at score 500 exactly (1 stop in 2 tokens).
+    // srcB: half at 0, half at 1000 — SAME mean (500), maximally
+    // different shape: KS sees D = 0.5 vs the pooled corpus.
+    val a = (1 to 40).map(i => (i.toLong, "the word", "en", "srcA"))
+    val b = (1 to 20).map(i => (100L + i, "word word", "en", "srcB")) ++
+      (1 to 20).map(i => (200L + i, "the it", "en", "srcB"))
+    (a ++ b).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions
+        .length(org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.StatsOps.q158KsDrift(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // corpus CDF at score 0: 20/80; srcB CDF: 20/40 -> D = 250000 ppm
+    assert(r("srcB").getAs[Long]("ks_ppm") == 250000L, r("srcB").toString)
+    assert(r("srcB").getAs[String]("drift_band") == "shifted")
+    assert(r("srcA").getAs[Long]("ks_ppm") == 250000L)
+  }
+
 }
