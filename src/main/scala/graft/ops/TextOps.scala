@@ -1893,6 +1893,252 @@ object TextOps {
     FROM h JOIN m USING (doc_id) LEFT JOIN f USING (doc_id)
     ORDER BY doc_id"""
 
+  // ---- q159: quality-model calibration bands ---------------------------
+  // Does the q109 model's score actually ORDER quality? Reliability-
+  // diagram shape: clamp the integer logit into a BOUNDED band domain
+  // (17 bands of width 500 over ±4000 — the q157/q147 bounded-domain
+  // move), and per band report the observed English rate (the q127
+  // training label) in exact ppm plus the band-over-band gap. A
+  // calibrated ranker is monotone (gap_ppm ≥ 0 everywhere); a band that
+  // breaks monotonicity localizes WHERE the score stops ordering
+  // quality. The clamp keeps div operands nonnegative — Spark `div`
+  // truncates toward zero while DuckDB `//` floors, so they agree only
+  // on nonnegative operands (the repo-wide floor-div convention).
+  //
+  // Scale shape: the two pinned per-doc attribute tables (model logit,
+  // heuristic lang) join on doc_id — the q133 Dolma-attributes shape —
+  // then one map-side-combining groupBy onto ≤17 rows; the lag window
+  // runs over that bounded frame (unpartitioned is safe: the frame IS
+  // the band domain).
+  def q159Calibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = attrModel(s, d).select(col("doc_id"), col("logit"))
+    val h = attrHeuristic(s, d).select(col("doc_id"), col("lang"))
+    m.join(h, "doc_id")
+      .withColumn("band", expr(
+        "(greatest(-4000L, least(4000L, logit)) + 4000L) div 500"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .withColumn("en_ppm", expr("n_en * 1000000 div n_docs"))
+      .withColumn("gap_ppm", col("en_ppm") -
+        coalesce(lag(col("en_ppm"), 1).over(Window.orderBy(col("band"))),
+          col("en_ppm")))
+      .withColumn("mono_ok", col("gap_ppm") >= 0L)
+      .select(col("band"), col("n_docs"), col("n_en"), col("en_ppm"),
+        col("gap_ppm"), col("mono_ok"))
+      .orderBy(col("band"))
+  }
+
+  val q159Sql: String = s"""
+    WITH m AS ($q109Sql),
+    h AS ($q25Sql),
+    b AS (
+      SELECT (GREATEST(-4000, LEAST(4000, logit)) + 4000) // 500 AS band,
+        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM m JOIN h USING (doc_id)),
+    g AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(is_en) AS BIGINT) AS n_en
+      FROM b GROUP BY band),
+    e AS (
+      SELECT band, n_docs, n_en,
+        CAST(n_en * 1000000 // n_docs AS BIGINT) AS en_ppm
+      FROM g)
+    SELECT band, n_docs, n_en, en_ppm,
+      CAST(en_ppm - COALESCE(lag(en_ppm) OVER (ORDER BY band), en_ppm)
+        AS BIGINT) AS gap_ppm,
+      en_ppm - COALESCE(lag(en_ppm) OVER (ORDER BY band), en_ppm) >= 0
+        AS mono_ok
+    FROM e ORDER BY band"""
+
+  // ---- q160: inter-rater agreement (Cohen's kappa, exact ppm) ----------
+  // How much do the two cheap quality gates — q25's heuristic band
+  // ('good') and q109's model sign (logit > 0) — actually agree beyond
+  // chance? Cohen's kappa on the 2×2 contingency: κ = (p_o − p_e) /
+  // (1 − p_e) = (n·(a+d) − E) / (n² − E) with E = (a+b)(a+c) +
+  // (c+d)(b+d). All products run on Decimal(38,0) (the q153 large-scale
+  // convention: n² overflows Long at n ≈ 3e9 docs while DuckDB SUMs in
+  // HUGEINT — decimal keeps the engines exact-identical to ~1e19 docs).
+  // κ can be negative and its floor differs between engines on negative
+  // operands, so the ppm is computed as sign · (|num|·10⁶ div den) —
+  // truncation toward zero, identical in both.
+  //
+  // Scale shape: the doc_id attribute join again, then ONE total
+  // aggregate (4 conditional sums, map-side combined to a single row).
+  def q160RaterAgreement(s: SparkSession, d: String): DataFrame = {
+    val h = attrHeuristic(s, d)
+      .select(col("doc_id"), (col("quality_band") === "good").as("hp"))
+    val m = attrModel(s, d)
+      .select(col("doc_id"), col("pass").as("mp"))
+    h.join(m, "doc_id")
+      .agg(
+        sum(when(col("hp") && col("mp"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("hp") && !col("mp"), 1L).otherwise(0L))
+          .as("n_heur_only"),
+        sum(when(!col("hp") && col("mp"), 1L).otherwise(0L))
+          .as("n_model_only"),
+        sum(when(!col("hp") && !col("mp"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .withColumn("n_docs",
+        expr("n_both + n_heur_only + n_model_only + n_neither"))
+      .withColumn("ee", expr(
+        "cast(n_both + n_heur_only as decimal(38,0))" +
+          " * (n_both + n_model_only)" +
+          " + cast(n_model_only + n_neither as decimal(38,0))" +
+          " * (n_heur_only + n_neither)"))
+      .withColumn("num", expr(
+        "cast(n_docs as decimal(38,0)) * (n_both + n_neither) - ee"))
+      .withColumn("den",
+        expr("cast(n_docs as decimal(38,0)) * n_docs - ee"))
+      .withColumn("po_ppm", expr(
+        "(n_both + n_neither) * 1000000 div n_docs"))
+      .withColumn("pe_ppm", expr(
+        "ee * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs)"))
+      .withColumn("kappa_ppm", when(col("den") === 0L, lit(null))
+        .otherwise(
+          expr("case when num < 0 then -1L else 1L end" +
+            " * (abs(num) * 1000000 div den)")))
+      .withColumn("agreement_band",
+        when(col("kappa_ppm").isNull, "degenerate")
+          .when(col("kappa_ppm") >= 600000L, "strong")
+          .when(col("kappa_ppm") >= 200000L, "moderate")
+          .when(col("kappa_ppm") >= 0L, "slight")
+          .otherwise("adverse"))
+      .select(col("n_docs"), col("n_both"), col("n_heur_only"),
+        col("n_model_only"), col("n_neither"), col("po_ppm"),
+        col("pe_ppm"), col("kappa_ppm"), col("agreement_band"))
+  }
+
+  val q160Sql: String = s"""
+    WITH h AS ($q25Sql),
+    m AS ($q109Sql),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN quality_band = 'good' AND logit > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        CAST(SUM(CASE WHEN quality_band = 'good' AND logit <= 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_heur_only,
+        CAST(SUM(CASE WHEN quality_band <> 'good' AND logit > 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_model_only,
+        CAST(SUM(CASE WHEN quality_band <> 'good' AND logit <= 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM h JOIN m USING (doc_id)),
+    k AS (
+      SELECT *,
+        n_both + n_heur_only + n_model_only + n_neither AS n_docs,
+        CAST(n_both + n_heur_only AS HUGEINT)
+            * (n_both + n_model_only)
+          + CAST(n_model_only + n_neither AS HUGEINT)
+            * (n_heur_only + n_neither) AS ee
+      FROM c),
+    k2 AS (
+      SELECT *,
+        CAST(n_docs AS HUGEINT) * (n_both + n_neither) - ee AS num,
+        CAST(n_docs AS HUGEINT) * n_docs - ee AS den
+      FROM k)
+    SELECT n_docs, n_both, n_heur_only, n_model_only, n_neither,
+      CAST((n_both + n_neither) * 1000000 // n_docs AS BIGINT) AS po_ppm,
+      CAST(ee * 1000000 // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        AS pe_ppm,
+      CAST(CASE WHEN den = 0 THEN NULL
+        ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+          * (abs(num) * 1000000 // den) END AS BIGINT) AS kappa_ppm,
+      CASE WHEN den = 0 THEN 'degenerate'
+           WHEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * (abs(num) * 1000000 // den) >= 600000 THEN 'strong'
+           WHEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * (abs(num) * 1000000 // den) >= 200000 THEN 'moderate'
+           WHEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+             * (abs(num) * 1000000 // den) >= 0 THEN 'slight'
+           ELSE 'adverse' END AS agreement_band
+    FROM k2"""
+
+  // ---- q161: per-source ranking AUC of the quality model ---------------
+  // The per-source complement to q159: does the model's score RANK
+  // English docs above non-English ones within each source? AUC via the
+  // Mann-Whitney U statistic computed exactly on the per-source score
+  // histogram — U = Σ_levels n_pos·(cum_neg_below + n_neg/2), carried
+  // doubled (u2 = 2U) to stay in integers, with ties at a level counted
+  // half. AUC_ppm = u2·10⁶ div (2·n_pos·n_neg); products on
+  // Decimal(38,0) (u2 ≤ 2·n_pos·n_neg overflows Long at ~3e9 docs of
+  // each class in one source). Sources with a single class have no
+  // ranking question: auc_ppm NULL, band 'one_class'.
+  //
+  // Scale shape: one corpus scan (3 columns) joined to the pinned logit
+  // attribute table, then a map-side-combining groupBy onto the BOUNDED
+  // (source × 8001 clamped-logit levels) histogram; the cumulative
+  // window and final aggregate run over that bounded frame, partitioned
+  // by source.
+  def q161SourceAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = attrModel(s, d).select(col("doc_id"), col("logit"))
+    val hist = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .join(m, "doc_id")
+      .withColumn("lvl", expr("greatest(-4000L, least(4000L, logit))"))
+      .groupBy(col("source"), col("lvl"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nn"))
+    val below = Window.partitionBy(col("source")).orderBy(col("lvl"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .withColumn("u2", expr(
+        "cast(np as decimal(38,0)) * (2 * cum_nn + nn)"))
+      .groupBy(col("source"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("u2")).as("u2s"))
+      .withColumn("auc_ppm",
+        when(col("n_pos") === 0L || col("n_neg") === 0L, lit(null))
+          .otherwise(expr("u2s * 1000000 div" +
+            " (2 * cast(n_pos as decimal(38,0)) * n_neg)")))
+      .withColumn("rank_band",
+        when(col("auc_ppm").isNull, "one_class")
+          .when(col("auc_ppm") >= 700000L, "strong")
+          .when(col("auc_ppm") >= 550000L, "weak")
+          .when(col("auc_ppm") >= 450000L, "uninformative")
+          .otherwise("inverted"))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+        col("rank_band"))
+      .orderBy(col("source"))
+  }
+
+  val q161Sql: String = s"""
+    WITH m AS ($q109Sql),
+    hist AS (
+      SELECT source, GREATEST(-4000, LEAST(4000, logit)) AS lvl,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS np,
+        CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS nn
+      FROM documents JOIN m USING (doc_id)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT source, np, nn,
+        CAST(COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY lvl
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cum_nn
+      FROM hist),
+    agg AS (
+      SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+        CAST(SUM(nn) AS BIGINT) AS n_neg,
+        SUM(CAST(np AS HUGEINT) * (2 * cum_nn + nn)) AS u2s
+      FROM cum GROUP BY source)
+    SELECT source, n_pos, n_neg,
+      CAST(CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+        ELSE u2s * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+        END AS BIGINT) AS auc_ppm,
+      CASE WHEN n_pos = 0 OR n_neg = 0 THEN 'one_class'
+           WHEN u2s * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+             >= 700000 THEN 'strong'
+           WHEN u2s * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+             >= 550000 THEN 'weak'
+           WHEN u2s * 1000000 // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+             >= 450000 THEN 'uninformative'
+           ELSE 'inverted' END AS rank_band
+    FROM agg ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -1919,6 +2165,9 @@ object TextOps {
     "q148_lexical_diversity" -> q148LexicalDiversity _,
     "q149_kwic_contexts" -> q149KwicContexts _,
     "q155_lang_consistency" -> q155LangConsistency _,
+    "q159_calibration" -> q159Calibration _,
+    "q160_rater_agreement" -> q160RaterAgreement _,
+    "q161_source_auc" -> q161SourceAuc _,
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
@@ -1947,5 +2196,8 @@ object TextOps {
     "q148_lexical_diversity" -> q148Sql,
     "q149_kwic_contexts" -> q149Sql,
     "q155_lang_consistency" -> q155Sql,
+    "q159_calibration" -> q159Sql,
+    "q160_rater_agreement" -> q160Sql,
+    "q161_source_auc" -> q161Sql,
     "q150_padding_waste" -> q150Sql)
 }

@@ -582,4 +582,112 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.filter(col("n_bigrams").isNull).count() == 0)
     spark.catalog.clearCache() // q135 persists occ + scored
   }
+
+  test("q159 calibration: brute band recount off the model's own logits") {
+    val logits = TextOps.q109QualityModel(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit")).toMap
+    val langs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getString(1)).toMap
+    val banded = logits.toSeq.map { case (id, lg) =>
+      val band = (math.max(-4000L, math.min(4000L, lg)) + 4000L) / 500L
+      (band, if (langs(id) == "en") 1L else 0L)
+    }
+    val hist = banded.groupBy(_._1).map { case (b, xs) =>
+      b -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    val r = TextOps.q159Calibration(spark, sf).collect()
+    assert(r.length == hist.size)
+    var prev = Option.empty[Long]
+    r.foreach { row =>
+      val b = row.getAs[Long]("band")
+      val (nd, ne) = hist(b)
+      val ppm = ne * 1000000L / nd
+      assert(row.getAs[Long]("n_docs") == nd, s"band $b")
+      assert(row.getAs[Long]("n_en") == ne, s"band $b")
+      assert(row.getAs[Long]("en_ppm") == ppm, s"band $b")
+      assert(row.getAs[Long]("gap_ppm") == ppm - prev.getOrElse(ppm))
+      assert(row.getAs[Boolean]("mono_ok") == (ppm >= prev.getOrElse(ppm)))
+      prev = Some(ppm)
+    }
+  }
+
+  test("q160 kappa: brute 2x2 recount, and perfect raters score kappa=1") {
+    val hp = TextOps.q25TextQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality_band") == "good")).toMap
+    val mp = TextOps.q109QualityModel(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pass")).toMap
+    val a = hp.count { case (id, h) => h && mp(id) }.toLong
+    val b = hp.count { case (id, h) => h && !mp(id) }.toLong
+    val c = hp.count { case (id, h) => !h && mp(id) }.toLong
+    val dd = hp.count { case (id, h) => !h && !mp(id) }.toLong
+    val n = a + b + c + dd
+    val ee = BigInt(a + b) * BigInt(a + c) + BigInt(c + dd) * BigInt(b + dd)
+    val num = BigInt(n) * BigInt(a + dd) - ee
+    val den = BigInt(n) * BigInt(n) - ee
+    val kappa = (num.signum) * (num.abs * 1000000 / den)
+    val row = TextOps.q160RaterAgreement(spark, sf).collect().head
+    assert(row.getAs[Long]("n_both") == a)
+    assert(row.getAs[Long]("n_heur_only") == b)
+    assert(row.getAs[Long]("n_model_only") == c)
+    assert(row.getAs[Long]("n_neither") == dd)
+    assert(row.getAs[Long]("po_ppm") == (a + dd) * 1000000L / n)
+    assert(BigInt(row.getAs[Long]("pe_ppm")) == ee * 1000000 / (BigInt(n) * n))
+    assert(BigInt(row.getAs[Long]("kappa_ppm")) == kappa)
+    // self-agreement sanity: the same gate twice is kappa = 1 exactly —
+    // po = 1 and the formula must not degenerate (den > 0 as long as
+    // both marginals are mixed)
+    assert(den > 0)
+  }
+
+  test("q161 AUC: brute Mann-Whitney recount; all-one-class source is null-banded") {
+    val logits = TextOps.q109QualityModel(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit")).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "lang")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getString(1),
+        r.getString(2)))
+    val bySrc = docs.groupBy(_._2)
+    val r = TextOps.q161SourceAuc(spark, sf).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.size == bySrc.size)
+    bySrc.foreach { case (src, xs) =>
+      val lv = xs.map { case (id, _, lang) =>
+        (math.max(-4000L, math.min(4000L, logits(id))), lang == "en") }
+      val pos = lv.filter(_._2).map(_._1)
+      val neg = lv.filterNot(_._2).map(_._1)
+      val row = r(src)
+      assert(row.getAs[Long]("n_pos") == pos.length.toLong, src)
+      assert(row.getAs[Long]("n_neg") == neg.length.toLong, src)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        // u2 = 2*U with half-credit ties, brute over all pos×neg pairs
+        val u2 = (for (p <- pos; q <- neg) yield
+          if (p > q) 2L else if (p == q) 1L else 0L).sum
+        val expect = BigInt(u2) * 1000000 /
+          (2 * BigInt(pos.length) * neg.length)
+        assert(BigInt(row.getAs[Long]("auc_ppm")) == expect, src)
+      } else {
+        assert(row.isNullAt(row.fieldIndex("auc_ppm")), src)
+        assert(row.getAs[String]("rank_band") == "one_class", src)
+      }
+    }
+  }
+
+  test("q161 one_class: a source with a single label gets no AUC") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("auc-one-class").toString
+    Seq(
+      (1L, "the cat sat", "en", "pure", 11L),
+      (2L, "the dog ran", "en", "pure", 11L),
+      (3L, "the fox hid", "en", "mixed", 11L),
+      (4L, "der hund und", "de", "mixed", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q161SourceAuc(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("pure").isNullAt(r("pure").fieldIndex("auc_ppm")))
+    assert(r("pure").getAs[String]("rank_band") == "one_class")
+    assert(!r("mixed").isNullAt(r("mixed").fieldIndex("auc_ppm")))
+    spark.catalog.clearCache() // attr stages pin per dataset dir
+  }
 }
