@@ -1320,22 +1320,20 @@ object CurationOps {
   // a pipeline then admits `score > cutoff` as a per-row filter plus a
   // deterministic tiebreak inside the one partial band.
   //
-  // Scale shape: one map-side-combining groupBy onto ≤1001 rows, a
-  // window over that bounded frame (unpartitioned is safe: the frame IS
-  // the domain, not the corpus), and the 1-row budget scalar attaches
-  // via broadcast. Zero corpus-sized shuffles, zero global sorts.
+  // Scale shape: zero corpus text scans — the score derives from the
+  // PINNED q25 attribute table's (n_stop, n_tokens) integers (its
+  // tokenization: whitespace split of trimmed lowercase, a blank doc is
+  // the single empty token, so n_tokens ≥ 1 always), then one
+  // map-side-combining groupBy onto ≤1001 rows, a window over that
+  // bounded frame (unpartitioned is safe: the frame IS the domain, not
+  // the corpus), and the 1-row budget scalar attaches via broadcast.
+  // Zero corpus-sized shuffles, zero global sorts.
   private val BudgetDiv = 4L
 
   def q157BudgetAdmission(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d)
-      .withColumn("t", toks(col("text")))
-      .withColumn("n_tok", size(col("t")).cast("long"))
-      .filter(col("n_tok") >= 1)
-      .withColumn("n_stop", expr(
-        "cast(size(filter(t, x -> x in" +
-          " ('the','a','of','and','to','in','is','it'))) as bigint)"))
-      .withColumn("score", expr("n_stop * 1000 div n_tok"))
-      .select(col("score"), col("n_tok"))
+    val scored = TextOps.attrHeuristic(s, d)
+      .withColumn("score", expr("n_stop * 1000 div n_tokens"))
+      .select(col("score"), col("n_tokens").as("n_tok"))
     val hist = scored.groupBy(col("score"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"))
     val total = scored.agg(
@@ -1358,16 +1356,10 @@ object CurationOps {
   }
 
   val q157Sql: String = raw"""
-    WITH sc AS (
-      SELECT CAST(len(list_filter(t, x -> list_contains(
-               ['the','a','of','and','to','in','is','it'], x)))
-             AS BIGINT) * 1000
-             // CAST(len(t) AS BIGINT) AS score,
-        CAST(len(t) AS BIGINT) AS n_tok
-      FROM (SELECT list_filter(string_split_regex(trim(lower(text)),
-              '[ \t\n\r\f]+'), x -> x <> '') AS t
-            FROM documents)
-      WHERE len(t) >= 1),
+    WITH h AS (${TextOps.q25Sql}),
+    sc AS (
+      SELECT n_stop * 1000 // n_tokens AS score, n_tokens AS n_tok
+      FROM h),
     hist AS (
       SELECT score, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n_tok) AS BIGINT) AS tok_mass

@@ -1082,21 +1082,17 @@ object StatsOps {
   // its argmax level packed as max(d_ppm·10⁴ + score) — deterministic
   // tie-break toward the higher score, no float compare, no arg_max.
   //
-  // Scale shape: one map-side-combining groupBy onto ≤ |sources|·1001
-  // histogram rows; the evaluation grid is sources × corpus score
-  // levels (bounded, broadcast); windows run over the bounded grid.
-  // Zero corpus-sized shuffles beyond the histogram aggregate.
+  // Scale shape: zero corpus text scans — the score derives from the
+  // PINNED q25 attribute table's (n_stop, n_tokens) integers (q25's
+  // tokenization: raw whitespace split of trimmed lowercase, a blank
+  // doc is the single empty token at score 0), then one
+  // map-side-combining groupBy onto ≤ |sources|·1001 histogram rows;
+  // the evaluation grid is sources × corpus score levels (bounded,
+  // broadcast); windows run over the bounded grid. Zero corpus-sized
+  // shuffles beyond the histogram aggregate.
   def q158KsDrift(s: SparkSession, d: String): DataFrame = {
-    val sc = Tables.documents(s, d)
-      .withColumn("t",
-        filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
-          x => x =!= lit("")))
-      .withColumn("n_tok", size(col("t")).cast("long"))
-      .filter(col("n_tok") >= 1)
-      .withColumn("score", expr(
-        "cast(size(filter(t, x -> x in" +
-          " ('the','a','of','and','to','in','is','it'))) as bigint)" +
-          " * 1000 div n_tok"))
+    val sc = TextOps.attrHeuristic(s, d)
+      .withColumn("score", expr("n_stop * 1000 div n_tokens"))
       .select(col("source"), col("score"))
     val sh = sc.groupBy(col("source"), col("score"))
       .agg(count(lit(1)).as("cnt"))
@@ -1144,10 +1140,9 @@ object StatsOps {
         CAST(len(list_filter(t, x -> list_contains(
           ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
           * 1000 // CAST(len(t) AS BIGINT) AS score
-      FROM (SELECT source, list_filter(string_split_regex(
-              trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '') AS t
-            FROM documents)
-      WHERE len(t) >= 1),
+      FROM (SELECT source, string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+') AS t
+            FROM documents)),
     sh AS (
       SELECT source, score, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM sc GROUP BY 1, 2),

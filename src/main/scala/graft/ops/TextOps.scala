@@ -61,12 +61,15 @@ object TextOps {
           && col("n_stop") * 2 <= col("n_tokens"), "good")
           .when(col("n_tokens") >= 10, "fair")
           .otherwise("low"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
-        col("stop_ratio"), col("quality_band"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("n_stop"), col("stop_ratio"), col("quality_band"))
   }
 
   def q25TextQuality(s: SparkSession, d: String): DataFrame =
-    attrHeuristic(s, d).orderBy(col("doc_id"))
+    attrHeuristic(s, d)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
+        col("stop_ratio"), col("quality_band"))
+      .orderBy(col("doc_id"))
 
   val q25Sql: String = """
     SELECT doc_id, lang, n_tokens, n_stop,
@@ -2065,15 +2068,16 @@ object TextOps {
   // each class in one source). Sources with a single class have no
   // ranking question: auc_ppm NULL, band 'one_class'.
   //
-  // Scale shape: one corpus scan (3 columns) joined to the pinned logit
-  // attribute table, then a map-side-combining groupBy onto the BOUNDED
-  // (source × 8001 clamped-logit levels) histogram; the cumulative
-  // window and final aggregate run over that bounded frame, partitioned
-  // by source.
+  // Scale shape: zero corpus scans — both inputs are pinned per-doc
+  // attribute tables (source/lang from the heuristic table, logit from
+  // the model table) joined on doc_id, then a map-side-combining
+  // groupBy onto the BOUNDED (source × 8001 clamped-logit levels)
+  // histogram; the cumulative window and final aggregate run over that
+  // bounded frame, partitioned by source.
   def q161SourceAuc(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = attrModel(s, d).select(col("doc_id"), col("logit"))
-    val hist = Tables.documents(s, d)
+    val hist = attrHeuristic(s, d)
       .select(col("doc_id"), col("source"), col("lang"))
       .join(m, "doc_id")
       .withColumn("lvl", expr("greatest(-4000L, least(4000L, logit))"))

@@ -411,10 +411,10 @@ class CurationOpsSpec extends AnyFunSuite {
   test("q157 budget admission: brute histogram recount + conservation") {
     val r = CurationOps.q157BudgetAdmission(spark, sf).collect()
     val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    // q25-attribute tokenization: raw split, a blank doc is the single
+    // empty token (n_tokens >= 1 always)
     val docs = Tables.documents(spark, sf).select("text").collect()
-      .map(_.getString(0).trim.toLowerCase
-        .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty))
-      .filter(_.nonEmpty)
+      .map(_.getString(0).trim.toLowerCase.split("[ \\t\\n\\r\\f]+"))
       .map(t => (t.count(stops).toLong * 1000L / t.length, t.length.toLong))
     val budget = docs.map(_._2).sum / 4L
     val hist = docs.groupBy(_._1).map { case (s, xs) =>

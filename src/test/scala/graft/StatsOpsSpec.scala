@@ -366,14 +366,13 @@ class StatsOpsSpec extends AnyFunSuite {
   test("q158 KS drift: brute per-source max-CDF-gap recount") {
     val r = ops.StatsOps.q158KsDrift(spark, sf).collect()
     val stops = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    // q25-attribute tokenization: raw split, a blank doc is the single
+    // empty token at score 0
     val docs = Tables.documents(spark, sf).select("source", "text")
       .collect().map { x =>
-        val t = x.getString(1).trim.toLowerCase
-          .split("[ \\t\\n\\r\\f]+").filter(_.nonEmpty)
-        (x.getString(0), t)
-      }.filter(_._2.nonEmpty)
-      .map { case (src, t) =>
-        (src, t.count(stops).toLong * 1000L / t.length) }
+        val t = x.getString(1).trim.toLowerCase.split("[ \\t\\n\\r\\f]+")
+        (x.getString(0), t.count(stops).toLong * 1000L / t.length)
+      }
     val levels = docs.map(_._2).distinct.sorted
     val nC = docs.length.toLong
     def cdf(xs: Seq[Long], n: Long): Map[Long, Long] =
