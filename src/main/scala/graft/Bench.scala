@@ -123,17 +123,21 @@ object Bench {
       ("stage_ann_ivfpq_codes", Set("q80_ivfpq_ann", "q104_ann_recall"),
         () => { ops.SimOps.ivfPqCodes(spark, sfDir); () }),
       ("stage_attr_heuristic",
-        Set("q25_text_quality", "q133_filter_ensemble"),
+        Set("q25_text_quality", "q133_filter_ensemble",
+          "q157_budget_admission", "q158_ks_drift", "q159_calibration",
+          "q160_rater_agreement", "q161_source_auc"),
         () => { ops.TextOps.attrHeuristic(spark, sfDir); () }),
       ("stage_attr_model",
-        Set("q109_quality_model", "q133_filter_ensemble"),
+        Set("q109_quality_model", "q133_filter_ensemble",
+          "q159_calibration", "q160_rater_agreement", "q161_source_auc"),
         () => { ops.TextOps.attrModel(spark, sfDir); () }),
       ("stage_attr_fluency",
         Set("q129_bigram_lm", "q133_filter_ensemble"),
         () => { ops.TextOps.attrFluency(spark, sfDir); () }),
       ("stage_band_candidates",
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
-          "q116_triad_census", "q123_containment", "q156_cluster_tightness"),
+          "q116_triad_census", "q123_containment", "q156_cluster_tightness",
+          "q162_split_leakage"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
       ("stage_cc_labels",
         Set("q60_dedup_groups", "q102_cluster_canonical",

@@ -1296,6 +1296,87 @@ object DedupOps {
     WHERE n_members >= 2
     ORDER BY canon_id"""
 
+  // ---- q162: train/val/test split leakage via near-dup pairs -----------
+  // The "dedup before split" audit: a near-duplicate pair that straddles
+  // q91's deterministic train/val/test split is eval contamination —
+  // the model sees (a paraphrase of) the test doc in training. Takes
+  // q31's verified pair set (Jaccard ≥ 1/2 off the pinned band-candidate
+  // stage), labels BOTH endpoints with q91's exact split rule as a
+  // per-row hash expression (no join — the split is a pure function of
+  // doc_id), normalizes each pair to an unordered (split_a ≤ split_b)
+  // cell, and reports the 6-cell leakage ledger with exact ppm shares.
+  // Any is_leak row with n_pairs > 0 means the split was cut before
+  // dedup — the fix is re-splitting on dup-cluster canon_id, not doc_id.
+  //
+  // Scale shape: rides the pinned bucket-equi-join candidate stage
+  // (never all-pairs), per-row split hashing, one map-side-combining
+  // groupBy onto ≤6 cells, 1-row broadcast total.
+  def q162SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    def splitOf(idCol: String) = expr(
+      s"CASE WHEN h60(concat('split:', cast($idCol as string))) % 100" +
+        " < 90 THEN 'train'" +
+        s" WHEN h60(concat('split:', cast($idCol as string))) % 100" +
+        " < 95 THEN 'val' ELSE 'test' END")
+    val cells = bandCandidates(s, d)
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .withColumn("s1", splitOf("id1"))
+      .withColumn("s2", splitOf("id2"))
+      .groupBy(least(col("s1"), col("s2")).as("split_a"),
+        greatest(col("s1"), col("s2")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_pairs * 1000000 div t"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("share_ppm"), col("is_leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q162Sql: String = sqlShingles + s""",
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) + len(sb.hv)
+          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2),
+    lab AS (
+      SELECT
+        CASE WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(id1 AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+          THEN 'train'
+          WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(id1 AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95
+          THEN 'val' ELSE 'test' END AS s1,
+        CASE WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(id2 AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+          THEN 'train'
+          WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(id2 AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95
+          THEN 'val' ELSE 'test' END AS s2
+      FROM jac WHERE inter * 2 >= uni),
+    cells AS (
+      SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lab GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t FROM cells)
+    SELECT split_a, split_b, n_pairs,
+      CAST(n_pairs * 1000000 // t AS BIGINT) AS share_ppm,
+      split_a <> split_b AS is_leak
+    FROM cells CROSS JOIN tot ORDER BY split_a, split_b"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1316,7 +1397,8 @@ object DedupOps {
     "q116_triad_census" -> q116TriadCensus _,
     "q123_containment"  -> q123ContainmentPairs _,
     "q154_winnowing"    -> q154Winnowing _,
-    "q156_cluster_tightness" -> q156ClusterTightness _)
+    "q156_cluster_tightness" -> q156ClusterTightness _,
+    "q162_split_leakage" -> q162SplitLeakage _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1331,5 +1413,6 @@ object DedupOps {
     "q116_triad_census" -> q116Sql,
     "q123_containment"  -> q123Sql,
     "q154_winnowing"    -> q154Sql,
-    "q156_cluster_tightness" -> q156Sql)
+    "q156_cluster_tightness" -> q156Sql,
+    "q162_split_leakage" -> q162Sql)
 }

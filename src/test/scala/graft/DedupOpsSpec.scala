@@ -476,4 +476,33 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(row.getAs[String]("tightness_band") == band)
     }
   }
+
+  test("q162 split leakage: brute cell recount off q31's own pair set") {
+    def splitOf(id: Long): String = {
+      val g = DedupOps.h60(s"split:$id") % 100
+      if (g < 90) "train" else if (g < 95) "val" else "test"
+    }
+    val pairs = DedupOps.q31MinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    spark.catalog.clearCache()
+    val cells = pairs.map { case (a, b) =>
+      val (sa, sb) = (splitOf(a), splitOf(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = DedupOps.q162SplitLeakage(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == cells.size)
+    val total = pairs.length.toLong
+    rows.foreach { r =>
+      val key = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("n_pairs") == cells(key), key.toString)
+      assert(r.getAs[Long]("share_ppm") ==
+        cells(key) * 1000000L / total, key.toString)
+      assert(r.getAs[Boolean]("is_leak") == (key._1 != key._2))
+      // unordered-cell normalization held
+      assert(key._1 <= key._2)
+    }
+    // conservation: the ledger partitions q31's verified pair set
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == total)
+  }
 }
