@@ -1377,6 +1377,80 @@ object DedupOps {
       split_a <> split_b AS is_leak
     FROM cells CROSS JOIN tot ORDER BY split_a, split_b"""
 
+  // ---- q163: cluster-aware split accounting (q162's documented fix) ----
+  // Splitting on doc_id leaks near-dups across train/val/test (q162
+  // measures it); the fix is to split on the dup-cluster CANONICAL id,
+  // so whole clusters land in one split — by construction zero verified
+  // pairs straddle splits (every q31 pair is an edge inside one
+  // component; spec-pinned invariant). This op reports what that costs:
+  // per split, the doc and cluster mass under canon-keyed hashing vs the
+  // 90/5/5 target — cluster-splitting moves docs in whole-cluster units,
+  // so realized shares drift from the per-doc target by the cluster-size
+  // distribution.
+  //
+  // Scale shape: one corpus id scan LEFT-joined to the pinned cc-label
+  // stage (doc-keyed attribute join; unlabeled docs are their own
+  // canon), per-row split hashing, one partial-aggregating groupBy onto
+  // 3 cells (COUNT + partial-merged COUNT DISTINCT canon), 1-row
+  // broadcast total.
+  def q163ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val cells = Tables.documents(s, d).select(col("doc_id"))
+      .join(ccLabels(s, d), Seq("doc_id"), "left")
+      .withColumn("canon", coalesce(col("canon_id"), col("doc_id")))
+      .withColumn("split", expr(
+        "CASE WHEN h60(concat('split:', cast(canon as string))) % 100" +
+          " < 90 THEN 'train'" +
+          " WHEN h60(concat('split:', cast(canon as string))) % 100" +
+          " < 95 THEN 'val' ELSE 'test' END"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_clusters"))
+    val tot = cells.agg(sum(col("n_docs")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("doc_ppm", expr("n_docs * 1000000 div t"))
+      .withColumn("target_ppm",
+        when(col("split") === "train", 900000L).otherwise(50000L))
+      .withColumn("dev_ppm", abs(col("doc_ppm") - col("target_ppm")))
+      .withColumn("size_band",
+        when(col("dev_ppm") <= 20000L, "on_target").otherwise("shifted"))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("doc_ppm"), col("target_ppm"), col("dev_ppm"),
+        col("size_band"))
+      .orderBy(col("split"))
+  }
+
+  val q163Sql: String = sqlCc + """,
+    base AS (
+      SELECT d.doc_id, COALESCE(cc.canon_id, d.doc_id) AS canon
+      FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+    labeled AS (
+      SELECT canon,
+        CASE WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(canon AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90
+          THEN 'train'
+          WHEN CAST('0x' || substring(md5('split:' ||
+            CAST(canon AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 95
+          THEN 'val' ELSE 'test' END AS split
+      FROM base),
+    cells AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_clusters
+      FROM labeled GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM cells)
+    SELECT split, n_docs, n_clusters,
+      CAST(n_docs * 1000000 // t AS BIGINT) AS doc_ppm,
+      CAST(CASE WHEN split = 'train' THEN 900000 ELSE 50000 END
+        AS BIGINT) AS target_ppm,
+      CAST(abs(n_docs * 1000000 // t
+        - CASE WHEN split = 'train' THEN 900000 ELSE 50000 END)
+        AS BIGINT) AS dev_ppm,
+      CASE WHEN abs(n_docs * 1000000 // t
+          - CASE WHEN split = 'train' THEN 900000 ELSE 50000 END)
+          <= 20000 THEN 'on_target'
+        ELSE 'shifted' END AS size_band
+    FROM cells CROSS JOIN tot ORDER BY split"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1398,7 +1472,8 @@ object DedupOps {
     "q123_containment"  -> q123ContainmentPairs _,
     "q154_winnowing"    -> q154Winnowing _,
     "q156_cluster_tightness" -> q156ClusterTightness _,
-    "q162_split_leakage" -> q162SplitLeakage _)
+    "q162_split_leakage" -> q162SplitLeakage _,
+    "q163_cluster_split" -> q163ClusterSplit _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1414,5 +1489,6 @@ object DedupOps {
     "q123_containment"  -> q123Sql,
     "q154_winnowing"    -> q154Sql,
     "q156_cluster_tightness" -> q156Sql,
-    "q162_split_leakage" -> q162Sql)
+    "q162_split_leakage" -> q162Sql,
+    "q163_cluster_split" -> q163Sql)
 }

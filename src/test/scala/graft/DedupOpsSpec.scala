@@ -505,4 +505,46 @@ class DedupOpsSpec extends AnyFunSuite {
     // conservation: the ledger partitions q31's verified pair set
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == total)
   }
+
+  test("q163 cluster split: brute recount; canon-keyed split leaks zero pairs") {
+    def splitOf(id: Long): String = {
+      val g = DedupOps.h60(s"split:$id") % 100
+      if (g < 90) "train" else if (g < 95) "val" else "test"
+    }
+    val labels = DedupOps.q60DedupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    val pairs = DedupOps.q31MinhashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val canonOf = docs.map(id => id -> labels.getOrElse(id, id)).toMap
+    // THE invariant q163 exists for: canon-keyed splitting cannot leak —
+    // both endpoints of every verified pair share a canon, so a split
+    // that is a function of canon assigns them together
+    pairs.foreach { case (a, b) =>
+      assert(canonOf(a) == canonOf(b))
+      assert(splitOf(canonOf(a)) == splitOf(canonOf(b)))
+    }
+    val bySplit = docs.groupBy(id => splitOf(canonOf(id)))
+    val rows = DedupOps.q163ClusterSplit(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == bySplit.size)
+    val total = docs.length.toLong
+    rows.foreach { r =>
+      val sp = r.getAs[String]("split")
+      val ids = bySplit(sp)
+      val ppm = ids.length.toLong * 1000000L / total
+      val target = if (sp == "train") 900000L else 50000L
+      assert(r.getAs[Long]("n_docs") == ids.length.toLong, sp)
+      assert(r.getAs[Long]("n_clusters") ==
+        ids.map(canonOf).distinct.length.toLong, sp)
+      assert(r.getAs[Long]("doc_ppm") == ppm, sp)
+      assert(r.getAs[Long]("target_ppm") == target, sp)
+      assert(r.getAs[Long]("dev_ppm") == math.abs(ppm - target), sp)
+      assert(r.getAs[String]("size_band") ==
+        (if (math.abs(ppm - target) <= 20000L) "on_target" else "shifted"))
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+  }
 }
