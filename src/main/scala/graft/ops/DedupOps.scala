@@ -1451,6 +1451,96 @@ object DedupOps {
         ELSE 'shifted' END AS size_band
     FROM cells CROSS JOIN tot ORDER BY split"""
 
+  // ---- q164: per-source dedup shrinkage report -------------------------
+  // What near-dup removal actually COSTS each source: with q102's
+  // keep-best rule (longest member, tie-min id), how many docs and how
+  // much token mass does each source lose? The capacity-planning twin of
+  // q60/q102 — the pipeline's "dedup took 12% of src07" report, and the
+  // input a mixing stage (q75/q140) needs to re-weight AFTER dedup. All
+  // ratios exact ppm.
+  //
+  // Scale shape: corpus scan aggregated per source (map-side combine) +
+  // the CLUSTERED SUBSET only (inner join with the pinned cc labels,
+  // then the cluster-keyed keeper join) aggregated per source, stitched
+  // with a |sources|-row left join. The removed-flag join never runs
+  // corpus-wide on a mostly-null canon key — null-keyed rows would all
+  // hash to one partition at 100 TB; the inner-join-then-stitch shape
+  // keeps every shuffle key dense.
+  def q164SourceShrinkage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .cast("long").as("n_tokens"))
+    val keepers = ccLabels(s, d)
+      .join(docs.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .groupBy(col("canon_id"))
+      .agg(max(struct(col("n_tokens").as("nt"),
+        (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"))
+    val cl = docs.join(ccLabels(s, d), "doc_id")
+      .join(keepers, "canon_id")
+      .withColumn("removed", col("doc_id") =!= col("kept_doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_clustered"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("removed"), col("n_tokens")).otherwise(0L))
+          .as("tok_removed"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
+      .join(cl, Seq("source"), "left")
+      .na.fill(0L, Seq("n_clustered", "n_removed", "tok_removed"))
+      .withColumn("shrink_ppm", expr("n_removed * 1000000 div n_docs"))
+      .withColumn("tok_shrink_ppm",
+        expr("tok_removed * 1000000 div tok_total"))
+      .withColumn("shrink_band",
+        when(col("shrink_ppm") >= 100000L, "heavy")
+          .when(col("shrink_ppm") >= 20000L, "moderate")
+          .otherwise("light"))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        col("n_removed"), col("shrink_ppm"), col("tok_shrink_ppm"),
+        col("shrink_band"))
+      .orderBy(col("source"))
+  }
+
+  val q164Sql: String = sqlCc + """,
+    tok AS (
+      SELECT doc_id, source,
+        CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'))
+          AS BIGINT) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT cc.canon_id, cc.doc_id,
+        row_number() OVER (PARTITION BY cc.canon_id
+          ORDER BY tok.n_tokens DESC, cc.doc_id) AS rk
+      FROM cc JOIN tok USING (doc_id)),
+    best AS (
+      SELECT canon_id, doc_id AS kept_doc_id FROM ranked WHERE rk = 1),
+    cl AS (
+      SELECT tok.source,
+        CAST(COUNT(*) AS BIGINT) AS n_clustered,
+        CAST(SUM(CASE WHEN tok.doc_id <> best.kept_doc_id
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN tok.doc_id <> best.kept_doc_id
+          THEN tok.n_tokens ELSE 0 END) AS BIGINT) AS tok_removed
+      FROM cc JOIN tok USING (doc_id) JOIN best USING (canon_id)
+      GROUP BY 1),
+    tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      FROM tok GROUP BY 1)
+    SELECT tot.source, n_docs,
+      COALESCE(n_clustered, 0) AS n_clustered,
+      COALESCE(n_removed, 0) AS n_removed,
+      CAST(COALESCE(n_removed, 0) * 1000000 // n_docs AS BIGINT)
+        AS shrink_ppm,
+      CAST(COALESCE(tok_removed, 0) * 1000000 // tok_total AS BIGINT)
+        AS tok_shrink_ppm,
+      CASE WHEN COALESCE(n_removed, 0) * 1000000 // n_docs >= 100000
+             THEN 'heavy'
+           WHEN COALESCE(n_removed, 0) * 1000000 // n_docs >= 20000
+             THEN 'moderate'
+           ELSE 'light' END AS shrink_band
+    FROM tot LEFT JOIN cl USING (source) ORDER BY source"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1473,7 +1563,8 @@ object DedupOps {
     "q154_winnowing"    -> q154Winnowing _,
     "q156_cluster_tightness" -> q156ClusterTightness _,
     "q162_split_leakage" -> q162SplitLeakage _,
-    "q163_cluster_split" -> q163ClusterSplit _)
+    "q163_cluster_split" -> q163ClusterSplit _,
+    "q164_source_shrinkage" -> q164SourceShrinkage _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1490,5 +1581,6 @@ object DedupOps {
     "q154_winnowing"    -> q154Sql,
     "q156_cluster_tightness" -> q156Sql,
     "q162_split_leakage" -> q162Sql,
-    "q163_cluster_split" -> q163Sql)
+    "q163_cluster_split" -> q163Sql,
+    "q164_source_shrinkage" -> q164Sql)
 }

@@ -547,4 +547,47 @@ class DedupOpsSpec extends AnyFunSuite {
     }
     assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
   }
+
+  test("q164 source shrinkage: brute keep-best recount + conservation") {
+    val labels = DedupOps.q60DedupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map { r =>
+        val nTok = r.getString(2).trim.toLowerCase
+          .split("[ \\t\\n\\r\\f]+").length.toLong
+        (r.getLong(0), r.getString(1), nTok)
+      }
+    val tokOf = docs.map(d => d._1 -> d._3).toMap
+    // keep-best per cluster: longest member, tie-broken to min doc_id
+    val kept = labels.groupBy(_._2).map { case (canon, members) =>
+      canon -> members.keys.maxBy(id => (tokOf(id), -id))
+    }
+    val bySrc = docs.groupBy(_._2)
+    val rows = DedupOps.q164SourceShrinkage(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val xs = bySrc(src)
+      val clustered = xs.filter(d => labels.contains(d._1))
+      val removed = clustered.filter(d => kept(labels(d._1)) != d._1)
+      val nDocs = xs.length.toLong
+      val tokTotal = xs.map(_._3).sum
+      assert(r.getAs[Long]("n_docs") == nDocs, src)
+      assert(r.getAs[Long]("n_clustered") == clustered.length.toLong, src)
+      assert(r.getAs[Long]("n_removed") == removed.length.toLong, src)
+      assert(r.getAs[Long]("shrink_ppm") ==
+        removed.length.toLong * 1000000L / nDocs, src)
+      assert(r.getAs[Long]("tok_shrink_ppm") ==
+        removed.map(_._3).sum * 1000000L / tokTotal, src)
+      val ppm = removed.length.toLong * 1000000L / nDocs
+      val band = if (ppm >= 100000L) "heavy"
+        else if (ppm >= 20000L) "moderate" else "light"
+      assert(r.getAs[String]("shrink_band") == band, src)
+    }
+    // conservation: exactly one keeper survives per cluster
+    assert(rows.map(r => r.getAs[Long]("n_clustered") -
+      r.getAs[Long]("n_removed")).sum == kept.size.toLong)
+  }
 }
