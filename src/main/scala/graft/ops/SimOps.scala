@@ -1850,8 +1850,122 @@ object SimOps {
       n_zero, n_hi_outlier, n_lo_outlier
     FROM a JOIN o USING (label) ORDER BY label"""
 
+  // ---- q165: class-separation audit (Fisher ratio per label) -----------
+  // Does the embedding space actually SEPARATE the labels? Per label,
+  // the Fisher-discriminant shape: squared distance of the label mean
+  // to the global mean (between) vs the label's mean within-class
+  // squared scatter (within), as an exact-integer ratio in ppm. A label
+  // whose sep_ppm is high is a tight, well-placed cluster; 'blended'
+  // labels are the retrieval/classification risk q151's hygiene counts
+  // cannot see (every vector can be individually healthy while the
+  // classes sit on top of each other).
+  //
+  // Exactness: all moments in 1e6-unit quantized integer space
+  // (qaExpr). Scatter·n = n·Σ||x||² − ||Σx||² and the scaled between
+  // Σ_d (N·S_l[d] − n_l·S[d])² are division-free integer identities —
+  // signed values only ever multiply/square (engine-identical); every
+  // div has nonnegative operands. Sums of squares accumulate in
+  // Decimal(38,0) (q153 convention; DuckDB SUMs in HUGEINT) — exact to
+  // ~1e9 vectors of 64 dims at this quantization, the documented
+  // ceiling before the quantization scale swap.
+  //
+  // Scale shape: ONE embedding scan collapsed by ONE hash aggregate
+  // carrying D+2 sum columns (the q61 `sum(element_at(..))` trick — no
+  // corpus × D explode, the shuffle carries |labels| rows of D sums,
+  // map-side combined). Everything after is per-row ARRAY expressions
+  // over the |labels|-row frame plus one broadcast 1-row global-moment
+  // attach — three Spark jobs total, no bounded-frame join chain.
+  // Assumes the fixed fixture dim D (q38's contract; ragged vectors are
+  // q151's department).
+  def q165ClassSeparation(s: SparkSession, d: String): DataFrame = {
+    val sumCols = (0 until D).map(i =>
+      sum(element_at(col("qa"), i + 1)).as(s"s$i"))
+    val lab0 = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      // per-row Σq² fits a long to |x| ≲ 1e2 at 1e6 units (normQ's bound)
+      .withColumn("rowq2", expr("aggregate(qa, 0L, (acc, x) -> acc + x * x)"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_l"),
+        (sum(col("rowq2").cast("decimal(38,0)")).as("q2") +: sumCols): _*)
+      .persist() // per-label and global moments both read this
+                 // |labels|-row integer frame
+    val lab = lab0
+      .withColumn("sarr", array((0 until D).map(i => col(s"s$i")): _*))
+      .select(col("label"), col("n_l"), col("q2"), col("sarr"))
+      .withColumn("ss2", expr(
+        "aggregate(sarr, cast(0 as decimal(38,0))," +
+          " (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+    val glob = lab0
+      .agg(sum(col("n_l")).as("n"),
+        (0 until D).map(i => sum(col(s"s$i")).as(s"g$i")): _*)
+      .withColumn("garr", array((0 until D).map(i => col(s"g$i")): _*))
+      .select(col("n"), col("garr"))
+    lab.crossJoin(broadcast(glob))
+      .withColumn("bsc", expr(
+        "aggregate(zip_with(sarr, garr, (sv, gv) ->" +
+          " (cast(n as decimal(38,0)) * sv" +
+          "   - cast(n_l as decimal(38,0)) * gv)" +
+          " * (cast(n as decimal(38,0)) * sv" +
+          "   - cast(n_l as decimal(38,0)) * gv))," +
+          " cast(0 as decimal(38,0)), (acc, x) -> acc + x)"))
+      .withColumn("w", expr("cast(n_l as decimal(38,0)) * q2 - ss2"))
+      .withColumn("within_q2",
+        expr("w div (cast(n_l as decimal(38,0)) * n_l)"))
+      .withColumn("between_q2", expr(
+        "bsc div (cast(n_l as decimal(38,0)) * n_l * n * n)"))
+      .withColumn("sep_ppm", when(col("w") === 0L, lit(null))
+        .otherwise(expr(
+          "bsc * 1000000 div (cast(n as decimal(38,0)) * n * w)")))
+      .withColumn("sep_band",
+        when(col("w") === 0L, "degenerate")
+          .when(col("sep_ppm") >= 1000000L, "separated")
+          .when(col("sep_ppm") >= 200000L, "partial")
+          .otherwise("blended"))
+      .select(col("label"), col("n_l").as("n_vecs"), col("within_q2"),
+        col("between_q2"), col("sep_ppm"), col("sep_band"))
+      .orderBy(col("label"))
+  }
+
+  val q165Sql: String = s"""
+    WITH q AS (SELECT label, $sqlQa AS qa FROM embeddings),
+    dims AS (
+      SELECT CAST(label AS BIGINT) AS label, i,
+        CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(qa[i]) AS BIGINT) AS s,
+        SUM(CAST(qa[i] AS HUGEINT) * qa[i]) AS q2d
+      FROM q CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) ds
+      GROUP BY 1, 2),
+    lab AS (
+      SELECT label, MAX(cnt) AS n_l,
+        SUM(CAST(s AS HUGEINT) * s) AS ss2, SUM(q2d) AS q2
+      FROM dims GROUP BY 1),
+    g AS (SELECT i, CAST(SUM(s) AS HUGEINT) AS sg FROM dims GROUP BY 1),
+    nn AS (SELECT CAST(SUM(n_l) AS HUGEINT) AS n FROM lab),
+    b AS (
+      SELECT dims.label,
+        SUM((n * s - CAST(n_l AS HUGEINT) * sg)
+          * (n * s - CAST(n_l AS HUGEINT) * sg)) AS bsc
+      FROM dims JOIN g USING (i) JOIN lab USING (label) CROSS JOIN nn
+      GROUP BY 1),
+    fin AS (
+      SELECT lab.label, n_l,
+        CAST(n_l AS HUGEINT) * q2 - ss2 AS w, bsc, n
+      FROM lab JOIN b USING (label) CROSS JOIN nn)
+    SELECT label, n_l AS n_vecs,
+      CAST(w // (CAST(n_l AS HUGEINT) * n_l) AS BIGINT) AS within_q2,
+      CAST(bsc // (CAST(n_l AS HUGEINT) * n_l * n * n) AS BIGINT)
+        AS between_q2,
+      CAST(CASE WHEN w = 0 THEN NULL
+        ELSE bsc * 1000000 // (n * n * w) END AS BIGINT) AS sep_ppm,
+      CASE WHEN w = 0 THEN 'degenerate'
+           WHEN bsc * 1000000 // (n * n * w) >= 1000000 THEN 'separated'
+           WHEN bsc * 1000000 // (n * n * w) >= 200000 THEN 'partial'
+           ELSE 'blended' END AS sep_band
+    FROM fin ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
+    "q165_class_separation" -> q165ClassSeparation _,
     "q35_knn_brute"       -> q35KnnBrute _,
     "q36_ann_lsh"         -> q36AnnLsh _,
     "q37_cosine_neardup"  -> q37CosineNeardup _,
@@ -1872,6 +1986,7 @@ object SimOps {
 
   val oracles: Map[String, String] = Map(
     "q151_embedding_hygiene" -> q151Sql,
+    "q165_class_separation" -> q165Sql,
     "q35_knn_brute"       -> q35Sql,
     "q36_ann_lsh"         -> q36Sql,
     "q37_cosine_neardup"  -> q37Sql,

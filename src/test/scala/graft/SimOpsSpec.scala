@@ -372,4 +372,71 @@ class SimOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 class separation: brute BigInt Fisher-moment recount") {
+    val raw = Tables.embeddings(spark, sf).select("label", "embedding")
+      .collect().map { r =>
+        val qa = r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+        (r.getAs[Int]("label").toLong, qa)
+      }
+    val dim = raw.head._2.length
+    val byLab = raw.groupBy(_._1)
+    val nTot = BigInt(raw.length)
+    val sGlob = Array.tabulate(dim)(d => BigInt(raw.map(_._2(d)).sum))
+    val rows = ops.SimOps.q165ClassSeparation(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == byLab.size)
+    rows.foreach { row =>
+      val lab = row.getAs[Long]("label")
+      val xs = byLab(lab).map(_._2)
+      val nL = BigInt(xs.length)
+      val sL = Array.tabulate(dim)(d => BigInt(xs.map(_(d)).sum))
+      val q2 = xs.map(v => v.map(x => BigInt(x) * x).sum).sum
+      val ss2 = sL.map(s => s * s).sum
+      val w = nL * q2 - ss2
+      val bsc = (0 until dim).map { d =>
+        val t = nTot * sL(d) - nL * sGlob(d); t * t
+      }.sum
+      assert(BigInt(row.getAs[Long]("n_vecs")) == nL, lab.toString)
+      assert(BigInt(row.getAs[Long]("within_q2")) == w / (nL * nL))
+      assert(BigInt(row.getAs[Long]("between_q2")) ==
+        bsc / (nL * nL * nTot * nTot))
+      assert(w > 0) // fixture labels are non-degenerate
+      val ppm = bsc * 1000000 / (nTot * nTot * w)
+      assert(BigInt(row.getAs[Long]("sep_ppm")) == ppm, lab.toString)
+      val band = if (ppm >= 1000000) "separated"
+        else if (ppm >= 200000) "partial" else "blended"
+      assert(row.getAs[String]("sep_band") == band, lab.toString)
+    }
+  }
+
+  test("q165 flags planted separated vs blended classes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("class-sep").toString
+    // q165 carries q38's fixed-dim contract (D = 64): pad to fixture dim
+    def vec(base: Double, jitter: Double*): Seq[Float] =
+      (Seq(base) ++ jitter ++ Seq.fill(64)(0.0)).take(64).map(_.toFloat)
+    // labels 0/1: tight clusters at +/-10 on dim 0 → separated.
+    // labels 2/3: wide spread sampled off the SAME zero-mean grids
+    // (identical per-dim means by construction) → blended.
+    def grid(k: Long): Double = k * 0.3 - 0.6
+    val rows =
+      (1 to 10).map(i => (i.toLong, vec(10.0, 0.001 * i), 0)) ++
+      (1 to 10).map(i => (100L + i, vec(-10.0, 0.001 * i), 1)) ++
+      (1 to 10).map(i => (200L + i,
+        vec(grid(i % 5), grid((2 * i) % 5)), 2)) ++
+      (1 to 10).map(i => (300L + i,
+        vec(grid((i + 1) % 5), grid((2 * i + 3) % 5)), 3))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = ops.SimOps.q165ClassSeparation(spark, dir).collect()
+      .map(x => x.getAs[Long]("label") -> x.getAs[String]("sep_band")).toMap
+    spark.catalog.clearCache()
+    assert(r(0L) == "separated", r.toString)
+    assert(r(1L) == "separated", r.toString)
+    assert(r(2L) == "blended", r.toString)
+    assert(r(3L) == "blended", r.toString)
+  }
 }
