@@ -1995,7 +1995,7 @@ object TextOps {
       .withColumn("den",
         expr("cast(n_docs as decimal(38,0)) * n_docs - ee"))
       .withColumn("po_ppm", expr(
-        "(n_both + n_neither) * 1000000 div n_docs"))
+        "cast(n_both + n_neither as decimal(38,0)) * 1000000 div n_docs"))
       .withColumn("pe_ppm", expr(
         "ee * 1000000 div (cast(n_docs as decimal(38,0)) * n_docs)"))
       .withColumn("kappa_ppm", when(col("den") === 0L, lit(null))
