@@ -138,12 +138,12 @@ object Bench {
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
           "q116_triad_census", "q123_containment", "q156_cluster_tightness",
           "q162_split_leakage", "q163_cluster_split",
-          "q164_source_shrinkage"),
+          "q164_source_shrinkage", "q166_dup_flow"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
       ("stage_cc_labels",
         Set("q60_dedup_groups", "q102_cluster_canonical",
           "q156_cluster_tightness", "q163_cluster_split",
-          "q164_source_shrinkage"),
+          "q164_source_shrinkage", "q166_dup_flow"),
         () => { ops.DedupOps.ccLabels(spark, sfDir); () }),
       ("stage_knn_edges", Set("q130_knn_graph", "q132_graph_rank"),
         () => { ops.SimOps.knnEdges(spark, sfDir); () }))

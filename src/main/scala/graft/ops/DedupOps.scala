@@ -1541,6 +1541,79 @@ object DedupOps {
            ELSE 'light' END AS shrink_band
     FROM tot LEFT JOIN cl USING (source) ORDER BY source"""
 
+  // ---- q166: cross-source duplication flow matrix ----------------------
+  // q164 totals what each source LOSES; this shows WHERE the kept copy
+  // lives: for every removed near-dup, the (keeper's source → removed
+  // doc's source) cell — 'self' cells are intra-source boilerplate,
+  // 'cross' cells are mirroring/syndication (one source republishing
+  // another's content), the signal that decides which source to
+  // de-prioritize at crawl time rather than paying dedup for it. Exact
+  // ppm shares of all removals; q110's sketch estimates the overlap,
+  // this is the exact decision ledger over the verified clusters.
+  //
+  // Scale shape: the clustered subset only (pinned cc labels + the
+  // cluster-keyed keeper argmax), two doc-keyed equi-joins to a 2-column
+  // source projection, one map-side-combining groupBy onto ≤|sources|²
+  // cells, 1-row broadcast total.
+  def q166DupFlow(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val nTok = Tables.documents(s, d).select(col("doc_id"),
+      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+        .cast("long").as("n_tokens"))
+    val keepers = ccLabels(s, d)
+      .join(nTok, "doc_id")
+      .groupBy(col("canon_id"))
+      .agg(max(struct(col("n_tokens").as("nt"),
+        (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"))
+    val cells = ccLabels(s, d)
+      .join(keepers, "canon_id")
+      .filter(col("doc_id") =!= col("kept_doc_id"))
+      .join(src, "doc_id")
+      .withColumnRenamed("source", "src_removed")
+      .join(src.select(col("doc_id").as("kept_doc_id"),
+        col("source").as("src_kept")), "kept_doc_id")
+      .groupBy(col("src_kept"), col("src_removed"))
+      .agg(count(lit(1)).as("n_removed"))
+    val tot = cells.agg(sum(col("n_removed")).as("t"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_removed * 1000000 div t"))
+      .withColumn("flow", when(col("src_kept") === col("src_removed"),
+        "self").otherwise("cross"))
+      .select(col("src_kept"), col("src_removed"), col("n_removed"),
+        col("share_ppm"), col("flow"))
+      .orderBy(col("src_kept"), col("src_removed"))
+  }
+
+  val q166Sql: String = sqlCc + """,
+    tok AS (
+      SELECT doc_id, source,
+        CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'))
+          AS BIGINT) AS n_tokens
+      FROM documents),
+    ranked AS (
+      SELECT cc.canon_id, cc.doc_id,
+        row_number() OVER (PARTITION BY cc.canon_id
+          ORDER BY tok.n_tokens DESC, cc.doc_id) AS rk
+      FROM cc JOIN tok USING (doc_id)),
+    best AS (
+      SELECT canon_id, doc_id AS kept_doc_id FROM ranked WHERE rk = 1),
+    flows AS (
+      SELECT k.source AS src_kept, r.source AS src_removed,
+        CAST(COUNT(*) AS BIGINT) AS n_removed
+      FROM cc
+      JOIN best USING (canon_id)
+      JOIN tok r ON r.doc_id = cc.doc_id
+      JOIN tok k ON k.doc_id = best.kept_doc_id
+      WHERE cc.doc_id <> best.kept_doc_id
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n_removed) AS BIGINT) AS t FROM flows)
+    SELECT src_kept, src_removed, n_removed,
+      CAST(n_removed * 1000000 // t AS BIGINT) AS share_ppm,
+      CASE WHEN src_kept = src_removed THEN 'self' ELSE 'cross' END
+        AS flow
+    FROM flows CROSS JOIN tot ORDER BY src_kept, src_removed"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1564,7 +1637,8 @@ object DedupOps {
     "q156_cluster_tightness" -> q156ClusterTightness _,
     "q162_split_leakage" -> q162SplitLeakage _,
     "q163_cluster_split" -> q163ClusterSplit _,
-    "q164_source_shrinkage" -> q164SourceShrinkage _)
+    "q164_source_shrinkage" -> q164SourceShrinkage _,
+    "q166_dup_flow" -> q166DupFlow _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1582,5 +1656,6 @@ object DedupOps {
     "q156_cluster_tightness" -> q156Sql,
     "q162_split_leakage" -> q162Sql,
     "q163_cluster_split" -> q163Sql,
-    "q164_source_shrinkage" -> q164Sql)
+    "q164_source_shrinkage" -> q164Sql,
+    "q166_dup_flow" -> q166Sql)
 }

@@ -195,6 +195,73 @@ object ExtOps {
     FROM x JOIN days ON x.t_day = days.t_day
     GROUP BY x.t_day ORDER BY x.t_day"""
 
+  // ---- q168: event-rate burst detection (trailing-24h baseline) --------
+  // The ops alarm on the events stream: per (event_type, hour), the
+  // event count vs its OWN trailing 24-hour mean — error-rate spikes and
+  // traffic bursts that an absolute threshold misses (each type has its
+  // own baseline). Time-correct under gaps: the trailing frame is a
+  // RANGE window over the integer hour number, so absent hours count as
+  // zero events instead of silently stretching the window (a rows-frame
+  // would). Exact integers: ratio_ppm = n·24·10⁶ div trailing_sum (all
+  // nonnegative); the first 24h per type is 'warmup' (no baseline), a
+  // zero trailing sum with activity is 'cold_start'.
+  //
+  // Scale shape: one map-side-combining groupBy onto the (types ×
+  // hours-in-retention) frame — bounded by the clock, not the corpus —
+  // then a range window partitioned by type over that bounded frame.
+  def q168BurstDetect(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .withColumn("hn", expr(
+        "unix_timestamp(date_trunc('hour', ts)) div 3600"))
+      .groupBy(col("event_type"), col("hn"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("hn"))
+      .rangeBetween(-24, -1)
+    val start = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("trailing_24h",
+        coalesce(sum(col("n_events")).over(trail), lit(0L)))
+      .withColumn("first_hn", min(col("hn")).over(start))
+      .withColumn("ratio_ppm",
+        when(col("trailing_24h") > 0L,
+          expr("n_events * 24 * 1000000 div trailing_24h")))
+      .withColumn("band",
+        when(col("hn") - col("first_hn") < 24L, "warmup")
+          .when(col("trailing_24h") === 0L, "cold_start")
+          .when(col("ratio_ppm") >= 3000000L, "burst")
+          .when(col("ratio_ppm") >= 1500000L, "elevated")
+          .otherwise("normal"))
+      .select(col("event_type"), col("hn"), col("n_events"),
+        col("trailing_24h"), col("ratio_ppm"), col("band"))
+      .orderBy(col("event_type"), col("hn"))
+  }
+
+  val q168Sql: String = """
+    WITH hourly AS (
+      SELECT event_type,
+        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hn,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, hn, n_events,
+        CAST(COALESCE(SUM(n_events) OVER (PARTITION BY event_type
+          ORDER BY hn RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS trailing_24h,
+        MIN(hn) OVER (PARTITION BY event_type) AS first_hn
+      FROM hourly)
+    SELECT event_type, hn, n_events, trailing_24h,
+      CAST(CASE WHEN trailing_24h > 0
+        THEN n_events * 24 * 1000000 // trailing_24h END AS BIGINT)
+        AS ratio_ppm,
+      CASE WHEN hn - first_hn < 24 THEN 'warmup'
+           WHEN trailing_24h = 0 THEN 'cold_start'
+           WHEN n_events * 24 * 1000000 // trailing_24h >= 3000000
+             THEN 'burst'
+           WHEN n_events * 24 * 1000000 // trailing_24h >= 1500000
+             THEN 'elevated'
+           ELSE 'normal' END AS band
+    FROM w ORDER BY event_type, hn"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -690,6 +757,7 @@ object ExtOps {
     FROM z GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_burst_detect"   -> q168BurstDetect _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -707,6 +775,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q168_burst_detect"   -> q168Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

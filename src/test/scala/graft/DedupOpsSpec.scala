@@ -590,4 +590,39 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getAs[Long]("n_clustered") -
       r.getAs[Long]("n_removed")).sum == kept.size.toLong)
   }
+
+  test("q166 dup flow: brute keeper-attribution recount; totals match q164") {
+    val labels = DedupOps.q60DedupGroups(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canon_id")).toMap
+    spark.catalog.clearCache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1),
+          r.getString(2).trim.toLowerCase
+            .split("[ \\t\\n\\r\\f]+").length.toLong)
+      }
+    val srcOf = docs.map(d => d._1 -> d._2).toMap
+    val tokOf = docs.map(d => d._1 -> d._3).toMap
+    val kept = labels.groupBy(_._2).map { case (canon, members) =>
+      canon -> members.keys.maxBy(id => (tokOf(id), -id))
+    }
+    val flows = labels.toSeq
+      .filter { case (id, canon) => kept(canon) != id }
+      .map { case (id, canon) => (srcOf(kept(canon)), srcOf(id)) }
+      .groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = DedupOps.q166DupFlow(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(rows.length == flows.size)
+    val total = flows.values.sum
+    rows.foreach { r =>
+      val key = (r.getAs[String]("src_kept"), r.getAs[String]("src_removed"))
+      assert(r.getAs[Long]("n_removed") == flows(key), key.toString)
+      assert(r.getAs[Long]("share_ppm") ==
+        flows(key) * 1000000L / total, key.toString)
+      assert(r.getAs[String]("flow") ==
+        (if (key._1 == key._2) "self" else "cross"))
+    }
+    // the flow matrix partitions exactly the q164 removed set
+    assert(rows.map(_.getAs[Long]("n_removed")).sum == total)
+  }
 }

@@ -121,4 +121,64 @@ class ExtOpsSpec extends AnyFunSuite {
         col("rank").isNull || col("erk").isNull)
     assert(bad.count() == 0)
   }
+
+  test("q168 burst detect: brute hourly trailing-window recount") {
+    val evts = Tables.events(spark, sf).select("event_type", "ts")
+      .collect().map { r =>
+        (r.getString(0),
+          Math.floorDiv(r.getTimestamp(1).getTime / 1000L, 3600L))
+      }
+    val hourly = evts.groupBy(identity).map { case ((t, h), xs) =>
+      (t, h) -> xs.length.toLong
+    }
+    val rows = ExtOps.q168BurstDetect(spark, sf).collect()
+    assert(rows.length == hourly.size)
+    val firstHn = evts.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).min
+    }
+    rows.foreach { r =>
+      val (t, hn) = (r.getAs[String]("event_type"), r.getAs[Long]("hn"))
+      val trail = (hn - 24 to hn - 1)
+        .map(h => hourly.getOrElse((t, h), 0L)).sum
+      assert(r.getAs[Long]("n_events") == hourly((t, hn)), s"$t/$hn")
+      assert(r.getAs[Long]("trailing_24h") == trail, s"$t/$hn")
+      if (trail > 0)
+        assert(r.getAs[Long]("ratio_ppm") ==
+          hourly((t, hn)) * 24L * 1000000L / trail, s"$t/$hn")
+      else assert(r.isNullAt(r.fieldIndex("ratio_ppm")), s"$t/$hn")
+      val band =
+        if (hn - firstHn(t) < 24) "warmup"
+        else if (trail == 0) "cold_start"
+        else {
+          val ppm = hourly((t, hn)) * 24L * 1000000L / trail
+          if (ppm >= 3000000L) "burst"
+          else if (ppm >= 1500000L) "elevated" else "normal"
+        }
+      assert(r.getAs[String]("band") == band, s"$t/$hn")
+    }
+    // the fixture spans 30 days: warmup covers only the first day
+    assert(rows.count(_.getAs[String]("band") == "warmup") < rows.length / 4)
+  }
+
+  test("q168 flags a planted 10x error spike after a flat baseline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    val h0 = 500000L // an arbitrary epoch hour
+    def tsAt(hn: Long, i: Int) =
+      new java.sql.Timestamp(hn * 3600L * 1000L + i * 1000L)
+    // 30 flat hours at 10 events/h, then hour 30 spikes to 100
+    val flat = for (h <- 0L until 30L; i <- 0 until 10)
+      yield (h * 100 + i, tsAt(h0 + h, i), 1L, "error", 1.0, "{}")
+    val spike = (0 until 100)
+      .map(i => (9000L + i, tsAt(h0 + 30, i), 1L, "error", 1.0, "{}"))
+    (flat ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q168BurstDetect(spark, dir).collect()
+      .map(x => x.getAs[Long]("hn") -> x).toMap
+    assert(r(h0 + 29).getAs[String]("band") == "normal")
+    assert(r(h0 + 30).getAs[String]("band") == "burst")
+    assert(r(h0 + 30).getAs[Long]("ratio_ppm") == 10000000L) // exactly 10x
+    assert(r(h0).getAs[String]("band") == "warmup")
+  }
 }

@@ -82,7 +82,7 @@ class PlanSpec extends AnyFunSuite {
     // ledger the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
-      "q163_cluster_split", "q165_class_separation",
+      "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
       "q75_source_mixing", "q80_ivfpq_ann", "q86_upsample_mix",
       "q90_bm25", "q92_quantile_bins", "q104_ann_recall",
