@@ -1614,6 +1614,52 @@ object DedupOps {
         AS flow
     FROM flows CROSS JOIN tot ORDER BY src_kept, src_removed"""
 
+  // ---- q167: template-skeleton dedup groups ----------------------------
+  // The STRUCTURAL dedup axis word-level Jaccard misses: collapse every
+  // letter-run to 'w' and digit-run to 'n' (whitespace normalized), so
+  // two form/template pages with entirely different content words but
+  // the same punctuation/layout skeleton collide — the template-farm
+  // page class C4-style boilerplate filters target. Groups of ≥2 docs
+  // per skeleton md5, with doc/source counts, char mass, and the
+  // lexicographic-min member as the inspectable example.
+  //
+  // Scale shape: per-row regex collapse at the scan, one md5-keyed
+  // groupBy (the q29 exact-dedup shuffle class — map-side combined,
+  // key cardinality ≤ distinct skeletons), output ∝ groups not corpus.
+  def q167TemplateSkeleton(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("sk_md5", md5(
+        regexp_replace(regexp_replace(regexp_replace(lower(col("text")),
+          "[a-z]+", "w"), "[0-9]+", "n"), "[ \\t\\n\\r\\f]+", " ")))
+      .groupBy(col("sk_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("char_mass"),
+        min(col("doc_id")).as("example_doc"))
+      .filter(col("n_docs") >= 2L)
+      .withColumn("band",
+        when(col("n_docs") >= 10L, "template_farm")
+          .otherwise("repeated_form"))
+      .select(col("sk_md5"), col("n_docs"), col("n_sources"),
+        col("char_mass"), col("example_doc"), col("band"))
+      .orderBy(col("sk_md5"))
+
+  val q167Sql: String = raw"""
+    WITH sk AS (
+      SELECT doc_id, source, n_chars,
+        md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+          '[a-z]+', 'w', 'g'), '[0-9]+', 'n', 'g'),
+          '[ \t\n\r\f]+', ' ', 'g')) AS sk_md5
+      FROM documents)
+    SELECT sk_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+      CAST(MIN(doc_id) AS BIGINT) AS example_doc,
+      CASE WHEN COUNT(*) >= 10 THEN 'template_farm'
+        ELSE 'repeated_form' END AS band
+    FROM sk GROUP BY sk_md5 HAVING COUNT(*) >= 2
+    ORDER BY sk_md5"""
+
   /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
     * feature table so the self-join's branches share one computation — a
     * lazily returned DataFrame cannot unpersist behind its own action, so
@@ -1638,7 +1684,8 @@ object DedupOps {
     "q162_split_leakage" -> q162SplitLeakage _,
     "q163_cluster_split" -> q163ClusterSplit _,
     "q164_source_shrinkage" -> q164SourceShrinkage _,
-    "q166_dup_flow" -> q166DupFlow _)
+    "q166_dup_flow" -> q166DupFlow _,
+    "q167_template_skeleton" -> q167TemplateSkeleton _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1657,5 +1704,6 @@ object DedupOps {
     "q162_split_leakage" -> q162Sql,
     "q163_cluster_split" -> q163Sql,
     "q164_source_shrinkage" -> q164Sql,
-    "q166_dup_flow" -> q166Sql)
+    "q166_dup_flow" -> q166Sql,
+    "q167_template_skeleton" -> q167Sql)
 }

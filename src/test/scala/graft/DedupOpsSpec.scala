@@ -625,4 +625,47 @@ class DedupOpsSpec extends AnyFunSuite {
     // the flow matrix partitions exactly the q164 removed set
     assert(rows.map(_.getAs[Long]("n_removed")).sum == total)
   }
+
+  test("q167 template skeleton: brute collapse recount") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map { r =>
+        val sk = r.getString(3).toLowerCase
+          .replaceAll("[a-z]+", "w").replaceAll("[0-9]+", "n")
+          .replaceAll("[ \\t\\n\\r\\f]+", " ")
+        (r.getLong(0), r.getString(1), r.getLong(2), sk)
+      }
+    val groups = docs.groupBy(_._4).filter(_._2.length >= 2)
+    val rows = DedupOps.q167TemplateSkeleton(spark, sf).collect()
+    assert(rows.length == groups.size)
+    val bySize = rows.map(r => r.getAs[Long]("example_doc") -> r).toMap
+    groups.foreach { case (_, xs) =>
+      val row = bySize(xs.map(_._1).min)
+      assert(row.getAs[Long]("n_docs") == xs.length.toLong)
+      assert(row.getAs[Long]("n_sources") ==
+        xs.map(_._2).distinct.length.toLong)
+      assert(row.getAs[Long]("char_mass") == xs.map(_._3).sum)
+      assert(row.getAs[String]("band") ==
+        (if (xs.length >= 10) "template_farm" else "repeated_form"))
+    }
+  }
+
+  test("q167 groups same-layout different-content docs, not different layouts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skeleton").toString
+    Seq(
+      (1L, "Name: Alice, Age: 30", "en", "forms", 20L),
+      (2L, "Name: Bob, Age: 42", "en", "forms", 18L),
+      (3L, "Name: Carol, Age: 7", "en", "mirror", 19L),
+      (4L, "A plain sentence with no template shape at all", "en",
+        "prose", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q167TemplateSkeleton(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 3L)   // the three form docs
+    assert(r.head.getAs[Long]("n_sources") == 2L)
+    assert(r.head.getAs[Long]("example_doc") == 1L)
+    assert(r.head.getAs[String]("band") == "repeated_form")
+  }
 }
