@@ -68,13 +68,21 @@ object CorpusHealthJob {
     val mix = longRow(CurationOps.q153ShuffleMixing(s, sfDir), "mixing",
       concat(lit("epoch:"), col("epoch")), col("same_ppm"),
       col("mixing_band"))
-    val hyg = longRow(SimOps.q151EmbeddingHygiene(s, sfDir),
-      "embedding_hygiene", concat(lit("label:"), col("label")),
-      col("n_zero") + col("n_hi_outlier") + col("n_lo_outlier"),
-      when(col("n_zero") + col("n_hi_outlier") + col("n_lo_outlier") === 0L,
-        "clean").otherwise("dirty"))
-    ks.unionByName(auc).unionByName(kappa).unionByName(cal)
-      .unionByName(comp).unionByName(mix).unionByName(hyg)
+    // A text-only corpus version has no embeddings table: the six
+    // document-side monitors still record (degrade, don't die — the
+    // q122/q148 self-policing posture); the hygiene rows simply don't
+    // appear for that run, which trend/alerts already treat as "entity
+    // absent", not as a flip.
+    val hyg =
+      try Some(longRow(SimOps.q151EmbeddingHygiene(s, sfDir),
+        "embedding_hygiene", concat(lit("label:"), col("label")),
+        col("n_zero") + col("n_hi_outlier") + col("n_lo_outlier"),
+        when(col("n_zero") + col("n_hi_outlier") + col("n_lo_outlier")
+          === 0L, "clean").otherwise("dirty")))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val docSide = ks.unionByName(auc).unionByName(kappa).unionByName(cal)
+      .unionByName(comp).unionByName(mix)
+    hyg.fold(docSide)(docSide.unionByName(_))
   }
 
   private def historyPath(reportRoot: String) = s"$reportRoot/history.parquet"

@@ -90,4 +90,15 @@ class CorpusHealthJobSpec extends AnyFunSuite {
     assert(CorpusHealthJob.trend(spark, root).isEmpty)
     assert(CorpusHealthJob.alerts(spark, root).isEmpty)
   }
+
+  test("record on a text-only corpus degrades to the six document monitors") {
+    val root = java.nio.file.Files.createTempDirectory("health-d").toString
+    val v = java.nio.file.Files.createTempDirectory("health-noemb").toString
+    Tables.documents(spark, sf).write.parquet(s"$v/documents.parquet")
+    assert(CorpusHealthJob.record(spark, v, root, 1L) > 0L)
+    val monitors = spark.read.parquet(s"$root/history.parquet")
+      .select("monitor").distinct().collect().map(_.getString(0)).toSet
+    assert(monitors == AllMonitors - "embedding_hygiene")
+    spark.catalog.clearCache()
+  }
 }
