@@ -136,6 +136,40 @@ class PlanSpec extends AnyFunSuite {
       s"q156 lost its stage roots:\n$p")
   }
 
+  test("q162 rides the pinned band stage and labels splits without a join") {
+    // the verified-pair set must come from the localCheckpoint'ed band
+    // artifact, and both endpoint splits are per-row hash CASEs — the
+    // plan carries NO documents re-scan and no extra join for q91's rule
+    ops.DedupOps.bandCandidates(spark, sf)
+    val p = plan("q162_split_leakage")
+    assert(!p.contains("documents.parquet"),
+      s"q162 re-derives candidates from the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"q162 lost its stage root:\n$p")
+  }
+
+  test("q163/q164/q166 read cc labels from the pinned stage, never re-deriving") {
+    // each may scan documents (id/source/token projections) but must
+    // take the CLUSTER STRUCTURE from the checkpointed cc artifact: a
+    // re-derivation would re-run band candidates + the CC loop per query
+    ops.DedupOps.bandCandidates(spark, sf)
+    ops.DedupOps.ccLabels(spark, sf)
+    for (q <- Seq("q163_cluster_split", "q164_source_shrinkage",
+        "q166_dup_flow")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q lost its cc-stage root:\n$p")
+      assert(!p.contains("minhash") && !p.contains("shingle"),
+        s"$q re-derives the dup graph:\n$p")
+    }
+  }
+
+  test("q168's trailing window is partitioned by event_type") {
+    val p = plan("q168_burst_detect")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"q168 window lost its type partitioning:\n$p")
+  }
+
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
     // The exact contract column must come from the domain-sized histogram
     // path, never the buffer-all built-in `percentile` (O(group rows)
