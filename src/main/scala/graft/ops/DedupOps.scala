@@ -817,12 +817,16 @@ object DedupOps {
   // aggregatable MAX that collapses map-side, NOT a per-cluster
   // row_number window (no sort of n rows; the same min_by/max_by shape
   // that replaced the IVF assign window in round 5).
-  def q102ClusterCanonical(s: SparkSession, d: String): DataFrame = {
-    val cc = ccLabels(s, d)
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
-        .cast("long").as("n_tokens"))
-    cc.join(docs, "doc_id")
+  /** THE keep-best survivor rule per dup cluster — longest member,
+    * tie-broken to the smallest doc_id, as one partial-aggregatable
+    * argmax. Shared by q102 (the report), q164 (shrinkage accounting)
+    * and q166 (flow attribution) so a tie-break change can never
+    * silently diverge their removed sets. */
+  private[graft] def clusterKeepers(s: SparkSession, d: String): DataFrame =
+    ccLabels(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
+          .cast("long").as("n_tokens")), "doc_id")
       .groupBy(col("canon_id"))
       .agg(
         max(struct(col("n_tokens").as("nt"),
@@ -832,8 +836,9 @@ object DedupOps {
       .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"),
         col("best.nt").as("kept_tokens"),
         col("cluster_size"), col("cluster_tokens"))
-      .orderBy(col("canon_id"))
-  }
+
+  def q102ClusterCanonical(s: SparkSession, d: String): DataFrame =
+    clusterKeepers(s, d).orderBy(col("canon_id"))
 
   val q102Sql: String = sqlCc + """,
     tok AS (
@@ -1313,15 +1318,10 @@ object DedupOps {
   // groupBy onto ≤6 cells, 1-row broadcast total.
   def q162SplitLeakage(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
-    def splitOf(idCol: String) = expr(
-      s"CASE WHEN h60(concat('split:', cast($idCol as string))) % 100" +
-        " < 90 THEN 'train'" +
-        s" WHEN h60(concat('split:', cast($idCol as string))) % 100" +
-        " < 95 THEN 'val' ELSE 'test' END")
     val cells = bandCandidates(s, d)
       .filter(col("inter") * 3 >= col("n1") + col("n2"))
-      .withColumn("s1", splitOf("id1"))
-      .withColumn("s2", splitOf("id2"))
+      .withColumn("s1", SqlOps.splitOf("id1"))
+      .withColumn("s2", SqlOps.splitOf("id2"))
       .groupBy(least(col("s1"), col("s2")).as("split_a"),
         greatest(col("s1"), col("s2")).as("split_b"))
       .agg(count(lit(1)).as("n_pairs"))
@@ -1398,11 +1398,7 @@ object DedupOps {
     val cells = Tables.documents(s, d).select(col("doc_id"))
       .join(ccLabels(s, d), Seq("doc_id"), "left")
       .withColumn("canon", coalesce(col("canon_id"), col("doc_id")))
-      .withColumn("split", expr(
-        "CASE WHEN h60(concat('split:', cast(canon as string))) % 100" +
-          " < 90 THEN 'train'" +
-          " WHEN h60(concat('split:', cast(canon as string))) % 100" +
-          " < 95 THEN 'val' ELSE 'test' END"))
+      .withColumn("split", SqlOps.splitOf("canon"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("canon")).as("n_clusters"))
@@ -1470,12 +1466,8 @@ object DedupOps {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
         .cast("long").as("n_tokens"))
-    val keepers = ccLabels(s, d)
-      .join(docs.select(col("doc_id"), col("n_tokens")), "doc_id")
-      .groupBy(col("canon_id"))
-      .agg(max(struct(col("n_tokens").as("nt"),
-        (-col("doc_id")).as("nid"))).as("best"))
-      .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"))
+    val keepers = clusterKeepers(s, d)
+      .select(col("canon_id"), col("kept_doc_id"))
     val cl = docs.join(ccLabels(s, d), "doc_id")
       .join(keepers, "canon_id")
       .withColumn("removed", col("doc_id") =!= col("kept_doc_id"))
@@ -1557,15 +1549,8 @@ object DedupOps {
   // cells, 1-row broadcast total.
   def q166DupFlow(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val nTok = Tables.documents(s, d).select(col("doc_id"),
-      size(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"))
-        .cast("long").as("n_tokens"))
-    val keepers = ccLabels(s, d)
-      .join(nTok, "doc_id")
-      .groupBy(col("canon_id"))
-      .agg(max(struct(col("n_tokens").as("nt"),
-        (-col("doc_id")).as("nid"))).as("best"))
-      .select(col("canon_id"), (-col("best.nid")).as("kept_doc_id"))
+    val keepers = clusterKeepers(s, d)
+      .select(col("canon_id"), col("kept_doc_id"))
     val cells = ccLabels(s, d)
       .join(keepers, "canon_id")
       .filter(col("doc_id") =!= col("kept_doc_id"))

@@ -191,14 +191,22 @@ object SqlOps {
   // doc can never migrate between splits when the corpus grows (its
   // gate value never changes). Per (source, split) counts + id checksum
   // pin the exact membership, not just the sizes.
+  /** THE 90/5/5 split gate as a single expression over any id column —
+    * shared by q91 and the split-audit family (q162 leakage, q163
+    * cluster split) so the rule cannot silently diverge between the
+    * split that ships and the audits that police it. CASE-simple on
+    * `g div 5` (0-17 train, 18 val, 19 test ⟺ g<90 / 90-94 / 95-99)
+    * evaluates the salted hash ONCE per row; caller must have
+    * registered Hash60. */
+  private[ops] def splitOf(idCol: String): org.apache.spark.sql.Column =
+    expr(
+      s"CASE (h60(concat('split:', cast($idCol as string))) % 100) div 5" +
+        " WHEN 18 THEN 'val' WHEN 19 THEN 'test' ELSE 'train' END")
+
   def q91Split(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
     Tables.documents(s, d)
-      .withColumn("g",
-        expr("h60(concat('split:', cast(doc_id as string))) % 100"))
-      .withColumn("split",
-        expr("CASE WHEN g < 90 THEN 'train' WHEN g < 95 THEN 'val'" +
-          " ELSE 'test' END"))
+      .withColumn("split", splitOf("doc_id"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
       .orderBy(col("source"), col("split"))

@@ -1336,8 +1336,19 @@ object TextOps {
           " 0L, (acc, c) -> acc + c * c)"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"), col("c2"))
     // degrade route: distinct-counting as a distributed aggregate —
-    // O(len) rows per long doc, never an O(len·distinct) single-task loop
-    val overBound = base.filter(col("n_tokens") > LexDivTokenBound)
+    // O(len) rows per long doc, never an O(len·distinct) single-task
+    // loop. The route re-reads the scan rather than caching the token
+    // frame (string-array caches measured slower, q141's A/B), but
+    // pre-gates on the n_chars COLUMN: whitespace tokens are ≥1 char
+    // apart so n_tokens > B ⟹ n_chars ≥ 2B+1, making the second scan
+    // parquet-stat-prunable and tokenization-free for every row-group
+    // without an adversarially long doc — near-zero when the route is
+    // idle, which is the common case.
+    val overBound = Tables.documents(s, d)
+      .filter(col("n_chars") > LexDivTokenBound)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .filter(col("n_tokens") > LexDivTokenBound)
       .select(col("doc_id"), col("n_tokens"), explode(col("t")).as("w"))
       .groupBy(col("doc_id"), col("n_tokens"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -1399,7 +1410,10 @@ object TextOps {
   def q155LangConsistency(s: SparkSession, d: String): DataFrame = {
     val c = ChunkToks
     Tables.documents(s, d)
-      .withColumn("t", toks(col("text")))
+      // drop empty tokens BEFORE the gate (oracle does the same): a
+      // blank doc is [""] under raw split and must be dropped here, not
+      // chunked as a one-token 'unknown' doc the oracle never emits
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
       .filter(size(col("t")) >= 1)
       .withColumn("chunks", expr(
         s"transform(sequence(0, (size(t) - 1) div $c)," +

@@ -107,4 +107,13 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(docs.last == 13L && docs == docs.sorted)
     spark.catalog.clearCache() // q137 persists its token frame
   }
+
+  test("q155 drops blank docs entirely (oracle parity: no one-token 'unknown' rows)") {
+    val r = ops.TextOps.q155LangConsistency(spark, dir).collect()
+    // docs 0 and 5 are whitespace-only: raw split would read them as a
+    // single empty token and chunk them; the oracle (and now the Spark
+    // side) drops them before the gate
+    assert(!r.exists(x => Set(0L, 5L)(x.getAs[Long]("doc_id"))))
+    assert(r.length == 11)
+  }
 }
