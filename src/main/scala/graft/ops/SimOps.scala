@@ -1865,9 +1865,14 @@ object SimOps {
   // Σ_d (N·S_l[d] − n_l·S[d])² are division-free integer identities —
   // signed values only ever multiply/square (engine-identical); every
   // div has nonnegative operands. Sums of squares accumulate in
-  // Decimal(38,0) (q153 convention; DuckDB SUMs in HUGEINT) — exact to
-  // ~1e9 vectors of 64 dims at this quantization, the documented
-  // ceiling before the quantization scale swap.
+  // Decimal(38,0) (q153 convention; DuckDB SUMs in HUGEINT). Ceiling:
+  // the squared between-term binds first — exact while
+  // |N·S_l[d] − n_l·S[d]| = n_l·N·|mu_l[d]−mu[d]|·1e6 ≤ ~1e19, i.e.
+  // n_l·N ≲ 5e12 at unit-norm embeddings (≈2M vectors/label across 10
+  // balanced labels). Past that the documented swap is dropping the
+  // quantization to 1e3 units (ceiling ×1e6, precision still far below
+  // float noise) or moving the between-term to the floor-div'd mean
+  // path.
   //
   // Scale shape: ONE embedding scan collapsed by ONE hash aggregate
   // carrying D+2 sum columns (the q61 `sum(element_at(..))` trick — no
