@@ -1327,7 +1327,11 @@ object DedupOps {
       .agg(count(lit(1)).as("n_pairs"))
     val tot = cells.agg(sum(col("n_pairs")).as("t"))
     cells.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("n_pairs * 1000000 div t"))
+      // pair counts grow quadratically in clone-heavy corpora:
+      // n_pairs·10⁶ on Decimal(38,0) so the share stays exact past the
+      // ~9e12-pair Long wrap (the q153 convention)
+      .withColumn("share_ppm",
+        expr("cast(n_pairs as decimal(38,0)) * 1000000 div t"))
       .withColumn("is_leak", col("split_a") =!= col("split_b"))
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         col("share_ppm"), col("is_leak"))
@@ -1480,9 +1484,13 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"))
       .join(cl, Seq("source"), "left")
       .na.fill(0L, Seq("n_clustered", "n_removed", "tok_removed"))
-      .withColumn("shrink_ppm", expr("n_removed * 1000000 div n_docs"))
+      // ppm numerators on Decimal(38,0): tok_removed·10⁶ wraps a Long
+      // at ~9e12 tokens (≈36 TB of text) while the oracle's SUM is
+      // HUGEINT — the q153 large-scale convention
+      .withColumn("shrink_ppm",
+        expr("cast(n_removed as decimal(38,0)) * 1000000 div n_docs"))
       .withColumn("tok_shrink_ppm",
-        expr("tok_removed * 1000000 div tok_total"))
+        expr("cast(tok_removed as decimal(38,0)) * 1000000 div tok_total"))
       .withColumn("shrink_band",
         when(col("shrink_ppm") >= 100000L, "heavy")
           .when(col("shrink_ppm") >= 20000L, "moderate")
