@@ -262,6 +262,60 @@ object ExtOps {
            ELSE 'normal' END AS band
     FROM w ORDER BY event_type, hn"""
 
+  // ---- q170: event-type Markov transition matrix ------------------------
+  // The behavior model behind synthetic-event generation and funnel
+  // anomaly detection: P(next event type | current event type), estimated
+  // from each user's time-ordered event stream. A '<start>' pseudo-state
+  // captures entry probabilities (which type opens a session), so the
+  // matrix rows sum to the full measure over observed follows.
+  //
+  // Determinism: events are ordered by (ts, event_id) — event_id is
+  // unique, so simultaneous events tie-break identically in both engines.
+  // p_next_ppm is an exact integer div; the numerator accumulates in
+  // Decimal(38,0) (the q153 convention — transition counts at 100 TB
+  // exceed the Long·10⁶ wrap).
+  //
+  // Scale shape: ONE shuffle on user_id for the lag window (per-user
+  // groups are bounded by per-user activity, the events table's natural
+  // partitioning), then a map-side-combining hash aggregate onto the
+  // (|types|+1)·|types| transition frame — bounded by the event-type
+  // alphabet, not the corpus. The row-normalizing window runs on that
+  // bounded frame only, partitioned by prev_type.
+  def q170EventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("<start>")))
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val rowW = Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("row_total", sum(col("n_trans")).over(rowW))
+      .withColumn("p_next_ppm",
+        expr("cast(n_trans as decimal(38,0)) * 1000000 div row_total"))
+      .select(col("prev_type"), col("event_type"), col("n_trans"),
+        col("p_next_ppm"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val q170Sql: String = """
+    WITH seq AS (
+      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id), '<start>') AS prev_type,
+        event_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq GROUP BY 1, 2)
+    SELECT prev_type, event_type, n_trans,
+      CAST(CAST(n_trans AS HUGEINT) * 1000000
+        // SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+        AS p_next_ppm
+    FROM trans ORDER BY prev_type, event_type"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -758,6 +812,7 @@ object ExtOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_burst_detect"   -> q168BurstDetect _,
+    "q170_event_transitions" -> q170EventTransitions _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -776,6 +831,7 @@ object ExtOps {
 
   val oracles: Map[String, String] = Map(
     "q168_burst_detect"   -> q168Sql,
+    "q170_event_transitions" -> q170Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2157,6 +2158,97 @@ object TextOps {
            ELSE 'inverted' END AS rank_band
     FROM agg ORDER BY source"""
 
+  // ---- q169: token frequency spectrum (Good–Turing mass profile) -------
+  // The corpus-linguistics diagnostic behind Good–Turing smoothing and
+  // vocabulary-growth planning: how many vocabulary types live in each
+  // frequency decade, and how much token mass each decade carries. The
+  // hapax share (types seen exactly once) IS the Good–Turing estimate of
+  // unseen-event mass — the number a tokenizer trainer reads to decide
+  // whether the corpus is big enough for the target vocab, and a dedup
+  // pipeline reads to see whether near-dup removal hollowed out the tail.
+  //
+  // Exactness: the decade of a positive count is digits(c)−1 — string
+  // length of the decimal rendering, identical in both engines and free
+  // of float log10 (whose half-ulp at exact powers of ten would flip a
+  // band). band_lo = '1' followed by band zeros, parsed back to BIGINT —
+  // again exact where power(10, band) is IEEE-rounded. All ppm shares
+  // are integer div; mass numerators accumulate in Decimal(38,0) (the
+  // q153 convention — token_mass·10⁶ wraps a Long at ~9e12 tokens).
+  //
+  // Scale shape: one corpus scan → hash aggregate on token (map-side
+  // partial combine collapses each partition to its local vocabulary) →
+  // a second aggregate onto ≤ ~13 decade rows (bounded by the digit
+  // count of the corpus size, not by the corpus). The cumulative-mass
+  // window and the 1-row totals attach run on that decade frame only.
+  def q169FreqSpectrum(s: SparkSession, d: String): DataFrame = {
+    val bands = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .withColumn("band", (length(col("c").cast("string")) - 1).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("token_mass"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax_band"))
+    val tot = bands.agg(sum(col("token_mass")).as("total_tokens"),
+      sum(col("hapax_band")).as("n_hapax"), sum(col("n_types")).as("n_vocab"))
+    val w = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cum_mass", sum(col("token_mass")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("band_lo",
+        expr("cast(concat('1', repeat('0', band)) as bigint)"))
+      .withColumn("mass_ppm",
+        expr("cast(token_mass as decimal(38,0)) * 1000000 div total_tokens"))
+      .withColumn("cum_mass_ppm",
+        expr("cast(cum_mass as decimal(38,0)) * 1000000 div total_tokens"))
+      .withColumn("types_ppm",
+        expr("cast(n_types as decimal(38,0)) * 1000000 div n_vocab"))
+      .withColumn("gt_unseen_ppm",
+        expr("cast(n_hapax as decimal(38,0)) * 1000000 div total_tokens"))
+      .select(col("band"), col("band_lo"), col("n_types"),
+        col("token_mass"), col("mass_ppm"), col("cum_mass_ppm"),
+        col("types_ppm"), col("gt_unseen_ppm"))
+      .orderBy(col("band"))
+  }
+
+  val q169Sql: String = raw"""
+    WITH freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY token),
+    bands AS (
+      SELECT CAST(length(CAST(c AS VARCHAR)) - 1 AS INTEGER) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_types,
+        CAST(SUM(c) AS BIGINT) AS token_mass,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS hapax_band
+      FROM freq GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(token_mass) AS BIGINT) AS total_tokens,
+        CAST(SUM(hapax_band) AS BIGINT) AS n_hapax,
+        CAST(SUM(n_types) AS BIGINT) AS n_vocab
+      FROM bands),
+    cum AS (
+      SELECT band, n_types, token_mass,
+        CAST(SUM(token_mass) OVER (ORDER BY band
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_mass
+      FROM bands)
+    SELECT band, CAST('1' || repeat('0', band) AS BIGINT) AS band_lo,
+      n_types, token_mass,
+      CAST(CAST(token_mass AS HUGEINT) * 1000000 // total_tokens
+        AS BIGINT) AS mass_ppm,
+      CAST(CAST(cum_mass AS HUGEINT) * 1000000 // total_tokens
+        AS BIGINT) AS cum_mass_ppm,
+      CAST(CAST(n_types AS HUGEINT) * 1000000 // n_vocab AS BIGINT)
+        AS types_ppm,
+      CAST(CAST(n_hapax AS HUGEINT) * 1000000 // total_tokens AS BIGINT)
+        AS gt_unseen_ppm
+    FROM cum CROSS JOIN tot ORDER BY band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
@@ -2186,6 +2278,7 @@ object TextOps {
     "q159_calibration" -> q159Calibration _,
     "q160_rater_agreement" -> q160RaterAgreement _,
     "q161_source_auc" -> q161SourceAuc _,
+    "q169_freq_spectrum" -> q169FreqSpectrum _,
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
@@ -2217,5 +2310,6 @@ object TextOps {
     "q159_calibration" -> q159Sql,
     "q160_rater_agreement" -> q160Sql,
     "q161_source_auc" -> q161Sql,
+    "q169_freq_spectrum" -> q169Sql,
     "q150_padding_waste" -> q150Sql)
 }

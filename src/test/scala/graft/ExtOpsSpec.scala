@@ -160,6 +160,54 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[String]("band") == "warmup") < rows.length / 4)
   }
 
+  test("q170 transition matrix: brute recount from per-user ordered streams") {
+    val evts = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val trans = evts.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3)).map(_._4).toSeq
+      ("<start>" +: ordered.dropRight(1)).zip(ordered)
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rowTotals = trans.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rows = ExtOps.q170EventTransitions(spark, sf).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("prev_type"), r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_trans") == counts(k), s"$k")
+      val ppm = (BigInt(counts(k)) * 1000000 / BigInt(rowTotals(k._1))).toLong
+      assert(r.getAs[Long]("p_next_ppm") == ppm, s"$k")
+    }
+    // the <start> row total IS the user count (one stream entry each)
+    assert(rowTotals("<start>") == evts.map(_._1).distinct.length)
+    // each matrix row's floor-div probabilities sum to ≤ 1e6 and within
+    // |row| of it (the floor property)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (pt, rs) =>
+      val s = rs.map(_.getAs[Long]("p_next_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length, s"$pt sums to $s")
+    }
+  }
+
+  test("q170 tie-breaks simultaneous events by event_id in both engines' order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000001000L)
+    // user 1: click(id=2) and view(id=1) share t0, then purchase at t1
+    //   → <start>→view, view→click, click→purchase
+    // user 2: a single view → <start>→view only
+    Seq((2L, t0, 1L, "click", 1.0, "{}"), (1L, t0, 1L, "view", 1.0, "{}"),
+      (3L, t1, 1L, "purchase", 1.0, "{}"), (4L, t0, 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = ExtOps.q170EventTransitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("event_type"))
+        -> r.getAs[Long]("n_trans")).toMap
+    assert(m == Map(("<start>", "view") -> 2L, ("view", "click") -> 1L,
+      ("click", "purchase") -> 1L))
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

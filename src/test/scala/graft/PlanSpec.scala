@@ -80,7 +80,10 @@ class PlanSpec extends AnyFunSuite {
     // levels) — bounded both sides — plus the 1-row corpus-total scalar
     // q162: the 1-row total-pairs scalar attaches to the ≤6-cell split
     // ledger the same way
+    // q169: the 1-row corpus totals (tokens / hapax / vocab) attach to
+    // the ≤13-row frequency-decade frame the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q169_freq_spectrum",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
       "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
@@ -168,6 +171,32 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
       s"q168 window lost its type partitioning:\n$p")
+  }
+
+  test("q170's windows are partitioned (per-user lag, per-prev-type total)") {
+    val p = plan("q170_event_transitions")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("user_id") || w.contains("prev_type")),
+      s"q170 has an unpartitioned window:\n$p")
+  }
+
+  test("q169 reads only the text column; its window runs post-aggregate") {
+    val p = plan("q169_freq_spectrum")
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("text") && !readSchema.contains("doc_id"),
+      s"q169 reads more than the text column:\n$readSchema")
+    // the one unpartitioned window (cumulative mass) is legal only
+    // because it runs over the ≤13-row decade frame: the plan must show
+    // the token aggregate BELOW the window, i.e. no window directly over
+    // a file scan
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"q169 window is not above the band aggregate:\n$p")
   }
 
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {

@@ -690,4 +690,32 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!r("mixed").isNullAt(r("mixed").fieldIndex("auc_ppm")))
     spark.catalog.clearCache() // attr stages pin per dataset dir
   }
+
+  test("q169 frequency spectrum: brute recount of decades, mass, and hapax") {
+    val counts = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("[ \t\n\r\f]+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+    val bands = counts.groupBy(c => c.toString.length - 1)
+    val total = counts.sum
+    val vocab = counts.length.toLong
+    val hapax = counts.count(_ == 1L).toLong
+    val rows = ops.TextOps.q169FreqSpectrum(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("band")).toSeq == bands.keys.toSeq.sorted)
+    var cum = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Int]("band")
+      val cs = bands(b)
+      cum += cs.sum
+      assert(r.getAs[Long]("band_lo") == math.pow(10, b).toLong, s"band $b")
+      assert(r.getAs[Long]("n_types") == cs.length.toLong, s"band $b")
+      assert(r.getAs[Long]("token_mass") == cs.sum, s"band $b")
+      def ppm(n: BigInt, d: Long) = (n * 1000000 / d).toLong
+      assert(r.getAs[Long]("mass_ppm") == ppm(cs.sum, total), s"band $b")
+      assert(r.getAs[Long]("cum_mass_ppm") == ppm(cum, total), s"band $b")
+      assert(r.getAs[Long]("types_ppm") == ppm(cs.length, vocab), s"band $b")
+      assert(r.getAs[Long]("gt_unseen_ppm") == ppm(hapax, total), s"band $b")
+    }
+    assert(cum == total) // decades partition the whole token mass
+  }
 }
