@@ -316,6 +316,76 @@ object ExtOps {
         AS p_next_ppm
     FROM trans ORDER BY prev_type, event_type"""
 
+  // ---- q172: inter-event gap spectrum (arrival-rate model) -------------
+  // The dwell-time / arrival-rate profile behind synthetic-event replay
+  // and bot screening: for each event arrival, the gap in whole seconds
+  // since the same user's previous event (any type), banded by decimal
+  // decade and grouped by the ARRIVING event's type. Bots and replayed
+  // logs pile mass into the 0-gap and 1-9 s decades; organic traffic
+  // spreads over minutes-to-days. q168 alarms on aggregate rate; this is
+  // the per-arrival distribution a generator samples from.
+  //
+  // Exactness: gap seconds = truncating div of the epoch-microsecond
+  // difference (nonnegative under the (ts, event_id) stream order, so
+  // Spark's truncation and DuckDB's floor coincide); decade = digit
+  // count, band -1 reserved for gap 0 (simultaneous), so the 1-9 s
+  // decade isn't polluted by same-timestamp bursts. Shares are exact
+  // integer ppm on Decimal(38,0).
+  //
+  // Scale shape: the same single user_id shuffle as q170 for the lag
+  // window, then a map-side-combining aggregate onto the
+  // (|types| × ~12 decades) frame; the per-type share window runs on
+  // that bounded frame only.
+  def q172GapSpectrum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bands = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"))
+      .withColumn("band", when(col("gap_s") === 0L, lit(-1))
+        .otherwise(length(col("gap_s").cast("string")) - 1).cast("int"))
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("gap_s")).as("min_gap_s"),
+        max(col("gap_s")).as("max_gap_s"))
+    val typeW = Window.partitionBy(col("event_type"))
+    bands
+      .withColumn("type_total", sum(col("n_gaps")).over(typeW))
+      .withColumn("gap_ppm",
+        expr("cast(n_gaps as decimal(38,0)) * 1000000 div type_total"))
+      .withColumn("band_lo", when(col("band") === -1, lit(0L))
+        .otherwise(expr("cast(concat('1', repeat('0', band)) as bigint)")))
+      .select(col("event_type"), col("band"), col("band_lo"),
+        col("n_gaps"), col("gap_ppm"), col("min_gap_s"), col("max_gap_s"))
+      .orderBy(col("event_type"), col("band"))
+  }
+
+  val q172Sql: String = """
+    WITH seq AS (
+      SELECT event_type,
+        (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id))) // 1000000 AS gap_s
+      FROM events),
+    bands AS (
+      SELECT event_type,
+        CAST(CASE WHEN gap_s = 0 THEN -1
+          ELSE length(CAST(gap_s AS VARCHAR)) - 1 END AS INTEGER) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+      FROM seq WHERE gap_s IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, band,
+      CASE WHEN band = -1 THEN CAST(0 AS BIGINT)
+        ELSE CAST('1' || repeat('0', band) AS BIGINT) END AS band_lo,
+      n_gaps,
+      CAST(CAST(n_gaps AS HUGEINT) * 1000000
+        // SUM(n_gaps) OVER (PARTITION BY event_type) AS BIGINT)
+        AS gap_ppm,
+      min_gap_s, max_gap_s
+    FROM bands ORDER BY event_type, band"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -813,6 +883,7 @@ object ExtOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_burst_detect"   -> q168BurstDetect _,
     "q170_event_transitions" -> q170EventTransitions _,
+    "q172_gap_spectrum"   -> q172GapSpectrum _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -832,6 +903,7 @@ object ExtOps {
   val oracles: Map[String, String] = Map(
     "q168_burst_detect"   -> q168Sql,
     "q170_event_transitions" -> q170Sql,
+    "q172_gap_spectrum"   -> q172Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

@@ -1547,6 +1547,70 @@ object SimOps {
       ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
     ORDER BY g.vec_id, g.rank"""
 
+  // ---- q171: kNN hubness audit (k-occurrence distribution) -------------
+  // The classic high-dimensional ANN pathology check: N_k(x) = how many
+  // vectors list x among their top-K neighbors. In healthy embedding
+  // spaces the in-degree distribution concentrates near K; under hubness
+  // a few vectors absorb a large share of all edges (they pollute every
+  // retrieval list) while antihubs (in-degree 0) become unreachable —
+  // the audit a RAG/retrieval pipeline runs before trusting its kNN
+  // graph. Reports one row per observed in-degree: vector share and the
+  // EDGE MASS share landing at that level (hub dominance), banded
+  // antihub / balanced / hub (≥2K).
+  //
+  // Exactness: shares are Decimal(38,0) numerators with integer div
+  // (the q153 convention); counts are exact BIGINTs.
+  //
+  // Scale shape: rides the pinned knn_edges stage (n·K rows) — one
+  // aggregate keyed by nbr_id, a broadcast-able left join against the
+  // vec_id-only node projection (antihubs must appear), then a hash
+  // aggregate onto ≤|distinct in-degrees| rows — bounded by the IVF
+  // cell-occupancy cap, not the corpus. The 1-row totals attach via a
+  // broadcast cross join on that bounded frame only.
+  def q171Hubness(s: SparkSession, d: String): DataFrame = {
+    val (nodes, edges) = knnEdges(s, d)
+    val dist = nodes
+      .join(edges.groupBy(col("nbr_id").as("vec_id"))
+        .agg(count(lit(1)).as("in_deg")), Seq("vec_id"), "left")
+      .withColumn("in_deg", coalesce(col("in_deg"), lit(0L)))
+      .groupBy(col("in_deg")).agg(count(lit(1)).as("n_vecs"))
+    val tot = dist.agg(sum(col("n_vecs")).as("n_total"),
+      sum(col("in_deg") * col("n_vecs")).as("n_edges"))
+    dist.crossJoin(broadcast(tot))
+      .withColumn("vec_ppm",
+        expr("cast(n_vecs as decimal(38,0)) * 1000000 div n_total"))
+      .withColumn("edge_ppm",
+        expr("cast(in_deg * n_vecs as decimal(38,0)) * 1000000 div n_edges"))
+      .withColumn("band", when(col("in_deg") === 0L, "antihub")
+        .when(col("in_deg") >= 2L * KnnK, "hub").otherwise("balanced"))
+      .select(col("in_deg"), col("n_vecs"), col("vec_ppm"),
+        col("edge_ppm"), col("band"))
+      .orderBy(col("in_deg"))
+  }
+
+  val q171Sql: String = s"""$sqlKnnCtes,
+    indeg AS (
+      SELECT e2.vec_id, COALESCE(g.c, CAST(0 AS BIGINT)) AS in_deg
+      FROM e e2 LEFT JOIN (
+        SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM edges GROUP BY 1) g ON g.nbr_id = e2.vec_id),
+    dist AS (
+      SELECT in_deg, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM indeg GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        CAST(SUM(in_deg * n_vecs) AS BIGINT) AS n_edges
+      FROM dist)
+    SELECT in_deg, n_vecs,
+      CAST(CAST(n_vecs AS HUGEINT) * 1000000 // n_total AS BIGINT)
+        AS vec_ppm,
+      CAST(CAST(in_deg * n_vecs AS HUGEINT) * 1000000 // n_edges
+        AS BIGINT) AS edge_ppm,
+      CASE WHEN in_deg = 0 THEN 'antihub'
+           WHEN in_deg >= ${2 * KnnK} THEN 'hub'
+           ELSE 'balanced' END AS band
+    FROM dist CROSS JOIN tot ORDER BY in_deg"""
+
   // ---- q132: rank propagation over the kNN graph (fixed-point PR) ------
   // Graph-based centrality for coreset/diversity selection: three exact
   // PageRank iterations over q130's edge list (pr <- 0.15 + 0.85 *
@@ -1985,6 +2049,7 @@ object SimOps {
     "q105_hard_negatives" -> q105HardNegatives _,
     "q108_semdedup"       -> q108SemDedup _,
     "q130_knn_graph"      -> q130KnnGraph _,
+    "q171_hubness"        -> q171Hubness _,
     "q132_graph_rank"     -> q132GraphRank _,
     "q134_sem_decontam"   -> q134SemanticDecontam _,
     "q142_int8_quant"     -> q142Int8Quant _)
@@ -2006,6 +2071,7 @@ object SimOps {
     "q105_hard_negatives" -> q105Sql,
     "q108_semdedup"       -> q108Sql,
     "q130_knn_graph"      -> q130Sql,
+    "q171_hubness"        -> q171Sql,
     "q132_graph_rank"     -> q132Sql,
     "q134_sem_decontam"   -> q134Sql,
     "q142_int8_quant"     -> q142Sql)

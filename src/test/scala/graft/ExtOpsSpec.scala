@@ -208,6 +208,64 @@ class ExtOpsSpec extends AnyFunSuite {
       ("click", "purchase") -> 1L))
   }
 
+  test("q172 gap spectrum: brute recount of per-user arrival gaps") {
+    def micros(t: java.sql.Timestamp) = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val evts = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+    val gaps = evts.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3))
+      ordered.sliding(2).collect { case Array(a, b) =>
+        (b._4, (b._2 - a._2) / 1000000L)
+      }
+    }
+    val byCell = gaps.groupBy { case (t, g) =>
+      (t, if (g == 0L) -1 else g.toString.length - 1)
+    }
+    val byType = gaps.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rows = ExtOps.q172GapSpectrum(spark, sf).collect()
+    assert(rows.length == byCell.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Int]("band"))
+      val cell = byCell(k).map(_._2)
+      assert(r.getAs[Long]("n_gaps") == cell.length.toLong, s"$k")
+      assert(r.getAs[Long]("min_gap_s") == cell.min, s"$k")
+      assert(r.getAs[Long]("max_gap_s") == cell.max, s"$k")
+      assert(r.getAs[Long]("gap_ppm") ==
+        (BigInt(cell.length) * 1000000 / byType(k._1)).toLong, s"$k")
+      assert(r.getAs[Long]("band_lo") ==
+        (if (k._2 == -1) 0L else math.pow(10, k._2).toLong), s"$k")
+    }
+  }
+
+  test("q172 routes a simultaneous burst to band -1, not the 1-9s decade") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gaps").toString
+    def t(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    val base = 1700000000000000L // epoch micros
+    // user 1: double-fire at base (gap 0), then +5 s (band 0), +500 s
+    // (band 2); the 999999-us gap truncates to 0 s → band -1 too
+    Seq((1L, t(base), 1L, "click", 1.0, "{}"),
+      (2L, t(base), 1L, "click", 1.0, "{}"),
+      (3L, t(base + 999999L), 1L, "click", 1.0, "{}"),
+      (4L, t(base + 5999999L), 1L, "click", 1.0, "{}"),
+      (5L, t(base + 505999999L), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = ExtOps.q172GapSpectrum(spark, dir).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("band_lo"))).toMap
+    assert(m == Map(-1 -> (2L, 0L), 0 -> (1L, 1L), 2 -> (1L, 100L)))
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

@@ -82,8 +82,10 @@ class PlanSpec extends AnyFunSuite {
     // ledger the same way
     // q169: the 1-row corpus totals (tokens / hapax / vocab) attach to
     // the ≤13-row frequency-decade frame the same way
+    // q171: the 1-row node/edge totals attach to the occupancy-bounded
+    // in-degree distribution the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q169_freq_spectrum",
+      "q169_freq_spectrum", "q171_hubness",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
       "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
@@ -197,6 +199,31 @@ class PlanSpec extends AnyFunSuite {
     val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"q169 window is not above the band aggregate:\n$p")
+  }
+
+  test("q171 rides the pinned knn stage and reads only node ids from parquet") {
+    ops.SimOps.knnEdges(spark, sf)
+    val p = plan("q171_hubness")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q171 lost its pinned knn-edge root:\n$p")
+    assert(!p.contains("nearest_cell_cos"),
+      s"q171 re-derives the cell assignment:\n$p")
+    // the only parquet touch is the vec_id node projection ("embedding"
+    // alone would also match the embeddings.parquet path in Location)
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("struct<vec_id:bigint>") &&
+      !readSchema.contains("embedding:"),
+      s"q171 reads embedding vectors it never uses:\n$readSchema")
+  }
+
+  test("q172's windows are partitioned (per-user lag, per-type total)") {
+    val p = plan("q172_gap_spectrum")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("user_id") || w.contains("event_type")),
+      s"q172 has an unpartitioned window:\n$p")
   }
 
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {

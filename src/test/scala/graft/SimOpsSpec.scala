@@ -343,6 +343,36 @@ class SimOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
     g.unpersist()
   }
+  test("q171 hubness: brute in-degree recount off the q130 edge dump") {
+    val edges = SimOps.q130KnnGraph(spark, sf)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val nodes = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0))
+    val inDeg = edges.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val dist = nodes.map(v => inDeg.getOrElse(v, 0L))
+      .groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    val nTotal = nodes.length.toLong
+    val nEdges = edges.length.toLong
+    val rows = SimOps.q171Hubness(spark, sf).collect()
+    assert(rows.length == dist.size)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("in_deg")
+      assert(r.getAs[Long]("n_vecs") == dist(d), s"in_deg $d")
+      assert(r.getAs[Long]("vec_ppm") ==
+        (BigInt(dist(d)) * 1000000 / nTotal).toLong, s"in_deg $d")
+      assert(r.getAs[Long]("edge_ppm") ==
+        (BigInt(d * dist(d)) * 1000000 / nEdges).toLong, s"in_deg $d")
+      val band = if (d == 0L) "antihub" else if (d >= 10L) "hub"
+        else "balanced"
+      assert(r.getAs[String]("band") == band, s"in_deg $d")
+    }
+    // vector shares partition the node set; edge shares the edge set
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nTotal)
+    assert(rows.map(r => r.getAs[Long]("in_deg") *
+      r.getAs[Long]("n_vecs")).sum == nEdges)
+  }
+
   test("q151 hygiene: brute recount of norms, zeros, and outliers per label") {
     val r = SimOps.q151EmbeddingHygiene(spark, sf).collect()
     val vecs = Tables.embeddings(spark, sf)
