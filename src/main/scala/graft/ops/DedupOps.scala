@@ -358,6 +358,97 @@ object DedupOps {
     FROM jac WHERE inter * 2 >= uni
     ORDER BY id1, id2"""
 
+  // ---- q174: dedup threshold sensitivity sweep -------------------------
+  // The tuning curve behind the q31 pipeline's one magic number: for each
+  // candidate Jaccard threshold 50..95%, how many verified pairs survive
+  // and how many documents get touched (exact ppm of the corpus). A steep
+  // cliff between adjacent thresholds means the dedup decision is
+  // boundary-sensitive and the threshold deserves a re-audit; a plateau
+  // means the planted-dup mass is well-separated from background.
+  //
+  // Exactness: a pair passes threshold t iff inter·100 ≥ t·uni — all
+  // integers, so the per-pair MAX passing threshold is (inter·100) div
+  // uni and "passes t" ⟺ tmax ≥ t. Doc counts fold the same way through
+  // each doc's max pair band. doc_ppm is the Decimal(38,0) div
+  // convention.
+  //
+  // Scale shape: rides the pinned band-candidate stage; the pair set
+  // collapses map-side onto the ≤101-row tmax histogram (and, for docs,
+  // through a doc-keyed max aggregate first — the explode is 2 rows per
+  // pair, not a corpus blow-up). The threshold sweep itself is a
+  // broadcast theta join between the 10-row threshold frame and those
+  // bounded histograms — never against the pair set.
+  def q174ThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = bandCandidates(s, d)
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .withColumn("tmax", expr("(inter * 100) div uni"))
+    val pairHist = pairs.groupBy(col("tmax"))
+      .agg(count(lit(1)).as("n_pairs_at"))
+    val docHist = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id"),
+        col("tmax"))
+      .groupBy(col("doc_id")).agg(max(col("tmax")).as("tmax"))
+      .groupBy(col("tmax")).agg(count(lit(1)).as("n_docs_at"))
+    val th = s.range(10)
+      .select((lit(50) + col("id") * 5).cast("int").as("threshold_pct"))
+    val nPairs = th
+      .join(broadcast(pairHist), col("tmax") >= col("threshold_pct"), "left")
+      .groupBy(col("threshold_pct"))
+      .agg(coalesce(sum(col("n_pairs_at")), lit(0L)).as("n_pairs"))
+    val nDocs = th
+      .join(broadcast(docHist), col("tmax") >= col("threshold_pct"), "left")
+      .groupBy(col("threshold_pct"))
+      .agg(coalesce(sum(col("n_docs_at")), lit(0L)).as("n_docs"))
+    val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
+    nPairs.join(nDocs, "threshold_pct")
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_ppm",
+        expr("cast(n_docs as decimal(38,0)) * 1000000 div n_corpus"))
+      .select(col("threshold_pct"), col("n_pairs"), col("n_docs"),
+        col("doc_ppm"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  val q174Sql: String = sqlShingles + s""",
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) + len(sb.hv)
+          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2),
+    th AS (SELECT UNNEST([50, 55, 60, 65, 70, 75, 80, 85, 90, 95])
+      AS threshold_pct),
+    p AS (
+      SELECT threshold_pct, CAST(COUNT(j.id1) AS BIGINT) AS n_pairs
+      FROM th LEFT JOIN jac j ON j.inter * 100 >= threshold_pct * j.uni
+      GROUP BY 1),
+    ends AS (
+      SELECT id1 AS doc_id, inter, uni FROM jac
+      UNION ALL SELECT id2, inter, uni FROM jac),
+    dd AS (
+      SELECT threshold_pct,
+        CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_docs
+      FROM th LEFT JOIN ends e ON e.inter * 100 >= threshold_pct * e.uni
+      GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+    SELECT p.threshold_pct, n_pairs, n_docs,
+      CAST(CAST(n_docs AS HUGEINT) * 1000000 // n_corpus AS BIGINT)
+        AS doc_ppm
+    FROM p JOIN dd ON p.threshold_pct = dd.threshold_pct
+    CROSS JOIN tot
+    ORDER BY p.threshold_pct"""
+
   // ---- q32: SimHash fingerprints (60-bit, over shingle hashes) ---------
   // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b),
   // equivalently 2·popcount_b > n. Shape: explode the per-shingle hashes
@@ -1678,7 +1769,8 @@ object DedupOps {
     "q163_cluster_split" -> q163ClusterSplit _,
     "q164_source_shrinkage" -> q164SourceShrinkage _,
     "q166_dup_flow" -> q166DupFlow _,
-    "q167_template_skeleton" -> q167TemplateSkeleton _)
+    "q167_template_skeleton" -> q167TemplateSkeleton _,
+    "q174_threshold_sweep" -> q174ThresholdSweep _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1698,5 +1790,6 @@ object DedupOps {
     "q163_cluster_split" -> q163Sql,
     "q164_source_shrinkage" -> q164Sql,
     "q166_dup_flow" -> q166Sql,
-    "q167_template_skeleton" -> q167Sql)
+    "q167_template_skeleton" -> q167Sql,
+    "q174_threshold_sweep" -> q174Sql)
 }

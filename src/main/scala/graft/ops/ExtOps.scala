@@ -386,6 +386,90 @@ object ExtOps {
       min_gap_s, max_gap_s
     FROM bands ORDER BY event_type, band"""
 
+  // ---- q173: per-user sustained-rate screen -----------------------------
+  // The user-level companion to q172's per-arrival gaps: each user's MEAN
+  // inter-event gap (active span ÷ (n−1), whole seconds), banded by
+  // decimal decade into a bot-screen histogram. q172 sees a double-fire;
+  // this sees an account that fires every 3 seconds for a month — the
+  // sustained-rate signature per-arrival views dilute. Bands: −2 =
+  // single-event users (no gap exists), −1 = zero mean gap (all events
+  // in the same second — scripted bursts), 0.. = decades. Screen labels:
+  // superhuman (mean gap < 10 s sustained), elevated (10–99 s), organic.
+  //
+  // Exactness: span and mean gap are truncating divs of nonnegative
+  // epoch-microsecond integers (floor ≡ truncate there, both engines);
+  // user shares are the Decimal(38,0) div convention.
+  //
+  // Scale shape: ONE map-side-combining aggregate keyed by user_id
+  // (count/min/max — no window, no per-user sort), then a second
+  // aggregate onto the ≤14-row band histogram; the 1-row total attaches
+  // to that bounded frame only.
+  def q173UserRates(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .withColumn("mean_gap_s",
+        when(col("n_events") === 1L, lit(null))
+          .otherwise(expr(
+            "((t1 - t0) div 1000000) div (n_events - 1)")))
+      .withColumn("band",
+        when(col("n_events") === 1L, lit(-2))
+          .when(col("mean_gap_s") === 0L, lit(-1))
+          .otherwise(length(col("mean_gap_s").cast("string")) - 1)
+          .cast("int"))
+    val bands = users.groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+        min(col("mean_gap_s")).as("min_gap_s"),
+        max(col("mean_gap_s")).as("max_gap_s"))
+    val tot = bands.agg(sum(col("n_users")).as("n_total"))
+    bands.crossJoin(broadcast(tot))
+      .withColumn("user_ppm",
+        expr("cast(n_users as decimal(38,0)) * 1000000 div n_total"))
+      .withColumn("band_lo", when(col("band") < 0, lit(0L))
+        .otherwise(expr("cast(concat('1', repeat('0', band)) as bigint)")))
+      .withColumn("screen",
+        when(col("band") === -2, "single_event")
+          .when(col("band") <= 0, "superhuman")
+          .when(col("band") === 1, "elevated").otherwise("organic"))
+      .select(col("band"), col("band_lo"), col("n_users"), col("n_events"),
+        col("min_gap_s"), col("max_gap_s"), col("user_ppm"), col("screen"))
+      .orderBy(col("band"))
+  }
+
+  val q173Sql: String = """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1
+      FROM events GROUP BY 1),
+    g AS (
+      SELECT n_events,
+        CASE WHEN n_events = 1 THEN NULL
+          ELSE ((t1 - t0) // 1000000) // (n_events - 1) END AS mean_gap_s
+      FROM u),
+    b AS (
+      SELECT CAST(CASE WHEN n_events = 1 THEN -2
+          WHEN mean_gap_s = 0 THEN -1
+          ELSE length(CAST(mean_gap_s AS VARCHAR)) - 1 END AS INTEGER)
+          AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        MIN(mean_gap_s) AS min_gap_s, MAX(mean_gap_s) AS max_gap_s
+      FROM g GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM b)
+    SELECT band,
+      CASE WHEN band < 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST('1' || repeat('0', band) AS BIGINT) END AS band_lo,
+      n_users, n_events, min_gap_s, max_gap_s,
+      CAST(CAST(n_users AS HUGEINT) * 1000000 // n_total AS BIGINT)
+        AS user_ppm,
+      CASE WHEN band = -2 THEN 'single_event'
+           WHEN band <= 0 THEN 'superhuman'
+           WHEN band = 1 THEN 'elevated'
+           ELSE 'organic' END AS screen
+    FROM b CROSS JOIN tot ORDER BY band"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -884,6 +968,7 @@ object ExtOps {
     "q168_burst_detect"   -> q168BurstDetect _,
     "q170_event_transitions" -> q170EventTransitions _,
     "q172_gap_spectrum"   -> q172GapSpectrum _,
+    "q173_user_rates"     -> q173UserRates _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -904,6 +989,7 @@ object ExtOps {
     "q168_burst_detect"   -> q168Sql,
     "q170_event_transitions" -> q170Sql,
     "q172_gap_spectrum"   -> q172Sql,
+    "q173_user_rates"     -> q173Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

@@ -668,4 +668,41 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.head.getAs[Long]("example_doc") == 1L)
     assert(r.head.getAs[String]("band") == "repeated_form")
   }
+
+  test("q174 threshold sweep: brute recount off the candidate pair set") {
+    val cand = DedupOps.bandCandidates(spark, sf)
+      .select("id1", "id2", "inter", "n1", "n2").collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("inter"), r.getAs[Long]("n1") + r.getAs[Long]("n2")
+          - r.getAs[Long]("inter")))
+    val corpus = Tables.documents(spark, sf).count()
+    val rows = sortedByThreshold(DedupOps.q174ThresholdSweep(spark, sf)
+      .collect())
+    assert(rows.map(_.getAs[Int]("threshold_pct")).toSeq ==
+      (50 to 95 by 5).toSeq)
+    var prevPairs = Long.MaxValue
+    var prevDocs = Long.MaxValue
+    rows.foreach { r =>
+      val t = r.getAs[Int]("threshold_pct")
+      val pass = cand.filter { case (_, _, inter, uni) =>
+        inter * 100 >= t.toLong * uni }
+      val docs = pass.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      assert(r.getAs[Long]("n_pairs") == pass.length.toLong, s"t=$t")
+      assert(r.getAs[Long]("n_docs") == docs, s"t=$t")
+      assert(r.getAs[Long]("doc_ppm") ==
+        (BigInt(docs) * 1000000 / corpus).toLong, s"t=$t")
+      // sweep must be monotone non-increasing in the threshold
+      assert(r.getAs[Long]("n_pairs") <= prevPairs, s"t=$t")
+      assert(r.getAs[Long]("n_docs") <= prevDocs, s"t=$t")
+      prevPairs = r.getAs[Long]("n_pairs")
+      prevDocs = r.getAs[Long]("n_docs")
+    }
+    // the fixture plants ~5% near-dups at j >= 0.5: the 50% level is
+    // populated
+    assert(rows.head.getAs[Long]("n_pairs") > 0)
+  }
+
+  private def sortedByThreshold(
+      rs: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
+    rs.sortBy(_.getAs[Int]("threshold_pct"))
 }

@@ -266,6 +266,72 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(m == Map(-1 -> (2L, 0L), 0 -> (1L, 1L), 2 -> (1L, 100L)))
   }
 
+  test("q173 user rates: brute recount of per-user mean-gap bands") {
+    def micros(t: java.sql.Timestamp) = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val users = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
+      .groupBy(_._1).toSeq.map { case (_, xs) =>
+        // .toSeq BEFORE the map: mapping the Map to (n, gap) tuples
+        // would rebuild a Map keyed by n and collapse same-count users
+        val ts = xs.map(_._2)
+        val n = ts.length.toLong
+        val gap = if (n == 1) None
+          else Some(((ts.max - ts.min) / 1000000L) / (n - 1))
+        (n, gap)
+      }
+    val byBand = users.groupBy { case (_, gap) => gap match {
+      case None => -2
+      case Some(0L) => -1
+      case Some(g) => g.toString.length - 1
+    }}
+    val nTotal = users.length.toLong
+    val rows = ExtOps.q173UserRates(spark, sf).collect()
+    assert(rows.length == byBand.size)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("band")
+      val cell = byBand(b)
+      assert(r.getAs[Long]("n_users") == cell.length.toLong, s"band $b")
+      assert(r.getAs[Long]("n_events") == cell.map(_._1).sum, s"band $b")
+      assert(r.getAs[Long]("user_ppm") ==
+        (BigInt(cell.length) * 1000000 / nTotal).toLong, s"band $b")
+      if (b == -2) assert(r.isNullAt(r.fieldIndex("min_gap_s")), s"band $b")
+      else {
+        assert(r.getAs[Long]("min_gap_s") == cell.flatMap(_._2).min, s"band $b")
+        assert(r.getAs[Long]("max_gap_s") == cell.flatMap(_._2).max, s"band $b")
+      }
+    }
+  }
+
+  test("q173 separates single-event, scripted-burst, and organic users") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rates").toString
+    val t0 = 1700000000000000L // epoch micros
+    def t(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    // user 1: one event → band -2; user 2: 3 events in one second →
+    // band -1; user 3: mean gap 5 s → band 0 (superhuman); user 4:
+    // mean gap 300 s → band 2 (organic)
+    val evts =
+      Seq((1L, 1L, t0)) ++
+      (0 until 3).map(i => (10L + i, 2L, t0 + i * 300000L)) ++
+      (0 until 5).map(i => (20L + i, 3L, t0 + i * 5000000L)) ++
+      (0 until 4).map(i => (30L + i, 4L, t0 + i * 300000000L))
+    evts.map { case (eid, uid, us) => (eid, t(us), uid, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = ExtOps.q173UserRates(spark, dir).collect()
+      .map(r => r.getAs[Int]("band") ->
+        (r.getAs[Long]("n_users"), r.getAs[String]("screen"))).toMap
+    assert(m == Map(-2 -> (1L, "single_event"), -1 -> (1L, "superhuman"),
+      0 -> (1L, "superhuman"), 2 -> (1L, "organic")))
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

@@ -84,8 +84,14 @@ class PlanSpec extends AnyFunSuite {
     // the ≤13-row frequency-decade frame the same way
     // q171: the 1-row node/edge totals attach to the occupancy-bounded
     // in-degree distribution the same way
+    // q173: the 1-row user total attaches to the ≤14-row mean-gap band
+    // histogram the same way
+    // q174: the 10-row threshold frame theta-joins the ≤101-row tmax
+    // histograms (bounded both sides, the q158 grid shape), plus the
+    // 1-row corpus-count attach
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
-      "q169_freq_spectrum", "q171_hubness",
+      "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
+      "q174_threshold_sweep",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
       "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
@@ -224,6 +230,23 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(w =>
       w.contains("user_id") || w.contains("event_type")),
       s"q172 has an unpartitioned window:\n$p")
+  }
+
+  test("q173 is window-free: per-user stats come from one hash aggregate") {
+    val p = plan("q173_user_rates")
+    assert(!p.contains("windowspecdefinition"),
+      s"q173 grew a window it doesn't need:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"q173 lost its hash-aggregate shape:\n$p")
+  }
+
+  test("q174 rides the pinned band stage; the sweep never joins the pair set") {
+    ops.DedupOps.bandCandidates(spark, sf)
+    val p = plan("q174_threshold_sweep")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q174 lost its band-stage root:\n$p")
+    assert(!p.contains("minhash") && !p.contains("shingle"),
+      s"q174 re-derives candidates from the corpus:\n$p")
   }
 
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
