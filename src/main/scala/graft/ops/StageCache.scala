@@ -34,7 +34,28 @@ object StageCache {
   private final case class Key(
       s: SparkSession, d: String, version: Long, stage: String)
 
-  private val cache = new ConcurrentHashMap[Key, DataFrame]()
+  /** At-most-once holder whose computation runs OUTSIDE any map
+    * operation. Running the builder inside `computeIfAbsent` is a trap:
+    * stage builders legitimately depend on OTHER stages (knn_edges →
+    * ann_ivf_assign), and a nested `computeIfAbsent` on the same
+    * ConcurrentHashMap throws "Recursive update" whenever the two keys
+    * happen to share a hash bin — a dataset-dependent time bomb (it
+    * fired at sf0.1 but not sf0.01). The map now stores cheap holders;
+    * `force` synchronizes on the holder itself, so nested stage
+    * dependencies lock DIFFERENT holders (the dependency graph is
+    * acyclic — no deadlock) and the map is never re-entered mid-compute. */
+  private final class Holder(compute: () => DataFrame) {
+    private var df: DataFrame = _
+    def force: DataFrame = synchronized {
+      if (df == null) df = compute()
+      df
+    }
+    /** The frame if already computed — eviction must never FORCE a
+      * never-used stage just to unpersist it. */
+    def peek: Option[DataFrame] = synchronized(Option(df))
+  }
+
+  private val cache = new ConcurrentHashMap[Key, Holder]()
 
   /** Dataset version = order-independent fold of (name, mtime, size)
     * over the directory tree. One shallow-recursive walk of ~10 table
@@ -72,12 +93,15 @@ object StageCache {
       val e = it.next()
       val k = e.getKey
       if (k.s == s && k.d == d && k.stage == stage && k.version != v) {
-        try e.getValue.unpersist(blocking = false)
-        catch { case _: Exception => () }
+        e.getValue.peek.foreach { df =>
+          try df.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
         it.remove()
       }
     }
-    cache.computeIfAbsent(Key(s, d, v, stage), _ => compute)
+    cache.computeIfAbsent(Key(s, d, v, stage),
+      _ => new Holder(() => compute)).force
   }
 
   /** Drop ONE pinned stage for a dataset (any version) — the bench
@@ -90,8 +114,10 @@ object StageCache {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.d == d && e.getKey.stage == stage) {
-        try e.getValue.unpersist(blocking = false)
-        catch { case _: Exception => () }
+        e.getValue.peek.foreach { df =>
+          try df.unpersist(blocking = false)
+          catch { case _: Exception => () }
+        }
         it.remove()
         evicted = true
       }
@@ -102,8 +128,9 @@ object StageCache {
   /** Drop every pinned stage (tests / sessions that mutate the
     * underlying tables between runs). */
   def clearAll(): Unit = {
-    cache.forEach((_, df) =>
-      try df.unpersist(blocking = false) catch { case _: Exception => () })
+    cache.forEach((_, h) => h.peek.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () }
+    })
     cache.clear()
   }
 }

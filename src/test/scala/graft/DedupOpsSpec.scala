@@ -73,6 +73,34 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("StageCache: a stage builder may depend on another stage (no recursive-update)") {
+    import ops.StageCache
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sc-nest-")
+      .toFile
+    try {
+      // the knn_edges -> ann_ivf_assign shape: the outer builder calls
+      // getOrCompute for its upstream stage. With the builder running
+      // inside ConcurrentHashMap.computeIfAbsent this threw "Recursive
+      // update" whenever the two keys shared a hash bin (dataset-
+      // dependent: it fired at sf0.1, not sf0.01). Probe MANY stage
+      // names so some pair collides regardless of how Key hashes.
+      var inner = 0
+      for (i <- 0 until 64) {
+        val outer = StageCache.getOrCompute(spark, dir.getPath, s"outer-$i") {
+          val up = StageCache.getOrCompute(spark, dir.getPath, s"inner-$i") {
+            inner += 1; Seq(i).toDF("v").localCheckpoint(true)
+          }
+          up.withColumn("w", col("v") * 2).localCheckpoint(true)
+        }
+        assert(outer.head().getInt(0) == i)
+      }
+      assert(inner == 64)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(): Unit
+    }
+  }
+
   test("exact dedup partitions the corpus (copies sum to row count)") {
     val d = DedupOps.q29ExactDedup(spark, sf)
     assert(d.agg(sum("n_copies")).head().getLong(0)
