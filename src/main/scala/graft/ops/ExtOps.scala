@@ -470,6 +470,71 @@ object ExtOps {
            ELSE 'organic' END AS screen
     FROM b CROSS JOIN tot ORDER BY band"""
 
+  // ---- q176: diurnal activity heatmap -----------------------------------
+  // The seasonality profile a synthetic-event generator replays and an
+  // anomaly detector normalizes against: event mass per (event_type,
+  // day-of-week, hour-of-day) cell in exact ppm of the type's total,
+  // with the type's peak cell flagged. q168 alarms on absolute bursts;
+  // this is the EXPECTED weekly shape those alarms should be read
+  // against (a Monday-9am spike is organic, the same count at 4am
+  // Sunday is not).
+  //
+  // Determinism: dow/hour extract under the session's UTC timezone on
+  // both engines (Spark dayofweek is 1-based Sunday, DuckDB dow is
+  // 0-based Sunday — normalized to 0..6 here); the peak tie breaks by
+  // (dow, hour) via an exact min over the packed cell id.
+  //
+  // Scale shape: ONE map-side-combining aggregate onto the
+  // (|types| × 168)-cell frame; the share/peak windows run on that
+  // clock-bounded frame only, partitioned by event_type.
+  def q176DiurnalProfile(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    cells
+      .withColumn("type_total", sum(col("n_events")).over(w))
+      .withColumn("share_ppm",
+        expr("cast(n_events as decimal(38,0)) * 1000000 div type_total"))
+      // peak cell: max count, ties to the earliest (dow, hour) — packed
+      // so one exact max + one exact min resolve it without a rank
+      .withColumn("peak_n", max(col("n_events")).over(w))
+      .withColumn("cell_id", col("dow") * 24 + col("hod"))
+      .withColumn("peak_cell",
+        min(when(col("n_events") === col("peak_n"), col("cell_id")))
+          .over(w))
+      .withColumn("is_peak", col("cell_id") === col("peak_cell"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n_events"),
+        col("share_ppm"), col("is_peak"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  val q176Sql: String = """
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow,
+        CAST(hour(ts) AS INTEGER) AS hod,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2, 3),
+    m AS (
+      SELECT *,
+        SUM(n_events) OVER (PARTITION BY event_type) AS type_total,
+        MAX(n_events) OVER (PARTITION BY event_type) AS peak_n,
+        dow * 24 + hod AS cell_id
+      FROM cells),
+    p AS (
+      SELECT *,
+        MIN(CASE WHEN n_events = peak_n THEN cell_id END)
+          OVER (PARTITION BY event_type) AS peak_cell
+      FROM m)
+    SELECT event_type, dow, hod, n_events,
+      CAST(CAST(n_events AS HUGEINT) * 1000000 // type_total AS BIGINT)
+        AS share_ppm,
+      cell_id = peak_cell AS is_peak
+    FROM p ORDER BY event_type, dow, hod"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -969,6 +1034,7 @@ object ExtOps {
     "q170_event_transitions" -> q170EventTransitions _,
     "q172_gap_spectrum"   -> q172GapSpectrum _,
     "q173_user_rates"     -> q173UserRates _,
+    "q176_diurnal_profile" -> q176DiurnalProfile _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -990,6 +1056,7 @@ object ExtOps {
     "q170_event_transitions" -> q170Sql,
     "q172_gap_spectrum"   -> q172Sql,
     "q173_user_rates"     -> q173Sql,
+    "q176_diurnal_profile" -> q176Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

@@ -2249,7 +2249,98 @@ object TextOps {
         AS gt_unseen_ppm
     FROM cum CROSS JOIN tot ORDER BY band"""
 
+  // ---- q175: char-class profile + code/table screen ---------------------
+  // Pretraining mixes care what FRACTION of each source is prose vs
+  // code vs tabular/log dumps — the three need different tokenizers,
+  // quality gates, and mixing weights. Per document, exact character-
+  // class masses (ASCII letters, digits, whitespace, "symbol" = the
+  // remainder) computed by the length-difference trick (one
+  // regexp_replace per class — scan-local codegen, no explode), then a
+  // deterministic screen: code when symbols ≥ 8% of chars, tabular when
+  // digits ≥ 30%, prose otherwise. Reported per (source, screen) with
+  // mass-weighted class shares in exact ppm.
+  //
+  // Exactness: all masses are exact BIGINT char counts; shares are the
+  // Decimal(38,0) div convention. ASCII classes only — locale-free and
+  // engine-identical.
+  //
+  // Scale shape: one corpus scan, all per-row work inside the scan's
+  // codegen, one map-side-combining aggregate onto ≤|sources|·3 rows.
+  def q175CharClassProfile(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val docs = Tables.documents(s, d)
+      .select(col("source"), t,
+        length(t).cast("long").as("n_total"),
+        (length(t) - length(regexp_replace(t, "[A-Za-z]", "")))
+          .cast("long").as("n_alpha"),
+        (length(t) - length(regexp_replace(t, "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        (length(t) - length(regexp_replace(t, "[ \\t\\n\\r\\f]", "")))
+          .cast("long").as("n_space"))
+      .withColumn("n_symbol",
+        col("n_total") - col("n_alpha") - col("n_digit") - col("n_space"))
+      .withColumn("screen",
+        when(col("n_total") === 0L, "empty")
+          .when(col("n_symbol") * 100L >= col("n_total") * 8L, "code")
+          .when(col("n_digit") * 100L >= col("n_total") * 30L, "tabular")
+          .otherwise("prose"))
+    docs.groupBy(col("source"), col("screen"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_total")).as("char_mass"),
+        sum(col("n_alpha")).as("alpha_mass"),
+        sum(col("n_digit")).as("digit_mass"),
+        sum(col("n_symbol")).as("symbol_mass"))
+      // the 'empty' screen group has char_mass 0: its shares are
+      // explicitly NULL (ANSI div would throw, DuckDB // would null)
+      .withColumn("alpha_ppm", when(col("char_mass") > 0L,
+        expr("cast(alpha_mass as decimal(38,0)) * 1000000 div char_mass")))
+      .withColumn("digit_ppm", when(col("char_mass") > 0L,
+        expr("cast(digit_mass as decimal(38,0)) * 1000000 div char_mass")))
+      .withColumn("symbol_ppm", when(col("char_mass") > 0L,
+        expr("cast(symbol_mass as decimal(38,0)) * 1000000 div char_mass")))
+      .select(col("source"), col("screen"), col("n_docs"),
+        col("char_mass"), col("alpha_ppm"), col("digit_ppm"),
+        col("symbol_ppm"))
+      .orderBy(col("source"), col("screen"))
+  }
+
+  val q175Sql: String = raw"""
+    WITH c AS (
+      SELECT source,
+        CAST(length(text) AS BIGINT) AS n_total,
+        CAST(length(text)
+          - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+          AS BIGINT) AS n_alpha,
+        CAST(length(text)
+          - length(regexp_replace(text, '[0-9]', '', 'g'))
+          AS BIGINT) AS n_digit,
+        CAST(length(text)
+          - length(regexp_replace(text, '[ \t\n\r\f]', '', 'g'))
+          AS BIGINT) AS n_space
+      FROM documents),
+    scr AS (
+      SELECT source, n_total, n_alpha, n_digit,
+        n_total - n_alpha - n_digit - n_space AS n_symbol,
+        CASE WHEN n_total = 0 THEN 'empty'
+          WHEN (n_total - n_alpha - n_digit - n_space) * 100
+            >= n_total * 8 THEN 'code'
+          WHEN n_digit * 100 >= n_total * 30 THEN 'tabular'
+          ELSE 'prose' END AS screen
+      FROM c)
+    SELECT source, screen, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_total) AS BIGINT) AS char_mass,
+      CAST(CASE WHEN SUM(n_total) > 0 THEN
+        CAST(SUM(n_alpha) AS HUGEINT) * 1000000 // SUM(n_total)
+        END AS BIGINT) AS alpha_ppm,
+      CAST(CASE WHEN SUM(n_total) > 0 THEN
+        CAST(SUM(n_digit) AS HUGEINT) * 1000000 // SUM(n_total)
+        END AS BIGINT) AS digit_ppm,
+      CAST(CASE WHEN SUM(n_total) > 0 THEN
+        CAST(SUM(n_symbol) AS HUGEINT) * 1000000 // SUM(n_total)
+        END AS BIGINT) AS symbol_ppm
+    FROM scr GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_char_classes" -> q175CharClassProfile _,
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
     "q27_token_counts" -> q27TokenCounts _,
@@ -2282,6 +2373,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q175_char_classes" -> q175Sql,
     "q25_text_quality" -> q25Sql,
     "q26_lang_id"      -> q26Sql,
     "q27_token_counts" -> q27Sql,

@@ -332,6 +332,36 @@ class ExtOpsSpec extends AnyFunSuite {
       0 -> (1L, "superhuman"), 2 -> (1L, "organic")))
   }
 
+  test("q176 diurnal heatmap: brute recount of UTC dow/hour cells and peaks") {
+    val evts = Tables.events(spark, sf).select("event_type", "ts").collect()
+      .map { r =>
+        val z = r.getTimestamp(1).toInstant
+          .atZone(java.time.ZoneOffset.UTC)
+        // Spark dayofweek is 1-based Sunday; java DayOfWeek 1=Mon..7=Sun
+        (r.getString(0), z.getDayOfWeek.getValue % 7, z.getHour)
+      }
+    val cells = evts.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val byType = evts.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val rows = ExtOps.q176DiurnalProfile(spark, sf).collect()
+    assert(rows.length == cells.size)
+    val peaks = cells.groupBy(_._1._1).map { case (t, cs) =>
+      val mx = cs.values.max
+      // tie-break: earliest packed (dow, hour) among max cells
+      t -> cs.collect { case ((_, d, h), n) if n == mx => d * 24 + h }.min
+    }
+    rows.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Int]("dow"),
+        r.getAs[Int]("hod"))
+      assert(r.getAs[Long]("n_events") == cells(k), s"$k")
+      assert(r.getAs[Long]("share_ppm") ==
+        (BigInt(cells(k)) * 1000000 / byType(k._1)).toLong, s"$k")
+      assert(r.getAs[Boolean]("is_peak") ==
+        (k._2 * 24 + k._3 == peaks(k._1)), s"$k")
+    }
+    // exactly one peak per type
+    assert(rows.count(_.getAs[Boolean]("is_peak")) == byType.size)
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

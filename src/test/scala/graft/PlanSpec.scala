@@ -249,6 +249,25 @@ class PlanSpec extends AnyFunSuite {
       s"q174 re-derives candidates from the corpus:\n$p")
   }
 
+  test("q175 is scan-local: no window, one aggregate, 2-column read") {
+    val p = plan("q175_char_classes")
+    assert(!p.contains("windowspecdefinition"),
+      s"q175 grew a window it doesn't need:\n$p")
+    val readSchema = p.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      !readSchema.contains("doc_id"),
+      s"q175 reads more than (source, text):\n$readSchema")
+  }
+
+  test("q176's share/peak windows are partitioned by event_type") {
+    val p = plan("q176_diurnal_profile")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"q176 has an unpartitioned window:\n$p")
+  }
+
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
     // The exact contract column must come from the domain-sized histogram
     // path, never the buffer-all built-in `percentile` (O(group rows)

@@ -691,6 +691,57 @@ class TextOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache() // attr stages pin per dataset dir
   }
 
+  test("q175 char classes: brute recount of masses and screens per source") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map { r =>
+        val t = r.getString(1)
+        val total = t.length.toLong
+        val alpha = t.count(c => (c >= 'A' && c <= 'Z')
+          || (c >= 'a' && c <= 'z')).toLong
+        val digit = t.count(c => c >= '0' && c <= '9').toLong
+        val space = t.count(" \t\n\r\f".contains(_)).toLong
+        val symbol = total - alpha - digit - space
+        val screen = if (total == 0) "empty"
+          else if (symbol * 100 >= total * 8) "code"
+          else if (digit * 100 >= total * 30) "tabular" else "prose"
+        (r.getString(0), screen, total, alpha, digit, symbol)
+      }
+    val cells = docs.groupBy(x => (x._1, x._2))
+    val rows = ops.TextOps.q175CharClassProfile(spark, sf).collect()
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("screen"))
+      val cell = cells(k)
+      val mass = cell.map(_._3).sum
+      assert(r.getAs[Long]("n_docs") == cell.length.toLong, s"$k")
+      assert(r.getAs[Long]("char_mass") == mass, s"$k")
+      def ppm(n: Long) =
+        if (mass == 0) null else (BigInt(n) * 1000000 / mass).toLong
+      assert(Option(r.getAs[Any]("alpha_ppm")).map(_ == ppm(cell.map(_._4).sum))
+        .getOrElse(mass == 0L), s"$k")
+      assert(Option(r.getAs[Any]("digit_ppm")).map(_ == ppm(cell.map(_._5).sum))
+        .getOrElse(mass == 0L), s"$k")
+      assert(Option(r.getAs[Any]("symbol_ppm")).map(_ == ppm(cell.map(_._6).sum))
+        .getOrElse(mass == 0L), s"$k")
+    }
+  }
+
+  test("q175 screens planted code, tabular, prose, and empty docs apart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("charclass").toString
+    Seq(
+      (1L, "def f(x): return {x: [1, 2]} if x else (0,)", "en", "s", 43L),
+      (2L, "1999 2024 7031 8842 0001 5 55 915 23 4", "en", "s", 38L),
+      (3L, "plain readable prose with ordinary words only", "en", "s", 45L),
+      (4L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = ops.TextOps.q175CharClassProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("screen") -> r.getAs[Long]("n_docs")).toMap
+    assert(m == Map("code" -> 1L, "tabular" -> 1L, "prose" -> 1L,
+      "empty" -> 1L))
+  }
+
   test("q169 frequency spectrum: brute recount of decades, mass, and hapax") {
     val counts = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).trim.toLowerCase.split("[ \t\n\r\f]+"))
