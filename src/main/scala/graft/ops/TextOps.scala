@@ -2339,8 +2339,190 @@ object TextOps {
         END AS BIGINT) AS symbol_ppm
     FROM scr GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q177: per-source vocabulary exclusivity ---------------------------
+  // The diversity-contribution ledger for mixing decisions: how much of
+  // each source's vocabulary (types and token mass) appears NOWHERE else
+  // in the corpus. A source whose exclusive share collapses after dedup
+  // or filtering no longer buys coverage and its mixing weight should
+  // fall; a high-exclusivity source is irreplaceable. Complements q144
+  // (coverage against a trained vocab) and q110 (pairwise overlap
+  // sketches) with the exact per-source uniqueness decomposition.
+  //
+  // Exactness: counts are exact BIGINTs off the (source, token) frame;
+  // shares are the Decimal(38,0) div convention (denominators ≥ 1 —
+  // a source appears only if it contributed a token).
+  //
+  // Scale shape: one corpus scan → map-side-combining (source, token)
+  // aggregate (each partition collapses to its local per-source vocab)
+  // → a token-keyed equi-join with the |vocab|-row source-count frame →
+  // a final |sources|-row aggregate. Nothing data-sized crosses a
+  // driver; no windows.
+  def q177VocabExclusivity(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tokSources = st.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_sources"))
+    st.join(tokSources, "token")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("token_mass"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L))
+          .as("n_excl_types"),
+        sum(when(col("n_sources") === 1L, col("c")).otherwise(0L))
+          .as("excl_mass"))
+      .withColumn("excl_type_ppm",
+        expr("cast(n_excl_types as decimal(38,0)) * 1000000 div n_types"))
+      .withColumn("excl_mass_ppm",
+        expr("cast(excl_mass as decimal(38,0)) * 1000000 div token_mass"))
+      .select(col("source"), col("n_types"), col("token_mass"),
+        col("n_excl_types"), col("excl_mass"), col("excl_type_ppm"),
+        col("excl_mass_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val q177Sql: String = raw"""
+    WITH st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY 1, 2),
+    ts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM st GROUP BY 1)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+      CAST(SUM(c) AS BIGINT) AS token_mass,
+      CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_excl_types,
+      CAST(SUM(CASE WHEN n_sources = 1 THEN c ELSE 0 END) AS BIGINT)
+        AS excl_mass,
+      CAST(CAST(SUM(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END)
+        AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS excl_type_ppm,
+      CAST(CAST(SUM(CASE WHEN n_sources = 1 THEN c ELSE 0 END)
+        AS HUGEINT) * 1000000 // SUM(c) AS BIGINT) AS excl_mass_ppm
+    FROM st JOIN ts USING (token)
+    GROUP BY 1 ORDER BY 1"""
+
+  // ---- q178: stopword stylometry drift -----------------------------------
+  // Function-word distributions are the classic stylometric fingerprint:
+  // register/genre shifts move THE-vs-A-vs-IS ratios even when content
+  // words differ wholesale. Per source, the distribution over the q25
+  // stopword set vs the corpus distribution — per-word deviation, L1
+  // distance, and the argmax word, all on exact floored-ppm shares so
+  // both engines agree bit-for-bit. The cheap register-drift monitor
+  // between q125's mean test and q158's full KS.
+  //
+  // Scale shape: one corpus scan filtered to the 8-word stop set →
+  // (source × 8) and (8) count frames; the deviation grid is the
+  // |sources|·8 cross of two BOUNDED frames (broadcast), with the 1-row
+  // corpus mass attached the same way; final windows/aggregates run on
+  // that grid only. A source with zero stopword mass reports NULL
+  // deviations and the 'no_signal' band.
+  def q178StopwordDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .filter(col("token").isin(stops: _*))
+    val sw = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    // source frame from the CORPUS, not from the stopword hits — a
+    // source with zero stopword mass must still report (as no_signal)
+    val srcTot = Tables.documents(s, d).select(col("source")).distinct()
+      .join(sw.groupBy(col("source")).agg(sum(col("c")).as("m")),
+        Seq("source"), "left")
+      .withColumn("src_mass", coalesce(col("m"), lit(0L))).drop("m")
+    val corpW = sw.groupBy(col("token")).agg(sum(col("c")).as("cw"))
+    val corpTot = sw.agg(sum(col("c")).as("corp_mass"))
+    val words = stops.toDF("token")
+    val grid = srcTot.crossJoin(broadcast(words))
+      .join(sw, Seq("source", "token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(broadcast(corpW), Seq("token"), "left")
+      .withColumn("cw", coalesce(col("cw"), lit(0L)))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("p_src", when(col("src_mass") > 0L,
+        expr("cast(c as decimal(38,0)) * 1000000 div src_mass")))
+      .withColumn("p_corp",
+        expr("cast(cw as decimal(38,0)) * 1000000 div corp_mass"))
+      .withColumn("dev", abs(col("p_src") - col("p_corp")))
+    val w = Window.partitionBy(col("source"))
+    grid
+      .withColumn("max_dev", max(col("dev")).over(w))
+      .withColumn("max_dev_token",
+        min(when(col("dev") === col("max_dev"), col("token"))).over(w))
+      .groupBy(col("source"))
+      .agg(max(col("src_mass")).as("stop_mass"),
+        sum(col("dev")).as("l1_dev_ppm"),
+        max(col("dev")).as("max_dev_ppm"),
+        min(col("max_dev_token")).as("max_dev_token"))
+      .withColumn("band",
+        when(col("stop_mass") === 0L, "no_signal")
+          .when(col("l1_dev_ppm") >= 200000L, "drifted")
+          .when(col("l1_dev_ppm") >= 50000L, "shifted")
+          .otherwise("aligned"))
+      .select(col("source"), col("stop_mass"), col("l1_dev_ppm"),
+        col("max_dev_ppm"), col("max_dev_token"), col("band"))
+      .orderBy(col("source"))
+  }
+
+  val q178Sql: String = raw"""
+    WITH tok AS (
+      SELECT source, token
+      FROM (SELECT source, unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token
+            FROM documents)
+      WHERE token IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')),
+    sw AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    srct AS (
+      SELECT srcs.source, CAST(COALESCE(m.src_mass, 0) AS BIGINT)
+        AS src_mass
+      FROM srcs LEFT JOIN (
+        SELECT source, SUM(c) AS src_mass FROM sw GROUP BY 1) m
+        ON m.source = srcs.source),
+    cw AS (
+      SELECT token, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+    corpt AS (SELECT CAST(SUM(c) AS BIGINT) AS corp_mass FROM sw),
+    words AS (SELECT UNNEST(['the', 'a', 'of', 'and', 'to', 'in', 'is',
+      'it']) AS token),
+    grid AS (
+      SELECT srct.source, words.token, srct.src_mass,
+        COALESCE(sw.c, 0) AS c, COALESCE(cw.cw, 0) AS cwv, corp_mass
+      FROM srct CROSS JOIN words
+      LEFT JOIN sw ON sw.source = srct.source AND sw.token = words.token
+      LEFT JOIN cw ON cw.token = words.token
+      CROSS JOIN corpt),
+    devs AS (
+      SELECT source, token, src_mass,
+        abs(CASE WHEN src_mass > 0 THEN
+              CAST(CAST(c AS HUGEINT) * 1000000 // src_mass AS BIGINT)
+            END
+          - CAST(CAST(cwv AS HUGEINT) * 1000000 // corp_mass AS BIGINT))
+          AS dev
+      FROM grid),
+    mx AS (
+      SELECT source, token, src_mass, dev,
+        MAX(dev) OVER (PARTITION BY source) AS max_dev
+      FROM devs)
+    SELECT source, MAX(src_mass) AS stop_mass,
+      CAST(SUM(dev) AS BIGINT) AS l1_dev_ppm,
+      CAST(MAX(dev) AS BIGINT) AS max_dev_ppm,
+      MIN(CASE WHEN dev = max_dev THEN token END) AS max_dev_token,
+      CASE WHEN MAX(src_mass) = 0 THEN 'no_signal'
+           WHEN SUM(dev) >= 200000 THEN 'drifted'
+           WHEN SUM(dev) >= 50000 THEN 'shifted'
+           ELSE 'aligned' END AS band
+    FROM mx GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q175_char_classes" -> q175CharClassProfile _,
+    "q177_vocab_exclusivity" -> q177VocabExclusivity _,
+    "q178_stopword_drift" -> q178StopwordDrift _,
     "q25_text_quality" -> q25TextQuality _,
     "q26_lang_id"      -> q26LangId _,
     "q27_token_counts" -> q27TokenCounts _,
@@ -2374,6 +2556,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q175_char_classes" -> q175Sql,
+    "q177_vocab_exclusivity" -> q177Sql,
+    "q178_stopword_drift" -> q178Sql,
     "q25_text_quality" -> q25Sql,
     "q26_lang_id"      -> q26Sql,
     "q27_token_counts" -> q27Sql,

@@ -89,9 +89,11 @@ class PlanSpec extends AnyFunSuite {
     // q174: the 10-row threshold frame theta-joins the ≤101-row tmax
     // histograms (bounded both sides, the q158 grid shape), plus the
     // 1-row corpus-count attach
+    // q178: the 8-word stopword frame crosses the |sources| frame and
+    // the 1-row corpus mass attaches — all bounded broadcasts
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
-      "q174_threshold_sweep",
+      "q174_threshold_sweep", "q178_stopword_drift",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
       "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
@@ -266,6 +268,15 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
       s"q176 has an unpartitioned window:\n$p")
+  }
+
+  test("q177 is window-free: exclusivity folds through keyed aggregates") {
+    val p = plan("q177_vocab_exclusivity")
+    assert(!p.contains("windowspecdefinition"),
+      s"q177 grew a window it doesn't need:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q177's token join fell off the equi-join path:\n$p")
   }
 
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {

@@ -742,6 +742,78 @@ class TextOpsSpec extends AnyFunSuite {
       "empty" -> 1L))
   }
 
+  test("q177 vocab exclusivity: brute recount of per-source unique types") {
+    val toks = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase
+        .split("[ \t\n\r\f]+").filter(_.nonEmpty).map((r.getString(0), _)))
+    val st = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tokSrcs = st.keys.toSeq.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val bySrc = st.toSeq.groupBy(_._1._1)
+    val rows = ops.TextOps.q177VocabExclusivity(spark, sf).collect()
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cell = bySrc(src)
+      val excl = cell.filter { case ((_, t), _) => tokSrcs(t) == 1 }
+      assert(r.getAs[Long]("n_types") == cell.length.toLong, src)
+      assert(r.getAs[Long]("token_mass") == cell.map(_._2).sum, src)
+      assert(r.getAs[Long]("n_excl_types") == excl.length.toLong, src)
+      assert(r.getAs[Long]("excl_mass") == excl.map(_._2).sum, src)
+      assert(r.getAs[Long]("excl_type_ppm") ==
+        (BigInt(excl.length) * 1000000 / cell.length).toLong, src)
+      assert(r.getAs[Long]("excl_mass_ppm") ==
+        (BigInt(excl.map(_._2).sum) * 1000000 / cell.map(_._2).sum).toLong,
+        src)
+    }
+  }
+
+  test("q178 stopword drift: brute recount; zero-stopword source is no_signal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stylometry").toString
+    Seq(
+      // corpus-typical register
+      (1L, "the cat sat in the hat and the dog is in it", "en", "base", 44L),
+      (2L, "a fish of a kind is in a pond and it is fine", "en", "base", 45L),
+      // drifted register: only 'a'
+      (3L, "a a a a a a a a", "en", "astream", 15L),
+      // no stopwords at all
+      (4L, "purely content words everywhere here", "en", "nostop", 37L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val toks = Seq(
+      ("base", "the cat sat in the hat and the dog is in it"),
+      ("base", "a fish of a kind is in a pond and it is fine"),
+      ("astream", "a a a a a a a a"))
+      .flatMap { case (s0, t) => t.split(" ").filter(stops.contains)
+        .map((s0, _)) }
+    val corp = toks.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val corpMass = toks.size.toLong
+    val r = ops.TextOps.q178StopwordDrift(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.keySet == Set("base", "astream", "nostop"))
+    assert(r("nostop").getAs[String]("band") == "no_signal")
+    assert(r("nostop").getAs[Long]("stop_mass") == 0L)
+    assert(r("nostop").isNullAt(r("nostop").fieldIndex("l1_dev_ppm")))
+    // brute L1 for each signal source
+    for (src <- Seq("base", "astream")) {
+      val mine = toks.filter(_._1 == src)
+      val m = mine.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+      val mass = mine.size.toLong
+      val l1 = stops.map { w =>
+        val ps = BigInt(m.getOrElse(w, 0L)) * 1000000 / mass
+        val pc = BigInt(corp.getOrElse(w, 0L)) * 1000000 / corpMass
+        (ps - pc).abs.toLong
+      }.sum
+      assert(r(src).getAs[Long]("l1_dev_ppm") == l1, src)
+      assert(r(src).getAs[Long]("stop_mass") == mass, src)
+    }
+    // the all-'a' stream is maximally drifted, the base register is not
+    assert(r("astream").getAs[String]("band") == "drifted")
+    assert(r("astream").getAs[String]("max_dev_token") == "a")
+    spark.catalog.clearCache()
+  }
+
   test("q169 frequency spectrum: brute recount of decades, mass, and hapax") {
     val counts = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).trim.toLowerCase.split("[ \t\n\r\f]+"))
