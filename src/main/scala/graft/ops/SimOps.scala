@@ -578,6 +578,93 @@ object SimOps {
   }
 
   // ---- q38: per-label centroids (vector-column aggregate) --------------
+  // ---- q179: nearest-centroid confusion matrix --------------------------
+  // The classifier-eval view of the embedding space q165's Fisher ratio
+  // summarizes: assign every vector to its nearest LABEL-MEAN centroid
+  // by cosine and cross-tabulate (true label × predicted label). The
+  // off-diagonal cells name WHICH classes collide (q165 only says how
+  // much) — the audit run before trusting labels for hard-negative
+  // mining (q105) or semantic decontamination (q134).
+  //
+  // Parity: label means are rebuilt from exact integer sums (the q61
+  // Lloyd discipline — sum_q::double / 1e6 / n), the argmax runs as the
+  // codegen NearestCellCos expression (quantized per-term products →
+  // one IEEE divide/sqrt), ties to the lowest label; the oracle scores
+  // the cross join with ROW_NUMBER over the identical doubles. Shares
+  // are exact ppm of the true-label row.
+  //
+  // Scale shape: one 64-sum aggregate onto the |labels|-row centroid
+  // frame (driver-collected — labels are a bounded class set), then the
+  // assignment runs INSIDE the scan's codegen (no join, no n×L
+  // expansion), one aggregate onto the ≤|labels|² confusion frame, and
+  // the row-share window partitions that frame by true label.
+  def q179CentroidConfusion(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .withColumn("nq", normQ)
+      .select(col("vec_id"), col("label"), col("embedding"), col("qa"),
+        col("nq"))
+    val sums = (0 until D).map(i =>
+      sum(element_at(col("qa"), i + 1)).as(s"s$i"))
+    val cents = emb.groupBy(col("label").cast("long").as("cell"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("cell"), array((0 until D).map(i =>
+        col(s"s$i").cast("double") / 1e6 / col("cnt")): _*).as("centroid"))
+      .withColumn("cnq", centNorm)
+    val conf = assignCells(emb, cents)
+      .groupBy(col("label").cast("long").as("label_true"),
+        col("cell").as("label_pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy(col("label_true"))
+    conf
+      .withColumn("true_total", sum(col("n_vecs")).over(w))
+      .withColumn("share_ppm",
+        expr("cast(n_vecs as decimal(38,0)) * 1000000 div true_total"))
+      .withColumn("is_diag", col("label_true") === col("label_pred"))
+      .select(col("label_true"), col("label_pred"), col("n_vecs"),
+        col("share_ppm"), col("is_diag"))
+      .orderBy(col("label_true"), col("label_pred"))
+  }
+
+  val q179Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+        $sqlQa AS qa, $sqlNormQ AS nq
+      FROM embeddings),
+    sums AS (
+      SELECT label AS cell, i, CAST(SUM(qa[i]) AS BIGINT) AS s,
+        COUNT(*) AS c
+      FROM e CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) dims
+      GROUP BY 1, 2),
+    cents AS (
+      SELECT cell, centroid,
+        CAST(list_sum(list_transform(centroid, x ->
+          CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS cnq
+      FROM (SELECT cell, list(CAST(s AS DOUBLE) / 1e6 / c ORDER BY i)
+              AS centroid
+            FROM sums GROUP BY cell)),
+    assigned AS (
+      SELECT label, cell FROM (
+        SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, cell) AS rn
+        FROM (
+          SELECT e.vec_id, e.label, c.cell,
+            CAST(CAST(list_sum(list_transform(range(1, $D + 1), i ->
+              CAST(floor(CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
+              / sqrt(CAST(e.nq * c.cnq AS DOUBLE)) AS ccos
+          FROM e CROSS JOIN cents c) sc) WHERE rn = 1),
+    conf AS (
+      SELECT label AS label_true, cell AS label_pred,
+        CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM assigned GROUP BY 1, 2)
+    SELECT label_true, label_pred, n_vecs,
+      CAST(CAST(n_vecs AS HUGEINT) * 1000000
+        // SUM(n_vecs) OVER (PARTITION BY label_true) AS BIGINT)
+        AS share_ppm,
+      label_true = label_pred AS is_diag
+    FROM conf ORDER BY label_true, label_pred"""
+
   def q38LabelCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
@@ -2050,6 +2137,7 @@ object SimOps {
     "q108_semdedup"       -> q108SemDedup _,
     "q130_knn_graph"      -> q130KnnGraph _,
     "q171_hubness"        -> q171Hubness _,
+    "q179_centroid_confusion" -> q179CentroidConfusion _,
     "q132_graph_rank"     -> q132GraphRank _,
     "q134_sem_decontam"   -> q134SemanticDecontam _,
     "q142_int8_quant"     -> q142Int8Quant _)
@@ -2072,6 +2160,7 @@ object SimOps {
     "q108_semdedup"       -> q108Sql,
     "q130_knn_graph"      -> q130Sql,
     "q171_hubness"        -> q171Sql,
+    "q179_centroid_confusion" -> q179Sql,
     "q132_graph_rank"     -> q132Sql,
     "q134_sem_decontam"   -> q134Sql,
     "q142_int8_quant"     -> q142Sql)

@@ -279,6 +279,16 @@ class PlanSpec extends AnyFunSuite {
       s"q177's token join fell off the equi-join path:\n$p")
   }
 
+  test("q179's assignment is the codegen argmax; windows stay label-partitioned") {
+    val p = plan("q179_centroid_confusion")
+    assert(p.contains("nearest_cell_cos"),
+      s"q179 lost the codegen assignment expression:\n$p")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.forall(_.contains("label_true")),
+      s"q179 windows beyond the confusion frame:\n$p")
+  }
+
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
     // The exact contract column must come from the domain-sized histogram
     // path, never the buffer-all built-in `percentile` (O(group rows)

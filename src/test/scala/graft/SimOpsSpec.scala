@@ -440,6 +440,67 @@ class SimOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 confusion: brute nearest-centroid recount with the quantized discipline") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong,
+        r.getSeq[Float](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, xs) =>
+      val sums = Array.tabulate(64)(i => xs.map(v =>
+        math.floor(v._3(i).toDouble * 1e6 + 0.5).toLong).sum)
+      val cent = sums.map(s => s.toDouble / 1e6 / xs.length)
+      val cnq = cent.map(x => math.floor(x * x * 1e9 + 0.5).toLong).sum
+      l -> (cent, cnq)
+    }
+    val conf = vecs.map { case (_, l, e) =>
+      val nq = e.map(x =>
+        math.floor(x.toDouble * x.toDouble * 1e9 + 0.5).toLong).sum
+      var bestCell = Long.MaxValue
+      var bestCos = Double.NegativeInfinity
+      for ((c, (cent, cnq)) <- cents.toSeq.sortBy(_._1)) {
+        val dot = (0 until 64).map(i =>
+          math.floor(e(i).toDouble * cent(i) * 1e9 + 0.5).toLong).sum
+        val cos = dot.toDouble / math.sqrt((nq * cnq).toDouble)
+        if (cos > bestCos || (cos == bestCos && c < bestCell)) {
+          bestCos = cos; bestCell = c
+        }
+      }
+      (l, bestCell)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val trueTotals = conf.toSeq.groupBy(_._1._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sum }
+    val rows = SimOps.q179CentroidConfusion(spark, sf).collect()
+    assert(rows.length == conf.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("label_true"), r.getAs[Long]("label_pred"))
+      assert(r.getAs[Long]("n_vecs") == conf(k), s"$k")
+      assert(r.getAs[Long]("share_ppm") ==
+        (BigInt(conf(k)) * 1000000 / trueTotals(k._1)).toLong, s"$k")
+      assert(r.getAs[Boolean]("is_diag") == (k._1 == k._2), s"$k")
+    }
+  }
+
+  test("q179 planted separated clusters classify perfectly diagonal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("centroid-conf").toString
+    def vec(base: Double, dim: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) base.toFloat else 0.0f)
+    // labels 0/1 live on orthogonal axes → zero cross-cosine, perfect
+    // nearest-centroid recovery
+    val rows =
+      (1 to 8).map(i => (i.toLong, vec(1.0 + 0.01 * i, 0), 0)) ++
+      (1 to 8).map(i => (100L + i, vec(1.0 + 0.01 * i, 7), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = SimOps.q179CentroidConfusion(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(r.length == 2)
+    assert(r.forall(_.getAs[Boolean]("is_diag")))
+    assert(r.forall(_.getAs[Long]("share_ppm") == 1000000L))
+  }
+
   test("q165 flags planted separated vs blended classes") {
     import spark.implicits._
     val dir = java.nio.file.Files
