@@ -116,4 +116,57 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(!r.exists(x => Set(0L, 5L)(x.getAs[Long]("doc_id"))))
     assert(r.length == 11)
   }
+
+  test("q169/q175/q177/q178 survive blank docs, gapped ids, and a stopword-free corpus") {
+    // q169: blank docs contribute zero tokens; decades still partition
+    // the whole token mass
+    val nTok = Tables.documents(spark, dir)
+      .select(explode(split(trim(lower(col("text"))),
+        "[ \\t\\n\\r\\f]+")).as("t"))
+      .filter(col("t") =!= "").count()
+    val spec = ops.TextOps.q169FreqSpectrum(spark, dir).collect()
+    assert(spec.nonEmpty)
+    assert(spec.map(_.getAs[Long]("token_mass")).sum == nTok)
+    // q175: whitespace-only docs have positive char mass (prose band,
+    // not 'empty'); every doc lands in exactly one (source, screen) cell
+    val cc = ops.TextOps.q175CharClassProfile(spark, dir).collect()
+    assert(cc.map(_.getAs[Long]("n_docs")).sum == 13L)
+    assert(!cc.exists(_.getAs[String]("screen") == "empty"))
+    // q177: every tag-word is unique to its source → full exclusivity;
+    // blank-only sources (src0/src2) contribute no vocabulary at all
+    val ex = ops.TextOps.q177VocabExclusivity(spark, dir).collect()
+    assert(ex.nonEmpty)
+    assert(ex.forall(_.getAs[Long]("excl_type_ppm") == 1000000L))
+    assert(!ex.exists(r => Set("src0", "src2")(r.getAs[String]("source"))))
+    // q178: the tag vocabulary contains no stopwords at all — every
+    // source (including the blank-only ones) must report no_signal with
+    // NULL deviations, and the corpus-mass divisions must not throw
+    val sd = ops.TextOps.q178StopwordDrift(spark, dir).collect()
+    assert(sd.length == 6)
+    assert(sd.forall(_.getAs[String]("band") == "no_signal"))
+    assert(sd.forall(r => r.isNullAt(r.fieldIndex("l1_dev_ppm"))))
+  }
+
+  test("q170/q172/q173/q176 survive a single-user single-event stream") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("edge-events").toString
+    Seq((1L, new java.sql.Timestamp(1700000000000L), 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    // q170: the lone event is an entry transition
+    val tr = ops.ExtOps.q170EventTransitions(spark, d).collect()
+    assert(tr.length == 1 && tr.head.getAs[String]("prev_type") == "<start>"
+      && tr.head.getAs[Long]("p_next_ppm") == 1000000L)
+    // q172: no gaps exist — EMPTY output, not a crash
+    assert(ops.ExtOps.q172GapSpectrum(spark, d).collect().isEmpty)
+    // q173: one single-event user
+    val ur = ops.ExtOps.q173UserRates(spark, d).collect()
+    assert(ur.length == 1 && ur.head.getAs[Int]("band") == -2
+      && ur.head.getAs[String]("screen") == "single_event"
+      && ur.head.getAs[Long]("user_ppm") == 1000000L)
+    // q176: one cell, trivially the peak
+    val dp = ops.ExtOps.q176DiurnalProfile(spark, d).collect()
+    assert(dp.length == 1 && dp.head.getAs[Boolean]("is_peak")
+      && dp.head.getAs[Long]("share_ppm") == 1000000L)
+  }
 }
