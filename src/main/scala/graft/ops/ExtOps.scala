@@ -535,6 +535,105 @@ object ExtOps {
       cell_id = peak_cell AS is_peak
     FROM p ORDER BY event_type, dow, hod"""
 
+  // ---- q180: batch sessionization statistics -----------------------------
+  // The batch twin of q24's session_window, produced the classic way: a
+  // per-user lag window marks events >30 min after their predecessor as
+  // session starts, a running sum of those flags numbers the sessions,
+  // and one aggregate per (user, session) yields size/duration/entry
+  // type. Reported as the (entry_type × size-decade) histogram with
+  // exact ppm shares and observed duration support — the session-length
+  // model SynthEventsJob's uniform-length draw approximates, and the
+  // shape a capacity planner reads (how long do sessions run, what
+  // opens them).
+  //
+  // Exactness: gaps and durations are truncating micro→second divs of
+  // nonnegative integers; decade banding is digit count (band −1 would
+  // be impossible here: a session has size ≥ 1, so bands start at 0).
+  //
+  // Scale shape: ONE user_id shuffle drives both windows (lag + running
+  // sum share the (user_id; ts, event_id) sort), the per-session
+  // aggregate is keyed by (user_id, session) — bounded by per-user
+  // activity — and the histogram aggregate lands on the
+  // (|types| × ~6 decades) frame; the share window runs there only.
+  def q180SessionStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_s",
+        expr("(us - lag(us, 1) over (partition by user_id" +
+          " order by ts, event_id)) div 1000000"))
+      .withColumn("is_start",
+        when(col("gap_s").isNull || col("gap_s") >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum(col("is_start")).over(w))
+      .groupBy(col("user_id"), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_s"),
+        // each session has exactly ONE is_start row (its first event by
+        // the numbering construction), so this max picks the entry type
+        // without an argmin — identical semantics in both engines
+        max(when(col("is_start") === 1L, col("event_type")))
+          .as("entry_type"))
+    val bands = sessions
+      .withColumn("band",
+        (length(col("n_events").cast("string")) - 1).cast("int"))
+      .groupBy(col("entry_type"), col("band"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("event_mass"),
+        min(col("duration_s")).as("min_duration_s"),
+        max(col("duration_s")).as("max_duration_s"))
+    val typeW = Window.partitionBy(col("entry_type"))
+    bands
+      .withColumn("type_total", sum(col("n_sessions")).over(typeW))
+      .withColumn("session_ppm",
+        expr("cast(n_sessions as decimal(38,0)) * 1000000 div type_total"))
+      .withColumn("band_lo",
+        expr("cast(concat('1', repeat('0', band)) as bigint)"))
+      .select(col("entry_type"), col("band"), col("band_lo"),
+        col("n_sessions"), col("event_mass"), col("session_ppm"),
+        col("min_duration_s"), col("max_duration_s"))
+      .orderBy(col("entry_type"), col("band"))
+  }
+
+  val q180Sql: String = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+        (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events),
+    marked AS (
+      SELECT *, CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1
+        ELSE 0 END AS is_start
+      FROM seq),
+    numbered AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        CURRENT ROW) AS session
+      FROM marked),
+    sessions AS (
+      SELECT user_id, session, CAST(COUNT(*) AS BIGINT) AS n_events,
+        (MAX(us) - MIN(us)) // 1000000 AS duration_s,
+        MAX(CASE WHEN is_start = 1 THEN event_type END) AS entry_type
+      FROM numbered GROUP BY 1, 2),
+    bands AS (
+      SELECT entry_type,
+        CAST(length(CAST(n_events AS VARCHAR)) - 1 AS INTEGER) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n_events) AS BIGINT) AS event_mass,
+        MIN(duration_s) AS min_duration_s,
+        MAX(duration_s) AS max_duration_s
+      FROM sessions GROUP BY 1, 2)
+    SELECT entry_type, band,
+      CAST('1' || repeat('0', band) AS BIGINT) AS band_lo,
+      n_sessions, event_mass,
+      CAST(CAST(n_sessions AS HUGEINT) * 1000000
+        // SUM(n_sessions) OVER (PARTITION BY entry_type) AS BIGINT)
+        AS session_ppm,
+      min_duration_s, max_duration_s
+    FROM bands ORDER BY entry_type, band"""
+
   // ---- q41: as-of join (J4) --------------------------------------------
   // For each purchase event, the user's most recent click at or before the
   // purchase time. Spark has no native ASOF JOIN; the scalable idiom is
@@ -1035,6 +1134,7 @@ object ExtOps {
     "q172_gap_spectrum"   -> q172GapSpectrum _,
     "q173_user_rates"     -> q173UserRates _,
     "q176_diurnal_profile" -> q176DiurnalProfile _,
+    "q180_session_stats"  -> q180SessionStats _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -1057,6 +1157,7 @@ object ExtOps {
     "q172_gap_spectrum"   -> q172Sql,
     "q173_user_rates"     -> q173Sql,
     "q176_diurnal_profile" -> q176Sql,
+    "q180_session_stats"  -> q180Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

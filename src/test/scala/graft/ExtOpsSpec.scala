@@ -362,6 +362,72 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[Boolean]("is_peak")) == byType.size)
   }
 
+  test("q180 session stats: brute 30-min-gap sessionization recount") {
+    def micros(t: java.sql.Timestamp) = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val sessions = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+      .groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+        val ordered = xs.sortBy(x => (x._2, x._3))
+        val sess = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[(Long, String)]]
+        var prev = Long.MinValue
+        ordered.foreach { e =>
+          if (prev == Long.MinValue || (e._2 - prev) / 1000000L >= 1800L)
+            sess += scala.collection.mutable.ArrayBuffer.empty
+          sess.last += ((e._2, e._4))
+          prev = e._2
+        }
+        sess.map(es => (es.head._2, es.length.toLong,
+          (es.last._1 - es.head._1) / 1000000L))
+      }
+    val cells = sessions.groupBy { case (t, n, _) =>
+      (t, n.toString.length - 1) }
+    val byType = sessions.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val rows = ExtOps.q180SessionStats(spark, sf).collect()
+    assert(rows.length == cells.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("entry_type"), r.getAs[Int]("band"))
+      val cell = cells(k)
+      assert(r.getAs[Long]("n_sessions") == cell.size.toLong, s"$k")
+      assert(r.getAs[Long]("event_mass") == cell.map(_._2).sum, s"$k")
+      assert(r.getAs[Long]("min_duration_s") == cell.map(_._3).min, s"$k")
+      assert(r.getAs[Long]("max_duration_s") == cell.map(_._3).max, s"$k")
+      assert(r.getAs[Long]("session_ppm") ==
+        (BigInt(cell.size) * 1000000 / byType(k._1)).toLong, s"$k")
+    }
+    // sessions partition the event stream
+    assert(rows.map(_.getAs[Long]("event_mass")).sum ==
+      Tables.events(spark, sf).count())
+  }
+
+  test("q180 splits sessions exactly at the 30-minute boundary, not before") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    val t0 = 1700000000000000L
+    def t(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    // user 1: entry view, +1799s click (same session), +1800s purchase
+    // (NEW session) → sessions (view, 2 events) and (purchase, 1 event)
+    Seq((1L, t(t0), 1L, "view", 1.0, "{}"),
+      (2L, t(t0 + 1799L * 1000000L), 1L, "click", 1.0, "{}"),
+      (3L, t(t0 + 3599L * 1000000L), 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = ExtOps.q180SessionStats(spark, dir).collect()
+      .map(r => r.getAs[String]("entry_type") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("event_mass"),
+          r.getAs[Long]("max_duration_s"))).toMap
+    assert(m == Map("view" -> (1L, 2L, 1799L), "purchase" -> (1L, 1L, 0L)))
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

@@ -289,6 +289,15 @@ class PlanSpec extends AnyFunSuite {
       s"q179 windows beyond the confusion frame:\n$p")
   }
 
+  test("q180's windows are partitioned (per-user lag+numbering, per-type share)") {
+    val p = plan("q180_session_stats")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(w =>
+      w.contains("user_id") || w.contains("entry_type")),
+      s"q180 has an unpartitioned window:\n$p")
+  }
+
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {
     // The exact contract column must come from the domain-sized histogram
     // path, never the buffer-all built-in `percentile` (O(group rows)
