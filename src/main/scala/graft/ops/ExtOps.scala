@@ -682,6 +682,79 @@ object ExtOps {
       ON t.user_id = q.user_id AND q.ts <= t.ts
     ORDER BY t.user_id, t.ts, t.event_id"""
 
+  // ---- q181: conversion-lag spectrum -------------------------------------
+  // The time-to-convert model on top of q41's as-of join: for each
+  // purchase, seconds since the same user's most recent click at or
+  // before it, banded by decimal decade — the attribution-window
+  // distribution (how long a click "works") and the latency model a
+  // funnel simulator samples. Band −2 = purchases with NO prior click
+  // (organic/dark conversions — the attribution gap itself), −1 =
+  // same-second conversion.
+  //
+  // Exactness: the lag is a truncating micro→second div of nonnegative
+  // integers (quote_ts ≤ ts by the as-of contract); shares are the
+  // Decimal(38,0) div convention over the purchase total.
+  //
+  // Scale shape: q41's single user-shuffle union-window derivation,
+  // then ONE map-side-combining aggregate onto ≤ ~14 decade rows; the
+  // 1-row purchase total attaches to that frame only.
+  def q181ConversionLag(s: SparkSession, d: String): DataFrame = {
+    val bands = q41AsofJoin(s, d)
+      .withColumn("lag_s",
+        expr("(unix_micros(ts) - unix_micros(quote_ts)) div 1000000"))
+      .withColumn("band",
+        when(col("quote_ts").isNull, lit(-2))
+          .when(col("lag_s") === 0L, lit(-1))
+          .otherwise(length(col("lag_s").cast("string")) - 1).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_purchases"),
+        min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+    val tot = bands.agg(sum(col("n_purchases")).as("n_total"))
+    bands.crossJoin(broadcast(tot))
+      .withColumn("purchase_ppm",
+        expr("cast(n_purchases as decimal(38,0)) * 1000000 div n_total"))
+      .withColumn("band_lo", when(col("band") < 0, lit(0L))
+        .otherwise(expr("cast(concat('1', repeat('0', band)) as bigint)")))
+      .withColumn("attribution",
+        when(col("band") === -2, "no_click")
+          .when(col("band") <= 2, "prompt").otherwise("delayed"))
+      .select(col("band"), col("band_lo"), col("n_purchases"),
+        col("purchase_ppm"), col("min_lag_s"), col("max_lag_s"),
+        col("attribution"))
+      .orderBy(col("band"))
+  }
+
+  val q181Sql: String = """
+    WITH quotes AS (
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'click' GROUP BY 1, 2),
+    trades AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'),
+    lagged AS (
+      SELECT CASE WHEN q.ts IS NULL THEN NULL
+        ELSE (epoch_us(t.ts) - epoch_us(q.ts)) // 1000000 END AS lag_s
+      FROM trades t ASOF LEFT JOIN quotes q
+        ON t.user_id = q.user_id AND q.ts <= t.ts),
+    bands AS (
+      SELECT CAST(CASE WHEN lag_s IS NULL THEN -2
+          WHEN lag_s = 0 THEN -1
+          ELSE length(CAST(lag_s AS VARCHAR)) - 1 END AS INTEGER) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        MIN(lag_s) AS min_lag_s, MAX(lag_s) AS max_lag_s
+      FROM lagged GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS n_total FROM bands)
+    SELECT band,
+      CASE WHEN band < 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST('1' || repeat('0', band) AS BIGINT) END AS band_lo,
+      n_purchases,
+      CAST(CAST(n_purchases AS HUGEINT) * 1000000 // n_total AS BIGINT)
+        AS purchase_ppm,
+      min_lag_s, max_lag_s,
+      CASE WHEN band = -2 THEN 'no_click'
+           WHEN band <= 2 THEN 'prompt' ELSE 'delayed' END AS attribution
+    FROM bands CROSS JOIN tot ORDER BY band"""
+
   // ---- q42: approximate count-distinct (A2; HLL++) ---------------------
   // DuckDB's approx_count_distinct uses a different sketch, so the raw
   // HLL estimate itself can never hash-match an oracle. What IS
@@ -1135,6 +1208,7 @@ object ExtOps {
     "q173_user_rates"     -> q173UserRates _,
     "q176_diurnal_profile" -> q176DiurnalProfile _,
     "q180_session_stats"  -> q180SessionStats _,
+    "q181_conversion_lag" -> q181ConversionLag _,
     "q41_asof_join"       -> q41AsofJoin _,
     "q42_approx_distinct" -> q42ApproxDistinct _,
     "q43_map_explode"     -> q43MapExplode _,
@@ -1158,6 +1232,7 @@ object ExtOps {
     "q173_user_rates"     -> q173Sql,
     "q176_diurnal_profile" -> q176Sql,
     "q180_session_stats"  -> q180Sql,
+    "q181_conversion_lag" -> q181Sql,
     "q41_asof_join"       -> q41Sql,
     "q42_approx_distinct" -> q42Sql,
     "q43_map_explode"     -> q43Sql,

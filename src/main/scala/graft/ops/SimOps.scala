@@ -665,6 +665,75 @@ object SimOps {
       label_true = label_pred AS is_diag
     FROM conf ORDER BY label_true, label_pred"""
 
+  // ---- q182: IVF cell-occupancy balance audit ----------------------------
+  // The index-health twin of q171's graph-side hubness: the coarse
+  // quantizer's probe cost is bounded by cell OCCUPANCY, so a skewed
+  // assignment (a few mega-cells absorbing most vectors) silently turns
+  // O(√n) searches into near-scans. Reports the occupancy-decade
+  // histogram (cells and vector mass per decade, exact ppm) plus the
+  // max-over-mean skew ×100 — the one number an index operator alerts
+  // on before q47/q68/q80 latencies degrade.
+  //
+  // Exactness: occupancies are exact counts off the pinned assignment;
+  // skew×100 = max_occ·100·n_cells div n_vecs — all integer.
+  //
+  // Scale shape: rides the pinned ann_ivf_assign artifact (one count
+  // aggregate keyed by cell — ≤ 2^16 groups by the cellsFor cap), then
+  // a second aggregate onto ≤ ~6 decade rows; 1-row totals attach
+  // there.
+  def q182CellBalance(s: SparkSession, d: String): DataFrame = {
+    val occ = ivfAssignment(s, d).groupBy(col("cell"))
+      .agg(count(lit(1)).as("occ"))
+    val bands = occ
+      .withColumn("band", (length(col("occ").cast("string")) - 1).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("occ")).as("vec_mass"),
+        min(col("occ")).as("min_occ"), max(col("occ")).as("max_occ"))
+    val tot = bands.agg(sum(col("n_cells")).as("cells_total"),
+      sum(col("vec_mass")).as("n_vecs"), max(col("max_occ")).as("occ_max"))
+    bands.crossJoin(broadcast(tot))
+      .withColumn("cell_ppm",
+        expr("cast(n_cells as decimal(38,0)) * 1000000 div cells_total"))
+      .withColumn("vec_ppm",
+        expr("cast(vec_mass as decimal(38,0)) * 1000000 div n_vecs"))
+      .withColumn("skew_x100",
+        expr("cast(occ_max as decimal(38,0)) * 100 * cells_total div n_vecs"))
+      .withColumn("band_lo",
+        expr("cast(concat('1', repeat('0', band)) as bigint)"))
+      .select(col("band"), col("band_lo"), col("n_cells"), col("vec_mass"),
+        col("cell_ppm"), col("vec_ppm"), col("min_occ"), col("max_occ"),
+        col("skew_x100"))
+      .orderBy(col("band"))
+  }
+
+  // lazy: sqlKnnCtes is declared later in the file — a strict val here
+  // would interpolate null at object init
+  lazy val q182Sql: String = s"""$sqlKnnCtes,
+    occ AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM assigned GROUP BY 1),
+    bands AS (
+      SELECT CAST(length(CAST(occ AS VARCHAR)) - 1 AS INTEGER) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_cells,
+        CAST(SUM(occ) AS BIGINT) AS vec_mass,
+        MIN(occ) AS min_occ, MAX(occ) AS max_occ
+      FROM occ GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_cells) AS BIGINT) AS cells_total,
+        CAST(SUM(vec_mass) AS BIGINT) AS n_vecs,
+        MAX(max_occ) AS occ_max
+      FROM bands)
+    SELECT band, CAST('1' || repeat('0', band) AS BIGINT) AS band_lo,
+      n_cells, vec_mass,
+      CAST(CAST(n_cells AS HUGEINT) * 1000000 // cells_total AS BIGINT)
+        AS cell_ppm,
+      CAST(CAST(vec_mass AS HUGEINT) * 1000000 // n_vecs AS BIGINT)
+        AS vec_ppm,
+      min_occ, max_occ,
+      CAST(CAST(occ_max AS HUGEINT) * 100 * cells_total // n_vecs
+        AS BIGINT) AS skew_x100
+    FROM bands CROSS JOIN tot ORDER BY band"""
+
   def q38LabelCentroids(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .withColumn("qa", qaExpr)
@@ -2138,6 +2207,7 @@ object SimOps {
     "q130_knn_graph"      -> q130KnnGraph _,
     "q171_hubness"        -> q171Hubness _,
     "q179_centroid_confusion" -> q179CentroidConfusion _,
+    "q182_cell_balance"   -> q182CellBalance _,
     "q132_graph_rank"     -> q132GraphRank _,
     "q134_sem_decontam"   -> q134SemanticDecontam _,
     "q142_int8_quant"     -> q142Int8Quant _)
@@ -2161,6 +2231,7 @@ object SimOps {
     "q130_knn_graph"      -> q130Sql,
     "q171_hubness"        -> q171Sql,
     "q179_centroid_confusion" -> q179Sql,
+    "q182_cell_balance"   -> q182Sql,
     "q132_graph_rank"     -> q132Sql,
     "q134_sem_decontam"   -> q134Sql,
     "q142_int8_quant"     -> q142Sql)

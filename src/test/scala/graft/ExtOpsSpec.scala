@@ -428,6 +428,44 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(m == Map("view" -> (1L, 2L, 1799L), "purchase" -> (1L, 1L, 0L)))
   }
 
+  test("q181 conversion lag: brute recount off the as-of result") {
+    def micros(t: java.sql.Timestamp) = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val lags = ExtOps.q41AsofJoin(spark, sf)
+      .select("ts", "quote_ts").collect()
+      .map { r =>
+        if (r.isNullAt(1)) None
+        else Some((micros(r.getTimestamp(0)) - micros(r.getTimestamp(1)))
+          / 1000000L)
+      }
+    val byBand = lags.groupBy {
+      case None => -2
+      case Some(0L) => -1
+      case Some(g) => g.toString.length - 1
+    }
+    val total = lags.length.toLong
+    val rows = ExtOps.q181ConversionLag(spark, sf).collect()
+    assert(rows.length == byBand.size)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("band")
+      val cell = byBand(b)
+      assert(r.getAs[Long]("n_purchases") == cell.length.toLong, s"band $b")
+      assert(r.getAs[Long]("purchase_ppm") ==
+        (BigInt(cell.length) * 1000000 / total).toLong, s"band $b")
+      if (b == -2) assert(r.isNullAt(r.fieldIndex("min_lag_s")), s"band $b")
+      else {
+        assert(r.getAs[Long]("min_lag_s") == cell.flatten.min, s"band $b")
+        assert(r.getAs[Long]("max_lag_s") == cell.flatten.max, s"band $b")
+      }
+      val attr = if (b == -2) "no_click" else if (b <= 2) "prompt"
+        else "delayed"
+      assert(r.getAs[String]("attribution") == attr, s"band $b")
+    }
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == total)
+  }
+
   test("q168 flags a planted 10x error spike after a flat baseline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("burst").toString

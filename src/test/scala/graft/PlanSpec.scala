@@ -91,9 +91,11 @@ class PlanSpec extends AnyFunSuite {
     // 1-row corpus-count attach
     // q178: the 8-word stopword frame crosses the |sources| frame and
     // the 1-row corpus mass attaches — all bounded broadcasts
+    // q181/q182: 1-row totals attach to ≤14-decade frames the same way
     val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
+      "q181_conversion_lag", "q182_cell_balance",
       "q157_budget_admission", "q158_ks_drift", "q162_split_leakage",
       "q163_cluster_split", "q165_class_separation", "q166_dup_flow",
       "q146_pmi_assoc", "q152_composition_skew", "q153_shuffle_mixing",
@@ -296,6 +298,15 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(w =>
       w.contains("user_id") || w.contains("entry_type")),
       s"q180 has an unpartitioned window:\n$p")
+  }
+
+  test("q182 rides the pinned IVF assignment, never re-deriving it") {
+    ops.SimOps.ivfAssignment(spark, sf)
+    val p = plan("q182_cell_balance")
+    assert(p.contains("Scan ExistingRDD"),
+      s"q182 lost its pinned assignment root:\n$p")
+    assert(!p.contains("nearest_cell_cos"),
+      s"q182 re-runs the coarse quantizer:\n$p")
   }
 
   test("q62's only unbounded-looking aggregate is the GK sketch itself") {

@@ -501,6 +501,58 @@ class SimOpsSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("share_ppm") == 1000000L))
   }
 
+  test("q182 cell balance: brute recount off the pinned IVF assignment") {
+    val occ = SimOps.ivfAssignment(spark, sf).select("cell").collect()
+      .map(_.getLong(0))
+      .groupBy(identity).map { case (_, v) => v.length.toLong }.toSeq
+    val bands = occ.groupBy(c => c.toString.length - 1)
+    val cellsTotal = occ.length.toLong
+    val nVecs = occ.sum
+    val occMax = occ.max
+    val rows = SimOps.q182CellBalance(spark, sf).collect()
+    assert(rows.length == bands.size)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("band")
+      val cs = bands(b)
+      assert(r.getAs[Long]("n_cells") == cs.length.toLong, s"band $b")
+      assert(r.getAs[Long]("vec_mass") == cs.sum, s"band $b")
+      assert(r.getAs[Long]("min_occ") == cs.min, s"band $b")
+      assert(r.getAs[Long]("max_occ") == cs.max, s"band $b")
+      assert(r.getAs[Long]("cell_ppm") ==
+        (BigInt(cs.length) * 1000000 / cellsTotal).toLong, s"band $b")
+      assert(r.getAs[Long]("vec_ppm") ==
+        (BigInt(cs.sum) * 1000000 / nVecs).toLong, s"band $b")
+      assert(r.getAs[Long]("skew_x100") ==
+        (BigInt(occMax) * 100 * cellsTotal / nVecs).toLong, s"band $b")
+    }
+  }
+
+  test("q182 exposes a planted mega-cell as occupancy skew") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("cell-balance").toString
+    def axis(dim: Int, mag: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) mag else 0.0f)
+    // 20 vectors → 16 seed centroids (vec_id < 16). ids 0-14 all on
+    // axis 0: identical cosine to every axis-0 seed → ties collapse to
+    // cell 0 (a planted mega-cell). ids 15-19 on axis 7 → cell 15.
+    val rows = (0 to 14).map(i => (i.toLong, axis(0, 1.0f + 0.0f * i), 1)) ++
+      (15 to 19).map(i => (i.toLong, axis(7, 1.0f), 2))
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = SimOps.q182CellBalance(spark, dir).collect()
+      .map(x => x.getAs[Int]("band") -> x).toMap
+    spark.catalog.clearCache()
+    // band 1: the 15-vector mega-cell; band 0: the 5-vector cell
+    assert(r.keySet == Set(0, 1))
+    assert(r(1).getAs[Long]("n_cells") == 1L)
+    assert(r(1).getAs[Long]("vec_mass") == 15L)
+    assert(r(0).getAs[Long]("vec_mass") == 5L)
+    // skew x100 = 15 * 100 * 2 cells / 20 vecs = 150 (max 1.5x mean)
+    assert(r(1).getAs[Long]("skew_x100") == 150L)
+  }
+
   test("q165 flags planted separated vs blended classes") {
     import spark.implicits._
     val dir = java.nio.file.Files
