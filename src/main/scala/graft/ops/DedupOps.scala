@@ -449,6 +449,111 @@ object DedupOps {
     CROSS JOIN tot
     ORDER BY p.threshold_pct"""
 
+  // ---- q183: dedup recall harness ----------------------------------------
+  // q104's posture applied to the dedup family: LSH banding is the one
+  // APPROXIMATE step in the near-dup pipeline (1−(1−j)^8 recall — it can
+  // MISS true pairs), and nothing measured that miss rate until now.
+  // Ground truth = exact all-pairs Jaccard over a bounded eval prefix
+  // (doc_id < 256 — the q104 eval-set pattern); the harness reports the
+  // band stage's measured recall (true pairs found / true pairs) and
+  // candidate precision (verified-true candidates / candidates) in
+  // exact ppm. Verified candidates are PROVABLY a subset of the truth
+  // (the verify filter is exact Jaccard), but the harness measures the
+  // containment via a semi join instead of assuming it.
+  //
+  // Scale shape: the ground truth is an eval-bounded broadcast cross
+  // (≤256² pairs — never corpus all-pairs); the candidate side rides
+  // the pinned band stage with an id-prefix filter; five 1-row
+  // aggregates combine via broadcast crosses (the q118 frame pattern).
+  private[graft] val DedupEvalN = 256L
+
+  def q183DedupRecall(s: SparkSession, d: String): DataFrame = {
+    val evalSh = withShingles(
+        Tables.documents(s, d).filter(col("doc_id") < DedupEvalN))
+      .select(col("doc_id"), col("hv"))
+    val a = evalSh.select(col("doc_id").as("id1"), col("hv").as("hv1"))
+    val b = evalSh.select(col("doc_id").as("id2"), col("hv").as("hv2"))
+    val truth = a.crossJoin(broadcast(b))
+      .filter(col("id1") < col("id2"))
+      .withColumn("inter",
+        size(array_intersect(col("hv1"), col("hv2"))).cast("long"))
+      .withColumn("n1", size(col("hv1")).cast("long"))
+      .withColumn("n2", size(col("hv2")).cast("long"))
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .select(col("id1"), col("id2"))
+    val cand = bandCandidates(s, d)
+      .filter(col("id1") < DedupEvalN && col("id2") < DedupEvalN)
+    val candTrue = cand
+      .filter(col("inter") * 3 >= col("n1") + col("n2"))
+      .select(col("id1"), col("id2"))
+    val nEval = Tables.documents(s, d)
+      .filter(col("doc_id") < DedupEvalN)
+      .agg(count(lit(1)).as("n_eval_docs"))
+    val tTruth = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val tCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val tCandTrue = candTrue.agg(count(lit(1)).as("n_cand_true"))
+    val tFound = truth.join(candTrue, Seq("id1", "id2"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nEval.crossJoin(broadcast(tTruth)).crossJoin(broadcast(tCand))
+      .crossJoin(broadcast(tCandTrue)).crossJoin(broadcast(tFound))
+      .withColumn("recall_ppm", when(col("n_true_pairs") > 0L,
+        expr("cast(n_found as decimal(38,0)) * 1000000 div n_true_pairs")))
+      .withColumn("precision_ppm", when(col("n_candidates") > 0L,
+        expr("cast(n_cand_true as decimal(38,0)) * 1000000" +
+          " div n_candidates")))
+      .select(col("n_eval_docs"), col("n_true_pairs"), col("n_candidates"),
+        col("n_cand_true"), col("n_found"), col("recall_ppm"),
+        col("precision_ppm"))
+  }
+
+  val q183Sql: String = sqlShingles + s""",
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) AS BIGINT) AS n1, CAST(len(sb.hv) AS BIGINT) AS n2
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2
+      WHERE id1 < $DedupEvalN AND id2 < $DedupEvalN),
+    truth AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM (SELECT doc_id, hv FROM sh WHERE doc_id < $DedupEvalN) a
+      JOIN (SELECT doc_id, hv FROM sh WHERE doc_id < $DedupEvalN) b
+        ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) * 3
+        >= len(a.hv) + len(b.hv)),
+    candt AS (
+      SELECT id1, id2 FROM jac WHERE inter * 3 >= n1 + n2),
+    f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+      FROM truth t WHERE EXISTS (SELECT 1 FROM candt c
+        WHERE c.id1 = t.id1 AND c.id2 = t.id2)),
+    frames AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+          WHERE doc_id < $DedupEvalN) AS n_eval_docs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM jac) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM candt) AS n_cand_true,
+        (SELECT n_found FROM f) AS n_found)
+    SELECT n_eval_docs, n_true_pairs, n_candidates, n_cand_true, n_found,
+      CAST(CASE WHEN n_true_pairs > 0 THEN
+        CAST(n_found AS HUGEINT) * 1000000 // n_true_pairs END AS BIGINT)
+        AS recall_ppm,
+      CAST(CASE WHEN n_candidates > 0 THEN
+        CAST(n_cand_true AS HUGEINT) * 1000000 // n_candidates
+        END AS BIGINT) AS precision_ppm
+    FROM frames"""
+
   // ---- q32: SimHash fingerprints (60-bit, over shingle hashes) ---------
   // bit b of simhash = sign of sum over shingles of (+1/-1 by hash bit b),
   // equivalently 2·popcount_b > n. Shape: explode the per-shingle hashes
@@ -1770,7 +1875,8 @@ object DedupOps {
     "q164_source_shrinkage" -> q164SourceShrinkage _,
     "q166_dup_flow" -> q166DupFlow _,
     "q167_template_skeleton" -> q167TemplateSkeleton _,
-    "q174_threshold_sweep" -> q174ThresholdSweep _)
+    "q174_threshold_sweep" -> q174ThresholdSweep _,
+    "q183_dedup_recall" -> q183DedupRecall _)
 
   val oracles: Map[String, String] = Map(
     "q29_exact_dedup"   -> q29Sql,
@@ -1791,5 +1897,6 @@ object DedupOps {
     "q164_source_shrinkage" -> q164Sql,
     "q166_dup_flow" -> q166Sql,
     "q167_template_skeleton" -> q167Sql,
-    "q174_threshold_sweep" -> q174Sql)
+    "q174_threshold_sweep" -> q174Sql,
+    "q183_dedup_recall" -> q183Sql)
 }

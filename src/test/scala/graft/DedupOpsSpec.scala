@@ -101,6 +101,38 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 dedup recall: brute all-pairs truth recount over the eval prefix") {
+    val shingles = Tables.documents(spark, sf)
+      .filter(col("doc_id") < DedupOps.DedupEvalN)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).trim.toLowerCase
+          .split("[ \t\n\r\f]+").toSeq
+        if (toks.length < 3) None
+        else Some(r.getLong(0) -> toks.sliding(3).map(_.mkString(" "))
+          .toSeq.distinct.map(DedupOps.h60).toSet)
+      }
+    val truth = (for {
+      (i, hi) <- shingles; (j, hj) <- shingles if i < j
+      if hi.intersect(hj).size * 3 >= hi.size + hj.size
+    } yield (i, j)).toSet
+    val r = DedupOps.q183DedupRecall(spark, sf).collect().head
+    assert(r.getAs[Long]("n_eval_docs") ==
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") < DedupOps.DedupEvalN).count())
+    assert(r.getAs[Long]("n_true_pairs") == truth.size.toLong)
+    // verified candidates are exact-Jaccard-filtered, so containment in
+    // the truth must be measured as total: found == cand_true
+    assert(r.getAs[Long]("n_found") == r.getAs[Long]("n_cand_true"))
+    assert(r.getAs[Long]("n_cand_true") <= r.getAs[Long]("n_candidates"))
+    if (truth.nonEmpty)
+      assert(r.getAs[Long]("recall_ppm") ==
+        (BigInt(r.getAs[Long]("n_found")) * 1000000 / truth.size).toLong)
+    // the fixture's planted dups give the 8-band scheme near-total
+    // recall at j >= 0.5 (1-(1-j)^8 >= 0.996)
+    assert(truth.nonEmpty && r.getAs[Long]("recall_ppm") >= 900000L)
+  }
+
   test("exact dedup partitions the corpus (copies sum to row count)") {
     val d = DedupOps.q29ExactDedup(spark, sf)
     assert(d.agg(sum("n_copies")).head().getLong(0)

@@ -92,7 +92,9 @@ class PlanSpec extends AnyFunSuite {
     // q178: the 8-word stopword frame crosses the |sources| frame and
     // the 1-row corpus mass attaches — all bounded broadcasts
     // q181/q182: 1-row totals attach to ≤14-decade frames the same way
-    val allowed = Set("q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+    // q183: eval-bounded ground-truth cross (the q104 pattern) + five
+    // 1-row count frames combining via broadcast crosses
+    val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
       "q181_conversion_lag", "q182_cell_balance",
