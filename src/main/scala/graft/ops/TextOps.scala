@@ -2519,7 +2519,85 @@ object TextOps {
            ELSE 'aligned' END AS band
     FROM mx GROUP BY source ORDER BY source"""
 
+  // ---- q184: integer readability profile ---------------------------------
+  // The Flesch-family signal in exact integer form: per source,
+  // words-per-sentence and syllables-per-word (the two Flesch terms) as
+  // milli-ratios, banded easy/standard/difficult. Syllables use the
+  // classic vowel-RUN proxy ('[aeiouy]+' matches), sentences the
+  // punctuation-run count with a floor of one per doc — both engines
+  // count the same regex matches, so every number is bit-identical.
+  // The readability axis is orthogonal to q25's length/stopword gates
+  // and q138's Gopher battery: a corpus can pass both and still be
+  // 40-word-sentence legalese a pretraining mix may want capped.
+  //
+  // Rules: zero-word docs are dropped before the aggregate (the q155
+  // blank-doc discipline); ratios are exact milli via Decimal div.
+  // Bands: easy (spw ≤ 1300 AND wps ≤ 15000), difficult (spw ≥ 1700 OR
+  // wps ≥ 25000), else standard — integer thresholds, no float Flesch.
+  //
+  // Scale shape: one corpus scan, all per-row work codegen regex
+  // counts, one map-side-combining aggregate onto |sources| rows.
+  def q184Readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(filter(toks(col("text")), t => t =!= lit("")))
+          .cast("long").as("n_words"),
+        greatest(lit(1L), expr(
+          "cast(size(regexp_extract_all(text, '[.!?]+', 0)) as long)"))
+          .as("n_sents"),
+        expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))" +
+          " as long)").as("n_syll"))
+      .filter(col("n_words") > 0L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("word_mass"),
+        sum(col("n_sents")).as("sent_mass"),
+        sum(col("n_syll")).as("syll_mass"))
+      .withColumn("wps_milli",
+        expr("cast(word_mass as decimal(38,0)) * 1000 div sent_mass"))
+      .withColumn("spw_milli",
+        expr("cast(syll_mass as decimal(38,0)) * 1000 div word_mass"))
+      .withColumn("band",
+        when(col("spw_milli") <= 1300L && col("wps_milli") <= 15000L,
+          "easy")
+          .when(col("spw_milli") >= 1700L || col("wps_milli") >= 25000L,
+            "difficult")
+          .otherwise("standard"))
+      .select(col("source"), col("n_docs"), col("word_mass"),
+        col("sent_mass"), col("syll_mass"), col("wps_milli"),
+        col("spw_milli"), col("band"))
+      .orderBy(col("source"))
+
+  val q184Sql: String = raw"""
+    WITH c AS (
+      SELECT source,
+        CAST(len(list_filter(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS n_words,
+        GREATEST(CAST(1 AS BIGINT),
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+          AS n_sents,
+        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          AS BIGINT) AS n_syll
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_words) AS BIGINT) AS word_mass,
+      CAST(SUM(n_sents) AS BIGINT) AS sent_mass,
+      CAST(SUM(n_syll) AS BIGINT) AS syll_mass,
+      CAST(CAST(SUM(n_words) AS HUGEINT) * 1000 // SUM(n_sents)
+        AS BIGINT) AS wps_milli,
+      CAST(CAST(SUM(n_syll) AS HUGEINT) * 1000 // SUM(n_words)
+        AS BIGINT) AS spw_milli,
+      CASE WHEN CAST(SUM(n_syll) AS HUGEINT) * 1000 // SUM(n_words)
+          <= 1300 AND CAST(SUM(n_words) AS HUGEINT) * 1000
+          // SUM(n_sents) <= 15000 THEN 'easy'
+        WHEN CAST(SUM(n_syll) AS HUGEINT) * 1000 // SUM(n_words)
+          >= 1700 OR CAST(SUM(n_words) AS HUGEINT) * 1000
+          // SUM(n_sents) >= 25000 THEN 'difficult'
+        ELSE 'standard' END AS band
+    FROM c WHERE n_words > 0
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_readability" -> q184Readability _,
     "q175_char_classes" -> q175CharClassProfile _,
     "q177_vocab_exclusivity" -> q177VocabExclusivity _,
     "q178_stopword_drift" -> q178StopwordDrift _,
@@ -2555,6 +2633,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q184_readability" -> q184Sql,
     "q175_char_classes" -> q175Sql,
     "q177_vocab_exclusivity" -> q177Sql,
     "q178_stopword_drift" -> q178Sql,

@@ -814,6 +814,60 @@ class TextOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q184 readability: brute recount of words, sentence runs, vowel runs") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .flatMap { r =>
+        val t = r.getString(1)
+        val words = t.trim.toLowerCase.split("[ \t\n\r\f]+")
+          .count(_.nonEmpty).toLong
+        if (words == 0) None
+        else {
+          val sents = math.max(1L,
+            "[.!?]+".r.findAllIn(t).length.toLong)
+          val syll = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+          Some((r.getString(0), words, sents, syll))
+        }
+      }
+    val bySrc = docs.groupBy(_._1)
+    val rows = ops.TextOps.q184Readability(spark, sf).collect()
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val cell = bySrc(src)
+      val (w, s0, y) = (cell.map(_._2).sum, cell.map(_._3).sum,
+        cell.map(_._4).sum)
+      assert(r.getAs[Long]("n_docs") == cell.length.toLong, src)
+      assert(r.getAs[Long]("word_mass") == w, src)
+      assert(r.getAs[Long]("sent_mass") == s0, src)
+      assert(r.getAs[Long]("syll_mass") == y, src)
+      val wps = (BigInt(w) * 1000 / s0).toLong
+      val spw = (BigInt(y) * 1000 / w).toLong
+      assert(r.getAs[Long]("wps_milli") == wps, src)
+      assert(r.getAs[Long]("spw_milli") == spw, src)
+      val band = if (spw <= 1300 && wps <= 15000) "easy"
+        else if (spw >= 1700 || wps >= 25000) "difficult" else "standard"
+      assert(r.getAs[String]("band") == band, src)
+    }
+  }
+
+  test("q184 separates planted legalese from plain prose") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("readability").toString
+    Seq(
+      (1L, "The cat sat. The dog ran. A kid had fun. It was a big day.",
+        "en", "plain", 58L),
+      (2L, "Notwithstanding heretofore enumerated considerations " +
+        "regarding aforementioned contractual obligations necessitating " +
+        "comprehensive documentation deliverables incorporating " +
+        "supplementary administrative prerequisites", "en", "legal", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val m = ops.TextOps.q184Readability(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("band")).toMap
+    assert(m("plain") == "easy", m.toString)
+    assert(m("legal") == "difficult", m.toString)
+  }
+
   test("q169 frequency spectrum: brute recount of decades, mass, and hapax") {
     val counts = Tables.documents(spark, sf).select("text").collect()
       .flatMap(_.getString(0).trim.toLowerCase.split("[ \t\n\r\f]+"))
