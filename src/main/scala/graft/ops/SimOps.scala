@@ -227,6 +227,84 @@ object SimOps {
     SELECT q_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
     FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ---- q187: nearest-neighbor margin audit -----------------------------
+  // Per eval query, the cosine GAP between its rank-1 and rank-2
+  // neighbors — the separability signal that predicts where every ANN
+  // family will err: a query whose top two neighbors are nearly tied
+  // flips rank under any quantization/bucketing noise (PQ distortion,
+  // LSH probe miss), so a corpus whose margins concentrate near zero
+  // needs more probes/finer codebooks REGARDLESS of measured recall on
+  // one index build. The complement to q104 (which measures realized
+  // recall per family) and q171 (hubness: how often a vector is someone
+  // ELSE's neighbor): margin is the query-side difficulty distribution.
+  //
+  // Scale shape: the q35 eval-set discipline — a FIXED bounded query set
+  // (vec_id < 100) broadcast against one corpus scan; rank via a
+  // per-query top-2 window over the broadcast-joined frame. Doubles are
+  // never aggregated (float-sum order nondeterminism): the output is
+  // per-query rows, and every double is a fixed per-row IEEE expression
+  // over exact integers, so both engines produce bit-identical values
+  // (the q35 precedent the gate already proves).
+  def q187MarginAudit(s: SparkSession, d: String): DataFrame = {
+    QuantizedDot.register(s)
+    val emb = Tables.embeddings(s, d).withColumn("nq", normQ)
+    val q = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nq").as("q_nq"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nq").as("c_nq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        cosine(dotQ("q_emb", "c_emb"), col("q_nq"), col("c_nq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        max(when(col("rank") === 1, col("c_id"))).as("nn1_id"),
+        max(when(col("rank") === 1, col("cosine"))).as("cos1"),
+        max(when(col("rank") === 2, col("c_id"))).as("nn2_id"),
+        max(when(col("rank") === 2, col("cosine"))).as("cos2"))
+      .withColumn("margin", col("cos1") - col("cos2"))
+      .withColumn("margin_band",
+        when(col("margin") >= 0.05, "separable")
+          .when(col("margin") >= 0.01, "close")
+          .otherwise("ambiguous"))
+      .orderBy(col("q_id"))
+  }
+
+  val q187Sql: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding, $sqlNormQ AS nq FROM embeddings),
+    q AS (SELECT vec_id AS q_id, label AS q_label,
+            embedding AS q_emb, nq AS q_nq
+          FROM e WHERE vec_id < 100),
+    scored AS (
+      SELECT q_id, q_label, e.vec_id AS c_id,
+        CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
+          / sqrt(CAST(q_nq * e.nq AS DOUBLE)) AS cosine
+      FROM q JOIN e ON e.vec_id <> q_id),
+    ranked AS (
+      SELECT q_id, q_label, c_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, c_id) AS rank
+      FROM scored),
+    piv AS (
+      SELECT q_id, q_label,
+        MAX(CASE WHEN rank = 1 THEN c_id END) AS nn1_id,
+        MAX(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+        MAX(CASE WHEN rank = 2 THEN c_id END) AS nn2_id,
+        MAX(CASE WHEN rank = 2 THEN cosine END) AS cos2
+      FROM ranked WHERE rank <= 2 GROUP BY 1, 2)
+    SELECT q_id, q_label, nn1_id, cos1, nn2_id, cos2,
+      cos1 - cos2 AS margin,
+      CASE WHEN cos1 - cos2 >= 0.05 THEN 'separable'
+           WHEN cos1 - cos2 >= 0.01 THEN 'close'
+           ELSE 'ambiguous' END AS margin_band
+    FROM piv ORDER BY q_id"""
+
   // ---- q36: ANN top-1 via random-hyperplane LSH ------------------------
   // The scale path: candidates come from a bucket equi-join, never a cross
   // join, and the plane count grows with the corpus (planesFor) so bucket
@@ -1703,6 +1781,86 @@ object SimOps {
       ON r.vec_id = g.nbr_id AND r.nbr_id = g.vec_id
     ORDER BY g.vec_id, g.rank"""
 
+  // ---- q188: kNN label-agreement audit ---------------------------------
+  // Label-noise detection by neighborhood vote: for each vector in the
+  // pinned kNN graph, the share of its top-K neighbors carrying the SAME
+  // label — the classic kNN label-consistency screen run before trusting
+  // labels for hard-negative mining (q105), centroid classification
+  // (q179), or label-stratified decontamination. A vector whose
+  // neighborhood disagrees with its label (< 50% agreement) is either
+  // mislabeled or lives on a genuine class boundary; a LABEL whose mass
+  // concentrates in the suspect band is a labeling-process failure, not
+  // a geometry problem (q165/q179 see the same signal only after it has
+  // polluted the centroids). Reported as the per-(label, band) ledger
+  // with per-label vector shares in exact ppm.
+  //
+  // Scale shape: rides the pinned knn_edges stage (n·K rows) + two
+  // vec_id-keyed label joins (label column only — no vectors move);
+  // everything after the per-vector aggregate is a ≤|labels|·3 frame,
+  // windows included. Vectors alone in their IVF cell have no edges and
+  // drop from the audit identically in both engines (the edge list is
+  // the shared derivation).
+  def q188LabelAgreement(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = knnEdges(s, d)
+    val lab = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val perVec = edges
+      .join(lab, Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), Seq("nbr_id"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_pct", expr("n_agree * 100 div k_eff"))
+      .withColumn("agree_band",
+        when(col("agree_pct") >= 80L, "consistent")
+          .when(col("agree_pct") >= 50L, "mixed")
+          .otherwise("suspect"))
+    val w = Window.partitionBy(col("label"))
+    perVec.groupBy(col("label"), col("agree_band"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n_agree")).as("agree_edges"),
+        sum(col("k_eff")).as("total_edges"))
+      .withColumn("label_vecs", sum(col("n_vecs")).over(w))
+      .withColumn("vec_ppm",
+        expr("cast(n_vecs as decimal(38,0)) * 1000000 div label_vecs"))
+      .select(col("label"), col("agree_band"), col("n_vecs"),
+        col("agree_edges"), col("total_edges"), col("label_vecs"),
+        col("vec_ppm"))
+      .orderBy(col("label"), col("agree_band"))
+  }
+
+  val q188Sql: String = s"""$sqlKnnCtes,
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+            FROM embeddings),
+    agr AS (
+      SELECT e.vec_id, la.label,
+        CAST(COUNT(*) AS BIGINT) AS k_eff,
+        CAST(SUM(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_agree
+      FROM edges e
+      JOIN lab la ON la.vec_id = e.vec_id
+      JOIN lab lb ON lb.vec_id = e.nbr_id
+      GROUP BY 1, 2),
+    banded AS (
+      SELECT label,
+        CASE WHEN n_agree * 100 // k_eff >= 80 THEN 'consistent'
+             WHEN n_agree * 100 // k_eff >= 50 THEN 'mixed'
+             ELSE 'suspect' END AS agree_band,
+        k_eff, n_agree
+      FROM agr),
+    cells AS (
+      SELECT label, agree_band, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(n_agree) AS BIGINT) AS agree_edges,
+        CAST(SUM(k_eff) AS BIGINT) AS total_edges
+      FROM banded GROUP BY 1, 2)
+    SELECT label, agree_band, n_vecs, agree_edges, total_edges,
+      CAST(SUM(n_vecs) OVER (PARTITION BY label) AS BIGINT) AS label_vecs,
+      CAST(CAST(n_vecs AS HUGEINT) * 1000000
+        // SUM(n_vecs) OVER (PARTITION BY label) AS BIGINT) AS vec_ppm
+    FROM cells ORDER BY label, agree_band"""
+
   // ---- q171: kNN hubness audit (k-occurrence distribution) -------------
   // The classic high-dimensional ANN pathology check: N_k(x) = how many
   // vectors list x among their top-K neighbors. In healthy embedding
@@ -2192,6 +2350,8 @@ object SimOps {
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
     "q165_class_separation" -> q165ClassSeparation _,
     "q35_knn_brute"       -> q35KnnBrute _,
+    "q187_margin_audit"   -> q187MarginAudit _,
+    "q188_label_agreement" -> q188LabelAgreement _,
     "q36_ann_lsh"         -> q36AnnLsh _,
     "q37_cosine_neardup"  -> q37CosineNeardup _,
     "q38_label_centroids" -> q38LabelCentroids _,
@@ -2216,6 +2376,8 @@ object SimOps {
     "q151_embedding_hygiene" -> q151Sql,
     "q165_class_separation" -> q165Sql,
     "q35_knn_brute"       -> q35Sql,
+    "q187_margin_audit"   -> q187Sql,
+    "q188_label_agreement" -> q188Sql,
     "q36_ann_lsh"         -> q36Sql,
     "q37_cosine_neardup"  -> q37Sql,
     "q38_label_centroids" -> q38Sql,

@@ -58,9 +58,109 @@ object Skew {
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name ORDER BY s_name"""
 
+  // ---- q185: bucketed co-located join, oracle = the plain join ---------
+  // The third physical co-location tool next to q46's salting and the
+  // broadcast dims: both sides of a repeated big⋈big equi-join are
+  // written ONCE as bucketed+sorted catalog tables on the join key, and
+  // every subsequent join on that key plans as a zero-exchange, zero-sort
+  // sort-merge join — the classic warehouse answer to "this fact⋈fact
+  // join runs every day; stop paying its shuffle every day". At 100 TB
+  // the two sides here are the document metadata table and a
+  // per-document derived attribute table (token counts): exactly the
+  // Dolma-attributes join q133 runs, which neither broadcasts (both
+  // corpus-sized) nor wants re-shuffled per query. Bucketing is a
+  // PHYSICAL rewrite only, so the oracle is the plain join over the raw
+  // parquet — the gate proves row-identity, PlanSpec pins the
+  // no-exchange plan shape.
+  //
+  // The bucketed pair is built at most once per (session, dataset
+  // version) — the StageCache invalidation discipline, keyed through the
+  // session catalog: a regenerated fixture gets fresh versioned table
+  // names, a re-run within the session hits `tableExists` and pays
+  // nothing. 16 buckets ≪ 32 shuffle partitions is deliberate: bucket
+  // count is a LAYOUT constant that must match across all writers of the
+  // co-location group, not a per-query parallelism knob (Spark splits
+  // bucket files by row-group for read parallelism).
+  /** Create `name` if this session's catalog doesn't know it yet. The
+    * in-memory catalog dies with the JVM but the warehouse DIRECTORY
+    * survives, so a fresh session re-creating the same versioned name
+    * would hit LOCATION_ALREADY_EXISTS — clear the orphaned location
+    * first (`mode(overwrite)` only covers catalog-registered tables).
+    * At cluster scale the catalog is durable (metastore) and this
+    * branch never fires; it is the single-JVM-app equivalent of
+    * CREATE TABLE IF NOT EXISTS against a shared metastore. */
+  private def ensureTable(s: SparkSession, name: String)(
+      write: => Unit): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      write
+    }
+
+  private def bucketedDocTables(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ver = java.lang.Long.toHexString(StageCache.version(d))
+    val docsT = s"graft_docs_b_$ver"
+    val toksT = s"graft_toks_b_$ver"
+    ensureTable(s, docsT) {
+      Tables.documents(s, d).select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id").saveAsTable(docsT)
+    }
+    ensureTable(s, toksT) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(TextOps.toks(col("text")), t => t =!= lit("")))
+            .cast("long").as("n_tokens"))
+        .write.mode("overwrite")
+        .bucketBy(16, "doc_id").sortBy("doc_id").saveAsTable(toksT)
+    }
+    (s.table(docsT), s.table(toksT))
+  }
+
+  def q185BucketJoin(s: SparkSession, d: String): DataFrame = {
+    val (docs, toks) = bucketedDocTables(s, d)
+    docs.join(toks, Seq("doc_id"))
+      .filter(col("n_tokens") >= 1L)
+      .withColumn("cpt_x100", expr("n_chars * 100 div n_tokens"))
+      .withColumn("band",
+        when(col("cpt_x100") < 550L, "terse")
+          .when(col("cpt_x100") < 700L, "typical")
+          .otherwise("verbose"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("mean_cpt_x100", expr("sum_chars * 100 div sum_tokens"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  val q185Sql: String = """
+    WITH pd AS (
+      SELECT doc_id, source, n_chars,
+        CAST(length(list_filter(
+          string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'),
+          t -> t <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT source, n_chars, n_tokens,
+        CASE WHEN n_chars * 100 // n_tokens < 550 THEN 'terse'
+             WHEN n_chars * 100 // n_tokens < 700 THEN 'typical'
+             ELSE 'verbose' END AS band
+      FROM pd WHERE n_tokens >= 1)
+    SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(n_chars) * 100 // SUM(n_tokens) AS BIGINT) AS mean_cpt_x100
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_salted_join" -> q46SaltedJoin _)
+    "q46_salted_join" -> q46SaltedJoin _,
+    "q185_bucket_join" -> q185BucketJoin _)
 
   val oracles: Map[String, String] = Map(
-    "q46_salted_join" -> q46Sql)
+    "q46_salted_join" -> q46Sql,
+    "q185_bucket_join" -> q185Sql)
 }

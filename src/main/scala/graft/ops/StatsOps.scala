@@ -1182,7 +1182,60 @@ object StatsOps {
            ELSE 'aligned' END AS drift_band
     FROM dv GROUP BY source, n_s ORDER BY source"""
 
+  // ---- q186: effective sample size under importance weights ------------
+  // The audit that closes q101's importance-sampling loop: Kish's
+  // ESS = (Σw)² / Σw² per source, for exactly q101's weight design
+  // (w = min(n_chars, 512)). Relative ESS (ppm of n) is the number a
+  // mixture designer actually reads — 1e6 means the weighting is a
+  // no-op, a low value means a few long docs dominate the drawn sample
+  // and the source's nominal document count overstates its statistical
+  // contribution (variance ∝ 1/ESS). Run BEFORE committing a sampling
+  // design: a source with ess_ppm ≪ 1e6 needs weight clipping (lower
+  // cap) or stratification, not more draws.
+  //
+  // Exact-integer discipline: w ≤ 512 so Σw ≤ 512n and (Σw)²·1e6 ≤
+  // 2.7e37 < 1e38 for n up to 1e13 docs — Decimal(38,0) carries the
+  // numerator exactly (the documented q146/q151 large-scale pattern),
+  // matching DuckDB's HUGEINT. One map-side-combining aggregate onto
+  // |sources| rows; zero text scans (n_chars is a footer column).
+  def q186EffectiveSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", least(col("n_chars"), lit(512L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("sum_w"),
+        sum(col("w") * col("w")).as("sum_w2"))
+      .withColumn("ess_docs",
+        expr("cast(sum_w as decimal(38,0)) * sum_w div sum_w2"))
+      .withColumn("ess_ppm",
+        expr("cast(sum_w as decimal(38,0)) * sum_w * 1000000" +
+          " div (n_docs * sum_w2)"))
+      .withColumn("ess_band",
+        when(col("ess_ppm") >= 900000L, "uniform")
+          .when(col("ess_ppm") >= 600000L, "mild_skew")
+          .otherwise("concentrated"))
+      .select(col("source"), col("n_docs"), col("sum_w"), col("sum_w2"),
+        col("ess_docs"), col("ess_ppm"), col("ess_band"))
+      .orderBy(col("source"))
+
+  val q186Sql: String = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(w) AS BIGINT) AS sum_w,
+      CAST(SUM(w * w) AS BIGINT) AS sum_w2,
+      CAST(CAST(SUM(w) AS HUGEINT) * SUM(w) // SUM(w * w) AS BIGINT)
+        AS ess_docs,
+      CAST(CAST(SUM(w) AS HUGEINT) * SUM(w) * 1000000
+        // (COUNT(*) * SUM(w * w)) AS BIGINT) AS ess_ppm,
+      CASE WHEN CAST(SUM(w) AS HUGEINT) * SUM(w) * 1000000
+               // (COUNT(*) * SUM(w * w)) >= 900000 THEN 'uniform'
+           WHEN CAST(SUM(w) AS HUGEINT) * SUM(w) * 1000000
+               // (COUNT(*) * SUM(w * w)) >= 600000 THEN 'mild_skew'
+           ELSE 'concentrated' END AS ess_band
+    FROM (SELECT source, LEAST(n_chars, 512) AS w FROM documents)
+    GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_effective_sample" -> q186EffectiveSample _,
     "q158_ks_drift" -> q158KsDrift _,
     "q152_composition_skew" -> q152CompositionSkew _,
     "q56_percentiles" -> q56Percentiles _,
@@ -1200,6 +1253,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q186_effective_sample" -> q186Sql,
     "q158_ks_drift" -> q158Sql,
     "q152_composition_skew" -> q152Sql,
     "q56_percentiles" -> q56Sql,

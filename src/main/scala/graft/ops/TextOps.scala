@@ -25,7 +25,7 @@ object TextOps {
   /** Whitespace tokens of lowercased text. The explicit class (not \s)
     * is the intersection both regex engines agree on: Java \s includes
     * vertical tab \x0B, RE2 (DuckDB) does not. */
-  private def toks(c: Column): Column =
+  private[ops] def toks(c: Column): Column =
     split(trim(lower(c)), "[ \\t\\n\\r\\f]+")
 
   private def countTok(tokens: Column, word: String): Column =

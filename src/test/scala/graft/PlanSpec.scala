@@ -94,7 +94,9 @@ class PlanSpec extends AnyFunSuite {
     // q181/q182: 1-row totals attach to ≤14-decade frames the same way
     // q183: eval-bounded ground-truth cross (the q104 pattern) + five
     // 1-row count frames combining via broadcast crosses
+    // q187: corpus × broadcast(100-query eval prefix) — the q35 shape
     val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q187_margin_audit",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
       "q181_conversion_lag", "q182_cell_balance",

@@ -582,4 +582,75 @@ class SimOpsSpec extends AnyFunSuite {
     assert(r(2L) == "blended", r.toString)
     assert(r(3L) == "blended", r.toString)
   }
+
+  test("q188 agreement ledger matches a brute recount off the q130 edges") {
+    val edges = ops.SimOps.q130KnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong)
+      .toMap
+    val perVec = edges.groupBy(_._1).toSeq.map { case (v, es) =>
+      val agree = es.count(e => labels(e._2) == labels(v)).toLong
+      val pct = agree * 100 / es.length
+      val band = if (pct >= 80) "consistent"
+        else if (pct >= 50) "mixed" else "suspect"
+      (labels(v), band, agree, es.length.toLong)
+    }
+    val cells = perVec.groupBy(t => (t._1, t._2)).map { case (k, xs) =>
+      k -> ((xs.size.toLong, xs.map(_._3).sum, xs.map(_._4).sum))
+    }
+    val labelTotals = perVec.groupBy(_._1)
+      .map { case (l, xs) => l -> xs.size.toLong }
+    val r = ops.SimOps.q188LabelAgreement(spark, sf).collect()
+    assert(r.map(x =>
+      (x.getAs[Long]("label"), x.getAs[String]("agree_band"))).toSet ==
+      cells.keySet)
+    r.foreach { row =>
+      val key = (row.getAs[Long]("label"), row.getAs[String]("agree_band"))
+      val (nv, ae, te) = cells(key)
+      assert(row.getAs[Long]("n_vecs") == nv, key.toString)
+      assert(row.getAs[Long]("agree_edges") == ae, key.toString)
+      assert(row.getAs[Long]("total_edges") == te, key.toString)
+      assert(row.getAs[Long]("label_vecs") == labelTotals(key._1))
+      assert(row.getAs[Long]("vec_ppm") ==
+        nv * 1000000L / labelTotals(key._1))
+    }
+  }
+
+  test("q187 margins match a brute top-2 recount with identical quantization") {
+    val vecs = Tables.embeddings(spark, sf).collect().map { r =>
+      (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray)
+    }
+    def dotq(a: Array[Float], b: Array[Float]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) {
+        s += math.floor(a(i).toDouble * b(i).toDouble * 1e9 + 0.5).toLong
+        i += 1
+      }
+      s
+    }
+    def nq(a: Array[Float]): Long = dotq(a, a)
+    val norms = vecs.map { case (id, v) => id -> nq(v) }.toMap
+    val r = ops.SimOps.q187MarginAudit(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val qId = row.getAs[Long]("q_id")
+      val qv = vecs.find(_._1 == qId).get._2
+      val top2 = vecs.filter(_._1 != qId).map { case (cId, cv) =>
+        val cos = dotq(qv, cv).toDouble /
+          math.sqrt((norms(qId) * norms(cId)).toDouble)
+        (cId, cos)
+      }.sortBy { case (cId, cos) => (-cos, cId) }.take(2)
+      assert(row.getAs[Long]("nn1_id") == top2(0)._1, s"q=$qId")
+      assert(row.getAs[Long]("nn2_id") == top2(1)._1, s"q=$qId")
+      // exact double equality: both sides are the same IEEE expression
+      // over the same integers
+      assert(row.getAs[Double]("margin") == top2(0)._2 - top2(1)._2)
+      val m = top2(0)._2 - top2(1)._2
+      val band = if (m >= 0.05) "separable"
+        else if (m >= 0.01) "close" else "ambiguous"
+      assert(row.getAs[String]("margin_band") == band, s"q=$qId")
+    }
+  }
 }

@@ -42,6 +42,43 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("q185 bucketed join result equals the plain parquet join") {
+    val bucketed = Skew.q185BucketJoin(spark, sf).collect()
+    val plain = Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        size(filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit(""))).cast("long"))
+      .filter(col("n_tokens") >= 1L)
+      .withColumn("cpt_x100", expr("n_chars * 100 div n_tokens"))
+      .withColumn("band",
+        when(col("cpt_x100") < 550L, "terse")
+          .when(col("cpt_x100") < 700L, "typical")
+          .otherwise("verbose"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .withColumn("mean_cpt_x100", expr("sum_chars * 100 div sum_tokens"))
+      .orderBy(col("source"), col("band"))
+      .collect()
+    assert(bucketed.sameElements(plain))
+  }
+
+  test("q185 joins its bucketed tables without an exchange on doc_id") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val df = Skew.q185BucketJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the co-location payoff: no shuffle of either corpus-sized side
+      assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+        s"bucketed join still shuffles on doc_id:\n$plan")
+    } finally saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (no manual salt)") {
     // the zero-code alternative to saltedJoin: AQE's skew-join rule
     // splits oversized partitions after the shuffle materializes. Thresholds

@@ -413,4 +413,40 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r("srcA").getAs[Long]("ks_ppm") == 250000L)
   }
 
+  test("q186 ESS matches a BigInt brute recount per source") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+    val bySrc = docs.groupBy(_._1)
+    val r = ops.StatsOps.q186EffectiveSample(spark, sf).collect()
+    assert(r.length == bySrc.size)
+    r.foreach { row =>
+      val ws = bySrc(row.getAs[String]("source")).map(x => math.min(x._2, 512L))
+      val (sw, sw2) = (BigInt(ws.sum), ws.map(w => BigInt(w) * w).sum)
+      assert(row.getAs[Long]("n_docs") == ws.length.toLong)
+      assert(BigInt(row.getAs[Long]("ess_docs")) == sw * sw / sw2)
+      assert(BigInt(row.getAs[Long]("ess_ppm")) ==
+        sw * sw * 1000000 / (sw2 * ws.length))
+    }
+  }
+
+  test("q186 flags a planted length-concentrated source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ess").toString
+    // srcU: uniform weights (all at the 512 cap) → ESS = n exactly.
+    // srcC: one doc at the cap among tiny ones → ESS collapses toward 1.
+    val u = (1 to 20).map(i => (i.toLong, "x", "en", "srcU", 600L))
+    val c = Seq((100L, "x", "en", "srcC", 512L)) ++
+      (1 to 19).map(i => (100L + i, "x", "en", "srcC", 1L))
+    (u ++ c).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.StatsOps.q186EffectiveSample(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("srcU").getAs[Long]("ess_ppm") == 1000000L)
+    assert(r("srcU").getAs[String]("ess_band") == "uniform")
+    // (512+19)² / (512²+19) ≈ 1.075 docs of effective sample out of 20
+    assert(r("srcC").getAs[Long]("ess_docs") == 1L)
+    assert(r("srcC").getAs[String]("ess_band") == "concentrated")
+  }
+
 }
