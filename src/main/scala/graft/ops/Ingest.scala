@@ -547,7 +547,108 @@ object Ingest {
       CAST(violation_key_sum AS BIGINT) AS violation_key_sum
     FROM checks ORDER BY check_name"""
 
+  // ---- q189: CSV round trip (the adversarial interchange format) -------
+  // q96 proves ORC, q117 proves JSONL; CSV is the format where round
+  // trips actually BREAK — embedded newlines, quotes, commas, and the
+  // null-vs-empty-string ambiguity all live in the documents.text
+  // column. Written RFC-4180 style (quote-doubling escape, not
+  // backslash) and re-read through an explicit schema with multiLine
+  // quoted-newline handling; empty text lands as CSV's indistinguishable
+  // empty field and is coalesced back to '' (the fixture carries no
+  // nulls, so the oracle's md5 over the original bytes still must
+  // match). Per-row md5 folded into a per-source order-insensitive
+  // digest covers every byte of every document.
+  def q189CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-docs-csv-" +
+        java.lang.Long.toHexString(
+          DedupOps.h60("csv:" + d + ":" + s.sparkContext.applicationId)))
+      .getPath
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      // the WRITER trims field whitespace by default (its read twin
+      // doesn't) — a doc ending in '\n' would come back short
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    val agg = s.read.schema(schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").csv(dir)
+      .withColumn("text", coalesce(col("text"), lit("")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+          .as("content_md5"))
+      // eager checkpoint forces the round trip NOW (the q117 discipline)
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    agg.orderBy(col("source"))
+  }
+
+  val q189Sql: String = """
+    SELECT source, COUNT(*) AS n,
+      CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      CAST(SUM(n_chars) AS BIGINT) AS char_sum,
+      md5(string_agg(md5(text), '' ORDER BY md5(text))) AS content_md5
+    FROM documents GROUP BY source ORDER BY source"""
+
+  // ---- q190: date-partitioned sink + static partition pruning ----------
+  // THE 100 TB read lever the parquet-stat guards don't cover: a
+  // time-series sink laid out as dt=YYYY-MM-DD directories, where a
+  // bounded date predicate prunes whole partitions at PLANNING time —
+  // the scan never lists, opens, or stat-checks files outside the
+  // window. The events table lands partitioned by event date (built
+  // once per dataset version — the q185/StageCache discipline), then a
+  // trailing-7-day aggregate reads it back through a LITERAL bound:
+  // the max date is resolved first (1-row collect, the documented
+  // bounded-scalar class) precisely BECAUSE a literal is what static
+  // partition pruning keys on — a scalar subquery would defer the bound
+  // past the pruner. PlanSpec asserts PartitionFilters carry the bound.
+  // The oracle computes the same window from the raw parquet, so the
+  // partitioned copy is proven byte-faithful, not just fast.
+  def q190PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-events-bydate-" +
+        java.lang.Long.toHexString(DedupOps.h60(
+          "evpart:" + d + ":" + StageCache.version(d)))).getPath
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      Tables.events(s, d)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val part = s.read.parquet(dir)
+    val maxDate = part.agg(max(col("event_date"))).collect()(0).getDate(0)
+    part.filter(col("event_date") >= date_sub(lit(maxDate), 6))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Fx.moneySum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  val q190Sql: String = s"""
+    WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events)
+    SELECT CAST(ts AS DATE) AS event_date, event_type,
+      COUNT(*) AS n, ${Fx.sqlMoneySum("value")} AS sum_value,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, mx WHERE CAST(ts AS DATE) >= md - 6
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_csv_roundtrip" -> q189CsvRoundtrip _,
+    "q190_partition_pruning" -> q190PartitionPruning _,
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
     "q95_expectations" -> q95Expectations _,
@@ -556,6 +657,8 @@ object Ingest {
     "q120_referential_integrity" -> q120ReferentialIntegrity _)
 
   val oracles: Map[String, String] = Map(
+    "q189_csv_roundtrip" -> q189Sql,
+    "q190_partition_pruning" -> q190Sql,
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
     "q95_expectations" -> q95Sql,

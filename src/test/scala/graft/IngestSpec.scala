@@ -267,4 +267,45 @@ class IngestSpec extends AnyFunSuite {
       Tables.orders(spark, sf).count())
     assert(u.getAs[Long]("n_checked") == Tables.lineitem(spark, sf).count())
   }
+
+  test("q189 CSV round trip survives newlines, quotes, commas, and empty text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("csv-rt").toString
+    val nasty = Seq(
+      (1L, "multi\nline\r\nwith CR", "en", "srcA"),
+      (2L, "quote \" and \"\"doubled\"\", comma, end", "en", "srcA"),
+      (3L, "", "en", "srcA"), // empty text: CSV's null/empty trap
+      (4L, "unicode é中文 and tab\there", "en", "srcB"),
+      (5L, "trailing newline\n", "en", "srcB"))
+    nasty.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rt = Ingest.q189CsvRoundtrip(spark, dir).collect()
+    // expected digests straight off the original frame (no CSV hop)
+    val direct = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+          .as("content_md5"))
+      .orderBy(col("source")).collect()
+    assert(rt.sameElements(direct), rt.mkString("; "))
+  }
+
+  test("q190 window is exactly the trailing 7 days, boundary day included") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evpart").toString
+    def ts(day: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d 12:00:00")
+    // days 1..10; max=10, window = days 4..10 inclusive
+    val rows = (1 to 10).map(day =>
+      (day.toLong, ts(day), day.toLong % 3, "view", 1.5, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Ingest.q190PartitionPruning(spark, dir).collect()
+    val days = r.map(_.getDate(0).toString).sorted
+    assert(days.length == 7, days.mkString(","))
+    assert(days.head == "2024-03-04" && days.last == "2024-03-10")
+    r.foreach(row => assert(row.getAs[Long]("n") == 1L))
+  }
 }

@@ -513,6 +513,17 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("q190 prunes partitions statically: the date bound reaches PartitionFilters") {
+    val p = plan("q190_partition_pruning")
+    // the literal trailing-7-day bound must land in the scan's
+    // PARTITION filters (directory-level pruning), not just DataFilters
+    assert(p.contains("PartitionFilters: ["), p)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters:"))
+      .mkString("\n")
+    assert(pf.contains("event_date") && pf.contains(">="),
+      s"date bound missing from partition filters:\n$pf")
+  }
+
   test("q145 chunking is scan-local: no join, no aggregate, one sort exchange") {
     val p = plan("q145_doc_chunks")
     assert(!p.contains("Join"), s"q145 planned a join:\n$p")
