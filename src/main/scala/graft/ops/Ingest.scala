@@ -619,7 +619,10 @@ object Ingest {
   // past the pruner. PlanSpec asserts PartitionFilters carry the bound.
   // The oracle computes the same window from the raw parquet, so the
   // partitioned copy is proven byte-faithful, not just fast.
-  def q190PartitionPruning(s: SparkSession, d: String): DataFrame = {
+  /** The dt-partitioned events landing zone, built once per dataset
+    * version (q190 and q191 share it — at 100 TB this IS the table's
+    * layout, not a per-query copy). */
+  private def partitionedEventsDir(s: SparkSession, d: String): String = {
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
       "graft-events-bydate-" +
         java.lang.Long.toHexString(DedupOps.h60(
@@ -628,7 +631,11 @@ object Ingest {
       Tables.events(s, d)
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date").parquet(dir)
-    val part = s.read.parquet(dir)
+    dir
+  }
+
+  def q190PartitionPruning(s: SparkSession, d: String): DataFrame = {
+    val part = s.read.parquet(partitionedEventsDir(s, d))
     val maxDate = part.agg(max(col("event_date"))).collect()(0).getDate(0)
     part.filter(col("event_date") >= date_sub(lit(maxDate), 6))
       .groupBy(col("event_date"), col("event_type"))
@@ -646,9 +653,45 @@ object Ingest {
     FROM events, mx WHERE CAST(ts AS DATE) >= md - 6
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q191: dynamic partition pruning (runtime complement to q190) ----
+  // q190's bound is knowable at planning time; the equally common shape
+  // is "fact partitions selected by a JOIN against a filtered dimension"
+  // — here, Mondays: a date dimension derived from the corpus, filtered
+  // on an attribute, equi-joined to the partitioned fact on its
+  // partition column. No literal bound exists until the dim side runs,
+  // so static pruning can't fire — Spark's dynamic partition pruning
+  // injects the dim's date set into the fact scan's PartitionFilters at
+  // runtime (reusing the broadcast), and the fact side still never
+  // reads a pruned directory. PlanSpec asserts the
+  // dynamicpruningexpression landed. Day-of-week is computed as
+  // epoch-days % 7 (1970-01-01 = Thursday = 0, so Monday = 4) — the
+  // integer discipline both engines share, immune to locale/week-start
+  // conventions.
+  def q191DynamicPruning(s: SparkSession, d: String): DataFrame = {
+    val part = s.read.parquet(partitionedEventsDir(s, d))
+    val dim = Tables.events(s, d)
+      .select(to_date(col("ts")).as("dim_date")).distinct()
+      .withColumn("daynum",
+        pmod(datediff(col("dim_date"), to_date(lit("1970-01-01"))), lit(7)))
+      .filter(col("daynum") === 4) // Mondays
+    part.join(broadcast(dim), col("event_date") === col("dim_date"))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Fx.moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  val q191Sql: String = s"""
+    SELECT d AS event_date, event_type, COUNT(*) AS n,
+      ${Fx.sqlMoneySum("value")} AS sum_value
+    FROM (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events)
+    WHERE (d - DATE '1970-01-01') % 7 = 4
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_csv_roundtrip" -> q189CsvRoundtrip _,
     "q190_partition_pruning" -> q190PartitionPruning _,
+    "q191_dynamic_pruning" -> q191DynamicPruning _,
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
     "q95_expectations" -> q95Expectations _,
@@ -659,6 +702,7 @@ object Ingest {
   val oracles: Map[String, String] = Map(
     "q189_csv_roundtrip" -> q189Sql,
     "q190_partition_pruning" -> q190Sql,
+    "q191_dynamic_pruning" -> q191Sql,
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
     "q95_expectations" -> q95Sql,

@@ -524,6 +524,14 @@ class PlanSpec extends AnyFunSuite {
       s"date bound missing from partition filters:\n$pf")
   }
 
+  test("q191 injects a dynamic pruning expression into the fact scan") {
+    val p = plan("q191_dynamic_pruning")
+    // plan toString ellipsizes long filter lists — match the stem, which
+    // also covers the SubqueryAdaptiveBroadcast dynamicpruning#N node
+    assert(p.contains("dynamicpruning"),
+      s"DPP did not fire on the partitioned fact scan:\n$p")
+  }
+
   test("q145 chunking is scan-local: no join, no aggregate, one sort exchange") {
     val p = plan("q145_doc_chunks")
     assert(!p.contains("Join"), s"q145 planned a join:\n$p")
