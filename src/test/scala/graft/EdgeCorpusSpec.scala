@@ -169,4 +169,46 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(dp.length == 1 && dp.head.getAs[Boolean]("is_peak")
       && dp.head.getAs[Long]("share_ppm") == 1000000L)
   }
+
+  test("q185/q186/q189 survive zero-token docs and gapped/offset ids") {
+    // q185: the two zero-token docs drop (n_tokens >= 1 gate) but the
+    // bucketed join must still carry every tokenized doc — including
+    // the gapped id 999 and the 1e7-offset replicas
+    val bj = ops.Skew.q185BucketJoin(spark, dir).collect()
+    assert(bj.map(_.getAs[Long]("n_docs")).sum == 11L, bj.mkString(";"))
+    assert(!bj.map(_.getAs[String]("source")).contains("src0"))
+    // q186: zero-token docs still carry n_chars weight (w = min(chars,
+    // 512)) — ESS is a LENGTH audit, not a token audit; every source
+    // present, all integers exact on the tiny corpus
+    val ess = ops.StatsOps.q186EffectiveSample(spark, dir).collect()
+    assert(ess.length == 6)
+    ess.foreach(r => assert(r.getAs[Long]("ess_docs") >= 1L, r.toString))
+    // q189: whitespace-only text (doc0/doc5) must survive the CSV hop
+    // byte-for-byte — exactly the writer-trim trap the option disables
+    val rt = ops.Ingest.q189CsvRoundtrip(spark, dir).collect()
+    val direct = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("char_sum"),
+        md5(concat_ws("", sort_array(collect_list(md5(col("text"))))))
+          .as("content_md5"))
+      .orderBy(col("source")).collect()
+    assert(rt.sameElements(direct),
+      rt.mkString(";") + " vs " + direct.mkString(";"))
+  }
+
+  test("q190/q191 survive a single-day event stream (window degenerates to one day)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("edge-ev-oneday").toString
+    // 1970-01-05 was a Monday (epoch day 4): q191's dow filter keeps it
+    val ts0 = java.sql.Timestamp.valueOf("1970-01-05 10:00:00")
+    Seq((1L, ts0, 7L, "view", 1.0, "{}"),
+      (2L, ts0, 8L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val pp = ops.Ingest.q190PartitionPruning(spark, d).collect()
+    assert(pp.length == 2 && pp.forall(_.getAs[Long]("n") == 1L))
+    val dyn = ops.Ingest.q191DynamicPruning(spark, d).collect()
+    assert(dyn.length == 2, dyn.mkString(";"))
+  }
 }
