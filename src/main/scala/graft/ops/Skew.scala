@@ -99,7 +99,7 @@ object Skew {
       write
     }
 
-  private def bucketedDocTables(
+  private[graft] def bucketedDocTables(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ver = java.lang.Long.toHexString(StageCache.version(d))
     val docsT = s"graft_docs_b_$ver"
