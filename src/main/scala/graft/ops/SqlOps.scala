@@ -226,7 +226,59 @@ object SqlOps {
         FROM documents))
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q192: recursive CTE — session stitching as transitive closure ---
+  // The SQL-only surface Spark gained in 4.x: WITH RECURSIVE. The demo
+  // is real, not a toy series: sessionization expressed as closure over
+  // the predecessor graph — consecutive same-user events ≤30 min apart
+  // are edges, session roots are the gap-starts, and the recursion
+  // propagates each root to every event it transitively reaches. The
+  // window-based q180 computes the same sessions in one pass (and is
+  // the right plan for a plain gap rule); the recursive form is the
+  // shape that generalizes where running-sum tricks cannot follow
+  // (graph-defined sessions, org rollups, BOM explosions). Gap compare
+  // in exact integer micros (unix_micros / epoch_us — no float epoch).
+  //
+  // Scale: recursion depth = longest session (a bounded business
+  // quantity, not a corpus quantity — the fixture maxes at 4); each
+  // iteration is one equi-join of the frontier against the edge list.
+  // The level limit is raised explicitly so a bot-length session fails
+  // loudly at the documented bound instead of Spark's default 100.
+  private def q192Text(micros: String => String): String = s"""
+    WITH RECURSIVE
+    ord AS (
+      SELECT user_id, event_id,
+        LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_id,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL
+             OR ${micros("ts")} - ${micros(
+      "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
+               > 1800000000
+          THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    edges AS (
+      SELECT prev_id AS src, event_id AS dst FROM ord WHERE is_start = 0),
+    r(user_id, node, root) AS (
+      SELECT user_id, event_id, event_id FROM ord WHERE is_start = 1
+      UNION ALL
+      SELECT r.user_id, e.dst, r.root FROM r JOIN edges e ON e.src = r.node),
+    sess AS (
+      SELECT user_id, root AS session_id, COUNT(*) AS n_events
+      FROM r GROUP BY 1, 2)
+    SELECT CAST(n_events AS BIGINT) AS session_len,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(session_id) AS BIGINT) AS id_checksum
+    FROM sess GROUP BY 1 ORDER BY 1"""
+
+  def q192RecursiveSessions(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
+    sql(s, d, q192Text(c => s"unix_micros($c)"))
+  }
+
+  val q192Sql: String = q192Text(c => s"epoch_us($c)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_recursive_sessions" -> q192RecursiveSessions _,
     "q48_scalar_subquery" -> q48ScalarSubquery _,
     "q49_set_all"         -> q49SetAll _,
     "q50_grouping_sets"   -> q50GroupingSets _,
@@ -238,6 +290,7 @@ object SqlOps {
     "q91_split"           -> q91Split _)
 
   val oracles: Map[String, String] = Map(
+    "q192_recursive_sessions" -> q192Sql,
     "q48_scalar_subquery" -> q48Sql,
     "q49_set_all"         -> q49Sql,
     "q50_grouping_sets"   -> q50Sql,

@@ -69,4 +69,36 @@ class SqlOpsSpec extends AnyFunSuite {
         m.getOrElse("val", 0L) + m.getOrElse("test", 0L), s"$src: $m")
     }
   }
+
+  test("q192 recursive closure matches a brute driver-side sessionization") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts").getTime))
+    // brute: per user, order by (ts, event_id), split on >30-min gaps
+    val brute = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ord = es.sortBy(e => (e._3, e._2))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[
+        scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]
+      ord.foreach { e =>
+        if (sessions.isEmpty || e._3 - sessions.last.last._3 > 1800000L)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      sessions.map(ss => (ss.length.toLong, ss.head._2)) // (len, root id)
+    }
+    val expect = brute.groupBy(_._1).map { case (len, xs) =>
+      len -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+    val r = SqlOps.q192RecursiveSessions(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("session_len")).toSet == expect.keySet)
+    r.foreach { row =>
+      val (n, checksum) = expect(row.getAs[Long]("session_len"))
+      assert(row.getAs[Long]("n_sessions") == n, row.toString)
+      assert(row.getAs[Long]("id_checksum") == checksum, row.toString)
+    }
+    // conservation: sessions × lengths = corpus event count
+    assert(r.map(x => x.getAs[Long]("session_len") *
+      x.getAs[Long]("n_sessions")).sum == events.length.toLong)
+  }
 }
