@@ -688,10 +688,61 @@ object Ingest {
     WHERE (d - DATE '1970-01-01') % 7 = 4
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q193: VARIANT round trip (Spark 4 semi-structured storage) ------
+  // q18 extracts from JSON TEXT — reparsing every string on every read.
+  // Spark 4's VARIANT is the storage answer: parse once at ingest, land
+  // the binary variant IN PARQUET, and every later reader does typed
+  // path extraction (`variant_get`) on the decoded binary — no reparse,
+  // shreddable, the open-lakehouse semi-structured column type. The
+  // query proves the full loop: parse → write variant column to parquet
+  // → read back → typed extraction → aggregate; the oracle computes the
+  // same aggregate from the original JSON text, so the variant encode/
+  // decode round trip must be value-faithful, null-for-null (TRY-cast
+  // semantics on both sides).
+  def q193VariantRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-events-variant-" +
+        java.lang.Long.toHexString(
+          DedupOps.h60("var:" + d + ":" + s.sparkContext.applicationId)))
+      .getPath
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("parse_json(props)").as("vprops"))
+      .write.mode("overwrite").parquet(dir)
+    val agg = s.read.parquet(dir)
+      .withColumn("k",
+        expr("try_variant_get(vprops, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(col("event_id")).as("id_sum"))
+      .localCheckpoint(true) // force the round trip before cleanup
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    agg.orderBy(col("event_type"))
+  }
+
+  val q193Sql: String = """
+    SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null,
+      CAST(SUM(event_id) AS BIGINT) AS id_sum
+    FROM (SELECT event_type, event_id,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q189_csv_roundtrip" -> q189CsvRoundtrip _,
     "q190_partition_pruning" -> q190PartitionPruning _,
     "q191_dynamic_pruning" -> q191DynamicPruning _,
+    "q193_variant_roundtrip" -> q193VariantRoundtrip _,
     "q21_dedup_first" -> q21DedupFirst _,
     "q59_json_scan"   -> q59JsonScan _,
     "q95_expectations" -> q95Expectations _,
@@ -703,6 +754,7 @@ object Ingest {
     "q189_csv_roundtrip" -> q189Sql,
     "q190_partition_pruning" -> q190Sql,
     "q191_dynamic_pruning" -> q191Sql,
+    "q193_variant_roundtrip" -> q193Sql,
     "q21_dedup_first" -> q21Sql,
     "q59_json_scan"   -> q59Sql,
     "q95_expectations" -> q95Sql,
