@@ -238,11 +238,17 @@ object SqlOps {
   // (graph-defined sessions, org rollups, BOM explosions). Gap compare
   // in exact integer micros (unix_micros / epoch_us — no float epoch).
   //
-  // Scale: recursion depth = longest session (a bounded business
-  // quantity, not a corpus quantity — the fixture maxes at 4); each
-  // iteration is one equi-join of the frontier against the edge list.
-  // The level limit is raised explicitly so a bot-length session fails
-  // loudly at the documented bound instead of Spark's default 100.
+  // Scale: recursion DEPTH is the longest session (bounded business
+  // quantity), but recursion ROWS are every event the closure touches —
+  // and Spark's cteRecursionRowLimit (1M default) is a corpus guard
+  // that correctly refuses a corpus-sized recursion (the full sf1ish
+  // drive proved it: 1M events tripped the limit). So the recursive
+  // form runs on a FIXED eval cohort (user_id < 200 — the q35/q183
+  // bounded-prefix discipline, ~13k events at bench SF regardless of
+  // corpus size); corpus-wide sessionization is q180's single-pass
+  // window, which is the plan a gap rule deserves. The level limit is
+  // raised so a bot-length session fails loudly at the documented
+  // bound instead of Spark's default 100.
   private def q192Text(micros: String => String): String = s"""
     WITH RECURSIVE
     ord AS (
@@ -255,7 +261,7 @@ object SqlOps {
       "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")}
                > 1800000000
           THEN 1 ELSE 0 END AS is_start
-      FROM events),
+      FROM events WHERE user_id < 200),
     edges AS (
       SELECT prev_id AS src, event_id AS dst FROM ord WHERE is_start = 0),
     r(user_id, node, root) AS (

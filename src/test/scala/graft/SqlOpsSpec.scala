@@ -72,6 +72,7 @@ class SqlOpsSpec extends AnyFunSuite {
 
   test("q192 recursive closure matches a brute driver-side sessionization") {
     val events = Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 200)
       .select("user_id", "event_id", "ts").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
         r.getAs[java.sql.Timestamp]("ts").getTime))
