@@ -56,37 +56,60 @@ object LayoutJob {
   }
 
   /** Metadata-only layout health report: (layout, partition, n_files,
-    * bytes, band). Bounded by partition count; reads no data. */
+    * bytes, band). Bounded by partition count; reads no data. Covers
+    * all THREE landed layouts — the bucketed join tables live in the
+    * session's warehouse dir (saveAsTable), not under `root`, and are
+    * audited there. The file filter and fragmentation criterion are
+    * [[ops.SinkMaintenance]]'s own, so the `fragmented` verdict is
+    * exactly what [[compact]] will rewrite. */
   def audit(s: SparkSession, root: String,
             maxFiles: Int = 4): DataFrame = {
     val fs = fsFor(s, root)
-    def dataFiles(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).filter(f => f.isFile
-        && !f.getPath.getName.startsWith("_")
-        && !f.getPath.getName.startsWith("."))
     def band(n: Int, bytes: Long): String =
-      if (n > maxFiles) "fragmented"
+      if (SinkMaintenance.isFragmented(n, maxFiles)) "fragmented"
       else if (n > 0 && bytes / n < (1L << 20)) "tiny_files"
       else "healthy"
-    val rows = Seq("events_bydate", "docs_sorted").flatMap { layout =>
-      val base = new org.apache.hadoop.fs.Path(s"$root/$layout")
-      if (!fs.exists(base)) Nil
+    def rowsUnder(layout: String,
+        base: org.apache.hadoop.fs.Path,
+        bfs: org.apache.hadoop.fs.FileSystem)
+        : Seq[(String, String, Int, Long, String)] =
+      if (!bfs.exists(base)) Nil
       else {
-        val parts = fs.listStatus(base)
+        val parts = bfs.listStatus(base)
           .filter(d => d.isDirectory && d.getPath.getName.contains("="))
         if (parts.isEmpty) {
-          val f = dataFiles(base)
+          val f = SinkMaintenance.dataFiles(bfs, base)
           Seq((layout, "(unpartitioned)", f.length,
             f.map(_.getLen).sum, band(f.length, f.map(_.getLen).sum)))
         } else parts.toSeq.map { d =>
-          val f = dataFiles(d.getPath)
+          val f = SinkMaintenance.dataFiles(bfs, d.getPath)
           (layout, d.getPath.getName, f.length,
             f.map(_.getLen).sum, band(f.length, f.map(_.getLen).sum))
         }
       }
-    }
+    val underRoot = Seq("events_bydate", "docs_sorted").flatMap(l =>
+      rowsUnder(l, new org.apache.hadoop.fs.Path(s"$root/$l"), fs))
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val wfs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // bucketed tables are exempt from the fragmentation band: their file
+    // count IS the bucket layout (compaction must never rewrite bucket
+    // files — it would break the hash co-location). Reported for
+    // visibility with their own band.
+    val bucketed =
+      if (!wfs.exists(wh)) Nil
+      else wfs.listStatus(wh).toSeq
+        .filter(st => st.isDirectory &&
+          (st.getPath.getName.startsWith("graft_docs_b_") ||
+            st.getPath.getName.startsWith("graft_toks_b_")))
+        .map { st =>
+          val f = SinkMaintenance.dataFiles(wfs, st.getPath)
+          ("bucketed_tables/" + st.getPath.getName, "(unpartitioned)",
+            f.length, f.map(_.getLen).sum, "bucketed")
+        }
     import s.implicits._
-    rows.toDF("layout", "partition", "n_files", "bytes", "band")
+    (underRoot ++ bucketed)
+      .toDF("layout", "partition", "n_files", "bytes", "band")
       .orderBy(col("layout"), col("partition"))
   }
 
@@ -112,8 +135,9 @@ object LayoutJob {
     cmd match {
       case "land" =>
         land(spark, args(1), args(2))
-        println(s"[layout-job] landed events_bydate + docs_sorted + " +
-          s"bucketed tables under ${args(2)}")
+        println(s"[layout-job] landed events_bydate + docs_sorted under " +
+          s"${args(2)}; bucketed tables in warehouse " +
+          spark.conf.get("spark.sql.warehouse.dir"))
       case "audit" =>
         val rep = audit(spark, args(1)).collect()
         rep.foreach(r => println(s"[layout-job] ${r.mkString(" | ")}"))

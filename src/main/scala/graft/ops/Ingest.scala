@@ -369,11 +369,7 @@ object Ingest {
       // state), so the scratch dir can be deleted before returning
       // instead of leaking a gzip copy of the corpus per run
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    Io.deleteRecursively(new java.io.File(dir))
     agg.orderBy(col("source"))
   }
 
@@ -590,11 +586,7 @@ object Ingest {
           .as("content_md5"))
       // eager checkpoint forces the round trip NOW (the q117 discipline)
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    Io.deleteRecursively(new java.io.File(dir))
     agg.orderBy(col("source"))
   }
 
@@ -621,16 +613,37 @@ object Ingest {
   // partitioned copy is proven byte-faithful, not just fast.
   /** The dt-partitioned events landing zone, built once per dataset
     * version (q190 and q191 share it — at 100 TB this IS the table's
-    * layout, not a per-query copy). */
+    * layout, not a per-query copy). Publication is staged + atomic
+    * rename (the PartitionSwap posture): a concurrent builder loses the
+    * rename and discards its staging, and a torn directory (no
+    * _SUCCESS) is rebuilt, never served. Stale versions of the layout
+    * are GC'd on rebuild — a deleted live copy is only a rebuild on the
+    * next call, never a wrong answer, because every call re-checks the
+    * marker. */
   private def partitionedEventsDir(s: SparkSession, d: String): String = {
+    val prefix = "graft-events-bydate-"
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-events-bydate-" +
-        java.lang.Long.toHexString(DedupOps.h60(
-          "evpart:" + d + ":" + StageCache.version(d)))).getPath
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+      prefix + java.lang.Long.toHexString(DedupOps.h60(
+        "evpart:" + d + ":" + StageCache.version(d)))).getPath
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      if (fs.exists(live)) fs.delete(live, true) // torn copy: rebuild
+      Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(live.getParent, prefix + "*")))
+        .getOrElse(Array.empty)
+        .filter(st => st.getPath.getName != live.getName
+          && !st.getPath.getName.contains(".staging-"))
+        .foreach(st => fs.delete(st.getPath, true)) // stale versions
+      val staging = new org.apache.hadoop.fs.Path(
+        dir + ".staging-" + s.sparkContext.applicationId)
+      fs.delete(staging, true)
       Tables.events(s, d)
         .withColumn("event_date", to_date(col("ts")))
-        .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(staging.toString)
+      if (!fs.rename(staging, live)) fs.delete(staging, true) // lost race
+    }
     dir
   }
 
@@ -685,7 +698,7 @@ object Ingest {
     SELECT d AS event_date, event_type, COUNT(*) AS n,
       ${Fx.sqlMoneySum("value")} AS sum_value
     FROM (SELECT CAST(ts AS DATE) AS d, event_type, value FROM events)
-    WHERE (d - DATE '1970-01-01') % 7 = 4
+    WHERE ((d - DATE '1970-01-01') % 7 + 7) % 7 = 4
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // ---- q193: VARIANT round trip (Spark 4 semi-structured storage) ------
@@ -719,11 +732,7 @@ object Ingest {
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
         sum(col("event_id")).as("id_sum"))
       .localCheckpoint(true) // force the round trip before cleanup
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    Io.deleteRecursively(new java.io.File(dir))
     agg.orderBy(col("event_type"))
   }
 

@@ -268,11 +268,7 @@ object Multimodal {
       // eager checkpoint forces the binaryFile read NOW (4 rows of
       // state), so the scratch files can be deleted before returning
       .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(dir)
+    Io.deleteRecursively(dir)
     landed
   }
 

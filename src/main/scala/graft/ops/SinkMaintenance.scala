@@ -20,6 +20,20 @@ import org.apache.spark.sql.SparkSession
   */
 object SinkMaintenance {
 
+  /** The data files of one directory — the single definition of "what
+    * counts" shared by compaction and [[graft.LayoutJob]]'s audit, so
+    * the audit's `fragmented` verdict and what compaction actually
+    * rewrites can never diverge. */
+  private[graft] def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).filter(f => f.isFile
+      && !f.getPath.getName.startsWith("_")
+      && !f.getPath.getName.startsWith("."))
+
+  /** The shared fragmentation criterion (see [[dataFiles]]). */
+  private[graft] def isFragmented(nFiles: Int, maxFiles: Int): Boolean =
+    nFiles > maxFiles
+
   /** Rewrite every partition of `sinkPath` whose data-file count exceeds
     * `maxFiles` into ceil(bytes / targetBytes) files. Returns the names
     * of the compacted partition dirs. Safe to run between (not during)
@@ -35,11 +49,9 @@ object SinkMaintenance {
     val fragmented = fs.listStatus(sink)
       .filter(_.getPath.getName.startsWith(partitionCol + "="))
       .flatMap { dir =>
-        val dataFiles = fs.listStatus(dir.getPath)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
-            && !f.getPath.getName.startsWith("."))
-        if (dataFiles.length > maxFiles)
-          Some((dir.getPath, dataFiles.map(_.getLen).sum))
+        val files = dataFiles(fs, dir.getPath)
+        if (isFragmented(files.length, maxFiles))
+          Some((dir.getPath, files.map(_.getLen).sum))
         else None
       }
     if (fragmented.isEmpty) return Nil

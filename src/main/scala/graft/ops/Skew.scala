@@ -96,6 +96,18 @@ object Skew {
         s.conf.get("spark.sql.warehouse.dir"), name)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
+      // GC orphaned versions: same table family, different version hash,
+      // NOT in this session's catalog (catalog-registered siblings are
+      // alive — a multi-dataset session legitimately holds several).
+      // Orphans are dead JVMs' leftovers; without this every fixture
+      // regeneration leaks a table directory forever.
+      val family = name.substring(0, name.lastIndexOf('_') + 1)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        p.getParent, family + "*")))
+        .getOrElse(Array.empty)
+        .filter(st => st.getPath.getName != name
+          && !s.catalog.tableExists(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
       write
     }
 

@@ -1208,8 +1208,11 @@ object StatsOps {
       .withColumn("ess_docs",
         expr("cast(sum_w as decimal(38,0)) * sum_w div sum_w2"))
       .withColumn("ess_ppm",
+        // the DENOMINATOR must widen too: n_docs * sum_w2 in Long wraps
+        // (or throws under ANSI) past ~6e6 capped docs per source, far
+        // below the numerator's 1e13 envelope
         expr("cast(sum_w as decimal(38,0)) * sum_w * 1000000" +
-          " div (n_docs * sum_w2)"))
+          " div (cast(n_docs as decimal(38,0)) * sum_w2)"))
       .withColumn("ess_band",
         when(col("ess_ppm") >= 900000L, "uniform")
           .when(col("ess_ppm") >= 600000L, "mild_skew")

@@ -29,6 +29,12 @@ class LayoutJobSpec extends AnyFunSuite {
     assert(evParts.forall(_.getAs[String]("partition").startsWith("event_date=")))
     val docs = rep1.filter(_.getAs[String]("layout") == "docs_sorted")
     assert(docs.map(_.getAs[String]("partition")).toSeq == Seq("(unpartitioned)"))
+    // the third layout is audited from the warehouse, banded as its own
+    // class (bucket files are layout, not fragmentation)
+    val buck = rep1.filter(_.getAs[String]("layout")
+      .startsWith("bucketed_tables/"))
+    assert(buck.nonEmpty)
+    assert(buck.forall(_.getAs[String]("band") == "bucketed"))
     assert(rep1.forall(_.getAs[Int]("n_files") >= 1))
     // tiny fixture: nothing fragmented yet
     assert(!rep1.exists(_.getAs[String]("band") == "fragmented"))
