@@ -154,6 +154,107 @@ object CurationOps {
     FROM tg JOIN eg ON tg.g = eg.g
     GROUP BY tg.doc_id ORDER BY tg.doc_id"""
 
+  // ---- q194: decontamination n-sensitivity sweep ------------------------
+  // q71 checks one n (8); this is the audit that JUSTIFIES the choice:
+  // the same train-vs-eval overlap measured at n ∈ {4, 8, 13} (the
+  // spread the published decontamination recipes argue over). Small n
+  // over-flags (natural phrase collisions), large n under-flags
+  // (paraphrase slips through) — the sweep shows where the corpus's
+  // contamination verdict is stable and where it is an artifact of the
+  // threshold. Per n: eligible train docs, docs with ≥1 shared gram,
+  // docs over q71's ≥3 rule, shared-gram mass, and the contamination
+  // rate in exact ppm.
+  //
+  // Scale shape: ONE corpus scan builds all three per-doc distinct gram
+  // arrays map-side (array_distinct before the generate — the q71
+  // discipline), tagged (n, gram) so the train⋈eval overlap is a single
+  // equi-join on (n, g) against the DISTINCT eval gram set; everything
+  // after the per-(n, doc) count is a ≤3-row frame. explode_outer, not
+  // explode (the q71/q30 InferFiltersFromGenerate lesson).
+  private val SweepNs = Seq(4, 8, 13)
+
+  def q194ContaminationSweep(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).withColumn("t", toks(col("text")))
+    val perNArrays = SweepNs.map { n =>
+      when(size(col("t")) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            md5(concat_ws(" ", slice(col("t"), i, lit(n)))).as("g")))))
+        .otherwise(expr("array()").cast("array<struct<n:int,g:string>>"))
+    }
+    val tagged = base
+      .select(col("doc_id"), col("source"),
+        explode_outer(concat(perNArrays: _*)).as("ng"))
+      .filter(col("ng").isNotNull)
+      .select(col("doc_id"), col("source"),
+        col("ng.n").as("n"), col("ng.g").as("g"))
+    val tg = tagged.filter(col("source") =!= "src9")
+    val eg = tagged.filter(col("source") === "src9")
+      .select(col("n"), col("g")).distinct()
+    val hits = tg.join(eg, Seq("n", "g"))
+      .groupBy(col("n"), col("doc_id"))
+      .agg(count(lit(1)).as("shared")) // per-doc arrays are distinct
+    val perN = hits.groupBy(col("n"))
+      .agg(count(lit(1)).as("docs_with_hits"),
+        sum(when(col("shared") >= 3L, 1L).otherwise(0L))
+          .as("contaminated_docs"),
+        sum(col("shared")).as("shared_gram_mass"))
+    val elig = base.filter(col("source") =!= "src9")
+      .select(SweepNs.map(n =>
+        sum(when(size(col("t")) >= n, 1L).otherwise(0L)).as(s"e$n")): _*)
+      .selectExpr(s"stack(${SweepNs.length}, " +
+        SweepNs.map(n => s"$n, e$n").mkString(", ") + ") as (n, eligible)")
+    broadcast(elig).join(perN, Seq("n"), "left")
+      .na.fill(0L,
+        Seq("docs_with_hits", "contaminated_docs", "shared_gram_mass"))
+      .withColumn("contaminated_ppm",
+        expr("contaminated_docs * 1000000 div eligible"))
+      .select(col("n").cast("long").as("n"), col("eligible"),
+        col("docs_with_hits"), col("contaminated_docs"),
+        col("shared_gram_mass"), col("contaminated_ppm"))
+      .orderBy(col("n"))
+  }
+
+  val q194Sql: String = {
+    def gramsFor(n: Int) = s"""
+      SELECT doc_id, source, $n AS n,
+        list_distinct(list_transform(range(1, len(t) - ${n - 2}),
+          i -> md5(array_to_string(t[i:i+${n - 1}], ' ')))) AS gs
+      FROM toks WHERE len(t) >= $n"""
+    raw"""
+    WITH toks AS (
+      SELECT doc_id, source, $sqlToks AS t FROM documents),
+    tagged AS (
+      SELECT doc_id, source, n, unnest(gs) AS g FROM (
+        ${SweepNs.map(gramsFor).mkString("\n        UNION ALL\n")})),
+    eg AS (SELECT DISTINCT n, g FROM tagged WHERE source = 'src9'),
+    hits AS (
+      SELECT t.n, t.doc_id, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM tagged t JOIN eg ON t.n = eg.n AND t.g = eg.g
+      WHERE t.source <> 'src9'
+      GROUP BY 1, 2),
+    per_n AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS docs_with_hits,
+        CAST(SUM(CASE WHEN shared >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+          AS contaminated_docs,
+        CAST(SUM(shared) AS BIGINT) AS shared_gram_mass
+      FROM hits GROUP BY 1),
+    elig AS (
+      ${SweepNs.map(n =>
+        s"""SELECT $n AS n, CAST(COUNT(*) AS BIGINT) AS eligible
+      FROM toks WHERE source <> 'src9' AND len(t) >= $n""")
+        .mkString("\n      UNION ALL\n      ")})
+    SELECT CAST(e.n AS BIGINT) AS n, e.eligible,
+      COALESCE(p.docs_with_hits, 0) AS docs_with_hits,
+      COALESCE(p.contaminated_docs, 0) AS contaminated_docs,
+      COALESCE(p.shared_gram_mass, 0) AS shared_gram_mass,
+      COALESCE(p.contaminated_docs, 0) * 1000000 // e.eligible
+        AS contaminated_ppm
+    FROM elig e LEFT JOIN per_n p ON p.n = e.n
+    ORDER BY 1"""
+  }
+
   // ---- q72: boilerplate-segment removal (corpus-wide segment dedup) ----
   // The paragraph-dedup step of CCNet/Dolma-style pipelines, on aligned
   // 10-token segments (this corpus has no newlines, so alignment stands
@@ -1386,6 +1487,7 @@ object CurationOps {
     "q157_budget_admission" -> q157BudgetAdmission _,
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
+    "q194_contamination_sweep" -> q194ContaminationSweep _,
     "q72_segment_dedup" -> q72SegmentDedup _,
     "q73_tfidf"         -> q73Tfidf _,
     "q74_seq_packing"   -> q74SeqPacking _,
@@ -1409,6 +1511,7 @@ object CurationOps {
     "q157_budget_admission" -> q157Sql,
     "q70_pii_redaction" -> q70Sql,
     "q71_contamination" -> q71Sql,
+    "q194_contamination_sweep" -> q194Sql,
     "q72_segment_dedup" -> q72Sql,
     "q73_tfidf"         -> q73Sql,
     "q74_seq_packing"   -> q74Sql,

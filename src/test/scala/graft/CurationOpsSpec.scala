@@ -444,4 +444,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.exists(_.getAs[String]("band_status") == "full"))
     assert(r.exists(_.getAs[String]("band_status") == "dropped"))
   }
+
+  test("q194 sweep: the n=8 row reconciles with q71, monotone in n, brute ppm") {
+    val sweep = CurationOps.q194ContaminationSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("n") -> r).toMap
+    assert(sweep.keySet == Set(4L, 8L, 13L))
+    // the n=8 cell IS q71's verdict, re-derived independently
+    val q71 = CurationOps.q71Contamination(spark, sf).collect()
+    assert(sweep(8L).getAs[Long]("docs_with_hits") == q71.length.toLong)
+    assert(sweep(8L).getAs[Long]("contaminated_docs") ==
+      q71.count(_.getAs[Boolean]("contaminated")).toLong)
+    assert(sweep(8L).getAs[Long]("shared_gram_mass") ==
+      q71.map(_.getAs[Long]("n_shared_grams")).sum)
+    // longer grams can only lose hits: docs_with_hits monotone non-inc
+    assert(sweep(4L).getAs[Long]("docs_with_hits") >=
+      sweep(8L).getAs[Long]("docs_with_hits"))
+    assert(sweep(8L).getAs[Long]("docs_with_hits") >=
+      sweep(13L).getAs[Long]("docs_with_hits"))
+    // eligibility monotone non-increasing in n; ppm recomputes exactly
+    assert(sweep(4L).getAs[Long]("eligible") >=
+      sweep(13L).getAs[Long]("eligible"))
+    sweep.values.foreach { row =>
+      assert(row.getAs[Long]("contaminated_ppm") ==
+        row.getAs[Long]("contaminated_docs") * 1000000L /
+          row.getAs[Long]("eligible"))
+    }
+  }
 }
