@@ -224,4 +224,69 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val essCorpusGen = Gen.listOfN(40, for {
+    src <- Gen.oneOf("a", "b", "c")
+    chars <- Gen.oneOf(Gen.choose(1L, 80L), Gen.choose(400L, 2000L))
+  } yield (src, chars))
+
+  test("property: q186 ESS is in [1, n] and hits 1e6 ppm iff weights are uniform") {
+    forAll(essCorpusGen, n = 4) { rows =>
+      whenever(rows.nonEmpty) {
+        val dir = java.nio.file.Files.createTempDirectory("ess-prop").toString
+        rows.zipWithIndex
+          .map { case ((s0, c), i) => (i.toLong, "x", "en", s0, c) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.parquet(s"$dir/documents.parquet")
+        val r = ops.StatsOps.q186EffectiveSample(spark, dir).collect()
+        val bySrc = rows.groupBy(_._1)
+        r.foreach { row =>
+          val ws = bySrc(row.getAs[String]("source"))
+            .map(x => BigInt(math.min(x._2, 512L)))
+          val n = ws.length.toLong
+          val (sw, sw2) = (ws.sum, ws.map(w => w * w).sum)
+          assert(row.getAs[Long]("ess_docs") >= 1L)
+          assert(row.getAs[Long]("ess_docs") <= n)
+          assert(BigInt(row.getAs[Long]("ess_ppm")) ==
+            sw * sw * 1000000 / (sw2 * n))
+          val uniform = ws.distinct.size == 1
+          assert((row.getAs[Long]("ess_ppm") == 1000000L) == uniform,
+            s"${row.getAs[String]("source")}: $ws")
+        }
+      }
+    }
+  }
+
+  private val sweepCorpusGen = Gen.listOfN(25, for {
+    src <- Gen.oneOf("train1", "train2", "src9") // src9 = eval
+    toks <- Gen.listOfN(18, Gen.oneOf("w0", "w1", "w2", "w3"))
+  } yield (src, toks.mkString(" ")))
+
+  test("property: q194 hits/eligibility are non-increasing in n; n=8 matches q71's rule") {
+    // tiny vocabulary forces real cross-source gram collisions
+    forAll(sweepCorpusGen, n = 4) { rows =>
+      whenever(rows.exists(_._1 == "src9") && rows.exists(_._1 != "src9")) {
+        val dir = java.nio.file.Files.createTempDirectory("sweep-prop").toString
+        rows.zipWithIndex
+          .map { case ((s0, t), i) => (i.toLong, t, "en", s0) }
+          .toDF("doc_id", "text", "lang", "source")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.parquet(s"$dir/documents.parquet")
+        val sweep = ops.CurationOps.q194ContaminationSweep(spark, dir)
+          .collect().map(r => r.getAs[Long]("n") -> r).toMap
+        // any shared n-gram contains shared (n-1)-grams: monotone
+        assert(sweep(4L).getAs[Long]("docs_with_hits") >=
+          sweep(8L).getAs[Long]("docs_with_hits"))
+        assert(sweep(8L).getAs[Long]("docs_with_hits") >=
+          sweep(13L).getAs[Long]("docs_with_hits"))
+        assert(sweep(4L).getAs[Long]("eligible") >=
+          sweep(8L).getAs[Long]("eligible"))
+        assert(sweep(8L).getAs[Long]("eligible") >=
+          sweep(13L).getAs[Long]("eligible"))
+        val q71 = ops.CurationOps.q71Contamination(spark, dir).collect()
+        assert(sweep(8L).getAs[Long]("contaminated_docs") ==
+          q71.count(_.getAs[Boolean]("contaminated")).toLong)
+      }
+    }
+  }
 }
