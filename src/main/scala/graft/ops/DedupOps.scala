@@ -71,6 +71,35 @@ object DedupOps {
         CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)) AS hv
       FROM sh0)"""
 
+  /** Shared oracle CTE block: the banding candidate generation every
+    * near-dup oracle re-derives (minhash minima + band-keyed pair
+    * join). ONE definition so a banding-scheme change cannot silently
+    * desynchronize one of its five consuming oracles
+    * (q31/q162/q174/q183/sqlDupPairs).  */
+  // lazy: sqlSeeds is declared later in the file — a strict val here
+  // would interpolate null at object init (the SimOps q182Sql lesson)
+  private lazy val sqlMhCand: String = s"""
+    mh AS (
+      SELECT doc_id, k,
+        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
+      FROM sh CROSS JOIN $sqlSeeds),
+    cand AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM mh a JOIN mh b
+        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)"""
+
+  /** Shared verified-Jaccard CTE over the candidates (inter/uni). */
+  private val sqlJac: String = """
+    jac AS (
+      SELECT id1, id2,
+        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
+        CAST(len(sa.hv) + len(sb.hv)
+          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id1
+      JOIN sh sb ON sb.doc_id = id2)"""
+
   // ---- q29: exact dedup (hash-groupBy; A5 at corpus scale) -------------
   // One shuffle on the content hash; keep-min-id is the deterministic
   // ON-CONFLICT analog (Ingest.dedupKeepFirst collapsed into an agg).
@@ -133,6 +162,16 @@ object DedupOps {
 
   /** [[incrementalDedup]] with the store append staged behind
     * [[StagedDedup.commit]]. */
+
+  /** Store existence through the SAME filesystem abstraction the
+    * read/write path uses — `java.io.File` silently answers false for
+    * hdfs://, s3a://, etc., which would skip the anti-join and admit
+    * every duplicate as novel on a cluster store. */
+  private def storeExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def incrementalDedupStaged(batch: DataFrame, storeDir: String)
       : StagedDedup = {
     val s = batch.sparkSession
@@ -143,7 +182,7 @@ object DedupOps {
           .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1).drop("rn")
     val novel =
-      if (new java.io.File(storeDir).exists())
+      if (storeExists(s, storeDir))
         inBatch.join(s.read.parquet(storeDir), Seq("content_md5"),
           "left_anti")
       else inBatch
@@ -336,23 +375,8 @@ object DedupOps {
       .orderBy(col("id1"), col("id2"))
 
   val q31Sql: String = sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    jac AS (
-      SELECT id1, id2,
-        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
-        CAST(len(sa.hv) + len(sb.hv)
-          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
-      FROM cand
-      JOIN sh sa ON sa.doc_id = id1
-      JOIN sh sb ON sb.doc_id = id2)
+$sqlMhCand,
+$sqlJac
     SELECT id1, id2, inter, uni,
       CAST(inter AS DOUBLE) / uni AS jaccard
     FROM jac WHERE inter * 2 >= uni
@@ -410,23 +434,8 @@ object DedupOps {
   }
 
   val q174Sql: String = sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    jac AS (
-      SELECT id1, id2,
-        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
-        CAST(len(sa.hv) + len(sb.hv)
-          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
-      FROM cand
-      JOIN sh sa ON sa.doc_id = id1
-      JOIN sh sb ON sb.doc_id = id2),
+$sqlMhCand,
+$sqlJac,
     th AS (SELECT UNNEST([50, 55, 60, 65, 70, 75, 80, 85, 90, 95])
       AS threshold_pct),
     p AS (
@@ -507,15 +516,7 @@ object DedupOps {
   }
 
   val q183Sql: String = sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+$sqlMhCand,
     jac AS (
       SELECT id1, id2,
         CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
@@ -854,7 +855,12 @@ object DedupOps {
       val next =
         if (iter % ckptEvery == ckptEvery - 1) step.localCheckpoint(true)
         else step.persist()
-      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      // count(), not isEmpty: isEmpty short-circuits after one changed
+      // row, leaving `next` only PARTIALLY materialized — the following
+      // unpersist of its parent would then force the uncached partitions
+      // to recompute through ckptEvery iterations of dead lineage. The
+      // count fully populates the persist before the parent is released.
+      converged = next.filter(col("lbl") =!= col("old")).count() == 0L
       cached.unpersist()
       cached = next
       labels = next.select(col("id"), col("lbl"))
@@ -957,23 +963,8 @@ object DedupOps {
     * keyword is only exercised by sqlCc's `reach`; DuckDB accepts it
     * unused. */
   private val sqlDupPairs: String = (sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    jac AS (
-      SELECT id1, id2,
-        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
-        CAST(len(sa.hv) + len(sb.hv)
-          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
-      FROM cand
-      JOIN sh sa ON sa.doc_id = id1
-      JOIN sh sb ON sb.doc_id = id2),
+$sqlMhCand,
+$sqlJac,
     dup_pairs AS (
       SELECT id1, id2 FROM jac WHERE inter * 2 >= uni)""")
     .replaceFirst("WITH toks", "WITH RECURSIVE toks")
@@ -1129,7 +1120,7 @@ object DedupOps {
       .select(col("id2").as("doc_id")).distinct()
     val alive = feat.join(withinDrop, Seq("doc_id"), "left_anti")
     val crossDrop =
-      if (new java.io.File(bandsDir).exists()) {
+      if (storeExists(s, bandsDir)) {
         val sb = s.read.parquet(bandsDir)
           .select(col("doc_id").as("s_id"), col("k"), col("mhv"))
         val sf = s.read.parquet(featDir)
@@ -1241,15 +1232,7 @@ object DedupOps {
       .orderBy(col("id1"), col("id2"))
 
   val q123Sql: String = sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
+$sqlMhCand,
     m AS (
       SELECT id1, id2,
         CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
@@ -1535,23 +1518,8 @@ object DedupOps {
   }
 
   val q162Sql: String = sqlShingles + s""",
-    mh AS (
-      SELECT doc_id, k,
-        list_min(list_transform(hv, h -> xor(h, rk))) AS mhv
-      FROM sh CROSS JOIN $sqlSeeds),
-    cand AS (
-      SELECT a.doc_id AS id1, b.doc_id AS id2
-      FROM mh a JOIN mh b
-        ON a.k = b.k AND a.mhv = b.mhv AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    jac AS (
-      SELECT id1, id2,
-        CAST(len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS inter,
-        CAST(len(sa.hv) + len(sb.hv)
-          - len(list_intersect(sa.hv, sb.hv)) AS BIGINT) AS uni
-      FROM cand
-      JOIN sh sa ON sa.doc_id = id1
-      JOIN sh sb ON sb.doc_id = id2),
+$sqlMhCand,
+$sqlJac,
     lab AS (
       SELECT
         CASE WHEN CAST('0x' || substring(md5('split:' ||

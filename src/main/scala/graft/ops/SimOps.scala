@@ -49,9 +49,15 @@ object SimOps {
   private def dotQ(a: String, b: String): Column =
     expr(s"quantized_dot($a, $b)")
 
-  /** cosine = dotq / sqrt(na * nb) — all inputs integers. */
+  /** cosine = dotq / sqrt(na * nb) — all inputs integers. The norm
+    * product is computed EXACTLY on Decimal(38,0) before the single
+    * cast to double: nq ≈ ||x||²·1e9, so two norm outliers (||x|| ≥
+    * ~1.75) put na·nb past Long.MaxValue — a silent wrap → sqrt(neg) =
+    * NaN in Spark while the HUGEINT oracle stays exact. In the
+    * non-overflow range the value is bit-identical to the old long
+    * product (exact integer → nearest double either way). */
   private def cosine(dq: Column, na: Column, nb: Column): Column =
-    dq.cast("double") / sqrt((na * nb).cast("double"))
+    dq.cast("double") / sqrt((na.cast("decimal(38,0)") * nb).cast("double"))
 
   private val sqlQa =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
@@ -217,7 +223,7 @@ object SimOps {
     scored AS (
       SELECT q_id, e.vec_id AS neighbor_id,
         CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
-          / sqrt(CAST(q_nq * e.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(q_nq AS HUGEINT) * e.nq AS DOUBLE)) AS cosine
       FROM q JOIN e ON e.vec_id <> q_id),
     ranked AS (
       SELECT q_id, neighbor_id, cosine,
@@ -284,7 +290,7 @@ object SimOps {
     scored AS (
       SELECT q_id, q_label, e.vec_id AS c_id,
         CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
-          / sqrt(CAST(q_nq * e.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(q_nq AS HUGEINT) * e.nq AS DOUBLE)) AS cosine
       FROM q JOIN e ON e.vec_id <> q_id),
     ranked AS (
       SELECT q_id, q_label, c_id, cosine,
@@ -336,7 +342,7 @@ object SimOps {
     scored AS (
       SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
         CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) AS cosine
       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
     ranked AS (
       SELECT vec_id, bucket, neighbor_id, cosine,
@@ -390,7 +396,7 @@ object SimOps {
     scored AS (
       SELECT a.a_id AS vec_id, b.vec_id AS neighbor_id,
         CAST(${sqlDotQ("a.a_emb", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.a_nq * b.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(a.a_nq AS HUGEINT) * b.nq AS DOUBLE)) AS cosine
       FROM probes a JOIN e b ON a.probe = b.bucket AND a.a_id <> b.vec_id),
     ranked AS (
       SELECT vec_id, neighbor_id, cosine,
@@ -424,7 +430,7 @@ object SimOps {
     scored AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket AS bucket,
         CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) AS cosine
       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT id1, id2, bucket, cosine
     FROM scored WHERE cosine >= 0.3
@@ -508,7 +514,7 @@ object SimOps {
       SELECT e.vec_id, e.embedding, e.nq, c_id,
         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
           CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
-            / sqrt(CAST(e.nq * c_nq AS DOUBLE)) DESC, c_id) AS rn
+            / sqrt(CAST(CAST(e.nq AS HUGEINT) * c_nq AS DOUBLE)) DESC, c_id) AS rn
       FROM e CROSS JOIN cents),
     assigned AS (
       SELECT vec_id, embedding, nq, c_id AS cell
@@ -516,10 +522,10 @@ object SimOps {
     pairs AS (
       SELECT a.vec_id AS vec_id, a.cell AS cell, b.vec_id AS neighbor_id,
         CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine,
+          / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) AS cosine,
         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
           CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-            / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rank
+            / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) DESC, b.vec_id) AS rank
       FROM assigned a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id <> b.vec_id)
     SELECT vec_id, cell, neighbor_id, cosine
@@ -619,7 +625,7 @@ object SimOps {
             CAST(CAST(list_sum(list_transform(range(1, $D + 1), i ->
               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
                 * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
-              / sqrt(CAST(e.nq * c.cnq AS DOUBLE)) AS ccos
+              / sqrt(CAST(CAST(e.nq AS HUGEINT) * c.cnq AS DOUBLE)) AS ccos
           FROM e CROSS JOIN $cents c) sc) WHERE rn = 1)"""
 
   private def sqlKmMeans(out: String, assigned: String): String = s"""
@@ -730,7 +736,7 @@ object SimOps {
             CAST(CAST(list_sum(list_transform(range(1, $D + 1), i ->
               CAST(floor(CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
                 * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS DOUBLE)
-              / sqrt(CAST(e.nq * c.cnq AS DOUBLE)) AS ccos
+              / sqrt(CAST(CAST(e.nq AS HUGEINT) * c.cnq AS DOUBLE)) AS ccos
           FROM e CROSS JOIN cents c) sc) WHERE rn = 1),
     conf AS (
       SELECT label AS label_true, cell AS label_pred,
@@ -1015,13 +1021,11 @@ object SimOps {
     val cbook = subRes(assigned
       .filter(col("vec_id") >= C && col("vec_id") < C + PqK))
       .select(col("vec_id").as("code"), col("m"), col("sq").as("cq"))
-    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
-      " 0L, (acc, x) -> acc + x)")
     // nearest sub-centroid per (vector, sub-space): same min_by shape —
     // the K=16 candidates collapse map-side, n×M rows shuffle, not n×M×K
     val codes = subs.join(cbook.drop("cell"), "m")
       .select(col("vec_id"), col("cell"), col("m"), col("code"),
-        sqL2.as("d2"))
+        pqSqL2.as("d2"))
       .groupBy(col("vec_id"), col("cell"), col("m"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .select(col("vec_id"), col("cell"), col("m"), col("code"))
@@ -1058,8 +1062,6 @@ object SimOps {
           .select(col("vec_id"), col("cell"),
             expr("zip_with(qa, cqa, (a, b) -> a - b)").as("res")))
       .select(col("vec_id").as("code"), col("m"), col("sq").as("cq"))
-    val sqL2 = expr("aggregate(zip_with(sq, cq, (a, b) -> (a - b) * (a - b))," +
-      " 0L, (acc, x) -> acc + x)")
     // queries probe their 2 nearest cells
     val probes = emb.filter(col("vec_id") < PqNq)
       .select(col("vec_id").as("query_id"), col("qa"))
@@ -1081,7 +1083,7 @@ object SimOps {
         col("sub.sq").as("sq"))
       .join(cbook.drop("cell"), "m")
       .select(col("query_id"), col("cell"), col("m"), col("code"),
-        sqL2.as("qd2"))
+        pqSqL2.as("qd2"))
     // ADC restricted to vectors living in the probed cells
     codes.join(dt, Seq("cell", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"), col("cell"))
@@ -1230,11 +1232,11 @@ object SimOps {
         ON a.token = b.token AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id1, id2, dot,
-      CAST(dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.nq AS DOUBLE)) AS cosine
+      CAST(dot AS DOUBLE) / sqrt(CAST(CAST(n1.nq AS HUGEINT) * n2.nq AS DOUBLE)) AS cosine
     FROM dots
     JOIN norms n1 ON n1.doc_id = id1
     JOIN norms n2 ON n2.doc_id = id2
-    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(n1.nq * n2.nq AS DOUBLE)) >= 0.5
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(CAST(n1.nq AS HUGEINT) * n2.nq AS DOUBLE)) >= 0.5
     ORDER BY id1, id2"""
 
   // ---- q104: ANN recall evaluation harness -----------------------------
@@ -1319,7 +1321,7 @@ object SimOps {
         SELECT q_id, e.vec_id AS gt_id,
           CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
             CAST(${sqlDotQ("q_emb", "e.embedding")} AS DOUBLE)
-              / sqrt(CAST(q_nq * e.nq AS DOUBLE)) DESC, e.vec_id)
+              / sqrt(CAST(CAST(q_nq AS HUGEINT) * e.nq AS DOUBLE)) DESC, e.vec_id)
             AS BIGINT) AS rank
         FROM q JOIN e ON e.vec_id <> q_id)
       WHERE rank <= 3),
@@ -1328,7 +1330,7 @@ object SimOps {
         SELECT a.vec_id, b.vec_id AS neighbor_id,
           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
             CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+              / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
         WHERE a.vec_id < $EvalQueries)
       WHERE rk = 1),
@@ -1343,7 +1345,7 @@ object SimOps {
         SELECT a.a_id, b.vec_id AS neighbor_id,
           ROW_NUMBER() OVER (PARTITION BY a.a_id ORDER BY
             CAST(${sqlDotQ("a.a_emb", "b.embedding")} AS DOUBLE)
-              / sqrt(CAST(a.a_nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+              / sqrt(CAST(CAST(a.a_nq AS HUGEINT) * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
         FROM probes a JOIN e b ON a.probe = b.bucket AND a.a_id <> b.vec_id)
       WHERE rk = 1),
     nq_cte AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
@@ -1375,14 +1377,14 @@ object SimOps {
         SELECT e.vec_id, e.embedding, e.nq, c_id,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
             CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
-              / sqrt(CAST(e.nq * c_nq AS DOUBLE)) DESC, c_id) AS rn
+              / sqrt(CAST(CAST(e.nq AS HUGEINT) * c_nq AS DOUBLE)) DESC, c_id) AS rn
         FROM e CROSS JOIN cents) WHERE rn = 1),
     ann3 AS (
       SELECT vec_id AS q_id, neighbor_id FROM (
         SELECT a.vec_id, b.vec_id AS neighbor_id,
           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
             CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
+              / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) DESC, b.vec_id) AS rk
         FROM ivfassigned a JOIN ivfassigned b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id
         WHERE a.vec_id < $EvalQueries)
@@ -1551,7 +1553,7 @@ object SimOps {
       SELECT a.vec_id AS vec_id, a.label AS label,
         b.vec_id AS neg_id, b.label AS neg_label,
         CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cosine
+          / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) AS cosine
       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
         AND a.label <> b.label),
     ranked AS (
@@ -1628,7 +1630,7 @@ object SimOps {
     scored AS (
       SELECT e.vec_id, e.embedding, e.nq, c_id,
         CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
-          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+          / sqrt(CAST(CAST(e.nq AS HUGEINT) * c_nq AS DOUBLE)) AS ccos
       FROM e CROSS JOIN cents),
     assigned AS (
       SELECT vec_id, embedding, nq, c_id AS cell, ccos FROM (
@@ -1640,7 +1642,7 @@ object SimOps {
       FROM assigned a JOIN assigned b
         ON a.cell = b.cell AND a.vec_id <> b.vec_id
       WHERE CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-          / sqrt(CAST(a.nq * b.nq AS DOUBLE)) >= $SemTheta
+          / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) >= $SemTheta
         AND (a.ccos < b.ccos
           OR (a.ccos = b.ccos AND a.vec_id < b.vec_id)))
     SELECT s.vec_id, s.cell, s.ccos, r.vec_id IS NULL AS keep
@@ -1754,7 +1756,7 @@ object SimOps {
     scored AS (
       SELECT e.vec_id, e.embedding, e.nq, c_id,
         CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
-          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+          / sqrt(CAST(CAST(e.nq AS HUGEINT) * c_nq AS DOUBLE)) AS ccos
       FROM e CROSS JOIN cents),
     assigned AS (
       SELECT vec_id, embedding, nq, c_id AS cell FROM (
@@ -1765,10 +1767,10 @@ object SimOps {
       SELECT vec_id, rank, nbr_id, cos FROM (
         SELECT a.vec_id, b.vec_id AS nbr_id,
           CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-            / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS cos,
+            / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) AS cos,
           CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
             ORDER BY CAST(${sqlDotQ("a.embedding", "b.embedding")} AS DOUBLE)
-              / sqrt(CAST(a.nq * b.nq AS DOUBLE)) DESC, b.vec_id)
+              / sqrt(CAST(CAST(a.nq AS HUGEINT) * b.nq AS DOUBLE)) DESC, b.vec_id)
             AS BIGINT) AS rank
         FROM assigned a JOIN assigned b
           ON a.cell = b.cell AND a.vec_id <> b.vec_id)
@@ -2063,7 +2065,7 @@ object SimOps {
     scored AS (
       SELECT e.vec_id, e.label, e.embedding, e.nq, c_id,
         CAST(${sqlDotQ("e.embedding", "c_emb")} AS DOUBLE)
-          / sqrt(CAST(e.nq * c_nq AS DOUBLE)) AS ccos
+          / sqrt(CAST(CAST(e.nq AS HUGEINT) * c_nq AS DOUBLE)) AS ccos
       FROM e CROSS JOIN cents),
     assigned AS (
       SELECT vec_id, label, embedding, nq, c_id AS cell FROM (
@@ -2077,13 +2079,13 @@ object SimOps {
       SELECT vec_id, e_id AS near_eval, cos AS near_cos FROM (
         SELECT tr.vec_id, ev.e_id,
           CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
-            / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) AS cos,
+            / sqrt(CAST(CAST(tr.nq AS HUGEINT) * ev.e_nq AS DOUBLE)) AS cos,
           ROW_NUMBER() OVER (PARTITION BY tr.vec_id
             ORDER BY CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
-              / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) DESC, ev.e_id) AS rn
+              / sqrt(CAST(CAST(tr.nq AS HUGEINT) * ev.e_nq AS DOUBLE)) DESC, ev.e_id) AS rn
         FROM tr JOIN ev USING (cell)
         WHERE CAST(${sqlDotQ("tr.embedding", "ev.e_emb")} AS DOUBLE)
-          / sqrt(CAST(tr.nq * ev.e_nq AS DOUBLE)) >= $SemTheta)
+          / sqrt(CAST(CAST(tr.nq AS HUGEINT) * ev.e_nq AS DOUBLE)) >= $SemTheta)
       WHERE rn = 1)
     SELECT tr.vec_id, tr.cell, h.near_eval IS NOT NULL AS contaminated,
       h.near_eval, h.near_cos
