@@ -88,11 +88,20 @@ object CorpusHealthJob {
   private def historyPath(reportRoot: String) = s"$reportRoot/history.parquet"
 
   private def readHistory(s: SparkSession, reportRoot: String): Option[DataFrame] =
-    try Some(s.read.parquet(historyPath(reportRoot)))
+    try Some(s.read.parquet(historyPath(reportRoot))
+      // run_id is a discovered partition column; pin it to LONG so a
+      // small id isn't inferred as int and breaking trend's getLong.
+      .withColumn("run_id", col("run_id").cast("long")))
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
-  /** Append run `runId`'s snapshot; returns rows appended (0 when the
-    * run is already in the ledger — idempotent rerun). */
+  /** Publish run `runId`'s snapshot as ledger partition `run_id=<id>`;
+    * returns rows written (0 when the run is already in the ledger —
+    * idempotent rerun). The run-id-named PARTITION is the idempotency
+    * mechanism, not the read-check (which is only a fast path): a
+    * duplicate publish overwrites its own directory rather than
+    * appending, so two racing record() calls for the same run converge
+    * on one snapshot (the content is deterministic), never a
+    * double-appended ledger. */
   def record(s: SparkSession, sfDir: String, reportRoot: String,
       runId: Long): Long = {
     val seen = readHistory(s, reportRoot)
@@ -100,12 +109,11 @@ object CorpusHealthJob {
     if (seen) 0L
     else {
       val snap = snapshot(s, sfDir)
-        .withColumn("run_id", lit(runId))
-        .select(col("run_id"), col("monitor"), col("entity"),
-          col("value"), col("band"))
+        .select(col("monitor"), col("entity"), col("value"), col("band"))
         .orderBy(col("monitor"), col("entity"))
         .coalesce(1) // O(hundreds) rows: one file per firing, ever
-      snap.write.mode("append").parquet(historyPath(reportRoot))
+      snap.write.mode("overwrite")
+        .parquet(s"${historyPath(reportRoot)}/run_id=$runId")
       s.read.parquet(historyPath(reportRoot))
         .filter(col("run_id") === runId).count()
     }

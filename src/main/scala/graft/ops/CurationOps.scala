@@ -578,7 +578,7 @@ object CurationOps {
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
     val lim = cnt.join(w, "source")
       .agg(min(expr("n_orig * 10000 div w")).as("k"))
-    val tgt = cnt.join(w, "source").crossJoin(lim)
+    val tgt = cnt.join(w, "source").crossJoin(broadcast(lim))
       .select(col("source"), col("n_orig"),
         expr("w * k div 10000").as("n_target"))
     val ranked = docs.withColumn("rk",
@@ -643,7 +643,7 @@ object CurationOps {
     val w = mixWeights.toDF("source", "w")
     val cnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
     val tot = docs.agg(count(lit(1)).as("n_total"))
-    val tgt = cnt.join(w, "source").crossJoin(tot)
+    val tgt = cnt.join(w, "source").crossJoin(broadcast(tot))
       .select(col("source"), col("n_orig"),
         expr(s"w * $epochFactor * n_total div 100").as("n_target"))
     val ranked = docs.withColumn("rk",

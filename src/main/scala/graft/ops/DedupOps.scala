@@ -1277,7 +1277,7 @@ $sqlMhCand,
       .join(e.as("e3"),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .agg(count(lit(1)).as("n_triangles"))
-    nodesEdges.crossJoin(edges).crossJoin(tri)
+    nodesEdges.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
       .withColumn("clustering",
         (col("n_triangles") * 3).cast("double") / col("n_wedges"))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
@@ -1817,13 +1817,13 @@ $sqlJac,
     FROM sk GROUP BY sk_md5 HAVING COUNT(*) >= 2
     ORDER BY sk_md5"""
 
-  /** Caller contract: q31/q33/q34 (and q60, via q31) `persist()` their
-    * feature table so the self-join's branches share one computation — a
-    * lazily returned DataFrame cannot unpersist behind its own action, so
-    * the CACHE LIFETIME IS THE CALLER'S. The driver harness
-    * (Verify/Bench/specs) runs `spark.catalog.clearCache()` between
-    * queries; any other caller must do the same or accept the cached
-    * blocks until session end. */
+  /** Caller contract: q31/q33/q34 (and q60, via q31) and q154 (gram-hash
+    * + fingerprint-postings frames) `persist()` their feature table so
+    * the self-join's branches share one computation — a lazily returned
+    * DataFrame cannot unpersist behind its own action, so the CACHE
+    * LIFETIME IS THE CALLER'S. The driver harness (Verify/Bench/specs)
+    * runs `spark.catalog.clearCache()` between queries; any other caller
+    * must do the same or accept the cached blocks until session end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_exact_dedup"   -> q29ExactDedup _,
     "q30_minhash_sig"   -> q30MinhashSig _,

@@ -642,7 +642,22 @@ object Ingest {
         .withColumn("event_date", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("event_date")
         .parquet(staging.toString)
-      if (!fs.rename(staging, live)) fs.delete(staging, true) // lost race
+      // Publish must FAIL when live already exists (a concurrent builder
+      // won the race) — FileSystem.rename into an existing directory
+      // does not: local FS and HDFS both move staging INSIDE live and
+      // return true, nesting a second file set into the published
+      // layout. FileContext.rename with Options.Rename.NONE is the
+      // atomic fail-if-exists variant; the loser discards its staging
+      // and serves the winner's copy.
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      try fc.rename(staging, live,
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(staging, true) // lost race: winner is published
+      }
     }
     dir
   }

@@ -89,6 +89,10 @@ object Skew {
     * At cluster scale the catalog is durable (metastore) and this
     * branch never fires; it is the single-JVM-app equivalent of
     * CREATE TABLE IF NOT EXISTS against a shared metastore. */
+  /** Orphan directories younger than this are left alone — they may be
+    * a concurrent JVM's live table (test override via private[graft]). */
+  private[graft] var orphanGcAgeMs: Long = 60L * 60 * 1000
+
   private def ensureTable(s: SparkSession, name: String)(
       write: => Unit): Unit =
     if (!s.catalog.tableExists(name)) {
@@ -100,13 +104,22 @@ object Skew {
       // NOT in this session's catalog (catalog-registered siblings are
       // alive — a multi-dataset session legitimately holds several).
       // Orphans are dead JVMs' leftovers; without this every fixture
-      // regeneration leaks a table directory forever.
+      // regeneration leaks a table directory forever. AGE-GATED: a
+      // directory a *concurrent* JVM sharing this warehouse just wrote
+      // is absent from OUR catalog too, and must not be collected out
+      // from under it — only directories untouched for orphanGcAgeMs
+      // qualify (a dead JVM's leftover stops changing; a live writer's
+      // mtime is fresh). The bounded cost of the gate is that a
+      // same-session fixture regeneration leaks its old directory for
+      // at most the gate window instead of zero.
       val family = name.substring(0, name.lastIndexOf('_') + 1)
+      val cutoff = System.currentTimeMillis() - orphanGcAgeMs
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(
         p.getParent, family + "*")))
         .getOrElse(Array.empty)
         .filter(st => st.getPath.getName != name
-          && !s.catalog.tableExists(st.getPath.getName))
+          && !s.catalog.tableExists(st.getPath.getName)
+          && st.getModificationTime < cutoff)
         .foreach(st => fs.delete(st.getPath, true))
       write
     }

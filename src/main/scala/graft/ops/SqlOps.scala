@@ -277,8 +277,20 @@ object SqlOps {
     FROM sess GROUP BY 1 ORDER BY 1"""
 
   def q192RecursiveSessions(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
-    sql(s, d, q192Text(c => s"unix_micros($c)"))
+    // The eval-cohort recursion legitimately needs a deeper level limit
+    // than Spark's default, but the raised limit must not leak into the
+    // shared session (it weakens the runaway-recursion guard for every
+    // later query). Save/restore around the eager materialization; the
+    // returned frame is a localCheckpoint so later re-executions of it
+    // don't depend on the restored (lower) limit either.
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "10000")
+    try sql(s, d, q192Text(c => s"unix_micros($c)")).localCheckpoint()
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   val q192Sql: String = q192Text(c => s"epoch_us($c)")

@@ -651,7 +651,8 @@ object StatsOps {
     val exactF2 = Tables.orders(s, d)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("ex_f2"))
-    val joined = sa.crossJoin(sb).crossJoin(exactJoin).crossJoin(exactF2)
+    val joined = sa.crossJoin(broadcast(sb)).crossJoin(broadcast(exactJoin))
+      .crossJoin(broadcast(exactF2))
       .withColumn("est_join", dot.cast("double") / AgmsK)
       .withColumn("est_f2", dot2.cast("double") / AgmsK)
     joined.select(lit("join_orders_customer").as("metric"),

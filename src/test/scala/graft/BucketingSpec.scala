@@ -36,6 +36,32 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("ensureTable orphan GC is age-gated: a fresh foreign directory survives") {
+    import org.apache.hadoop.fs.Path
+    ops.Skew.q185BucketJoin(spark, sf).collect() // family exists
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Simulate a CONCURRENT JVM sharing this warehouse: same table
+    // family, absent from our catalog, freshly written.
+    val foreign = new Path(wh, "graft_docs_b_feedf00d")
+    fs.mkdirs(foreign)
+    def rebuildDocs(): Unit = {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("graft_docs_b_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ops.Skew.q185BucketJoin(spark, sf).collect()
+    }
+    rebuildDocs() // GC branch runs; the fresh foreign dir must survive
+    assert(fs.exists(foreign),
+      "orphan GC deleted a fresh (possibly live, foreign) directory")
+    // A directory untouched past the gate IS a dead JVM's orphan:
+    // backdate it and verify the GC still collects it.
+    fs.setTimes(foreign,
+      System.currentTimeMillis() - 2 * ops.Skew.orphanGcAgeMs, -1)
+    rebuildDocs()
+    assert(!fs.exists(foreign), "aged orphan escaped GC")
+  }
+
   test("repartition-by-key reuses the exchange across two aggregations") {
     val li = Tables.lineitem(spark, sf)
       .repartition(col("l_orderkey"))

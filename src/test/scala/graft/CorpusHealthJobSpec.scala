@@ -20,12 +20,27 @@ class CorpusHealthJobSpec extends AnyFunSuite {
     // entity grain sanity: every (monitor, entity) appears once per run
     assert(hist.groupBy("monitor", "entity").count()
       .filter(col("count") =!= 1L).count() == 0)
+    // the run publishes as a run_id-named PARTITION directory — the
+    // idempotency mechanism: a duplicate publish overwrites this dir
+    // instead of appending to the ledger
+    val partDir = new java.io.File(s"$root/history.parquet/run_id=1")
+    assert(partDir.isDirectory, "run snapshot is not a run_id partition")
     // one data file per firing (O(hundreds) rows, ever)
-    val files = new java.io.File(s"$root/history.parquet")
-      .listFiles().count(_.getName.endsWith(".parquet"))
+    val files = partDir.listFiles().count(_.getName.endsWith(".parquet"))
     assert(files == 1, s"expected 1 snapshot file, found $files")
     // idempotent rerun: ledger already has run 1 → appends nothing
     assert(CorpusHealthJob.record(spark, sf, root, 1L) == 0L)
+    assert(spark.read.parquet(s"$root/history.parquet").count() == n1)
+    // a racing duplicate publish (fast path missed) OVERWRITES the
+    // partition: replay the publish write directly and verify the
+    // ledger still holds exactly one snapshot for run 1
+    val snap1 = spark.read.parquet(s"$root/history.parquet")
+      .filter(col("run_id") === 1L)
+      .select("monitor", "entity", "value", "band")
+    val replay = spark.createDataFrame(
+      java.util.Arrays.asList(snap1.collect(): _*), snap1.schema)
+    replay.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/history.parquet/run_id=1")
     assert(spark.read.parquet(s"$root/history.parquet").count() == n1)
     spark.catalog.clearCache()
   }

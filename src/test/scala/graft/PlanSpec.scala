@@ -116,6 +116,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("1-row scalar attaches carry an explicit broadcast, never a cartesian") {
+    // These four previously relied on AQE's runtime stats to pick the
+    // broadcast side of their 1-row crossJoins; the explicit broadcast()
+    // makes the plan stats-independent — a misestimate can no longer
+    // plan a real cartesian product.
+    Seq("q75_source_mixing", "q86_upsample_mix",
+      "q116_triad_census", "q118_join_size_sketch").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$q lost its broadcast scalar attach:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("LSH pair queries are equi-joins (hash or sort-merge), never theta") {
     Seq("q33_simhash_pairs", "q34_ngram_jaccard",
       "q36_ann_lsh", "q37_cosine_neardup", "q78_fuzzy_match",

@@ -70,6 +70,14 @@ class SqlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 restores the session recursion-level limit it raises") {
+    val key = "spark.sql.cteRecursionLevelLimit"
+    val before = spark.conf.getOption(key)
+    assert(SqlOps.q192RecursiveSessions(spark, sf).count() > 0)
+    assert(spark.conf.getOption(key) == before,
+      "q192 leaked its raised recursion limit into the shared session")
+  }
+
   test("q192 recursive closure matches a brute driver-side sessionization") {
     val events = Tables.events(spark, sf)
       .filter(org.apache.spark.sql.functions.col("user_id") < 200)
