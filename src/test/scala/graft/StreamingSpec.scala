@@ -604,6 +604,94 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture drive: streamed ingest + dedup sinks hash-match their batch twins") {
+    // The DuckDB oracle can't see a streaming sink; this is the
+    // hash-grade substitute: replay the FULL events fixture through the
+    // checkpointed AvailableNow ingest (3 "cron firings" + injected key
+    // conflicts) and the FULL documents fixture through streamingDedup
+    // (4 micro-batches + injected exact dups), and require the final
+    // sinks to hash-match the batch pipeline over the same inputs —
+    // columns sorted by name, rows sorted, md5: the gate's comparison.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def canonHash(df: org.apache.spark.sql.DataFrame): String = {
+      val cols = df.columns.sorted
+        .map(c => coalesce(col(c).cast("string"), lit("␀")))
+      df.select(concat_ws("|", cols: _*).as("r"))
+        .agg(md5(concat_ws(",", sort_array(collect_list(col("r"))))))
+        .head().getString(0)
+    }
+
+    // ---- events through ingestAvailableNow --------------------------
+    val evSchema = StructType(Seq(
+      StructField("date", DateType), StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val evRows = Tables.events(spark, sf)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id")).collect()
+    def lineOf(r: org.apache.spark.sql.Row): String =
+      s"${r.getString(0)},${r.getLong(1)},${r.getLong(2)}," +
+        s"${r.getString(3)},${r.getDouble(4)}"
+    val chunks = evRows.grouped((evRows.length + 2) / 3).toSeq
+    // firing 3 re-sends 50 firing-1 keys with value+1000 under a marker
+    // type: the STORED row must win (ON CONFLICT DO NOTHING), which is
+    // also the batch tiebreak's (value asc) winner
+    val dupLines = chunks.head.take(50).map(r =>
+      s"${r.getString(0)},${r.getLong(1)},${r.getLong(2)},dup," +
+        s"${r.getDouble(4) + 1000.0}")
+    val src = Files.createTempDirectory("graft-fd-src")
+    val ckpt = Files.createTempDirectory("graft-fd-ckpt").toString
+    val sink = Files.createTempDirectory("graft-fd-sink")
+      .resolve("events").toString
+    val firings = Seq(chunks(0).map(lineOf), chunks(1).map(lineOf),
+      chunks(2).map(lineOf) ++ dupLines)
+    firings.zipWithIndex.foreach { case (ls, i) =>
+      Files.writeString(src.resolve(s"firing$i.csv"),
+        ("date,event_id,user_id,event_type,value" +: ls).mkString("\n") + "\n")
+      ops.Streaming.ingestAvailableNow(spark, src.toString, evSchema,
+        Seq("event_id"), Seq(col("value").asc), ckpt, sink)
+    }
+    val streamed = spark.read.parquet(sink)
+    val batchTwin = ops.Ingest.dedupKeepFirst(
+      spark.read.schema(evSchema).option("header", "true")
+        .option("dateFormat", "yyyy-MM-dd").csv(src.toString),
+      Seq("event_id"), Seq(col("value").asc))
+    assert(streamed.count() == evRows.length.toLong)
+    assert(streamed.filter(col("event_type") === "dup").count() == 0,
+      "a replayed conflict row displaced its stored winner")
+    assert(canonHash(streamed) == canonHash(batchTwin),
+      "streamed ingest sink diverges from the batch pipeline")
+
+    // ---- documents through streamingDedup ----------------------------
+    withRocksDb {
+      val orig = Tables.documents(spark, sf).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => SDoc(r.getLong(0), r.getString(1)))
+      // exact-dup copies under higher ids: later batches re-see content
+      val corpus = orig ++ orig.take(60)
+        .map(d => SDoc(d.doc_id + 10000, d.text))
+      val input = MemoryStream[SDoc]
+      val q = ops.Streaming.streamingDedup(spark, input.toDF())
+        .writeStream.format("memory").queryName("fixdedup")
+        .outputMode("append").start()
+      try {
+        corpus.grouped((corpus.length + 3) / 4)
+          .foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+        val streamedD = spark.table("fixdedup")
+        val batchD = spark.createDataset(corpus.toSeq).toDF()
+          .groupBy(md5(col("text")).as("content_md5"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id", "content_md5")
+        assert(streamedD.count() == orig.length.toLong) // dups all dropped
+        assert(canonHash(streamedD) == canonHash(batchD),
+          "streamingDedup end state diverges from the batch dedup")
+      } finally q.stop()
+    }
+  }
+
   test("q112 debounce matches a join-route predecessor recount") {
     import org.apache.spark.sql.functions._
     val r = Streaming.q112EventDedup(spark, sf)
