@@ -216,10 +216,20 @@ object RagIndexJob {
   /** Scheduled maintenance policy: retune if the plane count drifted (a
     * retune rewrites the global layout, subsuming compaction), else
     * compact if append debt accumulated, else nothing. Returns what it
-    * did. */
+    * did.
+    *
+    * `allowRetune = false` is the recall-sensitive mode the sf1ish
+    * lifecycle drive motivated (BASELINE.md round 11): on clone-heavy
+    * corpora near-identical vectors concentrate into shared buckets, so
+    * a retune narrows candidate sets far less than the plane math
+    * promises while still splitting near-dup neighborhoods across the
+    * new hyperplanes (measured: single-probe recall@10 0.57 → 0.45).
+    * Compaction is recall-neutral (pure layout), so a serve fleet that
+    * prefers recall can cap maintenance at compact-only and absorb the
+    * larger buckets with multi-probe lookups. */
   def maintain(spark: SparkSession, indexRoot: String,
-      maxFiles: Int = 8): String =
-    retunePlanes(spark, indexRoot) match {
+      maxFiles: Int = 8, allowRetune: Boolean = true): String =
+    (if (allowRetune) retunePlanes(spark, indexRoot) else None) match {
       case Some(p) => s"retuned:$p"
       case None =>
         val (before, after) = compact(spark, indexRoot, maxFiles)

@@ -178,6 +178,14 @@ class RagIndexJobSpec extends AnyFunSuite {
     val probe = spark.read.parquet(s"$dir/index.parquet")
       .filter(col("doc_id") === 920005L).orderBy(col("chunk_idx"))
       .collect()(0).getAs[String]("chunk_text")
+    // recall-sensitive mode: with retune disallowed, maintenance still
+    // clears the append debt (compaction is recall-neutral layout work)
+    // but leaves the pinned planes — and so the drift — alone
+    val guarded = RagIndexJob.maintain(spark, dir, allowRetune = false)
+    assert(guarded.startsWith("compacted:"), guarded)
+    assert(RagIndexJob.indexDataFiles(spark, dir) <= 8)
+    assert(RagIndexJob.needsRetune(spark, dir),
+      "compact-only maintenance must not silently retune")
     val pNew = RagIndexJob.maintain(spark, dir)
     assert(pNew.startsWith("retuned:"), pNew)
     assert(!RagIndexJob.needsRetune(spark, dir))
