@@ -201,15 +201,20 @@ object CurationOps {
           .as("contaminated_docs"),
         sum(col("shared")).as("shared_gram_mass"))
     val elig = base.filter(col("source") =!= "src9")
+      // coalesce: SUM over a 0-doc corpus is NULL, the oracle's COUNT
+      // is 0 — agree at SF=0
       .select(SweepNs.map(n =>
-        sum(when(size(col("t")) >= n, 1L).otherwise(0L)).as(s"e$n")): _*)
+        coalesce(sum(when(size(col("t")) >= n, 1L).otherwise(0L)),
+          lit(0L)).as(s"e$n")): _*)
       .selectExpr(s"stack(${SweepNs.length}, " +
         SweepNs.map(n => s"$n, e$n").mkString(", ") + ") as (n, eligible)")
     broadcast(elig).join(perN, Seq("n"), "left")
       .na.fill(0L,
         Seq("docs_with_hits", "contaminated_docs", "shared_gram_mass"))
+      // NULL ppm when nothing is eligible, matching DuckDB's `// 0`
       .withColumn("contaminated_ppm",
-        expr("contaminated_docs * 1000000 div eligible"))
+        when(col("eligible") > 0,
+          expr("contaminated_docs * 1000000 div eligible")))
       .select(col("n").cast("long").as("n"), col("eligible"),
         col("docs_with_hits"), col("contaminated_docs"),
         col("shared_gram_mass"), col("contaminated_ppm"))

@@ -426,8 +426,11 @@ $sqlJac
     val tot = Tables.documents(s, d).agg(count(lit(1)).as("n_corpus"))
     nPairs.join(nDocs, "threshold_pct")
       .crossJoin(broadcast(tot))
+      // NULL on an empty corpus, matching DuckDB's `// 0` (degrade,
+      // don't die: ANSI div would throw on the 0-doc source)
       .withColumn("doc_ppm",
-        expr("cast(n_docs as decimal(38,0)) * 1000000 div n_corpus"))
+        when(col("n_corpus") > 0,
+          expr("cast(n_docs as decimal(38,0)) * 1000000 div n_corpus")))
       .select(col("threshold_pct"), col("n_pairs"), col("n_docs"),
         col("doc_ppm"))
       .orderBy(col("threshold_pct"))

@@ -914,9 +914,11 @@ object ExtOps {
       Tables.lineitem(s, d)
         .groupBy(col(c).as("v"))
         .agg(count(lit(1)).as("cnt"))
-        .agg(sum(col("cnt")).as("n_rows"),
-          sum(when(col("v").isNotNull, col("cnt")).otherwise(lit(0L)))
-            .as("n_nonnull"),
+        // coalesce to 0: SUM over an empty (0-row) source is NULL but
+        // the oracle's COUNT(*) is 0 — degrade identically at SF=0
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
+          coalesce(sum(when(col("v").isNotNull, col("cnt"))
+            .otherwise(lit(0L))), lit(0L)).as("n_nonnull"),
           count(col("v")).as("n_distinct"),
           min(toUnits(col("v"))).as("min_units"),
           max(toUnits(col("v"))).as("max_units"))

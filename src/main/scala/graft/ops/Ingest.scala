@@ -418,7 +418,10 @@ object Ingest {
         .withColumn(s"has_$tag", lit(true))
     // (per-check columns over the flagged child) -> one fused aggregate
     def viol(tag: String, key: String): Seq[(String, Column)] = Seq(
-      s"v_$tag" -> sum(when(col(s"has_$tag").isNull, 1L).otherwise(0L)),
+      // coalesce: SUM over an empty child is NULL, the oracle's COUNT
+      // of the violating set is 0 — agree at SF=0 (degrade, don't die)
+      s"v_$tag" -> coalesce(
+        sum(when(col(s"has_$tag").isNull, 1L).otherwise(0L)), lit(0L)),
       s"s_$tag" -> coalesce(
         sum(when(col(s"has_$tag").isNull, col(key))), lit(0L)))
     def reportRows(agg1: DataFrame, checks: Seq[(String, String)])
@@ -662,8 +665,20 @@ object Ingest {
     dir
   }
 
+  /** Read the dt-partitioned landing zone through the EXPLICIT schema
+    * (source columns + the event_date partition column): an empty
+    * source version publishes a layout with no partition directories,
+    * and a schema-inference read would die on it (UNABLE_TO_INFER_SCHEMA)
+    * instead of degrading to the 0-row frame every consumer handles. */
+  private def readPartitionedEvents(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val sch = Tables.events(s, d)
+      .withColumn("event_date", to_date(col("ts"))).schema
+    s.read.schema(sch).parquet(partitionedEventsDir(s, d))
+  }
+
   def q190PartitionPruning(s: SparkSession, d: String): DataFrame = {
-    val part = s.read.parquet(partitionedEventsDir(s, d))
+    val part = readPartitionedEvents(s, d)
     val maxDate = part.agg(max(col("event_date"))).collect()(0).getDate(0)
     part.filter(col("event_date") >= date_sub(lit(maxDate), 6))
       .groupBy(col("event_date"), col("event_type"))
@@ -696,7 +711,7 @@ object Ingest {
   // integer discipline both engines share, immune to locale/week-start
   // conventions.
   def q191DynamicPruning(s: SparkSession, d: String): DataFrame = {
-    val part = s.read.parquet(partitionedEventsDir(s, d))
+    val part = readPartitionedEvents(s, d)
     val dim = Tables.events(s, d)
       .select(to_date(col("ts")).as("dim_date")).distinct()
       .withColumn("daynum",

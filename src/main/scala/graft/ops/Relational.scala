@@ -211,16 +211,40 @@ object Relational {
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   // ---- q09: rollup hierarchy totals (A3) ------------------------------
+  // CASCADE form, not `.rollup`: Spark plans rollup/cube as an Expand
+  // that runs every input row through the aggregate once PER LEVEL (3×
+  // the hash-aggregate CPU at 100 TB); aggregating the finest level once
+  // and re-aggregating that compact group frame computes identical
+  // sums (count and integer-unit sums are re-aggregable; this corpus
+  // has no NULL group keys to conflate with rollup's own NULLs) with
+  // one full-data pass. The cascade also restores the SQL-standard
+  // empty-input semantics the gate's SF=0 probe caught: a global
+  // aggregate emits its grand row (n=0) on an empty source, while
+  // Expand-based rollup emits nothing.
   def q09Rollup(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
-    o.join(c, col("o_custkey") === col("c_custkey"))
-      .rollup(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(
-        (grouping(col("c_mktsegment")) * 2 + grouping(col("o_orderpriority")))
-          .cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        moneySum(col("o_totalprice")).as("sum_price"))
+    // eager localCheckpoint: the union branches would otherwise each
+    // recompute this aggregate from the corpus (measured: 4 scans, zero
+    // exchange reuse under AQE) — the checkpoint pins the ~|segments ×
+    // priorities|-row frame so the corpus is scanned ONCE and every
+    // level re-aggregates the tiny cached result
+    val g2 = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(toUnits(col("o_totalprice"))).as("u"))
+      .localCheckpoint()
+    def shape(df: DataFrame, gid: Int) = df.select(
+      col("c_mktsegment"), col("o_orderpriority"),
+      lit(gid).cast("long").as("gid"), col("n"),
+      (col("u") / 100.0).as("sum_price"))
+    val g1 = g2.groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n"), sum(col("u")).as("u"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    val g0 = g2.agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        sum(col("u")).as("u"))
+      .withColumn("c_mktsegment", lit(null).cast("string"))
+      .withColumn("o_orderpriority", lit(null).cast("string"))
+    shape(g2, 0).unionByName(shape(g1, 1)).unionByName(shape(g0, 3))
       .orderBy(col("gid"),
         col("c_mktsegment").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -236,17 +260,35 @@ object Relational {
     ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"""
 
   // ---- q10: cube (A3) -------------------------------------------------
-  def q10Cube(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
-          .cast("long").as("gid"),
-        sum(toUnits(col("l_quantity"), 0)).as("sum_qty"),
+  // Same cascade as q09, one more re-aggregate: cube's 4 levels all
+  // derive from the finest (flag, status) group frame, so the full
+  // corpus is aggregated ONCE instead of 4× through Expand — and the
+  // grand row survives an empty source (SF=0 standard semantics).
+  def q10Cube(s: SparkSession, d: String): DataFrame = {
+    val g2 = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(toUnits(col("l_quantity"), 0)).as("u"),
         count(lit(1)).as("n"))
+      .localCheckpoint() // one corpus scan; levels read the tiny frame
+    def shape(df: DataFrame, gid: Int) = df.select(
+      col("l_returnflag"), col("l_linestatus"),
+      lit(gid).cast("long").as("gid"), col("u").as("sum_qty"), col("n"))
+    val gFlag = g2.groupBy(col("l_returnflag"))
+      .agg(sum(col("u")).as("u"), sum(col("n")).as("n"))
+      .withColumn("l_linestatus", lit(null).cast("string"))
+    val gStatus = g2.groupBy(col("l_linestatus"))
+      .agg(sum(col("u")).as("u"), sum(col("n")).as("n"))
+      .withColumn("l_returnflag", lit(null).cast("string"))
+    val g0 = g2.agg(sum(col("u")).as("u"),
+        coalesce(sum(col("n")), lit(0L)).as("n"))
+      .withColumn("l_returnflag", lit(null).cast("string"))
+      .withColumn("l_linestatus", lit(null).cast("string"))
+    shape(g2, 0).unionByName(shape(gFlag, 1)).unionByName(shape(gStatus, 2))
+      .unionByName(shape(g0, 3))
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+  }
 
   val q10Sql: String = s"""
     SELECT l_returnflag, l_linestatus,

@@ -62,6 +62,21 @@ object SqlOps {
   val q49Sql: String = q49Text
 
   // ---- q50: GROUPING SETS (A3 — the general form of rollup/cube) -------
+  // Two deviations from the naive `GROUP BY GROUPING SETS ((a),(b),())`,
+  // both with measured reasons:
+  //  1. The sets run over a checkpointed PRE-AGGREGATED (a, b) frame
+  //     (the q09/q10 cascade): Spark plans grouping sets as an Expand
+  //     that feeds every input row through the aggregate once per set,
+  //     and a UNION's branches each rescan the corpus (measured: zero
+  //     exchange reuse under AQE) — the checkpoint makes it ONE corpus
+  //     scan, with the Expand and every re-aggregate running over the
+  //     ~|priorities|+|statuses| cached rows. GROUPING SETS + GROUPING()
+  //     still go through Catalyst, on the view.
+  //  2. The () grand set rides a UNION'd global aggregate: Spark's
+  //     Expand-based grouping sets emit ZERO rows on an empty source,
+  //     while the SQL standard (and DuckDB's GROUPING SETS, which the
+  //     oracle keeps) emits the grand row with COUNT 0 — a global
+  //     aggregate restores that for free.
   private val q50Text: String = s"""
     SELECT o_orderpriority, o_orderstatus,
       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
@@ -71,8 +86,28 @@ object SqlOps {
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
 
-  def q50GroupingSets(s: SparkSession, d: String): DataFrame =
-    sql(s, d, q50Text)
+  def q50GroupingSets(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.ops.Fx.toUnits(col("o_totalprice"))).as("u"))
+      .localCheckpoint()
+    g.createOrReplaceTempView("graft_q50_groups")
+    s.sql("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+          AS BIGINT) AS gid,
+        CAST(SUM(n) AS BIGINT) AS n,
+        CAST(SUM(u) AS BIGINT) / 1e2 AS sum_price
+      FROM graft_q50_groups
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      UNION ALL
+      SELECT NULL, NULL, CAST(3 AS BIGINT),
+        COALESCE(CAST(SUM(n) AS BIGINT), 0), CAST(SUM(u) AS BIGINT) / 1e2
+      FROM graft_q50_groups
+      ORDER BY gid, o_orderpriority NULLS FIRST,
+        o_orderstatus NULLS FIRST""")
+  }
 
   val q50Sql: String = q50Text
 

@@ -2062,7 +2062,7 @@ object TextOps {
       CAST(CASE WHEN den = 0 THEN NULL
         ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
           * (abs(num) * 1000000 // den) END AS BIGINT) AS kappa_ppm,
-      CASE WHEN den = 0 THEN 'degenerate'
+      CASE WHEN den = 0 OR den IS NULL THEN 'degenerate'
            WHEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
              * (abs(num) * 1000000 // den) >= 600000 THEN 'strong'
            WHEN (CASE WHEN num < 0 THEN -1 ELSE 1 END)
