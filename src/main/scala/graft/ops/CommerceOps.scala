@@ -1,0 +1,431 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import Fx._
+
+/** Commerce / customer-behavior analytics over the orders + events tables —
+  * the segmentation, association, attribution and robust-aggregation
+  * surface a batch analytics engine serves on top of the reference's
+  * cumulative fact tables (`NytimesBatchProcessorApplication.kt:146-188`
+  * aggregates a per-key running measure; these are the downstream reads).
+  *
+  * Every statistic follows the repo-wide oracle-parity discipline: measures
+  * quantized element-wise to exact integer units (Fx), ratios as staged
+  * floor-div ppm on Decimal(38,0) ↔ DuckDB HUGEINT `//`, and any
+  * double in the output produced by a single IEEE op on identical exact
+  * integers in both engines. No float accumulations, no float logs.
+  */
+object CommerceOps {
+
+  // ---- q195: RFM customer segmentation ---------------------------------
+  // The classic recency/frequency/monetary quartile segmentation, built
+  // scale-first: a global NTILE would sort every customer in ONE task
+  // (the window has no partition key), so the quartile CUT POINTS come
+  // from the bounded-domain histogram-percentile contract instead
+  // (StatsOps.histPercentiles — the q56 machinery, exact and
+  // interpolation-compatible with DuckDB quantile_cont), computed over a
+  // 3-way melted (measure, value) frame so all three measures share ONE
+  // scan of the per-customer aggregate. Scoring is then a map-side CASE
+  // against 9 broadcast scalars and the output is the ≤4³-cell segment
+  // grid — nothing after the per-customer groupBy shuffles more than
+  // |customers| rows once.
+  //
+  // Units: recency in whole days behind the corpus max order date;
+  // frequency in orders; monetary in TEN-dollar units (cents summed
+  // exactly, then `div 1000`) so the histogram domain stays ≤ ~5·10⁵
+  // distinct values — inside the 2^22 bounded-state contract even when
+  // per-customer totals reach 10⁷ dollars (cent-granular cut points on
+  // a quartile grid move no customer across a boundary worth caring
+  // about; the score comparison is exact either way).
+  //
+  // Recency scores 4→1 with *small* (recent) best, frequency/monetary
+  // 1→4 with large best — the standard RFM orientation.
+  def q195RfmSegments(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+        toUnits(col("o_totalprice")).as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("od")).as("last_od"),
+        count(lit(1)).as("f_n"),
+        sum(col("cents")).as("m_cents"))
+      .persist() // shared by the melt (cuts) AND the scoring pass below;
+                 // caller-unpersist contract (SparkEntry scaladoc)
+    val maxDate = cust.agg(max(col("last_od")).as("max_od"))
+    val feats = cust.crossJoin(broadcast(maxDate))
+      .withColumn("r_days", datediff(col("max_od"), col("last_od")).cast("long"))
+      .withColumn("m_e1", expr("m_cents div 1000"))
+    val melted = feats.select(explode(array(
+      struct(lit("r").as("m"), col("r_days").as("v")),
+      struct(lit("f").as("m"), col("f_n").as("v")),
+      struct(lit("m").as("m"), col("m_e1").as("v")))).as("x"))
+      .select(col("x.m").as("m"), col("x.v").as("v"))
+    val cuts = StatsOps.histPercentiles(melted, "m", "v",
+        Seq(0.25, 0.5, 0.75))
+      .groupBy()
+      .agg(
+        max(when(col("m") === "r", element_at(col("ps"), 1))).as("r1"),
+        max(when(col("m") === "r", element_at(col("ps"), 2))).as("r2"),
+        max(when(col("m") === "r", element_at(col("ps"), 3))).as("r3"),
+        max(when(col("m") === "f", element_at(col("ps"), 1))).as("f1"),
+        max(when(col("m") === "f", element_at(col("ps"), 2))).as("f2"),
+        max(when(col("m") === "f", element_at(col("ps"), 3))).as("f3"),
+        max(when(col("m") === "m", element_at(col("ps"), 1))).as("m1"),
+        max(when(col("m") === "m", element_at(col("ps"), 2))).as("m2"),
+        max(when(col("m") === "m", element_at(col("ps"), 3))).as("m3"))
+    def score(v: String, c1: String, c2: String, c3: String) =
+      (lit(1) + when(col(v) > col(c1), 1).otherwise(0)
+        + when(col(v) > col(c2), 1).otherwise(0)
+        + when(col(v) > col(c3), 1).otherwise(0)).cast("int")
+    feats.crossJoin(broadcast(cuts))
+      .withColumn("r_score", (lit(5) - score("r_days", "r1", "r2", "r3")).cast("int"))
+      .withColumn("f_score", score("f_n", "f1", "f2", "f3"))
+      .withColumn("m_score", score("m_e1", "m1", "m2", "m3"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("m_cents")) / 100.0).as("sum_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q195Sql: String = s"""
+    WITH cust AS (
+      SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_od,
+        CAST(COUNT(*) AS BIGINT) AS f_n,
+        ${sqlUnitSum("o_totalprice")} AS m_cents
+      FROM orders GROUP BY 1),
+    feats AS (
+      SELECT o_custkey, f_n, m_cents,
+        CAST(((SELECT MAX(last_od) FROM cust) - last_od) AS BIGINT) AS r_days,
+        m_cents // 1000 AS m_e1
+      FROM cust),
+    cuts AS (
+      SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+        quantile_cont(f_n, [0.25, 0.5, 0.75]) AS fq,
+        quantile_cont(m_e1, [0.25, 0.5, 0.75]) AS mq
+      FROM feats),
+    scored AS (
+      SELECT
+        CAST(5 - (1 + CASE WHEN r_days > rq[1] THEN 1 ELSE 0 END
+                    + CASE WHEN r_days > rq[2] THEN 1 ELSE 0 END
+                    + CASE WHEN r_days > rq[3] THEN 1 ELSE 0 END)
+          AS INTEGER) AS r_score,
+        CAST(1 + CASE WHEN f_n > fq[1] THEN 1 ELSE 0 END
+               + CASE WHEN f_n > fq[2] THEN 1 ELSE 0 END
+               + CASE WHEN f_n > fq[3] THEN 1 ELSE 0 END
+          AS INTEGER) AS f_score,
+        CAST(1 + CASE WHEN m_e1 > mq[1] THEN 1 ELSE 0 END
+               + CASE WHEN m_e1 > mq[2] THEN 1 ELSE 0 END
+               + CASE WHEN m_e1 > mq[3] THEN 1 ELSE 0 END
+          AS INTEGER) AS m_score,
+        m_cents
+      FROM feats CROSS JOIN cuts)
+    SELECT r_score, f_score, m_score,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(m_cents) AS BIGINT) / 100.0 AS sum_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  // ---- q196: market-basket pair rules (support / confidence / lift) ----
+  // 2-itemset association mining over orders-as-baskets. The scalable
+  // shape is NOT a lineitem self-join (a corpus-sized shuffle on BOTH
+  // sides): one groupBy(orderkey) collects each basket's distinct part
+  // list (baskets are small — bounded by order line count, ≤7 in TPC-H
+  // shapes and capped by any real cart), pairs explode MAP-SIDE from the
+  // sorted list (i<j gives each unordered pair once, canonically
+  // ordered), and the pair count aggregates with map-side combine onto a
+  // frame bounded by the frequent-pair space, not the corpus. Apriori
+  // pruning first: an item below the item support floor cannot be in a
+  // pair above it, so infrequent items leave before pair explosion —
+  // on a skewed real catalog this is what bounds the blowup.
+  //
+  // Metrics in the q146 staged-floor-div ppm discipline on
+  // Decimal(38,0): support_ppm = c_pair·10⁶ div N; confidence(a→b) =
+  // c_pair·10⁶ div c_a; lift = confidence·N div c_b.
+  private[graft] val PairMinSup = 2L
+
+  def q196BasketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c_item"))
+      .filter(col("c_item") >= PairMinSup) // apriori item floor
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = items.join(supp, Seq("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ps) - 2),
+             i -> transform(sequence(i + 1, size(ps) - 1),
+               j -> struct(ps[i] AS pa, ps[j] AS pb))))""")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= PairMinSup)
+    pairs
+      .join(supp.select(col("l_partkey").as("pa"), col("c_item").as("c_a")),
+        Seq("pa"))
+      .join(supp.select(col("l_partkey").as("pb"), col("c_item").as("c_b")),
+        Seq("pb"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support_ppm",
+        expr("cast(c_pair as decimal(38,0)) * 1000000 div n_orders"))
+      .withColumn("conf_ppm",
+        expr("cast(c_pair as decimal(38,0)) * 1000000 div c_a"))
+      .withColumn("lift_ppm",
+        expr("cast(cast(c_pair as decimal(38,0)) * 1000000 div c_a" +
+          " as decimal(38,0)) * n_orders div c_b"))
+      .select(col("pa"), col("pb"), col("c_pair"), col("c_a"), col("c_b"),
+        col("support_ppm").cast("long").as("support_ppm"),
+        col("conf_ppm").cast("long").as("conf_ppm"),
+        col("lift_ppm").cast("long").as("lift_ppm"))
+      .orderBy(col("pa"), col("pb"))
+  }
+
+  val q196Sql: String = s"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item
+      FROM items GROUP BY 1 HAVING COUNT(*) >= $PairMinSup),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_partkey IN (SELECT l_partkey FROM supp)
+        AND b.l_partkey IN (SELECT l_partkey FROM supp)
+      GROUP BY 1, 2 HAVING COUNT(*) >= $PairMinSup)
+    SELECT pa, pb, c_pair, sa.c_item AS c_a, sb.c_item AS c_b,
+      CAST(CAST(c_pair AS HUGEINT) * 1000000 // n_orders AS BIGINT)
+        AS support_ppm,
+      CAST(CAST(c_pair AS HUGEINT) * 1000000 // sa.c_item AS BIGINT)
+        AS conf_ppm,
+      CAST((CAST(c_pair AS HUGEINT) * 1000000 // sa.c_item)
+        * n_orders // sb.c_item AS BIGINT) AS lift_ppm
+    FROM pairs JOIN supp sa ON sa.l_partkey = pa
+      JOIN supp sb ON sb.l_partkey = pb
+      CROSS JOIN n
+    ORDER BY pa, pb"""
+
+  // ---- q198: Benford first-digit screen --------------------------------
+  // The fabricated-numbers audit: leading-digit frequencies of a money
+  // measure vs the Benford expectation log10(1+1/d). Organic multi-scale
+  // measures follow it; synthetic/uniform generators (this fixture) and
+  // hand-typed fraud do not — the statistic exists to QUANTIFY that
+  // deviation, so the fixture failing the screen is the query working.
+  //
+  // Exactness: the digit comes from the decimal string of the exact cent
+  // units (BIGINT→VARCHAR is locale-free in both engines; the measure is
+  // strictly positive); the expectation is a 9-entry integer-ppm literal
+  // (summing to exactly 10⁶) shared verbatim by both sides; the χ²
+  // surrogate is pure Decimal(38,0)/HUGEINT arithmetic —
+  // (10⁶·n_d − N·e_ppm)² div (N·e_ppm), i.e. 10⁶·χ² with floor-div —
+  // no float log10, no float division anywhere.
+  //
+  // Scale shape: one scan → 9-row aggregate with map-side combine; the
+  // 1-row total attaches by broadcast; the window runs on 9 rows.
+  private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L) // round(1e6·log10(1+1/d))
+
+  def q198Benford(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.lineitem(s, d)
+      .select(toUnits(col("l_extendedprice")).as("u"))
+      .withColumn("digit", substring(col("u").cast("string"), 1, 1)
+        .cast("int"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      .persist() // ≤9 rows; total + per-digit pass share it
+    val total = digits.agg(sum(col("n_obs")).as("n_total"))
+    val expPpm = array(BenfordPpm.map(lit): _*)
+    val perDigit = digits.crossJoin(broadcast(total))
+      .withColumn("exp_ppm", element_at(expPpm, col("digit")))
+      .withColumn("obs_ppm",
+        expr("cast(n_obs as decimal(38,0)) * 1000000 div n_total")
+          .cast("long"))
+      .withColumn("x2_micro",
+        expr("""cast((cast(n_obs as decimal(38,0)) * 1000000
+                 - cast(n_total as decimal(38,0)) * exp_ppm) as decimal(38,0))
+               * (cast(n_obs as decimal(38,0)) * 1000000
+                 - cast(n_total as decimal(38,0)) * exp_ppm)
+               div (cast(n_total as decimal(38,0)) * exp_ppm)""")
+          .cast("long"))
+    // total χ² attaches as a 1-row broadcast, not a global window (a
+    // partition-less WindowExec funnels its input through one task —
+    // harmless on 9 rows, but the registry bans the shape outright so a
+    // misrouted corpus frame can never ride it)
+    val chi2 = perDigit.agg(sum(col("x2_micro")).as("chi2_micro_total"))
+    perDigit.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"), col("obs_ppm"), col("exp_ppm"),
+        col("x2_micro"), col("chi2_micro_total"))
+      .orderBy(col("digit"))
+  }
+
+  val q198Sql: String = s"""
+    WITH digits AS (
+      SELECT CAST(LEFT(CAST(${sqlUnits("l_extendedprice")} AS VARCHAR), 1)
+          AS INTEGER) AS digit,
+        CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM digits),
+    e AS (
+      SELECT digit, n_obs, n_total,
+        ([${BenfordPpm.mkString(", ")}])[digit] AS exp_ppm
+      FROM digits CROSS JOIN t)
+    SELECT digit, n_obs,
+      CAST(CAST(n_obs AS HUGEINT) * 1000000 // n_total AS BIGINT) AS obs_ppm,
+      CAST(exp_ppm AS BIGINT) AS exp_ppm,
+      CAST((CAST(n_obs AS HUGEINT) * 1000000
+             - CAST(n_total AS HUGEINT) * exp_ppm)
+           * (CAST(n_obs AS HUGEINT) * 1000000
+             - CAST(n_total AS HUGEINT) * exp_ppm)
+           // (CAST(n_total AS HUGEINT) * exp_ppm) AS BIGINT) AS x2_micro,
+      CAST(SUM(CAST((CAST(n_obs AS HUGEINT) * 1000000
+             - CAST(n_total AS HUGEINT) * exp_ppm)
+           * (CAST(n_obs AS HUGEINT) * 1000000
+             - CAST(n_total AS HUGEINT) * exp_ppm)
+           // (CAST(n_total AS HUGEINT) * exp_ppm) AS BIGINT)) OVER ()
+        AS BIGINT) AS chi2_micro_total
+    FROM e ORDER BY digit"""
+
+  // ---- q200: multi-touch attribution (first / last / linear) -----------
+  // Which touch types get credit for conversions: for every purchase,
+  // the same user's touch events (view/click/signup) in the trailing
+  // 7 days, credited under the three standard models at once —
+  // first-touch (earliest in window), last-touch (latest), linear
+  // (1/n to each, exact integer micro-credits via floor-div so the
+  // per-purchase credit mass is deterministic in both engines).
+  //
+  // Scale shape: ONE user-keyed equi-join (touch × purchase, the
+  // trailing-window predicate applied inside it — the q88 posture:
+  // equi-key first, range residual second), then a purchase-keyed
+  // window for first/last ranks, then a map-side-combining aggregate
+  // onto the |touch types|-row frame. The joined frame is bounded by
+  // touches-per-user × purchases-per-user; a bot account that breaks
+  // that bound is exactly what the q173 sustained-rate screen removes
+  // upstream.
+  def q200Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val touches = ev
+      .filter(col("event_type").isin("view", "click", "signup"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_id"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val joined = touches.join(purchases, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val w = Window.partitionBy(col("p_id"))
+    val wAsc = w.orderBy(col("t_ts"), col("t_id"))
+    val ranked = joined
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("n_t", count(lit(1)).over(w))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("first_touch_n"),
+        sum(when(col("rn") === col("n_t"), 1L).otherwise(0L))
+          .as("last_touch_n"),
+        sum(expr("1000000 div n_t")).as("linear_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q200Sql: String = """
+    WITH touches AS (
+      SELECT user_id, ts AS t_ts, event_id AS t_id, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+    purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT t.event_type,
+        ROW_NUMBER() OVER (PARTITION BY p.p_id
+          ORDER BY t.t_ts, t.t_id) AS rn,
+        COUNT(*) OVER (PARTITION BY p.p_id) AS n_t
+      FROM touches t JOIN purchases p ON t.user_id = p.user_id
+      WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS first_touch_n,
+      CAST(SUM(CASE WHEN rn = n_t THEN 1 ELSE 0 END) AS BIGINT)
+        AS last_touch_n,
+      CAST(SUM(1000000 // n_t) AS BIGINT) AS linear_micro
+    FROM ranked GROUP BY 1 ORDER BY 1"""
+
+  // ---- q201: time-weighted value averages ------------------------------
+  // The dwell-weighted mean behind engagement-quality metrics: each
+  // event's value weighted by how long it stayed the user's CURRENT
+  // state (whole seconds to the user's next event, capped at 3600 so an
+  // overnight gap doesn't own the average; a user's final event gets
+  // the cap). A plain AVG overweights rapid-fire bursts; this is the
+  // step-function integral a sessionized replay would compute.
+  //
+  // Exactness: weights are truncating-div whole seconds of nonnegative
+  // epoch-micro differences (floor ≡ truncate), values exact cent
+  // units, both Σ(v·w) and Σw accumulate in Decimal(38,0)/HUGEINT, and
+  // the reported average is integer floor-div centi-units plus one
+  // derived double from a single IEEE division of identical integers.
+  //
+  // Scale shape: the same single user_id shuffle as q172 for the lead
+  // window, then one map-side-combining aggregate per event type.
+  private[graft] val DwellCapS = 3600L
+
+  def q201TimeWeighted(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), toUnits(col("value")).as("vu"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .withColumn("dwell_s", least(
+        coalesce(expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000"),
+          lit(DwellCapS)), lit(DwellCapS)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_s")).as("w_total_s"),
+        sum(expr("cast(vu as decimal(38,0)) * dwell_s")).as("wv"),
+        sum(col("vu")).as("v_total"))
+      .withColumn("twa_centi", expr("wv div w_total_s").cast("long"))
+      .withColumn("plain_avg",
+        col("v_total").cast("double") / col("n") / 100.0)
+      .withColumn("twa",
+        col("wv").cast("double") / col("w_total_s") / 100.0)
+      .select(col("event_type"), col("n"), col("w_total_s"),
+        col("twa_centi"), col("twa"), col("plain_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  val q201Sql: String = s"""
+    WITH seq AS (
+      SELECT event_type, ${sqlUnits("value")} AS vu,
+        LEAST(COALESCE((epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts)) // 1000000,
+          $DwellCapS), $DwellCapS) AS dwell_s
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(dwell_s) AS BIGINT) AS w_total_s,
+      CAST(SUM(CAST(vu AS HUGEINT) * dwell_s) // SUM(dwell_s) AS BIGINT)
+        AS twa_centi,
+      CAST(SUM(CAST(vu AS HUGEINT) * dwell_s) AS DOUBLE)
+        / CAST(SUM(dwell_s) AS BIGINT) / 100.0 AS twa,
+      CAST(SUM(vu) AS BIGINT) / CAST(COUNT(*) AS BIGINT) / 100.0
+        AS plain_avg
+    FROM seq GROUP BY 1 ORDER BY 1"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_rfm_segments" -> q195RfmSegments _,
+    "q196_basket_pairs" -> q196BasketPairs _,
+    "q198_benford"      -> q198Benford _,
+    "q200_attribution"  -> q200Attribution _,
+    "q201_time_weighted" -> q201TimeWeighted _)
+
+  val oracles: Map[String, String] = Map(
+    "q195_rfm_segments" -> q195Sql,
+    "q196_basket_pairs" -> q196Sql,
+    "q198_benford"      -> q198Sql,
+    "q200_attribution"  -> q200Sql,
+    "q201_time_weighted" -> q201Sql)
+}
