@@ -1820,14 +1820,103 @@ $sqlJac,
     FROM sk GROUP BY sk_md5 HAVING COUNT(*) >= 2
     ORDER BY sk_md5"""
 
-  /** Caller contract: q31/q33/q34 (and q60, via q31) and q154 (gram-hash
-    * + fingerprint-postings frames) `persist()` their feature table so
+  // ---- q199: all-pairs set-similarity join via prefix filtering --------
+  // The EXACT-recall complement of the LSH candidate generators (q31/q33/
+  // q34 trade recall for bucket-bounded candidates; their measured recall
+  // is q183's whole job): the SSJoin/All-Pairs prefix filter generates a
+  // PROVABLY COMPLETE candidate set for token-set Jaccard ≥ θ with no
+  // all-pairs comparison. Canonical order = ascending global document
+  // frequency (rarest first, ties by word — a total order shared by every
+  // doc); a doc of n tokens exposes only its first n − ceil(θn) + 1
+  // tokens: any qualifying pair must share overlap ≥ ceil(θ·n) under
+  // J ≥ θ, and the smallest common token in the canonical order provably
+  // sits inside BOTH prefixes, so the prefix-token equi-join loses
+  // nothing. θ = 4/5 exactly, so ceil(θn) = (4n+4) div 5 and the
+  // J ≥ θ test is integer: floor(inter·10⁶/uni) ≥ 800000 ⟺ J ≥ 0.8.
+  // The length filter (4·n_a ≤ 5·n_b and symmetric — implied by J ≥ θ)
+  // prunes inside the join condition. Because generation is complete and
+  // verification exact, the ORACLE IS GROUND TRUTH (a plain all-common-
+  // token pair count), not an algorithm twin — the strongest check a
+  // similarity join here has.
+  //
+  // Scale shape: one vocab-keyed df join + one doc-keyed groupBy to build
+  // ordered sets; candidates come from an equi-join keyed on PREFIX
+  // tokens only — rare tokens by construction, so bucket sizes are the
+  // smallest of any key choice; verification touches candidate pairs
+  // only. Pair-family growth on clone corpora is the q154/q194
+  // adjudicated class (shared-mass, sub-quadratic).
+  private[graft] val AllPairsThetaPpm = 800000L // θ = 4/5 exactly
+
+  def q199AllPairsJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(
+        filter(TextOps.toks(col("text")), x => x =!= lit(""))).as("ts"))
+      .filter(size(col("ts")) >= 1)
+    val ex = docs.select(col("doc_id"), explode(col("ts")).as("w"))
+    val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("sw"))
+      .withColumn("tokens", expr("transform(sw, x -> x.w)"))
+      .withColumn("n", size(col("tokens")).cast("long"))
+      .withColumn("pfx", expr(
+        "slice(tokens, 1, cast(n - ((4 * n + 4) div 5) + 1 as int))"))
+      .select(col("doc_id"), col("tokens"), col("n"), col("pfx"))
+      .persist() // probe sides + verification share it (caller contract)
+    val probes = ordered.select(col("doc_id"), col("n"),
+      explode(col("pfx")).as("w"))
+    val cand = probes.as("a").join(probes.as("b"),
+        col("a.w") === col("b.w") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 4 <= col("b.n") * 5 &&
+          col("b.n") * 4 <= col("a.n") * 5)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(ordered.select(col("doc_id").as("da"), col("tokens").as("ta"),
+        col("n").as("n_a")), Seq("da"))
+      .join(ordered.select(col("doc_id").as("db"), col("tokens").as("tb"),
+        col("n").as("n_b")), Seq("db"))
+      .withColumn("inter",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jacc_ppm", expr("inter * 1000000 div uni"))
+      .filter(col("jacc_ppm") >= AllPairsThetaPpm)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("n_a"),
+        col("n_b"), col("inter"), col("uni"), col("jacc_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q199Sql: String = raw"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_filter(string_split_regex(
+        trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '')) AS ts
+      FROM documents),
+    tt AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
+    ex AS (SELECT doc_id, unnest(ts) AS w FROM tt),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.da AS doc_a, p.db AS doc_b,
+      CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b, p.inter,
+      CAST(x.n + y.n - p.inter AS BIGINT) AS uni,
+      CAST(p.inter * 1000000 // (x.n + y.n - p.inter) AS BIGINT)
+        AS jacc_ppm
+    FROM pairs p JOIN tt x ON x.doc_id = p.da JOIN tt y ON y.doc_id = p.db
+    WHERE p.inter * 1000000 // (x.n + y.n - p.inter) >= $AllPairsThetaPpm
+    ORDER BY 1, 2"""
+
+  /** Caller contract: q31/q33/q34 (and q60, via q31), q154 (gram-hash
+    * + fingerprint-postings frames) and q199 (ordered prefix-set frame)
+    * `persist()` their feature table so
     * the self-join's branches share one computation — a lazily returned
     * DataFrame cannot unpersist behind its own action, so the CACHE
     * LIFETIME IS THE CALLER'S. The driver harness (Verify/Bench/specs)
     * runs `spark.catalog.clearCache()` between queries; any other caller
     * must do the same or accept the cached blocks until session end. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_allpairs_join" -> q199AllPairsJoin _,
     "q29_exact_dedup"   -> q29ExactDedup _,
     "q30_minhash_sig"   -> q30MinhashSig _,
     "q31_minhash_pairs" -> q31MinhashPairs _,
@@ -1855,6 +1944,7 @@ $sqlJac,
     "q31_minhash_pairs" -> q31Sql,
     "q32_simhash"       -> q32Sql,
     "q33_simhash_pairs" -> q33Sql,
+    "q199_allpairs_join" -> q199Sql,
     "q34_ngram_jaccard" -> q34Sql,
     "q60_dedup_groups"  -> q60Sql,
     "q102_cluster_canonical" -> q102Sql,

@@ -1238,7 +1238,70 @@ object StatsOps {
     FROM (SELECT source, LEAST(n_chars, 512) AS w FROM documents)
     GROUP BY source ORDER BY source"""
 
+  // ---- q202: winsorized + trimmed robust means -------------------------
+  // The outlier-robust location estimates a metrics pipeline serves when
+  // a mean is wanted but single fat-fingered / bot rows must not own it:
+  // per event type, the p05/p95 band from the bounded-state histogram
+  // contract (same machinery as q56 — exact, quantile_cont-compatible
+  // interpolation), then the winsorized mean (tails CLAMPED to the band
+  // edges) and the trimmed mean (tails DROPPED) side by side. Band edges
+  // are rounded to integer cent units (floor(x+0.5) on the identical
+  // interpolated double in both engines) so the clamp, the sums, and the
+  // divisions all stay in the exact-integer discipline; each reported
+  // mean is one IEEE division of identical integers.
+  //
+  // Scale shape: the q56 two-scan posture — one bounded-domain histogram
+  // aggregate for the cuts, one clamp+aggregate scan with the ≤|types|-row
+  // cut table broadcast onto it. No per-group value buffering anywhere.
+  def q202Winsorized(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.events(s, d)
+      .select(col("event_type"), toUnits(col("value")).as("u"))
+    val cuts = StatsOps.histPercentiles(rows, "event_type", "u",
+        Seq(0.05, 0.95))
+      .select(col("event_type"),
+        floor(element_at(col("ps"), 1) + 0.5).cast("long").as("lo"),
+        floor(element_at(col("ps"), 2) + 0.5).cast("long").as("hi"))
+    rows.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("cu", least(greatest(col("u"), col("lo")), col("hi")))
+      .withColumn("inb",
+        col("u") >= col("lo") && col("u") <= col("hi"))
+      .groupBy(col("event_type"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cu")).as("wsum"),
+        sum(when(col("inb"), col("u"))).as("tsum"),
+        sum(when(col("inb"), 1L).otherwise(0L)).as("trimmed_n"))
+      .withColumn("winsor_mean",
+        col("wsum").cast("double") / col("n") / 100.0)
+      .withColumn("trimmed_mean",
+        col("tsum").cast("double") / col("trimmed_n") / 100.0)
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        col("winsor_mean"), col("trimmed_n"), col("trimmed_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  val q202Sql: String = s"""
+    WITH cuts AS (
+      SELECT event_type,
+        CAST(FLOOR(q[1] + 0.5) AS BIGINT) AS lo,
+        CAST(FLOOR(q[2] + 0.5) AS BIGINT) AS hi
+      FROM (SELECT event_type,
+              quantile_cont(${sqlUnits("value")}, [0.05, 0.95]) AS q
+            FROM events GROUP BY 1)),
+    rows_ AS (
+      SELECT e.event_type, ${sqlUnits("value")} AS u, c.lo, c.hi
+      FROM events e JOIN cuts c USING (event_type))
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, lo, hi,
+      CAST(SUM(LEAST(GREATEST(u, lo), hi)) AS BIGINT)
+        / CAST(COUNT(*) AS BIGINT) / 100.0 AS winsor_mean,
+      CAST(SUM(CASE WHEN u BETWEEN lo AND hi THEN 1 ELSE 0 END) AS BIGINT)
+        AS trimmed_n,
+      CAST(SUM(CASE WHEN u BETWEEN lo AND hi THEN u END) AS BIGINT)
+        / CAST(SUM(CASE WHEN u BETWEEN lo AND hi THEN 1 ELSE 0 END)
+            AS BIGINT) / 100.0 AS trimmed_mean
+    FROM rows_ GROUP BY event_type, lo, hi ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_winsorized" -> q202Winsorized _,
     "q186_effective_sample" -> q186EffectiveSample _,
     "q158_ks_drift" -> q158KsDrift _,
     "q152_composition_skew" -> q152CompositionSkew _,
@@ -1257,6 +1320,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q202_winsorized" -> q202Sql,
     "q186_effective_sample" -> q186Sql,
     "q158_ks_drift" -> q158Sql,
     "q152_composition_skew" -> q152Sql,

@@ -2596,7 +2596,94 @@ object TextOps {
     FROM c WHERE n_words > 0
     GROUP BY 1 ORDER BY 1"""
 
+  // ---- q197: per-source keyword keyness --------------------------------
+  // The corpus-linguistics "keyness" table behind domain labeling and
+  // mixing diagnostics: which words are OVER-represented in a source
+  // relative to the rest of the corpus, as a graded statistic — the
+  // complement of q177's binary exclusivity (a word can be 10× enriched
+  // yet appear everywhere) and of q146's within-corpus bigram
+  // association. The classic form is Dunning's log-likelihood G²; like
+  // q135/q146 the monotone core is kept in exact fixed point instead of
+  // a float log: keyness = rate-in-source / rate-in-rest as staged
+  // Decimal(38,0) floor-div ppm, with add-one smoothing on the rest
+  // count so a source-exclusive word (rest count 0) grades finitely
+  // instead of dividing by zero. Bands and ordering are identical to
+  // the log form (log is monotone); the oracle hash-matches because no
+  // transcendental is ever evaluated.
+  //
+  // Scale shape: one corpus scan → (source, word) count with map-side
+  // combine (state ≤ |sources|·vocab, not corpus); both margins and the
+  // total derive from that vocab-keyed frame (the q141/q177 priced
+  // class, ≤1.8× at 30× data); the 1-row total attaches via broadcast.
+  // The a ≥ 5 noise floor prunes the hapax tail before the join.
+  def q197Keyness(s: SparkSession, d: String): DataFrame = {
+    val sw = Tables.documents(s, d)
+      .select(col("source"),
+        explode(filter(toks(col("text")), x => x =!= lit(""))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_in_source"))
+      .persist() // margins + total + score share the vocab-keyed frame;
+                 // caller-unpersist contract (SparkEntry scaladoc)
+    val perSource = sw.groupBy(col("source"))
+      .agg(sum(col("n_in_source")).as("n_s"))
+    val perWord = sw.groupBy(col("w"))
+      .agg(sum(col("n_in_source")).as("n_corpus"))
+    val total = perSource.agg(sum(col("n_s")).as("n_tot"))
+    val scored = sw.join(perSource, Seq("source")).join(perWord, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr(
+        "cast(cast(n_in_source as decimal(38,0)) * 1000000 div n_s" +
+          " as decimal(38,0)) * (n_tot - n_s)" +
+          " div (n_corpus - n_in_source + 1)").cast("long"))
+      .filter(col("n_in_source") >= 5 && col("lift_ppm") >= 1200000L)
+    // top-10 keywords per source, deterministic tie-break (lift desc,
+    // word asc); the window runs on the ≥1.2× enriched slice only
+    val w10 = Window.partitionBy(col("source"))
+      .orderBy(col("lift_ppm").desc, col("w"))
+    scored.withColumn("rk", row_number().over(w10))
+      .filter(col("rk") <= 10)
+      .withColumn("band",
+        when(col("lift_ppm") >= 1500000L, "strong").otherwise("enriched"))
+      .select(col("source"), col("rk"), col("w").as("word"),
+        col("n_in_source"), col("n_corpus"), col("lift_ppm"), col("band"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q197Sql: String = raw"""
+    WITH sw AS (
+      SELECT source,
+        unnest(list_filter(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+'), x -> x <> '')) AS w
+      FROM documents),
+    c AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_in_source
+      FROM sw GROUP BY 1, 2),
+    ps AS (SELECT source, CAST(SUM(n_in_source) AS BIGINT) AS n_s
+           FROM c GROUP BY 1),
+    pw AS (SELECT w, CAST(SUM(n_in_source) AS BIGINT) AS n_corpus
+           FROM c GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ps),
+    scored AS (
+      SELECT source, w, n_in_source, n_corpus,
+        CAST((CAST(n_in_source AS HUGEINT) * 1000000 // n_s)
+          * (n_tot - n_s) // (n_corpus - n_in_source + 1) AS BIGINT)
+          AS lift_ppm
+      FROM c JOIN ps USING (source) JOIN pw USING (w) CROSS JOIN t
+      WHERE n_in_source >= 5
+        AND (CAST(n_in_source AS HUGEINT) * 1000000 // n_s)
+          * (n_tot - n_s) // (n_corpus - n_in_source + 1) >= 1200000),
+    ranked AS (
+      SELECT source, w, n_in_source, n_corpus, lift_ppm,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY lift_ppm DESC, w) AS INTEGER) AS rk
+      FROM scored)
+    SELECT source, rk, w AS word, n_in_source, n_corpus, lift_ppm,
+      CASE WHEN lift_ppm >= 1500000 THEN 'strong' ELSE 'enriched' END
+        AS band
+    FROM ranked WHERE rk <= 10 ORDER BY source, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_keyness"     -> q197Keyness _,
     "q184_readability" -> q184Readability _,
     "q175_char_classes" -> q175CharClassProfile _,
     "q177_vocab_exclusivity" -> q177VocabExclusivity _,
@@ -2633,6 +2720,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q197_keyness"     -> q197Sql,
     "q184_readability" -> q184Sql,
     "q175_char_classes" -> q175Sql,
     "q177_vocab_exclusivity" -> q177Sql,
