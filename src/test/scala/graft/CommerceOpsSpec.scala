@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import ops.CommerceOps
+
+class CommerceOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Deterministic raw-Gen sampling (the PropertySpec pattern — the
+    * scalatest<->scalacheck bridge artifact is not in the offline cache). */
+  private def forAll[A](g: Gen[A], n: Int = 40)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  test("q195 scores stay in 1..4 and customer counts add up") {
+    val rows = CommerceOps.q195RfmSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (c <- Seq("r_score", "f_score", "m_score"))
+      assert(rows.forall(x => (1 to 4).contains(x.getAs[Int](c))), c)
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val distinctCust = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(total == distinctCust,
+      s"segment cells cover $total of $distinctCust customers")
+    spark.catalog.clearCache()
+  }
+
+  test("q196 pair support never exceeds either item's support, pairs are canonical") {
+    val rows = CommerceOps.q196BasketPairs(spark, sf).collect()
+    // fixture may or may not produce frequent pairs at this SF; the
+    // invariants must hold for whatever comes back
+    rows.foreach { x =>
+      val (cp, ca, cb) = (x.getAs[Long]("c_pair"), x.getAs[Long]("c_a"),
+        x.getAs[Long]("c_b"))
+      assert(cp <= ca && cp <= cb, s"pair support exceeds item support: $x")
+      assert(x.getAs[Long]("pa") < x.getAs[Long]("pb"), s"pair unordered: $x")
+      assert(x.getAs[Long]("conf_ppm") <= 1000000L, s"confidence > 1: $x")
+    }
+  }
+
+  test("q198 Benford expectation table sums to exactly one million ppm") {
+    // the per-digit expectation literals must partition probability
+    // mass exactly, or the χ² surrogate drifts from both engines' view
+    val r = CommerceOps.q198Benford(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("exp_ppm")).sum == 1000000L)
+    assert(r.map(_.getAs[Int]("digit")).toSet.subsetOf((1 to 9).toSet))
+    // observed floor-div shares undershoot 1e6 by at most 8 ppm total
+    val obs = r.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obs <= 1000000L && obs >= 1000000L - 8, s"obs_ppm sum $obs")
+    spark.catalog.clearCache()
+  }
+
+  test("q200 linear credit mass per purchase is conserved up to floor loss") {
+    val r = CommerceOps.q200Attribution(spark, sf).collect()
+    assert(r.nonEmpty)
+    // every attributed purchase contributes exactly one first and one
+    // last touch, and ~1e6 micro of linear credit (floor-div loses < n_t
+    // micro per purchase)
+    val firsts = r.map(_.getAs[Long]("first_touch_n")).sum
+    val lasts = r.map(_.getAs[Long]("last_touch_n")).sum
+    assert(firsts == lasts, s"first/last totals differ: $firsts vs $lasts")
+    val linear = r.map(_.getAs[Long]("linear_micro")).sum
+    assert(linear <= firsts * 1000000L &&
+      linear > firsts * 1000000L - r.map(_.getAs[Long]("n_touches")).sum,
+      s"linear mass $linear outside conservation band")
+  }
+
+  test("q201 time-weighted average sits inside the value range and dwell cap binds") {
+    val r = CommerceOps.q201TimeWeighted(spark, sf)
+    assert(r.filter(col("twa") < 0.0 || col("twa") > 1000.0).count() == 0)
+    // Σw ≤ n · cap by construction
+    assert(r.filter(col("w_total_s") >
+      col("n") * CommerceOps.DwellCapS).count() == 0)
+  }
+
+  test("prefix-filter candidate generation is complete for Jaccard >= 0.8 (q199 math)") {
+    // pure-math property behind q199: under ANY total token order, two
+    // sets with J >= 4/5 must share a token inside both length-derived
+    // prefixes (p = n - ceil(0.8 n) + 1). A counterexample here means
+    // the equi-join loses a qualifying pair at any scale.
+    def prefixLen(n: Int): Int = n - ((4 * n + 4) / 5) + 1
+    val genPair: Gen[(Set[Int], Set[Int])] = for {
+      base <- Gen.chooseNum(5, 40)
+      a <- Gen.pick(base, 0 until 60)
+      drop <- Gen.chooseNum(0, base / 5)
+      add <- Gen.pick(drop, (0 until 60).filterNot(a.contains))
+    } yield (a.toSet, a.toSet.toVector.sorted.drop(drop).toSet ++ add)
+    forAll(genPair, n = 200) { case (a, b) =>
+      val inter = (a & b).size
+      val uni = (a | b).size
+      if (uni > 0 && inter * 5 >= uni * 4) {
+        // canonical order = natural int order here (any total order works)
+        val pa = a.toVector.sorted.take(prefixLen(a.size)).toSet
+        val pb = b.toVector.sorted.take(prefixLen(b.size)).toSet
+        assert((pa & pb).nonEmpty,
+          s"J>=0.8 pair with disjoint prefixes: a=$a b=$b")
+      }
+    }
+  }
+
+  test("q199 agrees with a driver-side brute-force Jaccard join on the fixture") {
+    val fast = SparkEntry.queries("q199_allpairs_join")(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(filter(
+        split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+        x => x =!= lit(""))).as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+    val brute = (for {
+      (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
+      inter = (ta & tb).size; uni = (ta | tb).size
+      if uni > 0 && inter * 5 >= uni * 4
+    } yield (ida, idb)).toSet
+    assert(fast == brute,
+      s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    spark.catalog.clearCache()
+  }
+}

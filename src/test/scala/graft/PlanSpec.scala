@@ -95,7 +95,17 @@ class PlanSpec extends AnyFunSuite {
     // q183: eval-bounded ground-truth cross (the q104 pattern) + five
     // 1-row count frames combining via broadcast crosses
     // q187: corpus × broadcast(100-query eval prefix) — the q35 shape
+    // q195: the 1-row corpus-max-date and 1-row quartile-cut frames
+    // attach to the per-customer frame via 1-row broadcast crosses
+    // q196: the 1-row basket-count scalar attaches to the frequent-pair
+    // frame the same way
+    // q197: the 1-row corpus token total attaches to the vocab-keyed
+    // keyness frame the same way
+    // q198: the 1-row digit total and 1-row χ² total attach to the
+    // 9-row digit frame the same way
     val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
+      "q198_benford",
       "q187_margin_audit",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
@@ -193,6 +203,44 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("minhash") && !p.contains("shingle"),
         s"$q re-derives the dup graph:\n$p")
     }
+  }
+
+  test("q199's candidate generation is a prefix-token equi-join, never all-pairs") {
+    val p = plan("q199_allpairs_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"q199 candidate join is not an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"q199 fell back to an unbounded join:\n$p")
+  }
+
+  test("q195's quartiles come from the histogram contract, its windows stay partitioned") {
+    // the classic RFM implementation is a partition-less NTILE — a
+    // single-task global sort of every customer; the only windows in
+    // this plan must be the histogram contract's cumulative ranks,
+    // partitioned by the melted measure key
+    val p = plan("q195_rfm_segments")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.forall(_.contains("m#")),
+      s"q195 has a window not partitioned by the measure key:\n$p")
+  }
+
+  test("q200/q201/q202 windows are purchase-/user-keyed, never global") {
+    for (q <- Seq("q200_attribution", "q201_time_weighted")) {
+      val p = plan(q)
+      val windows = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(windows.nonEmpty && windows.forall(w =>
+        w.contains("p_id") || w.contains("user_id")),
+        s"$q has an unpartitioned window:\n$p")
+    }
+    // q202's only windows are the histogram contract's event_type ranks
+    val p = plan("q202_winsorized")
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.forall(_.contains("event_type")),
+      s"q202 has a window not partitioned by event_type:\n$p")
   }
 
   test("q168's trailing window is partitioned by event_type") {
