@@ -1824,7 +1824,7 @@ $sqlJac,
   // The EXACT-recall complement of the LSH candidate generators (q31/q33/
   // q34 trade recall for bucket-bounded candidates; their measured recall
   // is q183's whole job): the SSJoin/All-Pairs prefix filter generates a
-  // PROVABLY COMPLETE candidate set for token-set Jaccard ≥ θ with no
+  // PROVABLY COMPLETE candidate set for shingle-set Jaccard ≥ θ with no
   // all-pairs comparison. Canonical order = ascending global document
   // frequency (rarest first, ties by word — a total order shared by every
   // doc); a doc of n tokens exposes only its first n − ceil(θn) + 1
@@ -1848,10 +1848,28 @@ $sqlJac,
   private[graft] val AllPairsThetaPpm = 800000L // θ = 4/5 exactly
 
   def q199AllPairsJoin(s: SparkSession, d: String): DataFrame = {
+    // Set domain = word 3-gram shingles, not unigram tokens: long docs
+    // drawn from one topical vocabulary saturate unigram-SET Jaccard
+    // (measured on this corpus: 24% of ALL doc pairs ≥ 0.8 on unigram
+    // sets — a quadratic output with no dedup meaning — vs clone pairs
+    // only on 3-gram shingles, matching the q31/q34 families' notion of
+    // near-duplication). Word order re-enters through the shingle, which
+    // is exactly what separates paraphrase-level overlap from clones.
+    // Shingles are HASHED with the portable h60 (q154's gram convention)
+    // so the corpus-sized explode/joins below carry 8-byte longs, not
+    // ~40-char strings: the string-shingle variant spent ~10 s/scan
+    // materializing and shuffling shingle text at sf0.1. The hash frame
+    // is pinned — the df pass and the ordered build both consume it
+    // (q154's projection-collapse lesson).
+    graft.expressions.Hash60.register(s)
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(
-        filter(TextOps.toks(col("text")), x => x =!= lit(""))).as("ts"))
-      .filter(size(col("ts")) >= 1)
+      .withColumn("t",
+        filter(TextOps.toks(col("text")), x => x =!= lit("")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2)," +
+          " i -> h60(concat_ws(' ', slice(t, i, 3))))")).as("ts"))
+      .persist()
     val ex = docs.select(col("doc_id"), explode(col("ts")).as("w"))
     val dfreq = ex.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, Seq("w"))
@@ -1905,10 +1923,15 @@ $sqlJac,
   }
 
   val q199Sql: String = raw"""
-    WITH t AS (
-      SELECT doc_id, list_distinct(list_filter(string_split_regex(
-        trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '')) AS ts
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split_regex(
+        trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '') AS t
       FROM documents),
+    t AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        i -> CAST('0x' || substring(md5(array_to_string(t[i:i+2], ' ')),
+          1, 15) AS BIGINT))) AS ts
+      FROM tk WHERE len(t) >= 3),
     tt AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1),
     ex AS (SELECT doc_id, unnest(ts) AS w FROM tt),
     pairs AS (

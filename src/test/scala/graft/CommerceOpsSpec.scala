@@ -108,11 +108,14 @@ class CommerceOpsSpec extends AnyFunSuite {
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), array_distinct(filter(
+      .select(col("doc_id"), filter(
         split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
-        x => x =!= lit(""))).as("ts"))
-      .filter(size(col("ts")) >= 1)
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet))
+        x => x =!= lit("")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .collect().map { r =>
+        val t = r.getSeq[String](1)
+        (r.getLong(0), t.sliding(3).map(_.mkString(" ")).toSet)
+      }
     val brute = (for {
       (ida, ta) <- docs; (idb, tb) <- docs if ida < idb
       inter = (ta & tb).size; uni = (ta | tb).size
