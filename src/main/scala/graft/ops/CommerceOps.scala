@@ -415,7 +415,314 @@ object CommerceOps {
         AS plain_avg
     FROM seq GROUP BY 1 ORDER BY 1"""
 
+  // ---- q203: order-total reconciliation audit --------------------------
+  // The cross-table financial consistency check every warehouse load
+  // runs: does the order header total equal the sum of its line nets
+  // (extendedprice · (1−discount) · (1+tax))? Differences are banded —
+  // exact, rounding (≤100 ppm), drift (≤1%), broken, headerless
+  // no_lines — and reported per order status with the absolute
+  // discrepancy mass. On a synthetic fixture the interesting answer is
+  // usually "drift/broken everywhere", which is the audit doing its job.
+  //
+  // Exactness: each line net is quantized element-wise to cents with
+  // ONE fused float expression (identical IEEE op sequence in both
+  // engines), summed as BIGINT; the header total quantizes the same
+  // way; mismatch is integer ppm of the header. Scale shape: one
+  // map-side-combining per-order aggregate of lineitem, one equi-join
+  // to orders (both corpus-sized, one shuffle each), then a
+  // map-side-combining aggregate onto the ≤|status|·5 band grid.
+  def q203OrderReconciliation(s: SparkSession, d: String): DataFrame = {
+    val lsum = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")) * 100.0 + 0.5).cast("long").as("lu"))
+      .groupBy(col("l_orderkey")).agg(sum(col("lu")).as("lsum"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        toUnits(col("o_totalprice")).as("osum"))
+      .join(lsum, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("mismatch_ppm",
+        when(col("lsum").isNull, lit(null).cast("long"))
+          .otherwise(expr("abs(lsum - osum) * 1000000 div osum")))
+      .withColumn("band",
+        when(col("lsum").isNull, "no_lines")
+          .when(col("mismatch_ppm") === 0L, "exact")
+          .when(col("mismatch_ppm") <= 100L, "rounding")
+          .when(col("mismatch_ppm") <= 10000L, "drift")
+          .otherwise("broken"))
+      .groupBy(col("o_orderstatus"), col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(coalesce(col("lsum"), lit(0L)) - col("osum"))).as("abs_diff_units"),
+        max(col("mismatch_ppm")).as("max_mismatch_ppm"))
+      .orderBy(col("o_orderstatus"), col("band"))
+  }
+
+  val q203Sql: String = s"""
+    WITH lsum AS (
+      SELECT l_orderkey, CAST(SUM(CAST(FLOOR(l_extendedprice
+          * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT))
+        AS BIGINT) AS lsum
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o_orderstatus, lsum, ${sqlUnits("o_totalprice")} AS osum,
+        CASE WHEN lsum IS NULL THEN NULL
+          ELSE abs(lsum - ${sqlUnits("o_totalprice")}) * 1000000
+            // ${sqlUnits("o_totalprice")} END AS mismatch_ppm
+      FROM orders LEFT JOIN lsum ON o_orderkey = l_orderkey)
+    SELECT o_orderstatus,
+      CASE WHEN lsum IS NULL THEN 'no_lines'
+        WHEN mismatch_ppm = 0 THEN 'exact'
+        WHEN mismatch_ppm <= 100 THEN 'rounding'
+        WHEN mismatch_ppm <= 10000 THEN 'drift'
+        ELSE 'broken' END AS band,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(abs(COALESCE(lsum, 0) - osum)) AS BIGINT)
+        AS abs_diff_units,
+      MAX(mismatch_ppm) AS max_mismatch_ppm
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  // ---- q204: revenue Pareto concentration per region -------------------
+  // The 80/20 ledger behind assortment and capacity decisions: per
+  // region (via the supplier side), how many parts carry 80% of net
+  // revenue, and how concentrated is the top. The region/nation dims
+  // broadcast (q03/q04 discipline); the cumulative-share window runs on
+  // the (region × part) aggregate — |parts|-bounded, the vocab-keyed
+  // class, never corpus rows. Determinism: revenue ties broken by
+  // partkey; all shares exact integer ppm on Decimal(38,0).
+  def q204Pareto(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long").as("ru"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_partkey"))
+      .agg(sum(col("ru")).as("rev"))
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("r_name"))
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("total", sum(col("rev")).over(wAll))
+      .withColumn("in80", ((col("cum") - col("rev")) * 5
+        < col("total") * 4).cast("long"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("in80")).as("n_parts_80"),
+        max(col("rev")).as("top_rev_units"),
+        sum(col("rev")).as("rev_units"))
+      .withColumn("top_share_ppm", expr(
+        "cast(top_rev_units as decimal(38,0)) * 1000000 div rev_units")
+        .cast("long"))
+      .withColumn("pareto_ppm", expr(
+        "cast(n_parts_80 as decimal(38,0)) * 1000000 div n_parts")
+        .cast("long"))
+      .select(col("r_name"), col("n_parts"), col("n_parts_80"),
+        col("pareto_ppm"), col("top_share_ppm"), col("rev_units"))
+      .orderBy(col("r_name"))
+  }
+
+  val q204Sql: String = """
+    WITH rev AS (
+      SELECT r_name, l_partkey,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+          + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    c AS (
+      SELECT r_name, rev,
+        SUM(rev) OVER (PARTITION BY r_name ORDER BY rev DESC, l_partkey
+          ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(rev) OVER (PARTITION BY r_name) AS total
+      FROM rev)
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_parts_80,
+      CAST(CAST(SUM(CASE WHEN (cum - rev) * 5 < total * 4 THEN 1 ELSE 0
+          END) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS pareto_ppm,
+      CAST(CAST(MAX(rev) AS HUGEINT) * 1000000 // SUM(rev) AS BIGINT)
+        AS top_share_ppm,
+      CAST(SUM(rev) AS BIGINT) AS rev_units
+    FROM c GROUP BY 1 ORDER BY 1"""
+
+  // ---- q205: SCD-2 state-interval build from the event log -------------
+  // The slowly-changing-dimension primitive: collapse each user's event
+  // stream into contiguous same-type state intervals with
+  // valid_from/valid_to, the "current row is open" convention included —
+  // what a warehouse dimension build or a sessionized state replay
+  // materializes from a change log. Reported per state: interval count,
+  // open count, and exact closed-interval duration stats.
+  //
+  // Scale shape: the q172 posture — ONE user-keyed shuffle feeds both
+  // windows (change detection and interval chaining), then a
+  // map-side-combining aggregate onto the |states|-row frame. Durations
+  // are truncating-div whole seconds of nonnegative epoch-micro
+  // differences; the mean is one exact integer floor-div.
+  def q205Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chg = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val intervals = chg.groupBy(col("user_id"), col("grp"))
+      .agg(max(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    intervals
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .withColumn("dur_s", expr(
+        "(unix_micros(valid_to) - unix_micros(valid_from)) div 1000000"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("dur_s")).as("closed_dur_s"),
+        max(col("dur_s")).as("max_dur_s"))
+      .withColumn("mean_dur_s", expr(
+        "closed_dur_s div (n_intervals - n_open)"))
+      .orderBy(col("state"))
+  }
+
+  val q205Sql: String = """
+    WITH chg AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) IS DISTINCT FROM event_type
+          THEN 1 ELSE 0 END AS chg
+      FROM events),
+    g AS (
+      SELECT user_id, event_type, ts,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS grp
+      FROM chg),
+    intervals AS (
+      SELECT user_id, grp, MAX(event_type) AS state,
+        MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM g GROUP BY 1, 2),
+    iv AS (
+      SELECT state, n_events,
+        (epoch_us(LEAD(valid_from) OVER (PARTITION BY user_id
+          ORDER BY valid_from)) - epoch_us(valid_from)) // 1000000
+          AS dur_s
+      FROM intervals)
+    SELECT state, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      CAST(SUM(CASE WHEN dur_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_open,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      CAST(SUM(dur_s) AS BIGINT) AS closed_dur_s,
+      MAX(dur_s) AS max_dur_s,
+      CAST(SUM(dur_s) AS BIGINT)
+        // (COUNT(*) - SUM(CASE WHEN dur_s IS NULL THEN 1 ELSE 0 END))
+        AS mean_dur_s
+    FROM iv GROUP BY 1 ORDER BY 1"""
+
+  // ---- q206: new-vs-returning daily decomposition ----------------------
+  // The daily-actives split every growth dashboard opens with: per
+  // activity day, how many actives are first-ever-seen vs returning.
+  // The q63 cohort matrix generalizes this; the decomposition is the
+  // operational daily read. Shape: one (user, day) distinct (single
+  // combinable shuffle), per-user first day as an aggregate of THAT
+  // frame (no second corpus scan), one equi-join back, then a
+  // |days|-row aggregate.
+  def q206NewReturning(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firsts = ud.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+    ud.join(firsts, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("d0"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("new_share_ppm",
+        expr("n_new * 1000000 div n_active"))
+      .orderBy(col("day"))
+  }
+
+  val q206Sql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    firsts AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY 1)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+      CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      CAST(COUNT(*) - SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_returning,
+      CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS new_share_ppm
+    FROM ud JOIN firsts USING (user_id)
+    GROUP BY day ORDER BY day"""
+
+  // ---- q207: top event-path trigrams -----------------------------------
+  // Sequence mining lite — the 3-step extension of q170's Markov
+  // matrix: which concrete 3-event paths dominate user journeys. Paths
+  // from two leads over the same user-keyed window (one shuffle), the
+  // path count is a map-side-combining aggregate onto the ≤|types|³
+  // frame, and the global top-20 (count desc, then path — fully
+  // deterministic) fuses into TakeOrderedAndProject, never a global
+  // sort of the corpus.
+  def q207PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .persist() // total + top-k share one computation
+    val total = paths.agg(sum(col("n_paths")).as("n_total"))
+    paths.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr(
+        "cast(n_paths as decimal(38,0)) * 1000000 div n_total")
+        .cast("long"))
+      .select(col("t1"), col("t2"), col("t3"), col("n_paths"),
+        col("share_ppm"))
+      .orderBy(col("n_paths").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  val q207Sql: String = """
+    WITH seq AS (
+      SELECT event_type AS t1,
+        LEAD(event_type, 1) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS t2,
+        LEAD(event_type, 2) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS t3
+      FROM events),
+    paths AS (
+      SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+    t AS (SELECT CAST(SUM(n_paths) AS BIGINT) AS n_total FROM paths)
+    SELECT t1, t2, t3, n_paths,
+      CAST(CAST(n_paths AS HUGEINT) * 1000000 // n_total AS BIGINT)
+        AS share_ppm
+    FROM paths CROSS JOIN t
+    ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_order_reconciliation" -> q203OrderReconciliation _,
+    "q204_pareto"        -> q204Pareto _,
+    "q205_scd2"          -> q205Scd2 _,
+    "q206_new_returning" -> q206NewReturning _,
+    "q207_path_trigrams" -> q207PathTrigrams _,
     "q195_rfm_segments" -> q195RfmSegments _,
     "q196_basket_pairs" -> q196BasketPairs _,
     "q198_benford"      -> q198Benford _,
@@ -423,6 +730,11 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q203_order_reconciliation" -> q203Sql,
+    "q204_pareto"        -> q204Sql,
+    "q205_scd2"          -> q205Sql,
+    "q206_new_returning" -> q206Sql,
+    "q207_path_trigrams" -> q207Sql,
     "q195_rfm_segments" -> q195Sql,
     "q196_basket_pairs" -> q196Sql,
     "q198_benford"      -> q198Sql,

@@ -78,6 +78,43 @@ class CommerceOpsSpec extends AnyFunSuite {
       col("n") * CommerceOps.DwellCapS).count() == 0)
   }
 
+  test("q203 bands partition the order set; q204 Pareto counts are bounded") {
+    val r203 = CommerceOps.q203OrderReconciliation(spark, sf).collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(r203.map(_.getAs[Long]("n_orders")).sum == nOrders,
+      "reconciliation bands do not partition the orders")
+    val r204 = CommerceOps.q204Pareto(spark, sf).collect()
+    assert(r204.nonEmpty)
+    r204.foreach { x =>
+      assert(x.getAs[Long]("n_parts_80") <= x.getAs[Long]("n_parts"), s"$x")
+      assert(x.getAs[Long]("top_share_ppm") <= 1000000L, s"$x")
+    }
+  }
+
+  test("q205 intervals conserve events and leave one open interval per user") {
+    val r = CommerceOps.q205Scd2(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    assert(r.map(_.getAs[Long]("n_events")).sum == ev.count(),
+      "interval build lost or duplicated events")
+    assert(r.map(_.getAs[Long]("n_open")).sum ==
+      ev.select("user_id").distinct().count(),
+      "every user must have exactly one open (current) interval")
+  }
+
+  test("q206 new users sum to the user population; q207 shares are a bounded partition") {
+    val r206 = CommerceOps.q206NewReturning(spark, sf).collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r206.map(_.getAs[Long]("n_new")).sum == users,
+      "each user must be new on exactly one day")
+    assert(r206.forall(x =>
+      x.getAs[Long]("n_new") + x.getAs[Long]("n_returning") ==
+        x.getAs[Long]("n_active")))
+    val r207 = CommerceOps.q207PathTrigrams(spark, sf).collect()
+    assert(r207.length <= 20 && r207.nonEmpty)
+    assert(r207.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+    spark.catalog.clearCache()
+  }
+
   test("prefix-filter candidate generation is complete for Jaccard >= 0.8 (q199 math)") {
     // pure-math property behind q199: under ANY total token order, two
     // sets with J >= 4/5 must share a token inside both length-derived

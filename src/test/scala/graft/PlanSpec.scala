@@ -103,9 +103,11 @@ class PlanSpec extends AnyFunSuite {
     // keyness frame the same way
     // q198: the 1-row digit total and 1-row χ² total attach to the
     // 9-row digit frame the same way
+    // q207: the 1-row path total attaches to the ≤|types|³ path frame
+    // the same way
     val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
-      "q198_benford",
+      "q198_benford", "q207_path_trigrams",
       "q187_margin_audit",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
@@ -241,6 +243,25 @@ class PlanSpec extends AnyFunSuite {
       .filter(_.contains("windowspecdefinition")).toSeq
     assert(windows.forall(_.contains("event_type")),
       s"q202 has a window not partitioned by event_type:\n$p")
+  }
+
+  test("q203/q204 broadcast their dimension joins; q207 fuses its top-20") {
+    val p204 = plan("q204_pareto")
+    assert(p204.contains("BroadcastHashJoin"),
+      s"q204 lost its dimension broadcasts:\n$p204")
+    val windows = p204.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("r_name")),
+      s"q204 has a window not partitioned by region:\n$p204")
+    assert(plan("q207_path_trigrams").contains("TakeOrderedAndProject"),
+      "q207 lost its top-k fusion")
+    for (q <- Seq("q205_scd2", "q206_new_returning")) {
+      val p = plan(q)
+      val ws = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(ws.forall(_.contains("user_id")),
+        s"$q has a window not partitioned by user_id:\n$p")
+    }
   }
 
   test("q168's trailing window is partitioned by event_type") {
