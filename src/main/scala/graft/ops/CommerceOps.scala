@@ -717,7 +717,79 @@ object CommerceOps {
     FROM paths CROSS JOIN t
     ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20"""
 
+  // ---- q209: Gini concentration index per market segment ---------------
+  // The continuous inequality complement of q204's 80/20 count: the Gini
+  // coefficient of per-customer spend within each market segment,
+  // computed EXACTLY from the bounded-domain value histogram — the
+  // classic rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) needs a
+  // global sort of customers, but over the histogram the rank sum
+  // collapses per distinct value v with count c and prior cumulative
+  // count F: 2·Σ i·x = Σ v·c·(2F + c + 1) — a cumulative window over the
+  // ≤|value domain| histogram rows (ten-dollar units, the q195 domain
+  // bound), partitioned by segment. Everything integer until the single
+  // final ppm floor-div on Decimal(38,0).
+  def q209Gini(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.orders(s, d)
+      .select(col("o_custkey"), toUnits(col("o_totalprice")).as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(cents) div 1000").as("m_e1"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val hist = cust.groupBy(col("c_mktsegment"), col("m_e1"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("m_e1"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("f_prev", col("cum") - col("c"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("c")).as("n_customers"),
+        sum(expr("cast(m_e1 as decimal(38,0)) * c")).as("mass"),
+        sum(expr(
+          "cast(m_e1 as decimal(38,0)) * c * (2 * f_prev + c + 1)"))
+          .as("rank_mass"))
+      // nullif: a degenerate all-zero-spend segment grades NULL, not a
+      // crash (Spark ANSI div-by-zero throws where DuckDB // 0 is NULL —
+      // the q174 empty-corpus lesson)
+      .withColumn("gini_ppm", expr(
+        "cast((rank_mass - (n_customers + 1) * mass) * 1000000" +
+          " div (cast(n_customers as decimal(38,0)) * nullif(mass, 0))" +
+          " as bigint)"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        col("mass").cast("long").as("spend_e1"), col("gini_ppm"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q209Sql: String = s"""
+    WITH cust AS (
+      SELECT o_custkey, ${sqlUnitSum("o_totalprice")} // 1000 AS m_e1
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT c_mktsegment, m_e1 FROM cust
+      JOIN customer ON o_custkey = c_custkey),
+    hist AS (
+      SELECT c_mktsegment, m_e1, CAST(COUNT(*) AS BIGINT) AS c
+      FROM j GROUP BY 1, 2),
+    cum AS (
+      SELECT c_mktsegment, m_e1, c,
+        SUM(c) OVER (PARTITION BY c_mktsegment ORDER BY m_e1
+          ROWS UNBOUNDED PRECEDING) - c AS f_prev
+      FROM hist),
+    agg AS (
+      SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS n_customers,
+        SUM(CAST(m_e1 AS HUGEINT) * c) AS mass,
+        SUM(CAST(m_e1 AS HUGEINT) * c * (2 * f_prev + c + 1))
+          AS rank_mass
+      FROM cum GROUP BY 1)
+    SELECT c_mktsegment, n_customers, CAST(mass AS BIGINT) AS spend_e1,
+      CAST((rank_mass - (n_customers + 1) * mass) * 1000000
+        // (CAST(n_customers AS HUGEINT) * nullif(mass, 0)) AS BIGINT)
+        AS gini_ppm
+    FROM agg ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_gini"          -> q209Gini _,
     "q203_order_reconciliation" -> q203OrderReconciliation _,
     "q204_pareto"        -> q204Pareto _,
     "q205_scd2"          -> q205Scd2 _,
@@ -730,6 +802,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q209_gini"          -> q209Sql,
     "q203_order_reconciliation" -> q203Sql,
     "q204_pareto"        -> q204Sql,
     "q205_scd2"          -> q205Sql,

@@ -195,6 +195,117 @@ object ExtOps {
     FROM x JOIN days ON x.t_day = days.t_day
     GROUP BY x.t_day ORDER BY x.t_day"""
 
+  // ---- q208: sketch-merged rolling actives (the q121 scale route) ------
+  // q121's comment promises "the HLL route when W gets large" — this IS
+  // that route, materialized and held against the exact answer: ONE
+  // DataSketches HLL per day (map-side combinable, fixed bytes), the
+  // trailing-7-day union formed by MERGING the ≤|days| day sketches (the
+  // q121 expansion shape, but on the |days|-row sketch frame instead of
+  // the (user, day) pair set — at 100 TB that is the whole point: the
+  // pair set is corpus-sized, the sketch frame is calendar-sized).
+  // Output contract is the q42/q81 sketch discipline: the exact WAU
+  // column is oracle-checked, the estimate is engine-specific so it
+  // ships as a within-5%-of-exact boolean (lgConfigK=12 → rsd ≈ 1.6%,
+  // 3σ inside the bound).
+  def q208SketchWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .persist() // day sketches AND the exact answer derive from it
+    val daySk = ud.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val days = ud.select(col("day").as("t_day")).distinct()
+    val est = daySk.select(explode(
+        sequence(col("day"), date_add(col("day"), 6))).as("t_day"),
+        col("sk"))
+      .join(days, Seq("t_day"))
+      .groupBy(col("t_day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+        .as("est"))
+    val exact = ud.select(col("user_id"), explode(
+        sequence(col("day"), date_add(col("day"), 6))).as("t_day"))
+      .join(days, Seq("t_day"))
+      .groupBy(col("t_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    exact.join(est, Seq("t_day"))
+      .select(col("t_day"), col("wau"),
+        (abs(col("est") - col("wau")) * 20 <= col("wau"))
+          .as("est_within_5pct"))
+      .orderBy(col("t_day"))
+  }
+
+  val q208Sql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day AS t_day FROM ud),
+    x AS (
+      SELECT user_id, day + CAST(k AS INTEGER) AS t_day
+      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k))
+    SELECT x.t_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+      TRUE AS est_within_5pct
+    FROM x JOIN days ON x.t_day = days.t_day
+    GROUP BY x.t_day ORDER BY x.t_day"""
+
+  // ---- q210: time-bounded ordered funnel -------------------------------
+  // q65 with conversion windows — the form product analytics actually
+  // ships: first view, first click within 1 DAY of that view, first
+  // purchase within 7 DAYS of that click. Same scalable chain (three
+  // per-user MIN aggregates glued by equi-joins on user_id, the time
+  // residuals inside the join — no per-user event buffering, no
+  // corpus-wide window), plus exact integer conversion ppm per stage.
+  def q210WindowedFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click").as("c")
+      .join(v.as("v"), col("c.user_id") === col("v.user_id") &&
+        col("c.ts") >= col("v.v_ts") &&
+        col("c.ts") <= col("v.v_ts") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("c.user_id").as("user_id"))
+      .agg(min(col("c.ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase").as("p")
+      .join(c.as("c2"), col("p.user_id") === col("c2.user_id") &&
+        col("p.ts") >= col("c2.c_ts") &&
+        col("p.ts") <= col("c2.c_ts") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("p.user_id").as("user_id"))
+      .agg(min(col("p.ts")).as("p_ts"))
+    val nv = v.agg(count(lit(1)).as("n_view"))
+    val nc = c.agg(count(lit(1)).as("n_click_1d"))
+    val np = p.agg(count(lit(1)).as("n_purchase_7d"))
+    nv.crossJoin(broadcast(nc)).crossJoin(broadcast(np))
+      .select(col("n_view"), col("n_click_1d"), col("n_purchase_7d"),
+        expr("n_click_1d * 1000000 div nullif(n_view, 0)")
+          .as("click_ppm"),
+        expr("n_purchase_7d * 1000000 div nullif(n_click_1d, 0)")
+          .as("purchase_ppm"))
+  }
+
+  val q210Sql: String = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 1 DAY
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 7 DAY
+      GROUP BY 1)
+    SELECT
+      CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+      CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1d,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_7d,
+      CAST((SELECT COUNT(*) FROM c) * 1000000
+        // nullif((SELECT COUNT(*) FROM v), 0) AS BIGINT) AS click_ppm,
+      CAST((SELECT COUNT(*) FROM p) * 1000000
+        // nullif((SELECT COUNT(*) FROM c), 0) AS BIGINT)
+        AS purchase_ppm"""
+
   // ---- q168: event-rate burst detection (trailing-24h baseline) --------
   // The ops alarm on the events stream: per (event_type, hour), the
   // event count vs its OWN trailing 24-hour mean — error-rate spikes and
@@ -1204,6 +1315,8 @@ object ExtOps {
     FROM z GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q208_sketch_wau"     -> q208SketchWau _,
+    "q210_windowed_funnel" -> q210WindowedFunnel _,
     "q168_burst_detect"   -> q168BurstDetect _,
     "q170_event_transitions" -> q170EventTransitions _,
     "q172_gap_spectrum"   -> q172GapSpectrum _,
@@ -1228,6 +1341,8 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q208_sketch_wau"     -> q208Sql,
+    "q210_windowed_funnel" -> q210Sql,
     "q168_burst_detect"   -> q168Sql,
     "q170_event_transitions" -> q170Sql,
     "q172_gap_spectrum"   -> q172Sql,

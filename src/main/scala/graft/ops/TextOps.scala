@@ -2682,7 +2682,81 @@ object TextOps {
         AS band
     FROM ranked WHERE rk <= 10 ORDER BY source, rk"""
 
+  // ---- q211: cross-source score-decile mix (quantile normalization) ----
+  // The mixing diagnostic quantile normalization exists for: bucket
+  // every doc by its GLOBAL decile of the stopword-rate score, then read
+  // each source's decile mix. A source aligned with the corpus shows
+  // ~10% per decile; a source piling into the low deciles is what a
+  // per-source threshold would systematically over-filter — the reason
+  // curation pipelines normalize scores per source before gating.
+  // Complements q178 (which compares aggregate stopword MASS) with the
+  // full distributional read.
+  //
+  // Shape: scores ride the pinned heuristic attribute table (zero new
+  // corpus text scans); the 9 global cuts come from the bounded-domain
+  // histogram contract (score domain = ppm, ≤10⁶ distinct); bucketing
+  // is a map-side CASE against the 1-row broadcast cut array; output is
+  // the |sources|×10 grid with exact within-source shares.
+  def q211ScoreDeciles(s: SparkSession, d: String): DataFrame = {
+    val att = attrHeuristic(s, d)
+      .select(col("source"),
+        expr("n_stop * 1000000 div n_tokens").as("score"))
+    val cuts = StatsOps.histPercentiles(
+        att.withColumn("g", lit(1)), "g", "score",
+        (1 to 9).map(_ / 10.0))
+      .select(col("ps"))
+    val dec = att.crossJoin(broadcast(cuts))
+      .withColumn("decile", (lit(1) + (1 to 9)
+        .map(i => when(col("score") > element_at(col("ps"), i), 1)
+          .otherwise(0))
+        .reduce(_ + _)).cast("int"))
+    val wSrc = Window.partitionBy(col("source"))
+    dec.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_ppm", expr(
+        "n_docs * 1000000 div sum(n_docs) over" +
+          " (partition by source)"))
+      .orderBy(col("source"), col("decile"))
+  }
+
+  val q211Sql: String = raw"""
+    WITH att AS (
+      SELECT source, n_stop * 1000000 // n_tokens AS score
+      FROM (SELECT source,
+              CAST(length(toks) AS BIGINT) AS n_tokens,
+              CAST(length(list_filter(toks, t -> list_contains(
+                ['the','a','of','and','to','in','is','it'], t)))
+                AS BIGINT) AS n_stop
+            FROM (SELECT source, string_split_regex(trim(lower(text)),
+                    '[ \t\n\r\f]+') AS toks
+                  FROM documents))),
+    cuts AS (
+      SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+        0.6, 0.7, 0.8, 0.9]) AS ps
+      FROM att),
+    dec AS (
+      SELECT source, CAST(1
+        + (CASE WHEN score > ps[1] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[2] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[3] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[4] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[5] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[6] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[7] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[8] THEN 1 ELSE 0 END)
+        + (CASE WHEN score > ps[9] THEN 1 ELSE 0 END) AS INTEGER)
+        AS decile
+      FROM att CROSS JOIN cuts),
+    g AS (
+      SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dec GROUP BY 1, 2)
+    SELECT source, decile, n_docs,
+      CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY source)
+        AS BIGINT) AS share_ppm
+    FROM g ORDER BY source, decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_score_deciles" -> q211ScoreDeciles _,
     "q197_keyness"     -> q197Keyness _,
     "q184_readability" -> q184Readability _,
     "q175_char_classes" -> q175CharClassProfile _,
@@ -2720,6 +2794,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q211_score_deciles" -> q211Sql,
     "q197_keyness"     -> q197Sql,
     "q184_readability" -> q184Sql,
     "q175_char_classes" -> q175Sql,

@@ -91,6 +91,19 @@ class CommerceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q209 Gini stays in [0, 1) and covers every customer") {
+    val r = CommerceOps.q209Gini(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val g = x.getAs[Long]("gini_ppm")
+      assert(g >= 0L && g < 1000000L, s"gini out of range: $x")
+    }
+    val covered = r.map(_.getAs[Long]("n_customers")).sum
+    assert(covered == Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count(),
+      "Gini segments do not cover the purchasing customers")
+  }
+
   test("q205 intervals conserve events and leave one open interval per user") {
     val r = CommerceOps.q205Scd2(spark, sf).collect()
     val ev = Tables.events(spark, sf)

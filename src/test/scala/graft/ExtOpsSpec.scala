@@ -487,4 +487,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r(h0 + 30).getAs[Long]("ratio_ppm") == 10000000L) // exactly 10x
     assert(r(h0).getAs[String]("band") == "warmup")
   }
+
+  test("q208 sketch WAU matches q121's exact answer and stays in bound") {
+    val sk = ops.ExtOps.q208SketchWau(spark, sf).collect()
+    val exact = ops.ExtOps.q121RollingWau(spark, sf).collect()
+      .map(x => x.getAs[java.sql.Date]("t_day") -> x.getAs[Long]("wau"))
+      .toMap
+    assert(sk.nonEmpty && sk.length == exact.size)
+    sk.foreach { x =>
+      assert(x.getAs[Long]("wau") ==
+        exact(x.getAs[java.sql.Date]("t_day")), s"$x")
+      assert(x.getAs[Boolean]("est_within_5pct"), s"sketch out of bound: $x")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q210's windowed funnel is monotone and never exceeds q65's unbounded one") {
+    val r = ops.ExtOps.q210WindowedFunnel(spark, sf).head()
+    val (nv, nc, np) = (r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_click_1d"), r.getAs[Long]("n_purchase_7d"))
+    assert(nv >= nc && nc >= np, s"funnel not monotone: $nv $nc $np")
+    // the time bounds can only LOSE conversions vs the unbounded chain
+    val u = ops.ExtOps.q65Funnel(spark, sf).collect()
+      .map(x => x.getAs[String]("stage") -> x.getAs[Long]("n_users")).toMap
+    assert(nv == u("view"), "stage-1 population must agree with q65")
+    assert(nc <= u("click") && np <= u("purchase"),
+      s"windowed funnel exceeds the unbounded one: $r vs $u")
+  }
 }

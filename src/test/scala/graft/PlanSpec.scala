@@ -105,9 +105,14 @@ class PlanSpec extends AnyFunSuite {
     // 9-row digit frame the same way
     // q207: the 1-row path total attaches to the ≤|types|³ path frame
     // the same way
+    // q210: the three 1-row stage counts combine via broadcast crosses
+    // (the q118 shape)
+    // q211: the 1-row global decile-cut array attaches to the attribute
+    // frame the same way
     val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
-      "q198_benford", "q207_path_trigrams",
+      "q198_benford", "q207_path_trigrams", "q210_windowed_funnel",
+      "q211_score_deciles",
       "q187_margin_audit",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
@@ -262,6 +267,23 @@ class PlanSpec extends AnyFunSuite {
       assert(ws.forall(_.contains("user_id")),
         s"$q has a window not partitioned by user_id:\n$p")
     }
+  }
+
+  test("q208/q209 windows and sketch merges stay calendar-/segment-bounded") {
+    // q209's cumulative rank window must partition by segment (the
+    // histogram rows are domain-bounded, never corpus rows)
+    val p209 = plan("q209_gini")
+    val ws = p209.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(ws.nonEmpty && ws.forall(_.contains("c_mktsegment")),
+      s"q209 has a window not partitioned by segment:\n$p209")
+    // q208's union pass must aggregate day sketches, not re-expand the
+    // (user, day) pair set a second time: exactly two distinct-ish
+    // aggregations over the pinned frame, no cartesian anywhere
+    val p208 = plan("q208_sketch_wau")
+    assert(!p208.contains("CartesianProduct"), p208)
+    assert(p208.contains("hll_union_agg") || p208.contains("HllUnionAgg"),
+      s"q208 lost its sketch merge:\n$p208")
   }
 
   test("q168's trailing window is partitioned by event_type") {
