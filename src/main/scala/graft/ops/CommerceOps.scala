@@ -788,7 +788,227 @@ object CommerceOps {
         AS gini_ppm
     FROM agg ORDER BY c_mktsegment"""
 
+  // ---- q212: cohort lifetime-value curve -------------------------------
+  // The finance-side complement of q63's activity retention: per
+  // first-order-month cohort, cumulative spend per cohort member by
+  // month offset — the LTV curve payback models read off. Months are
+  // exact integer codes (year·12 + month, identical in both engines —
+  // no interval arithmetic ambiguity); spend is exact cents; the
+  // cumulative runs per cohort over the ≤|months|² (cohort, offset)
+  // grid, never over orders.
+  def q212CohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        toUnits(col("o_totalprice")).as("cents"))
+    val firsts = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("ym0"))
+    val sized = firsts.groupBy(col("ym0"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val cells = o.join(firsts, Seq("o_custkey"))
+      .groupBy(col("ym0"), (col("ym") - col("ym0")).as("m_offset"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("spend_units"))
+    val w = Window.partitionBy(col("ym0")).orderBy(col("m_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sized, Seq("ym0"))
+      .withColumn("cum_units", sum(col("spend_units")).over(w))
+      .withColumn("ltv_centi", expr("cum_units div cohort_n"))
+      .select(col("ym0").as("cohort_ym"), col("m_offset"), col("cohort_n"),
+        col("n_active"), col("n_orders"), col("spend_units"),
+        col("cum_units"), col("ltv_centi"))
+      .orderBy(col("cohort_ym"), col("m_offset"))
+  }
+
+  val q212Sql: String = s"""
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+        ${sqlUnits("o_totalprice")} AS cents
+      FROM orders),
+    firsts AS (SELECT o_custkey, MIN(ym) AS ym0 FROM o GROUP BY 1),
+    sized AS (SELECT ym0, CAST(COUNT(*) AS BIGINT) AS cohort_n
+              FROM firsts GROUP BY 1),
+    cells AS (
+      SELECT ym0, ym - ym0 AS m_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+        CAST(SUM(cents) AS BIGINT) AS spend_units
+      FROM o JOIN firsts USING (o_custkey) GROUP BY 1, 2)
+    SELECT ym0 AS cohort_ym, m_offset, cohort_n, n_active, n_orders,
+      spend_units,
+      CAST(SUM(spend_units) OVER (PARTITION BY ym0 ORDER BY m_offset
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_units,
+      CAST(SUM(spend_units) OVER (PARTITION BY ym0 ORDER BY m_offset
+        ROWS UNBOUNDED PRECEDING) // cohort_n AS BIGINT) AS ltv_centi
+    FROM cells JOIN sized USING (ym0)
+    ORDER BY cohort_ym, m_offset"""
+
+  // ---- q213: supplier concentration (HHI) per part type ----------------
+  // The supply-chain-risk read next to q209's customer Gini: the
+  // Herfindahl–Hirschman index of supply mass across suppliers within
+  // each part type. HHI = Σ shareᵢ² computed exactly as
+  // (Σ mᵢ²)·10⁶ div S² on Decimal(38,0) — no per-supplier float shares.
+  // Shape: corpus join to the part dim on partkey, ONE (type, supplier)
+  // aggregate with map-side combine, then a |types|-row aggregate.
+  def q213SupplierHhi(s: SparkSession, d: String): DataFrame = {
+    val mass = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        toUnits(col("l_extendedprice")).as("u"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(col("u")).as("m"))
+    mass.groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("m")).as("mass_units"),
+        max(col("m")).as("top_units"),
+        sum(expr("cast(m as decimal(38,0)) * m")).as("sq"))
+      .withColumn("hhi_ppm", expr(
+        "cast(sq * 1000000 div (cast(mass_units as decimal(38,0))" +
+          " * nullif(mass_units, 0)) as bigint)"))
+      .withColumn("top_share_ppm", expr(
+        "cast(cast(top_units as decimal(38,0)) * 1000000" +
+          " div nullif(mass_units, 0) as bigint)"))
+      .select(col("p_type"), col("n_suppliers"), col("mass_units"),
+        col("hhi_ppm"), col("top_share_ppm"))
+      .orderBy(col("p_type"))
+  }
+
+  val q213Sql: String = s"""
+    WITH mass AS (
+      SELECT p_type, l_suppkey,
+        CAST(SUM(${sqlUnits("l_extendedprice")}) AS BIGINT) AS m
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2)
+    SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      CAST(SUM(m) AS BIGINT) AS mass_units,
+      CAST(SUM(CAST(m AS HUGEINT) * m) * 1000000
+        // (CAST(SUM(m) AS HUGEINT) * nullif(CAST(SUM(m) AS BIGINT), 0))
+        AS BIGINT) AS hhi_ppm,
+      CAST(CAST(MAX(m) AS HUGEINT) * 1000000
+        // nullif(CAST(SUM(m) AS BIGINT), 0) AS BIGINT) AS top_share_ppm
+    FROM mass GROUP BY 1 ORDER BY 1"""
+
+  // ---- q214: join-key skew audit ---------------------------------------
+  // The planning input for q46's salting and AQE skew handling: per
+  // declared join-key family, key cardinality, the heaviest key's row
+  // count, and the max/mean skew factor in ppm — the number that says
+  // whether a shuffle on this key needs salting BEFORE the job runs at
+  // 100 TB, derived from a histogram the optimizer could also read as
+  // column stats. The heaviest key reports deterministically (smallest
+  // key among the tied-heaviest). One count aggregate per family; the
+  // 1-row stats frame broadcasts back onto the |keys| frame only to
+  // select the top key.
+  def q214SkewAudit(s: SparkSession, d: String): DataFrame = {
+    def family(name: String, df: DataFrame): DataFrame = {
+      val counts = df.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .persist() // stats + top-key selection share one computation
+      // 1-row frames throughout (global aggregates), so an EMPTY family
+      // still reports a row — matching the oracle's scalar-subquery
+      // shape on the SF=0 degrade gate
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        max(col("c")).as("max_rows"))
+      val top = counts.crossJoin(broadcast(stats))
+        .filter(col("c") === col("max_rows"))
+        .agg(min(col("k")).as("top_key"))
+      stats.crossJoin(broadcast(top))
+        .select(lit(name).as("family"), col("n_keys"), col("n_rows"),
+          col("max_rows"),
+          expr("cast(cast(max_rows as decimal(38,0)) * n_keys * 1000000" +
+            " div nullif(n_rows, 0) as bigint)").as("skew_ppm"),
+          col("top_key"))
+    }
+    family("orders.o_custkey", Tables.orders(s, d)
+        .select(col("o_custkey").cast("long").as("k")))
+      .unionByName(family("lineitem.l_partkey", Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("k"))))
+      .unionByName(family("events.user_id", Tables.events(s, d)
+        .select(col("user_id").cast("long").as("k"))))
+      .orderBy(col("family"))
+  }
+
+  val q214Sql: String = {
+    def f(name: String, table: String, key: String) = s"""
+      SELECT '$name' AS family,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT $key FROM $table GROUP BY 1)) AS n_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM $table) AS n_rows,
+        (SELECT CAST(MAX(c) AS BIGINT) FROM
+          (SELECT COUNT(*) AS c FROM $table GROUP BY $key)) AS max_rows,
+        (SELECT CAST(CAST(MAX(c) AS HUGEINT)
+            * (SELECT COUNT(*) FROM (SELECT $key FROM $table GROUP BY 1))
+            * 1000000 // nullif((SELECT COUNT(*) FROM $table), 0)
+            AS BIGINT)
+         FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key))
+          AS skew_ppm,
+        (SELECT CAST(MIN($key) AS BIGINT) FROM
+          (SELECT $key, COUNT(*) AS c FROM $table GROUP BY 1)
+         WHERE c = (SELECT MAX(c) FROM
+          (SELECT COUNT(*) AS c FROM $table GROUP BY $key))) AS top_key"""
+    f("orders.o_custkey", "orders", "o_custkey") +
+      " UNION ALL " + f("lineitem.l_partkey", "lineitem", "l_partkey") +
+      " UNION ALL " + f("events.user_id", "events", "user_id") +
+      " ORDER BY family"
+  }
+
+  // ---- q215: ship-lag SLA profile per order priority -------------------
+  // Lead-time analytics: days from order to line shipment, per order
+  // priority — median and p90 from the bounded-domain lag histogram
+  // (lag spans a bounded calendar range, so ONE corpus join feeds one
+  // tiny histogram and every statistic — percentiles, breach rate,
+  // counts — derives from that frame; no second scan, no raw-value
+  // buffering). Breach = lag beyond 90 days, exact ppm.
+  private[graft] val SlaBreachDays = 90L
+
+  def q215ShipSla(s: SparkSession, d: String): DataFrame = {
+    val lag = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long").as("v"))
+    val hist = lag.groupBy(col("o_orderpriority"), col("v"))
+      .agg(count(lit(1)).as("c")).persist()
+    val ps = StatsOps.histPercentilesFromCounts(
+      hist, "o_orderpriority", Seq(0.5, 0.9))
+    val breach = hist.filter(col("v") > SlaBreachDays)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("n_breach"))
+    ps.join(breach, Seq("o_orderpriority"), "left")
+      .select(col("o_orderpriority"), col("n").as("n_lines"),
+        element_at(col("ps"), 1).as("p50_days"),
+        element_at(col("ps"), 2).as("p90_days"),
+        coalesce(col("n_breach"), lit(0L)).as("n_breach"))
+      .withColumn("breach_ppm", expr("n_breach * 1000000 div n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q215Sql: String = s"""
+    WITH lag AS (
+      SELECT o_orderpriority,
+        CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)
+          AS BIGINT) AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      quantile_cont(v, 0.5) AS p50_days,
+      quantile_cont(v, 0.9) AS p90_days,
+      CAST(SUM(CASE WHEN v > $SlaBreachDays THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_breach,
+      CAST(SUM(CASE WHEN v > $SlaBreachDays THEN 1 ELSE 0 END) * 1000000
+        // COUNT(*) AS BIGINT) AS breach_ppm
+    FROM lag GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_cohort_ltv"    -> q212CohortLtv _,
+    "q213_supplier_hhi"  -> q213SupplierHhi _,
+    "q214_skew_audit"    -> q214SkewAudit _,
+    "q215_ship_sla"      -> q215ShipSla _,
     "q209_gini"          -> q209Gini _,
     "q203_order_reconciliation" -> q203OrderReconciliation _,
     "q204_pareto"        -> q204Pareto _,
@@ -802,6 +1022,10 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q212_cohort_ltv"    -> q212Sql,
+    "q213_supplier_hhi"  -> q213Sql,
+    "q214_skew_audit"    -> q214Sql,
+    "q215_ship_sla"      -> q215Sql,
     "q209_gini"          -> q209Sql,
     "q203_order_reconciliation" -> q203Sql,
     "q204_pareto"        -> q204Sql,

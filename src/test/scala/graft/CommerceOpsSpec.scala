@@ -104,6 +104,45 @@ class CommerceOpsSpec extends AnyFunSuite {
       "Gini segments do not cover the purchasing customers")
   }
 
+  test("q212 LTV curves are monotone and cohort-bounded") {
+    val r = CommerceOps.q212CohortLtv(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cohort_ym")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("m_offset"))
+      val cums = sorted.map(_.getAs[Long]("cum_units"))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+        "cumulative spend must be monotone within a cohort")
+      sorted.foreach(x => assert(
+        x.getAs[Long]("n_active") <= x.getAs[Long]("cohort_n"), s"$x"))
+    }
+  }
+
+  test("q213 HHI sits between top-share^2 and 1e6; q215 breach rate is bounded") {
+    CommerceOps.q213SupplierHhi(spark, sf).collect().foreach { x =>
+      val (hhi, top) = (x.getAs[Long]("hhi_ppm"),
+        x.getAs[Long]("top_share_ppm"))
+      assert(hhi <= 1000000L && hhi >= top * top / 1000000L,
+        s"HHI outside [top^2, 1]: $x")
+    }
+    CommerceOps.q215ShipSla(spark, sf).collect().foreach { x =>
+      assert(x.getAs[Long]("n_breach") <= x.getAs[Long]("n_lines"))
+      assert(x.getAs[Double]("p50_days") <= x.getAs[Double]("p90_days"))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q214 reports every declared family with max >= mean") {
+    val r = CommerceOps.q214SkewAudit(spark, sf).collect()
+    assert(r.map(_.getAs[String]("family")).toSet == Set(
+      "orders.o_custkey", "lineitem.l_partkey", "events.user_id"))
+    r.foreach { x =>
+      // max/mean ratio in ppm is >= 1e6 by definition of max
+      assert(x.getAs[Long]("skew_ppm") >= 1000000L, s"$x")
+      assert(x.getAs[Long]("max_rows") <= x.getAs[Long]("n_rows"), s"$x")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q205 intervals conserve events and leave one open interval per user") {
     val r = CommerceOps.q205Scd2(spark, sf).collect()
     val ev = Tables.events(spark, sf)

@@ -109,10 +109,12 @@ class PlanSpec extends AnyFunSuite {
     // (the q118 shape)
     // q211: the 1-row global decile-cut array attaches to the attribute
     // frame the same way
+    // q214: per key family, the 1-row stats frame broadcasts onto the
+    // |keys| count frame (top-key pick) and the two 1-row frames combine
     val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
       "q198_benford", "q207_path_trigrams", "q210_windowed_funnel",
-      "q211_score_deciles",
+      "q211_score_deciles", "q214_skew_audit",
       "q187_margin_audit",
       "q169_freq_spectrum", "q171_hubness", "q173_user_rates",
       "q174_threshold_sweep", "q178_stopword_drift",
