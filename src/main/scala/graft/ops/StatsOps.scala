@@ -1300,7 +1300,341 @@ object StatsOps {
             AS BIGINT) / 100.0 AS trimmed_mean
     FROM rows_ GROUP BY event_type, lo, hi ORDER BY event_type"""
 
+  // ---- q216: k-anonymity audit -----------------------------------------
+  // The privacy gate a training-data release runs before shipping any
+  // per-user table: group the corpus by its quasi-identifier tuple
+  // (nation × market segment × $100 account-balance band — the kind of
+  // coarse public attributes that re-identify when combined) and report
+  // how much of the population sits in groups of size k < 2 / 5 / 10.
+  // A row in a k=1 group is uniquely re-identifiable from the quasi-ids
+  // alone; the k-band row shares are the numbers an anonymization review
+  // reads. Scale shape: ONE groupBy onto the quasi-id grid (bounded by
+  // |nations|·|segments|·|bands| — domain-bounded state, never per-row),
+  // then a ≤4-row band rollup; the population total is a 1-row broadcast.
+  def q216KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val qid = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        // floor(x/100) is one IEEE divide + floor on the same double in
+        // both engines — exact band parity without negative-div hazards
+        floor(col("c_acctbal") / 100.0).cast("long").as("bal_band"))
+    val groups = qid
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val total = qid.agg(count(lit(1)).as("n_total"))
+    groups
+      .withColumn("k_band",
+        when(col("k") === 1L, "k1")
+          .when(col("k") <= 4L, "k2_4")
+          .when(col("k") <= 9L, "k5_9")
+          .otherwise("k10plus"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .withColumn("row_share_ppm", expr("n_rows * 1000000 div n_total"))
+      .select(col("k_band"), col("n_groups"), col("n_rows"),
+        col("row_share_ppm"))
+      .orderBy(col("k_band"))
+  }
+
+  val q216Sql: String = """
+    WITH qid AS (
+      SELECT c_nationkey, c_mktsegment,
+        CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_band
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+        CAST(COUNT(*) AS BIGINT) AS k
+      FROM qid GROUP BY 1, 2, 3),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM qid)
+    SELECT CASE WHEN k = 1 THEN 'k1' WHEN k <= 4 THEN 'k2_4'
+                WHEN k <= 9 THEN 'k5_9' ELSE 'k10plus' END AS k_band,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(k) AS BIGINT) AS n_rows,
+      CAST(SUM(k) * 1000000 // n_total AS BIGINT) AS row_share_ppm
+    FROM g CROSS JOIN t
+    GROUP BY 1, n_total ORDER BY 1"""
+
+  // ---- q217: Mann–Whitney rank test per source -------------------------
+  // The nonparametric complement of q125's t-drift and q158's KS: per
+  // source, the rank-sum (Mann–Whitney U) test of its n_chars
+  // distribution against the REST of the corpus, with full tie
+  // correction — the standard "did this source's length profile shift"
+  // monitor when normality can't be assumed. Also reports the
+  // rank-biserial AUC (U / n_a·n_b — P(source doc longer than corpus
+  // doc)), the effect size reviewers act on.
+  //
+  // Scale shape: everything derives from the (source, n_chars) histogram
+  // — domain-bounded state (n_chars is a footer column; zero text
+  // scans). Ranks come from the corpus-level cumulative over the value
+  // level set (the q158 grid trick): the tied-block average rank ×2 is
+  // the exact integer 2·prev + c_cnt + 1, so R, U, the tie term and the
+  // variance numerator are all exact Decimal(38,0) ↔ HUGEINT, and z is
+  // a fixed IEEE op sequence (3 casts, mul, div, sqrt, mul, div) on
+  // identical integers. Headroom: N ≤ 1e11 docs keeps N³ ≈ 1e33 and
+  // n_a·n_b ≤ 1e22 inside 38 digits; the z factors multiply as doubles.
+  def q217RankTest(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("v"))
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // corpus hist, tie term, per-source rank sums all derive
+    val chist = sh.groupBy(col("v")).agg(sum(col("cnt")).as("c_cnt"))
+    val ccum = chist
+      .withColumn("prev",
+        sum(col("c_cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("c_cnt"))
+      .select(col("v"), col("prev"), col("c_cnt"))
+    val tot = chist.agg(
+      sum(col("c_cnt")).as("n_all"),
+      sum(expr("cast(c_cnt as decimal(38,0)) * c_cnt * c_cnt - c_cnt"))
+        .as("ties"))
+    val per = sh.join(broadcast(ccum), Seq("v"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_a"),
+        sum(expr("cast(cnt as decimal(38,0)) * (2 * prev + c_cnt + 1)"))
+          .as("r2")) // = 2·(rank sum of the source in the pooled corpus)
+    per.crossJoin(broadcast(tot))
+      .withColumn("n_b", col("n_all") - col("n_a"))
+      .withColumn("u2",
+        expr("r2 - cast(n_a as decimal(38,0)) * (n_a + 1)")) // = 2U
+      .withColumn("p1", expr("cast(n_a as decimal(38,0)) * n_b"))
+      .withColumn("p2", expr(
+        "cast(n_all as decimal(38,0)) * n_all * n_all - n_all - ties"))
+      .withColumn("den",
+        expr("12 * cast(n_all as decimal(38,0)) * (n_all - 1)"))
+      .withColumn("auc_ppm",
+        expr("cast(u2 * 1000000 div (2 * nullif(p1, 0)) as bigint)"))
+      .withColumn("z",
+        when(col("p1") === 0 || col("p2") <= 0, lit(null).cast("double"))
+          .otherwise((col("u2") - col("p1")).cast("double") /
+            (lit(2.0) * sqrt(col("p1").cast("double") *
+              col("p2").cast("double") / col("den").cast("double")))))
+      .withColumn("shift_band",
+        when(col("z").isNull, "degenerate")
+          .when(abs(col("z")) >= 3.29, "strong_shift")
+          .when(abs(col("z")) >= 1.96, "shift")
+          .otherwise("aligned"))
+      .select(col("source"), col("n_a").as("n_docs"),
+        col("n_b").cast("long").as("n_rest"), col("auc_ppm"), col("z"),
+        col("shift_band"))
+      .orderBy(col("source"))
+  }
+
+  val q217Sql: String = """
+    WITH sh AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2),
+    chist AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS c_cnt
+              FROM sh GROUP BY 1),
+    ccum AS (
+      SELECT v, c_cnt,
+        CAST(SUM(c_cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          AND CURRENT ROW) AS BIGINT) - c_cnt AS prev
+      FROM chist),
+    tot AS (
+      SELECT CAST(SUM(c_cnt) AS BIGINT) AS n_all,
+        SUM(CAST(c_cnt AS HUGEINT) * c_cnt * c_cnt - c_cnt) AS ties
+      FROM chist),
+    per AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_a,
+        SUM(CAST(cnt AS HUGEINT) * (2 * prev + c_cnt + 1)) AS r2
+      FROM sh JOIN ccum USING (v) GROUP BY 1),
+    m AS (
+      SELECT source, n_a, n_all - n_a AS n_b,
+        r2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2,
+        CAST(n_a AS HUGEINT) * (n_all - n_a) AS p1,
+        CAST(n_all AS HUGEINT) * n_all * n_all - n_all - ties AS p2,
+        12 * CAST(n_all AS HUGEINT) * (n_all - 1) AS den
+      FROM per CROSS JOIN tot),
+    zz AS (
+      SELECT source, n_a, n_b, u2, p1, p2,
+        CASE WHEN p1 = 0 OR p2 <= 0 THEN NULL
+             ELSE CAST(u2 - p1 AS DOUBLE)
+               / (2 * sqrt(CAST(p1 AS DOUBLE) * CAST(p2 AS DOUBLE)
+                   / CAST(den AS DOUBLE))) END AS z
+      FROM m)
+    SELECT source, n_a AS n_docs, CAST(n_b AS BIGINT) AS n_rest,
+      CAST(u2 * 1000000 // (2 * nullif(p1, 0)) AS BIGINT) AS auc_ppm, z,
+      CASE WHEN z IS NULL THEN 'degenerate'
+           WHEN abs(z) >= 3.29 THEN 'strong_shift'
+           WHEN abs(z) >= 1.96 THEN 'shift'
+           ELSE 'aligned' END AS shift_band
+    FROM zz ORDER BY source"""
+
+  // ---- q218: autocorrelation of the daily event series -----------------
+  // The seasonality probe behind capacity planning and anomaly baselines:
+  // Pearson autocorrelation of the daily event-count series at lags
+  // 1..7 (a weekly cycle shows as a spike at lag 7). Calendar-true: the
+  // pair (t, t−k) exists only when BOTH days have events (an equi-join
+  // on the day index, not a row-offset lag — missing days don't smear
+  // the lag). Scale shape: the corpus collapses to the |days|-row daily
+  // frame in one map-side-combining aggregate; the 7 lag joins run on
+  // that bounded frame (≤7·|days| rows) with the lag list broadcast.
+  // All co-moments are exact Decimal(38,0) ↔ HUGEINT (daily counts ≤
+  // ~3e8 at 100 TB keep n·Σxy ≤ ~1e24 — inside 38 digits); r is a fixed
+  // IEEE sequence on identical integers.
+  def q218Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("x"))
+      .persist() // both sides of every lag join read this |days|-row frame
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val prior = daily.select(col("di").as("dj"), col("x").as("y"))
+    daily.crossJoin(broadcast(lags))
+      .withColumn("dj", col("di") - col("lag"))
+      .join(prior, Seq("dj"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .withColumn("num",
+        expr("n_pairs * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("vx",
+        expr("n_pairs * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("vy",
+        expr("n_pairs * syy - cast(sy as decimal(38,0)) * sy"))
+      .withColumn("r",
+        when(col("vx") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("vx").cast("double") * col("vy").cast("double"))))
+      .select(col("lag"), col("n_pairs"), col("r"))
+      .orderBy(col("lag"))
+  }
+
+  val q218Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+        CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT l.lag, a.x, b.x AS y
+      FROM daily a
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT)
+                    AS lag) l
+      JOIN daily b ON b.di = a.di - l.lag),
+    agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM pairs GROUP BY 1),
+    m AS (
+      SELECT lag, n_pairs,
+        n_pairs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        n_pairs * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        n_pairs * syy - CAST(sy AS HUGEINT) * sy AS vy
+      FROM agg)
+    SELECT lag, n_pairs,
+      CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+           ELSE CAST(num AS DOUBLE)
+             / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r
+    FROM m ORDER BY lag"""
+
+  // ---- q219: EWMA control chart on daily regional revenue --------------
+  // The drift monitor a finance dashboard runs nightly: per region, each
+  // day's revenue against the exponentially-weighted moving average of
+  // its trailing 7 days (α = ½ → integer weights 2^(7−j), exact in both
+  // engines), flagging days that deviate ≥40% from their own trend.
+  // A TRUNCATED-horizon EWMA by design: the closed-form infinite EWMA
+  // needs pow(1−α, −i) factors that overflow doubles past a few hundred
+  // days, and a recursive form (q192's territory) shuffles per step —
+  // the 7-day window keeps every weight an exact small integer and the
+  // whole chart two bounded-frame passes. Calendar-true via the day
+  // index (missing days shrink the weight mass — the denominator sums
+  // only PRESENT priors). Scale shape: the corpus collapses onto the
+  // |regions|·|days| daily frame once; the trailing window is a 7-way
+  // exploded equi-join of that bounded frame with itself (lag list
+  // broadcast), never a corpus shuffle. First days degrade to 'warmup'
+  // (NULL ewma), not a crash.
+  def q219EwmaChart(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), to_date(col("o_orderdate")).as("day"),
+        toUnits(col("o_totalprice")).as("u"))
+      .groupBy(col("r_name"), col("day"))
+      .agg(sum(col("u")).as("cents"))
+      .withColumn("di", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .persist() // the series joins itself over the 7-day trailing frame
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val pri = rev
+      .crossJoin(broadcast(lags))
+      .select(col("r_name"), (col("di") + col("lag")).as("di"),
+        (expr("cast(pow(2, 7 - lag) as bigint)") * col("cents")).as("wc"),
+        expr("cast(pow(2, 7 - lag) as bigint)").as("w"))
+      .groupBy(col("r_name"), col("di"))
+      .agg(sum(col("wc")).as("num"), sum(col("w")).as("den"))
+    rev.join(pri, Seq("r_name", "di"), "left")
+      .withColumn("ewma_cents", expr("num div den"))
+      .withColumn("dev_ppm",
+        when(col("ewma_cents").isNull || col("ewma_cents") === 0L,
+          lit(null).cast("long"))
+          // abs() keeps the staged floor-div on NON-NEGATIVE ints — Spark
+          // div truncates toward zero where DuckDB // floors, so a signed
+          // numerator would diverge; the sign ships separately as `dir`
+          .otherwise(expr("cast(cast(abs(cents - ewma_cents) as" +
+            " decimal(38,0)) * 1000000 div ewma_cents as bigint)")))
+      .withColumn("dir",
+        when(col("ewma_cents").isNull, lit(null).cast("int"))
+          .otherwise(signum(col("cents") - col("ewma_cents")).cast("int")))
+      .withColumn("alarm",
+        when(col("dev_ppm").isNull, "warmup")
+          .when(col("dev_ppm") >= 400000L, "breach")
+          .otherwise("ok"))
+      .select(col("r_name"), col("day"), col("cents").as("rev_cents"),
+        col("ewma_cents"), col("dir"), col("dev_ppm"), col("alarm"))
+      .orderBy(col("r_name"), col("day"))
+  }
+
+  val q219Sql: String = s"""
+    WITH rev AS (
+      SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+        ${sqlUnitSum("o_totalprice")} AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2),
+    se AS (
+      SELECT r_name, day, CAST(day - DATE '1970-01-01' AS BIGINT) AS di,
+        cents
+      FROM rev),
+    pri AS (
+      SELECT r_name, di + lag AS di,
+        CAST(SUM(CAST(POWER(2, 7 - lag) AS BIGINT) * cents) AS BIGINT)
+          AS num,
+        CAST(SUM(CAST(POWER(2, 7 - lag) AS BIGINT)) AS BIGINT) AS den
+      FROM se CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7))
+                            AS BIGINT) AS lag) l
+      GROUP BY 1, 2),
+    j AS (
+      SELECT se.r_name, se.day, se.cents, p.num // p.den AS ewma_cents
+      FROM se LEFT JOIN pri p ON p.r_name = se.r_name AND p.di = se.di)
+    SELECT r_name, day, cents AS rev_cents, ewma_cents,
+      CASE WHEN ewma_cents IS NULL THEN NULL
+           ELSE CAST(sign(cents - ewma_cents) AS INTEGER) END AS dir,
+      CASE WHEN ewma_cents IS NULL OR ewma_cents = 0 THEN NULL
+           ELSE CAST(CAST(abs(cents - ewma_cents) AS HUGEINT) * 1000000
+             // ewma_cents AS BIGINT) END AS dev_ppm,
+      CASE WHEN ewma_cents IS NULL OR ewma_cents = 0 THEN 'warmup'
+           WHEN CAST(abs(cents - ewma_cents) AS HUGEINT) * 1000000
+             // ewma_cents >= 400000 THEN 'breach'
+           ELSE 'ok' END AS alarm
+    FROM j ORDER BY r_name, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_k_anonymity" -> q216KAnonymity _,
+    "q217_rank_test" -> q217RankTest _,
+    "q218_autocorr" -> q218Autocorr _,
+    "q219_ewma_chart" -> q219EwmaChart _,
     "q202_winsorized" -> q202Winsorized _,
     "q186_effective_sample" -> q186EffectiveSample _,
     "q158_ks_drift" -> q158KsDrift _,
@@ -1320,6 +1654,10 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q216_k_anonymity" -> q216Sql,
+    "q217_rank_test" -> q217Sql,
+    "q218_autocorr" -> q218Sql,
+    "q219_ewma_chart" -> q219Sql,
     "q202_winsorized" -> q202Sql,
     "q186_effective_sample" -> q186Sql,
     "q158_ks_drift" -> q158Sql,

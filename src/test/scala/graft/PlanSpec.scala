@@ -111,7 +111,14 @@ class PlanSpec extends AnyFunSuite {
     // frame the same way
     // q214: per key family, the 1-row stats frame broadcasts onto the
     // |keys| count frame (top-key pick) and the two 1-row frames combine
-    val allowed = Set("q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+    // q216: the 1-row population total attaches to the ≤4-row k-band frame
+    // q217: the 1-row corpus total/tie-term frame attaches to the
+    // |sources| rank frame the same way
+    // q218/q219: the 7-row lag list crosses the |days|-bounded daily
+    // series via an explicit broadcast before the self equi-join
+    val allowed = Set(
+      "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
+      "q219_ewma_chart","q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
       "q198_benford", "q207_path_trigrams", "q210_windowed_funnel",
       "q211_score_deciles", "q214_skew_audit",

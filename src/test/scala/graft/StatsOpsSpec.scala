@@ -449,4 +449,119 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(r("srcC").getAs[String]("ess_band") == "concentrated")
   }
 
+  test("q216 bands planted quasi-identifier group sizes correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kanon").toString
+    // group A: 1 unique customer (k=1); group B: 3 clones (k2_4);
+    // group C: 10 clones (k10plus). Same nation, distinct segments.
+    val rows = Seq((1L, 0, "UNIQ", 50.0)) ++
+      (1 to 3).map(i => (10L + i, 0, "TRIO", 150.0)) ++
+      (1 to 10).map(i => (20L + i, 0, "TENS", 250.0))
+    rows.toDF("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = StatsOps.q216KAnonymity(spark, dir).collect()
+      .map(x => x.getAs[String]("k_band") -> x).toMap
+    assert(r.keySet == Set("k1", "k2_4", "k10plus"))
+    assert(r("k1").getAs[Long]("n_groups") == 1L &&
+      r("k1").getAs[Long]("n_rows") == 1L)
+    assert(r("k2_4").getAs[Long]("n_rows") == 3L)
+    assert(r("k10plus").getAs[Long]("n_rows") == 10L)
+    // 10/14 of the population sits in the k>=10 band
+    assert(r("k10plus").getAs[Long]("row_share_ppm") ==
+      10L * 1000000L / 14L)
+  }
+
+  test("q217 U, AUC and z match a brute pairwise recount on planted sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mwu").toString
+    // srcA systematically longer than srcB, with ties inside and across
+    val a = Seq(10L, 10L, 20L, 30L).zipWithIndex.map { case (n, i) =>
+      (i.toLong, "x" * n.toInt, "en", "srcA", n) }
+    val b = Seq(5L, 10L, 15L).zipWithIndex.map { case (n, i) =>
+      (100L + i, "x" * n.toInt, "en", "srcB", n) }
+    (a ++ b).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = StatsOps.q217RankTest(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // brute recount for srcA vs rest: 2U = 2·#(a>b) + #(a=b)
+    val (va, vb) = (Seq(10L, 10L, 20L, 30L), Seq(5L, 10L, 15L))
+    val u2 = (for (x <- va; y <- vb) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    assert(r("srcA").getAs[Long]("auc_ppm") ==
+      u2 * 1000000L / (2L * va.length * vb.length))
+    // symmetric: AUC(srcB) = 1 − AUC(srcA) up to floor-div truncation
+    val aucA = r("srcA").getAs[Long]("auc_ppm")
+    val aucB = r("srcB").getAs[Long]("auc_ppm")
+    assert(math.abs(aucA + aucB - 1000000L) <= 1L, s"$aucA + $aucB")
+    // z recomputed from the textbook tie-corrected formula
+    val n = va.length + vb.length
+    val ties = (va ++ vb).groupBy(identity).values
+      .map(g => math.pow(g.length, 3) - g.length).sum
+    val mu = va.length.toDouble * vb.length / 2
+    val sig = math.sqrt(va.length.toDouble * vb.length / 12 *
+      ((n + 1) - ties / (n.toDouble * (n - 1))))
+    val zExpected = (u2 / 2.0 - mu) / sig
+    assert(math.abs(r("srcA").getAs[Double]("z") - zExpected) < 1e-9)
+    assert(r("srcA").getAs[Double]("z") > 0) // srcA is the longer source
+  }
+
+  test("q218 recovers planted alternating-period autocorrelation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("acf").toString
+    // 14 consecutive days alternating 2 and 6 events/day: lag-1 pairs are
+    // always (2,6)/(6,2) → r = −1 exactly; lag-2 always (2,2)/(6,6) → +1
+    val rows = (0 until 14).flatMap { day =>
+      val cnt = if (day % 2 == 0) 2 else 6
+      (0 until cnt).map { j =>
+        (day.toLong * 100 + j,
+          java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+          1L, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = StatsOps.q218Autocorr(spark, dir).collect()
+      .map(x => x.getAs[Long]("lag") -> x).toMap
+    assert(r.keySet == (1L to 7L).toSet)
+    assert(r(1L).getAs[Double]("r") == -1.0)
+    assert(r(2L).getAs[Double]("r") == 1.0)
+    assert(r(1L).getAs[Long]("n_pairs") == 13L)
+    assert(r(7L).getAs[Double]("r") == -1.0) // odd lag, same alternation
+  }
+
+  test("q219 warms up, tracks a flat series, and flags a planted spike") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+    Seq((0, "AMERICA")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    Seq((0, "US", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    // 9 consecutive days at $100, then a $500 spike on day 10
+    val orders = (1 to 9).map { day =>
+      (day.toLong, 1L,
+        java.sql.Timestamp.valueOf(f"2024-03-$day%02d 00:00:00"), 100.0)
+    } :+ ((10L, 1L,
+      java.sql.Timestamp.valueOf("2024-03-10 00:00:00"), 500.0))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatsOps.q219EwmaChart(spark, dir).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(r.length == 10)
+    assert(r.head.getAs[String]("alarm") == "warmup" &&
+      r.head.isNullAt(r.head.fieldIndex("ewma_cents")))
+    // day 8 (7 full prior days): ewma = Σ2^j·10000 / 127 = 10000 exactly
+    assert(r(7).getAs[Long]("ewma_cents") == 10000L)
+    assert(r(7).getAs[Long]("dev_ppm") == 0L &&
+      r(7).getAs[String]("alarm") == "ok")
+    // spike day: 50000 vs trend 10000 → +4e6 ppm deviation, breach
+    val spike = r(9)
+    assert(spike.getAs[Long]("rev_cents") == 50000L)
+    assert(spike.getAs[Long]("ewma_cents") == 10000L)
+    assert(spike.getAs[Int]("dir") == 1)
+    assert(spike.getAs[Long]("dev_ppm") == 4000000L)
+    assert(spike.getAs[String]("alarm") == "breach")
+  }
+
 }
