@@ -27,7 +27,8 @@ object SparkEntry {
       ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++
       ops.Multimodal.queries ++ ops.ExtOps.queries ++ ops.Skew.queries ++
       ops.SqlOps.queries ++ ops.StatsOps.queries ++ ops.Pipeline.queries ++
-      ops.CurationOps.queries ++ ops.CommerceOps.queries
+      ops.CurationOps.queries ++ ops.CommerceOps.queries ++
+      ops.RankEvalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       ops.TextOps.oracles ++ ops.DedupOps.oracles ++ ops.SimOps.oracles ++
       ops.Multimodal.oracles ++ ops.ExtOps.oracles ++ ops.Skew.oracles ++
       ops.SqlOps.oracles ++ ops.StatsOps.oracles ++ ops.Pipeline.oracles ++
-      ops.CurationOps.oracles ++ ops.CommerceOps.oracles
+      ops.CurationOps.oracles ++ ops.CommerceOps.oracles ++
+      ops.RankEvalOps.oracles
 }

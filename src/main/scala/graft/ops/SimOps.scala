@@ -28,7 +28,7 @@ import graft.expressions.QuantizedDot
   */
 object SimOps {
 
-  private val D = 64 // embedding dimensionality (FIXTURES.md §B)
+  private[graft] val D = 64 // embedding dimensionality (FIXTURES.md §B)
 
   /** Quantized embedding coords: qa[i] = floor(a[i] * 1e6 + 0.5). Used for
     * LSH sign tests and centroid sums (never for cosine — cosine quantizes
@@ -37,7 +37,7 @@ object SimOps {
     "transform(embedding, x -> cast(floor(cast(x as double) * 1e6 + 0.5) as bigint))")
 
   /** Per-term-quantized squared norm: sum_i floor(x_i^2 * 1e9 + 0.5). */
-  private val normQ: Column = expr(
+  private[graft] val normQ: Column = expr(
     "aggregate(embedding, 0L, (acc, x) -> acc +" +
       " cast(floor(cast(x as double) * cast(x as double) * 1e9 + 0.5) as bigint))")
 
@@ -46,7 +46,7 @@ object SimOps {
     * [[graft.expressions.QuantizedDot]] (one fused Java loop per row
     * instead of three interpreted lambdas per element). Callers must
     * invoke [[graft.expressions.QuantizedDot.register]] first. */
-  private def dotQ(a: String, b: String): Column =
+  private[graft] def dotQ(a: String, b: String): Column =
     expr(s"quantized_dot($a, $b)")
 
   /** cosine = dotq / sqrt(na * nb) — all inputs integers. The norm
@@ -56,16 +56,16 @@ object SimOps {
     * NaN in Spark while the HUGEINT oracle stays exact. In the
     * non-overflow range the value is bit-identical to the old long
     * product (exact integer → nearest double either way). */
-  private def cosine(dq: Column, na: Column, nb: Column): Column =
+  private[graft] def cosine(dq: Column, na: Column, nb: Column): Column =
     dq.cast("double") / sqrt((na.cast("decimal(38,0)") * nb).cast("double"))
 
   private val sqlQa =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
-  private val sqlNormQ =
+  private[graft] val sqlNormQ =
     """CAST(list_sum(list_transform(embedding, x ->
        CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT))) AS BIGINT)"""
   /** Dot over two raw float-list columns, term-quantized. */
-  private def sqlDotQ(a: String, b: String) =
+  private[graft] def sqlDotQ(a: String, b: String) =
     s"""CAST(list_sum(list_transform(range(1, $D + 1), i ->
         CAST(floor(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e9 + 0.5)
           AS BIGINT))) AS BIGINT)"""

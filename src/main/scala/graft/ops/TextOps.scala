@@ -507,7 +507,7 @@ object TextOps {
   // 1e6 units, and summed as BIGINT — order-independent.
   private val Bm25K1 = "1.2"
   private val Bm25B  = "0.75"
-  private val bm25Queries = Seq(
+  private[graft] val bm25Queries = Seq(
     0L -> Seq("hash", "join"),
     1L -> Seq("dup", "vector"),
     2L -> Seq("stream", "window", "the"))
@@ -563,11 +563,15 @@ object TextOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q90Sql: String = {
+  /** The full BM25 derivation as a CTE list (no leading `WITH`), ending
+    * in `bm25ranked(query_id, doc_id, score_units, rank)` — shared
+    * verbatim by q90's oracle and the hybrid-fusion oracle (q220,
+    * RankEvalOps), so both engines score the sparse ranker through the
+    * exact same SQL text. */
+  private[graft] val bm25CtesSql: String = {
     val qvals = bm25Queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(",")
-    raw"""
-    WITH qt(query_id, term) AS (VALUES $qvals),
+    raw"""qt(query_id, term) AS (VALUES $qvals),
     tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
         '[ \t\n\r\f]+')) AS token
@@ -593,14 +597,19 @@ object TextOps {
       JOIN dl USING (doc_id)
       CROSS JOIN stats
       JOIN qt ON qt.term = tf.token
-      GROUP BY 1, 2)
-    SELECT query_id, rank, doc_id, score_units FROM (
+      GROUP BY 1, 2),
+    bm25ranked AS (
       SELECT query_id, doc_id, score_units,
         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY score_units DESC, doc_id) AS BIGINT) AS rank
-      FROM scored)
-    WHERE rank <= 10 ORDER BY query_id, rank"""
+      FROM scored)"""
   }
+
+  val q90Sql: String =
+    s"""
+    WITH $bm25CtesSql
+    SELECT query_id, rank, doc_id, score_units FROM bm25ranked
+    WHERE rank <= 10 ORDER BY query_id, rank"""
 
   // ---- q109: model-based quality scoring (hashed linear classifier) ----
   // The fasttext-shaped quality filter pipelines run AFTER q25's cheap
