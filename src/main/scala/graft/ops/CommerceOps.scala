@@ -1004,7 +1004,79 @@ object CommerceOps {
         // COUNT(*) AS BIGINT) AS breach_ppm
     FROM lag GROUP BY 1 ORDER BY 1"""
 
+  // ---- q226: day-of-week seasonality decomposition ---------------------
+  // The seasonality-strength read behind q218's autocorrelation and
+  // q219's EWMA alarm thresholds: per ISO weekday, the mean daily
+  // revenue, plus the global seasonal-strength statistic
+  // 1 − Var(residual)/Var(total) in ppm — how much of day-to-day revenue
+  // variance the weekly profile alone explains. Means are exact floor-div
+  // cents; both variances are exact Decimal(38,0) sums of squared
+  // integer deviations about floor-div means (the floor compounds
+  // identically in both engines), and the strength is one staged
+  // floor-div of those — never a float variance. Scale shape: the corpus
+  // collapses to the |days|-row daily frame once; everything downstream
+  // is ≤7-row state with 1-row broadcast attaches.
+  def q226DowSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        toUnits(col("o_totalprice")).as("u"))
+      .groupBy(col("day")).agg(sum(col("u")).as("cents"))
+      // ISO weekday (1=Mon..7=Sun): Spark weekday() is 0-based Monday,
+      // DuckDB isodow() is 1-based Monday — the +1 aligns them
+      .withColumn("dow", (expr("weekday(day)") + 1).cast("int"))
+      .persist() // dow stats, the global mean, and both variance scans
+    val dowStats = daily.groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("s"))
+      .withColumn("mean_cents", expr("s div n_days"))
+      .select(col("dow"), col("n_days"), col("mean_cents"))
+    val gl = daily.agg(count(lit(1)).as("n_all"), sum(col("cents")).as("s_all"))
+      .withColumn("gmean", expr("s_all div n_all"))
+      .select(col("gmean"))
+    val vars = daily
+      .join(broadcast(dowStats.select(col("dow"), col("mean_cents"))),
+        Seq("dow"))
+      .crossJoin(broadcast(gl))
+      .agg(
+        sum(expr("cast(cents - gmean as decimal(38,0)) * (cents - gmean)"))
+          .as("vx"),
+        sum(expr("cast(cents - mean_cents as decimal(38,0))" +
+          " * (cents - mean_cents)")).as("ssr"))
+      .withColumn("seasonal_strength_ppm",
+        expr("cast(1000000 - ssr * 1000000 div nullif(vx, 0) as bigint)"))
+      .select(col("seasonal_strength_ppm"))
+    dowStats.crossJoin(broadcast(vars))
+      .select(col("dow"), col("n_days"), col("mean_cents"),
+        col("seasonal_strength_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  val q226Sql: String = s"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        ${sqlUnitSum("o_totalprice")} AS cents
+      FROM orders GROUP BY 1),
+    dd AS (SELECT day, cents, CAST(isodow(day) AS INTEGER) AS dow
+           FROM daily),
+    ds AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+      FROM dd GROUP BY 1),
+    gl AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS gmean FROM dd),
+    vars AS (
+      SELECT
+        SUM(CAST(cents - gmean AS HUGEINT) * (cents - gmean)) AS vx,
+        SUM(CAST(cents - mean_cents AS HUGEINT) * (cents - mean_cents))
+          AS ssr
+      FROM dd JOIN ds USING (dow) CROSS JOIN gl),
+    st AS (
+      SELECT CAST(1000000 - ssr * 1000000 // nullif(vx, 0) AS BIGINT)
+        AS seasonal_strength_ppm
+      FROM vars)
+    SELECT dow, n_days, mean_cents, seasonal_strength_ppm
+    FROM ds CROSS JOIN st ORDER BY dow"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_dow_seasonality" -> q226DowSeasonality _,
     "q212_cohort_ltv"    -> q212CohortLtv _,
     "q213_supplier_hhi"  -> q213SupplierHhi _,
     "q214_skew_audit"    -> q214SkewAudit _,
@@ -1022,6 +1094,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q226_dow_seasonality" -> q226Sql,
     "q212_cohort_ltv"    -> q212Sql,
     "q213_supplier_hhi"  -> q213Sql,
     "q214_skew_audit"    -> q214Sql,

@@ -1314,7 +1314,127 @@ object ExtOps {
       MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
     FROM z GROUP BY 1 ORDER BY 1"""
 
+  // ---- q225: Markov-chain mixing against the empirical mix -------------
+  // The convergence check on q170's transition matrix: push the
+  // SESSION-START distribution (first event per user) through the learned
+  // chain for two steps and compare each step against the corpus's
+  // overall event-type mix. A chain whose step-2 distribution is closer
+  // to the empirical mix than its start distribution is "mixing" —
+  // sessions forget their entry point — while a diverging type marks an
+  // absorbing funnel stage. All distribution math is staged integer
+  // floor-div ppm (each propagation term is pi(s)·n(s→t) div n(s), then
+  // an exact BIGINT sum — the floor compounds identically in both
+  // engines by construction). Scale shape: ONE user-keyed window pass
+  // collapses the corpus to a narrow (type, next, rn) projection; every
+  // later frame is |types|- or |types|²-bounded.
+  def q225MarkovMixing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_type"), col("next_type"), col("rn"))
+      .persist() // transitions, firsts, and the empirical mix all read
+                 // this narrow projection (caller-unpersist contract)
+    val steps = seq.filter(col("next_type").isNotNull)
+      .select(col("event_type").as("s_type"), col("next_type").as("t_type"))
+      .groupBy(col("s_type"), col("t_type"))
+      .agg(count(lit(1)).as("n_st"))
+      .persist() // two propagation steps + row totals
+    val rowTot = steps.groupBy(col("s_type")).agg(sum(col("n_st")).as("n_s"))
+    val firsts = seq.filter(col("rn") === 1)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
+    val nUsers = firsts.agg(sum(col("n_first")).as("n_users"))
+    val pi0 = firsts.crossJoin(broadcast(nUsers))
+      .select(col("event_type").as("t"),
+        expr("n_first * 1000000 div n_users").as("pi"))
+    def propagate(pi: DataFrame): DataFrame =
+      pi.join(steps, pi("t") === steps("s_type"))
+        .join(rowTot, Seq("s_type"))
+        .groupBy(col("t_type"))
+        .agg(sum(expr("pi * n_st div n_s")).as("pi"))
+        .select(col("t_type").as("t"), col("pi"))
+    val pi1 = propagate(pi0)
+    val pi2 = propagate(pi1)
+    val total = seq.agg(count(lit(1)).as("n_tot"))
+    val emp = seq.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), expr("n_t * 1000000 div n_tot").as("emp_ppm"))
+    emp
+      .join(pi0.withColumnRenamed("pi", "pi0_ppm"),
+        col("event_type") === pi0("t"), "left").drop("t")
+      .join(pi1.withColumnRenamed("pi", "pi1_ppm"),
+        col("event_type") === pi1("t"), "left").drop("t")
+      .join(pi2.withColumnRenamed("pi", "pi2_ppm"),
+        col("event_type") === pi2("t"), "left").drop("t")
+      .withColumn("pi0_ppm", coalesce(col("pi0_ppm"), lit(0L)))
+      .withColumn("pi1_ppm", coalesce(col("pi1_ppm"), lit(0L)))
+      .withColumn("pi2_ppm", coalesce(col("pi2_ppm"), lit(0L)))
+      .withColumn("l1_start", abs(col("pi0_ppm") - col("emp_ppm")))
+      .withColumn("l1_step2", abs(col("pi2_ppm") - col("emp_ppm")))
+      .withColumn("mixing_band",
+        when(col("l1_step2") <= col("l1_start"), "mixing")
+          .otherwise("diverging"))
+      .select(col("event_type"), col("emp_ppm"), col("pi0_ppm"),
+        col("pi1_ppm"), col("pi2_ppm"), col("l1_start"), col("l1_step2"),
+        col("mixing_band"))
+      .orderBy(col("event_type"))
+  }
+
+  val q225Sql: String = """
+    WITH ev AS (
+      SELECT event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS rn,
+        LEAD(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next_type
+      FROM events),
+    steps AS (
+      SELECT event_type AS s_type, next_type AS t_type,
+        CAST(COUNT(*) AS BIGINT) AS n_st
+      FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    rowtot AS (SELECT s_type, CAST(SUM(n_st) AS BIGINT) AS n_s
+               FROM steps GROUP BY 1),
+    firsts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_first
+               FROM ev WHERE rn = 1 GROUP BY 1),
+    nu AS (SELECT CAST(SUM(n_first) AS BIGINT) AS n_users FROM firsts),
+    pi0 AS (
+      SELECT event_type AS t,
+        CAST(n_first * 1000000 // n_users AS BIGINT) AS pi
+      FROM firsts CROSS JOIN nu),
+    pi1 AS (
+      SELECT t_type AS t, CAST(SUM(pi * n_st // n_s) AS BIGINT) AS pi
+      FROM pi0 JOIN steps ON s_type = t JOIN rowtot USING (s_type)
+      GROUP BY 1),
+    pi2 AS (
+      SELECT t_type AS t, CAST(SUM(pi * n_st // n_s) AS BIGINT) AS pi
+      FROM pi1 JOIN steps ON s_type = t JOIN rowtot USING (s_type)
+      GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM ev),
+    emp AS (
+      SELECT event_type,
+        CAST(COUNT(*) * 1000000 // (SELECT n_tot FROM tot) AS BIGINT)
+          AS emp_ppm
+      FROM ev GROUP BY 1)
+    SELECT e.event_type, emp_ppm,
+      COALESCE(p0.pi, 0) AS pi0_ppm, COALESCE(p1.pi, 0) AS pi1_ppm,
+      COALESCE(p2.pi, 0) AS pi2_ppm,
+      abs(COALESCE(p0.pi, 0) - emp_ppm) AS l1_start,
+      abs(COALESCE(p2.pi, 0) - emp_ppm) AS l1_step2,
+      CASE WHEN abs(COALESCE(p2.pi, 0) - emp_ppm)
+             <= abs(COALESCE(p0.pi, 0) - emp_ppm) THEN 'mixing'
+           ELSE 'diverging' END AS mixing_band
+    FROM emp e
+    LEFT JOIN pi0 p0 ON p0.t = e.event_type
+    LEFT JOIN pi1 p1 ON p1.t = e.event_type
+    LEFT JOIN pi2 p2 ON p2.t = e.event_type
+    ORDER BY e.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_markov_mixing"  -> q225MarkovMixing _,
     "q208_sketch_wau"     -> q208SketchWau _,
     "q210_windowed_funnel" -> q210WindowedFunnel _,
     "q168_burst_detect"   -> q168BurstDetect _,
@@ -1341,6 +1461,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q225_markov_mixing"  -> q225Sql,
     "q208_sketch_wau"     -> q208Sql,
     "q210_windowed_funnel" -> q210Sql,
     "q168_burst_detect"   -> q168Sql,

@@ -2348,7 +2348,87 @@ object SimOps {
            ELSE 'blended' END AS sep_band
     FROM fin ORDER BY label"""
 
+  // ---- q227: in-degree assortativity of the kNN graph ------------------
+  // The graph-structure audit that complements q171 (hubness measures
+  // WHO concentrates in-degree; assortativity measures whether hubs
+  // point at hubs): Pearson correlation of (indeg(src), indeg(dst)) over
+  // the directed edges of the pinned kNN graph. Strongly disassortative
+  // embedding graphs (hubs absorbing low-degree satellites) predict ANN
+  // quality cliffs — the same geometry that inflates q171's hub tail —
+  // while assortative structure keeps search paths inside well-connected
+  // regions. Exactness: degree sums/co-moments are exact
+  // Decimal(38,0) ↔ HUGEINT; r is one fixed IEEE tree (casts, mul, sub,
+  // mul, sqrt, div) over those identical integers, so both engines emit
+  // the same double bit-for-bit. Scale shape: rides the pinned knn_edges
+  // stage (n·K narrow rows) + one |nodes|-row degree frame joined twice;
+  // the final aggregate is a 1-row frame.
+  def q227Assortativity(s: SparkSession, d: String): DataFrame = {
+    val (_, edges) = knnEdges(s, d)
+    val indeg = edges.groupBy(col("nbr_id")).agg(count(lit(1)).as("deg"))
+    val xy = edges.select(col("vec_id"), col("nbr_id"))
+      .join(indeg.select(col("nbr_id").as("vec_id"), col("deg").as("x")),
+        Seq("vec_id"), "left")
+      .join(indeg.select(col("nbr_id"), col("deg").as("y")),
+        Seq("nbr_id"), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    xy.agg(count(lit(1)).as("n_edges"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .withColumn("r", expr(
+        "case when n_edges = 0 then null else" +
+          " (cast(n_edges as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))" +
+          " / nullif(sqrt((cast(n_edges as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))" +
+          " * (cast(n_edges as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double))), 0.0d) end"))
+      .withColumn("mix_band",
+        when(col("r").isNull, "degenerate")
+          .when(col("r") >= 0.1, "assortative")
+          .when(col("r") <= -0.1, "disassortative")
+          .otherwise("neutral"))
+      .select(col("n_edges"), col("sx").as("sum_deg_src"),
+        col("sy").as("sum_deg_dst"), col("r"), col("mix_band"))
+  }
+
+  val q227Sql: String = s"""$sqlKnnCtes,
+    indeg AS (
+      SELECT nbr_id, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges GROUP BY 1),
+    xy AS (
+      SELECT COALESCE(a.deg, 0) AS x, COALESCE(b.deg, 0) AS y
+      FROM edges e
+      LEFT JOIN indeg a ON a.nbr_id = e.vec_id
+      LEFT JOIN indeg b ON b.nbr_id = e.nbr_id),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM xy),
+    fin AS (
+      SELECT n_edges, sx, sy,
+        CASE WHEN n_edges = 0 THEN NULL ELSE
+          (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / nullif(sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0) END AS r
+      FROM agg)
+    SELECT n_edges, sx AS sum_deg_src, sy AS sum_deg_dst, r,
+      CASE WHEN r IS NULL THEN 'degenerate'
+           WHEN r >= 0.1 THEN 'assortative'
+           WHEN r <= -0.1 THEN 'disassortative'
+           ELSE 'neutral' END AS mix_band
+    FROM fin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_assortativity"  -> q227Assortativity _,
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
     "q165_class_separation" -> q165ClassSeparation _,
     "q35_knn_brute"       -> q35KnnBrute _,
@@ -2375,6 +2455,7 @@ object SimOps {
     "q142_int8_quant"     -> q142Int8Quant _)
 
   val oracles: Map[String, String] = Map(
+    "q227_assortativity"  -> q227Sql,
     "q151_embedding_hygiene" -> q151Sql,
     "q165_class_separation" -> q165Sql,
     "q35_knn_brute"       -> q35Sql,

@@ -1630,7 +1630,64 @@ object StatsOps {
            ELSE 'ok' END AS alarm
     FROM j ORDER BY r_name, day"""
 
+  // ---- q224: l-diversity audit -----------------------------------------
+  // q216's sibling: k-anonymity alone doesn't stop attribute disclosure —
+  // a k=50 group whose members all share one market segment still leaks
+  // the segment for anyone placed in the group. Per quasi-identifier
+  // group (nation × $100 balance band — note the SENSITIVE attribute is
+  // excluded from the quasi-id here, unlike q216), l = the number of
+  // distinct sensitive values (c_mktsegment); report the l-band ledger a
+  // release review reads (l=1 means the group is fully disclosing).
+  // Scale shape: one groupBy onto the quasi-id grid with a bounded
+  // count-distinct (the sensitive domain is |segments|), then a ≤3-row
+  // band rollup; the population total is a 1-row broadcast.
+  def q224LDiversity(s: SparkSession, d: String): DataFrame = {
+    val qid = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 100.0).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+    val groups = qid
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    val total = qid.agg(count(lit(1)).as("n_total"))
+    groups
+      .withColumn("l_band",
+        when(col("l") === 1L, "l1_disclosing")
+          .when(col("l") === 2L, "l2")
+          .otherwise("l3plus"))
+      .groupBy(col("l_band"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"),
+        min(col("l")).as("min_l"))
+      .crossJoin(broadcast(total))
+      .withColumn("row_share_ppm", expr("n_rows * 1000000 div n_total"))
+      .select(col("l_band"), col("n_groups"), col("n_rows"),
+        col("min_l"), col("row_share_ppm"))
+      .orderBy(col("l_band"))
+  }
+
+  val q224Sql: String = """
+    WITH qid AS (
+      SELECT c_nationkey,
+        CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_band,
+        c_mktsegment
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, bal_band, CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM qid GROUP BY 1, 2),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM qid)
+    SELECT CASE WHEN l = 1 THEN 'l1_disclosing' WHEN l = 2 THEN 'l2'
+                ELSE 'l3plus' END AS l_band,
+      CAST(COUNT(*) AS BIGINT) AS n_groups,
+      CAST(SUM(k) AS BIGINT) AS n_rows,
+      CAST(MIN(l) AS BIGINT) AS min_l,
+      CAST(SUM(k) * 1000000 // n_total AS BIGINT) AS row_share_ppm
+    FROM g CROSS JOIN t
+    GROUP BY 1, n_total ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_l_diversity" -> q224LDiversity _,
     "q216_k_anonymity" -> q216KAnonymity _,
     "q217_rank_test" -> q217RankTest _,
     "q218_autocorr" -> q218Autocorr _,
@@ -1654,6 +1711,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q224_l_diversity" -> q224Sql,
     "q216_k_anonymity" -> q216Sql,
     "q217_rank_test" -> q217Sql,
     "q218_autocorr" -> q218Sql,

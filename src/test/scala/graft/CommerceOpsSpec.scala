@@ -214,4 +214,28 @@ class CommerceOpsSpec extends AnyFunSuite {
       s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
     spark.catalog.clearCache()
   }
+
+  test("q226 recovers a planted pure weekly profile with strength 1e6") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dow").toString
+    // 2024-05-06 is a Monday; two full weeks where every Monday is $200
+    // and every other day $100 — the weekly profile explains ALL variance
+    val orders = (0 until 14).map { i =>
+      val day = java.time.LocalDate.of(2024, 5, 6).plusDays(i.toLong)
+      val price = if (day.getDayOfWeek.getValue == 1) 200.0 else 100.0
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(day.atStartOfDay()), price)
+    }
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.CommerceOps.q226DowSeasonality(spark, dir).collect()
+    assert(r.length == 7)
+    assert(r.map(_.getAs[Int]("dow")).toSeq == (1 to 7))
+    r.foreach { x =>
+      val expected = if (x.getAs[Int]("dow") == 1) 20000L else 10000L
+      assert(x.getAs[Long]("mean_cents") == expected, x.toString)
+      assert(x.getAs[Long]("n_days") == 2L)
+      assert(x.getAs[Long]("seasonal_strength_ppm") == 1000000L)
+    }
+  }
 }

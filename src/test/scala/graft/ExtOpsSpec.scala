@@ -514,4 +514,52 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(nc <= u("click") && np <= u("purchase"),
       s"windowed funnel exceeds the unbounded one: $r vs $u")
   }
+
+  test("q225 propagation matches a brute integer recount on a planted chain") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("markov").toString
+    // u1: A A B · u2: A B B · u3: B A A — mixed starts and transitions
+    val seqs = Seq(1L -> Seq("A", "A", "B"), 2L -> Seq("A", "B", "B"),
+      3L -> Seq("B", "A", "A"))
+    val rows = seqs.flatMap { case (u, ts) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (u * 100 + i, java.sql.Timestamp.valueOf(f"2024-05-01 0$i%01d:00:00"),
+          u, t, 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // brute recount with the SAME staged integer floor-divs
+    val trans = seqs.flatMap(_._2.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val firsts = seqs.map(_._2.head)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = Seq("A", "B")
+    val pi0 = types.map(t =>
+      t -> firsts.getOrElse(t, 0L) * 1000000L / seqs.length).toMap
+    def prop(pi: Map[String, Long]): Map[String, Long] =
+      types.map { t =>
+        t -> types.map { st =>
+          val n = trans.getOrElse((st, t), 0L)
+          if (n == 0) 0L else pi(st) * n / rowTot(st)
+        }.sum
+      }.toMap
+    val (pi1, pi2) = { val p1 = prop(pi0); (p1, prop(p1)) }
+    val all = seqs.flatMap(_._2)
+    val emp = types.map(t =>
+      t -> all.count(_ == t).toLong * 1000000L / all.length).toMap
+    val r = ops.ExtOps.q225MarkovMixing(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    types.foreach { t =>
+      assert(r(t).getAs[Long]("emp_ppm") == emp(t), s"emp $t")
+      assert(r(t).getAs[Long]("pi0_ppm") == pi0(t), s"pi0 $t")
+      assert(r(t).getAs[Long]("pi1_ppm") == pi1(t), s"pi1 $t")
+      assert(r(t).getAs[Long]("pi2_ppm") == pi2(t), s"pi2 $t")
+      val band = if (math.abs(pi2(t) - emp(t)) <= math.abs(pi0(t) - emp(t)))
+        "mixing" else "diverging"
+      assert(r(t).getAs[String]("mixing_band") == band, s"band $t")
+    }
+  }
 }

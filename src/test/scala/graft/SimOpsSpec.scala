@@ -653,4 +653,47 @@ class SimOpsSpec extends AnyFunSuite {
       assert(row.getAs[String]("margin_band") == band, s"q=$qId")
     }
   }
+
+  test("q227 assortativity is a bounded correlation and degrades on a uniform clique") {
+    import org.apache.spark.sql.functions.col
+    val r = ops.SimOps.q227Assortativity(spark, sf).head()
+    // r is a Pearson correlation over edges — bounded, and consistent
+    // with its own band thresholds
+    val rv = r.getAs[Double]("r")
+    assert(rv >= -1.0 && rv <= 1.0, rv)
+    val band = if (rv >= 0.1) "assortative"
+      else if (rv <= -0.1) "disassortative" else "neutral"
+    assert(r.getAs[String]("mix_band") == band)
+    // the edge count matches the pinned kNN stage it rides
+    val (_, edges) = ops.SimOps.knnEdges(spark, sf)
+    assert(r.getAs[Long]("n_edges") == edges.count())
+    spark.catalog.clearCache()
+
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("assort").toString
+    // 10 identical vectors: one cell, all-pairs candidates, ties broken
+    // by id — the resulting degree skew (low ids absorb in-degree) is
+    // fully deterministic, so r must match a brute recount exactly
+    (0 to 9).map(i => (i.toLong,
+        Array.tabulate(64)(j => if (j == 0) 1.0f else 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val u = ops.SimOps.q227Assortativity(spark, dir).head()
+    val es = ops.SimOps.knnEdges(spark, dir)._2
+      .select("vec_id", "nbr_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val indeg = es.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val xs = es.map(e => indeg.getOrElse(e._1, 0L))
+    val ys = es.map(e => indeg.getOrElse(e._2, 0L))
+    val n = es.length.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val syy = ys.map(a => BigInt(a) * a).sum
+    val rb = (n * sxy.toDouble - sx * sy) /
+      math.sqrt((n * sxx.toDouble - sx * sx) * (n * syy.toDouble - sy * sy))
+    assert(u.getAs[Long]("n_edges") == es.length.toLong)
+    assert(math.abs(u.getAs[Double]("r") - rb) < 1e-12, s"$u vs $rb")
+    spark.catalog.clearCache()
+  }
 }

@@ -471,6 +471,27 @@ class StatsOpsSpec extends AnyFunSuite {
       10L * 1000000L / 14L)
   }
 
+  test("q224 bands planted l-diversity correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ldiv").toString
+    // group (nation 0, band 0): 4 rows all in ONE segment → l1_disclosing
+    // group (nation 1, band 0): 6 rows across 3 segments → l3plus
+    val rows = (1 to 4).map(i => (i.toLong, 0, 50.0, "MONO")) ++
+      (1 to 6).map(i => (10L + i, 1, 50.0, s"SEG${i % 3}"))
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val r = StatsOps.q224LDiversity(spark, dir).collect()
+      .map(x => x.getAs[String]("l_band") -> x).toMap
+    assert(r.keySet == Set("l1_disclosing", "l3plus"))
+    assert(r("l1_disclosing").getAs[Long]("n_groups") == 1L)
+    assert(r("l1_disclosing").getAs[Long]("n_rows") == 4L)
+    assert(r("l1_disclosing").getAs[Long]("min_l") == 1L)
+    assert(r("l1_disclosing").getAs[Long]("row_share_ppm") ==
+      4L * 1000000L / 10L)
+    assert(r("l3plus").getAs[Long]("n_rows") == 6L &&
+      r("l3plus").getAs[Long]("min_l") == 3L)
+  }
+
   test("q217 U, AUC and z match a brute pairwise recount on planted sources") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mwu").toString
