@@ -1075,7 +1075,91 @@ object CommerceOps {
     SELECT dow, n_days, mean_cents, seasonal_strength_ppm
     FROM ds CROSS JOIN st ORDER BY dow"""
 
+  // ---- q231: per-brand discount response --------------------------------
+  // The pricing-analytics read on top of q57's global correlation: per
+  // part brand, the discount→quantity response — OLS slope (centi-units
+  // of quantity per basis point of discount, scaled 1e6) and the exact
+  // Pearson r, from one lineitem scan with the part dim broadcast. A
+  // brand whose volume doesn't move with discount is paying margin for
+  // nothing. Discounts quantize to exact basis points (s=4), quantities
+  // to centi-units; all co-moments are exact Decimal(38,0) ↔ HUGEINT;
+  // slope is the sign-split staged floor-div; r is one fixed IEEE tree.
+  // Scale shape: map-side-combining aggregate onto |brands| rows.
+  def q231DiscountResponse(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        toUnits(col("l_discount"), 4).as("x"),
+        toUnits(col("l_quantity")).as("y"))
+    rows.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .withColumn("num",
+        expr("n_lines * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("den",
+        expr("n_lines * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("vy",
+        expr("n_lines * syy - cast(sy as decimal(38,0)) * sy"))
+      .withColumn("slope_micro", expr(
+        "case when den = 0 then null" +
+          " when num >= 0 then cast(num * 1000000 div den as bigint)" +
+          " else -cast((-num) * 1000000 div den as bigint) end"))
+      .withColumn("r",
+        when(col("den") <= 0 || col("vy") <= 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("den").cast("double") * col("vy").cast("double"))))
+      .withColumn("response_band",
+        when(col("r").isNull, "degenerate")
+          .when(col("r") >= 0.1, "discount_lifts_volume")
+          .when(col("r") <= -0.1, "discount_suppressed")
+          .otherwise("inelastic"))
+      .select(col("p_brand"), col("n_lines"), col("slope_micro"), col("r"),
+        col("response_band"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q231Sql: String = s"""
+    WITH rows_ AS (
+      SELECT p_brand, ${sqlUnits("l_discount", 4)} AS x,
+        ${sqlUnits("l_quantity")} AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    agg AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM rows_ GROUP BY 1),
+    m AS (
+      SELECT p_brand, n_lines,
+        n_lines * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        n_lines * sxx - CAST(sx AS HUGEINT) * sx AS den,
+        n_lines * syy - CAST(sy AS HUGEINT) * sy AS vy
+      FROM agg)
+    SELECT p_brand, n_lines,
+      CASE WHEN den = 0 THEN NULL
+           WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+           ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS slope_micro,
+      CASE WHEN den <= 0 OR vy <= 0 THEN NULL
+           ELSE CAST(num AS DOUBLE)
+             / sqrt(CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) END AS r,
+      CASE WHEN den <= 0 OR vy <= 0 THEN 'degenerate'
+           WHEN CAST(num AS DOUBLE)
+               / sqrt(CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) >= 0.1
+             THEN 'discount_lifts_volume'
+           WHEN CAST(num AS DOUBLE)
+               / sqrt(CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) <= -0.1
+             THEN 'discount_suppressed'
+           ELSE 'inelastic' END AS response_band
+    FROM m ORDER BY p_brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_discount_response" -> q231DiscountResponse _,
     "q226_dow_seasonality" -> q226DowSeasonality _,
     "q212_cohort_ltv"    -> q212CohortLtv _,
     "q213_supplier_hhi"  -> q213SupplierHhi _,
@@ -1094,6 +1178,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q231_discount_response" -> q231Sql,
     "q226_dow_seasonality" -> q226Sql,
     "q212_cohort_ltv"    -> q212Sql,
     "q213_supplier_hhi"  -> q213Sql,

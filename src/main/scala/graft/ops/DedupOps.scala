@@ -1955,7 +1955,103 @@ $sqlJac,
     * LIFETIME IS THE CALLER'S. The driver harness (Verify/Bench/specs)
     * runs `spark.catalog.clearCache()` between queries; any other caller
     * must do the same or accept the cached blocks until session end. */
+  // ---- q230: dedup quality uplift --------------------------------------
+  // The audit that closes q102's keep-best loop: among docs INSIDE
+  // near-dup clusters, does the longest-doc keeper rule actually retain
+  // the better-quality members? Per source, the mean heuristic quality
+  // (q158's stopword-rate milli score, off the pinned attribute stage)
+  // of kept vs removed docs and the uplift between them — a source
+  // where removal DEGRADES mean quality means its duplicates are its
+  // best docs and the keeper rule needs a quality term, not length.
+  // Scale shape: rides the pinned cc/attr stages (narrow integer
+  // frames); the keeper list is |clusters| rows broadcast; the ledger is
+  // |sources| rows. Zero new corpus text scans.
+  def q230DedupQualityUplift(s: SparkSession, d: String): DataFrame = {
+    val cc = ccLabels(s, d)
+    val kept = clusterKeepers(s, d)
+      .select(col("kept_doc_id"), lit(true).as("is_kept"))
+    val score = TextOps.attrHeuristic(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("n_stop * 1000 div n_tokens").as("score_milli"))
+    cc.join(score, Seq("doc_id"))
+      .join(broadcast(kept), col("doc_id") === col("kept_doc_id"), "left")
+      .withColumn("kept", coalesce(col("is_kept"), lit(false)))
+      .groupBy(col("source"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("kept"), col("score_milli"))).as("ks"),
+        sum(when(!col("kept"), col("score_milli"))).as("rs"))
+      .withColumn("kept_mean_milli", expr("ks div nullif(n_kept, 0)"))
+      .withColumn("removed_mean_milli",
+        expr("rs div nullif(n_removed, 0)"))
+      .withColumn("uplift_milli",
+        col("kept_mean_milli") - col("removed_mean_milli"))
+      .withColumn("uplift_band",
+        when(col("uplift_milli").isNull, "one_sided")
+          .when(col("uplift_milli") >= 10L, "improves")
+          .when(col("uplift_milli") <= -10L, "degrades")
+          .otherwise("neutral"))
+      .select(col("source"), col("n_kept"), col("n_removed"),
+        col("kept_mean_milli"), col("removed_mean_milli"),
+        col("uplift_milli"), col("uplift_band"))
+      .orderBy(col("source"))
+  }
+
+  val q230Sql: String = sqlCc + raw""",
+    tok AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(lower(text)), '[ \t\n\r\f]+'))
+          AS BIGINT) AS n_tokens
+      FROM documents),
+    j AS (
+      SELECT cc.canon_id, cc.doc_id, tok.n_tokens
+      FROM cc JOIN tok USING (doc_id)),
+    best AS (
+      SELECT canon_id, doc_id AS kept_doc_id,
+        row_number() OVER (PARTITION BY canon_id
+          ORDER BY n_tokens DESC, doc_id) AS rk
+      FROM j),
+    sc AS (
+      SELECT doc_id, source,
+        CAST(len(list_filter(t, x -> list_contains(
+          ['the','a','of','and','to','in','is','it'], x))) AS BIGINT)
+          * 1000 // CAST(len(t) AS BIGINT) AS score_milli
+      FROM (SELECT doc_id, source, string_split_regex(
+              trim(lower(text)), '[ \t\n\r\f]+') AS t
+            FROM documents)),
+    led AS (
+      SELECT source,
+        CAST(SUM(CASE WHEN k.kept_doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN k.kept_doc_id IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_removed,
+        CAST(SUM(CASE WHEN k.kept_doc_id IS NOT NULL THEN score_milli END)
+          AS BIGINT) AS ks,
+        CAST(SUM(CASE WHEN k.kept_doc_id IS NULL THEN score_milli END)
+          AS BIGINT) AS rs
+      FROM cc
+      JOIN sc USING (doc_id)
+      LEFT JOIN (SELECT kept_doc_id FROM best WHERE rk = 1) k
+        ON cc.doc_id = k.kept_doc_id
+      GROUP BY source),
+    m AS (
+      SELECT source, n_kept, n_removed,
+        ks // nullif(n_kept, 0) AS kept_mean_milli,
+        rs // nullif(n_removed, 0) AS removed_mean_milli
+      FROM led)
+    SELECT source, n_kept, n_removed,
+      CAST(kept_mean_milli AS BIGINT) AS kept_mean_milli,
+      CAST(removed_mean_milli AS BIGINT) AS removed_mean_milli,
+      CAST(kept_mean_milli - removed_mean_milli AS BIGINT) AS uplift_milli,
+      CASE WHEN kept_mean_milli IS NULL OR removed_mean_milli IS NULL
+             THEN 'one_sided'
+           WHEN kept_mean_milli - removed_mean_milli >= 10 THEN 'improves'
+           WHEN kept_mean_milli - removed_mean_milli <= -10 THEN 'degrades'
+           ELSE 'neutral' END AS uplift_band
+    FROM m ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_dedup_quality_uplift" -> q230DedupQualityUplift _,
     "q199_allpairs_join" -> q199AllPairsJoin _,
     "q29_exact_dedup"   -> q29ExactDedup _,
     "q30_minhash_sig"   -> q30MinhashSig _,
@@ -1979,6 +2075,7 @@ $sqlJac,
     "q183_dedup_recall" -> q183DedupRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q230_dedup_quality_uplift" -> q230Sql,
     "q29_exact_dedup"   -> q29Sql,
     "q30_minhash_sig"   -> q30Sql,
     "q31_minhash_pairs" -> q31Sql,

@@ -1686,7 +1686,124 @@ object StatsOps {
     FROM g CROSS JOIN t
     GROUP BY 1, n_total ORDER BY 1"""
 
+  // ---- q228: Theil–Sen robust trend of daily revenue -------------------
+  // The outlier-robust slope estimator next to q115's OLS: the median of
+  // all pairwise day-to-day slopes of the global daily-revenue series,
+  // with the OLS slope alongside and an integer agreement verdict — the
+  // robust/classical split is exactly how a metrics pipeline detects
+  // "the trend is three fat-fingered days" (q202's winsorized-mean
+  // lesson, applied to regression). Slopes quantize to exact signed ppm
+  // via sign-split floor-div (Spark div truncates, DuckDB // floors —
+  // both agree on non-negative operands, so magnitude and sign travel
+  // separately); the pair-slope median and the intercept median both go
+  // through the bounded-domain histogram contract, and the median double
+  // is floored to integer ppm before re-entering exact arithmetic.
+  //
+  // Scale shape: the corpus collapses onto the |days|-row daily frame
+  // once; the O(|days|²/2) pair frame is CALENDAR-bounded (it grows with
+  // the time range, not data volume — 7 fixture years ≈ 2.9M pairs at
+  // every SF), and the slope-value domain is ≤ |pairs| < the 2^22
+  // histogram bound.
+  def q228TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"),
+        toUnits(col("o_totalprice")).as("u"))
+      .groupBy(col("day")).agg(sum(col("u")).as("cents"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("di"),
+        col("cents"))
+      .persist() // pair frame, OLS co-moments, and the residual median
+    val a = daily.select(col("di").as("x1"), col("cents").as("y1"))
+    val b = daily.select(col("di").as("x2"), col("cents").as("y2"))
+    // calendar-bounded both sides — the broadcast theta join is the
+    // intended O(|days|²) pair generator, never a corpus cartesian
+    val pairs = a.join(broadcast(b), col("x2") > col("x1"))
+      .select(lit("all").as("g"),
+        expr("case when y2 >= y1" +
+          " then cast(cast(y2 - y1 as decimal(38,0)) * 1000000" +
+          " div (x2 - x1) as bigint)" +
+          " else -cast(cast(y1 - y2 as decimal(38,0)) * 1000000" +
+          " div (x2 - x1) as bigint) end").as("v"))
+    val slopeMed = histPercentiles(pairs, "g", "v", Seq(0.5),
+        degrade = false)
+      .select(col("g"), col("n").as("n_pairs"),
+        floor(element_at(col("ps"), 1) + 0.5).cast("long").as("theil_ppm"))
+    val resid = daily.crossJoin(broadcast(slopeMed))
+      .select(col("g"), expr("cast(cast(cents as decimal(38,0)) * 1000000" +
+        " - cast(theil_ppm as decimal(38,0)) * di as bigint)").as("v"))
+    val intercept = histPercentiles(resid, "g", "v", Seq(0.5),
+        degrade = false)
+      .select(col("g"),
+        floor(element_at(col("ps"), 1) + 0.5).cast("long")
+          .as("intercept_ppm"))
+    val ols = daily.select(lit("all").as("g"), col("di"), col("cents"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("di")).as("sx"), sum(col("cents")).as("sy"),
+        sum(expr("cast(di as decimal(38,0)) * cents")).as("sxy"),
+        sum(expr("cast(di as decimal(38,0)) * di")).as("sxx"))
+      .withColumn("num",
+        expr("n_days * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("den",
+        expr("n_days * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("ols_ppm", expr(
+        "case when den = 0 then null" +
+          " when num >= 0 then cast(num * 1000000 div den as bigint)" +
+          " else cast(-((-num) * 1000000 div den) as bigint) end"))
+      .select(col("g"), col("n_days"), col("ols_ppm"))
+    slopeMed.join(broadcast(intercept), Seq("g"))
+      .join(broadcast(ols), Seq("g"))
+      .withColumn("trend_band",
+        when(col("ols_ppm").isNull, "degenerate")
+          .when(abs(col("theil_ppm") - col("ols_ppm")) * 10
+            <= abs(col("ols_ppm")), "agrees")
+          .otherwise("outlier_influenced"))
+      .select(col("n_days"), col("n_pairs"), col("theil_ppm"),
+        col("intercept_ppm"), col("ols_ppm"), col("trend_band"))
+  }
+
+  val q228Sql: String = s"""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        AS di, ${sqlUnitSum("o_totalprice")} AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    pairs AS (
+      SELECT CASE WHEN b.cents >= a.cents
+        THEN CAST(CAST(b.cents - a.cents AS HUGEINT) * 1000000
+          // (b.di - a.di) AS BIGINT)
+        ELSE -CAST(CAST(a.cents - b.cents AS HUGEINT) * 1000000
+          // (b.di - a.di) AS BIGINT) END AS v
+      FROM daily a JOIN daily b ON b.di > a.di),
+    sm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(FLOOR(quantile_cont(v, 0.5) + 0.5) AS BIGINT) AS theil_ppm
+      FROM (SELECT 'all' AS g, v FROM pairs) GROUP BY g),
+    ic AS (
+      SELECT CAST(FLOOR(quantile_cont(CAST(CAST(cents AS HUGEINT) * 1000000
+          - CAST(theil_ppm AS HUGEINT) * di AS BIGINT), 0.5) + 0.5)
+          AS BIGINT) AS intercept_ppm
+      FROM daily CROSS JOIN sm GROUP BY theil_ppm),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        COUNT(*) * SUM(CAST(di AS HUGEINT) * cents)
+          - CAST(SUM(di) AS HUGEINT) * SUM(cents) AS num,
+        COUNT(*) * SUM(CAST(di AS HUGEINT) * di)
+          - CAST(SUM(di) AS HUGEINT) * SUM(di) AS den
+      FROM (SELECT 'all' AS g, di, cents FROM daily) GROUP BY g),
+    om AS (
+      SELECT n_days,
+        CASE WHEN den = 0 THEN NULL
+             WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+             ELSE CAST(-((-num) * 1000000 // den) AS BIGINT) END AS ols_ppm
+      FROM ols)
+    SELECT n_days, n_pairs, theil_ppm, intercept_ppm, ols_ppm,
+      CASE WHEN ols_ppm IS NULL THEN 'degenerate'
+           WHEN abs(theil_ppm - ols_ppm) * 10 <= abs(ols_ppm)
+             THEN 'agrees'
+           ELSE 'outlier_influenced' END AS trend_band
+    FROM sm CROSS JOIN ic CROSS JOIN om"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_theil_sen" -> q228TheilSen _,
     "q224_l_diversity" -> q224LDiversity _,
     "q216_k_anonymity" -> q216KAnonymity _,
     "q217_rank_test" -> q217RankTest _,
@@ -1711,6 +1828,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q228_theil_sen" -> q228Sql,
     "q224_l_diversity" -> q224Sql,
     "q216_k_anonymity" -> q216Sql,
     "q217_rank_test" -> q217Sql,

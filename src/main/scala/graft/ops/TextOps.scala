@@ -2764,7 +2764,61 @@ object TextOps {
         AS BIGINT) AS share_ppm
     FROM g ORDER BY source, decile"""
 
+  // ---- q229: per-language tokenizer fertility --------------------------
+  // The tokenizer-efficiency ledger a multilingual pipeline reads before
+  // fixing a token budget: per language, characters per (whitespace)
+  // token and tokens per document — the "fertility" lens under which a
+  // tokenizer that splits one language into 2× more pieces silently
+  // halves that language's effective context window and doubles its
+  // training cost per byte. Whitespace tokens are the q27/q90 corpus
+  // convention; n_chars is the footer column (no second text scan — the
+  // tokenize pass is the only corpus read). Exact integer milli ratios;
+  // |langs|-row state.
+  def q229TokenFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(filter(toks(col("text")), t => t =!= lit("")))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("chars_per_token_milli",
+        expr("n_chars * 1000 div nullif(n_tokens, 0)"))
+      .withColumn("tokens_per_doc", expr("n_tokens div n_docs"))
+      .withColumn("fertility_band",
+        when(col("chars_per_token_milli").isNull, "degenerate")
+          .when(col("chars_per_token_milli") >= 8000L, "verbose_tokens")
+          .when(col("chars_per_token_milli") <= 4500L, "fine_grained")
+          .otherwise("typical"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("chars_per_token_milli"), col("tokens_per_doc"),
+        col("fertility_band"))
+      .orderBy(col("lang"))
+
+  val q229Sql: String = raw"""
+    WITH t AS (
+      SELECT lang, n_chars,
+        CAST(len(list_filter(string_split_regex(trim(lower(text)),
+          '[ \t\n\r\f]+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents),
+    g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1)
+    SELECT lang, n_docs, n_chars, n_tokens,
+      CAST(n_chars * 1000 // nullif(n_tokens, 0) AS BIGINT)
+        AS chars_per_token_milli,
+      CAST(n_tokens // n_docs AS BIGINT) AS tokens_per_doc,
+      CASE WHEN n_tokens = 0 THEN 'degenerate'
+           WHEN n_chars * 1000 // n_tokens >= 8000 THEN 'verbose_tokens'
+           WHEN n_chars * 1000 // n_tokens <= 4500 THEN 'fine_grained'
+           ELSE 'typical' END AS fertility_band
+    FROM g ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_token_fertility" -> q229TokenFertility _,
     "q211_score_deciles" -> q211ScoreDeciles _,
     "q197_keyness"     -> q197Keyness _,
     "q184_readability" -> q184Readability _,
@@ -2803,6 +2857,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q229_token_fertility" -> q229Sql,
     "q211_score_deciles" -> q211Sql,
     "q197_keyness"     -> q197Sql,
     "q184_readability" -> q184Sql,

@@ -215,6 +215,39 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q231 slope and r match a BigInt brute recount per brand") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "l_discount", "l_quantity").collect()
+      .map(x => (x.getAs[String]("p_brand"),
+        math.floor(x.getAs[Double]("l_discount") * 1e4 + 0.5).toLong,
+        math.floor(x.getAs[Double]("l_quantity") * 1e2 + 0.5).toLong))
+    val r = ops.CommerceOps.q231DiscountResponse(spark, sf).collect()
+      .map(x => x.getAs[String]("p_brand") -> x).toMap
+    li.groupBy(_._1).foreach { case (brand, rows) =>
+      val n = BigInt(rows.length)
+      val (sx, sy) = (BigInt(rows.map(_._2).sum), BigInt(rows.map(_._3).sum))
+      val sxy = rows.map(t => BigInt(t._2) * t._3).sum
+      val sxx = rows.map(t => BigInt(t._2) * t._2).sum
+      val syy = rows.map(t => BigInt(t._3) * t._3).sum
+      val (num, den, vy) = (n * sxy - sx * sy, n * sxx - sx * sx,
+        n * syy - sy * sy)
+      val row = r(brand)
+      assert(row.getAs[Long]("n_lines") == rows.length.toLong)
+      if (den == 0) assert(row.isNullAt(row.fieldIndex("slope_micro")))
+      else {
+        val slope = if (num >= 0) num * 1000000 / den
+                    else -((-num) * 1000000 / den)
+        assert(BigInt(row.getAs[Long]("slope_micro")) == slope, brand)
+      }
+      if (den > 0 && vy > 0) {
+        val rb = num.toDouble / math.sqrt(den.toDouble * vy.toDouble)
+        assert(math.abs(row.getAs[Double]("r") - rb) < 1e-12, brand)
+      }
+    }
+  }
+
   test("q226 recovers a planted pure weekly profile with strength 1e6") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -762,6 +762,31 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_pairs") > 0)
   }
 
+  test("q230 ledger is conserved against the cc and keeper stages") {
+    import org.apache.spark.sql.functions.col
+    val r = ops.DedupOps.q230DedupQualityUplift(spark, sf).collect()
+    assert(r.nonEmpty)
+    val keptTotal = r.map(_.getAs[Long]("n_kept")).sum
+    val rowTotal = r.map(x =>
+      x.getAs[Long]("n_kept") + x.getAs[Long]("n_removed")).sum
+    // every clustered doc is accounted once; every keeper appears once
+    assert(keptTotal == ops.DedupOps.clusterKeepers(spark, sf).count())
+    assert(rowTotal == ops.DedupOps.ccLabels(spark, sf).count())
+    r.foreach { x =>
+      val (km, rm) = (x.getAs[Long]("kept_mean_milli"),
+        x.getAs[Long]("removed_mean_milli"))
+      val kmN = x.isNullAt(x.fieldIndex("kept_mean_milli"))
+      val rmN = x.isNullAt(x.fieldIndex("removed_mean_milli"))
+      if (kmN || rmN) {
+        assert(x.getAs[String]("uplift_band") == "one_sided", x.toString)
+      } else {
+        assert(x.getAs[Long]("uplift_milli") == km - rm, x.toString)
+        assert(km >= 0 && km <= 1000 && rm >= 0 && rm <= 1000, x.toString)
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   private def sortedByThreshold(
       rs: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
     rs.sortBy(_.getAs[Int]("threshold_pct"))

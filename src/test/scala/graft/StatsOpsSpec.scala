@@ -471,6 +471,44 @@ class StatsOpsSpec extends AnyFunSuite {
       10L * 1000000L / 14L)
   }
 
+  test("q228 recovers a planted linear trend exactly and resists an outlier") {
+    import spark.implicits._
+    val d0 = java.time.LocalDate.of(2024, 3, 1)
+    val di0 = d0.toEpochDay
+    def write(dirName: String, extra: Seq[(Long, Double)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory(dirName).toString
+      // day i revenue = $1.00 + $0.10·i — exact 10 cents/day slope
+      val base = (0 until 11).map { i =>
+        (i.toLong, 1L,
+          java.sql.Timestamp.valueOf(d0.plusDays(i.toLong).atStartOfDay()),
+          1.0 + 0.10 * i)
+      }
+      val all = base ++ extra.map { case (off, p) =>
+        (100L + off, 1L,
+          java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay()), p)
+      }
+      all.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val clean = StatsOps.q228TheilSen(spark, write("ts-clean", Nil)).head()
+    assert(clean.getAs[Long]("n_days") == 11L)
+    assert(clean.getAs[Long]("n_pairs") == 55L)
+    assert(clean.getAs[Long]("theil_ppm") == 10L * 1000000L)
+    assert(clean.getAs[Long]("ols_ppm") == 10L * 1000000L)
+    // resid = cents·1e6 − slope·di is constant = (100 − 10·di0)·1e6
+    assert(clean.getAs[Long]("intercept_ppm") ==
+      (100L - 10L * di0) * 1000000L)
+    assert(clean.getAs[String]("trend_band") == "agrees")
+    // one $1000 spike day: the pair median barely moves, OLS runs away
+    val spiked = StatsOps.q228TheilSen(
+      spark, write("ts-spike", Seq((11L, 1000.0)))).head()
+    assert(spiked.getAs[Long]("theil_ppm") == 10L * 1000000L,
+      spiked.toString)
+    assert(spiked.getAs[Long]("ols_ppm") > 20L * 1000000L, spiked.toString)
+    assert(spiked.getAs[String]("trend_band") == "outlier_influenced")
+  }
+
   test("q224 bands planted l-diversity correctly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ldiv").toString

@@ -895,4 +895,24 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(cum == total) // decades partition the whole token mass
   }
+
+  test("q229 fertility ratios are exact on planted languages") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fert").toString
+    // en: 2 tokens / 9 chars -> 4500 milli (fine_grained boundary);
+    // xx: 1 token / 8 chars -> 8000 milli (verbose boundary)
+    Seq((1L, "abcd efgh", "en", "s", 9L), (2L, "abcd efgh", "en", "s", 9L),
+        (3L, "abcdefgh", "xx", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q229TokenFertility(spark, dir).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    assert(r("en").getAs[Long]("n_docs") == 2L)
+    assert(r("en").getAs[Long]("n_tokens") == 4L)
+    assert(r("en").getAs[Long]("chars_per_token_milli") == 4500L)
+    assert(r("en").getAs[String]("fertility_band") == "fine_grained")
+    assert(r("xx").getAs[Long]("chars_per_token_milli") == 8000L)
+    assert(r("xx").getAs[String]("fertility_band") == "verbose_tokens")
+    assert(r("en").getAs[Long]("tokens_per_doc") == 2L)
+  }
 }
