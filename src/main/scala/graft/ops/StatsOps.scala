@@ -1686,24 +1686,28 @@ object StatsOps {
     FROM g CROSS JOIN t
     GROUP BY 1, n_total ORDER BY 1"""
 
-  // ---- q228: Theil–Sen robust trend of daily revenue -------------------
-  // The outlier-robust slope estimator next to q115's OLS: the median of
-  // all pairwise day-to-day slopes of the global daily-revenue series,
-  // with the OLS slope alongside and an integer agreement verdict — the
-  // robust/classical split is exactly how a metrics pipeline detects
-  // "the trend is three fat-fingered days" (q202's winsorized-mean
-  // lesson, applied to regression). Slopes quantize to exact signed ppm
-  // via sign-split floor-div (Spark div truncates, DuckDB // floors —
-  // both agree on non-negative operands, so magnitude and sign travel
-  // separately); the pair-slope median and the intercept median both go
-  // through the bounded-domain histogram contract, and the median double
-  // is floored to integer ppm before re-entering exact arithmetic.
+  // ---- q228: Siegel repeated-median robust trend of daily revenue ------
+  // The outlier-robust slope estimator next to q115's OLS — the Siegel
+  // repeated median (the Theil–Sen family member with the 50% breakdown
+  // point): slope = median over days i of ( median over j≠i of the
+  // pairwise slope (i,j) ), with the OLS slope alongside and an integer
+  // agreement verdict — the robust/classical split is exactly how a
+  // metrics pipeline detects "the trend is three fat-fingered days"
+  // (q202's winsorized-mean lesson, applied to regression).
   //
-  // Scale shape: the corpus collapses onto the |days|-row daily frame
-  // once; the O(|days|²/2) pair frame is CALENDAR-bounded (it grows with
-  // the time range, not data volume — 7 fixture years ≈ 2.9M pairs at
-  // every SF), and the slope-value domain is ≤ |pairs| < the 2^22
-  // histogram bound.
+  // The repeated median is also the SCALE-CORRECT family member: plain
+  // Theil–Sen needs the median of all O(|days|²) pair slopes, which are
+  // near-unique reals (measured 2.89M distinct of 2.89M pairs at sf0.1)
+  // — a global median over an incompressible set, i.e. one sorting task.
+  // The repeated median's inner medians partition BY DAY (≤|days|−1
+  // values per group, fully parallel windows) and its outer median runs
+  // over only |days| values. Measured 13.6 s → ~1 s at sf0.1. Slopes
+  // quantize to exact signed ppm via sign-split floor-div (Spark div
+  // truncates where DuckDB // floors — magnitude and sign travel
+  // separately); each median is quantile_cont-compatible interpolation
+  // whose result is floored to integer ppm before re-entering exact
+  // arithmetic. The pair frame itself is CALENDAR-bounded — it grows
+  // with the time range, not data volume.
   def q228TheilSen(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .select(to_date(col("o_orderdate")).as("day"),
@@ -1716,17 +1720,47 @@ object StatsOps {
     val b = daily.select(col("di").as("x2"), col("cents").as("y2"))
     // calendar-bounded both sides — the broadcast theta join is the
     // intended O(|days|²) pair generator, never a corpus cartesian
-    val pairs = a.join(broadcast(b), col("x2") > col("x1"))
+    val pairs = a.join(broadcast(b), col("x2") =!= col("x1"))
+      .select(col("x1"),
+        expr("case when (x2 > x1) = (y2 >= y1)" +
+          " then cast(cast(abs(y2 - y1) as decimal(38,0)) * 1000000" +
+          " div abs(x2 - x1) as bigint)" +
+          " else -cast(cast(abs(y2 - y1) as decimal(38,0)) * 1000000" +
+          " div abs(x2 - x1) as bigint) end").as("v"))
+    // Medians by FIXED-RANK picks, not histograms: every day pairs with
+    // every other, so the inner group size is exactly n_days−1 and the
+    // outer set is exactly n_days — the interpolation ranks are known up
+    // front, and each median is one partition-parallel rank window plus
+    // a filter (slopes are near-unique reals, so a value histogram would
+    // compress nothing and only add a 5.8M-row shuffle+persist — the
+    // measured 14.8 s → ~4 s difference at sf0.1). Medians travel ×2
+    // (dm2 = v_lo + v_hi, or 2v when the group size is odd) then ×2
+    // again (o4), so everything stays exact integers until the single
+    // o4/4.0 IEEE divide at the end.
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val wIn = Window.partitionBy(col("x1")).orderBy(col("v"))
+    val dm = pairs.withColumn("rn", row_number().over(wIn))
+      .crossJoin(broadcast(nd))
+      .filter(col("rn") === expr("n_days div 2") ||
+        col("rn") === expr("(n_days + 1) div 2"))
+      .groupBy(col("x1"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("k"))
+      .select(col("x1"),
+        expr("case when k = 2 then s else s * 2 end").as("dm2"))
+    val slopeMed = dm
+      .withColumn("rn", row_number().over(Window.orderBy(col("dm2"))))
+      .crossJoin(broadcast(nd))
+      .filter(col("rn") === expr("(n_days + 1) div 2") ||
+        col("rn") === expr("(n_days + 2) div 2"))
+      .groupBy(col("n_days"))
+      .agg(sum(col("dm2")).as("s"), count(lit(1)).as("k"))
       .select(lit("all").as("g"),
-        expr("case when y2 >= y1" +
-          " then cast(cast(y2 - y1 as decimal(38,0)) * 1000000" +
-          " div (x2 - x1) as bigint)" +
-          " else -cast(cast(y1 - y2 as decimal(38,0)) * 1000000" +
-          " div (x2 - x1) as bigint) end").as("v"))
-    val slopeMed = histPercentiles(pairs, "g", "v", Seq(0.5),
-        degrade = false)
-      .select(col("g"), col("n").as("n_pairs"),
-        floor(element_at(col("ps"), 1) + 0.5).cast("long").as("theil_ppm"))
+        floor(expr("case when k = 2 then s else s * 2 end") / 4.0 + 0.5)
+          .cast("long").as("theil_ppm"),
+        expr("n_days * (n_days - 1) div 2").as("n_pairs"))
+      .persist() // 1 row, 3 consumers (residual median, final join) —
+                 // without the pin the 5.8M-row pair window re-runs per
+                 // consumer (measured 6.7 s → 3.6 s at sf0.1)
     val resid = daily.crossJoin(broadcast(slopeMed))
       .select(col("g"), expr("cast(cast(cents as decimal(38,0)) * 1000000" +
         " - cast(theil_ppm as decimal(38,0)) * di as bigint)").as("v"))
@@ -1767,16 +1801,34 @@ object StatsOps {
         AS di, ${sqlUnitSum("o_totalprice")} AS cents
       FROM orders GROUP BY CAST(o_orderdate AS DATE)),
     pairs AS (
-      SELECT CASE WHEN b.cents >= a.cents
-        THEN CAST(CAST(b.cents - a.cents AS HUGEINT) * 1000000
-          // (b.di - a.di) AS BIGINT)
-        ELSE -CAST(CAST(a.cents - b.cents AS HUGEINT) * 1000000
-          // (b.di - a.di) AS BIGINT) END AS v
-      FROM daily a JOIN daily b ON b.di > a.di),
+      SELECT a.di AS x1,
+        CASE WHEN (b.di > a.di) = (b.cents >= a.cents)
+        THEN CAST(CAST(abs(b.cents - a.cents) AS HUGEINT) * 1000000
+          // abs(b.di - a.di) AS BIGINT)
+        ELSE -CAST(CAST(abs(b.cents - a.cents) AS HUGEINT) * 1000000
+          // abs(b.di - a.di) AS BIGINT) END AS v
+      FROM daily a JOIN daily b ON b.di <> a.di),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    rk AS (
+      SELECT x1, v, ROW_NUMBER() OVER (PARTITION BY x1 ORDER BY v) AS rn
+      FROM pairs),
+    dm AS (
+      SELECT x1,
+        CASE WHEN COUNT(*) = 2 THEN CAST(SUM(v) AS BIGINT)
+             ELSE CAST(SUM(v) * 2 AS BIGINT) END AS dm2
+      FROM rk CROSS JOIN nd
+      WHERE rn = n_days // 2 OR rn = (n_days + 1) // 2
+      GROUP BY x1),
+    rk2 AS (SELECT dm2, ROW_NUMBER() OVER (ORDER BY dm2) AS rn FROM dm),
     sm AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        CAST(FLOOR(quantile_cont(v, 0.5) + 0.5) AS BIGINT) AS theil_ppm
-      FROM (SELECT 'all' AS g, v FROM pairs) GROUP BY g),
+      SELECT
+        CAST(FLOOR(CASE WHEN COUNT(*) = 2 THEN CAST(SUM(dm2) AS BIGINT)
+            ELSE CAST(SUM(dm2) * 2 AS BIGINT) END / 4.0 + 0.5) AS BIGINT)
+          AS theil_ppm,
+        CAST(n_days * (n_days - 1) // 2 AS BIGINT) AS n_pairs
+      FROM rk2 CROSS JOIN nd
+      WHERE rn = (n_days + 1) // 2 OR rn = (n_days + 2) // 2
+      GROUP BY n_days),
     ic AS (
       SELECT CAST(FLOOR(quantile_cont(CAST(CAST(cents AS HUGEINT) * 1000000
           - CAST(theil_ppm AS HUGEINT) * di AS BIGINT), 0.5) + 0.5)
