@@ -1433,7 +1433,113 @@ object ExtOps {
     LEFT JOIN pi2 p2 ON p2.t = e.event_type
     ORDER BY e.event_type"""
 
+  // ---- q233: A/B experiment readout ------------------------------------
+  // The experiment-analysis read a product pipeline runs nightly: users
+  // hash-split into control/treatment (deterministic h60 arm — the q91
+  // split convention, so assignment is reproducible and join-free),
+  // conversion = reached a 'purchase' event; report per-arm rates, the
+  // lift, the two-proportion z statistic (one fixed IEEE tree over
+  // exact counts), and the sample-ratio-mismatch screen that must be
+  // read BEFORE the lift (a biased split invalidates everything
+  // downstream — the SRM check is the experiment world's referential
+  // integrity). Scale shape: one user-keyed aggregate, then a 2-row
+  // arm rollup into a 1-row readout.
+  def q233AbReadout(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val users = Tables.events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("arm",
+        expr("h60(concat('ab:', cast(user_id as string))) % 2"))
+    users.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_c"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_t"))
+      .withColumn("rate_c_ppm", expr("conv_c * 1000000 div nullif(n_c, 0)"))
+      .withColumn("rate_t_ppm", expr("conv_t * 1000000 div nullif(n_t, 0)"))
+      .withColumn("lift_ppm", col("rate_t_ppm") - col("rate_c_ppm"))
+      .withColumn("z", expr(
+        "case when n_c = 0 or n_t = 0" +
+          " or conv_c + conv_t = 0 or conv_c + conv_t = n_c + n_t" +
+          " then null else" +
+          " (cast(conv_t as double) / n_t - cast(conv_c as double) / n_c)" +
+          " / sqrt((cast(conv_c + conv_t as double) / (n_c + n_t))" +
+          " * (1 - cast(conv_c + conv_t as double) / (n_c + n_t))" +
+          " * (1.0 / n_c + 1.0 / n_t)) end"))
+      .withColumn("srm_ppm", expr(
+        "case when n_c + n_t = 0 then null" +
+          " else abs(n_c - n_t) * 1000000 div (n_c + n_t) end"))
+      .withColumn("verdict",
+        when(col("srm_ppm").isNull, "no_data")
+          .when(col("srm_ppm") > 20000L, "srm_invalid")
+          .when(col("z").isNull, "degenerate")
+          .when(col("z") >= 1.96, "significant_lift")
+          .when(col("z") <= -1.96, "significant_drop")
+          .otherwise("inconclusive"))
+      .select(col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
+        col("rate_c_ppm"), col("rate_t_ppm"), col("lift_ppm"), col("z"),
+        col("srm_ppm"), col("verdict"))
+  }
+
+  val q233Sql: String = """
+    WITH users AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted,
+        CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+          1, 15) AS BIGINT) % 2 AS arm
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_t
+      FROM users)
+    SELECT n_c, n_t, conv_c, conv_t,
+      CAST(conv_c * 1000000 // nullif(n_c, 0) AS BIGINT) AS rate_c_ppm,
+      CAST(conv_t * 1000000 // nullif(n_t, 0) AS BIGINT) AS rate_t_ppm,
+      CAST(conv_t * 1000000 // nullif(n_t, 0)
+        - conv_c * 1000000 // nullif(n_c, 0) AS BIGINT) AS lift_ppm,
+      CASE WHEN n_c = 0 OR n_t = 0
+             OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+           THEN NULL ELSE
+        (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
+        / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+          * (1.0 / n_c + 1.0 / n_t)) END AS z,
+      CASE WHEN n_c + n_t = 0 THEN NULL
+           ELSE CAST(abs(n_c - n_t) * 1000000 // (n_c + n_t) AS BIGINT)
+           END AS srm_ppm,
+      CASE WHEN n_c IS NULL OR n_c + n_t = 0 THEN 'no_data'
+           WHEN abs(n_c - n_t) * 1000000 // (n_c + n_t) > 20000
+             THEN 'srm_invalid'
+           WHEN n_c = 0 OR n_t = 0 OR conv_c + conv_t = 0
+             OR conv_c + conv_t = n_c + n_t THEN 'degenerate'
+           WHEN (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE)
+               / n_c)
+             / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+               * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+               * (1.0 / n_c + 1.0 / n_t)) >= 1.96
+             THEN 'significant_lift'
+           WHEN (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE)
+               / n_c)
+             / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+               * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
+               * (1.0 / n_c + 1.0 / n_t)) <= -1.96
+             THEN 'significant_drop'
+           ELSE 'inconclusive' END AS verdict
+    FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_ab_readout"     -> q233AbReadout _,
     "q225_markov_mixing"  -> q225MarkovMixing _,
     "q208_sketch_wau"     -> q208SketchWau _,
     "q210_windowed_funnel" -> q210WindowedFunnel _,
@@ -1461,6 +1567,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q233_ab_readout"     -> q233Sql,
     "q225_markov_mixing"  -> q225Sql,
     "q208_sketch_wau"     -> q208Sql,
     "q210_windowed_funnel" -> q210Sql,

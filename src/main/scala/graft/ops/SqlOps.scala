@@ -330,7 +330,62 @@ object SqlOps {
 
   val q192Sql: String = q192Text(c => s"epoch_us($c)")
 
+  // ---- q234: Kaplan–Meier user-retention survival curve -----------------
+  // The churn statistician's q63: per lifetime week, the Kaplan–Meier
+  // survival estimate S(w) = Π_{w' ≤ w} (n_at_risk − churned)/n_at_risk
+  // with right-censoring — users whose last event falls within 28 days
+  // of the corpus max are "still alive" (censored), so they leave the
+  // at-risk set without counting as churn; ignoring censoring is the
+  // classic retention-curve bias. The KM product is inherently
+  // sequential, so like q192 it rides WITH RECURSIVE — but over the
+  // WEEK GRID, not events: depth = distinct lifetime weeks, capped at
+  // 52 by the horizon clamp, far under the session's recursion limit
+  // (no config raise needed). Survival propagates as staged integer
+  // floor-div ppm — the per-step floor compounds identically in both
+  // engines. At-risk counts come from one cumulative window; the corpus
+  // collapses to the per-user (first, last) frame in one shuffle.
+  private val WeekUs  = 604800000000L        // 7 d in microseconds
+  private val CensorUs = 4L * WeekUs         // 28-day censoring horizon
+  private def q234Text(us: String => String, fd: String): String = s"""
+    WITH RECURSIVE life AS (
+      SELECT user_id, MIN(${us("ts")}) AS t0, MAX(${us("ts")}) AS t1
+      FROM events GROUP BY user_id),
+    mx AS (SELECT MAX(t1) AS tmax FROM life),
+    u AS (
+      SELECT user_id,
+        LEAST((t1 - t0) $fd $WeekUs, 52) AS w,
+        CASE WHEN t1 >= tmax - $CensorUs THEN 1 ELSE 0 END AS censored
+      FROM life CROSS JOIN mx),
+    ev AS (
+      SELECT w, CAST(SUM(1 - censored) AS BIGINT) AS d,
+        CAST(SUM(censored) AS BIGINT) AS c
+      FROM u GROUP BY w),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM u),
+    grid AS (
+      SELECT w, d, c,
+        CAST(ROW_NUMBER() OVER (ORDER BY w) AS BIGINT) AS i,
+        CAST(n0 - SUM(d + c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+          + d + c AS BIGINT) AS n_at_risk
+      FROM ev CROSS JOIN tot),
+    r(i, w, d, c, n_at_risk, surv_ppm) AS (
+      SELECT i, w, d, c, n_at_risk,
+        CAST((n_at_risk - d) * 1000000 $fd n_at_risk AS BIGINT)
+      FROM grid WHERE i = 1
+      UNION ALL
+      SELECT g.i, g.w, g.d, g.c, g.n_at_risk,
+        CAST(r.surv_ppm * (g.n_at_risk - g.d) $fd g.n_at_risk AS BIGINT)
+      FROM r JOIN grid g ON g.i = r.i + 1)
+    SELECT CAST(w AS BIGINT) AS week, n_at_risk,
+      d AS n_churned, c AS n_censored, surv_ppm
+    FROM r ORDER BY week"""
+
+  def q234SurvivalCurve(s: SparkSession, d: String): DataFrame =
+    sql(s, d, q234Text(c => s"unix_micros($c)", "div"))
+
+  val q234Sql: String = q234Text(c => s"epoch_us($c)", "//")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_survival_curve" -> q234SurvivalCurve _,
     "q192_recursive_sessions" -> q192RecursiveSessions _,
     "q48_scalar_subquery" -> q48ScalarSubquery _,
     "q49_set_all"         -> q49SetAll _,
@@ -343,6 +398,7 @@ object SqlOps {
     "q91_split"           -> q91Split _)
 
   val oracles: Map[String, String] = Map(
+    "q234_survival_curve" -> q234Sql,
     "q192_recursive_sessions" -> q192Sql,
     "q48_scalar_subquery" -> q48Sql,
     "q49_set_all"         -> q49Sql,

@@ -1854,7 +1854,120 @@ object StatsOps {
            ELSE 'outlier_influenced' END AS trend_band
     FROM sm CROSS JOIN ic CROSS JOIN om"""
 
+  // ---- q232: Poisson-bootstrap confidence interval ----------------------
+  // The large-scale bootstrap (Poisson resampling — the variant that
+  // actually runs on clusters, since true multinomial resampling needs
+  // global coordination): each row enters resample b with weight
+  // w ~ Poisson(1), drawn DETERMINISTICALLY by inverting the Poisson CDF
+  // on a 60-bit md5 uniform of (b, orderkey) — the h60 convention both
+  // engines already share — against fixed ppm thresholds precomputed
+  // here once (no engine exp() at query time). B=32 resample means of
+  // the order-value distribution, then the 2.5/97.5 percentile CI via
+  // fixed-rank interpolation (B is a constant, so the quantile ranks and
+  // fractions are literals). All sums exact Decimal(38,0) ↔ HUGEINT;
+  // every output double is the same IEEE expression over identical
+  // exact integers.
+  //
+  // Scale shape: ONE corpus scan exploded ×B map-side (no shuffle
+  // growth: the aggregate combines onto B rows); the CI math runs on a
+  // 32-row frame.
+  private[graft] val BootB = 32
+  /** Cumulative Poisson(1) CDF in ppm: P(W ≤ k)·1e6 floored, k = 0..7;
+    * draws above the last threshold clamp to w = 8. */
+  private[graft] val PoisCdfPpm: Seq[Long] = {
+    val pdf = Iterator.iterate(math.exp(-1.0), 8)(identity).toSeq
+      .zipWithIndex.map { case (e, k) =>
+        e / (1 to k).map(_.toDouble).product }
+    pdf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 1e6).toLong)
+  }
+  private def poisCaseSql(u: String): String =
+    PoisCdfPpm.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  def q232BootstrapCi(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val rows = Tables.orders(s, d)
+      .select(col("o_orderkey"), toUnits(col("o_totalprice")).as("cents"))
+      .select(col("o_orderkey"), col("cents"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u", expr("h60(concat('bs:', cast(b as string), ':'," +
+        " cast(o_orderkey as string))) % 1000000"))
+      .withColumn("w", expr(poisCaseSql("u")))
+    val means = rows.groupBy(col("b"))
+      .agg(sum(expr("cast(w as decimal(38,0)) * cents")).as("swc"),
+        sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"), expr("cast(swc * 1000 div sw as bigint)").as("m"))
+    // fixed-rank CI picks: t_lo = 0.025·(B−1) = 0.775 → ranks 1,2;
+    // t_hi = 0.975·(B−1) = 30.225 → ranks 31,32 (B = 32 constant)
+    val picks = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+      .filter(col("rn").isin(1, 2, BootB - 1, BootB))
+      .groupBy(lit(1).as("g"))
+      .agg(sum(when(col("rn") === 1, col("m"))).as("m1"),
+        sum(when(col("rn") === 2, col("m"))).as("m2"),
+        sum(when(col("rn") === BootB - 1, col("m"))).as("m31"),
+        sum(when(col("rn") === BootB, col("m"))).as("m32"),
+        count(lit(1)).as("kk"))
+      .filter(col("kk") === 4)
+    val point = Tables.orders(s, d)
+      .select(toUnits(col("o_totalprice")).as("cents"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(cents as decimal(38,0))")).as("sc"))
+      .select(col("n_orders"),
+        expr("cast(sc * 1000 div nullif(n_orders, 0) as bigint)")
+          .as("mean_milli"))
+    picks.crossJoin(broadcast(point))
+      .select(col("n_orders"), col("mean_milli"),
+        (col("m1").cast("double") +
+          lit(0.775) * (col("m2") - col("m1")).cast("double"))
+          .as("ci_lo_milli"),
+        (col("m31").cast("double") +
+          lit(0.225) * (col("m32") - col("m31")).cast("double"))
+          .as("ci_hi_milli"))
+  }
+
+  val q232Sql: String = {
+    val b = BootB
+    s"""
+    WITH rows_ AS (
+      SELECT o_orderkey, ${sqlUnits("o_totalprice")} AS cents,
+        unnest(generate_series(0, ${b - 1})) AS b
+      FROM orders),
+    ws AS (
+      SELECT b, cents,
+        ${poisCaseSql(s"(CAST('0x' || substring(md5('bs:' ||" +
+        s" CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR))," +
+        s" 1, 15) AS BIGINT) % 1000000)")} AS w
+      FROM rows_),
+    means AS (
+      SELECT b, CAST(SUM(CAST(w AS HUGEINT) * cents) * 1000 // SUM(w)
+        AS BIGINT) AS m
+      FROM ws GROUP BY b HAVING SUM(w) > 0),
+    rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM means),
+    picks AS (
+      SELECT CAST(SUM(CASE WHEN rn = 1 THEN m END) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN rn = 2 THEN m END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN rn = ${b - 1} THEN m END) AS BIGINT) AS m31,
+        CAST(SUM(CASE WHEN rn = $b THEN m END) AS BIGINT) AS m32,
+        COUNT(*) AS kk
+      FROM (SELECT 1 AS g, m, rn FROM rk
+            WHERE rn IN (1, 2, ${b - 1}, $b)) GROUP BY g),
+    point AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(${sqlUnits("o_totalprice")} AS HUGEINT)) * 1000
+          // nullif(COUNT(*), 0) AS BIGINT) AS mean_milli
+      FROM orders)
+    SELECT n_orders, mean_milli,
+      CAST(m1 AS DOUBLE) + 0.775 * CAST(m2 - m1 AS DOUBLE) AS ci_lo_milli,
+      CAST(m31 AS DOUBLE) + 0.225 * CAST(m32 - m31 AS DOUBLE)
+        AS ci_hi_milli
+    FROM picks CROSS JOIN point WHERE kk = 4"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_bootstrap_ci" -> q232BootstrapCi _,
     "q228_theil_sen" -> q228TheilSen _,
     "q224_l_diversity" -> q224LDiversity _,
     "q216_k_anonymity" -> q216KAnonymity _,
@@ -1880,6 +1993,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q232_bootstrap_ci" -> q232Sql,
     "q228_theil_sen" -> q228Sql,
     "q224_l_diversity" -> q224Sql,
     "q216_k_anonymity" -> q216Sql,

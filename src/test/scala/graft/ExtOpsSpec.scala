@@ -515,6 +515,37 @@ class ExtOpsSpec extends AnyFunSuite {
       s"windowed funnel exceeds the unbounded one: $r vs $u")
   }
 
+  test("q233 readout matches a brute recount of the hash split") {
+    val users = Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type")))
+      .groupBy(_._1).toSeq.map { case (u, es) =>
+        (ops.DedupOps.h60(s"ab:$u") % 2,
+          if (es.exists(_._2 == "purchase")) 1L else 0L)
+      }
+    val (nc, nt) = (users.count(_._1 == 0).toLong,
+      users.count(_._1 == 1).toLong)
+    val cc = users.filter(_._1 == 0).map(_._2).sum
+    val ct = users.filter(_._1 == 1).map(_._2).sum
+    val r = ops.ExtOps.q233AbReadout(spark, sf).head()
+    assert(r.getAs[Long]("n_c") == nc && r.getAs[Long]("n_t") == nt)
+    assert(r.getAs[Long]("conv_c") == cc && r.getAs[Long]("conv_t") == ct)
+    assert(r.getAs[Long]("lift_ppm") ==
+      ct * 1000000L / nt - cc * 1000000L / nc)
+    if (cc + ct > 0 && cc + ct < nc + nt) {
+      val p = (cc + ct).toDouble / (nc + nt)
+      val zb = (ct.toDouble / nt - cc.toDouble / nc) /
+        math.sqrt(p * (1 - p) * (1.0 / nc + 1.0 / nt))
+      assert(math.abs(r.getAs[Double]("z") - zb) < 1e-12)
+    } else {
+      // all-or-none conversion: pooled variance is 0 — z must degrade
+      // to NULL, never to a NaN/Inf
+      assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+    }
+    assert(r.getAs[Long]("srm_ppm") ==
+      math.abs(nc - nt) * 1000000L / (nc + nt))
+  }
+
   test("q225 propagation matches a brute integer recount on a planted chain") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("markov").toString

@@ -110,4 +110,43 @@ class SqlOpsSpec extends AnyFunSuite {
     assert(r.map(x => x.getAs[Long]("session_len") *
       x.getAs[Long]("n_sessions")).sum == events.length.toLong)
   }
+
+  test("q234 Kaplan-Meier matches a hand-computed censored fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    val base = java.time.LocalDate.of(2024, 1, 1).atStartOfDay()
+    def ev(id: Long, u: Long, dayOff: Long) =
+      (id, java.sql.Timestamp.valueOf(base.plusDays(dayOff)), u,
+        "view", 1.0, "{}")
+    // u1-u3 churn at week 1; u4 churns at week 2; u5 spans to the corpus
+    // max (censored); u6's last event is inside the 28-day horizon
+    // (censored). tmax = day 70 → censoring cut at day 42.
+    val rows = Seq(
+      ev(1, 1, 0), ev(2, 1, 8), ev(3, 2, 0), ev(4, 2, 8),
+      ev(5, 3, 0), ev(6, 3, 8), ev(7, 4, 0), ev(8, 4, 16),
+      ev(9, 5, 0), ev(10, 5, 70), ev(11, 6, 30), ev(12, 6, 65))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // registerAll reads every corpus table — stub the others empty
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    val r = ops.SqlOps.q234SurvivalCurve(spark, dir).collect()
+      .map(x => x.getAs[Long]("week") -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 5L, 10L))
+    // week 1: 6 at risk, 3 churn → S = 500000 ppm
+    assert(r(1L).getAs[Long]("n_at_risk") == 6L)
+    assert(r(1L).getAs[Long]("n_churned") == 3L)
+    assert(r(1L).getAs[Long]("surv_ppm") == 500000L)
+    // week 2: 3 at risk, 1 churns → S = 500000·2/3 = 333333
+    assert(r(2L).getAs[Long]("n_at_risk") == 3L)
+    assert(r(2L).getAs[Long]("surv_ppm") == 333333L)
+    // censored-only weeks leave S unchanged — censoring is not churn
+    assert(r(5L).getAs[Long]("n_censored") == 1L)
+    assert(r(5L).getAs[Long]("surv_ppm") == 333333L)
+    assert(r(10L).getAs[Long]("n_at_risk") == 1L)
+    assert(r(10L).getAs[Long]("surv_ppm") == 333333L)
+  }
 }

@@ -471,6 +471,37 @@ class StatsOpsSpec extends AnyFunSuite {
       10L * 1000000L / 14L)
   }
 
+  test("q232 CI matches a brute recount of the deterministic Poisson bootstrap") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(x => (x.getAs[Long]("o_orderkey"),
+        math.floor(x.getAs[Double]("o_totalprice") * 1e2 + 0.5).toLong))
+    def w(b: Int, key: Long): Long = {
+      val u = ops.DedupOps.h60(s"bs:$b:$key") % 1000000L
+      val k = StatsOps.PoisCdfPpm.indexWhere(u < _)
+      if (k < 0) 8L else k.toLong
+    }
+    val means = (0 until StatsOps.BootB).flatMap { b =>
+      val (swc, sw) = orders.foldLeft((BigInt(0), 0L)) {
+        case ((sc, sn), (key, cents)) =>
+          val wi = w(b, key); (sc + BigInt(wi) * cents, sn + wi)
+      }
+      if (sw > 0) Some((swc * 1000 / sw).toLong) else None
+    }.sorted
+    val r = StatsOps.q232BootstrapCi(spark, sf).head()
+    assert(means.length == StatsOps.BootB) // every resample non-empty here
+    assert(r.getAs[Double]("ci_lo_milli") ==
+      means(0).toDouble + 0.775 * (means(1) - means(0)).toDouble)
+    assert(r.getAs[Double]("ci_hi_milli") ==
+      means(30).toDouble + 0.225 * (means(31) - means(30)).toDouble)
+    assert(r.getAs[Long]("n_orders") == orders.length.toLong)
+    // the point estimate sits inside the bootstrap interval
+    assert(r.getAs[Long]("mean_milli").toDouble >=
+      r.getAs[Double]("ci_lo_milli"))
+    assert(r.getAs[Long]("mean_milli").toDouble <=
+      r.getAs[Double]("ci_hi_milli"))
+  }
+
   test("q228 recovers a planted linear trend exactly and resists an outlier") {
     import spark.implicits._
     val d0 = java.time.LocalDate.of(2024, 3, 1)
