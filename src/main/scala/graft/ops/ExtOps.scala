@@ -1538,7 +1538,206 @@ object ExtOps {
            ELSE 'inconclusive' END AS verdict
     FROM agg"""
 
+  // ---- q235: cohort retention matrix ------------------------------------
+  // The classic retention triangle product analytics reads weekly: users
+  // cohorted by first-activity week, each later week's actives as a ppm
+  // share of the cohort — q63's daily retention generalized to the full
+  // (cohort, offset) grid, and the raw input q234's survival curve
+  // summarizes. Scale shape: ONE (user, week) distinct collapse, the
+  // per-user cohort derived from that same frame (no second corpus
+  // scan), then a |weeks|²-bounded matrix aggregate.
+  def q235RetentionMatrix(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date '1970-01-01') div 7").as("wk"))
+      .distinct()
+      .persist() // cohorts and the matrix share this bounded frame
+    val cohorts = uw.groupBy(col("user_id")).agg(min(col("wk")).as("c0"))
+    val sizes = cohorts.groupBy(col("c0"))
+      .agg(count(lit(1)).as("cohort_users"))
+    uw.join(cohorts, Seq("user_id"))
+      .groupBy(col("c0"), (col("wk") - col("c0")).as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("c0"))
+      .withColumn("retention_ppm",
+        expr("n_active * 1000000 div cohort_users"))
+      .select(col("c0").as("cohort_week"), col("offset_w"),
+        col("cohort_users"), col("n_active"), col("retention_ppm"))
+      .orderBy(col("cohort_week"), col("offset_w"))
+  }
+
+  val q235Sql: String = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk
+      FROM events),
+    cohorts AS (SELECT user_id, MIN(wk) AS c0 FROM uw GROUP BY 1),
+    sizes AS (SELECT c0, CAST(COUNT(*) AS BIGINT) AS cohort_users
+              FROM cohorts GROUP BY 1),
+    m AS (
+      SELECT c0, wk - c0 AS offset_w, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM uw JOIN cohorts USING (user_id)
+      GROUP BY 1, 2)
+    SELECT c0 AS cohort_week, offset_w, cohort_users, n_active,
+      CAST(n_active * 1000000 // cohort_users AS BIGINT) AS retention_ppm
+    FROM m JOIN sizes USING (c0)
+    ORDER BY cohort_week, offset_w"""
+
+  // ---- q236: DAU/MAU stickiness ------------------------------------------
+  // The engagement ratio product dashboards lead with: per day, distinct
+  // daily actives over distinct trailing-28-day actives — q121's rolling
+  // 7-day machinery widened to the monthly window and read as a ratio.
+  // Exact (no sketch): the (user, day) distinct frame explodes over the
+  // 28 trailing-day offsets MAP-SIDE and re-distincts per target day —
+  // bounded by 28·|user-days|, the documented exact-path trade q208's
+  // sketch route exists to beat at extreme scale. Warmup days (without
+  // a full 28-day history behind them) are flagged, not silently wrong.
+  def q236Stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), date '1970-01-01')").as("di"))
+      .distinct()
+      .persist() // dau, the exploded mau frame, and min-day share it
+    val dau = ud.groupBy(col("di")).agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .crossJoin(broadcast(
+        s.range(0, 28).select(col("id").as("off"))))
+      .select(col("user_id"), (col("di") + col("off")).as("di"))
+      .distinct()
+      .join(dau.select(col("di")), Seq("di"), "left_semi")
+      .groupBy(col("di")).agg(count(lit(1)).as("mau"))
+    val d0 = ud.agg(min(col("di")).as("min_di"))
+    dau.join(mau, Seq("di"))
+      .crossJoin(broadcast(d0))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+      .withColumn("band",
+        when(col("di") < col("min_di") + 27, "warmup")
+          .when(col("stickiness_ppm") >= 500000L, "daily_habit")
+          .when(col("stickiness_ppm") >= 200000L, "weekly_habit")
+          .otherwise("casual"))
+      .select(expr("date_add(date '1970-01-01', cast(di as int))")
+        .as("day"), col("dau"), col("mau"), col("stickiness_ppm"),
+        col("band"))
+      .orderBy(col("day"))
+  }
+
+  val q236Sql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di
+      FROM events),
+    dau AS (SELECT di, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    mau AS (
+      SELECT di, CAST(COUNT(*) AS BIGINT) AS mau FROM (
+        SELECT DISTINCT user_id, ud.di + off.o AS di
+        FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 27)) AS o)
+          off)
+      WHERE di IN (SELECT di FROM dau)
+      GROUP BY di),
+    d0 AS (SELECT MIN(di) AS min_di FROM ud)
+    SELECT DATE '1970-01-01' + CAST(di AS INTEGER) AS day, dau, mau,
+      CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm,
+      CASE WHEN di < min_di + 27 THEN 'warmup'
+           WHEN dau * 1000000 // mau >= 500000 THEN 'daily_habit'
+           WHEN dau * 1000000 // mau >= 200000 THEN 'weekly_habit'
+           ELSE 'casual' END AS band
+    FROM dau JOIN mau USING (di) CROSS JOIN d0
+    ORDER BY day"""
+
+  // ---- q237: experiment power / minimum detectable effect ---------------
+  // The design-side companion q233's readout needs: given the split's
+  // realized sample sizes and pooled conversion rate, the minimum
+  // detectable absolute lift at 80% power / 5% two-sided significance —
+  // MDE = (z_{α/2} + z_β)·sqrt(p̄(1−p̄)·(1/n_c + 1/n_t)) — and whether
+  // the observed |lift| clears it. An "inconclusive" q233 readout whose
+  // |lift| is far below the MDE is an underpowered EXPERIMENT, not a
+  // null result; this is the operator that tells those apart. The z
+  // constants are literals; the MDE is one fixed IEEE tree over the
+  // exact counts, quantized to ppm. Scale shape: the same one user-keyed
+  // aggregate as q233 into a 1-row readout.
+  def q237PowerMde(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p")).as("converted"))
+      .withColumn("arm",
+        expr("h60(concat('ab:', cast(user_id as string))) % 2"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(col("converted")).as("conv_all"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_t"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_c"))
+      .withColumn("pooled_ppm",
+        expr("conv_all * 1000000 div nullif(n_c + n_t, 0)"))
+      .withColumn("mde_ppm", expr(
+        "case when n_c = 0 or n_t = 0 or conv_all = 0" +
+          " or conv_all = n_c + n_t then null else" +
+          " cast(floor((1.959964 + 0.841621)" +
+          " * sqrt((cast(conv_all as double) / (n_c + n_t))" +
+          " * (1 - cast(conv_all as double) / (n_c + n_t))" +
+          " * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) as bigint) end"))
+      .withColumn("lift_abs_ppm", expr(
+        "case when n_c = 0 or n_t = 0 then null else" +
+          " abs(conv_t * 1000000 div n_t - conv_c * 1000000 div n_c)" +
+          " end"))
+      .withColumn("power_band",
+        when(col("mde_ppm").isNull, "degenerate")
+          .when(col("lift_abs_ppm") >= col("mde_ppm"), "detectable")
+          .otherwise("underpowered"))
+      .select(col("n_c"), col("n_t"), col("pooled_ppm"), col("mde_ppm"),
+        col("lift_abs_ppm"), col("power_band"))
+  }
+
+  val q237Sql: String = """
+    WITH users AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted,
+        CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+          1, 15) AS BIGINT) % 2 AS arm
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(converted) AS BIGINT) AS conv_all,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_c
+      FROM users)
+    SELECT n_c, n_t,
+      CAST(conv_all * 1000000 // nullif(n_c + n_t, 0) AS BIGINT)
+        AS pooled_ppm,
+      CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
+             OR conv_all = n_c + n_t THEN NULL ELSE
+        CAST(FLOOR((1.959964 + 0.841621)
+          * sqrt((CAST(conv_all AS DOUBLE) / (n_c + n_t))
+          * (1 - CAST(conv_all AS DOUBLE) / (n_c + n_t))
+          * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) AS BIGINT) END
+        AS mde_ppm,
+      CASE WHEN n_c = 0 OR n_t = 0 THEN NULL ELSE
+        abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c) END
+        AS lift_abs_ppm,
+      CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
+             OR conv_all = n_c + n_t THEN 'degenerate'
+           WHEN abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c)
+             >= CAST(FLOOR((1.959964 + 0.841621)
+               * sqrt((CAST(conv_all AS DOUBLE) / (n_c + n_t))
+               * (1 - CAST(conv_all AS DOUBLE) / (n_c + n_t))
+               * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) AS BIGINT)
+             THEN 'detectable'
+           ELSE 'underpowered' END AS power_band
+    FROM agg"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_retention_matrix" -> q235RetentionMatrix _,
+    "q236_stickiness"     -> q236Stickiness _,
+    "q237_power_mde"      -> q237PowerMde _,
     "q233_ab_readout"     -> q233AbReadout _,
     "q225_markov_mixing"  -> q225MarkovMixing _,
     "q208_sketch_wau"     -> q208SketchWau _,
@@ -1567,6 +1766,9 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q235_retention_matrix" -> q235Sql,
+    "q236_stickiness"     -> q236Sql,
+    "q237_power_mde"      -> q237Sql,
     "q233_ab_readout"     -> q233Sql,
     "q225_markov_mixing"  -> q225Sql,
     "q208_sketch_wau"     -> q208Sql,

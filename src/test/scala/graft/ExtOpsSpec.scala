@@ -515,6 +515,85 @@ class ExtOpsSpec extends AnyFunSuite {
       s"windowed funnel exceeds the unbounded one: $r vs $u")
   }
 
+  test("q235 retention matrix is exact on planted cohorts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("retmx").toString
+    // week arithmetic on epoch weeks: 1970-01-01 is a Thursday; pick
+    // day offsets inside one epoch week (di div 7) to keep cohorts clean
+    def ev(id: Long, u: Long, epochDay: Long) =
+      (id, new java.sql.Timestamp(epochDay * 86400000L), u, "view", 1.0,
+        "{}")
+    // cohort week 2860: users 1-4 active; users 1,2 also active in week
+    // 2861. cohort week 2862: users 10,11.
+    val rows = Seq(
+      ev(1, 1, 2860 * 7), ev(2, 2, 2860 * 7 + 1), ev(3, 3, 2860 * 7 + 2),
+      ev(4, 4, 2860 * 7 + 3), ev(5, 1, 2861 * 7), ev(6, 2, 2861 * 7 + 4),
+      ev(7, 10, 2862 * 7), ev(8, 11, 2862 * 7 + 6))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q235RetentionMatrix(spark, dir).collect()
+      .map(x => (x.getAs[Long]("cohort_week"),
+        x.getAs[Long]("offset_w")) -> x).toMap
+    assert(r.keySet == Set((2860L, 0L), (2860L, 1L), (2862L, 0L)))
+    assert(r((2860L, 0L)).getAs[Long]("retention_ppm") == 1000000L)
+    assert(r((2860L, 1L)).getAs[Long]("n_active") == 2L)
+    assert(r((2860L, 1L)).getAs[Long]("retention_ppm") == 500000L)
+    assert(r((2862L, 0L)).getAs[Long]("cohort_users") == 2L)
+  }
+
+  test("q236 stickiness warms up then reads the planted ratio exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stick").toString
+    def ev(id: Long, u: Long, epochDay: Long) =
+      (id, new java.sql.Timestamp(epochDay * 86400000L), u, "view", 1.0,
+        "{}")
+    // u1 active every day 20000..20034; u2 active only on day 20000
+    val rows = (0 to 34).map(i => ev(i.toLong, 1L, 20000L + i)) :+
+      ev(100L, 2L, 20000L)
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q236Stickiness(spark, dir).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toLocalDate.toEpochDay -> x)
+      .toMap
+    assert(r.size == 35)
+    // day 20026 is inside the warmup window; day 20027 is the first full
+    // 28-day window and still sees u2 (active on day 20000) in its MAU
+    assert(r(20026L).getAs[String]("band") == "warmup")
+    assert(r(20027L).getAs[Long]("dau") == 1L)
+    assert(r(20027L).getAs[Long]("mau") == 2L)
+    assert(r(20027L).getAs[Long]("stickiness_ppm") == 500000L)
+    // day 20028: u2 has aged out of the trailing window
+    assert(r(20028L).getAs[Long]("mau") == 1L)
+    assert(r(20028L).getAs[Long]("stickiness_ppm") == 1000000L)
+    assert(r(20028L).getAs[String]("band") == "daily_habit")
+    // day 20000: both users active → dau 2, mau 2
+    assert(r(20000L).getAs[Long]("dau") == 2L)
+    assert(r(20000L).getAs[Long]("mau") == 2L)
+  }
+
+  test("q237 MDE matches the textbook formula on the realized split") {
+    val r = ExtOps.q237PowerMde(spark, sf).head()
+    val (nc, nt) = (r.getAs[Long]("n_c"), r.getAs[Long]("n_t"))
+    if (r.isNullAt(r.fieldIndex("mde_ppm"))) {
+      assert(r.getAs[String]("power_band") == "degenerate")
+    } else {
+      // recompute with the exact pooled rate, not the ppm-rounded one
+      val users = Tables.events(spark, sf)
+        .select("user_id", "event_type").collect()
+        .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type")))
+        .groupBy(_._1).toSeq
+      val conv = users.count(_._2.exists(_._2 == "purchase")).toLong
+      val pExact = conv.toDouble / (nc + nt)
+      val mde = math.floor((1.959964 + 0.841621) *
+        math.sqrt(pExact * (1 - pExact) * (1.0 / nc + 1.0 / nt)) * 1e6
+        + 0.5).toLong
+      assert(r.getAs[Long]("mde_ppm") == mde, r.toString)
+      val band = if (r.getAs[Long]("lift_abs_ppm") >= mde) "detectable"
+                 else "underpowered"
+      assert(r.getAs[String]("power_band") == band)
+    }
+  }
+
   test("q233 readout matches a brute recount of the hash split") {
     val users = Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
