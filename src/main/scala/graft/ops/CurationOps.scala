@@ -1488,7 +1488,67 @@ object CurationOps {
            ELSE 'dropped' END AS band_status
     FROM lev CROSS JOIN tot ORDER BY score DESC"""
 
+  // ---- q238: context-window budget sweep --------------------------------
+  // The capacity-planning read before fixing a training config: for each
+  // candidate context length L, how many sequences the corpus yields
+  // under doc-boundary packing (Σ ceil(tok_d / L) — q74's semantics) and
+  // what fraction of the resulting token budget is padding — the
+  // LENGTH-SWEEP generalization of q150's single-config padding-waste
+  // report. Chopped-concat (ceil(Σtok / L) — q83's span semantics, zero
+  // pad) rides along as the floor each config is judged against. All
+  // exact integers: ceil(a/b) = (a + L − 1) div L on nonnegative longs,
+  // waste as staged ppm. Scale shape: ONE tokenize scan collapses the
+  // corpus to per-doc token counts; the 3-row config frame crosses the
+  // 1-row corpus totals.
+  private val CtxLens = Seq(512L, 2048L, 8192L)
+
+  def q238ContextBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(size(filter(toks(col("text")), x => x =!= lit("")))
+        .cast("long").as("tok"))
+      .filter(col("tok") > 0)
+      .persist() // the per-L aggregate re-reads this narrow frame
+    val lens = CtxLens.toDF("ctx_len")
+    docs.crossJoin(broadcast(lens))
+      .groupBy(col("ctx_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(expr("(tok + ctx_len - 1) div ctx_len")).as("n_seqs_packed"))
+      .withColumn("n_seqs_chopped",
+        expr("(n_tokens + ctx_len - 1) div ctx_len"))
+      .withColumn("pad_waste_ppm", expr(
+        "cast((cast(n_seqs_packed as decimal(38,0)) * ctx_len - n_tokens)" +
+          " * 1000000 div (cast(n_seqs_packed as decimal(38,0)) * ctx_len)" +
+          " as bigint)"))
+      .select(col("ctx_len"), col("n_docs"), col("n_tokens"),
+        col("n_seqs_packed"), col("n_seqs_chopped"), col("pad_waste_ppm"))
+      .orderBy(col("ctx_len"))
+  }
+
+  val q238Sql: String = s"""
+    WITH docs AS (
+      SELECT CAST(len(list_filter($sqlToks, x -> x <> '')) AS BIGINT)
+        AS tok
+      FROM documents),
+    nz AS (SELECT tok FROM docs WHERE tok > 0),
+    lens AS (SELECT CAST(unnest([${CtxLens.mkString(", ")}]) AS BIGINT)
+             AS ctx_len),
+    g AS (
+      SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        CAST(SUM((tok + ctx_len - 1) // ctx_len) AS BIGINT)
+          AS n_seqs_packed
+      FROM nz CROSS JOIN lens GROUP BY 1)
+    SELECT ctx_len, n_docs, n_tokens, n_seqs_packed,
+      CAST((n_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS n_seqs_chopped,
+      CAST((CAST(n_seqs_packed AS HUGEINT) * ctx_len - n_tokens) * 1000000
+        // (CAST(n_seqs_packed AS HUGEINT) * ctx_len) AS BIGINT)
+        AS pad_waste_ppm
+    FROM g ORDER BY ctx_len"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_context_budget" -> q238ContextBudget _,
     "q157_budget_admission" -> q157BudgetAdmission _,
     "q70_pii_redaction" -> q70PiiRedaction _,
     "q71_contamination" -> q71Contamination _,
@@ -1513,6 +1573,7 @@ object CurationOps {
     "q153_shuffle_mixing" -> q153ShuffleMixing _)
 
   val oracles: Map[String, String] = Map(
+    "q238_context_budget" -> q238Sql,
     "q157_budget_admission" -> q157Sql,
     "q70_pii_redaction" -> q70Sql,
     "q71_contamination" -> q71Sql,

@@ -2817,7 +2817,128 @@ object TextOps {
            ELSE 'typical' END AS fertility_band
     FROM g ORDER BY lang"""
 
+  // ---- q239: language-ID precision/recall/F1 ---------------------------
+  // The classifier-eval summary on top of q26's raw confusion matrix:
+  // per language class, true/false positives and negatives against the
+  // labeled `lang` column, with precision, recall and F1 in exact ppm
+  // (F1 = 2tp / (2tp + fp + fn) — integral, no harmonic-mean floats).
+  // The class ledger includes prediction-only classes ('unknown') so
+  // precision failures can't hide in a row that never appears. Scale
+  // shape: consumes the |langs|²-bounded matrix — everything past q26's
+  // one tokenize scan is constant-size.
+  def q239LangidMetrics(s: SparkSession, d: String): DataFrame = {
+    val m = q26LangId(s, d)
+      .select(col("lang_actual"), col("lang_pred"), col("n"))
+      .persist() // tp/fp/fn ledgers all read this |langs|² frame
+    val classes = m.select(col("lang_actual").as("class"))
+      .union(m.select(col("lang_pred"))).distinct()
+    val tp = m.filter(col("lang_actual") === col("lang_pred"))
+      .groupBy(col("lang_actual").as("class")).agg(sum(col("n")).as("tp"))
+    val fp = m.filter(col("lang_actual") =!= col("lang_pred"))
+      .groupBy(col("lang_pred").as("class")).agg(sum(col("n")).as("fp"))
+    val fn = m.filter(col("lang_actual") =!= col("lang_pred"))
+      .groupBy(col("lang_actual").as("class")).agg(sum(col("n")).as("fn"))
+    classes
+      .join(tp, Seq("class"), "left").join(fp, Seq("class"), "left")
+      .join(fn, Seq("class"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .withColumn("fp", coalesce(col("fp"), lit(0L)))
+      .withColumn("fn", coalesce(col("fn"), lit(0L)))
+      .withColumn("precision_ppm",
+        expr("tp * 1000000 div nullif(tp + fp, 0)"))
+      .withColumn("recall_ppm",
+        expr("tp * 1000000 div nullif(tp + fn, 0)"))
+      .withColumn("f1_ppm",
+        expr("2 * tp * 1000000 div nullif(2 * tp + fp + fn, 0)"))
+      .select(col("class"), col("tp"), col("fp"), col("fn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+      .orderBy(col("class"))
+  }
+
+  val q239Sql: String = s"""
+    WITH m AS ($q26Sql),
+    classes AS (
+      SELECT lang_actual AS class FROM m
+      UNION SELECT lang_pred FROM m),
+    tp AS (SELECT lang_actual AS class, CAST(SUM(n) AS BIGINT) AS tp
+           FROM m WHERE lang_actual = lang_pred GROUP BY 1),
+    fp AS (SELECT lang_pred AS class, CAST(SUM(n) AS BIGINT) AS fp
+           FROM m WHERE lang_actual <> lang_pred GROUP BY 1),
+    fn AS (SELECT lang_actual AS class, CAST(SUM(n) AS BIGINT) AS fn
+           FROM m WHERE lang_actual <> lang_pred GROUP BY 1),
+    j AS (
+      SELECT class, COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp,
+        COALESCE(fn, 0) AS fn
+      FROM classes LEFT JOIN tp USING (class) LEFT JOIN fp USING (class)
+      LEFT JOIN fn USING (class))
+    SELECT class, tp, fp, fn,
+      CAST(tp * 1000000 // nullif(tp + fp, 0) AS BIGINT) AS precision_ppm,
+      CAST(tp * 1000000 // nullif(tp + fn, 0) AS BIGINT) AS recall_ppm,
+      CAST(2 * tp * 1000000 // nullif(2 * tp + fp + fn, 0) AS BIGINT)
+        AS f1_ppm
+    FROM j ORDER BY class"""
+
+  // ---- q240: filter-verdict joint ledger --------------------------------
+  // The full 2³ ablation table q160's pairwise kappa summarizes: corpus
+  // mass (docs AND tokens) over every (heuristic, model, fluency)
+  // pass/fail combination — the table that says what each filter
+  // uniquely kills and what relaxing it would reclaim, replayable from
+  // the pinned attribute tables without re-running any filter (the
+  // q133 posture). Scale shape: the doc_id attribute join, then a
+  // map-side-combining aggregate onto ≤8 rows with 1-row share attaches.
+  def q240VerdictJoint(s: SparkSession, d: String): DataFrame = {
+    val h = attrHeuristic(s, d)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("quality_band") =!= "low").as("h_pass"))
+    val m = attrModel(s, d).select(col("doc_id"), (col("logit") > 0)
+      .as("m_pass"))
+    val f = attrFluency(s, d).select(col("doc_id"),
+      (col("fluency_band") =!= "low").as("f_pass0"))
+    val j = h.join(m, "doc_id").join(f, Seq("doc_id"), "left")
+      .withColumn("f_pass", coalesce(col("f_pass0"), lit(false)))
+      .groupBy(col("h_pass"), col("m_pass"), col("f_pass"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .persist() // the 1-row totals derive from this ≤8-row frame
+    val tot = j.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("doc_share_ppm", expr("n_docs * 1000000 div td"))
+      .withColumn("token_share_ppm",
+        expr("cast(cast(n_tokens as decimal(38,0)) * 1000000 div tt" +
+          " as bigint)"))
+      .withColumn("kept", col("h_pass") && col("m_pass") && col("f_pass"))
+      .select(col("h_pass"), col("m_pass"), col("f_pass"), col("n_docs"),
+        col("n_tokens"), col("doc_share_ppm"), col("token_share_ppm"),
+        col("kept"))
+      .orderBy(col("h_pass"), col("m_pass"), col("f_pass"))
+  }
+
+  val q240Sql: String = s"""
+    WITH h AS ($q25Sql),
+    m AS ($q109Sql),
+    f AS ($q129Sql),
+    j AS (
+      SELECT h.quality_band <> 'low' AS h_pass, m.logit > 0 AS m_pass,
+        COALESCE(f.fluency_band, 'low') <> 'low' AS f_pass,
+        h.n_tokens
+      FROM h JOIN m USING (doc_id) LEFT JOIN f USING (doc_id)),
+    g AS (
+      SELECT h_pass, m_pass, f_pass, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM j GROUP BY 1, 2, 3),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+      CAST(SUM(n_tokens) AS BIGINT) AS tt FROM g)
+    SELECT h_pass, m_pass, f_pass, n_docs, n_tokens,
+      CAST(n_docs * 1000000 // td AS BIGINT) AS doc_share_ppm,
+      CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tt AS BIGINT)
+        AS token_share_ppm,
+      h_pass AND m_pass AND f_pass AS kept
+    FROM g CROSS JOIN tot
+    ORDER BY h_pass, m_pass, f_pass"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_langid_metrics" -> q239LangidMetrics _,
+    "q240_verdict_joint" -> q240VerdictJoint _,
     "q229_token_fertility" -> q229TokenFertility _,
     "q211_score_deciles" -> q211ScoreDeciles _,
     "q197_keyness"     -> q197Keyness _,
@@ -2857,6 +2978,8 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q239_langid_metrics" -> q239Sql,
+    "q240_verdict_joint" -> q240Sql,
     "q229_token_fertility" -> q229Sql,
     "q211_score_deciles" -> q211Sql,
     "q197_keyness"     -> q197Sql,

@@ -470,4 +470,28 @@ class CurationOpsSpec extends AnyFunSuite {
           row.getAs[Long]("eligible"))
     }
   }
+
+  test("q238 budget sweep is exact on planted token counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ctxbud").toString
+    // two docs: 600 and 100 whitespace tokens
+    Seq((1L, ("w " * 600).trim, "en", "s", 1200L),
+        (2L, ("w " * 100).trim, "en", "s", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.CurationOps.q238ContextBudget(spark, dir).collect()
+      .map(x => x.getAs[Long]("ctx_len") -> x).toMap
+    assert(r.keySet == Set(512L, 2048L, 8192L))
+    def waste(seqs: Long, l: Long) =
+      (seqs * l - 700L) * 1000000L / (seqs * l)
+    assert(r(512L).getAs[Long]("n_seqs_packed") == 3L)   // 2 + 1
+    assert(r(512L).getAs[Long]("n_seqs_chopped") == 2L)  // ceil(700/512)
+    assert(r(512L).getAs[Long]("pad_waste_ppm") == waste(3, 512))
+    assert(r(2048L).getAs[Long]("n_seqs_packed") == 2L)
+    assert(r(2048L).getAs[Long]("n_seqs_chopped") == 1L)
+    assert(r(2048L).getAs[Long]("pad_waste_ppm") == waste(2, 2048))
+    assert(r(8192L).getAs[Long]("n_seqs_packed") == 2L)
+    assert(r(8192L).getAs[Long]("pad_waste_ppm") == waste(2, 8192))
+    r.values.foreach(x => assert(x.getAs[Long]("n_tokens") == 700L))
+  }
 }

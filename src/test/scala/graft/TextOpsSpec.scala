@@ -915,4 +915,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r("xx").getAs[String]("fertility_band") == "verbose_tokens")
     assert(r("en").getAs[Long]("tokens_per_doc") == 2L)
   }
+
+  test("q239 precision/recall/F1 are exact on a planted confusion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("langf1").toString
+    // 3 labeled-en docs with English function words (pred en: tp_en = 3);
+    // 1 labeled-de doc with English words (pred en: fp_en, fn_de);
+    // 1 labeled-de doc with German words (tp_de)
+    val rows = Seq(
+      (1L, "the is and", "en"), (2L, "the is and", "en"),
+      (3L, "the is and", "en"), (4L, "the is and", "de"),
+      (5L, "der und die", "de"))
+      .map { case (i, t, l) => (i, t, l, "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q239LangidMetrics(spark, dir).collect()
+      .map(x => x.getAs[String]("class") -> x).toMap
+    assert(r("en").getAs[Long]("tp") == 3L)
+    assert(r("en").getAs[Long]("fp") == 1L)
+    assert(r("en").getAs[Long]("fn") == 0L)
+    assert(r("en").getAs[Long]("precision_ppm") == 750000L)
+    assert(r("en").getAs[Long]("recall_ppm") == 1000000L)
+    // F1(en) = 2·3/(2·3+1+0) = 6/7
+    assert(r("en").getAs[Long]("f1_ppm") == 6000000L / 7L)
+    assert(r("de").getAs[Long]("tp") == 1L)
+    assert(r("de").getAs[Long]("fn") == 1L)
+    assert(r("de").getAs[Long]("recall_ppm") == 500000L)
+    spark.catalog.clearCache()
+  }
+
+  test("q240 joint ledger conserves the corpus and agrees with q133 keeps") {
+    val r = ops.TextOps.q240VerdictJoint(spark, sf).collect()
+    assert(r.length <= 8)
+    val docs = Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(r.map(_.getAs[Long]("doc_share_ppm")).sum <= 1000000L)
+    val keptDocs = r.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val q133Keeps = ops.TextOps.q133FilterEnsemble(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("verdict") === "keep")
+      .count()
+    assert(keptDocs == q133Keeps,
+      s"joint-ledger keeps $keptDocs vs q133 $q133Keeps")
+    spark.catalog.clearCache()
+  }
 }
