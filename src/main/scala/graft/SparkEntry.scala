@@ -16,12 +16,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.
     *
-    * Caller contract: self-join queries persist() their feature table so
-    * the two join branches share one computation (q31/q33/q34 — see
-    * DedupOps). The returned DataFrame is lazy, so the function cannot
-    * unpersist after the caller's action; run
+    * Caller contract: queries whose plan reads a derived frame from
+    * MORE THAN ONE downstream branch persist() that frame so the
+    * branches share one computation — self-join feature tables
+    * (q31/q33/q34, see DedupOps), bounded series/histogram frames
+    * (q217/q225/q228/q235/q236/q238), and ≤8-row ledgers with 1-row
+    * total attaches (q239/q240). The returned DataFrame is lazy, so the
+    * function cannot unpersist after the caller's action; run
     * `spark.catalog.clearCache()` between queries (Verify and Bench do)
-    * or the cached feature blocks outlive the query. */
+    * or the cached blocks outlive the query. Every pinned frame is
+    * BOUNDED (domain-/calendar-/eval-sized) except the documented
+    * self-join feature tables. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Ingest.queries ++ ops.Streaming.queries ++
       ops.TextOps.queries ++ ops.DedupOps.queries ++ ops.SimOps.queries ++
