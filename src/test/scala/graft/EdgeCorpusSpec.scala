@@ -211,4 +211,30 @@ class EdgeCorpusSpec extends AnyFunSuite {
     val dyn = ops.Ingest.q191DynamicPruning(spark, d).collect()
     assert(dyn.length == 2, dyn.mkString(";"))
   }
+
+  test("q229/q238/q217 degrade on zero-token and gapped-id documents") {
+    // q229: whitespace-only docs still count a nonempty-filtered 0 and
+    // must not zero-divide — the all-zero language grades 'degenerate'
+    val fert = ops.TextOps.q229TokenFertility(spark, dir).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    // 'de' has only doc 5 (whitespace-only: 0 tokens)
+    assert(fert("de").getAs[Long]("n_tokens") == 0L)
+    assert(fert("de").isNullAt(fert("de").fieldIndex(
+      "chars_per_token_milli")))
+    assert(fert("de").getAs[String]("fertility_band") == "degenerate")
+    // q238: zero-token docs are excluded from the packing budget — the
+    // doc count is the 11 token-bearing docs, not 13
+    val bud = ops.CurationOps.q238ContextBudget(spark, dir).collect()
+    assert(bud.forall(_.getAs[Long]("n_docs") == 11L), bud.mkString(";"))
+    spark.catalog.clearCache()
+    // q217: runs crash-free on the gapped corpus; AUC stays in [0, 1e6]
+    // and single-doc sources grade without dividing by zero
+    val rt = ops.StatsOps.q217RankTest(spark, dir).collect()
+    assert(rt.length == 6) // six sources
+    rt.foreach { x =>
+      val auc = x.getAs[Long]("auc_ppm")
+      assert(auc >= 0L && auc <= 1000000L, x.toString)
+    }
+    spark.catalog.clearCache()
+  }
 }
