@@ -289,4 +289,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val docLenGen = for {
+    nA <- Gen.choose(2, 12)
+    nB <- Gen.choose(2, 12)
+    lensA <- Gen.listOfN(nA, Gen.choose(1L, 40L))
+    lensB <- Gen.listOfN(nB, Gen.choose(1L, 40L))
+  } yield (lensA, lensB)
+
+  test("property: q217 AUC is complementary across the two sources and " +
+      "z is antisymmetric") {
+    forAll(docLenGen, n = 6) { case (lensA, lensB) =>
+      val dir = java.nio.file.Files.createTempDirectory("mwu-prop").toString
+      val rows = lensA.zipWithIndex.map { case (n, i) =>
+        (i.toLong, "x", "en", "srcA", n) } ++
+        lensB.zipWithIndex.map { case (n, i) =>
+          (100L + i, "x", "en", "srcB", n) }
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val r = ops.StatsOps.q217RankTest(spark, dir).collect()
+        .map(x => x.getAs[String]("source") -> x).toMap
+      // with exactly two sources, "A vs rest" and "B vs rest" are the
+      // same comparison mirrored: AUCs sum to 1e6 (±1 floor-div), z
+      // flips sign exactly (same variance, negated numerator)
+      val (a, b) = (r("srcA"), r("srcB"))
+      assert(math.abs(a.getAs[Long]("auc_ppm") +
+        b.getAs[Long]("auc_ppm") - 1000000L) <= 1L, s"$a | $b")
+      if (!a.isNullAt(a.fieldIndex("z"))) {
+        assert(a.getAs[Double]("z") == -b.getAs[Double]("z"), s"$a | $b")
+      }
+    }
+  }
+
+  private val seriesGen = for {
+    n <- Gen.choose(5, 20)
+    slope <- Gen.choose(1L, 50L)       // cents/day
+    base <- Gen.choose(100L, 5000L)    // cents at day 0
+  } yield (n, slope, base)
+
+  test("property: q228 recovers any noiseless linear trend exactly") {
+    forAll(seriesGen, n = 6) { case (nDays, slope, base) =>
+      val dir = java.nio.file.Files.createTempDirectory("ts-prop").toString
+      val d0 = java.time.LocalDate.of(2024, 2, 1)
+      (0 until nDays).map { i =>
+        (i.toLong, 1L,
+          java.sql.Timestamp.valueOf(d0.plusDays(i.toLong).atStartOfDay()),
+          (base + slope * i) / 100.0)
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .write.parquet(s"$dir/orders.parquet")
+      val r = ops.StatsOps.q228TheilSen(spark, dir).head()
+      assert(r.getAs[Long]("theil_ppm") == slope * 1000000L, r.toString)
+      assert(r.getAs[Long]("ols_ppm") == slope * 1000000L, r.toString)
+      assert(r.getAs[Long]("intercept_ppm") ==
+        (base - slope * d0.toEpochDay) * 1000000L, r.toString)
+      assert(r.getAs[String]("trend_band") == "agrees")
+    }
+  }
 }
