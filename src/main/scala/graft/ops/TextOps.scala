@@ -2936,7 +2936,81 @@ object TextOps {
     FROM g CROSS JOIN tot
     ORDER BY h_pass, m_pass, f_pass"""
 
+  // ---- q241: shared-prefix mass (KV-cache / prefix-dedup planning) ------
+  // The serving-side capacity read: how much of the corpus opens with a
+  // prefix some other document also opens with — the mass a prefix-cached
+  // inference stack (or a prefix-dedup pass) reclaims. Documents group by
+  // their first-16-token string; per prefix-size band, the ledger reports
+  // groups, member docs, and the reclaimable token mass
+  // Σ (members − 1) · prefix_len (every member after the first reuses the
+  // cached prefix), with savings as ppm of the corpus token mass.
+  // Boilerplate headers/templates make this mass large on real web
+  // corpora — the same structure q167's skeletons detect, read here as a
+  // cache-planning number. Scale shape: one tokenize scan → hash groupBy
+  // on the prefix string (state ≤ |distinct prefixes|, never pairwise),
+  // then a ≤4-row band rollup with a 1-row total attach.
+  private val PrefixK = 16
+
+  def q241PrefixSharing(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(filter(toks(col("text")), x => x =!= lit("")).as("t"))
+      .select(size(col("t")).cast("long").as("tok"),
+        concat_ws(" ", slice(col("t"), 1, PrefixK)).as("prefix"))
+      .filter(col("tok") > 0)
+      .persist() // groups and the corpus total share the scan
+    val groups = docs.groupBy(col("prefix"))
+      .agg(count(lit(1)).as("members"),
+        least(min(col("tok")), lit(PrefixK.toLong)).as("plen"))
+      .filter(col("members") > 1)
+    val total = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("tok")).as("n_tokens"))
+    groups
+      .withColumn("band",
+        when(col("members") >= 100L, "template_100plus")
+          .when(col("members") >= 10L, "shared_10_99")
+          .otherwise("shared_2_9"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("members")).as("n_docs_sharing"),
+        sum(expr("(members - 1) * plen")).as("reclaimable_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("savings_ppm", expr(
+        "cast(cast(reclaimable_tokens as decimal(38,0)) * 1000000" +
+          " div nullif(n_tokens, 0) as bigint)"))
+      .select(col("band"), col("n_groups"), col("n_docs_sharing"),
+        col("reclaimable_tokens"), col("savings_ppm"))
+      .orderBy(col("band"))
+  }
+
+  val q241Sql: String = raw"""
+    WITH docs AS (
+      SELECT CAST(len(t) AS BIGINT) AS tok,
+        array_to_string(t[1:$PrefixK], ' ') AS prefix
+      FROM (SELECT list_filter(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+'), x -> x <> '') AS t
+            FROM documents)
+      WHERE len(t) > 0),
+    g AS (
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS members,
+        LEAST(MIN(tok), $PrefixK) AS plen
+      FROM docs GROUP BY 1 HAVING COUNT(*) > 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(tok) AS BIGINT) AS n_tokens FROM docs),
+    led AS (
+      SELECT CASE WHEN members >= 100 THEN 'template_100plus'
+                  WHEN members >= 10 THEN 'shared_10_99'
+                  ELSE 'shared_2_9' END AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(members) AS BIGINT) AS n_docs_sharing,
+        CAST(SUM((members - 1) * plen) AS BIGINT) AS reclaimable_tokens
+      FROM g GROUP BY 1)
+    SELECT band, n_groups, n_docs_sharing, reclaimable_tokens,
+      CAST(CAST(reclaimable_tokens AS HUGEINT) * 1000000
+        // nullif(n_tokens, 0) AS BIGINT) AS savings_ppm
+    FROM led CROSS JOIN tot ORDER BY band"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_prefix_sharing" -> q241PrefixSharing _,
     "q239_langid_metrics" -> q239LangidMetrics _,
     "q240_verdict_joint" -> q240VerdictJoint _,
     "q229_token_fertility" -> q229TokenFertility _,
@@ -2978,6 +3052,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q241_prefix_sharing" -> q241Sql,
     "q239_langid_metrics" -> q239Sql,
     "q240_verdict_joint" -> q240Sql,
     "q229_token_fertility" -> q229Sql,

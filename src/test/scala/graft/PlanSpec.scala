@@ -130,7 +130,8 @@ class PlanSpec extends AnyFunSuite {
       "q225_markov_mixing", "q226_dow_seasonality", "q228_theil_sen",
       "q232_bootstrap_ci", "q234_survival_curve",
       "q235_retention_matrix", "q236_stickiness",
-      "q238_context_budget", "q240_verdict_joint","q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
+      "q238_context_budget", "q240_verdict_joint",
+      "q241_prefix_sharing","q183_dedup_recall","q35_knn_brute", "q47_ivf_ann", "q61_kmeans_cells",
       "q195_rfm_segments", "q196_basket_pairs", "q197_keyness",
       "q198_benford", "q207_path_trigrams", "q210_windowed_funnel",
       "q211_score_deciles", "q214_skew_audit",

@@ -959,4 +959,30 @@ class TextOpsSpec extends AnyFunSuite {
       s"joint-ledger keeps $keptDocs vs q133 $q133Keeps")
     spark.catalog.clearCache()
   }
+
+  test("q241 prefix-sharing ledger is exact on planted templates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prefix").toString
+    val shared16 = (1 to 16).map(i => s"p$i").mkString(" ")
+    val rows = Seq(
+      (1L, shared16 + " a1 a2 a3 a4", "en", "s"),          // 20 tokens
+      (2L, shared16 + " b1 b2", "en", "s"),                // 18 tokens
+      (3L, shared16 + " " + (1 to 9).map("c" + _).mkString(" "),
+        "en", "s"),                                         // 25 tokens
+      (4L, "a b c d", "en", "s"), (5L, "a b c d", "en", "s"), // 4 + 4
+      (6L, "u1 u2 u3 u4 u5", "en", "s"))                   // unique, 5
+      .map { case (i, t, l, s0) => (i, t, l, s0, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q241PrefixSharing(spark, dir).collect()
+    assert(r.length == 1 && r.head.getAs[String]("band") == "shared_2_9")
+    val x = r.head
+    assert(x.getAs[Long]("n_groups") == 2L)           // template + short dup
+    assert(x.getAs[Long]("n_docs_sharing") == 5L)
+    // (3−1)·16 from the template group + (2−1)·4 from the short dup
+    assert(x.getAs[Long]("reclaimable_tokens") == 36L)
+    // corpus tokens = 20 + 18 + 25 + 4 + 4 + 5 = 76
+    assert(x.getAs[Long]("savings_ppm") == 36L * 1000000L / 76L)
+    spark.catalog.clearCache()
+  }
 }
