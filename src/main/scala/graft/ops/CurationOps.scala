@@ -1547,7 +1547,76 @@ object CurationOps {
         AS pad_waste_ppm
     FROM g ORDER BY ctx_len"""
 
+  // ---- q246: largest-remainder sample-budget apportionment --------------
+  // The fair-quota problem every mixture builder hits after the RATES are
+  // decided: a fixed budget of B sample slots must land on sources in
+  // proportion to their token mass, in WHOLE slots, with the totals
+  // adding up exactly. Pure proportional flooring under-allocates by up
+  // to |sources|−1 slots; this is Hamilton's largest-remainder method —
+  // floor every quota, then hand the leftover slots to the largest
+  // fractional remainders (ties by source name). The same arithmetic
+  // apportions shard counts, worker quotas, and stratified-sample sizes.
+  //
+  // Exactness: quotas stay as the integer pair (B·m_i div M, remainder
+  // B·m_i mod M) on Decimal(38,0) <-> HUGEINT — no floats anywhere, and
+  // the invariant sum(alloc) = B holds exactly (spec-pinned).
+  //
+  // Scale shape: one tokenize scan -> map-side-combining per-source mass
+  // rollup; everything after lives on the |sources|-row frame (two
+  // windows: the Σfloor running total and the remainder rank).
+  private val ApportionBudget = 100000L
+
+  def q246Apportionment(s: SparkSession, d: String): DataFrame = {
+    val mass = Tables.documents(s, d)
+      .select(col("source"),
+        size(filter(toks(col("text")), x => x =!= lit(""))).cast("long")
+          .as("tok"))
+      .groupBy(col("source")).agg(sum(col("tok")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val rankW = Window.orderBy(col("rem").desc, col("source").asc)
+    mass
+      .withColumn("m_total", sum(col("n_tokens")).over(wAll))
+      .withColumn("floor_alloc", expr(
+        s"cast(cast(n_tokens as decimal(38,0)) * $ApportionBudget" +
+          " div m_total as bigint)"))
+      .withColumn("rem", expr(
+        s"cast(cast(n_tokens as decimal(38,0)) * $ApportionBudget" +
+          " % m_total as bigint)"))
+      .withColumn("leftover",
+        lit(ApportionBudget) - sum(col("floor_alloc")).over(wAll))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .withColumn("extra", when(col("rnk") <= col("leftover"), 1L)
+        .otherwise(0L))
+      .withColumn("alloc", col("floor_alloc") + col("extra"))
+      .select(col("source"), col("n_tokens"), col("floor_alloc"),
+        col("extra"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q246Sql: String = s"""
+    WITH mass AS (
+      SELECT source, CAST(SUM(len(list_filter($sqlToks, x -> x <> '')))
+        AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    q AS (
+      SELECT source, n_tokens,
+        CAST(CAST(n_tokens AS HUGEINT) * $ApportionBudget
+          // SUM(n_tokens) OVER () AS BIGINT) AS floor_alloc,
+        CAST(CAST(n_tokens AS HUGEINT) * $ApportionBudget
+          % SUM(n_tokens) OVER () AS BIGINT) AS rem
+      FROM mass),
+    r AS (
+      SELECT *, $ApportionBudget - SUM(floor_alloc) OVER () AS leftover,
+        CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+          AS rnk
+      FROM q)
+    SELECT source, n_tokens, floor_alloc,
+      CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_apportionment" -> q246Apportionment _,
     "q238_context_budget" -> q238ContextBudget _,
     "q157_budget_admission" -> q157BudgetAdmission _,
     "q70_pii_redaction" -> q70PiiRedaction _,
@@ -1573,6 +1642,7 @@ object CurationOps {
     "q153_shuffle_mixing" -> q153ShuffleMixing _)
 
   val oracles: Map[String, String] = Map(
+    "q246_apportionment" -> q246Sql,
     "q238_context_budget" -> q238Sql,
     "q157_budget_admission" -> q157Sql,
     "q70_pii_redaction" -> q70Sql,

@@ -1723,7 +1723,7 @@ object ExtOps {
       CASE WHEN n_c = 0 OR n_t = 0 THEN NULL ELSE
         abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c) END
         AS lift_abs_ppm,
-      CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
+      CASE WHEN n_c IS NULL OR n_c = 0 OR n_t = 0 OR conv_all = 0
              OR conv_all = n_c + n_t THEN 'degenerate'
            WHEN abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c)
              >= CAST(FLOOR((1.959964 + 0.841621)
@@ -1734,7 +1734,108 @@ object ExtOps {
            ELSE 'underpowered' END AS power_band
     FROM agg"""
 
+  // ---- q248: session-level event-type co-occurrence lift ----------------
+  // Market-basket association, lifted from orders (q196) to BEHAVIOR:
+  // within a session (q180's 30-min-gap convention), which event types
+  // co-occur beyond what their individual prevalences predict? For each
+  // unordered type pair: support (sessions containing both), lift
+  // N·c_ab/(c_a·c_b) and Jaccard c_ab/(c_a + c_b − c_ab), both in exact
+  // ppm. Lift ≫ 1e6 marks a behavioral bundle (error→purchase says the
+  // checkout is throwing); lift ≪ 1e6 marks mutually exclusive modes —
+  // the structure a funnel (q65/q210) assumes rather than measures.
+  //
+  // Exactness: N·c_ab and c_a·c_b accumulate on Decimal(38,0) <->
+  // HUGEINT; both floor-divs have nonnegative operands.
+  //
+  // Scale shape: ONE user_id shuffle drives the q180 lag/running-sum
+  // windows; distinct types collapse per (user, session) — ≤|types|
+  // rows each; the pair generator is an equi self-join ON the session
+  // key with per-session fan-out ≤|types|², never corpus². Marginals
+  // ride the same distinct frame (persisted — three consumers); the
+  // 1-row session total attaches via explicit broadcast.
+  def q248EventLift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val st = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), expr("unix_micros(ts)").as("us"))
+      .withColumn("gap_s",
+        expr("(us - lag(us, 1) over (partition by user_id" +
+          " order by ts, event_id)) div 1000000"))
+      .withColumn("is_start",
+        when(col("gap_s").isNull || col("gap_s") >= 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum(col("is_start")).over(w))
+      .select(col("user_id"), col("session"), col("event_type"))
+      .distinct()
+      .persist() // pair join (both sides) + marginals + total share it
+    val total = st.select(col("user_id"), col("session")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c")) // sessions containing the type
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session") === col("b.session") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("c").as("c_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("c").as("c_b"))), Seq("type_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr(
+        "cast(cast(n_sessions as decimal(38,0)) * c_ab * 1000000" +
+          " div (cast(c_a as decimal(38,0)) * c_b) as bigint)"))
+      .withColumn("jaccard_ppm", expr(
+        "cast(cast(c_ab as decimal(38,0)) * 1000000" +
+          " div (c_a + c_b - c_ab) as bigint)"))
+      .select(col("type_a"), col("type_b"), col("c_ab"), col("c_a"),
+        col("c_b"), col("lift_ppm"), col("jaccard_ppm"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val q248Sql: String = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+        (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id)) // 1000000 AS gap_s
+      FROM events),
+    numbered AS (
+      SELECT user_id, event_type,
+        SUM(CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+      FROM seq),
+    st AS (SELECT DISTINCT user_id, session, event_type FROM numbered),
+    total AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session FROM st)),
+    marg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM st GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM st a JOIN st b ON a.user_id = b.user_id
+        AND a.session = b.session AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+      CAST(CAST(n_sessions AS HUGEINT) * c_ab * 1000000
+        // (CAST(ma.c AS HUGEINT) * mb.c) AS BIGINT) AS lift_ppm,
+      CAST(CAST(c_ab AS HUGEINT) * 1000000
+        // (ma.c + mb.c - c_ab) AS BIGINT) AS jaccard_ppm
+    FROM pairs
+    JOIN marg ma ON ma.event_type = type_a
+    JOIN marg mb ON mb.event_type = type_b
+    CROSS JOIN total
+    ORDER BY type_a, type_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_event_lift" -> q248EventLift _,
     "q235_retention_matrix" -> q235RetentionMatrix _,
     "q236_stickiness"     -> q236Stickiness _,
     "q237_power_mde"      -> q237PowerMde _,
@@ -1766,6 +1867,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q248_event_lift" -> q248Sql,
     "q235_retention_matrix" -> q235Sql,
     "q236_stickiness"     -> q236Sql,
     "q237_power_mde"      -> q237Sql,

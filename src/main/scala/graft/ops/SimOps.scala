@@ -2348,6 +2348,80 @@ object SimOps {
            ELSE 'blended' END AS sep_band
     FROM fin ORDER BY label"""
 
+  // ---- q243: embedding dimension-energy spectrum (anisotropy audit) ----
+  // Where does the embedding space's variance LIVE? Per dimension, the
+  // variance in quantized-integer space: energy_i = n*sum(q_i^2) -
+  // (sum q_i)^2, reported as the per-dim variance var_q2 = energy/(n*n)
+  // (units of 1e12 = one squared 1e6-quantized coordinate) and the
+  // energy share in ppm. An anisotropic space — a few dimensions
+  // carrying most of the energy — is the classic symptom of an
+  // under-trained or collapsed encoder; it narrows effective
+  // dimensionality, inflates hubness (q171), and starves LSH planes of
+  // discriminative projections. This is the diagonal of the covariance
+  // a PCA would eigendecompose, computable exactly in one pass.
+  //
+  // Exactness: energies are division-free integer identities on
+  // Decimal(38,0) <-> HUGEINT (the q165 convention; n*q2 overflows Long
+  // past ~1e7 vectors); both reported divs (by n*n and by the energy
+  // total) have NONNEGATIVE operands, so floor-div vs trunc-div can
+  // never diverge — per-dim means are deliberately NOT reported (sum q_i
+  // is signed, and Spark's `div` truncates where DuckDB's `//` floors).
+  //
+  // Scale shape: ONE embedding scan collapsed by ONE hash aggregate
+  // carrying 2D+1 sum columns (the q165 `element_at` trick — the
+  // shuffle moves one row of D sums, never corpus x D exploded rows);
+  // the spectrum then unfolds from that single row via posexplode, with
+  // the energy total computed IN the same row (no second pass, no
+  // scalar attach). Output is exactly D rows.
+  def q243DimEnergy(s: SparkSession, d: String): DataFrame = {
+    val sums = (0 until D).map(i =>
+      sum(element_at(col("qa"), i + 1)).as(s"s$i"))
+    val sqs = (0 until D).map(i =>
+      sum(expr(s"cast(element_at(qa, ${i + 1}) as decimal(38,0))" +
+        s" * element_at(qa, ${i + 1})")).as(s"q$i"))
+    Tables.embeddings(s, d)
+      .withColumn("qa", qaExpr)
+      .agg(count(lit(1)).as("n"), (sums ++ sqs): _*)
+      .filter(col("n") > 0L) // empty corpus -> empty spectrum, not nulls
+      .withColumn("sarr", array((0 until D).map(i => col(s"s$i")): _*))
+      .withColumn("qarr", array((0 until D).map(i => col(s"q$i")): _*))
+      // total energy from the same row: n*sum_i(q2_i) - sum_i(s_i^2)
+      .withColumn("tote", expr(
+        "cast(n as decimal(38,0))" +
+          " * aggregate(qarr, cast(0 as decimal(38,0)), (a, x) -> a + x)" +
+          " - aggregate(sarr, cast(0 as decimal(38,0))," +
+          "   (a, x) -> a + cast(x as decimal(38,0)) * x)"))
+      .select(col("n"), col("tote"),
+        posexplode(expr(
+          "zip_with(sarr, qarr, (sv, qv) ->" +
+            " cast(n as decimal(38,0)) * qv" +
+            " - cast(sv as decimal(38,0)) * sv)"))
+          .as(Seq("idx", "energy")))
+      .withColumn("dim", (col("idx") + 1).cast("long"))
+      .withColumn("n_vecs", col("n"))
+      .withColumn("var_q2", expr(
+        "cast(energy div (cast(n as decimal(38,0)) * n) as bigint)"))
+      .withColumn("share_ppm", expr(
+        "cast(energy * 1000000 div nullif(tote, 0) as bigint)"))
+      .select(col("dim"), col("n_vecs"), col("var_q2"), col("share_ppm"))
+      .orderBy(col("dim"))
+  }
+
+  val q243Sql: String = s"""
+    WITH q AS (SELECT $sqlQa AS qa FROM embeddings),
+    dims AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(qa[i]) AS HUGEINT) AS sv,
+        SUM(CAST(qa[i] AS HUGEINT) * qa[i]) AS qv
+      FROM q CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) ds
+      GROUP BY 1),
+    e AS (SELECT i, n, n * qv - sv * sv AS energy FROM dims),
+    t AS (SELECT SUM(energy) AS tote FROM e)
+    SELECT CAST(i AS BIGINT) AS dim, n AS n_vecs,
+      CAST(energy // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_q2,
+      CAST(energy * 1000000 // nullif(tote, 0) AS BIGINT) AS share_ppm
+    FROM e CROSS JOIN t ORDER BY dim"""
+
   // ---- q227: in-degree assortativity of the kNN graph ------------------
   // The graph-structure audit that complements q171 (hubness measures
   // WHO concentrates in-degree; assortativity measures whether hubs
@@ -2431,6 +2505,7 @@ object SimOps {
     "q227_assortativity"  -> q227Assortativity _,
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
     "q165_class_separation" -> q165ClassSeparation _,
+    "q243_dim_energy" -> q243DimEnergy _,
     "q35_knn_brute"       -> q35KnnBrute _,
     "q187_margin_audit"   -> q187MarginAudit _,
     "q188_label_agreement" -> q188LabelAgreement _,
@@ -2458,6 +2533,7 @@ object SimOps {
     "q227_assortativity"  -> q227Sql,
     "q151_embedding_hygiene" -> q151Sql,
     "q165_class_separation" -> q165Sql,
+    "q243_dim_energy" -> q243Sql,
     "q35_knn_brute"       -> q35Sql,
     "q187_margin_audit"   -> q187Sql,
     "q188_label_agreement" -> q188Sql,

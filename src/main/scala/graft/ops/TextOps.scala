@@ -3009,7 +3009,263 @@ object TextOps {
         // nullif(n_tokens, 0) AS BIGINT) AS savings_ppm
     FROM led CROSS JOIN tot ORDER BY band"""
 
+  // ---- q242: Zipf rank-decay ledger -------------------------------------
+  // The power-law health check every corpus report carries: natural text
+  // follows Zipf's law (frequency ≈ C / rank^s, s ≈ 1), so the ratio
+  // f(2r)/f(r) should sit near 2^-s ≈ 500000 ppm at every doubling. A
+  // ledger whose decay is flat (~1e6 ppm) says the corpus is templated /
+  // synthetic (uniform token use); a cliff says a handful of boilerplate
+  // tokens drown the tail. Reported at rank doublings r = 1,2,4,…,256
+  // with the decay f(2r)·1e6/f(r) as an exact integer — no logs, so the
+  // slope diagnostic stays engine-exact (a log-log OLS would put IEEE
+  // transcendentals in the hash path).
+  //
+  // Exactness: ties in the top-512 pick break by (freq DESC, token ASC)
+  // in both engines; the decay is one HUGEINT/Decimal(38,0) floor-div of
+  // nonnegative integers (freq·1e6 overflows Long past ~9e12
+  // occurrences — real at 100 TB).
+  //
+  // Scale shape: one tokenize scan → map-side-combining token count →
+  // distributed top-512 (TakeOrdered, never a global sort); the rank
+  // window and the r→2r self-join run on the pinned ≤512-row frame
+  // (persist: both join sides read it — caller-unpersist contract via
+  // clearCache, the SparkEntry note).
+  private val ZipfRanks: Seq[Long] = (0 to 8).map(1L << _) // 1..256
+
+  def q242ZipfLedger(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val top = counts
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(512)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+      .persist() // both sides of the r -> 2r join read this <=512-row frame
+    top.filter(col("rnk").isin(ZipfRanks: _*))
+      .join(top.select(col("rnk").as("rnk2"), col("freq").as("freq_2r")),
+        col("rnk2") === col("rnk") * 2L, "left")
+      .withColumn("decay_ppm", expr(
+        "cast(cast(freq_2r as decimal(38,0)) * 1000000 div freq as bigint)"))
+      .select(col("rnk"), col("token"), col("freq"), col("freq_2r"),
+        col("decay_ppm"))
+      .orderBy(col("rnk"))
+  }
+
+  val q242Sql: String = raw"""
+    WITH c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token FROM documents)
+      WHERE token <> '' GROUP BY token),
+    top AS (
+      SELECT token, freq,
+        CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+          AS rnk
+      FROM c ORDER BY freq DESC, token LIMIT 512)
+    SELECT r.rnk, r.token, r.freq, t2.freq AS freq_2r,
+      CAST(CAST(t2.freq AS HUGEINT) * 1000000 // r.freq AS BIGINT)
+        AS decay_ppm
+    FROM (SELECT * FROM top
+          WHERE rnk IN (1, 2, 4, 8, 16, 32, 64, 128, 256)) r
+    LEFT JOIN top t2 ON t2.rnk = r.rnk * 2
+    ORDER BY r.rnk"""
+
+  // ---- q244: Chao1 vocabulary-richness estimate per language ------------
+  // How much vocabulary has the crawl NOT seen yet? The species-richness
+  // question, answered with the Chao1 estimator from the frequency
+  // spectrum's head: chao1 = V + f1(f1-1)/(2(f2+1)) (bias-corrected
+  // form — defined even at f2 = 0), where f1/f2 are the hapax / dis
+  // legomena counts. Alongside it the Good-Turing sample coverage
+  // 1 - f1/N: the probability mass of the UNSEEN vocabulary is ~f1/N,
+  // so a language whose coverage_ppm is low needs more crawl before its
+  // tokenizer/vocab decisions stabilize. Complements q169 (global
+  // spectrum shape) with the per-language actionable number.
+  //
+  // Exactness: both estimators are floor-divs of nonnegative integer
+  // products on Decimal(38,0) <-> HUGEINT (f1^2 overflows Long past
+  // f1 ~ 3e9 token types — real for byte-level vocab at 100 TB).
+  //
+  // Scale shape: one tokenize scan -> map-side-combining (lang, token)
+  // count -> |langs|-keyed spectrum rollup; output is |langs| rows.
+  def q244Chao1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1", col("vocab") + expr(
+        "cast(cast(f1 as decimal(38,0)) * (f1 - 1)" +
+          " div (2 * (f2 + 1)) as bigint)"))
+      .withColumn("coverage_ppm", lit(1000000L) - expr(
+        "cast(cast(f1 as decimal(38,0)) * 1000000 div n_tokens as bigint)"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("f1"),
+        col("f2"), col("chao1"), col("coverage_ppm"))
+      .orderBy(col("lang"))
+
+  val q244Sql: String = raw"""
+    WITH tc AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token FROM documents)
+      WHERE token <> '' GROUP BY 1, 2),
+    sp AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS vocab,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM tc GROUP BY 1)
+    SELECT lang, n_tokens, vocab, f1, f2,
+      vocab + CAST(CAST(f1 AS HUGEINT) * (f1 - 1) // (2 * (f2 + 1))
+        AS BIGINT) AS chao1,
+      1000000 - CAST(CAST(f1 AS HUGEINT) * 1000000 // n_tokens AS BIGINT)
+        AS coverage_ppm
+    FROM sp ORDER BY lang"""
+
+  // ---- q245: token burstiness (variance-to-mean ratio across docs) ------
+  // Which tokens CLUMP? A token whose occurrences concentrate in few
+  // documents (code identifiers, boilerplate markers, names) has a
+  // variance-to-mean ratio across documents far above 1; function words
+  // spread Poisson-like (VMR ~ 1). The burstiness ranking is the
+  // classic content/function-word separator and the signal a
+  // contamination hunter reads (a "bursty" rare token marks template
+  // families). VMR over ALL docs including zero-count ones:
+  // vmr_ppm = 1e6 * (N*sum(c^2) - (sum c)^2) / (N * sum c), with N the
+  // corpus document count attached as a broadcast 1-row scalar.
+  //
+  // Exactness: the numerator is nonnegative by Cauchy-Schwarz, so the
+  // single floor-div has nonnegative operands; all products accumulate
+  // on Decimal(38,0) <-> HUGEINT.
+  //
+  // Scale shape: one tokenize scan -> (token, doc) count (map-side
+  // combine inside each doc's partition) -> token-keyed rollup ->
+  // distributed top-20 by (vmr DESC, token ASC); the 1-row N attaches
+  // via explicit broadcast (PlanSpec-allowed scalar attach).
+  def q245Burstiness(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val stats = perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(col("c")).as("n_occurrences"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("q2"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(nDocs))
+      .withColumn("vmr_ppm", expr(
+        "cast((cast(n_docs as decimal(38,0)) * q2" +
+          " - cast(n_occurrences as decimal(38,0)) * n_occurrences)" +
+          " * 1000000 div (cast(n_docs as decimal(38,0)) * n_occurrences)" +
+          " as bigint)"))
+      .orderBy(col("vmr_ppm").desc, col("token").asc)
+      .limit(20)
+      .select(col("token"), col("doc_freq"), col("n_occurrences"),
+        col("vmr_ppm"))
+  }
+
+  val q245Sql: String = raw"""
+    WITH pd AS (
+      SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token FROM documents)
+      WHERE token <> '' GROUP BY 1, 2),
+    st AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        CAST(SUM(c) AS BIGINT) AS n_occurrences,
+        SUM(CAST(c AS HUGEINT) * c) AS q2
+      FROM pd GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT token, doc_freq, n_occurrences,
+      CAST((CAST(n_docs AS HUGEINT) * q2
+        - CAST(n_occurrences AS HUGEINT) * n_occurrences) * 1000000
+        // (CAST(n_docs AS HUGEINT) * n_occurrences) AS BIGINT) AS vmr_ppm
+    FROM st CROSS JOIN n
+    ORDER BY vmr_ppm DESC, token LIMIT 20"""
+
+  // ---- q247: pairwise source-distribution similarity ---------------------
+  // Which sources SOUND alike? For every source pair, the histogram
+  // intersection of their token distributions over the corpus's top-256
+  // tokens: sim = Σ_t min(share_a(t), share_b(t)) with shares in ppm of
+  // each source's own top-token mass. Near-duplicate mirrors score
+  // ~1e6; different registers/domains drop fast. The mixture designer
+  // reads this as redundancy (two near-identical sources don't deserve
+  // two full quotas — the knob q75/q140 then turn), and it complements
+  // q178 (stopword profile) with a full-distribution comparison while
+  // staying integer-exact, which KL/cosine over floats would not be.
+  //
+  // Exactness: shares are floor-divs of nonnegative integers in ppm;
+  // min() and Σ are order-free integer ops. Shares are normalized by
+  // each source's TOP-TOKEN mass (not its full mass), so the measure is
+  // self-consistent under the top-256 truncation.
+  //
+  // Scale shape: one tokenize scan -> (source, token) map-side count ->
+  // semi-join against the broadcast top-256 vocab (distributed
+  // TakeOrdered, the q242 pick) -> shares on a ≤256·|sources| frame
+  // (persisted: both sides of the pair join read it) -> token-keyed
+  // equi self-join bounded by 256·|sources|² — never corpus-sized.
+  private val SimTopV = 256
+
+  def q247SourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), explode_outer(toks(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val topV = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(SimTopV)
+      .select(col("token"))
+    val counts = tok.join(broadcast(topV), Seq("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val shares = counts
+      .withColumn("m", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("share_ppm", expr(
+        "cast(cast(c as decimal(38,0)) * 1000000 div m as bigint)"))
+      .select(col("source"), col("token"), col("share_ppm"))
+      .persist() // both sides of the pair join read this <=256·|sources| frame
+    shares.as("a")
+      .join(shares.as("b"), col("a.token") === col("b.token") &&
+        col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(least(col("a.share_ppm"), col("b.share_ppm")))
+        .as("sim_ppm"),
+        count(lit(1)).as("n_shared_tokens"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q247Sql: String = raw"""
+    WITH tok AS (
+      SELECT source, token
+      FROM (SELECT source, unnest(string_split_regex(trim(lower(text)),
+              '[ \t\n\r\f]+')) AS token FROM documents)
+      WHERE token <> ''),
+    topv AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
+      ORDER BY freq DESC, token LIMIT $SimTopV),
+    c AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok JOIN topv USING (token) GROUP BY 1, 2),
+    sh AS (
+      SELECT source, token,
+        CAST(CAST(c AS HUGEINT) * 1000000
+          // SUM(c) OVER (PARTITION BY source) AS BIGINT) AS share_ppm
+      FROM c)
+    SELECT a.source AS src_a, b.source AS src_b,
+      CAST(SUM(LEAST(a.share_ppm, b.share_ppm)) AS BIGINT) AS sim_ppm,
+      CAST(COUNT(*) AS BIGINT) AS n_shared_tokens
+    FROM sh a JOIN sh b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_source_similarity" -> q247SourceSimilarity _,
+    "q242_zipf_ledger" -> q242ZipfLedger _,
+    "q244_chao1" -> q244Chao1 _,
+    "q245_burstiness" -> q245Burstiness _,
     "q241_prefix_sharing" -> q241PrefixSharing _,
     "q239_langid_metrics" -> q239LangidMetrics _,
     "q240_verdict_joint" -> q240VerdictJoint _,
@@ -3052,6 +3308,10 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q247_source_similarity" -> q247Sql,
+    "q242_zipf_ledger" -> q242Sql,
+    "q244_chao1" -> q244Sql,
+    "q245_burstiness" -> q245Sql,
     "q241_prefix_sharing" -> q241Sql,
     "q239_langid_metrics" -> q239Sql,
     "q240_verdict_joint" -> q240Sql,

@@ -494,4 +494,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r(8192L).getAs[Long]("pad_waste_ppm") == waste(2, 8192))
     r.values.foreach(x => assert(x.getAs[Long]("n_tokens") == 700L))
   }
+
+  test("q246 largest-remainder apportionment is exact and sums to the budget") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("apport").toString
+    // masses 5/3/1 of 9: floors 55555/33333/11111 leave ONE slot, which
+    // goes to srcA (largest remainder 5 vs 3 vs 1)
+    Seq((1L, "t t t t t", "en", "srcA", 9L),
+        (2L, "t t t", "en", "srcB", 5L),
+        (3L, "t", "en", "srcC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.CurationOps.q246Apportionment(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("srcA").getAs[Long]("floor_alloc") == 55555L)
+    assert(r("srcA").getAs[Long]("extra") == 1L)
+    assert(r("srcA").getAs[Long]("alloc") == 55556L)
+    assert(r("srcB").getAs[Long]("alloc") == 33333L)
+    assert(r("srcC").getAs[Long]("alloc") == 11111L)
+    assert(r.values.map(_.getAs[Long]("alloc")).sum == 100000L)
+  }
+
+  test("q246 allocation sums to the budget on the fixture corpus") {
+    val r = ops.CurationOps.q246Apportionment(spark, sf).collect()
+    assert(r.map(_.getAs[Long]("alloc")).sum == 100000L)
+    assert(r.forall(x => x.getAs[Long]("extra") == 0L ||
+      x.getAs[Long]("extra") == 1L))
+  }
 }

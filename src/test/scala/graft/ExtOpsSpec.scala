@@ -672,4 +672,44 @@ class ExtOpsSpec extends AnyFunSuite {
       assert(r(t).getAs[String]("mixing_band") == band, s"band $t")
     }
   }
+
+  test("q248 session lift and jaccard are exact on planted sessions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lift").toString
+    val t0 = 1700000000000L
+    def ts(offS: Long) = new java.sql.Timestamp(t0 + offS * 1000L)
+    // user 1: {click, purchase} in one session, then {view} after a
+    // 10000 s gap (new session); user 2: {click} only
+    // sessions N=3; marginals: click 2, purchase 1, view 1
+    // pair (click, purchase): c_ab=1, lift = 3·1/(2·1) → 1500000 ppm,
+    // jaccard = 1/(2+1−1) → 500000 ppm
+    Seq((1L, ts(0), 1L, "click", 1.0, "{}"),
+        (2L, ts(60), 1L, "purchase", 1.0, "{}"),
+        (3L, ts(10060), 1L, "view", 1.0, "{}"),
+        (4L, ts(0), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q248EventLift(spark, dir).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getAs[String]("type_a") == "click")
+    assert(x.getAs[String]("type_b") == "purchase")
+    assert(x.getAs[Long]("c_ab") == 1L)
+    assert(x.getAs[Long]("c_a") == 2L)
+    assert(x.getAs[Long]("c_b") == 1L)
+    assert(x.getAs[Long]("lift_ppm") == 1500000L)
+    assert(x.getAs[Long]("jaccard_ppm") == 500000L)
+    spark.catalog.clearCache()
+  }
+
+  test("q248 pair support never exceeds either marginal on the fixture") {
+    val r = ExtOps.q248EventLift(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("c_ab") <= x.getAs[Long]("c_a"))
+      assert(x.getAs[Long]("c_ab") <= x.getAs[Long]("c_b"))
+      assert(x.getAs[Long]("jaccard_ppm") <= 1000000L)
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -123,7 +123,12 @@ class PlanSpec extends AnyFunSuite {
     // ≤|types|-row frames via explicit broadcasts (the q216 shape)
     // q228: the calendar-bounded |days|² pair generator is an intended
     // broadcast theta join, plus 1-row slope/intercept/OLS attaches
+    // q245: the 1-row corpus doc-count scalar attaches to the token
+    // burstiness frame the same way
+    // q248: the 1-row session total attaches to the ≤|types|²-row pair
+    // frame the same way
     val allowed = Set(
+      "q245_burstiness", "q248_event_lift",
       "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
       "q219_ewma_chart", "q220_rrf_fusion", "q221_ndcg",
       "q222_hit_rates", "q223_list_diversity", "q224_l_diversity",

@@ -696,4 +696,27 @@ class SimOpsSpec extends AnyFunSuite {
     assert(math.abs(u.getAs[Double]("r") - rb) < 1e-12, s"$u vs $rb")
     spark.catalog.clearCache()
   }
+
+  test("q243 dim-energy spectrum is exact on planted axis vectors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dimen").toString
+    def vec(d1: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == 0) d1 else if (i == 1) 1.0f else 0.0f)
+    // dim 1: ±1 (zero mean, full spread); dim 2: constant 1 across every
+    // vector (zero variance despite nonzero mass); all other dims zero
+    Seq((1L, vec(1.0f), 0), (2L, vec(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = ops.SimOps.q243DimEnergy(spark, dir).collect()
+    assert(r.length == 64)
+    assert(r.forall(_.getAs[Long]("n_vecs") == 2L))
+    val byDim = r.map(x => x.getAs[Long]("dim") -> x).toMap
+    // dim 1: energy = 2·(2·1e12) − 0 = 4e12 → var 4e12/4 = 1e12, share 4/4
+    assert(byDim(1L).getAs[Long]("var_q2") == 1000000000000L)
+    assert(byDim(1L).getAs[Long]("share_ppm") == 1000000L)
+    // dim 2: energy = 2·2e12 − (2e6)² = 0 — a constant dim carries none
+    assert(byDim(2L).getAs[Long]("var_q2") == 0L)
+    assert(byDim(2L).getAs[Long]("share_ppm") == 0L)
+    assert((3L to 64L).forall(i => byDim(i).getAs[Long]("var_q2") == 0L))
+  }
 }

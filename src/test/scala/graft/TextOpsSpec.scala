@@ -985,4 +985,96 @@ class TextOpsSpec extends AnyFunSuite {
     assert(x.getAs[Long]("savings_ppm") == 36L * 1000000L / 76L)
     spark.catalog.clearCache()
   }
+
+  test("q242 zipf ledger is exact on a planted geometric corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zipf").toString
+    // freqs: a=8, b=4, c=2, d=1 → ranks 1..4
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q242ZipfLedger(spark, dir).collect()
+    // ledger ranks present: 1, 2, 4 (8+ beyond vocab)
+    assert(r.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 4L))
+    val byRank = r.map(x => x.getAs[Long]("rnk") -> x).toMap
+    assert(byRank(1L).getAs[String]("token") == "a")
+    assert(byRank(1L).getAs[Long]("freq") == 8L)
+    assert(byRank(1L).getAs[Long]("freq_2r") == 4L)   // rank 2 = b
+    assert(byRank(1L).getAs[Long]("decay_ppm") == 500000L)
+    assert(byRank(2L).getAs[Long]("freq_2r") == 1L)   // rank 4 = d
+    assert(byRank(2L).getAs[Long]("decay_ppm") == 250000L)
+    // rank 8 absent → null tail
+    assert(byRank(4L).isNullAt(byRank(4L).fieldIndex("freq_2r")))
+    assert(byRank(4L).isNullAt(byRank(4L).fieldIndex("decay_ppm")))
+    spark.catalog.clearCache()
+  }
+
+  test("q244 chao1 and coverage are exact on a planted spectrum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chao1").toString
+    // lang xx: counts a=1 b=1 c=1 d=2 → V=4, N=5, f1=3, f2=1
+    Seq((1L, "a b c d d", "xx", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q244Chao1(spark, dir).collect()
+    assert(r.length == 1)
+    val x = r.head
+    assert(x.getAs[Long]("n_tokens") == 5L)
+    assert(x.getAs[Long]("vocab") == 4L)
+    assert(x.getAs[Long]("f1") == 3L)
+    assert(x.getAs[Long]("f2") == 1L)
+    // chao1 = 4 + ⌊3·2 / (2·(1+1))⌋ = 4 + 1
+    assert(x.getAs[Long]("chao1") == 5L)
+    // coverage = 1e6 − ⌊3e6/5⌋
+    assert(x.getAs[Long]("coverage_ppm") == 400000L)
+  }
+
+  test("q245 burstiness separates a clumped token from a uniform one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    // x: 4 occurrences all in doc 1 → VMR = (3·16−16)/(3·4) → 2666666 ppm
+    // y: 1 occurrence in each of 3 docs → VMR = 0
+    Seq((1L, "x x x x y", "en", "s", 9L),
+        (2L, "y", "en", "s", 1L),
+        (3L, "y", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q245Burstiness(spark, dir).collect()
+    assert(r.map(_.getAs[String]("token")).toSeq == Seq("x", "y"))
+    val x = r.head
+    assert(x.getAs[Long]("doc_freq") == 1L)
+    assert(x.getAs[Long]("n_occurrences") == 4L)
+    assert(x.getAs[Long]("vmr_ppm") == 32L * 1000000L / 12L)
+    assert(r(1).getAs[Long]("vmr_ppm") == 0L)
+  }
+
+  test("q247 histogram intersection is exact on planted distributions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcsim").toString
+    // srcA: a=2/3, b=1/3; srcB: a=1/4, b=3/4
+    // sim = min(666666, 250000) + min(333333, 750000) = 583333
+    Seq((1L, "a a b", "en", "srcA", 5L),
+        (2L, "a b b b", "en", "srcB", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q247SourceSimilarity(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[String]("src_a") == "srcA")
+    assert(r.head.getAs[String]("src_b") == "srcB")
+    assert(r.head.getAs[Long]("n_shared_tokens") == 2L)
+    assert(r.head.getAs[Long]("sim_ppm") == 250000L + 333333L)
+    spark.catalog.clearCache()
+  }
+
+  test("q247 similarity is bounded by 1e6 and symmetric-free on the fixture") {
+    val r = ops.TextOps.q247SourceSimilarity(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Long]("sim_ppm") <= 1000000L))
+    // src_a < src_b by construction: no duplicate unordered pairs
+    assert(r.forall(x =>
+      x.getAs[String]("src_a") < x.getAs[String]("src_b")))
+    spark.catalog.clearCache()
+  }
 }
