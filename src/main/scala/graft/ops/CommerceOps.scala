@@ -1158,7 +1158,83 @@ object CommerceOps {
            ELSE 'inelastic' END AS response_band
     FROM m ORDER BY p_brand"""
 
+  // ---- q250: Wilson-bound return-rate ranking ---------------------------
+  // The small-sample ranking fix every leaderboard needs: ranking brands
+  // by raw return rate puts a 2-line brand with 1 return (50%!) above a
+  // 10 000-line brand at 30% — the classic mistake the Wilson score
+  // interval's LOWER bound corrects (rank by "the worst rate the data
+  // still supports at 95%", so thin evidence sinks). Per brand: exact
+  // line/return counts, the raw rate in ppm, the Wilson lower bound at
+  // z = 1.96, and BOTH ranks side by side — the rank DELTA is the
+  // operator's point (which brands the naive ranking wrongs).
+  //
+  // Exactness: counts and the ppm rate are exact integers; the Wilson
+  // bound is one fixed IEEE tree over those exact counts (the q231/q233
+  // convention — identical literals, identical op order in both
+  // engines; n_lines ≥ 1 by construction so no div-by-zero, and the
+  // sqrt operand is a sum of nonnegative terms). Ranks break ties by
+  // brand name. Scale shape: one lineitem scan with the part dim
+  // broadcast (the q231 join), collapsed map-side onto the |brands|-row
+  // frame; both rank windows run on that bounded frame.
+  private val WilsonExpr: String =
+    "(p + 1.9208 / n - 1.96 * sqrt((p * (1.0 - p) + 0.9604 / n) / n))" +
+      " / (1.0 + 3.8416 / n)"
+
+  def q250WilsonReturns(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("r")).as("n_returns"))
+      .withColumn("rate_ppm", expr("n_returns * 1000000 div n_lines"))
+      .withColumn("p", expr("cast(n_returns as double) / n_lines"))
+      .withColumn("n", expr("cast(n_lines as double)"))
+      .withColumn("wilson_lo_rate", expr(WilsonExpr))
+    g
+      .withColumn("naive_rank", row_number().over(
+        Window.orderBy(col("rate_ppm").desc, col("p_brand").asc))
+        .cast("long"))
+      .withColumn("wilson_rank", row_number().over(
+        Window.orderBy(col("wilson_lo_rate").desc, col("p_brand").asc))
+        .cast("long"))
+      .select(col("p_brand"), col("n_lines"), col("n_returns"),
+        col("rate_ppm"), col("wilson_lo_rate"), col("naive_rank"),
+        col("wilson_rank"),
+        (col("naive_rank") - col("wilson_rank")).as("rank_delta"))
+      .orderBy(col("wilson_rank"))
+  }
+
+  val q250Sql: String = s"""
+    WITH g AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_returns
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+    pn AS (
+      SELECT p_brand, n_lines, n_returns,
+        CAST(n_returns * 1000000 // n_lines AS BIGINT) AS rate_ppm,
+        CAST(n_returns AS DOUBLE) / n_lines AS p,
+        CAST(n_lines AS DOUBLE) AS n
+      FROM g),
+    sc AS (
+      SELECT p_brand, n_lines, n_returns, rate_ppm,
+        $WilsonExpr AS wilson_lo_rate
+      FROM pn)
+    SELECT p_brand, n_lines, n_returns, rate_ppm, wilson_lo_rate,
+      ROW_NUMBER() OVER (ORDER BY rate_ppm DESC, p_brand) AS naive_rank,
+      ROW_NUMBER() OVER (ORDER BY wilson_lo_rate DESC, p_brand)
+        AS wilson_rank,
+      ROW_NUMBER() OVER (ORDER BY rate_ppm DESC, p_brand)
+        - ROW_NUMBER() OVER (ORDER BY wilson_lo_rate DESC, p_brand)
+        AS rank_delta
+    FROM sc ORDER BY wilson_rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_wilson_returns" -> q250WilsonReturns _,
     "q231_discount_response" -> q231DiscountResponse _,
     "q226_dow_seasonality" -> q226DowSeasonality _,
     "q212_cohort_ltv"    -> q212CohortLtv _,
@@ -1178,6 +1254,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q250_wilson_returns" -> q250Sql,
     "q231_discount_response" -> q231Sql,
     "q226_dow_seasonality" -> q226Sql,
     "q212_cohort_ltv"    -> q212Sql,

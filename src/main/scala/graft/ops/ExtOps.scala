@@ -1834,7 +1834,162 @@ object ExtOps {
     CROSS JOIN total
     ORDER BY type_a, type_b"""
 
+  // ---- q251: CUPED-adjusted experiment readout --------------------------
+  // The variance-reduction workhorse of every mature experiment
+  // platform: q233 reads the A/B lift raw; CUPED (Controlled experiments
+  // Using Pre-Experiment Data) regresses each user's in-experiment
+  // metric y on their PRE-period covariate x and reads the lift on the
+  // residual y − θ(x − x̄) instead — same expectation, variance shrunk
+  // by ρ²(x,y). Here: per-user event value summed before/after the
+  // series midpoint (cut = lo + (hi−lo)/2 in epoch micros — an exact
+  // integer both engines derive identically), arms by the q233 'ab:'
+  // h60 split so this IS the same experiment re-read. Reported: arm
+  // sizes, θ in exact sign-split micro units, the raw and the
+  // CUPED-adjusted lift (cents, fixed IEEE trees over exact integer
+  // sums), and ρ² = the variance-reduction factor — the number that
+  // says how much experiment runtime the covariate buys.
+  //
+  // Exactness: all sums/co-moments are exact Decimal(38,0) ↔ HUGEINT
+  // on element-wise-quantized cents; θ_micro is the q231 sign-split
+  // staged floor-div; every double is a fixed IEEE tree on identical
+  // integers; every division NULL-guarded (degenerate covariate → NULL
+  // adj, never NaN). Scale shape: one 1-row min/max attach, ONE
+  // user-keyed aggregate, then a 1-row readout — q233's shape plus one
+  // broadcast scalar.
+  def q251CupedReadout(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val b = Tables.events(s, d).agg(
+      min(expr("unix_micros(ts)")).as("lo"),
+      max(expr("unix_micros(ts)")).as("hi"))
+    val users = Tables.events(s, d)
+      .crossJoin(broadcast(b))
+      .withColumn("cut", expr("lo + (hi - lo) div 2"))
+      .select(col("user_id"),
+        when(expr("unix_micros(ts)") < col("cut"),
+          toUnits(col("value"))).otherwise(0L).as("xv"),
+        when(expr("unix_micros(ts)") >= col("cut"),
+          toUnits(col("value"))).otherwise(0L).as("yv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("xv")).as("x"), sum(col("yv")).as("y"))
+      .withColumn("arm",
+        expr("h60(concat('ab:', cast(user_id as string))) % 2"))
+    users.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxc"),
+        sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sxt"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("syc"),
+        sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .withColumn("num", expr(
+        "n * sxy - (cast(sxc as decimal(38,0)) + sxt)" +
+          " * (cast(syc as decimal(38,0)) + syt)"))
+      .withColumn("den", expr(
+        "n * sxx - (cast(sxc as decimal(38,0)) + sxt)" +
+          " * (cast(sxc as decimal(38,0)) + sxt)"))
+      .withColumn("vy", expr(
+        "n * syy - (cast(syc as decimal(38,0)) + syt)" +
+          " * (cast(syc as decimal(38,0)) + syt)"))
+      .withColumn("theta_micro", expr(
+        "case when den is null or den <= 0 then null" +
+          " when num >= 0 then cast(num * 1000000 div den as bigint)" +
+          " else -cast((-num) * 1000000 div den as bigint) end"))
+      .withColumn("raw_lift_cents", expr(
+        "case when n_c = 0 or n_t = 0 then null" +
+          " else cast(syt as double) / n_t - cast(syc as double) / n_c" +
+          " end"))
+      .withColumn("adj_lift_cents", expr(
+        "case when n_c = 0 or n_t = 0 or den is null or den <= 0" +
+          " then null else" +
+          " (cast(syt as double) / n_t - cast(syc as double) / n_c)" +
+          " - (cast(num as double) / cast(den as double))" +
+          " * (cast(sxt as double) / n_t - cast(sxc as double) / n_c)" +
+          " end"))
+      .withColumn("var_reduction", expr(
+        "case when den is null or den <= 0 or vy is null or vy <= 0" +
+          " then null else" +
+          " (cast(num as double) * cast(num as double))" +
+          " / (cast(den as double) * cast(vy as double)) end"))
+      .withColumn("covariate_band",
+        when(col("var_reduction").isNull, "degenerate")
+          .when(col("var_reduction") >= 0.5, "strong_covariate")
+          .when(col("var_reduction") >= 0.1, "useful_covariate")
+          .otherwise("weak_covariate"))
+      .select(col("n_c"), col("n_t"), col("theta_micro"),
+        col("raw_lift_cents"), col("adj_lift_cents"),
+        col("var_reduction"), col("covariate_band"))
+  }
+
+  val q251Sql: String = s"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+    ev AS (
+      SELECT user_id,
+        CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2
+          THEN ${Fx.sqlUnits("value")} ELSE 0 END AS xv,
+        CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
+          THEN ${Fx.sqlUnits("value")} ELSE 0 END AS yv
+      FROM events CROSS JOIN b),
+    users AS (
+      SELECT user_id, CAST(SUM(xv) AS BIGINT) AS x,
+        CAST(SUM(yv) AS BIGINT) AS y,
+        CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+          1, 15) AS BIGINT) % 2 AS arm
+      FROM ev GROUP BY user_id),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+        CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+        CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS syc,
+        CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM users),
+    m AS (
+      SELECT *,
+        n * sxy - (CAST(sxc AS HUGEINT) + sxt)
+          * (CAST(syc AS HUGEINT) + syt) AS num,
+        n * sxx - (CAST(sxc AS HUGEINT) + sxt)
+          * (CAST(sxc AS HUGEINT) + sxt) AS den,
+        n * syy - (CAST(syc AS HUGEINT) + syt)
+          * (CAST(syc AS HUGEINT) + syt) AS vy
+      FROM agg)
+    SELECT n_c, n_t,
+      CASE WHEN den IS NULL OR den <= 0 THEN NULL
+           WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+           ELSE -CAST((-num) * 1000000 // den AS BIGINT) END AS theta_micro,
+      CASE WHEN n_c = 0 OR n_t = 0 THEN NULL
+           ELSE CAST(syt AS DOUBLE) / n_t - CAST(syc AS DOUBLE) / n_c
+           END AS raw_lift_cents,
+      CASE WHEN n_c = 0 OR n_t = 0 OR den IS NULL OR den <= 0 THEN NULL
+           ELSE (CAST(syt AS DOUBLE) / n_t - CAST(syc AS DOUBLE) / n_c)
+             - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+             * (CAST(sxt AS DOUBLE) / n_t - CAST(sxc AS DOUBLE) / n_c)
+           END AS adj_lift_cents,
+      CASE WHEN den IS NULL OR den <= 0 OR vy IS NULL OR vy <= 0
+           THEN NULL
+           ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE))
+           END AS var_reduction,
+      CASE WHEN den IS NULL OR den <= 0 OR vy IS NULL OR vy <= 0
+             THEN 'degenerate'
+           WHEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) >= 0.5
+             THEN 'strong_covariate'
+           WHEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             / (CAST(den AS DOUBLE) * CAST(vy AS DOUBLE)) >= 0.1
+             THEN 'useful_covariate'
+           ELSE 'weak_covariate' END AS covariate_band
+    FROM m"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_cuped_readout" -> q251CupedReadout _,
     "q248_event_lift" -> q248EventLift _,
     "q235_retention_matrix" -> q235RetentionMatrix _,
     "q236_stickiness"     -> q236Stickiness _,
@@ -1867,6 +2022,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q251_cuped_readout" -> q251Sql,
     "q248_event_lift" -> q248Sql,
     "q235_retention_matrix" -> q235Sql,
     "q236_stickiness"     -> q236Sql,

@@ -1966,7 +1966,72 @@ object StatsOps {
     FROM picks CROSS JOIN point WHERE kk = 4"""
   }
 
+  // ---- q249: CUSUM changepoint on the daily event series ---------------
+  // WHERE did the level shift? q219's EWMA chart flags drift as it
+  // happens and q218's ACF reads periodicity; the retrospective question
+  // — "pick the single day the mean changed" — is the CUSUM statistic:
+  // S_k = Σ_{i≤k} (x_i − mean), maximized in |S| at the maximum-
+  // likelihood single changepoint of a mean-shift model. Computed
+  // division-free: S_k = Σ_{i≤k} (D·c_i − T) with D = |days|, T = total
+  // events (D·mean scaling keeps every term an exact integer — the
+  // q243 identity trick applied to a running sum). Reported per day
+  // with the normalized magnitude 1e6·|S_k|/(D·T) and the argmax day
+  // flagged (ties break to the earliest day).
+  //
+  // Exactness: all terms are integers on Decimal(38,0) ↔ HUGEINT; the
+  // one div has nonnegative operands (|S|, D·T > 0 on any non-empty
+  // series). Scale shape: the corpus collapses to the |days|-row daily
+  // frame in one map-side-combining aggregate; the running sum and the
+  // argmax pick are single-partition windows over that CALENDAR-bounded
+  // frame (the q228 defense: grows with the time range, not data).
+  def q249CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("n_events"))
+    val tot = daily.agg(sum(col("n_events")).as("t"),
+      count(lit(1)).as("n_days"))
+    val wCum = Window.orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPick = Window.orderBy(abs(col("cusum")).desc, col("di").asc)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("dev", expr(
+        "cast(n_days as decimal(38,0)) * n_events - t"))
+      .withColumn("cusum", sum(col("dev")).over(wCum))
+      .withColumn("rk", row_number().over(wPick))
+      .withColumn("mag_ppm", expr(
+        "cast(abs(cusum) * 1000000" +
+          " div nullif(cast(t as decimal(38,0)) * n_days, 0) as bigint)"))
+      .select(col("di"), col("n_events"),
+        col("cusum").cast("long").as("cusum"), col("mag_ppm"),
+        (col("rk") === 1).as("is_change"))
+      .orderBy(col("di"))
+  }
+
+  val q249Sql: String = raw"""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t,
+      CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    cs AS (
+      SELECT di, n_events,
+        SUM(CAST(n_days AS HUGEINT) * n_events - t)
+          OVER (ORDER BY di ROWS UNBOUNDED PRECEDING) AS cusum,
+        t, n_days
+      FROM daily CROSS JOIN tot),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY abs(cusum) DESC, di) AS rk
+      FROM cs)
+    SELECT di, n_events, CAST(cusum AS BIGINT) AS cusum,
+      CAST(abs(cusum) * 1000000
+        // nullif(CAST(t AS HUGEINT) * n_days, 0) AS BIGINT) AS mag_ppm,
+      rk = 1 AS is_change
+    FROM rk ORDER BY di"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_cusum_changepoint" -> q249CusumChangepoint _,
     "q232_bootstrap_ci" -> q232BootstrapCi _,
     "q228_theil_sen" -> q228TheilSen _,
     "q224_l_diversity" -> q224LDiversity _,
@@ -1993,6 +2058,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q249_cusum_changepoint" -> q249Sql,
     "q232_bootstrap_ci" -> q232Sql,
     "q228_theil_sen" -> q228Sql,
     "q224_l_diversity" -> q224Sql,

@@ -3261,7 +3261,161 @@ object TextOps {
     FROM sh a JOIN sh b ON a.token = b.token AND a.source < b.source
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q252: skip-gram windowed co-occurrence (distributional pairs) ----
+  // q146 scores ADJACENT bigrams (collocations / merge candidates); the
+  // distributional-semantics statistic — the one word2vec/GloVe train
+  // on and an embedding-pretraining pipeline audits — is co-occurrence
+  // within a WINDOW: every ordered token pair (a, b) with b at most 3
+  // positions after a. Association as lift in exact ppm over the pair
+  // mass (q146's staged floor-div), min support 5, top-20 by
+  // (lift DESC, a, b) — "new … york" keeps scoring with an adjective
+  // spliced in, where the adjacency statistic goes blind.
+  //
+  // Scale shape: pair generation is entirely MAP-SIDE — one tokenize
+  // scan, each doc emitting its ≤3·|t| window pairs via a nested
+  // transform over positions (sequence bounds keep every inner range
+  // non-descending; docs under 2 tokens pre-filtered), so the only
+  // shuffles are the pair groupBy and its token-keyed marginal rollups
+  // — NO positional self-join of corpus-sized frames (measured in
+  // q103's spec: the posexplode join is the recount mechanism, not the
+  // operator). Margins and the total all derive from the pair-vocab
+  // frame (persisted — 4 consumers; the bench clearCache contract).
+  //
+  // Exactness: staged floor-div (c_ab·1e6 div c_l)·B div c_r with all
+  // operands positive — deterministic and identical in both engines;
+  // counts exact BIGINTs.
+  def q252SkipgramCooc(s: SparkSession, d: String): DataFrame = {
+    val bc = Tables.documents(s, d)
+      .select(filter(toks(col("text")), t => t =!= lit("")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(t) - 2), i ->" +
+          " transform(sequence(i + 1, least(i + 3, size(t) - 1)), j ->" +
+          " struct(t[i] AS a, t[j] AS b))))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .persist() // margins ×2 + total + the ranked pick all read it
+    val lm = bc.groupBy(col("a")).agg(sum(col("c_ab")).as("c_left"))
+    val rm = bc.groupBy(col("b")).agg(sum(col("c_ab")).as("c_right"))
+    val tot = bc.agg(sum(col("c_ab")).as("n_pairs"))
+    bc.filter(col("c_ab") >= 5L)
+      .join(lm, Seq("a"))
+      .join(rm, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm",
+        expr("(c_ab * 1000000 div c_left) * n_pairs div c_right"))
+      .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
+      .limit(20)
+      .select(col("a"), col("b"), col("c_ab"), col("c_left"),
+        col("c_right"), col("lift_ppm"))
+  }
+
+  val q252Sql: String = raw"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    pg AS (
+      SELECT unnest(flatten(list_transform(range(1, len(t)), i ->
+        list_transform(range(i + 1, least(i + 3, len(t)) + 1), j ->
+          {'a': t[i], 'b': t[j]})))) AS p
+      FROM tk WHERE len(t) >= 2),
+    bc AS (
+      SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM pg GROUP BY 1, 2),
+    lm AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_left
+      FROM bc GROUP BY 1),
+    rm AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_right
+      FROM bc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM bc)
+    SELECT bc.a, bc.b, bc.c_ab, lm.c_left, rm.c_right,
+      CAST((c_ab * 1000000 // c_left) * n_pairs // c_right AS BIGINT)
+        AS lift_ppm
+    FROM bc JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN tot
+    WHERE c_ab >= 5
+    ORDER BY lift_ppm DESC, a, b LIMIT 20"""
+
+  // ---- q253: per-doc rare-token (hapax) mass ledger ----------------------
+  // q244 says how much vocabulary the corpus hasn't seen; this says
+  // WHICH DOCS carry the unseen tail. Per document, the ppm of its
+  // token occurrences that are corpus hapaxes (global frequency exactly
+  // 1); rolled up to a (source × band) ledger. Both tails are
+  // actionable: hapax_ppm ≈ 0 marks boilerplate/template docs (nothing
+  // unique — dedup fodder), an extreme band marks OCR noise / mojibake /
+  // randomized strings (every token "novel" because it's garbage — the
+  // q148 lesson). The banded ledger is what a curation gate thresholds.
+  //
+  // Exactness: counts + one nonnegative floor-div per doc; band edges
+  // are integer ppm literals. Scale shape: one exploded scan →
+  // (doc, token) counts → token-keyed global frequency → ONE
+  // vocab-keyed join back (the priced q169/q177 class — hapax flags
+  // can't broadcast, most of a web-scale vocab IS hapax) → doc rollup →
+  // a column-pruned doc-level pass (doc_id, source only — no text read)
+  // left-joins the stats so zero-token docs land in the 'empty' band
+  // instead of vanishing; output is |sources|×|bands|-bounded.
+  def q253RareTokenMass(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(toks(col("text")), t => t =!= lit(""))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val freq = perDoc.groupBy(col("token")).agg(sum(col("c")).as("f"))
+    val docStats = perDoc.join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(docStats, Seq("doc_id"), "left")
+      .withColumn("hapax_ppm", expr(
+        "cast(cast(n_hapax as decimal(38,0)) * 1000000" +
+          " div nullif(n_tokens, 0) as bigint)"))
+      .withColumn("band",
+        when(col("hapax_ppm").isNull, "empty")
+          .when(col("hapax_ppm") === 0L, "none")
+          .when(col("hapax_ppm") <= 10000L, "low")
+          .when(col("hapax_ppm") <= 50000L, "mid")
+          .when(col("hapax_ppm") <= 200000L, "high")
+          .otherwise("extreme"))
+      .groupBy(col("source"), col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_hapax")), lit(0L)).as("n_hapax"))
+      .orderBy(col("source"), col("band"))
+  }
+
+  val q253Sql: String = raw"""
+    WITH pd AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+          trim(lower(text)), '[ \t\n\r\f]+'), x -> x <> '')) AS token
+        FROM documents)
+      GROUP BY 1, 2),
+    fr AS (SELECT token, CAST(SUM(c) AS BIGINT) AS f FROM pd GROUP BY 1),
+    ds AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      FROM pd JOIN fr USING (token) GROUP BY 1),
+    banded AS (
+      SELECT d.source, ds.n_tokens, ds.n_hapax,
+        CASE
+          WHEN ds.n_tokens IS NULL THEN 'empty'
+          WHEN CAST(CAST(ds.n_hapax AS HUGEINT) * 1000000
+            // nullif(ds.n_tokens, 0) AS BIGINT) = 0 THEN 'none'
+          WHEN CAST(CAST(ds.n_hapax AS HUGEINT) * 1000000
+            // nullif(ds.n_tokens, 0) AS BIGINT) <= 10000 THEN 'low'
+          WHEN CAST(CAST(ds.n_hapax AS HUGEINT) * 1000000
+            // nullif(ds.n_tokens, 0) AS BIGINT) <= 50000 THEN 'mid'
+          WHEN CAST(CAST(ds.n_hapax AS HUGEINT) * 1000000
+            // nullif(ds.n_tokens, 0) AS BIGINT) <= 200000 THEN 'high'
+          ELSE 'extreme' END AS band
+      FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id)
+    SELECT source, band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      COALESCE(CAST(SUM(n_tokens) AS BIGINT), 0) AS n_tokens,
+      COALESCE(CAST(SUM(n_hapax) AS BIGINT), 0) AS n_hapax
+    FROM banded GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_skipgram_cooc" -> q252SkipgramCooc _,
+    "q253_rare_token_mass" -> q253RareTokenMass _,
     "q247_source_similarity" -> q247SourceSimilarity _,
     "q242_zipf_ledger" -> q242ZipfLedger _,
     "q244_chao1" -> q244Chao1 _,
@@ -3308,6 +3462,8 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q252_skipgram_cooc" -> q252Sql,
+    "q253_rare_token_mass" -> q253Sql,
     "q247_source_similarity" -> q247Sql,
     "q242_zipf_ledger" -> q242Sql,
     "q244_chao1" -> q244Sql,

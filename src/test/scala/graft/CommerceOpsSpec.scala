@@ -271,4 +271,34 @@ class CommerceOpsSpec extends AnyFunSuite {
       assert(x.getAs[Long]("seasonal_strength_ppm") == 1000000L)
     }
   }
+
+  test("q250 Wilson bound sinks the thin-evidence brand the naive rank tops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wilson").toString
+    // TINY: 2 lines, 1 return (50% raw — naive #1);
+    // BIG: 100 lines, 30 returns (30% raw, far tighter evidence).
+    val li = (1 to 100).map(i =>
+      (1L, if (i <= 30) "R" else "N")) ++ Seq((2L, "R"), (2L, "N"))
+    li.toDF("l_partkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "BIG"), (2L, "TINY")).toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    val r = CommerceOps.q250WilsonReturns(spark, dir).collect()
+      .map(x => x.getAs[String]("p_brand") -> x).toMap
+    assert(r("TINY").getAs[Long]("rate_ppm") == 500000L)
+    assert(r("BIG").getAs[Long]("rate_ppm") == 300000L)
+    assert(r("TINY").getAs[Long]("naive_rank") == 1L)
+    assert(r("BIG").getAs[Long]("wilson_rank") == 1L)
+    assert(r("TINY").getAs[Long]("rank_delta") == -1L)
+    // exact IEEE recount of the fixed Wilson tree for BIG
+    def wilson(ret: Long, n: Long): Double = {
+      val p = ret.toDouble / n; val nd = n.toDouble
+      (p + 1.9208 / nd - 1.96 * math.sqrt((p * (1.0 - p) + 0.9604 / nd)
+        / nd)) / (1.0 + 3.8416 / nd)
+    }
+    assert(r("BIG").getAs[Double]("wilson_lo_rate") == wilson(30L, 100L))
+    assert(r("TINY").getAs[Double]("wilson_lo_rate") == wilson(1L, 2L))
+    assert(r("BIG").getAs[Double]("wilson_lo_rate") >
+      r("TINY").getAs[Double]("wilson_lo_rate"))
+  }
 }

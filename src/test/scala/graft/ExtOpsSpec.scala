@@ -712,4 +712,70 @@ class ExtOpsSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("q251 CUPED readout matches a BigInt brute recount of the planted users") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cuped").toString
+    // every user gets one pre event (t0) and one post event (t1):
+    // cut = midpoint lands strictly between, so x = pre value, y = post.
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000200000L)
+    val rows = (1 to 12).flatMap { u =>
+      val x = u.toDouble          // covariate: u dollars pre
+      val y = 2.0 * u + (u % 3)   // metric correlated with x
+      Seq((u * 2L - 1, t0, u.toLong, "view", x, "{}"),
+        (u * 2L, t1, u.toLong, "purchase", y, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q251CupedReadout(spark, dir).collect().head
+    // brute recount: same arms via the registered h60, exact BigInt moments
+    graft.expressions.Hash60.register(spark)
+    val users = (1 to 12).map { u =>
+      val arm = spark.sql(
+        s"select h60(concat('ab:', cast(${u}L as string))) % 2")
+        .head().getLong(0)
+      (arm, BigInt(u * 100), BigInt((2 * u + (u % 3)) * 100))
+    }
+    val n = BigInt(users.length)
+    val (sx, sy) = (users.map(_._2).sum, users.map(_._3).sum)
+    val sxy = users.map(t => t._2 * t._3).sum
+    val sxx = users.map(t => t._2 * t._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    assert(r.getAs[Long]("n_c") + r.getAs[Long]("n_t") == 12L)
+    val expTheta =
+      if (num >= 0) (num * 1000000 / den).toLong
+      else -((-num) * 1000000 / den).toLong
+    assert(r.getAs[Long]("theta_micro") == expTheta)
+    val c = users.filter(_._1 == 0); val t = users.filter(_._1 == 1)
+    val rawLift = t.map(_._3).sum.toDouble / t.length -
+      c.map(_._3).sum.toDouble / c.length
+    assert(r.getAs[Double]("raw_lift_cents") == rawLift)
+    val adj = rawLift - (num.toDouble / den.toDouble) *
+      (t.map(_._2).sum.toDouble / t.length -
+        c.map(_._2).sum.toDouble / c.length)
+    assert(math.abs(r.getAs[Double]("adj_lift_cents") - adj) < 1e-9)
+    // x strongly drives y → the covariate must read as useful or better
+    assert(Set("useful_covariate", "strong_covariate")
+      .contains(r.getAs[String]("covariate_band")))
+  }
+
+  test("q251 degrades to NULL theta on a constant covariate, never NaN") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cupedc").toString
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000200000L)
+    val rows = (1 to 4).flatMap { u =>
+      Seq((u * 2L - 1, t0, u.toLong, "view", 7.0, "{}"),
+        (u * 2L, t1, u.toLong, "purchase", u.toDouble, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q251CupedReadout(spark, dir).collect().head
+    assert(r.isNullAt(r.fieldIndex("theta_micro")))
+    assert(r.isNullAt(r.fieldIndex("adj_lift_cents")))
+    assert(r.isNullAt(r.fieldIndex("var_reduction")))
+    assert(r.getAs[String]("covariate_band") == "degenerate")
+  }
 }

@@ -127,7 +127,15 @@ class PlanSpec extends AnyFunSuite {
     // burstiness frame the same way
     // q248: the 1-row session total attaches to the ≤|types|²-row pair
     // frame the same way
+    // q249: the 1-row (total, n_days) frame crosses the |days|-bounded
+    // daily series before the calendar-bounded windows
+    // q251: the 1-row min/max cutoff attaches to the events scan and the
+    // 1-row readout derives from one user-keyed aggregate
+    // q252: the 1-row pair total attaches to the pair-vocab frame (the
+    // q146 shape with the window-pair generator)
     val allowed = Set(
+      "q249_cusum_changepoint", "q251_cuped_readout",
+      "q252_skipgram_cooc",
       "q245_burstiness", "q248_event_lift",
       "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
       "q219_ewma_chart", "q220_rrf_fusion", "q221_ndcg",
@@ -837,5 +845,29 @@ class PlanSpec extends AnyFunSuite {
     val liScans = p.linesIterator.count(l =>
       l.contains("Scan parquet") && l.contains("lineitem"))
     assert(liScans <= 3, s"q120 scans lineitem $liScans times:\n$p")
+  }
+
+  test("q250 broadcasts the part dim; q253's vocab join back is an equi-join") {
+    val p250 = plan("q250_wilson_returns")
+    assert(p250.contains("BroadcastHashJoin"),
+      s"q250 lost the part-dim broadcast:\n$p250")
+    assert(!p250.contains("CartesianProduct") &&
+      !p250.contains("BroadcastNestedLoopJoin"), p250)
+    val p253 = plan("q253_rare_token_mass")
+    assert(p253.contains("HashJoin") || p253.contains("SortMergeJoin"),
+      s"q253 vocab join is not an equi-join:\n$p253")
+    assert(!p253.contains("CartesianProduct"), p253)
+  }
+
+  test("q252's window-pair generator is map-side: no join before the pair groupBy") {
+    // pair generation must be the nested transform inside the scan
+    // stage — the only joins in the plan are the pair-vocab marginal
+    // equi-joins and the 1-row broadcast total
+    val p = plan("q252_skipgram_cooc")
+    assert(!p.contains("CartesianProduct"), p)
+    val corpusJoins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") && l.contains("doc_id"))
+    assert(corpusJoins == 0,
+      s"q252 pair generation became a positional self-join:\n$p")
   }
 }

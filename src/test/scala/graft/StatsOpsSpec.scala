@@ -654,4 +654,35 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(spike.getAs[String]("alarm") == "breach")
   }
 
+  test("q249 localizes a planted mean shift and telescopes to zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    // days 0-2: 1 event/day; days 3-5: 5 events/day — T=18, D=6.
+    // dev = 6·c−18: −12 ×3 then +12 ×3 → cusum −12,−24,−36,−24,−12,0;
+    // argmax |S| = 36 at day index 2 (the last pre-shift day).
+    val d0 = java.time.LocalDate.parse("2024-01-01")
+    var id = 0L
+    val rows = (0 until 6).flatMap { i =>
+      val n = if (i < 3) 1 else 5
+      (0 until n).map { _ =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(d0.plusDays(i.toLong)
+          .atStartOfDay()), id, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = StatsOps.q249CusumChangepoint(spark, dir).collect()
+    assert(r.length == 6)
+    val byDi = r.map(x => x.getAs[Long]("di") - d0.toEpochDay -> x).toMap
+    assert((0 to 5).map(i => byDi(i.toLong).getAs[Long]("cusum")) ==
+      Seq(-12L, -24L, -36L, -24L, -12L, 0L))
+    assert(byDi(2L).getAs[Boolean]("is_change"))
+    assert(r.count(_.getAs[Boolean]("is_change")) == 1)
+    // mag_ppm at the peak: 36·1e6 div (18·6) = 333333
+    assert(byDi(2L).getAs[Long]("mag_ppm") == 333333L)
+    // the CUSUM identity: the last partial sum is exactly zero
+    assert(byDi(5L).getAs[Long]("cusum") == 0L)
+  }
+
 }

@@ -1077,4 +1077,62 @@ class TextOpsSpec extends AnyFunSuite {
       x.getAs[String]("src_a") < x.getAs[String]("src_b")))
     spark.catalog.clearCache()
   }
+
+  test("q252 window pairs stop at distance 3 and lift matches the staged recount") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("skipgram").toString
+    // template 1 "a b c d": window-3 pairs = all 6 ordered pairs;
+    // template 2 "x p1 p2 p3 y": (x,y) sits at distance 4 → must NOT pair.
+    val rows = (1 to 5).flatMap(i => Seq(
+      (i.toLong, "a b c d", "en", "s"),
+      (100L + i, "x p1 p2 p3 y", "en", "s")))
+      .map { case (i, t, l, s0) => (i, t, l, s0, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q252SkipgramCooc(spark, dir).collect()
+    // 6 pairs from template 1 + 9 from template 2, all with support 5
+    assert(r.length == 15)
+    val pairs = r.map(x =>
+      (x.getAs[String]("a"), x.getAs[String]("b"))).toSet
+    assert(!pairs.contains(("x", "y")), "distance-4 pair leaked in")
+    assert(pairs.contains(("a", "d")) && pairs.contains(("x", "p3")))
+    // staged-floor-div recount for (a, b): B=75 total pairs,
+    // c_ab=5, c_left(a)=15, c_right(b)=5
+    val ab = r.find(x => x.getAs[String]("a") == "a" &&
+      x.getAs[String]("b") == "b").get
+    assert(ab.getAs[Long]("c_ab") == 5L)
+    assert(ab.getAs[Long]("c_left") == 15L)
+    assert(ab.getAs[Long]("c_right") == 5L)
+    assert(ab.getAs[Long]("lift_ppm") == (5L * 1000000L / 15L) * 75L / 5L)
+    spark.catalog.clearCache()
+  }
+
+  test("q253 bands planted docs by hapax mass with zero-token docs in 'empty'") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hapax").toString
+    val w20 = Seq.fill(20)("w").mkString(" ")
+    val w199 = Seq.fill(199)("w").mkString(" ")
+    val rows = Seq(
+      (1L, "u1 u2 u3 u4", "en", "t"),   // 4/4 hapax → extreme
+      (2L, "w w w w", "en", "s"),       // 0 hapax → none
+      (3L, "w h1", "en", "s"),          // 1/2 → 500000 → extreme
+      (4L, "", "en", "s"),              // no tokens → empty
+      (5L, s"x1 $w20", "en", "s"),      // 1/21 → 47619 → mid
+      (6L, s"y1 $w199", "en", "s"))     // 1/200 → 5000 → low
+      .map { case (i, t, l, s0) => (i, t, l, s0, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.TextOps.q253RareTokenMass(spark, dir).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[String]("band")) -> x)
+      .toMap
+    assert(r.keySet == Set(("t", "extreme"), ("s", "none"),
+      ("s", "extreme"), ("s", "empty"), ("s", "mid"), ("s", "low")))
+    assert(r(("t", "extreme")).getAs[Long]("n_hapax") == 4L)
+    assert(r(("s", "extreme")).getAs[Long]("n_docs") == 1L)
+    assert(r(("s", "empty")).getAs[Long]("n_tokens") == 0L)
+    assert(r(("s", "low")).getAs[Long]("n_tokens") == 200L)
+    assert(r(("s", "none")).getAs[Long]("n_hapax") == 0L)
+    // conservation: banded doc counts cover the corpus exactly once
+    assert(r.values.map(_.getAs[Long]("n_docs")).sum == 6L)
+  }
 }
