@@ -1233,7 +1233,174 @@ object CommerceOps {
         AS rank_delta
     FROM sc ORDER BY wilson_rank"""
 
+  // ---- q254: order-backlog time series (opened vs completed flows) ------
+  // The operations read every fulfillment dashboard carries: per month,
+  // orders OPENED (o_orderdate) vs orders COMPLETED (the month of the
+  // LAST line shipment), and the running backlog their difference
+  // accumulates — two event streams diffed cumulatively, the stock-flow
+  // shape that also prices queue depth, unprocessed-document inventory,
+  // and retry backlogs. The peak month is flagged (ties to the earliest
+  // month); orders with no lineitem rows never complete and sit in the
+  // closing backlog by design (they ARE the unfulfilled tail).
+  //
+  // Exactness: counts and one cumulative integer sum. Scale shape: the
+  // orders scan collapses map-side to |months| rows; completion needs
+  // ONE order-keyed aggregate over lineitem (max shipdate per order —
+  // the co-partitioned join-key class) before its own |months| collapse;
+  // the outer-join ledger, cumulative window, and peak pick all run on
+  // the CALENDAR-bounded frame.
+  def q254OrderBacklog(s: SparkSession, d: String): DataFrame = {
+    val opened = Tables.orders(s, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("month_id"))
+      .groupBy(col("month_id")).agg(count(lit(1)).as("n_opened"))
+    val completed = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("done"))
+      .select((year(col("done")) * 12 + month(col("done")))
+        .cast("long").as("month_id"))
+      .groupBy(col("month_id")).agg(count(lit(1)).as("n_completed"))
+    val wCum = Window.orderBy(col("month_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ledger = opened.join(completed, Seq("month_id"), "full_outer")
+      .na.fill(0L, Seq("n_opened", "n_completed"))
+      .withColumn("backlog",
+        sum(col("n_opened") - col("n_completed")).over(wCum))
+    ledger
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("backlog").desc, col("month_id").asc)))
+      .select(col("month_id"), col("n_opened"), col("n_completed"),
+        col("backlog"), (col("rk") === 1).as("is_peak"))
+      .orderBy(col("month_id"))
+  }
+
+  val q254Sql: String = """
+    WITH opened AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        AS month_id, CAST(COUNT(*) AS BIGINT) AS n_opened
+      FROM orders GROUP BY 1),
+    done AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS done FROM lineitem GROUP BY 1),
+    completed AS (
+      SELECT CAST(year(done) * 12 + month(done) AS BIGINT) AS month_id,
+        CAST(COUNT(*) AS BIGINT) AS n_completed
+      FROM done GROUP BY 1),
+    ledger AS (
+      SELECT COALESCE(o.month_id, c.month_id) AS month_id,
+        COALESCE(n_opened, 0) AS n_opened,
+        COALESCE(n_completed, 0) AS n_completed
+      FROM opened o FULL OUTER JOIN completed c USING (month_id)),
+    cum AS (
+      SELECT *, CAST(SUM(n_opened - n_completed)
+        OVER (ORDER BY month_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS backlog
+      FROM ledger)
+    SELECT month_id, n_opened, n_completed, backlog,
+      ROW_NUMBER() OVER (ORDER BY backlog DESC, month_id) = 1 AS is_peak
+    FROM cum ORDER BY month_id"""
+
+  // ---- q257: price-volume decomposition of revenue growth ---------------
+  // The FP&A question behind every revenue delta: did we sell MORE, or
+  // at HIGHER prices? Per brand, revenue and quantity in the first vs
+  // second half of the shipment calendar (midpoint split on the month
+  // id — an exact integer both engines derive identically), decomposed
+  // multiplicatively: (1+g_R) = (1+g_P)·(1+g_Q) with growth rates in
+  // exact floor-div ppm — g_Q from quantities, g_P from the
+  // cross-product identity R2·Q1/(R1·Q2), so the split never touches a
+  // non-integer unit price. A brand absent from either half degrades to
+  // NULL growths banded 'new_or_exited', not a crash.
+  //
+  // Exactness: revenue/quantity quantize element-wise (cents /
+  // centi-units); every div has nonnegative operands on Decimal(38,0) ↔
+  // HUGEINT with nullif guards. Scale shape: ONE lineitem scan with the
+  // part dim broadcast and the 1-row month-bounds attach, conditional
+  // aggregation into the two period columns (no self-join), |brands|-row
+  // output.
+  def q257PriceVolumeMix(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")))
+          .cast("long").as("m"),
+        toUnits(col("l_extendedprice")).as("rev"),
+        toUnits(col("l_quantity")).as("qty"))
+    val bounds = li.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("h2", col("m") >= expr("(mn + mx + 1) div 2"))
+      .groupBy(col("p_brand"))
+      .agg(sum(when(!col("h2"), col("rev")).otherwise(0L)).as("r1"),
+        sum(when(col("h2"), col("rev")).otherwise(0L)).as("r2"),
+        sum(when(!col("h2"), col("qty")).otherwise(0L)).as("q1"),
+        sum(when(col("h2"), col("qty")).otherwise(0L)).as("q2"))
+      .withColumn("rev_growth_ppm", expr(
+        "cast(cast(r2 as decimal(38,0)) * 1000000" +
+          " div nullif(r1, 0) as bigint) - 1000000"))
+      .withColumn("volume_growth_ppm", expr(
+        "cast(cast(q2 as decimal(38,0)) * 1000000" +
+          " div nullif(q1, 0) as bigint) - 1000000"))
+      .withColumn("price_growth_ppm", expr(
+        "cast(cast(r2 as decimal(38,0)) * q1 * 1000000" +
+          " div nullif(cast(r1 as decimal(38,0)) * q2, 0) as bigint)" +
+          " - 1000000"))
+      .withColumn("growth_band",
+        when(col("rev_growth_ppm").isNull || col("price_growth_ppm").isNull,
+          "new_or_exited")
+          .when(abs(col("price_growth_ppm")) >
+            abs(col("volume_growth_ppm")) * 2, "price_led")
+          .when(abs(col("volume_growth_ppm")) >
+            abs(col("price_growth_ppm")) * 2, "volume_led")
+          .otherwise("balanced"))
+      .select(col("p_brand"), col("r1"), col("r2"), col("q1"), col("q2"),
+        col("rev_growth_ppm"), col("volume_growth_ppm"),
+        col("price_growth_ppm"), col("growth_band"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q257Sql: String = s"""
+    WITH li AS (
+      SELECT p_brand,
+        CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS m,
+        ${Fx.sqlUnits("l_extendedprice")} AS rev,
+        ${Fx.sqlUnits("l_quantity")} AS qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM li),
+    agg AS (
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN m < (mn + mx + 1) // 2 THEN rev ELSE 0 END)
+          AS BIGINT) AS r1,
+        CAST(SUM(CASE WHEN m >= (mn + mx + 1) // 2 THEN rev ELSE 0 END)
+          AS BIGINT) AS r2,
+        CAST(SUM(CASE WHEN m < (mn + mx + 1) // 2 THEN qty ELSE 0 END)
+          AS BIGINT) AS q1,
+        CAST(SUM(CASE WHEN m >= (mn + mx + 1) // 2 THEN qty ELSE 0 END)
+          AS BIGINT) AS q2
+      FROM li CROSS JOIN bounds GROUP BY 1),
+    g AS (
+      SELECT p_brand, r1, r2, q1, q2,
+        CAST(CAST(r2 AS HUGEINT) * 1000000 // nullif(r1, 0) AS BIGINT)
+          - 1000000 AS rev_growth_ppm,
+        CAST(CAST(q2 AS HUGEINT) * 1000000 // nullif(q1, 0) AS BIGINT)
+          - 1000000 AS volume_growth_ppm,
+        CAST(CAST(r2 AS HUGEINT) * q1 * 1000000
+          // nullif(CAST(r1 AS HUGEINT) * q2, 0) AS BIGINT)
+          - 1000000 AS price_growth_ppm
+      FROM agg)
+    SELECT p_brand, r1, r2, q1, q2, rev_growth_ppm, volume_growth_ppm,
+      price_growth_ppm,
+      CASE WHEN rev_growth_ppm IS NULL OR price_growth_ppm IS NULL
+             THEN 'new_or_exited'
+           WHEN abs(price_growth_ppm) > abs(volume_growth_ppm) * 2
+             THEN 'price_led'
+           WHEN abs(volume_growth_ppm) > abs(price_growth_ppm) * 2
+             THEN 'volume_led'
+           ELSE 'balanced' END AS growth_band
+    FROM g ORDER BY p_brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_order_backlog" -> q254OrderBacklog _,
+    "q257_price_volume_mix" -> q257PriceVolumeMix _,
     "q250_wilson_returns" -> q250WilsonReturns _,
     "q231_discount_response" -> q231DiscountResponse _,
     "q226_dow_seasonality" -> q226DowSeasonality _,
@@ -1254,6 +1421,8 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q254_order_backlog" -> q254Sql,
+    "q257_price_volume_mix" -> q257Sql,
     "q250_wilson_returns" -> q250Sql,
     "q231_discount_response" -> q231Sql,
     "q226_dow_seasonality" -> q226Sql,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -2050,7 +2051,177 @@ $sqlJac,
            ELSE 'neutral' END AS uplift_band
     FROM m ORDER BY source"""
 
+  // ---- q256: sorted-neighborhood dedup (blocked SNM candidates) ---------
+  // The OTHER classic candidate-generation paradigm next to LSH banding
+  // (q31/q33) and prefix-filtered all-pairs (q199): Sorted Neighborhood
+  // — sort records by a key, compare only rows within a window of w
+  // positions. The blocked variant here (block on the first-2-token
+  // key, sort by the 8-token prefix inside each block, window w=3)
+  // keeps the rank window PARTITIONED — no global sort, no
+  // single-partition window; at cluster scale the cost profile is one
+  // hash shuffle + per-block sorts where LSH pays k band shuffles,
+  // which is exactly why real pipelines keep both in the toolbox.
+  // Reported per window distance δ: candidates generated, candidates
+  // that verify at word-3-gram Jaccard ≥ 0.5 (the q31 threshold), and
+  // the precision in ppm — the δ-decay tells you what window width the
+  // corpus actually needs.
+  //
+  // Exactness: counts + one nonnegative floor-div; the verify predicate
+  // is the exact-integer single-intersect form (2·inter ≥ uni). Scale
+  // shape: one tokenize scan → per-block rank windows → the neighbor
+  // join is a (block, rank+δ) EQUI-join with the 3-row δ spine
+  // broadcast (the q218 lag trick on ranks); shingle arrays ride the
+  // join only for candidate rows.
+  def q256SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(split(trim(lower(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => t =!= lit("")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("block", expr("concat_ws(' ', t[0], t[1])"))
+      .withColumn("sortkey", expr("concat_ws(' ', slice(t, 1, 8))"))
+      .withColumn("grams", expr(
+        "array_distinct(transform(sequence(0, size(t) - 3)," +
+          " i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("block"))
+          .orderBy(col("sortkey"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("block"), col("rnk"), col("grams"))
+    val deltas = s.range(1, 4).select(col("id").as("delta"))
+    val left = docs.crossJoin(broadcast(deltas))
+      .select(col("block"), (col("rnk") + col("delta")).as("rnk2"),
+        col("delta"), col("doc_id").as("id1"), col("grams").as("g1"))
+    val cand = left.join(
+      docs.select(col("block"), col("rnk").as("rnk2"),
+        col("doc_id").as("id2"), col("grams").as("g2")),
+      Seq("block", "rnk2"))
+    cand
+      .withColumn("inter",
+        size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("uni",
+        (size(col("g1")) + size(col("g2"))).cast("long") - col("inter"))
+      .groupBy(col("delta"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("inter") * 2 >= col("uni"), 1L).otherwise(0L))
+          .as("n_verified"))
+      .withColumn("precision_ppm", expr(
+        "cast(cast(n_verified as decimal(38,0)) * 1000000" +
+          " div nullif(n_candidates, 0) as bigint)"))
+      .select(col("delta"), col("n_candidates"), col("n_verified"),
+        col("precision_ppm"))
+      .orderBy(col("delta"))
+  }
+
+  val q256Sql: String = raw"""
+    WITH docs0 AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    docs AS (
+      SELECT doc_id,
+        array_to_string(t[1:2], ' ') AS block,
+        array_to_string(t[1:8], ' ') AS sortkey,
+        list_distinct(list_transform(range(1, len(t) - 1),
+          i -> array_to_string(t[i:i+2], ' '))) AS grams
+      FROM docs0 WHERE len(t) >= 3),
+    rk AS (
+      SELECT doc_id, block, grams,
+        CAST(ROW_NUMBER() OVER (PARTITION BY block
+          ORDER BY sortkey, doc_id) AS BIGINT) AS rnk
+      FROM docs),
+    deltas AS (SELECT CAST(unnest(range(1, 4)) AS BIGINT) AS delta),
+    cand AS (
+      SELECT d.delta,
+        CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        CAST(len(a.grams) + len(b.grams)
+          - len(list_intersect(a.grams, b.grams)) AS BIGINT) AS uni
+      FROM rk a CROSS JOIN deltas d
+      JOIN rk b ON b.block = a.block AND b.rnk = a.rnk + d.delta)
+    SELECT delta, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_verified,
+      CAST(CAST(SUM(CASE WHEN inter * 2 >= uni THEN 1 ELSE 0 END)
+        AS HUGEINT) * 1000000 // nullif(COUNT(*), 0) AS BIGINT)
+        AS precision_ppm
+    FROM cand GROUP BY 1 ORDER BY 1"""
+
+  // ---- q258: in-batch negative collision audit ---------------------------
+  // The contrastive-training read of the dup-cluster structure: training
+  // with in-batch negatives silently treats every other batch member as
+  // a negative — if two near-duplicates land in one batch, the model is
+  // PENALIZED for scoring them similar (a false negative). From the
+  // pinned cc stage: p_same = Σ s(s−1) / (N(N−1)) — the probability a
+  // random ordered doc pair is near-dup — and per candidate batch size
+  // B, the expected false negatives PER ANCHOR, (B−1)·p_same, in exact
+  // milli. The band is the go/no-go a pretraining plan reads: past
+  // ~0.1 expected collisions per anchor, dedup-before-batching stops
+  // being optional. Zero new corpus text scans — cluster sizes off the
+  // pinned cc labels, N one column-pruned count.
+  def q258InbatchCollisions(s: SparkSession, d: String): DataFrame = {
+    val mass = ccLabels(s, d)
+      .groupBy(col("canon_id")).agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum(expr("cast(sz as decimal(38,0)) * (sz - 1)")),
+        lit(0L).cast("decimal(38,0)")).as("pairs2"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    import s.implicits._
+    Seq(256L, 1024L, 4096L, 16384L).toDF("batch_size")
+      .crossJoin(broadcast(mass))
+      .crossJoin(broadcast(n))
+      .withColumn("p_same_ppm", expr(
+        "cast(pairs2 * 1000000" +
+          " div nullif(cast(n_docs as decimal(38,0)) * (n_docs - 1), 0)" +
+          " as bigint)"))
+      .withColumn("exp_collisions_milli", expr(
+        "cast((batch_size - 1) * pairs2 * 1000" +
+          " div nullif(cast(n_docs as decimal(38,0)) * (n_docs - 1), 0)" +
+          " as bigint)"))
+      .withColumn("band",
+        when(col("exp_collisions_milli").isNull, "degenerate")
+          .when(col("exp_collisions_milli") < 10L, "negligible")
+          .when(col("exp_collisions_milli") < 100L, "measurable")
+          .when(col("exp_collisions_milli") < 1000L, "material")
+          .otherwise("toxic"))
+      .select(col("batch_size"), col("n_docs"), col("p_same_ppm"),
+        col("exp_collisions_milli"), col("band"))
+      .orderBy(col("batch_size"))
+  }
+
+  val q258Sql: String = sqlCc + """,
+    sizes AS (
+      SELECT canon_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM cc GROUP BY canon_id),
+    mass AS (
+      SELECT COALESCE(SUM(CAST(sz AS HUGEINT) * (sz - 1)),
+        CAST(0 AS HUGEINT)) AS pairs2 FROM sizes),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    bs AS (SELECT CAST(unnest([256, 1024, 4096, 16384]) AS BIGINT)
+      AS batch_size)
+    SELECT batch_size, n_docs,
+      CAST(pairs2 * 1000000
+        // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0) AS BIGINT)
+        AS p_same_ppm,
+      CAST((batch_size - 1) * pairs2 * 1000
+        // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0) AS BIGINT)
+        AS exp_collisions_milli,
+      CASE WHEN CAST((batch_size - 1) * pairs2 * 1000
+             // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0)
+             AS BIGINT) IS NULL THEN 'degenerate'
+           WHEN (batch_size - 1) * pairs2 * 1000
+             // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0) < 10
+             THEN 'negligible'
+           WHEN (batch_size - 1) * pairs2 * 1000
+             // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0) < 100
+             THEN 'measurable'
+           WHEN (batch_size - 1) * pairs2 * 1000
+             // nullif(CAST(n_docs AS HUGEINT) * (n_docs - 1), 0) < 1000
+             THEN 'material'
+           ELSE 'toxic' END AS band
+    FROM bs CROSS JOIN mass CROSS JOIN nd
+    ORDER BY batch_size"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_sorted_neighborhood" -> q256SortedNeighborhood _,
+    "q258_inbatch_collisions" -> q258InbatchCollisions _,
     "q230_dedup_quality_uplift" -> q230DedupQualityUplift _,
     "q199_allpairs_join" -> q199AllPairsJoin _,
     "q29_exact_dedup"   -> q29ExactDedup _,
@@ -2075,6 +2246,8 @@ $sqlJac,
     "q183_dedup_recall" -> q183DedupRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q256_sorted_neighborhood" -> q256Sql,
+    "q258_inbatch_collisions" -> q258Sql,
     "q230_dedup_quality_uplift" -> q230Sql,
     "q29_exact_dedup"   -> q29Sql,
     "q30_minhash_sig"   -> q30Sql,

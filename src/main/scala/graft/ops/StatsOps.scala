@@ -2030,7 +2030,125 @@ object StatsOps {
       rk = 1 AS is_change
     FROM rk ORDER BY di"""
 
+  // ---- q255: cross-correlation lead/lag (views vs purchases) -----------
+  // q218 asks "does the series repeat itself?"; the cross-series
+  // question a growth team asks is "does BROWSING LEAD BUYING?" — the
+  // cross-correlation function between the daily view-count and daily
+  // purchase-count series at lags −7..+7. r(k) pairs (views on day d,
+  // purchases on day d+k); the max-|r| lag is flagged, and its sign
+  // read as the lead/lag verdict (k>0: views lead purchases by k days —
+  // the forecasting handle; k<0: purchases lead views). Both series
+  // come off ONE events scan (conditional aggregation — the fixture's
+  // orders calendar is disjoint from events, so a cross-TABLE ccf
+  // would be vacuous here; the machinery is series-agnostic).
+  // Calendar-true like q218: pairs exist only where BOTH days have
+  // data for their respective series.
+  //
+  // Exactness: co-moments on Decimal(38,0) ↔ HUGEINT; each r is one
+  // fixed IEEE tree on identical integers, so the argmax pick ranks
+  // bit-identical doubles in both engines (NULLs last, ties to the
+  // smallest lag). Lags whose day overlap is under 8 points degrade to
+  // NULL — a 2-point overlap is ALWAYS |r| = 1, and letting arithmetic
+  // artifacts win the argmax is exactly the trap this guard closes.
+  // Scale shape: both corpora collapse map-side to
+  // |days|-row frames; the 15-lag spine broadcasts onto the event
+  // frame before ONE day-keyed equi-join; everything after is a 15-row
+  // ledger.
+  def q255CcfLeadLag(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("di"), col("event_type"))
+      .groupBy(col("di"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("e"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("o"))
+      .persist() // both sides of the 15-lag join read this |days| frame
+    val ev = daily.filter(col("e") > 0L).select(col("di"), col("e"))
+    val ord = daily.filter(col("o") > 0L)
+      .select(col("di").as("dj"), col("o"))
+    val lags = s.range(-7, 8).select(col("id").as("lag"))
+    val m = ev.crossJoin(broadcast(lags))
+      .withColumn("dj", col("di") + col("lag"))
+      .join(ord, Seq("dj"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("e")).as("se"), sum(col("o")).as("so"),
+        sum(expr("cast(e as decimal(38,0)) * o")).as("seo"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("see"),
+        sum(expr("cast(o as decimal(38,0)) * o")).as("soo"))
+      .withColumn("num",
+        expr("n_days * seo - cast(se as decimal(38,0)) * so"))
+      .withColumn("ve",
+        expr("n_days * see - cast(se as decimal(38,0)) * se"))
+      .withColumn("vo",
+        expr("n_days * soo - cast(so as decimal(38,0)) * so"))
+      // n_days >= 8: a 2-point overlap is ALWAYS |r| = 1 — short lag
+      // windows would win the argmax on arithmetic, not signal
+      .withColumn("r",
+        when(col("n_days") < 8 || col("ve") <= 0 || col("vo") <= 0,
+          lit(null).cast("double"))
+          .otherwise(col("num").cast("double") /
+            sqrt(col("ve").cast("double") * col("vo").cast("double"))))
+    m.withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("r")).desc_nulls_last, col("lag").asc)))
+      .withColumn("is_best", col("rk") === 1)
+      .withColumn("verdict",
+        when(!col("is_best"), "candidate")
+          .when(col("r").isNull, "degenerate")
+          .when(col("lag") > 0, "views_lead")
+          .when(col("lag") < 0, "purchases_lead")
+          .otherwise("coincident"))
+      .select(col("lag"), col("n_days"), col("r"), col("is_best"),
+        col("verdict"))
+      .orderBy(col("lag"))
+  }
+
+  val q255Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS e,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS o
+      FROM events GROUP BY 1),
+    ev AS (SELECT di, e FROM daily WHERE e > 0),
+    ord AS (SELECT di AS dj, o FROM daily WHERE o > 0),
+    lags AS (SELECT CAST(unnest(range(-7, 8)) AS BIGINT) AS lag),
+    agg AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(e) AS BIGINT) AS se, CAST(SUM(o) AS BIGINT) AS so,
+        SUM(CAST(e AS HUGEINT) * o) AS seo,
+        SUM(CAST(e AS HUGEINT) * e) AS see,
+        SUM(CAST(o AS HUGEINT) * o) AS soo
+      FROM ev CROSS JOIN lags JOIN ord ON ord.dj = ev.di + lag
+      GROUP BY 1),
+    m AS (
+      SELECT lag, n_days,
+        n_days * seo - CAST(se AS HUGEINT) * so AS num,
+        n_days * see - CAST(se AS HUGEINT) * se AS ve,
+        n_days * soo - CAST(so AS HUGEINT) * so AS vo
+      FROM agg),
+    r AS (
+      SELECT lag, n_days,
+        CASE WHEN n_days < 8 OR ve <= 0 OR vo <= 0 THEN NULL
+             ELSE CAST(num AS DOUBLE)
+               / sqrt(CAST(ve AS DOUBLE) * CAST(vo AS DOUBLE)) END AS r
+      FROM m),
+    rk AS (
+      SELECT *, ROW_NUMBER()
+        OVER (ORDER BY abs(r) DESC NULLS LAST, lag) AS rk
+      FROM r)
+    SELECT lag, n_days, r, rk = 1 AS is_best,
+      CASE WHEN rk <> 1 THEN 'candidate'
+           WHEN r IS NULL THEN 'degenerate'
+           WHEN lag > 0 THEN 'views_lead'
+           WHEN lag < 0 THEN 'purchases_lead'
+           ELSE 'coincident' END AS verdict
+    FROM rk ORDER BY lag"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_ccf_lead_lag" -> q255CcfLeadLag _,
     "q249_cusum_changepoint" -> q249CusumChangepoint _,
     "q232_bootstrap_ci" -> q232BootstrapCi _,
     "q228_theil_sen" -> q228TheilSen _,
@@ -2058,6 +2176,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q255_ccf_lead_lag" -> q255Sql,
     "q249_cusum_changepoint" -> q249Sql,
     "q232_bootstrap_ci" -> q232Sql,
     "q228_theil_sen" -> q228Sql,

@@ -301,4 +301,75 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(r("BIG").getAs[Double]("wilson_lo_rate") >
       r("TINY").getAs[Double]("wilson_lo_rate"))
   }
+
+  test("q254 backlog ledger accumulates opened minus completed and flags the peak") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("backlog").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, m, 15).atStartOfDay())
+    // month 1: open 3; month 2: open 2, complete 1; month 3: complete 3;
+    // order 5 never ships → closing backlog 1. Backlog: 3, 4, 1.
+    Seq((1L, ts(1)), (2L, ts(1)), (3L, ts(1)), (4L, ts(2)), (5L, ts(2)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    // order 1 ships across months 1-2 (completion = max = month 2)
+    Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(3)), (3L, ts(3)), (4L, ts(3)))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = CommerceOps.q254OrderBacklog(spark, dir).collect()
+    assert(r.length == 3)
+    val m = r.map(x => x.getAs[Long]("month_id") - (2020L * 12 + 1) -> x)
+      .toMap
+    assert(m(0L).getAs[Long]("n_opened") == 3L)
+    assert(m(0L).getAs[Long]("n_completed") == 0L)
+    assert(m(0L).getAs[Long]("backlog") == 3L)
+    assert(m(1L).getAs[Long]("backlog") == 4L)
+    assert(m(1L).getAs[Boolean]("is_peak"))
+    assert(m(2L).getAs[Long]("n_completed") == 3L)
+    assert(m(2L).getAs[Long]("backlog") == 1L) // the never-shipped tail
+    assert(r.count(_.getAs[Boolean]("is_peak")) == 1)
+  }
+
+  test("q257 decomposition growths satisfy the multiplicative identity exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pvm").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2020, m, 15).atStartOfDay())
+    // brand A: price doubles at constant volume (h1: 10 units @ $1;
+    // h2: 10 units @ $2). brand B: volume doubles at constant price.
+    // brand C: h2 only → new_or_exited.
+    val li = Seq(
+      (1L, ts(1), 1.00, 10.0), (1L, ts(6), 2.00, 10.0),
+      (2L, ts(1), 3.00, 5.0), (2L, ts(6), 3.00, 10.0),
+      (3L, ts(6), 4.00, 2.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    li.write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    val r = CommerceOps.q257PriceVolumeMix(spark, dir).collect()
+      .map(x => x.getAs[String]("p_brand") -> x).toMap
+    assert(r("A").getAs[Long]("rev_growth_ppm") == 1000000L)
+    assert(r("A").getAs[Long]("volume_growth_ppm") == 0L)
+    assert(r("A").getAs[Long]("price_growth_ppm") == 1000000L)
+    assert(r("A").getAs[String]("growth_band") == "price_led")
+    assert(r("B").getAs[Long]("rev_growth_ppm") == 0L)
+    assert(r("B").getAs[Long]("volume_growth_ppm") == 1000000L)
+    assert(r("B").getAs[Long]("price_growth_ppm") == -500000L)
+    assert(r("C").getAs[String]("growth_band") == "new_or_exited")
+    assert(r("C").isNullAt(r("C").fieldIndex("rev_growth_ppm")))
+    // BigInt floor-div recount of every growth, and the multiplicative
+    // identity (1+g_R)·1e12 = (1+g_P)(1+g_Q) exact on the rationals:
+    // r2/r1 = (r2·q1)/(r1·q2) · (q2/q1) — cross-multiplied, no division
+    for (b <- Seq("A", "B")) {
+      val x = r(b)
+      val (r1, r2) = (BigInt(x.getAs[Long]("r1")), BigInt(x.getAs[Long]("r2")))
+      val (q1, q2) = (BigInt(x.getAs[Long]("q1")), BigInt(x.getAs[Long]("q2")))
+      assert(x.getAs[Long]("rev_growth_ppm") ==
+        (r2 * 1000000 / r1 - 1000000).toLong, b)
+      assert(x.getAs[Long]("volume_growth_ppm") ==
+        (q2 * 1000000 / q1 - 1000000).toLong, b)
+      assert(x.getAs[Long]("price_growth_ppm") ==
+        (r2 * q1 * 1000000 / (r1 * q2) - 1000000).toLong, b)
+    }
+  }
 }

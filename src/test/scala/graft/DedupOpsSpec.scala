@@ -790,4 +790,61 @@ class DedupOpsSpec extends AnyFunSuite {
   private def sortedByThreshold(
       rs: Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
     rs.sortBy(_.getAs[Int]("threshold_pct"))
+
+  test("q256 SNM windows pair within blocks and verify only true near-dups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snm").toString
+    // block 'the doc': doc1 ~ doc2 (near-dup, adjacent after sort),
+    // doc3 same block but disjoint content (candidate, NOT verified);
+    // block 'other words': doc4 = doc5 exactly; doc6 alone in its block.
+    val rows = Seq(
+      (1L, "the doc alpha beta gamma delta"),
+      (2L, "the doc alpha beta gamma delta extra"),
+      (3L, "the doc zzz yyy xxx www"),
+      (4L, "other words p q r"),
+      (5L, "other words p q r"),
+      (6L, "lonely block m n o"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q256SortedNeighborhood(spark, dir).collect()
+      .map(x => x.getAs[Long]("delta") -> x).toMap
+    // delta 1: (1,2), (2,3), (4,5) — two verified; delta 2: (1,3) only
+    assert(r(1L).getAs[Long]("n_candidates") == 3L)
+    assert(r(1L).getAs[Long]("n_verified") == 2L)
+    assert(r(1L).getAs[Long]("precision_ppm") == 2000000L / 3L)
+    assert(r(2L).getAs[Long]("n_candidates") == 1L)
+    assert(r(2L).getAs[Long]("n_verified") == 0L)
+    assert(!r.contains(3L)) // no block holds 4 members
+  }
+
+  test("q258 collision audit is exact on a planted cluster-size spectrum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inbatch").toString
+    // one 3-clique + one 2-clique of exact dups + 5 unique docs: N=10,
+    // Σ s(s−1) = 6 + 2 = 8 ordered same-cluster pairs of 90 total.
+    val texts = Seq.fill(3)("dup aa bb cc dd ee") ++
+      Seq.fill(2)("two xx yy zz ww vv") ++ Seq(
+        "uniq one tok1 tok2 tok3", "uniq two tok4 tok5 tok6",
+        "uniq three tok7 tok8 tok9", "uniq four tokA tokB tokC",
+        "uniq five tokD tokE tokF")
+    texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong + 1, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q258InbatchCollisions(spark, dir).collect()
+      .map(x => x.getAs[Long]("batch_size") -> x).toMap
+    assert(r.keySet == Set(256L, 1024L, 4096L, 16384L))
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_docs") == 10L)
+      assert(x.getAs[Long]("p_same_ppm") == 8L * 1000000L / 90L)
+    }
+    assert(r(256L).getAs[Long]("exp_collisions_milli") ==
+      255L * 8L * 1000L / 90L)
+    assert(r(256L).getAs[String]("band") == "toxic")
+    // brute cross-check against the engine's own cluster labels
+    val sizes = DedupOps.ccLabels(spark, dir)
+      .groupBy("canon_id").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(2L, 3L))
+  }
 }

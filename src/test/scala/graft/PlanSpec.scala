@@ -133,9 +133,18 @@ class PlanSpec extends AnyFunSuite {
     // 1-row readout derives from one user-keyed aggregate
     // q252: the 1-row pair total attaches to the pair-vocab frame (the
     // q146 shape with the window-pair generator)
+    // q255: the 15-row lag spine broadcasts onto the |days|-bounded
+    // daily frame (the q218 shape, cross-series)
+    // q256: the 3-row δ spine broadcasts onto the ranked doc frame
+    // before the (block, rank+δ) equi-join
+    // q257: the 1-row month-bounds frame attaches to the lineitem scan
+    // q258: the 1-row pair-mass and doc-count frames attach to the
+    // 4-row batch spine
     val allowed = Set(
       "q249_cusum_changepoint", "q251_cuped_readout",
-      "q252_skipgram_cooc",
+      "q252_skipgram_cooc", "q255_ccf_lead_lag",
+      "q256_sorted_neighborhood", "q257_price_volume_mix",
+      "q258_inbatch_collisions",
       "q245_burstiness", "q248_event_lift",
       "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
       "q219_ewma_chart", "q220_rrf_fusion", "q221_ndcg",

@@ -685,4 +685,38 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(byDi(5L).getAs[Long]("cusum") == 0L)
   }
 
+  test("q255 finds the planted 2-day view-to-purchase lead exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccf").toString
+    val d0 = java.time.LocalDate.parse("2024-03-01")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      d0.plusDays(day.toLong).atStartOfDay())
+    var id = 0L
+    // views on days 0..9 with a NON-periodic count sequence, purchases
+    // exactly two days later with the SAME counts: r(+2) = 1.0 exactly
+    // (the co-moment sqrt is a perfect square); every other lag with
+    // >= 8 overlapping days is a shifted, non-affine pairing (|r| < 1),
+    // and shorter overlaps are NULLed by the operator's n >= 8 guard.
+    val counts = Seq(1, 2, 4, 8, 3, 7, 2, 5, 9, 6)
+    val rows = (0 until 10).flatMap { day =>
+      (0 until counts(day)).flatMap { _ =>
+        id += 2
+        Seq((id - 1, ts(day), id, "view", 1.0, "{}"),
+          (id, ts(day + 2), id, "purchase", 1.0, "{}"))
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = StatsOps.q255CcfLeadLag(spark, dir).collect()
+    assert(r.length == 15)
+    val best = r.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    assert(best.head.getAs[Long]("lag") == 2L)
+    assert(best.head.getAs[Double]("r") == 1.0)
+    assert(best.head.getAs[String]("verdict") == "views_lead")
+    assert(r.filter(!_.getAs[Boolean]("is_best"))
+      .forall(_.getAs[String]("verdict") == "candidate"))
+    spark.catalog.clearCache()
+  }
+
 }
