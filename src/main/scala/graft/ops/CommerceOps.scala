@@ -1398,7 +1398,120 @@ object CommerceOps {
            ELSE 'balanced' END AS growth_band
     FROM g ORDER BY p_brand"""
 
+  // ---- q259: empirical-Bayes shrunk return rates (James–Stein class) ----
+  // q250 fixes the RANKING of small-sample rates; this fixes the
+  // ESTIMATES: per-brand return rates shrunk toward the grand rate by
+  // the weighted method-of-moments empirical-Bayes factor c = τ²/(τ² + v_h),
+  // where τ² is the between-brand variance net of sampling noise and
+  // v_h ≈ p(1−p)/n the brand's own noise. A 2-line brand reports the
+  // grand rate (c ≈ 0); a 10 000-line brand keeps its own (c ≈ 1) —
+  // the estimator every per-segment dashboard should publish instead
+  // of raw rates.
+  //
+  // Exactness: the WHOLE estimator runs on integer ppm — rates floor to
+  // ppm first, then moments (v_h, the between-variance, τ²) and the
+  // shrink factor stay exact Decimal(38,0)/HUGEINT arithmetic, and the
+  // signed shrink product travels through a sign-split floor-div. Zero
+  // IEEE ops in the hash path (the q228 discipline applied to
+  // empirical Bayes). Scale shape: one lineitem scan with the part dim
+  // broadcast onto the |brands| ledger; two 1-row moment attaches.
+  def q259ShrunkRates(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("r")).as("n_returns"))
+      .withColumn("p_ppm", expr(
+        "cast(cast(n_returns as decimal(38,0)) * 1000000" +
+          " div n_lines as bigint)"))
+      .withColumn("v_h", expr(
+        "cast(cast(p_ppm as decimal(38,0)) * (1000000 - p_ppm)" +
+          " div n_lines as bigint)"))
+    val grand = g.agg(sum(col("n_lines")).as("nt"),
+        sum(col("n_returns")).as("rt"))
+      .withColumn("grand_ppm", expr(
+        "cast(cast(rt as decimal(38,0)) * 1000000 div nullif(nt, 0)" +
+          " as bigint)"))
+      .select(col("grand_ppm"))
+    val withGrand = g.crossJoin(broadcast(grand))
+    // weighted (one-way-ANOVA) moments: an unweighted mean of v_h lets
+    // one tiny group's huge sampling noise swamp the between-variance
+    // and zero the shrinkage for everyone — weighting by n_lines is
+    // both the standard estimator and the robust one
+    val tau = withGrand.agg(
+        sum(col("n_lines")).as("nt"),
+        sum(expr("cast(n_lines as decimal(38,0))" +
+          " * (p_ppm - grand_ppm) * (p_ppm - grand_ppm)")).as("ssb"),
+        sum(expr("cast(n_lines as decimal(38,0)) * v_h")).as("sv"))
+      .select(
+        expr("greatest(0, cast(ssb div nt as bigint)" +
+          " - cast(sv div nt as bigint))").as("tau2"))
+    withGrand.crossJoin(broadcast(tau))
+      .withColumn("c_ppm", coalesce(expr(
+        "cast(cast(tau2 as decimal(38,0)) * 1000000" +
+          " div nullif(tau2 + v_h, 0) as bigint)"), lit(0L)))
+      .withColumn("shrunk_ppm", expr(
+        "grand_ppm + case when p_ppm >= grand_ppm" +
+          " then cast(cast(c_ppm as decimal(38,0)) * (p_ppm - grand_ppm)" +
+          " div 1000000 as bigint)" +
+          " else -cast(cast(c_ppm as decimal(38,0)) * (grand_ppm - p_ppm)" +
+          " div 1000000 as bigint) end"))
+      .withColumn("band",
+        when(col("c_ppm") < 500000L, "strong_shrink")
+          .otherwise("mostly_raw"))
+      .select(col("p_brand"), col("n_lines"), col("n_returns"),
+        col("p_ppm"), col("c_ppm"), col("shrunk_ppm"), col("band"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q259Sql: String = """
+    WITH g AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_returns
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1),
+    gp AS (
+      SELECT *, CAST(CAST(n_returns AS HUGEINT) * 1000000 // n_lines
+          AS BIGINT) AS p_ppm,
+        CAST(CAST(CAST(n_returns AS HUGEINT) * 1000000 // n_lines
+            AS HUGEINT)
+          * (1000000 - CAST(n_returns AS HUGEINT) * 1000000 // n_lines)
+          // n_lines AS BIGINT) AS v_h
+      FROM g),
+    grand AS (
+      SELECT CAST(CAST(SUM(n_returns) AS HUGEINT) * 1000000
+          // nullif(SUM(n_lines), 0) AS BIGINT) AS grand_ppm
+      FROM gp),
+    tau AS (
+      SELECT greatest(0,
+        CAST(SUM(CAST(n_lines AS HUGEINT) * (p_ppm - grand_ppm)
+          * (p_ppm - grand_ppm)) // SUM(CAST(n_lines AS HUGEINT))
+          AS BIGINT)
+        - CAST(SUM(CAST(n_lines AS HUGEINT) * v_h)
+          // SUM(CAST(n_lines AS HUGEINT)) AS BIGINT)) AS tau2
+      FROM gp CROSS JOIN grand),
+    sc AS (
+      SELECT p_brand, n_lines, n_returns, p_ppm,
+        COALESCE(CAST(CAST(tau2 AS HUGEINT) * 1000000
+          // nullif(tau2 + v_h, 0) AS BIGINT), 0) AS c_ppm,
+        grand_ppm
+      FROM gp CROSS JOIN grand CROSS JOIN tau)
+    SELECT p_brand, n_lines, n_returns, p_ppm, c_ppm,
+      grand_ppm + CASE WHEN p_ppm >= grand_ppm
+        THEN CAST(CAST(c_ppm AS HUGEINT) * (p_ppm - grand_ppm)
+          // 1000000 AS BIGINT)
+        ELSE -CAST(CAST(c_ppm AS HUGEINT) * (grand_ppm - p_ppm)
+          // 1000000 AS BIGINT) END AS shrunk_ppm,
+      CASE WHEN c_ppm < 500000 THEN 'strong_shrink'
+           ELSE 'mostly_raw' END AS band
+    FROM sc ORDER BY p_brand"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_shrunk_rates" -> q259ShrunkRates _,
     "q254_order_backlog" -> q254OrderBacklog _,
     "q257_price_volume_mix" -> q257PriceVolumeMix _,
     "q250_wilson_returns" -> q250WilsonReturns _,
@@ -1421,6 +1534,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q259_shrunk_rates" -> q259Sql,
     "q254_order_backlog" -> q254Sql,
     "q257_price_volume_mix" -> q257Sql,
     "q250_wilson_returns" -> q250Sql,

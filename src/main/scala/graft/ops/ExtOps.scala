@@ -1988,7 +1988,254 @@ object ExtOps {
            ELSE 'weak_covariate' END AS covariate_band
     FROM m"""
 
+  /** Exact-integer square of the two-proportion z statistic, in ppm —
+    * z² = diff²·N / (n_c·n_t·C·(N−C)) with diff = conv_t·n_c − conv_c·n_t,
+    * staged as (diff² div (n_c·n_t)) · N · 1e6 div (C·(N−C)) so every
+    * intermediate fits Decimal(38,0) at 10⁹ users. The q262 gate run
+    * caught the raw-z IEEE tree diverging by one ulp between engines
+    * (FMA contraction on one side) — this staged integer form is
+    * deterministic BY CONSTRUCTION in both, at the cost of a bounded
+    * flooring error the 1.96² = 3 841 600 ppm threshold absorbs.
+    * NULL on the degenerate inputs (empty arm, all-or-none conversion). */
+  private val zSqPpm: String =
+    "case when n_c = 0 or n_t = 0" +
+      " or conv_c + conv_t = 0 or conv_c + conv_t = n_c + n_t" +
+      " then null else" +
+      " cast((cast(conv_t as decimal(38,0)) * n_c" +
+      "       - cast(conv_c as decimal(38,0)) * n_t)" +
+      "   * (cast(conv_t as decimal(38,0)) * n_c" +
+      "       - cast(conv_c as decimal(38,0)) * n_t)" +
+      "   div (cast(n_c as decimal(38,0)) * n_t)" +
+      "   * (n_c + n_t) * 1000000" +
+      "   div (cast(conv_c + conv_t as decimal(38,0))" +
+      "       * (n_c + n_t - conv_c - conv_t)) as bigint) end"
+
+  // ---- q260: A/A calibration sweep (null-lift distribution) -------------
+  // The sanity check an experiment platform runs BEFORE trusting q233:
+  // 16 independent A/A splits (salted h60 hashes over the same users,
+  // no treatment anywhere), each read out as the two-proportion z² in
+  // exact staged-integer ppm (zSqPpm) — the false-positive count at
+  // z² ≥ 1.96² calibrates the whole readout stack (expected ~5%; a hot
+  // streak means the hash is correlated with the metric or the readout
+  // is wrong). Deterministic by construction: salt k is part of the
+  // hash input, so the sweep is reproducible run-over-run.
+  //
+  // Exactness: counts exact; z² is the staged integer form — zero IEEE
+  // ops (the raw-z tree measurably differs by one ulp across engines).
+  // Scale shape: ONE user-keyed aggregate, then the 16-salt spine
+  // broadcasts onto the |users|-row frame and collapses map-side to 32
+  // (salt, arm) rows.
+  def q260AaCalibration(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val users = Tables.events(s, d)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy(col("user_id"))
+      .agg(max(col("p")).as("converted"))
+    val salts = s.range(0, 16).select(col("id").as("salt"))
+    users.crossJoin(broadcast(salts))
+      .withColumn("arm", expr(
+        "h60(concat('aa', cast(salt as string), ':'," +
+          " cast(user_id as string))) % 2"))
+      .groupBy(col("salt"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+          .as("conv_c"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+          .as("conv_t"))
+      .withColumn("z2_ppm", expr(zSqPpm))
+      .withColumn("false_positive",
+        coalesce(col("z2_ppm") >= 3841600L, lit(false)))
+      .select(col("salt"), col("n_c"), col("n_t"), col("conv_c"),
+        col("conv_t"), col("z2_ppm"), col("false_positive"))
+      .orderBy(col("salt"))
+  }
+
+  val q260Sql: String = """
+    WITH users AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY user_id),
+    salts AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS salt),
+    armed AS (
+      SELECT salt,
+        CAST('0x' || substring(md5('aa' || CAST(salt AS VARCHAR) || ':'
+          || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm,
+        converted
+      FROM users CROSS JOIN salts),
+    agg AS (
+      SELECT salt,
+        CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_c,
+        CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+          AS conv_t
+      FROM armed GROUP BY 1),
+    z AS (
+      SELECT *,
+        CASE WHEN n_c = 0 OR n_t = 0
+               OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+             THEN NULL ELSE
+          CAST((CAST(conv_t AS HUGEINT) * n_c
+              - CAST(conv_c AS HUGEINT) * n_t)
+            * (CAST(conv_t AS HUGEINT) * n_c
+              - CAST(conv_c AS HUGEINT) * n_t)
+            // (CAST(n_c AS HUGEINT) * n_t)
+            * (n_c + n_t) * 1000000
+            // (CAST(conv_c + conv_t AS HUGEINT)
+              * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm
+      FROM agg)
+    SELECT salt, n_c, n_t, conv_c, conv_t, z2_ppm,
+      COALESCE(z2_ppm >= 3841600, false) AS false_positive
+    FROM z ORDER BY salt"""
+
+  // ---- q262: sequential-peeking audit of the A/B readout ----------------
+  // WHY experiment platforms gate on fixed horizons: replay q233's
+  // experiment day by day (users enter at their first event, convert at
+  // their first purchase) and compute the cumulative z after every day.
+  // Every pre-final day with |z| ≥ 1.96 is a day a "peeking" analyst
+  // would have shipped a result the final readout may not support —
+  // the uncorrected sequential testing problem, made visible as a
+  // per-day ledger with the early crossings flagged.
+  //
+  // Exactness: cumulative counts are exact integers; z is the q233
+  // fixed IEEE tree per day. Scale shape: ONE user-keyed aggregate
+  // (entry day, conversion day, arm), two tagged delta ledgers summed
+  // per (arm, day), and calendar-bounded cumulative windows over the
+  // |days|×2 spine — the corpus is never re-scanned per day.
+  def q262PeekingAudit(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val users = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("di"),
+        when(col("event_type") === "purchase", col("ts"))
+          .otherwise(lit(null)).as("pts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("di")).as("entry_day"),
+        min(datediff(to_date(col("pts")), lit("1970-01-01")).cast("long"))
+          .as("conv_day"))
+      .withColumn("arm",
+        expr("h60(concat('ab:', cast(user_id as string))) % 2"))
+      .persist() // entry and conversion deltas both read it
+    val entries = users.groupBy(col("arm"), col("entry_day").as("di"))
+      .agg(count(lit(1)).as("d_n"))
+      .withColumn("d_conv", lit(0L))
+    val convs = users.filter(col("conv_day").isNotNull)
+      .groupBy(col("arm"), col("conv_day").as("di"))
+      .agg(count(lit(1)).as("d_conv"))
+      .withColumn("d_n", lit(0L))
+    val deltas = entries.unionByName(convs)
+      .groupBy(col("arm"), col("di"))
+      .agg(sum(col("d_n")).as("d_n"), sum(col("d_conv")).as("d_conv"))
+    val days = deltas.select(col("di")).distinct()
+    val arms = s.range(0, 2).select(col("id").as("arm"))
+    val wCum = Window.partitionBy(col("arm")).orderBy(col("di"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = days.crossJoin(broadcast(arms))
+      .join(deltas, Seq("arm", "di"), "left")
+      .na.fill(0L, Seq("d_n", "d_conv"))
+      .withColumn("n", sum(col("d_n")).over(wCum))
+      .withColumn("conv", sum(col("d_conv")).over(wCum))
+    val daily = cum.groupBy(col("di"))
+      .agg(max(when(col("arm") === 0, col("n"))).as("n_c"),
+        max(when(col("arm") === 1, col("n"))).as("n_t"),
+        max(when(col("arm") === 0, col("conv"))).as("conv_c"),
+        max(when(col("arm") === 1, col("conv"))).as("conv_t"))
+      .withColumn("z2_ppm", expr(zSqPpm))
+      .withColumn("direction", expr(
+        "case when z2_ppm is null then 'degenerate'" +
+          " when cast(conv_t as decimal(38,0)) * n_c" +
+          "   > cast(conv_c as decimal(38,0)) * n_t then 't_up'" +
+          " when cast(conv_t as decimal(38,0)) * n_c" +
+          "   < cast(conv_c as decimal(38,0)) * n_t then 't_down'" +
+          " else 'flat' end"))
+    daily
+      .withColumn("is_final",
+        col("di") === max(col("di")).over(Window.partitionBy()))
+      .withColumn("crossed_early",
+        coalesce(col("z2_ppm") >= 3841600L, lit(false)) && !col("is_final"))
+      .select(col("di"), col("n_c"), col("n_t"), col("conv_c"),
+        col("conv_t"), col("z2_ppm"), col("direction"),
+        col("crossed_early"), col("is_final"))
+      .orderBy(col("di"))
+  }
+
+  val q262Sql: String = """
+    WITH users AS (
+      SELECT user_id,
+        MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+          AS entry_day,
+        MIN(CASE WHEN event_type = 'purchase'
+          THEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+          END) AS conv_day,
+        CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+          1, 15) AS BIGINT) % 2 AS arm
+      FROM events GROUP BY user_id),
+    entries AS (
+      SELECT arm, entry_day AS di, CAST(COUNT(*) AS BIGINT) AS d_n,
+        CAST(0 AS BIGINT) AS d_conv
+      FROM users GROUP BY 1, 2),
+    convs AS (
+      SELECT arm, conv_day AS di, CAST(0 AS BIGINT) AS d_n,
+        CAST(COUNT(*) AS BIGINT) AS d_conv
+      FROM users WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+    deltas AS (
+      SELECT arm, di, CAST(SUM(d_n) AS BIGINT) AS d_n,
+        CAST(SUM(d_conv) AS BIGINT) AS d_conv
+      FROM (SELECT * FROM entries UNION ALL SELECT * FROM convs)
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT di, arm FROM (SELECT DISTINCT di FROM deltas)
+      CROSS JOIN (SELECT unnest([0, 1]) AS arm)),
+    cum AS (
+      SELECT spine.di, spine.arm,
+        CAST(SUM(COALESCE(d_n, 0)) OVER (PARTITION BY spine.arm
+          ORDER BY spine.di ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+        CAST(SUM(COALESCE(d_conv, 0)) OVER (PARTITION BY spine.arm
+          ORDER BY spine.di ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv
+      FROM spine LEFT JOIN deltas
+        ON deltas.arm = spine.arm AND deltas.di = spine.di),
+    daily AS (
+      SELECT di,
+        MAX(CASE WHEN arm = 0 THEN n END) AS n_c,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS conv_c,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS conv_t
+      FROM cum GROUP BY 1),
+    z AS (
+      SELECT *,
+        CASE WHEN n_c = 0 OR n_t = 0
+               OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+             THEN NULL ELSE
+          CAST((CAST(conv_t AS HUGEINT) * n_c
+              - CAST(conv_c AS HUGEINT) * n_t)
+            * (CAST(conv_t AS HUGEINT) * n_c
+              - CAST(conv_c AS HUGEINT) * n_t)
+            // (CAST(n_c AS HUGEINT) * n_t)
+            * (n_c + n_t) * 1000000
+            // (CAST(conv_c + conv_t AS HUGEINT)
+              * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm,
+        di = MAX(di) OVER () AS is_final
+      FROM daily)
+    SELECT di, n_c, n_t, conv_c, conv_t, z2_ppm,
+      CASE WHEN z2_ppm IS NULL THEN 'degenerate'
+           WHEN CAST(conv_t AS HUGEINT) * n_c
+             > CAST(conv_c AS HUGEINT) * n_t THEN 't_up'
+           WHEN CAST(conv_t AS HUGEINT) * n_c
+             < CAST(conv_c AS HUGEINT) * n_t THEN 't_down'
+           ELSE 'flat' END AS direction,
+      COALESCE(z2_ppm >= 3841600, false) AND NOT is_final
+        AS crossed_early,
+      is_final
+    FROM z ORDER BY di"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_aa_calibration" -> q260AaCalibration _,
+    "q262_peeking_audit" -> q262PeekingAudit _,
     "q251_cuped_readout" -> q251CupedReadout _,
     "q248_event_lift" -> q248EventLift _,
     "q235_retention_matrix" -> q235RetentionMatrix _,
@@ -2022,6 +2269,8 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q260_aa_calibration" -> q260Sql,
+    "q262_peeking_audit" -> q262Sql,
     "q251_cuped_readout" -> q251Sql,
     "q248_event_lift" -> q248Sql,
     "q235_retention_matrix" -> q235Sql,

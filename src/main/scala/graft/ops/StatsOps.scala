@@ -2147,7 +2147,94 @@ object StatsOps {
            ELSE 'coincident' END AS verdict
     FROM rk ORDER BY lag"""
 
+  // ---- q261: distribution-free median CI via order statistics ----------
+  // The CI q232's bootstrap approximates, computed EXACTLY: for the
+  // per-priority median order value, the binomial order-statistic
+  // interval — ranks l = ⌊(n − 1.96√n)/2⌋ and u = ⌈1 + (n + 1.96√n)/2⌉
+  // (clamped to [1, n]) bracket the true median at ~95% with NO
+  // distributional assumption and NO resampling. The ranks come from
+  // one fixed IEEE tree on the exact count (identical in both engines,
+  // floored back to integers); the VALUES at those ranks — and the
+  // lower median itself — resolve through the value-histogram contract
+  // (cumulative counts over the bounded cents domain), so executor
+  // state stays O(|value domain|), never O(group rows).
+  //
+  // Scale shape: one orders scan → (priority, cents) histogram →
+  // domain-bounded cumulative window → the 3-rank pick is a filter +
+  // min per (group, rank kind). Output is |priorities| rows.
+  def q261MedianCi(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("grp"),
+        toUnits(col("o_totalprice")).as("cents"))
+      .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("grp")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .persist() // three rank picks read it
+    val ranks = hist.select(col("grp"), col("n")).distinct()
+      .withColumn("med_rank", expr("(n + 1) div 2"))
+      .withColumn("lo_rank", expr(
+        "greatest(cast(1 as bigint), cast(floor((n - 1.96" +
+          " * sqrt(cast(n as double))) / 2) as bigint))"))
+      .withColumn("hi_rank", expr(
+        "least(n, cast(ceil(1 + (n + 1.96 * sqrt(cast(n as double)))" +
+          " / 2) as bigint))"))
+    def pick(rankCol: String, out: String) =
+      hist.join(broadcast(ranks.select(col("grp"),
+          col(rankCol).as("rk"))), Seq("grp"))
+        .filter(col("cum") >= col("rk"))
+        .groupBy(col("grp")).agg(min(col("cents")).as(out))
+    ranks
+      .join(pick("med_rank", "median_cents"), Seq("grp"))
+      .join(pick("lo_rank", "ci_lo_cents"), Seq("grp"))
+      .join(pick("hi_rank", "ci_hi_cents"), Seq("grp"))
+      .withColumn("width_ppm", expr(
+        "cast(cast(ci_hi_cents - ci_lo_cents as decimal(38,0)) * 1000000" +
+          " div nullif(median_cents, 0) as bigint)"))
+      .select(col("grp"), col("n"), col("median_cents"),
+        col("ci_lo_cents"), col("ci_hi_cents"), col("width_ppm"))
+      .orderBy(col("grp"))
+  }
+
+  val q261Sql: String = s"""
+    WITH hist AS (
+      SELECT o_orderpriority AS grp, ${Fx.sqlUnits("o_totalprice")}
+        AS cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2),
+    cum AS (
+      SELECT *, CAST(SUM(c) OVER (PARTITION BY grp ORDER BY cents
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM hist),
+    ranks AS (
+      SELECT grp, n, (n + 1) // 2 AS med_rank,
+        greatest(1, CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE)))
+          / 2) AS BIGINT)) AS lo_rank,
+        least(n, CAST(ceil(1 + (n + 1.96 * sqrt(CAST(n AS DOUBLE)))
+          / 2) AS BIGINT)) AS hi_rank
+      FROM (SELECT DISTINCT grp, n FROM cum)),
+    med AS (
+      SELECT cum.grp, MIN(cents) AS median_cents
+      FROM cum JOIN ranks ON ranks.grp = cum.grp
+      WHERE cum >= med_rank GROUP BY 1),
+    lo AS (
+      SELECT cum.grp, MIN(cents) AS ci_lo_cents
+      FROM cum JOIN ranks ON ranks.grp = cum.grp
+      WHERE cum >= lo_rank GROUP BY 1),
+    hi AS (
+      SELECT cum.grp, MIN(cents) AS ci_hi_cents
+      FROM cum JOIN ranks ON ranks.grp = cum.grp
+      WHERE cum >= hi_rank GROUP BY 1)
+    SELECT ranks.grp, n, median_cents, ci_lo_cents, ci_hi_cents,
+      CAST(CAST(ci_hi_cents - ci_lo_cents AS HUGEINT) * 1000000
+        // nullif(median_cents, 0) AS BIGINT) AS width_ppm
+    FROM ranks JOIN med ON med.grp = ranks.grp
+    JOIN lo ON lo.grp = ranks.grp JOIN hi ON hi.grp = ranks.grp
+    ORDER BY ranks.grp"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_median_ci" -> q261MedianCi _,
     "q255_ccf_lead_lag" -> q255CcfLeadLag _,
     "q249_cusum_changepoint" -> q249CusumChangepoint _,
     "q232_bootstrap_ci" -> q232BootstrapCi _,
@@ -2176,6 +2263,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q261_median_ci" -> q261Sql,
     "q255_ccf_lead_lag" -> q255Sql,
     "q249_cusum_changepoint" -> q249Sql,
     "q232_bootstrap_ci" -> q232Sql,

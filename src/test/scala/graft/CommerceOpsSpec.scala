@@ -372,4 +372,57 @@ class CommerceOpsSpec extends AnyFunSuite {
         (r2 * q1 * 1000000 / (r1 * q2) - 1000000).toLong, b)
     }
   }
+
+  test("q259 shrinks the thin brand toward grand and keeps the fat ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("eb").toString
+    // Three fat brands with genuinely different rates (10/30/50% over
+    // 10000 lines — real between-brand variance) plus THIN (2 lines at
+    // 50%): the weighted moments keep c ≈ 1 for the fat brands and
+    // shrink THIN hard toward the grand rate.
+    val groups = Seq(
+      (1L, 10000L, 1000L), (2L, 10000L, 3000L), (3L, 10000L, 5000L),
+      (4L, 2L, 1L))
+    val li = groups.flatMap { case (pk, n, rr) =>
+      (1L to n).map(i => (pk, if (i <= rr) "R" else "N")) }
+    li.toDF("l_partkey", "l_returnflag")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "FAT10"), (2L, "FAT30"), (3L, "FAT50"), (4L, "THIN"))
+      .toDF("p_partkey", "p_brand")
+      .write.parquet(s"$dir/part.parquet")
+    val r = CommerceOps.q259ShrunkRates(spark, dir).collect()
+      .map(x => x.getAs[String]("p_brand") -> x).toMap
+    // BigInt recount of the full weighted integer-EB pipeline
+    val pp = groups.map { case (_, n, rr) => BigInt(rr) * 1000000 / n }
+    val vh = groups.zip(pp).map { case ((_, n, _), p) =>
+      p * (1000000 - p) / n }
+    val nTot = BigInt(groups.map(_._2).sum)
+    val grand = BigInt(groups.map(_._3).sum) * 1000000 / nTot
+    val ssb = groups.zip(pp)
+      .map { case ((_, n, _), p) => BigInt(n) * (p - grand) * (p - grand) }
+      .sum
+    val sv = groups.zip(vh)
+      .map { case ((_, n, _), v) => BigInt(n) * v }.sum
+    val tau2 = ((ssb / nTot) - (sv / nTot)).max(BigInt(0))
+    assert(tau2 > 0, "fixture must carry real between-brand variance")
+    def shrunk(i: Int): Long = {
+      val c = tau2 * 1000000 / (tau2 + vh(i))
+      (grand + (if (pp(i) >= grand) c * (pp(i) - grand) / 1000000
+                else -(c * (grand - pp(i)) / 1000000))).toLong
+    }
+    val names = Seq("FAT10", "FAT30", "FAT50", "THIN")
+    names.zipWithIndex.foreach { case (b, i) =>
+      assert(r(b).getAs[Long]("p_ppm") == pp(i).toLong, b)
+      assert(r(b).getAs[Long]("shrunk_ppm") == shrunk(i), b)
+    }
+    // directional reads: THIN travels most of the way to grand, the
+    // fat brands keep (nearly) their own rates
+    val g = grand.toLong
+    assert(math.abs(r("THIN").getAs[Long]("shrunk_ppm") - g) <
+      math.abs(500000L - g) / 4, "THIN did not shrink")
+    assert(math.abs(r("FAT10").getAs[Long]("shrunk_ppm") - 100000L) <
+      math.abs(100000L - g) / 10, "FAT10 over-shrunk")
+    assert(r("THIN").getAs[String]("band") == "strong_shrink")
+    assert(r("FAT10").getAs[String]("band") == "mostly_raw")
+  }
 }

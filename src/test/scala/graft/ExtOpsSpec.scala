@@ -778,4 +778,97 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("var_reduction")))
     assert(r.getAs[String]("covariate_band") == "degenerate")
   }
+
+  test("q260 A/A sweep matches a per-salt brute recount and flags consistently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aacal").toString
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val rows = (1 to 40).map { u =>
+      val typ = if (u % 5 == 0) "purchase" else "view"
+      (u.toLong, t0, u.toLong, typ, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q260AaCalibration(spark, dir).collect()
+    assert(r.length == 16)
+    assert(r.map(_.getAs[Long]("salt")).toSeq == (0L to 15L))
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_c") + x.getAs[Long]("n_t") == 40L)
+      val fp = x.getAs[Boolean]("false_positive")
+      if (x.isNullAt(x.fieldIndex("z2_ppm"))) assert(!fp)
+      else {
+        val z2 = x.getAs[Long]("z2_ppm")
+        assert(fp == (z2 >= 3841600L))
+        // staged-integer recount of z² from the exact counts
+        val (nc, nt) = (BigInt(x.getAs[Long]("n_c")),
+          BigInt(x.getAs[Long]("n_t")))
+        val (cc, ct) = (BigInt(x.getAs[Long]("conv_c")),
+          BigInt(x.getAs[Long]("conv_t")))
+        val diff = ct * nc - cc * nt
+        val conv = cc + ct
+        val exp = diff * diff / (nc * nt) * (nc + nt) * 1000000 /
+          (conv * (nc + nt - conv))
+        assert(z2 == exp.toLong)
+      }
+    }
+    // brute recount of salt 7 through the same registered hash
+    graft.expressions.Hash60.register(spark)
+    val armed = spark.sql(
+      "select id + 1 as u, h60(concat('aa7:', cast(id + 1 as string)))" +
+        " % 2 as arm from range(40)").collect()
+      .map(x => x.getAs[Long]("u") -> x.getAs[Long]("arm")).toMap
+    val x7 = r.find(_.getAs[Long]("salt") == 7L).get
+    val nT = (1 to 40).count(u => armed(u.toLong) == 1)
+    val convT = (1 to 40).count(u => u % 5 == 0 && armed(u.toLong) == 1)
+    assert(x7.getAs[Long]("n_t") == nT.toLong)
+    assert(x7.getAs[Long]("conv_t") == convT.toLong)
+  }
+
+  test("q262 peeking replay matches a brute daily recount and flags early crossings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("peek").toString
+    val d0 = java.time.LocalDate.parse("2024-05-01")
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      d0.plusDays(day.toLong).atStartOfDay())
+    // 30 users enter on day u % 3; every second user converts the day
+    // after entry — conversions land on days 1..3, entries on 0..2
+    var eid = 0L
+    val rows = (1 to 30).flatMap { u =>
+      eid += 2
+      val entry = Seq((eid - 1, ts(u % 3), u.toLong, "view", 1.0, "{}"))
+      val conv = if (u % 2 == 0)
+        Seq((eid, ts(u % 3 + 1), u.toLong, "purchase", 1.0, "{}"))
+      else Nil
+      entry ++ conv
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q262PeekingAudit(spark, dir).collect()
+    // brute recount: arms via the registered hash, then per-day cumsums
+    graft.expressions.Hash60.register(spark)
+    val arm = spark.sql(
+      "select id + 1 as u, h60(concat('ab:', cast(id + 1 as string)))" +
+        " % 2 as arm from range(30)").collect()
+      .map(x => x.getAs[Long]("u") -> x.getAs[Long]("arm")).toMap
+    val users = (1 to 30).map { u =>
+      (arm(u.toLong), (u % 3).toLong,
+        if (u % 2 == 0) Some((u % 3 + 1).toLong) else None)
+    }
+    val dis = r.map(_.getAs[Long]("di")).sorted
+    assert(dis.last == dis.head + 3) // entry days 0-2, conversions to day 3
+    r.foreach { x =>
+      val d = x.getAs[Long]("di") - d0.toEpochDay
+      def cnt(a: Long) = users.count(t => t._1 == a && t._2 <= d).toLong
+      def cvt(a: Long) =
+        users.count(t => t._1 == a && t._3.exists(_ <= d)).toLong
+      assert(x.getAs[Long]("n_c") == cnt(0), s"day $d")
+      assert(x.getAs[Long]("n_t") == cnt(1), s"day $d")
+      assert(x.getAs[Long]("conv_c") == cvt(0), s"day $d")
+      assert(x.getAs[Long]("conv_t") == cvt(1), s"day $d")
+      if (x.getAs[Boolean]("is_final"))
+        assert(!x.getAs[Boolean]("crossed_early"))
+    }
+    assert(r.count(_.getAs[Boolean]("is_final")) == 1)
+    spark.catalog.clearCache()
+  }
 }

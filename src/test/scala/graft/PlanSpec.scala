@@ -140,11 +140,14 @@ class PlanSpec extends AnyFunSuite {
     // q257: the 1-row month-bounds frame attaches to the lineitem scan
     // q258: the 1-row pair-mass and doc-count frames attach to the
     // 4-row batch spine
+    // q259: two 1-row moment frames attach to the |brands| ledger
+    // q260/q262: the salt/arm spines broadcast onto the user/day frames
     val allowed = Set(
       "q249_cusum_changepoint", "q251_cuped_readout",
       "q252_skipgram_cooc", "q255_ccf_lead_lag",
       "q256_sorted_neighborhood", "q257_price_volume_mix",
-      "q258_inbatch_collisions",
+      "q258_inbatch_collisions", "q259_shrunk_rates",
+      "q260_aa_calibration", "q262_peeking_audit",
       "q245_burstiness", "q248_event_lift",
       "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
       "q219_ewma_chart", "q220_rrf_fusion", "q221_ndcg",

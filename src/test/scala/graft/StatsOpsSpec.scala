@@ -719,4 +719,27 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q261 order-statistic CI brackets the median at the textbook ranks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("medci").toString
+    // P1: cents 100, 200, ..., 2500 (n=25): med rank 13 → 1300;
+    // lo = floor((25 − 1.96·5)/2) = 7 → 700;
+    // hi = ceil(1 + (25 + 9.8)/2) = 19 → 1900.
+    val rows = (1 to 25).map(i => (i.toLong, "P1", i * 1.00)) ++
+      Seq((100L, "P2", 5.00)) // n=1: CI degenerates to the single value
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = StatsOps.q261MedianCi(spark, dir).collect()
+      .map(x => x.getAs[String]("grp") -> x).toMap
+    assert(r("P1").getAs[Long]("n") == 25L)
+    assert(r("P1").getAs[Long]("median_cents") == 1300L)
+    assert(r("P1").getAs[Long]("ci_lo_cents") == 700L)
+    assert(r("P1").getAs[Long]("ci_hi_cents") == 1900L)
+    assert(r("P2").getAs[Long]("median_cents") == 500L)
+    assert(r("P2").getAs[Long]("ci_lo_cents") == 500L)
+    assert(r("P2").getAs[Long]("ci_hi_cents") == 500L)
+    assert(r("P2").getAs[Long]("width_ppm") == 0L)
+    spark.catalog.clearCache()
+  }
+
 }
