@@ -129,7 +129,8 @@ object Bench {
         () => { ops.TextOps.attrHeuristic(spark, sfDir); () }),
       ("stage_attr_model",
         Set("q109_quality_model", "q133_filter_ensemble",
-          "q159_calibration", "q160_rater_agreement", "q161_source_auc"),
+          "q159_calibration", "q160_rater_agreement", "q161_source_auc",
+          "q265_length_bias"),
         () => { ops.TextOps.attrModel(spark, sfDir); () }),
       ("stage_attr_fluency",
         Set("q129_bigram_lm", "q133_filter_ensemble"),
@@ -138,12 +139,15 @@ object Bench {
         Set("q31_minhash_pairs", "q60_dedup_groups", "q102_cluster_canonical",
           "q116_triad_census", "q123_containment", "q156_cluster_tightness",
           "q162_split_leakage", "q163_cluster_split",
-          "q164_source_shrinkage", "q166_dup_flow"),
+          "q164_source_shrinkage", "q166_dup_flow",
+          "q174_threshold_sweep", "q183_dedup_recall",
+          "q230_dedup_quality_uplift", "q258_inbatch_collisions"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
       ("stage_cc_labels",
         Set("q60_dedup_groups", "q102_cluster_canonical",
           "q156_cluster_tightness", "q163_cluster_split",
-          "q164_source_shrinkage", "q166_dup_flow"),
+          "q164_source_shrinkage", "q166_dup_flow",
+          "q230_dedup_quality_uplift", "q258_inbatch_collisions"),
         () => { ops.DedupOps.ccLabels(spark, sfDir); () }),
       ("stage_knn_edges", Set("q130_knn_graph", "q132_graph_rank"),
         () => { ops.SimOps.knnEdges(spark, sfDir); () }))

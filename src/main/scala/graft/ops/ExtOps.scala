@@ -2233,7 +2233,89 @@ object ExtOps {
       is_final
     FROM z ORDER BY di"""
 
+  // ---- q264: per-user event-count overdispersion ledger ------------------
+  // Capacity planning and bot structure in one number per event type:
+  // the variance-to-mean ratio of per-USER event counts over the FULL
+  // user population (zero-count users included via the N-user identity
+  // — the q245 formula lifted from tokens to behavior). Poisson-like
+  // arrivals read VMR ≈ 1e6 (independent users, safe to model with
+  // averages); heavy overdispersion says a few users carry the type
+  // (bot farms, retry loops — q173's screen tells you WHO, this tells
+  // you HOW MUCH structure there is); underdispersion says quota-like
+  // regularity. zero_user_ppm alongside: the share of users who never
+  // fire the type at all.
+  //
+  // Exactness: U·Σc² − (Σc)² is nonnegative (U ≥ active users), so the
+  // single floor-div has nonnegative operands on Decimal(38,0) ↔
+  // HUGEINT. Scale shape: one (type, user) count → |types|-row rollup;
+  // the 1-row user total attaches via explicit broadcast.
+  def q264Overdispersion(s: SparkSession, d: String): DataFrame = {
+    val pu = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val u = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    pu.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(col("c")).as("n_events"),
+        sum(expr("cast(c as decimal(38,0)) * c")).as("q2"))
+      .crossJoin(broadcast(u))
+      .withColumn("mean_milli", expr(
+        "cast(cast(n_events as decimal(38,0)) * 1000" +
+          " div nullif(n_users, 0) as bigint)"))
+      .withColumn("vmr_ppm", expr(
+        "cast((cast(n_users as decimal(38,0)) * q2" +
+          " - cast(n_events as decimal(38,0)) * n_events) * 1000000" +
+          " div nullif(cast(n_users as decimal(38,0)) * n_events, 0)" +
+          " as bigint)"))
+      .withColumn("zero_user_ppm", expr(
+        "cast(cast(n_users - active_users as decimal(38,0)) * 1000000" +
+          " div nullif(n_users, 0) as bigint)"))
+      .withColumn("band",
+        when(col("vmr_ppm").isNull, "degenerate")
+          .when(col("vmr_ppm") >= 2000000L, "overdispersed")
+          .when(col("vmr_ppm") <= 500000L, "underdispersed")
+          .otherwise("poisson_like"))
+      .select(col("event_type"), col("active_users"), col("n_events"),
+        col("mean_milli"), col("vmr_ppm"), col("zero_user_ppm"),
+        col("band"))
+      .orderBy(col("event_type"))
+  }
+
+  val q264Sql: String = """
+    WITH pu AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS active_users,
+        CAST(SUM(c) AS BIGINT) AS n_events,
+        SUM(CAST(c AS HUGEINT) * c) AS q2
+      FROM pu GROUP BY 1)
+    SELECT event_type, active_users, n_events,
+      CAST(CAST(n_events AS HUGEINT) * 1000 // nullif(n_users, 0)
+        AS BIGINT) AS mean_milli,
+      CAST((CAST(n_users AS HUGEINT) * q2
+        - CAST(n_events AS HUGEINT) * n_events) * 1000000
+        // nullif(CAST(n_users AS HUGEINT) * n_events, 0) AS BIGINT)
+        AS vmr_ppm,
+      CAST(CAST(n_users - active_users AS HUGEINT) * 1000000
+        // nullif(n_users, 0) AS BIGINT) AS zero_user_ppm,
+      CASE WHEN n_events = 0 OR n_users = 0 THEN 'degenerate'
+           WHEN (CAST(n_users AS HUGEINT) * q2
+             - CAST(n_events AS HUGEINT) * n_events) * 1000000
+             // (CAST(n_users AS HUGEINT) * n_events) >= 2000000
+             THEN 'overdispersed'
+           WHEN (CAST(n_users AS HUGEINT) * q2
+             - CAST(n_events AS HUGEINT) * n_events) * 1000000
+             // (CAST(n_users AS HUGEINT) * n_events) <= 500000
+             THEN 'underdispersed'
+           ELSE 'poisson_like' END AS band
+    FROM g CROSS JOIN u ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_overdispersion" -> q264Overdispersion _,
     "q260_aa_calibration" -> q260AaCalibration _,
     "q262_peeking_audit" -> q262PeekingAudit _,
     "q251_cuped_readout" -> q251CupedReadout _,
@@ -2269,6 +2351,7 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q264_overdispersion" -> q264Sql,
     "q260_aa_calibration" -> q260Sql,
     "q262_peeking_audit" -> q262Sql,
     "q251_cuped_readout" -> q251Sql,

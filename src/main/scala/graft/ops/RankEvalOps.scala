@@ -322,13 +322,82 @@ object RankEvalOps {
            ELSE 'diverse' END AS redundancy_band
     FROM m ORDER BY q_id"""
 
+  // ---- q263: retrieval exposure-bias / catalog-coverage audit ----------
+  // The rec-sys fairness read on the dense retriever: over a 100-query
+  // eval sweep, which documents actually GET retrieved? Per cutoff k ∈
+  // {1, 5, 10}: catalog coverage (distinct docs in any top-k vs the
+  // corpus), the HHI concentration of exposure slots (Σe²/E² in exact
+  // ppm — a retriever whose exposure mass piles onto a few hub docs
+  // starves the rest of the catalog; q171's hubness measured from the
+  // SERVING side), and the single most-exposed doc's slot share. Total
+  // slots E = 100·k is fixed by construction, so the three ratios are
+  // directly comparable across corpora.
+  //
+  // Exactness: counts + three nonnegative floor-divs on Decimal(38,0) ↔
+  // HUGEINT. Scale shape: ONE q35-shape eval sweep (corpus × broadcast
+  // 100-query prefix, per-query rank window), then the 3-cutoff spine
+  // broadcasts onto the ≤100·10-row result frame — all rollups are
+  // |exposed-docs|-bounded.
+  def q263ExposureBias(s: SparkSession, d: String): DataFrame = {
+    val top = denseTopK(s, d, 100, 10).select(col("c_id"), col("rank"))
+    val n = Tables.embeddings(s, d).agg(count(lit(1)).as("n_vecs"))
+    val ks = s.range(0, 3).select(element_at(
+      array(lit(1L), lit(5L), lit(10L)), col("id").cast("int") + 1)
+      .as("k"))
+    top.crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"), col("c_id")).agg(count(lit(1)).as("e"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(col("e")).as("total_slots"),
+        sum(expr("cast(e as decimal(38,0)) * e")).as("e2"),
+        max(col("e")).as("max_e"))
+      .crossJoin(broadcast(n))
+      .withColumn("coverage_ppm", expr(
+        "cast(cast(n_exposed as decimal(38,0)) * 1000000" +
+          " div nullif(n_vecs, 0) as bigint)"))
+      .withColumn("hhi_ppm", expr(
+        "cast(e2 * 1000000 div nullif(cast(total_slots as decimal(38,0))" +
+          " * total_slots, 0) as bigint)"))
+      .withColumn("top_doc_share_ppm", expr(
+        "cast(cast(max_e as decimal(38,0)) * 1000000" +
+          " div nullif(total_slots, 0) as bigint)"))
+      .select(col("k"), col("n_exposed"), col("total_slots"),
+        col("coverage_ppm"), col("hhi_ppm"), col("top_doc_share_ppm"))
+      .orderBy(col("k"))
+  }
+
+  val q263Sql: String = s"""
+    WITH ${denseCtesSql(100, 10)},
+    ks AS (SELECT CAST(unnest([1, 5, 10]) AS BIGINT) AS k),
+    expo AS (
+      SELECT k, c_id, CAST(COUNT(*) AS BIGINT) AS e
+      FROM d10 CROSS JOIN ks WHERE rank <= k GROUP BY 1, 2),
+    agg AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_exposed,
+        CAST(SUM(e) AS BIGINT) AS total_slots,
+        SUM(CAST(e AS HUGEINT) * e) AS e2,
+        CAST(MAX(e) AS BIGINT) AS max_e
+      FROM expo GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+    SELECT k, n_exposed, total_slots,
+      CAST(CAST(n_exposed AS HUGEINT) * 1000000 // nullif(n_vecs, 0)
+        AS BIGINT) AS coverage_ppm,
+      CAST(e2 * 1000000 // nullif(CAST(total_slots AS HUGEINT)
+        * total_slots, 0) AS BIGINT) AS hhi_ppm,
+      CAST(CAST(max_e AS HUGEINT) * 1000000 // nullif(total_slots, 0)
+        AS BIGINT) AS top_doc_share_ppm
+    FROM agg CROSS JOIN n ORDER BY k"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_exposure_bias" -> q263ExposureBias _,
     "q220_rrf_fusion" -> q220RrfFusion _,
     "q221_ndcg" -> q221Ndcg _,
     "q222_hit_rates" -> q222HitRates _,
     "q223_list_diversity" -> q223ListDiversity _)
 
   val oracles: Map[String, String] = Map(
+    "q263_exposure_bias" -> q263Sql,
     "q220_rrf_fusion" -> q220Sql,
     "q221_ndcg" -> q221Sql,
     "q222_hit_rates" -> q222Sql,

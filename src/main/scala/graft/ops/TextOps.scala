@@ -3413,7 +3413,94 @@ object TextOps {
       COALESCE(CAST(SUM(n_hapax) AS BIGINT), 0) AS n_hapax
     FROM banded GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ---- q265: quality-model length-bias audit -----------------------------
+  // Is the q109 quality model just measuring LENGTH? The classic
+  // quality-classifier confound: length correlates with boilerplate,
+  // truncation, and source, so a model whose score is largely explained
+  // by n_chars filters on the wrong axis and q159's calibration can
+  // look fine while the model ranks length. Per source: the share of
+  // logit variance explained by n_chars — r² in EXACT staged-integer
+  // ppm (|num|·1e6 div vx · |num| div vy, the q260/q262 discipline —
+  // the raw-r IEEE tree measurably flakes by one ulp across engines),
+  // with the correlation direction carried separately.
+  //
+  // Scale shape: the pinned model attribute table joins documents
+  // doc-keyed (the q133 attributes shape; documents reads only
+  // (doc_id, source, n_chars) — column-pruned, no text), then one
+  // map-side-combining rollup onto |sources| rows.
+  def q265LengthBias(s: SparkSession, d: String): DataFrame = {
+    val m = attrModel(s, d).select(col("doc_id"), col("logit"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(m, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("logit")).as("sx"), sum(col("n_chars")).as("sy"),
+        sum(expr("cast(logit as decimal(38,0)) * n_chars")).as("sxy"),
+        sum(expr("cast(logit as decimal(38,0)) * logit")).as("sxx"),
+        sum(expr("cast(n_chars as decimal(38,0)) * n_chars")).as("syy"))
+      .withColumn("num",
+        expr("n_docs * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("vx",
+        expr("n_docs * sxx - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("vy",
+        expr("n_docs * syy - cast(sy as decimal(38,0)) * sy"))
+      .withColumn("r2_ppm", expr(
+        "case when vx <= 0 or vy <= 0 then null" +
+          " else cast(abs(num) * 1000000 div vx * abs(num) div vy" +
+          " as bigint) end"))
+      .withColumn("direction", expr(
+        "case when vx <= 0 or vy <= 0 then 'degenerate'" +
+          " when num > 0 then 'longer_scores_higher'" +
+          " when num < 0 then 'longer_scores_lower'" +
+          " else 'uncorrelated' end"))
+      .withColumn("band",
+        when(col("r2_ppm").isNull, "degenerate")
+          .when(col("r2_ppm") >= 250000L, "length_proxy")
+          .when(col("r2_ppm") >= 40000L, "length_correlated")
+          .otherwise("length_independent"))
+      .select(col("source"), col("n_docs"), col("r2_ppm"),
+        col("direction"), col("band"))
+      .orderBy(col("source"))
+  }
+
+  val q265Sql: String = s"""
+    WITH m AS ($q109Sql),
+    j AS (
+      SELECT d.source, m.logit, d.n_chars
+      FROM documents d JOIN m USING (doc_id)),
+    g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(logit) AS BIGINT) AS sx,
+        CAST(SUM(n_chars) AS BIGINT) AS sy,
+        SUM(CAST(logit AS HUGEINT) * n_chars) AS sxy,
+        SUM(CAST(logit AS HUGEINT) * logit) AS sxx,
+        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS syy
+      FROM j GROUP BY 1),
+    v AS (
+      SELECT source, n_docs,
+        n_docs * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        n_docs * sxx - CAST(sx AS HUGEINT) * sx AS vx,
+        n_docs * syy - CAST(sy AS HUGEINT) * sy AS vy
+      FROM g)
+    SELECT source, n_docs,
+      CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+           ELSE CAST(abs(num) * 1000000 // vx * abs(num) // vy AS BIGINT)
+           END AS r2_ppm,
+      CASE WHEN vx <= 0 OR vy <= 0 THEN 'degenerate'
+           WHEN num > 0 THEN 'longer_scores_higher'
+           WHEN num < 0 THEN 'longer_scores_lower'
+           ELSE 'uncorrelated' END AS direction,
+      CASE WHEN vx <= 0 OR vy <= 0 THEN 'degenerate'
+           WHEN abs(num) * 1000000 // vx * abs(num) // vy >= 250000
+             THEN 'length_proxy'
+           WHEN abs(num) * 1000000 // vx * abs(num) // vy >= 40000
+             THEN 'length_correlated'
+           ELSE 'length_independent' END AS band
+    FROM v ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_length_bias" -> q265LengthBias _,
     "q252_skipgram_cooc" -> q252SkipgramCooc _,
     "q253_rare_token_mass" -> q253RareTokenMass _,
     "q247_source_similarity" -> q247SourceSimilarity _,
@@ -3462,6 +3549,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q265_length_bias" -> q265Sql,
     "q252_skipgram_cooc" -> q252Sql,
     "q253_rare_token_mass" -> q253Sql,
     "q247_source_similarity" -> q247Sql,

@@ -871,4 +871,36 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.count(_.getAs[Boolean]("is_final")) == 1)
     spark.catalog.clearCache()
   }
+
+  test("q264 separates clumped, uniform, and rare event types exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vmr").toString
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    var id = 0L
+    // 10 users total. 'burst': user 1 fires 20 times (clumped);
+    // 'steady': every user fires exactly twice (underdispersed);
+    // 'rare': user 2 fires once (9 of 10 users at zero).
+    val rows =
+      (1 to 20).map { _ => id += 1; (id, t0, 1L, "burst", 1.0, "{}") } ++
+      (1 to 10).flatMap { u => (1 to 2).map { _ =>
+        id += 1; (id, t0, u.toLong, "steady", 1.0, "{}") } } ++
+      Seq { id += 1; (id, t0, 2L, "rare", 1.0, "{}") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q264Overdispersion(spark, dir).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    def vmr(counts: Seq[Long]): Long = {
+      val u = BigInt(10); val e = BigInt(counts.sum)
+      val q2 = counts.map(c => BigInt(c) * c).sum
+      ((u * q2 - e * e) * 1000000 / (u * e)).toLong
+    }
+    assert(r("burst").getAs[Long]("vmr_ppm") == vmr(Seq(20L)))
+    assert(r("burst").getAs[String]("band") == "overdispersed")
+    assert(r("steady").getAs[Long]("vmr_ppm") ==
+      vmr(Seq.fill(10)(2L)))
+    assert(r("steady").getAs[String]("band") == "underdispersed")
+    assert(r("rare").getAs[Long]("zero_user_ppm") == 900000L)
+    assert(r("steady").getAs[Long]("zero_user_ppm") == 0L)
+    assert(r("burst").getAs[Long]("mean_milli") == 2000L)
+  }
 }

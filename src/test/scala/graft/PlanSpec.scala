@@ -148,6 +148,7 @@ class PlanSpec extends AnyFunSuite {
       "q256_sorted_neighborhood", "q257_price_volume_mix",
       "q258_inbatch_collisions", "q259_shrunk_rates",
       "q260_aa_calibration", "q262_peeking_audit",
+      "q263_exposure_bias", "q264_overdispersion",
       "q245_burstiness", "q248_event_lift",
       "q216_k_anonymity", "q217_rank_test", "q218_autocorr",
       "q219_ewma_chart", "q220_rrf_fusion", "q221_ndcg",

@@ -110,4 +110,23 @@ class RankEvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q263 exposure ledger: fixed slot totals, monotone coverage, exact HHI") {
+    val r = ops.RankEvalOps.q263ExposureBias(spark, sf).collect()
+      .map(x => x.getAs[Long]("k") -> x).toMap
+    assert(r.keySet == Set(1L, 5L, 10L))
+    // 100 eval queries × k slots, always fully filled on this corpus
+    Seq(1L, 5L, 10L).foreach { k =>
+      assert(r(k).getAs[Long]("total_slots") == 100L * k, s"k=$k")
+      assert(r(k).getAs[Long]("coverage_ppm") <= 1000000L)
+      // HHI is bounded below by the uniform distribution over exposed docs
+      assert(r(k).getAs[Long]("hhi_ppm") >=
+        1000000L / r(k).getAs[Long]("n_exposed") - 1, s"k=$k")
+      assert(r(k).getAs[Long]("top_doc_share_ppm") >=
+        1000000L / r(k).getAs[Long]("total_slots") - 1, s"k=$k")
+    }
+    assert(r(1L).getAs[Long]("n_exposed") <= r(5L).getAs[Long]("n_exposed"))
+    assert(r(5L).getAs[Long]("n_exposed") <= r(10L).getAs[Long]("n_exposed"))
+    spark.catalog.clearCache()
+  }
+
 }

@@ -1135,4 +1135,37 @@ class TextOpsSpec extends AnyFunSuite {
     // conservation: banded doc counts cover the corpus exactly once
     assert(r.values.map(_.getAs[Long]("n_docs")).sum == 6L)
   }
+
+  test("q265 length-bias r2 matches a BigInt recount off the model attributes") {
+    val r = ops.TextOps.q265LengthBias(spark, sf).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    // recount from the same pinned attribute table + documents
+    val m = ops.TextOps.attrModel(spark, sf)
+      .select("doc_id", "logit").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val xs = rows.map(t => BigInt(m(t._1)))
+      val ys = rows.map(t => BigInt(t._3))
+      val n = BigInt(rows.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val num = n * sxy - sx * sy
+      val vx = n * xs.map(x => x * x).sum - sx * sx
+      val vy = n * ys.map(y => y * y).sum - sy * sy
+      val x = r(src)
+      if (vx <= 0 || vy <= 0) assert(x.getAs[String]("band") == "degenerate")
+      else {
+        val exp = (num.abs * 1000000 / vx * num.abs / vy).toLong
+        assert(x.getAs[Long]("r2_ppm") == exp, src)
+        assert(x.getAs[Long]("r2_ppm") <= 1000000L, src)
+        val dir0 = if (num > 0) "longer_scores_higher"
+          else if (num < 0) "longer_scores_lower" else "uncorrelated"
+        assert(x.getAs[String]("direction") == dir0, src)
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
