@@ -20,8 +20,11 @@ object SparkEntry {
     * MORE THAN ONE downstream branch persist() that frame so the
     * branches share one computation — self-join feature tables
     * (q31/q33/q34, see DedupOps), bounded series/histogram frames
-    * (q217/q225/q228/q235/q236/q238), and ≤8-row ledgers with 1-row
-    * total attaches (q239/q240). The returned DataFrame is lazy, so the
+    * (q217/q225/q228/q235/q236/q238), ≤8-row ledgers with 1-row
+    * total attaches (q239/q240), the pair-vocab frame (q252), the
+    * top-512 rank frame (q242), the daily two-series frame (q255), the
+    * per-user experiment frames (q248/q262), and the per-group value
+    * histogram (q261). The returned DataFrame is lazy, so the
     * function cannot unpersist after the caller's action; run
     * `spark.catalog.clearCache()` between queries (Verify and Bench do)
     * or the cached blocks outlive the query. Every pinned frame is
