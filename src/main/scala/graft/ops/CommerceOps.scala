@@ -583,7 +583,13 @@ object CommerceOps {
       .agg(max(col("event_type")).as("state"),
         min(col("ts")).as("valid_from"),
         count(lit(1)).as("n_events"))
-    val wi = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // grp tiebreak: valid_from alone is tie-ambiguous when a user flips
+    // state twice at one timestamp (two events, same ts, different types —
+    // ordered by event_id). grp is monotone in the (ts, event_id) event
+    // order, so it totally orders same-valid_from intervals identically
+    // in both engines.
+    val wi = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("grp"))
     intervals
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
       .withColumn("dur_s", expr(
@@ -618,7 +624,7 @@ object CommerceOps {
     iv AS (
       SELECT state, n_events,
         (epoch_us(LEAD(valid_from) OVER (PARTITION BY user_id
-          ORDER BY valid_from)) - epoch_us(valid_from)) // 1000000
+          ORDER BY valid_from, grp)) - epoch_us(valid_from)) // 1000000
           AS dur_s
       FROM intervals)
     SELECT state, CAST(COUNT(*) AS BIGINT) AS n_intervals,
@@ -1168,18 +1174,26 @@ object CommerceOps {
   // z = 1.96, and BOTH ranks side by side — the rank DELTA is the
   // operator's point (which brands the naive ranking wrongs).
   //
-  // Exactness: counts and the ppm rate are exact integers; the Wilson
-  // bound is one fixed IEEE tree over those exact counts (the q231/q233
-  // convention — identical literals, identical op order in both
-  // engines; n_lines ≥ 1 by construction so no div-by-zero, and the
-  // sqrt operand is a sum of nonnegative terms). Ranks break ties by
-  // brand name. Scale shape: one lineitem scan with the part dim
-  // broadcast (the q231 join), collapsed map-side onto the |brands|-row
-  // frame; both rank windows run on that bounded frame.
-  private val WilsonExpr: String =
-    "(p + 1.9208 / n - 1.96 * sqrt((p * (1.0 - p) + 0.9604 / n) / n))" +
-      " / (1.0 + 3.8416 / n)"
-
+  // Exactness: counts and the ppm rate are exact integers, and — since
+  // z = 1.96 is EXACTLY 49/25, z² exactly 2401/625 — the whole Wilson
+  // lower bound scales to integers too:
+  //   wilson_lo = (r + z²/2 − z·√(r(n−r)/n + z²/4)) / (n + z²)
+  // multiplied through by 1250n gives num = 1250nr + 2401n − 49·√(nD)
+  // over den = 1250n² + 4802n, with D = 2500r(n−r) + 2401n — every term
+  // an exact DECIMAL(38,0)/HUGEINT. The single irrational, √(nD), is a
+  // CORRECTED integer square root (floor of the double sqrt, then a ±1
+  // exact-integer adjustment) of nD·10⁶, i.e. milli-precision — the
+  // flooring error is ≤ 49·10³·10⁶/den ppm (3.4 ppm at n = 2, < 0.005
+  // ppm by n = 100); for brands past 10⁹ lines (approaching the 38-digit
+  // bound of nD·10⁶ at n ≈ 5.4e9) the CASE drops to the unscaled isqrt,
+  // whose own flooring error at that n is < 1e-13 ppm. The previous
+  // free-form IEEE tree multiply-added p·(1−p) + 0.9604/n — exactly the
+  // FMA-contraction shape whose one-ulp cross-engine divergence moved
+  // q260/q262/q265 to staged-integer z²; this form is deterministic by
+  // construction in both engines. Ranks break ties by brand name.
+  // Scale shape: one lineitem scan with the part dim broadcast (the
+  // q231 join), collapsed map-side onto the |brands|-row frame; both
+  // rank windows and the isqrt columns run on that bounded frame.
   def q250WilsonReturns(s: SparkSession, d: String): DataFrame = {
     val g = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)
@@ -1190,46 +1204,78 @@ object CommerceOps {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"), sum(col("r")).as("n_returns"))
       .withColumn("rate_ppm", expr("n_returns * 1000000 div n_lines"))
-      .withColumn("p", expr("cast(n_returns as double) / n_lines"))
-      .withColumn("n", expr("cast(n_lines as double)"))
-      .withColumn("wilson_lo_rate", expr(WilsonExpr))
+      .withColumn("w_d", expr(
+        "cast(2500 as decimal(38,0)) * n_returns * (n_lines - n_returns)" +
+          " + cast(2401 as decimal(38,0)) * n_lines"))
+      .withColumn("w_sc", expr(
+        "case when n_lines <= 1000000000 then 1000 else 1 end"))
+      .withColumn("w_x", expr(
+        "cast(n_lines as decimal(38,0)) * w_d * w_sc * w_sc"))
+      .withColumn("w_s0", expr(
+        "cast(floor(sqrt(cast(w_x as double))) as decimal(38,0))"))
+      .withColumn("w_s", expr(
+        "case when (w_s0 + 1) * (w_s0 + 1) <= w_x then w_s0 + 1" +
+          " when w_s0 * w_s0 > w_x then w_s0 - 1 else w_s0 end"))
+      .withColumn("wilson_lo_ppm", expr(
+        "cast(greatest(cast(0 as decimal(38,0))," +
+          " (cast(1250 as decimal(38,0)) * n_lines * n_returns" +
+          "  + cast(2401 as decimal(38,0)) * n_lines) * w_sc - 49 * w_s)" +
+          " * 1000000 div ((cast(1250 as decimal(38,0)) * n_lines * n_lines" +
+          "  + cast(4802 as decimal(38,0)) * n_lines) * w_sc) as bigint)"))
     g
       .withColumn("naive_rank", row_number().over(
         Window.orderBy(col("rate_ppm").desc, col("p_brand").asc))
         .cast("long"))
       .withColumn("wilson_rank", row_number().over(
-        Window.orderBy(col("wilson_lo_rate").desc, col("p_brand").asc))
+        Window.orderBy(col("wilson_lo_ppm").desc, col("p_brand").asc))
         .cast("long"))
       .select(col("p_brand"), col("n_lines"), col("n_returns"),
-        col("rate_ppm"), col("wilson_lo_rate"), col("naive_rank"),
+        col("rate_ppm"), col("wilson_lo_ppm"), col("naive_rank"),
         col("wilson_rank"),
         (col("naive_rank") - col("wilson_rank")).as("rank_delta"))
       .orderBy(col("wilson_rank"))
   }
 
-  val q250Sql: String = s"""
+  val q250Sql: String = """
     WITH g AS (
       SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_returns
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1),
-    pn AS (
+    st AS (
       SELECT p_brand, n_lines, n_returns,
         CAST(n_returns * 1000000 // n_lines AS BIGINT) AS rate_ppm,
-        CAST(n_returns AS DOUBLE) / n_lines AS p,
-        CAST(n_lines AS DOUBLE) AS n
+        CAST(2500 AS HUGEINT) * n_returns * (n_lines - n_returns)
+          + CAST(2401 AS HUGEINT) * n_lines AS w_d,
+        CASE WHEN n_lines <= 1000000000 THEN 1000 ELSE 1 END AS w_sc
       FROM g),
+    sx AS (
+      SELECT *, CAST(n_lines AS HUGEINT) * w_d * w_sc * w_sc AS w_x
+      FROM st),
+    s0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(w_x AS DOUBLE))) AS HUGEINT) AS w_s0
+      FROM sx),
+    sq AS (
+      SELECT *, CASE WHEN (w_s0 + 1) * (w_s0 + 1) <= w_x THEN w_s0 + 1
+                     WHEN w_s0 * w_s0 > w_x THEN w_s0 - 1
+                     ELSE w_s0 END AS w_s
+      FROM s0),
     sc AS (
       SELECT p_brand, n_lines, n_returns, rate_ppm,
-        $WilsonExpr AS wilson_lo_rate
-      FROM pn)
-    SELECT p_brand, n_lines, n_returns, rate_ppm, wilson_lo_rate,
+        CAST(GREATEST(CAST(0 AS HUGEINT),
+            (CAST(1250 AS HUGEINT) * n_lines * n_returns
+             + CAST(2401 AS HUGEINT) * n_lines) * w_sc - 49 * w_s)
+          * 1000000 // ((CAST(1250 AS HUGEINT) * n_lines * n_lines
+             + CAST(4802 AS HUGEINT) * n_lines) * w_sc) AS BIGINT)
+          AS wilson_lo_ppm
+      FROM sq)
+    SELECT p_brand, n_lines, n_returns, rate_ppm, wilson_lo_ppm,
       ROW_NUMBER() OVER (ORDER BY rate_ppm DESC, p_brand) AS naive_rank,
-      ROW_NUMBER() OVER (ORDER BY wilson_lo_rate DESC, p_brand)
+      ROW_NUMBER() OVER (ORDER BY wilson_lo_ppm DESC, p_brand)
         AS wilson_rank,
       ROW_NUMBER() OVER (ORDER BY rate_ppm DESC, p_brand)
-        - ROW_NUMBER() OVER (ORDER BY wilson_lo_rate DESC, p_brand)
+        - ROW_NUMBER() OVER (ORDER BY wilson_lo_ppm DESC, p_brand)
         AS rank_delta
     FROM sc ORDER BY wilson_rank"""
 

@@ -3303,7 +3303,13 @@ object TextOps {
       .join(rm, Seq("b"))
       .crossJoin(broadcast(tot))
       .withColumn("lift_ppm",
-        expr("(c_ab * 1000000 div c_left) * n_pairs div c_right"))
+        // staged through decimal(38,0) (the q169-style lift at the
+        // source-keyness op above): the first factor is ≤1e6, so the
+        // raw BIGINT product wraps silently past ~9.2e12 window pairs —
+        // inside the web-scale domain this op targets. decimal keeps
+        // the intermediate exact in Spark; HUGEINT in the oracle.
+        expr("cast(cast(c_ab as decimal(38,0)) * 1000000 div c_left" +
+          " as decimal(38,0)) * n_pairs div c_right").cast("long"))
       .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
       .limit(20)
       .select(col("a"), col("b"), col("c_ab"), col("c_left"),
@@ -3329,8 +3335,8 @@ object TextOps {
       FROM bc GROUP BY 1),
     tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM bc)
     SELECT bc.a, bc.b, bc.c_ab, lm.c_left, rm.c_right,
-      CAST((c_ab * 1000000 // c_left) * n_pairs // c_right AS BIGINT)
-        AS lift_ppm
+      CAST(CAST(CAST(c_ab AS HUGEINT) * 1000000 // c_left AS HUGEINT)
+        * n_pairs // c_right AS BIGINT) AS lift_ppm
     FROM bc JOIN lm USING (a) JOIN rm USING (b) CROSS JOIN tot
     WHERE c_ab >= 5
     ORDER BY lift_ppm DESC, a, b LIMIT 20"""

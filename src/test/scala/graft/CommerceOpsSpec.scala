@@ -153,6 +153,29 @@ class CommerceOpsSpec extends AnyFunSuite {
       "every user must have exactly one open (current) interval")
   }
 
+  test("q205 interval chaining is deterministic on simultaneous state flips") {
+    // A user flipping state twice at one timestamp produces two intervals
+    // with the SAME valid_from; ordering the chaining window by valid_from
+    // alone leaves lead() tie-ambiguous. The grp tiebreak (monotone in the
+    // (ts, event_id) event order) must pin: view[t0] → click[t0] → view
+    // [t0+10s, open), so the first view closes at duration 0 and the click
+    // closes at duration 10 — never the other way round.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("scd2flip").toString
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val t1 = new java.sql.Timestamp(1700000010000L) // t0 + 10 s
+    Seq((1L, t0, 1L, "view", 1.0, "{}"), (2L, t0, 1L, "click", 1.0, "{}"),
+      (3L, t1, 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val m = CommerceOps.q205Scd2(spark, dir).collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("n_open"),
+          r.getAs[Long]("closed_dur_s"))).toMap
+    assert(m == Map("view" -> ((2L, 1L, 0L)), "click" -> ((1L, 0L, 10L))),
+      s"tie-broken interval chain drifted: $m")
+  }
+
   test("q206 new users sum to the user population; q207 shares are a bounded partition") {
     val r206 = CommerceOps.q206NewReturning(spark, sf).collect()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
@@ -290,16 +313,40 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(r("TINY").getAs[Long]("naive_rank") == 1L)
     assert(r("BIG").getAs[Long]("wilson_rank") == 1L)
     assert(r("TINY").getAs[Long]("rank_delta") == -1L)
-    // exact IEEE recount of the fixed Wilson tree for BIG
-    def wilson(ret: Long, n: Long): Double = {
+    // exact-integer recount of the staged Wilson form (z = 49/25 exactly):
+    // num = (1250nr + 2401n)·S − 49·isqrt(nD·S²), den = (1250n² + 4802n)·S,
+    // D = 2500r(n−r) + 2401n, S = 1000 — BigInt isqrt here, so this also
+    // proves the engine's floor(sqrt(double))±1 correction is the true
+    // integer square root in the exact-double range
+    def isqrt(x: BigInt): BigInt = {
+      var s = BigInt(math.sqrt(x.toDouble).toLong)
+      while (s * s > x) s -= 1
+      while ((s + 1) * (s + 1) <= x) s += 1
+      s
+    }
+    def wilsonPpm(ret: Long, n: Long): Long = {
+      val d = BigInt(2500) * ret * (n - ret) + BigInt(2401) * n
+      val s = isqrt(BigInt(n) * d * 1000000L)
+      val num = ((BigInt(1250) * n * ret + BigInt(2401) * n) * 1000 -
+        49 * s).max(BigInt(0))
+      val den = (BigInt(1250) * n * n + BigInt(4802) * n) * 1000
+      (num * 1000000 / den).toLong
+    }
+    assert(r("BIG").getAs[Long]("wilson_lo_ppm") == wilsonPpm(30L, 100L))
+    assert(r("TINY").getAs[Long]("wilson_lo_ppm") == wilsonPpm(1L, 2L))
+    assert(r("BIG").getAs[Long]("wilson_lo_ppm") >
+      r("TINY").getAs[Long]("wilson_lo_ppm"))
+    // and the staged-integer bound stays within its documented flooring
+    // error of the real-number Wilson value (3.4 ppm at n = 2)
+    def wilsonReal(ret: Long, n: Long): Double = {
       val p = ret.toDouble / n; val nd = n.toDouble
       (p + 1.9208 / nd - 1.96 * math.sqrt((p * (1.0 - p) + 0.9604 / nd)
         / nd)) / (1.0 + 3.8416 / nd)
     }
-    assert(r("BIG").getAs[Double]("wilson_lo_rate") == wilson(30L, 100L))
-    assert(r("TINY").getAs[Double]("wilson_lo_rate") == wilson(1L, 2L))
-    assert(r("BIG").getAs[Double]("wilson_lo_rate") >
-      r("TINY").getAs[Double]("wilson_lo_rate"))
+    assert(math.abs(r("TINY").getAs[Long]("wilson_lo_ppm") -
+      wilsonReal(1L, 2L) * 1e6) <= 4.0)
+    assert(math.abs(r("BIG").getAs[Long]("wilson_lo_ppm") -
+      wilsonReal(30L, 100L) * 1e6) <= 1.0)
   }
 
   test("q254 backlog ledger accumulates opened minus completed and flags the peak") {
