@@ -742,6 +742,26 @@ $sqlMhCand,
   // 16-bit code units), not an md5 prefix: zero collisions, and ONE
   // rolling codegen pass per row instead of one md5 per character
   // position (this was the dominant cost — ~n_chars md5 calls per doc).
+  //
+  // Stop-bucket cap (the q154 treatment, r12): a clone-heavy corpus puts
+  // every copy of a template into ONE (b1,b2) bucket, and the bucket
+  // join's true pair mass grows C(n,2) — the one adversarial growth mode
+  // the 30× stress drives measured (q34 was the last candidate generator
+  // without a cap). Buckets with more than StopBucketDocs postings are
+  // dropped in BOTH engines before the pair join, bounding per-bucket
+  // mass at C(25,2). The threshold sits BELOW q154's StopFpDocs = 50 on
+  // purpose: a winnowing fingerprint marks one shared substring (common,
+  // benign), while a full 2-seed AND-band bucket marks whole-document
+  // near-identity — 25+ docs agreeing on BOTH min-signatures is a
+  // template/clone farm, not a pairwise-verification workload. Recall
+  // effect, documented: pairs inside a dropped bucket are NOT emitted —
+  // those families are what the pipeline's exact/keyed dedup stages
+  // (q29/q102) collapse FIRST at a fraction of the cost, and q31's
+  // OR-of-8 banding still surfaces them for clustering; the verification
+  // joiner is the wrong tool for them, same argument as q154's stop
+  // fingerprints and q31's band bound.
+  private val StopBucketDocs = 25L
+
   def q34NgramJaccard(s: SparkSession, d: String): DataFrame = {
     graft.expressions.CharGram4.register(s)
     val base = withShingles(Tables.documents(s, d))
@@ -752,8 +772,15 @@ $sqlMhCand,
       .withColumn("b2", expr(s"array_min(transform(hv, h -> h ^ ${h60("pf:1")}L))"))
       .select(col("doc_id"), col("grams"), col("b1"), col("b2"))
       .persist()
+    // hot-bucket postings drop — the |hot| frame is tiny (clone families
+    // only), so the anti-join broadcasts
+    val hot = base.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > StopBucketDocs)
+      .select(col("b1"), col("b2"))
+    val kept = base.join(broadcast(hot), Seq("b1", "b2"), "left_anti")
     def side(p: String): DataFrame =
-      base.select(col("doc_id").as(s"${p}_id"), col("grams").as(s"${p}_g"),
+      kept.select(col("doc_id").as(s"${p}_id"), col("grams").as(s"${p}_g"),
         col("b1").as(s"${p}_b1"), col("b2").as(s"${p}_b2"))
     val a = side("a")
     val b = side("b")
@@ -772,7 +799,7 @@ $sqlMhCand,
       .orderBy(col("id1"), col("id2"))
   }
 
-  val q34Sql: String = sqlShingles + """,
+  val q34Sql: String = sqlShingles + s""",
     gm AS (
       SELECT sh.doc_id,
         list_distinct(list_transform(range(1, length(d.txt) - 2),
@@ -787,7 +814,13 @@ $sqlMhCand,
           CAST('0x' || substring(md5('pf:1'), 1, 15) AS BIGINT)))) AS b2
       FROM sh JOIN (SELECT doc_id, trim(lower(text)) AS txt
                     FROM documents) d ON d.doc_id = sh.doc_id
-      WHERE length(d.txt) >= 4)
+      WHERE length(d.txt) >= 4),
+    hot AS (
+      SELECT b1, b2 FROM gm GROUP BY b1, b2
+      HAVING COUNT(*) > $StopBucketDocs),
+    keep AS (
+      SELECT g.* FROM gm g WHERE NOT EXISTS
+        (SELECT 1 FROM hot h WHERE h.b1 = g.b1 AND h.b2 = g.b2))
     SELECT a.doc_id AS id1, b.doc_id AS id2,
       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
       CAST(len(a.grams) + len(b.grams)
@@ -795,7 +828,7 @@ $sqlMhCand,
       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
         AS jaccard
-    FROM gm a JOIN gm b
+    FROM keep a JOIN keep b
       ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.grams, b.grams)) * 2 >=
       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))

@@ -38,4 +38,24 @@ class AllQueriesSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("README's registry inventory matches SparkEntry.queries (drift guard)") {
+    // the README line "`queries` (N named operators, q01–qM)" must be
+    // derived from the live registry — a stale count survived two rounds
+    // before this guard
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = """\((\d+) named operators, q01–q(\d+)\)""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README lost the registry-inventory line"))
+    val qs = SparkEntry.queries.keySet
+    assert(m.group(1).toInt == qs.size,
+      s"README says ${m.group(1)} operators, registry has ${qs.size}")
+    val maxId = qs.map(_.drop(1).takeWhile(_.isDigit).toInt).max
+    assert(m.group(2).toInt == maxId,
+      s"README says q01–q${m.group(2)}, registry tops out at q$maxId")
+    // and the count claimed as oracle-checked must match oracleSql
+    assert(SparkEntry.oracleSql.size == qs.size,
+      "oracle map diverged from the registry")
+  }
 }

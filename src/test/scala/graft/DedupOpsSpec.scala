@@ -191,6 +191,33 @@ class DedupOpsSpec extends AnyFunSuite {
       s"ngram=$ng vs minhash=$mh diverge")
   }
 
+  test("q34 stop-bucket cap drops the clone farm but keeps ordinary near-dups") {
+    import spark.implicits._
+    // 60 byte-identical clones land in ONE (b1,b2) bucket — over the
+    // 25-posting stop-bucket cap, so the C(60,2)=1770 clone pairs must
+    // NOT be emitted (exact dedup's job, not the verifier's); the
+    // ordinary 2-doc near-dup pair in its own bucket must survive.
+    val dir = java.nio.file.Files.createTempDirectory("q34cap").toString
+    val clone = "the same boilerplate template text repeated verbatim" +
+      " across every single mirrored landing page of the clone farm"
+    val docs =
+      (1L to 60L).map(i => (i, clone, "en", "farm", clone.length.toLong)) ++
+        Seq(
+          (100L, "a genuinely unique document about spark shuffle" +
+            " partitioning strategy and broadcast joins at scale",
+            "en", "prose", 100L),
+          (101L, "a genuinely unique document about spark shuffle" +
+            " partitioning strategy and broadcast joins at scales",
+            "en", "prose", 101L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = DedupOps.q34NgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(got == Set((100L, 101L)),
+      s"expected only the near-dup pair to survive the cap, got $got")
+    spark.catalog.clearCache()
+  }
+
   test("connected components merge transitive chains the pair list never emitted") {
     import spark.implicits._
     // {1~2, 2~3} (A~C edge missing), {7~8}, and a 4-node path 10-11-12-13:
