@@ -48,8 +48,23 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # driver fixtures are single files; StressGen corpora are
+        # Spark-written directories of part files — glob those
+        p = f"{sf}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            # StressGen round-trips ts as the raw nanos long (see
+            # Tables.events' adaptive loader); mirror the Spark side's
+            # LongType branch: nanos // 1000 -> micros -> timestamp
+            ts_type = {r[0]: r[1] for r in con.sql(
+                "DESCRIBE events").fetchall()}["ts"]
+            if ts_type == "BIGINT":
+                con.sql("DROP VIEW events")
+                con.sql(f"CREATE VIEW events AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
     sqls = json.load(open(f"{out}/oracle_sql.json"))
     npass = nfail = 0
     for name in sorted(sqls):

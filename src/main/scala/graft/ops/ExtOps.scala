@@ -2314,7 +2314,194 @@ object ExtOps {
            ELSE 'poisson_like' END AS band
     FROM g CROSS JOIN u ORDER BY event_type"""
 
+  // ---- q266: functional-dependency audit (does A determine B?) ---------
+  // The schema-inference pass a data platform runs before trusting a
+  // column as a join/partition key or a dimension attribute: for each
+  // declared (determinant → dependent) pair, how close the table comes to
+  // the functional dependency A → B. The g3 measure (Kivinen/Mannila):
+  // the minimum fraction of rows to DELETE for the FD to hold exactly —
+  // rows outside each determinant group's majority dependent value.
+  // The declared pairs include one true FD (n_nationkey → n_regionkey:
+  // a key determines every attribute) among natural non-FDs (a customer
+  // orders under many priorities; a region holds several nations), so
+  // the audit must both CONFIRM and REFUTE on the same fixtures.
+  //
+  // Exactness: counts + one nonnegative floor-div per pair; fd_holds
+  // compares exact counts (n_rows = kept), never the rounded ppm — at
+  // web scale a few violations under 1 ppm must still refute. Scale
+  // shape, per pair: groupBy(det, dep) with map-side partials (shuffle
+  // carries DISTINCT value pairs, not rows), a det-keyed re-aggregate,
+  // then a 1-row collapse; the union is |pairs|-bounded (5 rows out).
+  def q266FdAudit(s: SparkSession, d: String): DataFrame = {
+    def fd(tbl: DataFrame, a: String, b: String, label: String)
+        : DataFrame =
+      tbl.select(col(a).as("det"), col(b).as("dep"))
+        .groupBy(col("det"), col("dep")).agg(count(lit(1)).as("c"))
+        .groupBy(col("det"))
+        .agg(sum(col("c")).as("rows_det"), max(col("c")).as("max_c"),
+          count(lit(1)).as("n_dep"))
+        .agg(coalesce(sum(col("rows_det")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_det"),
+          coalesce(sum(col("n_dep")), lit(0L)).as("n_pairs"),
+          coalesce(sum(col("max_c")), lit(0L)).as("kept"))
+        .withColumn("violation_ppm", expr(
+          "case when n_rows = 0 then cast(0 as bigint)" +
+            " else (n_rows - kept) * 1000000 div n_rows end"))
+        .withColumn("fd_holds",
+          col("n_rows") > 0L && col("n_rows") === col("kept"))
+        .select(lit(label).as("fd"), col("n_rows"), col("n_det"),
+          col("n_pairs"), col("violation_ppm"), col("fd_holds"))
+    Seq(
+      fd(Tables.nation(s, d), "n_nationkey", "n_regionkey",
+        "nation.n_nationkey->n_regionkey"),
+      fd(Tables.nation(s, d), "n_regionkey", "n_name",
+        "nation.n_regionkey->n_name"),
+      fd(Tables.customer(s, d), "c_nationkey", "c_mktsegment",
+        "customer.c_nationkey->c_mktsegment"),
+      fd(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"),
+      fd(Tables.part(s, d), "p_brand", "p_type", "part.p_brand->p_type"))
+      .reduce(_ union _)
+      .orderBy(col("fd"))
+  }
+
+  val q266Sql: String = {
+    val pairs = Seq(
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("nation", "n_regionkey", "n_name"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("part", "p_brand", "p_type"))
+    pairs.map { case (t, a, b) =>
+      s"""SELECT '$t.$a->$b' AS fd, n_rows, n_det, n_pairs,
+          CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST((n_rows - kept) * 1000000 // n_rows AS BIGINT)
+          END AS violation_ppm,
+          (n_rows > 0 AND n_rows = kept) AS fd_holds
+        FROM (SELECT CAST(COALESCE(SUM(rows_det), 0) AS BIGINT) AS n_rows,
+                CAST(COUNT(*) AS BIGINT) AS n_det,
+                CAST(COALESCE(SUM(n_dep), 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(SUM(max_c), 0) AS BIGINT) AS kept
+              FROM (SELECT det, SUM(c) AS rows_det, MAX(c) AS max_c,
+                      COUNT(*) AS n_dep
+                    FROM (SELECT $a AS det, $b AS dep, COUNT(*) AS c
+                          FROM $t GROUP BY 1, 2)
+                    GROUP BY det))"""
+    }.mkString("\n    UNION ALL\n    ") + "\n    ORDER BY fd"
+  }
+
+  // ---- q267: peak session concurrency (sweep-line max overlap) ---------
+  // The capacity read every serving platform sizes against: the maximum
+  // number of SIMULTANEOUSLY open user sessions, per day, at minute
+  // resolution — the interval-overlap counting problem (sweep line: +1
+  // at each session start, −1 after its end, running sum, max). Sessions
+  // are the standard 30-minute-gap kind (the q180 rule); a session
+  // spanning midnight contributes a clipped segment to EACH day it
+  // touches, so a day's peak counts continuations from the previous day.
+  //
+  // Scale shape — the reason for MINUTE resolution: the naive sweep
+  // orders every boundary in one global window (a corpus-scale
+  // unpartitioned sort, the forbidden shape). Instead deltas collapse
+  // map-side onto the (day × 1440)-bounded minute grid, and both the
+  // running sum and the per-day max run on that calendar-bounded frame.
+  // Determinism: session order is the (ts, event_id) total order;
+  // peak_minute ties resolve to the EARLIEST minute.
+  def q267PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        expr("unix_micros(ts) - unix_micros(prev) > 1800000000"), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val deltas = sess
+      .select(explode(expr("sequence(to_date(s), to_date(e))")).as("day"),
+        col("s"), col("e"))
+      .withColumn("m0", expr(
+        "case when to_date(s) = day then hour(s) * 60 + minute(s)" +
+          " else 0 end"))
+      .withColumn("m1", expr(
+        "case when to_date(e) = day then hour(e) * 60 + minute(e)" +
+          " else 1439 end"))
+      .select(col("day"), explode(expr(
+        "array(struct(m0 as m, cast(1 as bigint) as delta)," +
+          " struct(m1 + 1 as m, cast(-1 as bigint) as delta))")).as("x"))
+      .select(col("day"), col("x.m").as("m"), col("x.delta").as("delta"))
+      .groupBy(col("day"), col("m"))
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("starts"))
+      .filter(col("m") <= 1439)
+    val wd = Window.partitionBy(col("day")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("cum", sum(col("net")).over(wd))
+      .withColumn("daymax",
+        max(col("cum")).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(sum(col("starts")).as("n_segments"),
+        max(col("cum")).as("peak_concurrent"),
+        min(when(col("cum") === col("daymax"), col("m")))
+          .cast("long").as("peak_minute"))
+      .orderBy(col("day"))
+  }
+
+  val q267Sql: String = """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    se AS (
+      SELECT user_id, ts,
+        SUM(CASE WHEN prev IS NULL
+              OR epoch_us(ts) - epoch_us(prev) > 1800000000
+            THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ev),
+    sess AS (
+      SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e FROM se GROUP BY 1, 2),
+    seg AS (
+      SELECT CAST(unnest(generate_series(CAST(s AS DATE), CAST(e AS DATE),
+          INTERVAL 1 DAY)) AS DATE) AS day, s, e
+      FROM sess),
+    dl AS (
+      SELECT day,
+        CASE WHEN CAST(s AS DATE) = day
+          THEN hour(s) * 60 + minute(s) ELSE 0 END AS m0,
+        CASE WHEN CAST(e AS DATE) = day
+          THEN hour(e) * 60 + minute(e) ELSE 1439 END AS m1
+      FROM seg),
+    deltas AS (
+      SELECT day, m0 AS m, 1 AS delta FROM dl
+      UNION ALL
+      SELECT day, m1 + 1 AS m, -1 AS delta FROM dl),
+    mg AS (
+      SELECT day, m, SUM(delta) AS net,
+        SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS starts
+      FROM deltas GROUP BY 1, 2),
+    cm AS (
+      SELECT day, m, starts,
+        SUM(net) OVER (PARTITION BY day ORDER BY m
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM mg WHERE m <= 1439),
+    mx AS (
+      SELECT day, m, starts, cum,
+        MAX(cum) OVER (PARTITION BY day) AS daymax
+      FROM cm)
+    SELECT day, CAST(SUM(starts) AS BIGINT) AS n_segments,
+      CAST(MAX(cum) AS BIGINT) AS peak_concurrent,
+      CAST(MIN(CASE WHEN cum = daymax THEN m END) AS BIGINT)
+        AS peak_minute
+    FROM mx GROUP BY day ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q266_fd_audit" -> q266FdAudit _,
+    "q267_peak_concurrency" -> q267PeakConcurrency _,
     "q264_overdispersion" -> q264Overdispersion _,
     "q260_aa_calibration" -> q260AaCalibration _,
     "q262_peeking_audit" -> q262PeekingAudit _,
@@ -2351,6 +2538,8 @@ object ExtOps {
     "q121_rolling_wau"    -> q121RollingWau _)
 
   val oracles: Map[String, String] = Map(
+    "q266_fd_audit" -> q266Sql,
+    "q267_peak_concurrency" -> q267Sql,
     "q264_overdispersion" -> q264Sql,
     "q260_aa_calibration" -> q260Sql,
     "q262_peeking_audit" -> q262Sql,

@@ -3505,7 +3505,92 @@ object TextOps {
            ELSE 'length_independent' END AS band
     FROM v ORDER BY source"""
 
+  // ---- q268: bigram novelty decay across ingest order -------------------
+  // The diminishing-returns curve data acquisition teams read before
+  // buying the next crawl tranche: split the corpus into ten equal
+  // doc_id slices (doc_id IS the ingest sequence in these fixtures) and
+  // measure, per slice, how much of its bigram mass is NEW — a bigram's
+  // first-seen slice is the earliest decile it appears in, and a slice's
+  // novelty is the share of its occurrences (and of its distinct
+  // bigrams) carried by first-seen-here grams. Complements q244 (Chao1:
+  // how much vocabulary remains unseen, one number) and q141 (drift
+  // BETWEEN two windows) with the full marginal-novelty trajectory.
+  //
+  // Exactness: counts + nonnegative floor-div ppm. Scale shape: ONE
+  // tokenize scan emitting h60 bigram hashes map-side (the q67/q146
+  // gram convention), a (decile, gram) count whose shuffle carries
+  // distinct pairs, the gram-keyed first-decile aggregate OF THAT FRAME
+  // (no second scan), one gram-keyed join back (the priced q169/q177
+  // vocab-join class — first-seen flags can't broadcast at web scale),
+  // and a 10-row rollup. The (decile, gram) frame is persisted — two
+  // consumers (caller-unpersist contract, SparkEntry scaladoc).
+  def q268NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.Hash60.register(s)
+    val span = Tables.documents(s, d)
+      .agg(min(col("doc_id")).as("min_id"),
+        (max(col("doc_id")) - min(col("doc_id")) + lit(1L)).as("width"))
+    val gd = Tables.documents(s, d)
+      .withColumn("t", filter(toks(col("text")), x => x =!= lit("")))
+      .filter(size(col("t")) >= 2)
+      .crossJoin(broadcast(span))
+      .withColumn("decile",
+        expr("least(9, (doc_id - min_id) * 10 div width)"))
+      .select(col("decile"), explode(expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> h60(concat_ws(' ', slice(t, i, 2))))")).as("g"))
+      .groupBy(col("decile"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // first-decile pass + join back share the frame
+    val firsts = gd.groupBy(col("g"))
+      .agg(min(col("decile")).as("first_decile"))
+    gd.join(firsts, Seq("g"))
+      .groupBy(col("decile"))
+      .agg(sum(col("c")).as("n_occ"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("first_decile") === col("decile"), col("c"))
+          .otherwise(0L)).as("novel_occ"),
+        sum(when(col("first_decile") === col("decile"), 1L)
+          .otherwise(0L)).as("new_unique"))
+      .withColumn("novel_occ_ppm", expr("novel_occ * 1000000 div n_occ"))
+      .withColumn("new_unique_ppm",
+        expr("new_unique * 1000000 div n_unique"))
+      .orderBy(col("decile"))
+  }
+
+  val q268Sql: String = raw"""
+    WITH span AS (
+      SELECT MIN(doc_id) AS min_id,
+        MAX(doc_id) - MIN(doc_id) + 1 AS width
+      FROM documents),
+    tk AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        '[ \t\n\r\f]+'), x -> x <> '') AS t
+      FROM documents),
+    gd AS (
+      SELECT LEAST(9, (doc_id - min_id) * 10 // width) AS decile,
+        unnest(list_transform(range(1, len(t)), i ->
+          CAST('0x' || substring(md5(array_to_string(t[i:i+1], ' ')),
+            1, 15) AS BIGINT))) AS g
+      FROM tk CROSS JOIN span WHERE len(t) >= 2),
+    cnt AS (
+      SELECT decile, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM gd GROUP BY 1, 2),
+    firsts AS (SELECT g, MIN(decile) AS first_decile FROM cnt GROUP BY 1)
+    SELECT decile, CAST(SUM(c) AS BIGINT) AS n_occ,
+      CAST(COUNT(*) AS BIGINT) AS n_unique,
+      CAST(SUM(CASE WHEN first_decile = decile THEN c ELSE 0 END)
+        AS BIGINT) AS novel_occ,
+      CAST(SUM(CASE WHEN first_decile = decile THEN 1 ELSE 0 END)
+        AS BIGINT) AS new_unique,
+      CAST(SUM(CASE WHEN first_decile = decile THEN c ELSE 0 END)
+        * 1000000 // SUM(c) AS BIGINT) AS novel_occ_ppm,
+      CAST(SUM(CASE WHEN first_decile = decile THEN 1 ELSE 0 END)
+        * 1000000 // COUNT(*) AS BIGINT) AS new_unique_ppm
+    FROM cnt JOIN firsts USING (g)
+    GROUP BY decile ORDER BY decile"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_ngram_novelty" -> q268NgramNovelty _,
     "q265_length_bias" -> q265LengthBias _,
     "q252_skipgram_cooc" -> q252SkipgramCooc _,
     "q253_rare_token_mass" -> q253RareTokenMass _,
@@ -3555,6 +3640,7 @@ object TextOps {
     "q150_padding_waste" -> q150PaddingWaste _)
 
   val oracles: Map[String, String] = Map(
+    "q268_ngram_novelty" -> q268Sql,
     "q265_length_bias" -> q265Sql,
     "q252_skipgram_cooc" -> q252Sql,
     "q253_rare_token_mass" -> q253Sql,

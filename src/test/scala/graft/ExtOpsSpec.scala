@@ -903,4 +903,69 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r("steady").getAs[Long]("zero_user_ppm") == 0L)
     assert(r("burst").getAs[Long]("mean_milli") == 2000L)
   }
+
+  test("q266 FD audit confirms the key FD and recounts a planted g3 exactly") {
+    // invariants on the real fixtures: the key pair is a true FD, and
+    // counting identities hold on every declared pair
+    val r = ExtOps.q266FdAudit(spark, sf).collect()
+      .map(x => x.getAs[String]("fd") -> x).toMap
+    assert(r("nation.n_nationkey->n_regionkey").getAs[Boolean]("fd_holds"))
+    assert(r("nation.n_nationkey->n_regionkey")
+      .getAs[Long]("violation_ppm") == 0L)
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_pairs") >= x.getAs[Long]("n_det"), x.toString)
+      assert(x.getAs[Long]("violation_ppm") < 1000000L, x.toString)
+    }
+    // planted exact g3: region 1 maps to two names (one row must go),
+    // region 2 to one — violation = 1 of 3 rows = 333333 ppm
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fdaudit").toString
+    Seq((1L, "ALPHA", 1L), (2L, "BETA", 1L), (3L, "GAMMA", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((1L, "x", 1L, 1.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").write.parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "O", 1.0, java.sql.Date.valueOf("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").write.parquet(s"$dir/orders.parquet")
+    Seq((1L, "p", "Brand#11", "TYPE A", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice").write.parquet(s"$dir/part.parquet")
+    val p = ExtOps.q266FdAudit(spark, dir).collect()
+      .map(x => x.getAs[String]("fd") -> x).toMap
+    val rn = p("nation.n_regionkey->n_name")
+    assert(rn.getAs[Long]("n_rows") == 3L)
+    assert(rn.getAs[Long]("n_det") == 2L)
+    assert(rn.getAs[Long]("n_pairs") == 3L)
+    assert(rn.getAs[Long]("violation_ppm") == 333333L)
+    assert(!rn.getAs[Boolean]("fd_holds"))
+    assert(p("nation.n_nationkey->n_regionkey").getAs[Boolean]("fd_holds"))
+  }
+
+  test("q267 sweep line counts overlap and carries midnight continuations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conc").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: one session 10:00–10:10; user 2: point session at 10:05
+    //   → day-1 peak 2 at minute 600..605 window; earliest peak = 605
+    //     (cum reaches 2 only once user 2 starts)
+    // user 3: 23:50 + next-day 00:10 (20-min gap, ONE session) → a
+    //   segment on each day; day-2 peak 1 at minute 0 (continuation)
+    val rows = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:10:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:05:00"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-03-01 23:50:00"), 3L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-02 00:10:00"), 3L, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = ExtOps.q267PeakConcurrency(spark, dir).collect()
+      .map(x => (x.getAs[java.sql.Date]("day").toString,
+        x.getAs[Long]("n_segments"), x.getAs[Long]("peak_concurrent"),
+        x.getAs[Long]("peak_minute")))
+    assert(r.toSeq == Seq(
+      ("2024-03-01", 3L, 2L, 605L),
+      ("2024-03-02", 1L, 1L, 0L)), r.mkString("; "))
+  }
 }

@@ -142,7 +142,10 @@ class PlanSpec extends AnyFunSuite {
     // 4-row batch spine
     // q259: two 1-row moment frames attach to the |brands| ledger
     // q260/q262: the salt/arm spines broadcast onto the user/day frames
+    // q268: the 1-row doc_id-span frame (min_id, width) attaches to the
+    // documents scan before the decile bucketing — the q257 shape
     val allowed = Set(
+      "q268_ngram_novelty",
       "q249_cusum_changepoint", "q251_cuped_readout",
       "q252_skipgram_cooc", "q255_ccf_lead_lag",
       "q256_sorted_neighborhood", "q257_price_volume_mix",

@@ -1168,4 +1168,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("q268 novelty: first decile is all-novel and a planted curve recounts") {
+    // the earliest non-empty decile can only contain first-seen bigrams
+    val r = TextOps.q268NgramNovelty(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Long]("novel_occ_ppm") == 1000000L)
+    assert(r.head.getAs[Long]("new_unique_ppm") == 1000000L)
+    r.foreach { x =>
+      assert(x.getAs[Long]("novel_occ") <= x.getAs[Long]("n_occ"))
+      assert(x.getAs[Long]("new_unique") <= x.getAs[Long]("n_unique"))
+    }
+    spark.catalog.clearCache()
+    // planted: doc 1 (decile 0) "a b a b" → bigrams ab, ba, ab;
+    // doc 2 (decile 5) "a b c" → ab (seen), bc (novel) → 50% novelty
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    Seq((1L, "a b a b", "en", "s", 7L), (2L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = TextOps.q268NgramNovelty(spark, dir).collect()
+      .map(x => x.getAs[Long]("decile") ->
+        (x.getAs[Long]("n_occ"), x.getAs[Long]("n_unique"),
+          x.getAs[Long]("novel_occ_ppm"), x.getAs[Long]("new_unique_ppm")))
+      .toMap
+    assert(p == Map(
+      0L -> ((3L, 2L, 1000000L, 1000000L)),
+      5L -> ((2L, 2L, 500000L, 500000L))), p.toString)
+    spark.catalog.clearCache()
+  }
 }
