@@ -55,6 +55,19 @@ object Bench {
     // judge re-bench to refute 6 false regressions; this stamps the
     // record instead).
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Allocation/bandwidth canary: the r11 driver record inflated q128 8×
+    // (and q62/q83 2-4×) while the xxhash canary read 0.073 = idle — the
+    // xxhash loop is CACHE-RESIDENT compute, blind to a co-tenant
+    // saturating memory bandwidth / the allocator, which is exactly what
+    // an expression-heavy regex/string fold like q128's BPE aggregate()
+    // pays for. This second probe is allocation-shaped on purpose
+    // (string concat + regexp_replace + split over 100k rows ≈ 40 ms
+    // idle at 32 threads): a record where canary_alloc's median/max sit
+    // far above its known-idle floor while the CPU canary stays clean is
+    // bandwidth/allocator-contended — the state the r11 artifact left
+    // unlabeled. Sampled every 4th unit to keep the run overhead ~1%.
+    val canaryAllocTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var canaryCalls = 0
     def canary(): Unit = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
@@ -63,6 +76,16 @@ object Bench {
         .select(bit_xor(xxhash64(col("id"))))
         .write.mode("overwrite").format("noop").save()
       canaryTimes += (System.nanoTime() - t0) / 1e9
+      canaryCalls += 1
+      if (canaryCalls % 4 == 1) {
+        val t1 = System.nanoTime()
+        spark.range(0, 100000, 1, cpus.toInt)
+          .select(bit_xor(xxhash64(expr(
+            "split(regexp_replace(concat('x', id, 'y', id), '(.)', '$1 ')," +
+              " ' ')[4]"))))
+          .write.mode("overwrite").format("noop").save()
+        canaryAllocTimes += (System.nanoTime() - t1) / 1e9
+      }
     }
     // Memory-pressure canary: the CPU canary cannot see HEAP contention —
     // the r9 driver record carried a healthy canary (median 0.105) yet
@@ -293,6 +316,11 @@ object Bench {
       if (cs.isEmpty) "null"
       else s"""{"n":${cs.size},"min":${cs.head},""" +
         s""""median":${cs(cs.size / 2)},"max":${cs.last}}"""
+    val ca = canaryAllocTimes.sorted
+    val canaryAllocJson =
+      if (ca.isEmpty) "null"
+      else s"""{"n":${ca.size},"min":${ca.head},""" +
+        s""""median":${ca(ca.size / 2)},"max":${ca.last}}"""
     val stagesColdJson = stagesCold
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -318,7 +346,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_median":$med,"stages_cold":$stagesColdJson,""" +
-        s""""canary":$canaryJson,""" +
+        s""""canary":$canaryJson,"canary_alloc":$canaryAllocJson,""" +
         s""""queries_gc":$gcJson,"gc_suspects":$gcSuspectsJson,""" +
         s""""contended_by_gc":${gcSuspects.nonEmpty},"heap":$heapJson,""" +
         s""""failed":${failed.size},""" +
