@@ -1090,6 +1090,13 @@ object CommerceOps {
   // nothing. Discounts quantize to exact basis points (s=4), quantities
   // to centi-units; all co-moments are exact Decimal(38,0) ↔ HUGEINT;
   // slope is the sign-split staged floor-div; r is one fixed IEEE tree.
+  // Round-12 FMA audit: r = num_d / sqrt(den_d · vy_d) over EXACT
+  // integers is mul → sqrt → div with no add/sub anywhere in double
+  // space — FMA contraction fuses a multiply into an add, so this tree
+  // has nothing to contract; every op is individually correctly
+  // rounded (IEEE 754 requires it of *, /, sqrt, and the int→double
+  // casts), hence bit-identical cross-engine BY SHAPE, unlike the
+  // add-bearing raw-z trees the sweep moved to staged integers.
   // Scale shape: map-side-combining aggregate onto |brands| rows.
   def q231DiscountResponse(s: SparkSession, d: String): DataFrame = {
     val rows = Tables.lineitem(s, d)

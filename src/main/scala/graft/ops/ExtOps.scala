@@ -1438,12 +1438,19 @@ object ExtOps {
   // hash-split into control/treatment (deterministic h60 arm — the q91
   // split convention, so assignment is reproducible and join-free),
   // conversion = reached a 'purchase' event; report per-arm rates, the
-  // lift, the two-proportion z statistic (one fixed IEEE tree over
-  // exact counts), and the sample-ratio-mismatch screen that must be
-  // read BEFORE the lift (a biased split invalidates everything
-  // downstream — the SRM check is the experiment world's referential
-  // integrity). Scale shape: one user-keyed aggregate, then a 2-row
-  // arm rollup into a 1-row readout.
+  // lift, the two-proportion z² in exact staged-integer ppm (zSqPpm —
+  // the q260/q262 form; the raw-z IEEE tree this operator originally
+  // emitted is the exact shape the q262 sf0.1 gate caught diverging by
+  // one ulp across engines, so the round-12 sweep moved the LAST
+  // remaining add-bearing z tree to the staged form) with the lift
+  // direction read from an exact integer cross-multiplication, and the
+  // sample-ratio-mismatch screen that must be read BEFORE the lift (a
+  // biased split invalidates everything downstream — the SRM check is
+  // the experiment world's referential integrity). The significance
+  // threshold is 1.96² = 3 841 600 ppm; the bounded flooring error of
+  // the staged form is absorbed by it (q260's argument). Scale shape:
+  // one user-keyed aggregate, then a 2-row arm rollup into a 1-row
+  // readout.
   def q233AbReadout(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
     val users = Tables.events(s, d)
@@ -1463,27 +1470,29 @@ object ExtOps {
       .withColumn("rate_c_ppm", expr("conv_c * 1000000 div nullif(n_c, 0)"))
       .withColumn("rate_t_ppm", expr("conv_t * 1000000 div nullif(n_t, 0)"))
       .withColumn("lift_ppm", col("rate_t_ppm") - col("rate_c_ppm"))
-      .withColumn("z", expr(
-        "case when n_c = 0 or n_t = 0" +
-          " or conv_c + conv_t = 0 or conv_c + conv_t = n_c + n_t" +
-          " then null else" +
-          " (cast(conv_t as double) / n_t - cast(conv_c as double) / n_c)" +
-          " / sqrt((cast(conv_c + conv_t as double) / (n_c + n_t))" +
-          " * (1 - cast(conv_c + conv_t as double) / (n_c + n_t))" +
-          " * (1.0 / n_c + 1.0 / n_t)) end"))
+      .withColumn("z2_ppm", expr(zSqPpm))
+      .withColumn("direction", expr(
+        "case when z2_ppm is null then 'degenerate'" +
+          " when cast(conv_t as decimal(38,0)) * n_c" +
+          "   > cast(conv_c as decimal(38,0)) * n_t then 't_up'" +
+          " when cast(conv_t as decimal(38,0)) * n_c" +
+          "   < cast(conv_c as decimal(38,0)) * n_t then 't_down'" +
+          " else 'flat' end"))
       .withColumn("srm_ppm", expr(
         "case when n_c + n_t = 0 then null" +
           " else abs(n_c - n_t) * 1000000 div (n_c + n_t) end"))
       .withColumn("verdict",
         when(col("srm_ppm").isNull, "no_data")
           .when(col("srm_ppm") > 20000L, "srm_invalid")
-          .when(col("z").isNull, "degenerate")
-          .when(col("z") >= 1.96, "significant_lift")
-          .when(col("z") <= -1.96, "significant_drop")
+          .when(col("z2_ppm").isNull, "degenerate")
+          .when(col("z2_ppm") >= 3841600L && col("direction") === "t_up",
+            "significant_lift")
+          .when(col("z2_ppm") >= 3841600L && col("direction") === "t_down",
+            "significant_drop")
           .otherwise("inconclusive"))
       .select(col("n_c"), col("n_t"), col("conv_c"), col("conv_t"),
-        col("rate_c_ppm"), col("rate_t_ppm"), col("lift_ppm"), col("z"),
-        col("srm_ppm"), col("verdict"))
+        col("rate_c_ppm"), col("rate_t_ppm"), col("lift_ppm"),
+        col("z2_ppm"), col("direction"), col("srm_ppm"), col("verdict"))
   }
 
   val q233Sql: String = """
@@ -1508,35 +1517,40 @@ object ExtOps {
       CAST(conv_t * 1000000 // nullif(n_t, 0) AS BIGINT) AS rate_t_ppm,
       CAST(conv_t * 1000000 // nullif(n_t, 0)
         - conv_c * 1000000 // nullif(n_c, 0) AS BIGINT) AS lift_ppm,
-      CASE WHEN n_c = 0 OR n_t = 0
-             OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
-           THEN NULL ELSE
-        (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE) / n_c)
-        / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-          * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-          * (1.0 / n_c + 1.0 / n_t)) END AS z,
-      CASE WHEN n_c + n_t = 0 THEN NULL
-           ELSE CAST(abs(n_c - n_t) * 1000000 // (n_c + n_t) AS BIGINT)
-           END AS srm_ppm,
-      CASE WHEN n_c IS NULL OR n_c + n_t = 0 THEN 'no_data'
-           WHEN abs(n_c - n_t) * 1000000 // (n_c + n_t) > 20000
-             THEN 'srm_invalid'
-           WHEN n_c = 0 OR n_t = 0 OR conv_c + conv_t = 0
-             OR conv_c + conv_t = n_c + n_t THEN 'degenerate'
-           WHEN (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE)
-               / n_c)
-             / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-               * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-               * (1.0 / n_c + 1.0 / n_t)) >= 1.96
+      z2_ppm, direction, srm_ppm,
+      CASE WHEN srm_ppm IS NULL THEN 'no_data'
+           WHEN srm_ppm > 20000 THEN 'srm_invalid'
+           WHEN z2_ppm IS NULL THEN 'degenerate'
+           WHEN z2_ppm >= 3841600 AND direction = 't_up'
              THEN 'significant_lift'
-           WHEN (CAST(conv_t AS DOUBLE) / n_t - CAST(conv_c AS DOUBLE)
-               / n_c)
-             / sqrt((CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-               * (1 - CAST(conv_c + conv_t AS DOUBLE) / (n_c + n_t))
-               * (1.0 / n_c + 1.0 / n_t)) <= -1.96
+           WHEN z2_ppm >= 3841600 AND direction = 't_down'
              THEN 'significant_drop'
            ELSE 'inconclusive' END AS verdict
-    FROM agg"""
+    FROM (
+      SELECT *,
+        CASE WHEN z2_ppm IS NULL THEN 'degenerate'
+             WHEN CAST(conv_t AS HUGEINT) * n_c
+               > CAST(conv_c AS HUGEINT) * n_t THEN 't_up'
+             WHEN CAST(conv_t AS HUGEINT) * n_c
+               < CAST(conv_c AS HUGEINT) * n_t THEN 't_down'
+             ELSE 'flat' END AS direction,
+        CASE WHEN n_c + n_t = 0 THEN NULL
+             ELSE CAST(abs(n_c - n_t) * 1000000 // (n_c + n_t) AS BIGINT)
+             END AS srm_ppm
+      FROM (
+        SELECT *,
+          CASE WHEN n_c = 0 OR n_t = 0
+                 OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+               THEN NULL ELSE
+            CAST((CAST(conv_t AS HUGEINT) * n_c
+                - CAST(conv_c AS HUGEINT) * n_t)
+              * (CAST(conv_t AS HUGEINT) * n_c
+                - CAST(conv_c AS HUGEINT) * n_t)
+              // (CAST(n_c AS HUGEINT) * n_t)
+              * (n_c + n_t) * 1000000
+              // (CAST(conv_c + conv_t AS HUGEINT)
+                * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm
+        FROM agg) z0) z1"""
 
   // ---- q235: cohort retention matrix ------------------------------------
   // The classic retention triangle product analytics reads weekly: users
@@ -1651,10 +1665,22 @@ object ExtOps {
   // MDE = (z_{α/2} + z_β)·sqrt(p̄(1−p̄)·(1/n_c + 1/n_t)) — and whether
   // the observed |lift| clears it. An "inconclusive" q233 readout whose
   // |lift| is far below the MDE is an underpowered EXPERIMENT, not a
-  // null result; this is the operator that tells those apart. The z
-  // constants are literals; the MDE is one fixed IEEE tree over the
-  // exact counts, quantized to ppm. Scale shape: the same one user-keyed
-  // aggregate as q233 into a 1-row readout.
+  // null result; this is the operator that tells those apart.
+  //
+  // Exactness (round-12 sweep): the original one-IEEE-tree MDE was the
+  // same add-bearing double shape as the raw z the q262 gate caught
+  // diverging one ulp cross-engine — and here floor(·1e6 + 0.5)
+  // AMPLIFIES an ulp into a full ppm unit. Staged-integer instead:
+  // with K = z_{α/2}+z_β = 2.801585 exactly (ppm 2 801 585, squared
+  // 7 848 878 512 225), mde_ppm = round(√(K²·C·(N−C)/(N·n_c·n_t)·1e12))
+  // computes as (g + isqrt(4·K²ppm²·C·(N−C)·g² div (N·n_c·n_t)))
+  // div (2g) — the q250 ±1-corrected integer sqrt with guard scale
+  // g = 1000 below N = 1e9 (fits decimal(38,0): ≤ 7.9e36) and g = 1
+  // beyond (domain N ≤ 3.6e12). Deterministic by construction in both
+  // engines; the radicand flooring perturbs the result only within the
+  // q250-style milli bound, and the power_band compare is integer ppm
+  // vs integer ppm. Scale shape: the same one user-keyed aggregate as
+  // q233 into a 1-row readout.
   def q237PowerMde(s: SparkSession, d: String): DataFrame = {
     graft.expressions.Hash60.register(s)
     Tables.events(s, d)
@@ -1673,13 +1699,21 @@ object ExtOps {
           .as("conv_c"))
       .withColumn("pooled_ppm",
         expr("conv_all * 1000000 div nullif(n_c + n_t, 0)"))
-      .withColumn("mde_ppm", expr(
+      .withColumn("m_g", expr(
+        "case when n_c + n_t <= 1000000000 then 1000 else 1 end"))
+      .withColumn("m_x", expr(
         "case when n_c = 0 or n_t = 0 or conv_all = 0" +
           " or conv_all = n_c + n_t then null else" +
-          " cast(floor((1.959964 + 0.841621)" +
-          " * sqrt((cast(conv_all as double) / (n_c + n_t))" +
-          " * (1 - cast(conv_all as double) / (n_c + n_t))" +
-          " * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) as bigint) end"))
+          " cast(7848878512225 as decimal(38,0)) * conv_all" +
+          " * (n_c + n_t - conv_all) * 4 * m_g * m_g" +
+          " div (cast(n_c + n_t as decimal(38,0)) * n_c * n_t) end"))
+      .withColumn("m_s0", expr(
+        "cast(floor(sqrt(cast(m_x as double))) as decimal(38,0))"))
+      .withColumn("m_s", expr(
+        "case when (m_s0 + 1) * (m_s0 + 1) <= m_x then m_s0 + 1" +
+          " when m_s0 * m_s0 > m_x then m_s0 - 1 else m_s0 end"))
+      .withColumn("mde_ppm", expr(
+        "cast((m_g + m_s) div (2 * m_g) as bigint)"))
       .withColumn("lift_abs_ppm", expr(
         "case when n_c = 0 or n_t = 0 then null else" +
           " abs(conv_t * 1000000 div n_t - conv_c * 1000000 div n_c)" +
@@ -1709,30 +1743,41 @@ object ExtOps {
           AS conv_t,
         CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
           AS conv_c
-      FROM users)
+      FROM users),
+    st AS (
+      SELECT *, CASE WHEN n_c + n_t <= 1000000000 THEN 1000 ELSE 1 END
+        AS m_g
+      FROM agg),
+    mx AS (
+      SELECT *,
+        CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
+               OR conv_all = n_c + n_t THEN NULL ELSE
+          CAST(7848878512225 AS HUGEINT) * conv_all
+            * (n_c + n_t - conv_all) * 4 * m_g * m_g
+            // (CAST(n_c + n_t AS HUGEINT) * n_c * n_t) END AS m_x
+      FROM st),
+    s0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(m_x AS DOUBLE))) AS HUGEINT) AS m_s0
+      FROM mx),
+    sq AS (
+      SELECT *, CASE WHEN (m_s0 + 1) * (m_s0 + 1) <= m_x THEN m_s0 + 1
+                     WHEN m_s0 * m_s0 > m_x THEN m_s0 - 1
+                     ELSE m_s0 END AS m_s
+      FROM s0)
     SELECT n_c, n_t,
       CAST(conv_all * 1000000 // nullif(n_c + n_t, 0) AS BIGINT)
         AS pooled_ppm,
-      CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
-             OR conv_all = n_c + n_t THEN NULL ELSE
-        CAST(FLOOR((1.959964 + 0.841621)
-          * sqrt((CAST(conv_all AS DOUBLE) / (n_c + n_t))
-          * (1 - CAST(conv_all AS DOUBLE) / (n_c + n_t))
-          * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) AS BIGINT) END
-        AS mde_ppm,
+      CAST((m_g + m_s) // (2 * m_g) AS BIGINT) AS mde_ppm,
       CASE WHEN n_c = 0 OR n_t = 0 THEN NULL ELSE
         abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c) END
         AS lift_abs_ppm,
       CASE WHEN n_c IS NULL OR n_c = 0 OR n_t = 0 OR conv_all = 0
              OR conv_all = n_c + n_t THEN 'degenerate'
            WHEN abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c)
-             >= CAST(FLOOR((1.959964 + 0.841621)
-               * sqrt((CAST(conv_all AS DOUBLE) / (n_c + n_t))
-               * (1 - CAST(conv_all AS DOUBLE) / (n_c + n_t))
-               * (1.0 / n_c + 1.0 / n_t)) * 1000000 + 0.5) AS BIGINT)
+             >= CAST((m_g + m_s) // (2 * m_g) AS BIGINT)
              THEN 'detectable'
            ELSE 'underpowered' END AS power_band
-    FROM agg"""
+    FROM sq"""
 
   // ---- q248: session-level event-type co-occurrence lift ----------------
   // Market-basket association, lifted from orders (q196) to BEHAVIOR:
@@ -2101,8 +2146,9 @@ object ExtOps {
   // the uncorrected sequential testing problem, made visible as a
   // per-day ledger with the early crossings flagged.
   //
-  // Exactness: cumulative counts are exact integers; z is the q233
-  // fixed IEEE tree per day. Scale shape: ONE user-keyed aggregate
+  // Exactness: cumulative counts are exact integers; z² is the staged-
+  // integer ppm form (zSqPpm) per day, shared with q233/q260 since the
+  // round-12 sweep. Scale shape: ONE user-keyed aggregate
   // (entry day, conversion day, arm), two tagged delta ledgers summed
   // per (arm, day), and calendar-bounded cumulative windows over the
   // |days|×2 spine — the corpus is never re-scanned per day.

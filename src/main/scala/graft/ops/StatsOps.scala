@@ -887,10 +887,15 @@ object StatsOps {
   // partial-aggregatable `groupBy` (shuffle carries |sources| rows)
   // broadcast-joined back to the member rows — NOT a window over the
   // group key, which would move every row of a source to one reducer
-  // (the q122 scale hazard in milder form). Moments are exact integer
-  // sums combined in the q57/q115 double-cast order, so z is the same
-  // IEEE expression on both engines. Population variance (n divisor) on
-  // purpose — the group IS the population here.
+  // (the q122 scale hazard in milder form). The variance numerator
+  // n·Σx² − (Σx)² stays EXACT (Decimal(38,0) ↔ HUGEINT, ≥ 0 by
+  // Cauchy-Schwarz) before ONE double cast — the round-12 sweep
+  // removed the double-space a·b − c·d shape, which is FMS-contractible
+  // cross-engine (the q262-measured ulp class). What remains in IEEE is
+  // div / sub / sqrt / div with no multiply feeding an add: every op
+  // individually correctly rounded, no fusion possible — deterministic.
+  // Population variance (n divisor) on purpose — the group IS the
+  // population here.
   def q124ZScore(s: SparkSession, d: String): DataFrame = {
     def d_(c: Column): Column = c.cast("double")
     val base = Tables.documents(s, d)
@@ -901,8 +906,9 @@ object StatsOps {
     base.join(broadcast(moments), "source")
       .withColumn("mean", d_(col("sx")) / d_(col("n")))
       .withColumn("variance",
-        (d_(col("n")) * d_(col("sxx")) - d_(col("sx")) * d_(col("sx")))
-          / (d_(col("n")) * d_(col("n"))))
+        expr("cast(cast(n as decimal(38,0)) * sxx" +
+          " - cast(sx as decimal(38,0)) * sx as double)") /
+          expr("cast(cast(n as decimal(38,0)) * n as double)"))
       // constant group ⇒ variance 0 ⇒ z undefined: NULL on both engines
       // (Spark would NaN, DuckDB would NULL — nullif aligns them)
       .withColumn("z", (d_(col("v")) - col("mean"))
@@ -918,9 +924,9 @@ object StatsOps {
     FROM (
       SELECT doc_id, source, v,
         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-        (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS variance
+        CAST(CAST(n AS HUGEINT) * sxx
+          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS variance
       FROM (
         SELECT doc_id, source, n_chars AS v,
           COUNT(*) OVER (PARTITION BY source) AS n,
@@ -940,6 +946,10 @@ object StatsOps {
   // (the q74 bucket-totals pattern: tiny frame, never the corpus).
   // Sample variances and t combine in the q57 double-cast order, so the
   // statistic is bit-identical across engines; |t| > 3 flags drift.
+  // Round-12 FMA audit: in sxx_d − (sx_d·sx_d)/n_d the multiply feeds a
+  // DIVISION, and every double add/sub here takes cast- or div-results
+  // as operands — FMA contraction needs a multiply feeding an add, so
+  // this tree has no fusable site; safe by shape (q231's argument).
   def q125DriftT(s: SparkSession, d: String): DataFrame = {
     def d_(c: Column): Column = c.cast("double")
     val wAll = Window.rowsBetween(
@@ -1473,7 +1483,10 @@ object StatsOps {
   // that bounded frame (≤7·|days| rows) with the lag list broadcast.
   // All co-moments are exact Decimal(38,0) ↔ HUGEINT (daily counts ≤
   // ~3e8 at 100 TB keep n·Σxy ≤ ~1e24 — inside 38 digits); r is a fixed
-  // IEEE sequence on identical integers.
+  // IEEE sequence on identical integers — and FMA-safe by shape
+  // (round-12 audit): num_d / sqrt(vx_d · vy_d) is mul → sqrt → div
+  // with no double-space add to contract into, so each op's single
+  // IEEE rounding is the whole story in both engines (q231's argument).
   def q218Autocorr(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .select(datediff(to_date(col("ts")), lit("1970-01-01"))
@@ -1900,7 +1913,13 @@ object StatsOps {
       .filter(col("sw") > 0)
       .select(col("b"), expr("cast(swc * 1000 div sw as bigint)").as("m"))
     // fixed-rank CI picks: t_lo = 0.025·(B−1) = 0.775 → ranks 1,2;
-    // t_hi = 0.975·(B−1) = 30.225 → ranks 31,32 (B = 32 constant)
+    // t_hi = 0.975·(B−1) = 30.225 → ranks 31,32 (B = 32 constant).
+    // The interpolation weights are exact rationals (0.775 = 31/40,
+    // 0.225 = 9/40), so the bounds stay BIGINT milli via floor-div —
+    // the round-12 sweep removed the m1 + 0.775·(m2−m1) double tree,
+    // a mul-feeds-add shape in the FMA-contractible class the q262
+    // gate measured diverging one ulp cross-engine. The ≤ 1-milli
+    // flooring (a thousandth of a cent) is far inside bootstrap noise.
     val picks = means
       .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
       .filter(col("rn").isin(1, 2, BootB - 1, BootB))
@@ -1920,12 +1939,8 @@ object StatsOps {
           .as("mean_milli"))
     picks.crossJoin(broadcast(point))
       .select(col("n_orders"), col("mean_milli"),
-        (col("m1").cast("double") +
-          lit(0.775) * (col("m2") - col("m1")).cast("double"))
-          .as("ci_lo_milli"),
-        (col("m31").cast("double") +
-          lit(0.225) * (col("m32") - col("m31")).cast("double"))
-          .as("ci_hi_milli"))
+        expr("m1 + 31 * (m2 - m1) div 40").as("ci_lo_milli"),
+        expr("m31 + 9 * (m32 - m31) div 40").as("ci_hi_milli"))
   }
 
   val q232Sql: String = {
@@ -1960,9 +1975,8 @@ object StatsOps {
           // nullif(COUNT(*), 0) AS BIGINT) AS mean_milli
       FROM orders)
     SELECT n_orders, mean_milli,
-      CAST(m1 AS DOUBLE) + 0.775 * CAST(m2 - m1 AS DOUBLE) AS ci_lo_milli,
-      CAST(m31 AS DOUBLE) + 0.225 * CAST(m32 - m31 AS DOUBLE)
-        AS ci_hi_milli
+      CAST(m1 + 31 * (m2 - m1) // 40 AS BIGINT) AS ci_lo_milli,
+      CAST(m31 + 9 * (m32 - m31) // 40 AS BIGINT) AS ci_hi_milli
     FROM picks CROSS JOIN point WHERE kk = 4"""
   }
 
@@ -2045,9 +2059,11 @@ object StatsOps {
   // data for their respective series.
   //
   // Exactness: co-moments on Decimal(38,0) ↔ HUGEINT; each r is one
-  // fixed IEEE tree on identical integers, so the argmax pick ranks
-  // bit-identical doubles in both engines (NULLs last, ties to the
-  // smallest lag). Lags whose day overlap is under 8 points degrade to
+  // fixed IEEE tree on identical integers — FMA-safe by shape
+  // (round-12 audit: num_d / sqrt(ve_d · vo_d) has no double-space
+  // add for contraction to fuse into; q231's argument) — so the
+  // argmax pick ranks bit-identical doubles in both engines (NULLs
+  // last, ties to the smallest lag). Lags whose day overlap is under 8 points degrade to
   // NULL — a 2-point overlap is ALWAYS |r| = 1, and letting arithmetic
   // artifacts win the argmax is exactly the trap this guard closes.
   // Scale shape: both corpora collapse map-side to
@@ -2152,9 +2168,16 @@ object StatsOps {
   // per-priority median order value, the binomial order-statistic
   // interval — ranks l = ⌊(n − 1.96√n)/2⌋ and u = ⌈1 + (n + 1.96√n)/2⌉
   // (clamped to [1, n]) bracket the true median at ~95% with NO
-  // distributional assumption and NO resampling. The ranks come from
-  // one fixed IEEE tree on the exact count (identical in both engines,
-  // floored back to integers); the VALUES at those ranks — and the
+  // distributional assumption and NO resampling. The ranks are EXACT
+  // integers (round-12 sweep: the original 1.96·√n IEEE tree fed a
+  // floor/ceil, where a one-ulp cross-engine divergence flips a whole
+  // rank — the q237-class hazard): 1.96√n = √(2401n)/25 with 2401n
+  // < 2⁵³ for n ≤ 3.8e15, so t = isqrt(2401n) is exact after the ±1
+  // correction, and l = ⌊(25n − t)/50⌋ (minus 1 on the exact-boundary
+  // case 50 | 25n−t when 2401n is not a perfect square — √ irrational
+  // means the true value sits strictly below the boundary) and
+  // u = 1 + ⌈(25n + t)/50⌉ follow by the one-integer-in-a-unit-interval
+  // argument; the VALUES at those ranks — and the
   // lower median itself — resolve through the value-histogram contract
   // (cumulative counts over the bounded cents domain), so executor
   // state stays O(|value domain|), never O(group rows).
@@ -2174,12 +2197,21 @@ object StatsOps {
       .persist() // three rank picks read it
     val ranks = hist.select(col("grp"), col("n")).distinct()
       .withColumn("med_rank", expr("(n + 1) div 2"))
+      .withColumn("t0", expr(
+        "cast(floor(sqrt(cast(2401 * n as double))) as bigint)"))
+      .withColumn("tq", expr(
+        "case when (t0 + 1) * (t0 + 1) <= 2401 * n then t0 + 1" +
+          " when t0 * t0 > 2401 * n then t0 - 1 else t0 end"))
+      .withColumn("lo_m", expr("greatest(cast(0 as bigint), 25 * n - tq)"))
       .withColumn("lo_rank", expr(
-        "greatest(cast(1 as bigint), cast(floor((n - 1.96" +
-          " * sqrt(cast(n as double))) / 2) as bigint))"))
+        "greatest(cast(1 as bigint), lo_m div 50" +
+          " - (case when lo_m % 50 = 0 and tq * tq <> 2401 * n" +
+          " then 1 else 0 end))"))
       .withColumn("hi_rank", expr(
-        "least(n, cast(ceil(1 + (n + 1.96 * sqrt(cast(n as double)))" +
-          " / 2) as bigint))"))
+        "least(n, 1 + case when tq * tq = 2401 * n" +
+          " then (25 * n + tq + 49) div 50" +
+          " else (25 * n + tq) div 50 + 1 end)"))
+      .drop("t0", "tq", "lo_m")
     def pick(rankCol: String, out: String) =
       hist.join(broadcast(ranks.select(col("grp"),
           col(rankCol).as("rk"))), Seq("grp"))
@@ -2207,13 +2239,24 @@ object StatsOps {
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
         CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
       FROM hist),
+    tq0 AS (
+      SELECT grp, n,
+        CAST(floor(sqrt(CAST(2401 * n AS DOUBLE))) AS BIGINT) AS t0
+      FROM (SELECT DISTINCT grp, n FROM cum)),
+    tq AS (
+      SELECT grp, n,
+        CASE WHEN (t0 + 1) * (t0 + 1) <= 2401 * n THEN t0 + 1
+             WHEN t0 * t0 > 2401 * n THEN t0 - 1 ELSE t0 END AS t
+      FROM tq0),
     ranks AS (
       SELECT grp, n, (n + 1) // 2 AS med_rank,
-        greatest(1, CAST(floor((n - 1.96 * sqrt(CAST(n AS DOUBLE)))
-          / 2) AS BIGINT)) AS lo_rank,
-        least(n, CAST(ceil(1 + (n + 1.96 * sqrt(CAST(n AS DOUBLE)))
-          / 2) AS BIGINT)) AS hi_rank
-      FROM (SELECT DISTINCT grp, n FROM cum)),
+        greatest(1, greatest(0, 25 * n - t) // 50
+          - (CASE WHEN greatest(0, 25 * n - t) % 50 = 0
+                   AND t * t <> 2401 * n THEN 1 ELSE 0 END)) AS lo_rank,
+        least(n, 1 + CASE WHEN t * t = 2401 * n
+          THEN (25 * n + t + 49) // 50
+          ELSE (25 * n + t) // 50 + 1 END) AS hi_rank
+      FROM tq),
     med AS (
       SELECT cum.grp, MIN(cents) AS median_cents
       FROM cum JOIN ranks ON ranks.grp = cum.grp

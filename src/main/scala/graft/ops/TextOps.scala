@@ -501,27 +501,43 @@ object TextOps {
   // never the whole vocabulary — and the ranking window covers only docs
   // with ≥1 matching term. Parity: the idf is the RATIONAL N/df variant
   // (q73's choice — ln's last-bit rounding differs across engines, so
-  // log-idf cannot exact-match); every per-term score is one double
-  // expression evaluated from exact integers through an IDENTICAL parse
-  // tree on both engines (the SQL text is shared verbatim), quantized to
-  // 1e6 units, and summed as BIGINT — order-independent.
-  private val Bm25K1 = "1.2"
-  private val Bm25B  = "0.75"
+  // log-idf cannot exact-match); every per-term score is an EXACT
+  // integer 1e6-unit value (bm25UnitsExactSql — k1 and b folded as exact
+  // rationals, round-half-up), summed as BIGINT — order-independent and
+  // deterministic by construction, no doubles anywhere in the score.
+  // BM25 constants k1 = 1.2 = 6/5 and b = 0.75 = 3/4 are folded as exact
+  // rationals into bm25UnitsExactSql below.
   private[graft] val bm25Queries = Seq(
     0L -> Seq("hash", "join"),
     1L -> Seq("dup", "vector"),
     2L -> Seq("stream", "window", "the"))
 
-  /** One BM25 term contribution as SQL text, over columns
-    * (tf, df, dl, n_docs, avgdl) — shared Spark/DuckDB so the IEEE op
-    * tree is identical. */
-  private val bm25TermSql: String =
-    s"(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))" +
-      s" * ((CAST(tf AS DOUBLE) * ($Bm25K1 + 1.0))" +
-      s" / (CAST(tf AS DOUBLE) + $Bm25K1 * ((1.0 - $Bm25B)" +
-      s" + $Bm25B * (CAST(dl AS DOUBLE) / avgdl))))"
-  private val bm25UnitsSql: String =
-    s"CAST(FLOOR($bm25TermSql * 1e6 + 0.5) AS BIGINT)"
+  /** One BM25 term contribution in EXACT integer 1e6-units, over columns
+    * (tf, df, dl, n_docs, n_tok). With k1 = 6/5 and b = 3/4 exact
+    * rationals and avgdl = n_tok/n_docs, the whole term is rational:
+    *   (N/df)·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl·N/T))
+    *     = 44·N·tf·T / (2·df·(10·tf·T + 3·T + 9·dl·N))
+    * and units = round(term·1e6) = (44e6·N·tf·T + den) div (2·den) with
+    * den = df·(10·tf·T + 3·T + 9·dl·N) — round-half-up, matching the
+    * previous FLOOR(x·1e6 + 0.5) convention. The round-12 sweep moved
+    * this off the shared-verbatim IEEE tree: identical SQL text does NOT
+    * guarantee identical doubles across engines (the q262-measured ulp
+    * class), and the mul-feeds-add shapes here were contractible. Both
+    * engine strings are generated from ONE template (only the int128
+    * type and integer-div token differ), so the integer op tree is
+    * symmetric by construction. Fits 38 digits for N·tf·T ≤ 2.2e30
+    * (e.g. 1e10 docs × 1e14 tokens × tf ≤ 220 — or any mix under the
+    * product bound). */
+  private def bm25UnitsExactSql(big: String, idiv: String): String = {
+    def c(x: String) = s"CAST($x AS $big)"
+    val den = s"(${c("df")} * (10 * ${c("tf")} * n_tok" +
+      s" + 3 * ${c("n_tok")} + 9 * ${c("dl")} * n_docs))"
+    s"CAST((44000000 * ${c("n_docs")} * tf * n_tok + $den)" +
+      s" $idiv (2 * $den) AS BIGINT)"
+  }
+  private val bm25UnitsSpark: String =
+    bm25UnitsExactSql("DECIMAL(38,0)", "div")
+  private val bm25UnitsDuck: String = bm25UnitsExactSql("HUGEINT", "//")
 
   def q90Bm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -544,15 +560,13 @@ object TextOps {
       .persist()
     val dfN = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tok"))
-      .withColumn("avgdl",
-        col("n_tok").cast("double") / col("n_docs").cast("double"))
-      .select(col("n_docs"), col("avgdl"))
+      .select(col("n_docs"), col("n_tok"))
     val scored = tf
       .join(broadcast(dfN), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(qt), qt("term") === col("token"))
-      .select(col("query_id"), col("doc_id"), expr(bm25UnitsSql).as("tu"))
+      .select(col("query_id"), col("doc_id"), expr(bm25UnitsSpark).as("tu"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("tu")).as("score_units"))
     scored.withColumn("rank", row_number().over(
@@ -587,11 +601,11 @@ object TextOps {
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     stats AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        CAST(SUM(dl) AS BIGINT) AS n_tok
       FROM dl),
     scored AS (
       SELECT qt.query_id, tf.doc_id,
-        CAST(SUM($bm25UnitsSql) AS BIGINT) AS score_units
+        CAST(SUM($bm25UnitsDuck) AS BIGINT) AS score_units
       FROM tf
       JOIN dfn USING (token)
       JOIN dl USING (doc_id)

@@ -583,11 +583,26 @@ class ExtOpsSpec extends AnyFunSuite {
         .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type")))
         .groupBy(_._1).toSeq
       val conv = users.count(_._2.exists(_._2 == "purchase")).toLong
-      val pExact = conv.toDouble / (nc + nt)
-      val mde = math.floor((1.959964 + 0.841621) *
-        math.sqrt(pExact * (1 - pExact) * (1.0 / nc + 1.0 / nt)) * 1e6
-        + 0.5).toLong
+      // exact recount of the staged-integer MDE in BigInt
+      val nTot = nc + nt
+      val g = if (nTot <= 1000000000L) BigInt(1000) else BigInt(1)
+      val x = BigInt("7848878512225") * conv * (nTot - conv) * 4 * g * g /
+        (BigInt(nTot) * nc * nt)
+      def isqrt(v: BigInt): BigInt =
+        if (v <= 1) v
+        else {
+          var s = BigInt(math.sqrt(v.toDouble).toLong)
+          while (s * s > v) s -= 1
+          while ((s + 1) * (s + 1) <= v) s += 1
+          s
+        }
+      val mde = ((g + isqrt(x)) / (2 * g)).toLong
       assert(r.getAs[Long]("mde_ppm") == mde, r.toString)
+      // and the integer form stays within 1 ppm of the textbook tree
+      val pExact = conv.toDouble / (nc + nt)
+      val mdeText = (1.959964 + 0.841621) *
+        math.sqrt(pExact * (1 - pExact) * (1.0 / nc + 1.0 / nt)) * 1e6
+      assert(math.abs(mde - mdeText) <= 1.0, s"$mde vs $mdeText")
       val band = if (r.getAs[Long]("lift_abs_ppm") >= mde) "detectable"
                  else "underpowered"
       assert(r.getAs[String]("power_band") == band)
@@ -612,14 +627,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("lift_ppm") ==
       ct * 1000000L / nt - cc * 1000000L / nc)
     if (cc + ct > 0 && cc + ct < nc + nt) {
+      // exact recount of the staged-integer z² in BigInt
+      val diff = BigInt(ct) * nc - BigInt(cc) * nt
+      val z2 = diff * diff / (BigInt(nc) * nt) * (nc + nt) * 1000000 /
+        (BigInt(cc + ct) * (nc + nt - cc - ct))
+      assert(r.getAs[Long]("z2_ppm") == z2.toLong, r.toString)
+      val dir = if (diff > 0) "t_up" else if (diff < 0) "t_down" else "flat"
+      assert(r.getAs[String]("direction") == dir)
+      // the staged form tracks the textbook z² within flooring slop
       val p = (cc + ct).toDouble / (nc + nt)
       val zb = (ct.toDouble / nt - cc.toDouble / nc) /
         math.sqrt(p * (1 - p) * (1.0 / nc + 1.0 / nt))
-      assert(math.abs(r.getAs[Double]("z") - zb) < 1e-12)
+      assert(math.abs(z2.toDouble - zb * zb * 1e6) <=
+        1e-3 * math.abs(zb * zb * 1e6) + 2.0, s"$z2 vs ${zb * zb * 1e6}")
     } else {
-      // all-or-none conversion: pooled variance is 0 — z must degrade
+      // all-or-none conversion: pooled variance is 0 — z² must degrade
       // to NULL, never to a NaN/Inf
-      assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("z2_ppm")), r.toString)
+      assert(r.getAs[String]("direction") == "degenerate")
     }
     assert(r.getAs[Long]("srm_ppm") ==
       math.abs(nc - nt) * 1000000L / (nc + nt))

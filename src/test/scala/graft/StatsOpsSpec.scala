@@ -490,16 +490,15 @@ class StatsOpsSpec extends AnyFunSuite {
     }.sorted
     val r = StatsOps.q232BootstrapCi(spark, sf).head()
     assert(means.length == StatsOps.BootB) // every resample non-empty here
-    assert(r.getAs[Double]("ci_lo_milli") ==
-      means(0).toDouble + 0.775 * (means(1) - means(0)).toDouble)
-    assert(r.getAs[Double]("ci_hi_milli") ==
-      means(30).toDouble + 0.225 * (means(31) - means(30)).toDouble)
+    // exact rational interpolation: 0.775 = 31/40, 0.225 = 9/40
+    assert(r.getAs[Long]("ci_lo_milli") ==
+      means(0) + 31L * (means(1) - means(0)) / 40L)
+    assert(r.getAs[Long]("ci_hi_milli") ==
+      means(30) + 9L * (means(31) - means(30)) / 40L)
     assert(r.getAs[Long]("n_orders") == orders.length.toLong)
     // the point estimate sits inside the bootstrap interval
-    assert(r.getAs[Long]("mean_milli").toDouble >=
-      r.getAs[Double]("ci_lo_milli"))
-    assert(r.getAs[Long]("mean_milli").toDouble <=
-      r.getAs[Double]("ci_hi_milli"))
+    assert(r.getAs[Long]("mean_milli") >= r.getAs[Long]("ci_lo_milli"))
+    assert(r.getAs[Long]("mean_milli") <= r.getAs[Long]("ci_hi_milli"))
   }
 
   test("q228 recovers a planted linear trend exactly and resists an outlier") {
