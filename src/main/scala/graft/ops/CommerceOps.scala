@@ -1563,7 +1563,136 @@ object CommerceOps {
            ELSE 'mostly_raw' END AS band
     FROM sc ORDER BY p_brand"""
 
+  // ---- q270: month-over-month distribution stability (PSI-family) -------
+  // The monitoring read a finance/data-platform team runs on every
+  // landed month: did the SHAPE of the order-value distribution move,
+  // not just its mean (q219 tracks the level; a mix shift at constant
+  // mean is invisible there)? The industry metric family is PSI over
+  // fixed quantile bins; PSI itself needs ln (cross-engine-inexact, the
+  // q73 lesson), so the operator reports the total-variation distance —
+  // TV = Σ_b |p_b − q_b| / 2 over the 10 global decile bins, in EXACT
+  // integer ppm — which bounds PSI-style divergences and carries the
+  // same signal (which months the mix moved, and by how much).
+  //
+  // Bins: global decile cut points from the value-histogram contract
+  // (q261's rank convention — cut_i = min cents with cum·10 ≥ i·n;
+  // executor state is O(|cents domain|), never corpus rows); each row
+  // bins by counting cuts below it via a 9-element array HOF against
+  // the broadcast cut list. Shares are floor-div ppm per (month, bin)
+  // on the zero-filled month×bin spine; each month compares to the
+  // PREVIOUS calendar month (mi = year·12 + month, so adjacency holds
+  // across year boundaries) — a gap month reads 'no_prior', never a
+  // comparison against the wrong neighbor. Scale shape: one scan for
+  // the histogram, one for the binning; everything after lives on the
+  // |months|×10 spine.
+  private val StabilityBins = 10
+
+  def q270DistStability(s: SparkSession, d: String): DataFrame = {
+    val ms = Tables.orders(s, d)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("mi"),
+        toUnits(col("o_totalprice")).as("cents"))
+    val hist = ms.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+    val cutsArr = hist
+      .crossJoin(broadcast(s.range(1, StabilityBins)
+        .select(col("id").as("i"))))
+      .filter(col("cum") * StabilityBins >= col("i") * col("n"))
+      .groupBy(col("i")).agg(min(col("cents")).as("cut"))
+      .agg(sort_array(collect_list(col("cut"))).as("cs"))
+    val binned = ms.crossJoin(broadcast(cutsArr))
+      .withColumn("bin",
+        expr("size(filter(cs, c -> cents > c))").cast("long"))
+      .groupBy(col("mi"), col("bin")).agg(count(lit(1)).as("c"))
+      .persist() // month spine + both sides of the prev join read it
+    val months = binned.select(col("mi")).distinct()
+    val bins = s.range(0, StabilityBins).select(col("id").as("bin"))
+    val grid = months.crossJoin(broadcast(bins))
+      .join(binned, Seq("mi", "bin"), "left").na.fill(0L, Seq("c"))
+      .withColumn("n_m", sum(col("c")).over(Window.partitionBy(col("mi"))))
+      .withColumn("p_ppm", expr("c * 1000000 div nullif(n_m, 0)"))
+    val prev = grid.select((col("mi") + 1).as("mi"), col("bin"),
+      col("p_ppm").as("q_ppm"))
+    grid.join(prev, Seq("mi", "bin"), "left")
+      .groupBy(col("mi"))
+      .agg(max(col("n_m")).as("n_orders"),
+        // prev month present for ALL 10 bins or none (full spine), so
+        // sum/max over nulls degrade the whole month, never a subset
+        sum(abs(col("p_ppm") - col("q_ppm"))).as("l1"),
+        max(abs(col("p_ppm") - col("q_ppm"))).as("max_bin_delta_ppm"))
+      .withColumn("tv_ppm", expr("l1 div 2"))
+      .withColumn("month_start", expr(
+        "make_date(cast((mi - 1) div 12 as int)," +
+          " cast((mi - 1) % 12 + 1 as int), 1)"))
+      .withColumn("band",
+        when(col("tv_ppm").isNull, "no_prior")
+          .when(col("tv_ppm") >= 50000L, "shifted")
+          .when(col("tv_ppm") >= 20000L, "drifting")
+          .otherwise("stable"))
+      .select(col("month_start"), col("n_orders"), col("tv_ppm"),
+        col("max_bin_delta_ppm"), col("band"))
+      .orderBy(col("month_start"))
+  }
+
+  val q270Sql: String = s"""
+    WITH ms AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        AS mi, ${sqlUnits("o_totalprice")} AS cents
+      FROM orders),
+    hist AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM ms GROUP BY 1),
+    hc AS (
+      SELECT cents,
+        CAST(SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+          AS BIGINT) AS cum,
+        CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM hist),
+    cuts AS (
+      SELECT i, MIN(cents) AS cut
+      FROM hc CROSS JOIN (SELECT CAST(unnest(range(1, $StabilityBins))
+        AS BIGINT) AS i)
+      WHERE cum * $StabilityBins >= i * n GROUP BY 1),
+    ca AS (SELECT list_sort(list(cut)) AS cs FROM cuts),
+    binned AS (
+      SELECT mi, CAST(len(list_filter(cs, c -> cents > c)) AS BIGINT)
+        AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ms CROSS JOIN ca GROUP BY 1, 2),
+    grid AS (
+      SELECT m.mi, b.bin, COALESCE(binned.c, 0) AS c
+      FROM (SELECT DISTINCT mi FROM binned) m
+      CROSS JOIN (SELECT CAST(unnest(range(0, $StabilityBins)) AS BIGINT)
+        AS bin) b
+      LEFT JOIN binned ON binned.mi = m.mi AND binned.bin = b.bin),
+    shares AS (
+      SELECT mi, bin, c,
+        CAST(SUM(c) OVER (PARTITION BY mi) AS BIGINT) AS n_m
+      FROM grid),
+    pp AS (
+      SELECT mi, bin, n_m,
+        CAST(c * 1000000 // nullif(n_m, 0) AS BIGINT) AS p_ppm
+      FROM shares),
+    dd AS (
+      SELECT a.mi, MAX(a.n_m) AS n_orders,
+        CAST(SUM(abs(a.p_ppm - b.p_ppm)) // 2 AS BIGINT) AS tv_ppm,
+        CAST(MAX(abs(a.p_ppm - b.p_ppm)) AS BIGINT) AS max_bin_delta_ppm
+      FROM pp a LEFT JOIN pp b ON b.mi = a.mi - 1 AND b.bin = a.bin
+      GROUP BY 1)
+    -- (tv halving is integer // in both engines: Spark casting a double
+    -- truncates while DuckDB's double->int cast rounds, so plain /2
+    -- would diverge on odd L1 masses)
+    SELECT make_date(CAST((mi - 1) // 12 AS INTEGER),
+        CAST((mi - 1) % 12 + 1 AS INTEGER), 1) AS month_start,
+      n_orders, tv_ppm, max_bin_delta_ppm,
+      CASE WHEN tv_ppm IS NULL THEN 'no_prior'
+           WHEN tv_ppm >= 50000 THEN 'shifted'
+           WHEN tv_ppm >= 20000 THEN 'drifting'
+           ELSE 'stable' END AS band
+    FROM dd ORDER BY month_start"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_dist_stability" -> q270DistStability _,
     "q259_shrunk_rates" -> q259ShrunkRates _,
     "q254_order_backlog" -> q254OrderBacklog _,
     "q257_price_volume_mix" -> q257PriceVolumeMix _,
@@ -1587,6 +1716,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q270_dist_stability" -> q270Sql,
     "q259_shrunk_rates" -> q259Sql,
     "q254_order_backlog" -> q254Sql,
     "q257_price_volume_mix" -> q257Sql,

@@ -1615,7 +1615,105 @@ object CurationOps {
       floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc
     FROM r ORDER BY source"""
 
+  // ---- q272: Neyman-allocated stratified sample budget -------------------
+  // q246 splits a budget by MASS; the statistically optimal split for
+  // estimating a corpus mean (doc length here) is Neyman allocation —
+  // slots ∝ N_h·σ_h per stratum, so high-variance sources get the
+  // sample depth their spread demands and a constant-length source
+  // (σ = 0) wastes none. The minimum-variance classic for QA sampling,
+  // labeling budgets, and eval-set sizing.
+  //
+  // Exactness: the weight is N_h·σ_h = √(N_h·Σx² − (Σx)²) — the
+  // population identity N²σ² = N·Σx² − (Σx)², so NO per-stratum
+  // division ever happens; the radicand is exact Decimal(38,0) ↔
+  // HUGEINT (≥ 0 by Cauchy-Schwarz) and the root is the q250-style
+  // ±1-corrected integer sqrt. Slots then apportion by q246's
+  // largest-remainder method (floor quotas + remainder rank, ties by
+  // source). If EVERY stratum is constant-length (ΣW = 0) the weights
+  // fall back to N_h — proportional allocation, never a zero-filled
+  // report. Radicand ≤ N·Σx² ≈ 1e36 at 1e12 docs × 1e6-char bound.
+  //
+  // Scale shape: one map-side-combining per-source moment rollup;
+  // everything after lives on the |sources|-row frame.
+  private val NeymanBudget = 10000L
+
+  def q272NeymanAlloc(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    val rankW = Window.orderBy(col("rem").desc, col("source").asc)
+    val m = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"))
+      .withColumn("w2", expr("n_docs * sxx - sx * sx"))
+      .withColumn("w0", expr(
+        "cast(floor(sqrt(cast(w2 as double))) as decimal(38,0))"))
+      .withColumn("w_sigma_n", expr(
+        "cast(case when (w0 + 1) * (w0 + 1) <= w2 then w0 + 1" +
+          " when w0 * w0 > w2 then w0 - 1 else w0 end as bigint)"))
+      .withColumn("w_total", sum(col("w_sigma_n")).over(wAll))
+      // all-constant corpus: σ ≡ 0 everywhere → proportional fallback
+      .withColumn("w_eff", expr(
+        "case when w_total > 0 then w_sigma_n else n_docs end"))
+      .withColumn("t_all", sum(col("w_eff")).over(wAll))
+    m.withColumn("floor_alloc", expr(
+        s"cast(cast(w_eff as decimal(38,0)) * $NeymanBudget" +
+          " div nullif(t_all, 0) as bigint)"))
+      .withColumn("rem", expr(
+        s"cast(cast(w_eff as decimal(38,0)) * $NeymanBudget" +
+          " % nullif(t_all, 0) as bigint)"))
+      .withColumn("leftover",
+        lit(NeymanBudget) - sum(col("floor_alloc")).over(wAll))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .withColumn("extra", when(col("rnk") <= col("leftover"), 1L)
+        .otherwise(0L))
+      .withColumn("alloc", col("floor_alloc") + col("extra"))
+      .select(col("source"), col("n_docs"), col("w_sigma_n"),
+        col("floor_alloc"), col("extra"), col("alloc"))
+      .orderBy(col("source"))
+  }
+
+  val q272Sql: String = s"""
+    WITH m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        SUM(CAST(n_chars AS HUGEINT)) AS sx,
+        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY 1),
+    w2 AS (SELECT *, n_docs * sxx - sx * sx AS w2 FROM m),
+    w0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(w2 AS DOUBLE))) AS HUGEINT) AS w0
+      FROM w2),
+    ws AS (
+      SELECT source, n_docs,
+        CAST(CASE WHEN (w0 + 1) * (w0 + 1) <= w2 THEN w0 + 1
+                  WHEN w0 * w0 > w2 THEN w0 - 1 ELSE w0 END AS BIGINT)
+          AS w_sigma_n
+      FROM w0),
+    we AS (
+      SELECT *,
+        CASE WHEN SUM(w_sigma_n) OVER () > 0 THEN w_sigma_n
+             ELSE n_docs END AS w_eff
+      FROM ws),
+    q AS (
+      SELECT *,
+        CAST(CAST(w_eff AS HUGEINT) * $NeymanBudget
+          // nullif(SUM(w_eff) OVER (), 0) AS BIGINT) AS floor_alloc,
+        CAST(CAST(w_eff AS HUGEINT) * $NeymanBudget
+          % nullif(SUM(w_eff) OVER (), 0) AS BIGINT) AS rem
+      FROM we),
+    r AS (
+      SELECT *, $NeymanBudget - SUM(floor_alloc) OVER () AS leftover,
+        CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+          AS rnk
+      FROM q)
+    SELECT source, n_docs, w_sigma_n, floor_alloc,
+      CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+      floor_alloc + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc
+    FROM r ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_neyman_alloc" -> q272NeymanAlloc _,
     "q246_apportionment" -> q246Apportionment _,
     "q238_context_budget" -> q238ContextBudget _,
     "q157_budget_admission" -> q157BudgetAdmission _,
@@ -1642,6 +1740,7 @@ object CurationOps {
     "q153_shuffle_mixing" -> q153ShuffleMixing _)
 
   val oracles: Map[String, String] = Map(
+    "q272_neyman_alloc" -> q272Sql,
     "q246_apportionment" -> q246Sql,
     "q238_context_budget" -> q238Sql,
     "q157_budget_admission" -> q157Sql,

@@ -2252,7 +2252,105 @@ $sqlJac,
     FROM bs CROSS JOIN mass CROSS JOIN nd
     ORDER BY batch_size"""
 
+  // ---- q269: k-core decomposition of the near-dup graph -----------------
+  // The graph-density audit between q60's components and q116's triads:
+  // which duplication structures are DENSE (template farms, mirror
+  // rings) versus merely CONNECTED (chains of pairwise near-dups)? The
+  // k-core — the maximal subgraph where every node keeps degree ≥ k —
+  // answers it: a 4-core survivor sits in a tightly cross-linked clone
+  // mass no chain can fake, and core membership is the standard
+  // prioritization key for manual dedup review (densest first).
+  //
+  // Contract: an R-round peel (R = 8, fixed in BOTH engines) of the
+  // verified near-dup edge list [[dupPairs]] for k = 2, 3, 4 — each
+  // round drops nodes whose degree within the survivors is < k. The
+  // R-round residual is a superset of the true k-core, EXACT when
+  // `converged` is true (survivor sets only shrink, so equal counts in
+  // rounds R−1 and R pin the fixpoint); real dup graphs peel in 1–3
+  // rounds because near-dup families are clique-like, and a caller at
+  // scale raises R. The fixed R keeps the operator a deterministic
+  // function of the corpus — no data-dependent iteration count to
+  // diverge between engine and oracle on an unconverged graph.
+  //
+  // Scale shape: the peel runs ENTIRELY on the pinned candidate-pair
+  // frame (bounded by band-bucket occupancy, never corpus rows); each
+  // round is two semi-joins + one map-side-combining degree count on
+  // that frame, and the 3 k-levels × 8 rounds are independent bounded
+  // plans. The final ledger is 3 rows.
+  private val KCoreRounds = 8
+
+  def q269KCore(s: SparkSession, d: String): DataFrame = {
+    val und = dupPairs(s, d)
+    val edges = und.select(col("id1").as("u"), col("id2").as("v"))
+      .unionByName(und.select(col("id2").as("u"), col("id1").as("v")))
+    val nodes = edges.select(col("u").as("id")).distinct()
+    def peelOnce(k: Int, sNodes: DataFrame): DataFrame =
+      edges
+        .join(sNodes.select(col("id").as("u")), Seq("u"))
+        .join(sNodes.select(col("id").as("v")), Seq("v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u").as("id"))
+    val perK = Seq(2, 3, 4).map { k =>
+      val sPrev = (1 until KCoreRounds)
+        .foldLeft(nodes)((acc, _) => peelOnce(k, acc))
+      val sLast = peelOnce(k, sPrev)
+      val coreEdges = und
+        .join(sLast.select(col("id").as("id1")), Seq("id1"))
+        .join(sLast.select(col("id").as("id2")), Seq("id2"))
+      sLast.agg(count(lit(1)).as("n_core_nodes"))
+        .crossJoin(broadcast(sPrev.agg(count(lit(1)).as("n_prev"))))
+        .crossJoin(broadcast(coreEdges.agg(count(lit(1)).as("n_core_edges"))))
+        .select(lit(k.toLong).as("k"), col("n_core_nodes"),
+          col("n_core_edges"),
+          (col("n_core_nodes") === col("n_prev")).as("converged"))
+    }
+    perK.reduce(_.unionByName(_)).orderBy(col("k"))
+  }
+
+  val q269Sql: String = {
+    // every peel level references its predecessor TWICE (the u and v
+    // semi-joins) and DuckDB inlines plain CTEs — 8 unrolled levels
+    // would expand to 2^8 copies of the whole shingle→minhash→jaccard
+    // chain (measured: fd exhaustion re-opening documents.parquet).
+    // MATERIALIZED pins each level (and the shared edge list) to one
+    // evaluation — the oracle-side analog of the engine's bounded
+    // per-round frames.
+    def coreCtes(k: Int): String = {
+      val head = s"s${k}_0 AS MATERIALIZED (SELECT id FROM knodes)"
+      val steps = (1 to KCoreRounds).map { i =>
+        s"""s${k}_$i AS MATERIALIZED (
+      SELECT id FROM (
+        SELECT u AS id, COUNT(*) AS deg
+        FROM kedges
+        JOIN s${k}_${i - 1} a ON a.id = u
+        JOIN s${k}_${i - 1} b ON b.id = v
+        GROUP BY u)
+      WHERE deg >= $k)"""
+      }
+      (head +: steps).mkString(",\n    ")
+    }
+    def row(k: Int): String =
+      s"""SELECT CAST($k AS BIGINT) AS k,
+      (SELECT COUNT(*) FROM s${k}_$KCoreRounds) AS n_core_nodes,
+      (SELECT COUNT(*) FROM pinned_pairs p
+         JOIN s${k}_$KCoreRounds a ON a.id = p.id1
+         JOIN s${k}_$KCoreRounds b ON b.id = p.id2) AS n_core_edges,
+      (SELECT COUNT(*) FROM s${k}_$KCoreRounds)
+        = (SELECT COUNT(*) FROM s${k}_${KCoreRounds - 1}) AS converged"""
+    sqlDupPairs + s""",
+    pinned_pairs AS MATERIALIZED (SELECT id1, id2 FROM dup_pairs),
+    kedges AS MATERIALIZED (
+      SELECT id1 AS u, id2 AS v FROM pinned_pairs
+      UNION ALL SELECT id2, id1 FROM pinned_pairs),
+    knodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM kedges),
+    ${coreCtes(2)},
+    ${coreCtes(3)},
+    ${coreCtes(4)}
+    ${row(2)} UNION ALL ${row(3)} UNION ALL ${row(4)} ORDER BY k"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_kcore" -> q269KCore _,
     "q256_sorted_neighborhood" -> q256SortedNeighborhood _,
     "q258_inbatch_collisions" -> q258InbatchCollisions _,
     "q230_dedup_quality_uplift" -> q230DedupQualityUplift _,
@@ -2279,6 +2377,7 @@ $sqlJac,
     "q183_dedup_recall" -> q183DedupRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q269_kcore" -> q269Sql,
     "q256_sorted_neighborhood" -> q256Sql,
     "q258_inbatch_collisions" -> q258Sql,
     "q230_dedup_quality_uplift" -> q230Sql,

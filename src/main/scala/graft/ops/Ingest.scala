@@ -777,7 +777,140 @@ object Ingest {
           FROM events)
     GROUP BY event_type ORDER BY event_type"""
 
+  // ---- q271: column profile (discovery-side data quality) ---------------
+  // q95 validates the rules you already know; the profiler DISCOVERS
+  // them — the first pass every ingest team runs on an unfamiliar feed:
+  // per column, row/null/distinct counts, typed min/max, the modal
+  // value with its share, and a concentration score. Emitted per orders
+  // column (the mixed-type table: keys, enums, money, dates).
+  //
+  // Design: value-distribution stats ride ONE scan unpivoted by
+  // `stack` into (col_name, value-as-string) and collapsed to the
+  // per-(column, value) count frame g1 — all downstream stats are
+  // aggregates of g1. The modal value avoids a window over g1 (for a
+  // key column g1 is corpus-sized, and a per-column window would drag
+  // a whole column's values through one task — the q122 hazard): a
+  // max-count aggregate joins back and ties break to the MIN value.
+  // Typed min/max come from a second 1-row aggregate pass — string
+  // min/max would order "10" < "9"; money profiles as exact cents
+  // (Fx.toUnits), dates as ISO strings, so every emitted value is
+  // format-stable across engines. Concentration = Gini impurity
+  // 1 − Σp² in exact ppm (Σc² stays Decimal(38,0) ↔ HUGEINT; no ln,
+  // unlike entropy — the q73 lesson). A 6-row static column spine
+  // left-joins the stats, so an EMPTY table still profiles: n = 0
+  // rows per column, null min/max/top — never a vanished report.
+  // n_distinct is exact by design (the g1 collapse is the same
+  // shuffle an exact COUNT DISTINCT pays); at approximate-profile
+  // scale swap in q81's HLL contract.
+  private val ProfileCols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+    "o_orderpriority", "o_orderstatus", "o_totalprice_cents")
+
+  def q271ColProfile(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .withColumn("cents", Fx.toUnits(col("o_totalprice")))
+    val lf = base.select(expr("stack(6, " +
+      "'o_orderkey', cast(o_orderkey as string), " +
+      "'o_custkey', cast(o_custkey as string), " +
+      "'o_orderstatus', o_orderstatus, " +
+      "'o_totalprice_cents', cast(cents as string), " +
+      "'o_orderdate', cast(cast(o_orderdate as date) as string), " +
+      "'o_orderpriority', o_orderpriority) as (col_name, v)"))
+    val g1 = lf.groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // stats, modal max and modal tie-break all read it
+    val stats = g1.groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("v").isNull, col("c")).otherwise(0L)).as("n_null"),
+        sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+        sum(when(col("v").isNotNull,
+          expr("cast(c as decimal(38,0)) * c"))).as("s2"),
+        max(when(col("v").isNotNull, col("c"))).as("top_c"))
+    val top = g1.join(
+        stats.select(col("col_name"), col("top_c").as("tc")), "col_name")
+      .filter(col("v").isNotNull && col("c") === col("tc"))
+      .groupBy(col("col_name")).agg(min(col("v")).as("top_v"))
+    val mm = base.agg(
+        min(col("o_orderkey")).cast("string").as("k1"),
+        max(col("o_orderkey")).cast("string").as("k2"),
+        min(col("o_custkey")).cast("string").as("c1"),
+        max(col("o_custkey")).cast("string").as("c2"),
+        min(col("o_orderstatus")).as("s1"),
+        max(col("o_orderstatus")).as("s2x"),
+        min(col("cents")).cast("string").as("t1"),
+        max(col("cents")).cast("string").as("t2"),
+        min(to_date(col("o_orderdate"))).cast("string").as("d1"),
+        max(to_date(col("o_orderdate"))).cast("string").as("d2"),
+        min(col("o_orderpriority")).as("p1"),
+        max(col("o_orderpriority")).as("p2"))
+      .select(expr("stack(6, " +
+        "'o_orderkey', k1, k2, 'o_custkey', c1, c2, " +
+        "'o_orderstatus', s1, s2x, 'o_totalprice_cents', t1, t2, " +
+        "'o_orderdate', d1, d2, 'o_orderpriority', p1, p2)" +
+        " as (col_name, min_v, max_v)"))
+    val spine = s.range(1).select(expr(
+      ProfileCols.map(c => s"'$c'").mkString("stack(6, ", ", ", ")")
+    ).as("col_name"))
+    spine
+      .join(stats, Seq("col_name"), "left")
+      .join(top, Seq("col_name"), "left")
+      .join(mm, Seq("col_name"), "left")
+      .na.fill(0L, Seq("n", "n_null", "n_distinct"))
+      .withColumn("top_share_ppm", expr(
+        "cast(cast(top_c as decimal(38,0)) * 1000000" +
+          " div nullif(n - n_null, 0) as bigint)"))
+      .withColumn("gini_ppm", expr(
+        "cast(1000000 - s2 * 1000000" +
+          " div nullif(cast(n - n_null as decimal(38,0))" +
+          " * (n - n_null), 0) as bigint)"))
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_v"), col("max_v"), col("top_v"), col("top_share_ppm"),
+        col("gini_ppm"))
+      .orderBy(col("col_name"))
+  }
+
+  val q271Sql: String = {
+    // one CTE block per column; every emitted value is VARCHAR with the
+    // same canonical formats as the engine (cents BIGINT, ISO dates)
+    val cols: Seq[(String, String, String)] = Seq(
+      ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "o_orderkey"),
+      ("o_custkey", "CAST(o_custkey AS VARCHAR)", "o_custkey"),
+      ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+      ("o_totalprice_cents",
+        s"CAST(${Fx.sqlUnits("o_totalprice")} AS VARCHAR)",
+        Fx.sqlUnits("o_totalprice")),
+      ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+        "CAST(o_orderdate AS DATE)"),
+      ("o_orderpriority", "o_orderpriority", "o_orderpriority"))
+    val ctes = cols.map { case (name, vExpr, typed) => s"""
+    b_$name AS (SELECT $vExpr AS v FROM orders),
+    g_$name AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM b_$name
+      WHERE v IS NOT NULL GROUP BY 1),
+    p_$name AS (
+      SELECT '$name' AS col_name,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b_$name) AS n,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM b_$name WHERE v IS NULL)
+          AS n_null,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM g_$name) AS n_distinct,
+        (SELECT CAST(MIN($typed) AS VARCHAR) FROM orders) AS min_v,
+        (SELECT CAST(MAX($typed) AS VARCHAR) FROM orders) AS max_v,
+        (SELECT MIN(v) FROM g_$name
+           WHERE c = (SELECT MAX(c) FROM g_$name)) AS top_v,
+        CAST((SELECT MAX(c) FROM g_$name) * 1000000
+          // nullif((SELECT SUM(c) FROM g_$name), 0) AS BIGINT)
+          AS top_share_ppm,
+        (SELECT CAST(1000000 - SUM(CAST(c AS HUGEINT) * c) * 1000000
+            // nullif(CAST(SUM(c) AS HUGEINT) * SUM(c), 0) AS BIGINT)
+         FROM g_$name) AS gini_ppm)""" }.mkString(",")
+    val un = cols.map { case (name, _, _) =>
+      s"SELECT * FROM p_$name" }.mkString("\n    UNION ALL ")
+    s"""
+    WITH ${ctes.stripPrefix("\n")}
+    $un ORDER BY col_name"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_col_profile" -> q271ColProfile _,
     "q189_csv_roundtrip" -> q189CsvRoundtrip _,
     "q190_partition_pruning" -> q190PartitionPruning _,
     "q191_dynamic_pruning" -> q191DynamicPruning _,
@@ -790,6 +923,7 @@ object Ingest {
     "q120_referential_integrity" -> q120ReferentialIntegrity _)
 
   val oracles: Map[String, String] = Map(
+    "q271_col_profile" -> q271Sql,
     "q189_csv_roundtrip" -> q189Sql,
     "q190_partition_pruning" -> q190Sql,
     "q191_dynamic_pruning" -> q191Sql,

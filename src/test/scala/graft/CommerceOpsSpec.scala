@@ -472,4 +472,35 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(r("THIN").getAs[String]("band") == "strong_shrink")
     assert(r("FAT10").getAs[String]("band") == "mostly_raw")
   }
+
+  test("q270 stability flags the planted month-three mix shift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("psistab").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-0$m%01d-15 00:00:00")
+    // months 1+2: prices 1..20 dollars each (identical distributions);
+    // month 3: twenty orders all at 20 dollars — the whole mass lands in
+    // one bin. Global histogram (n=60, cents 100..2000 + 20×2000):
+    // decile cuts [300,600,900,1200,1500,1800,2000,2000,2000] → months
+    // 1-2 fill bins 0-5 with 3/20 and bin 6 with 2/20; month 3 is all
+    // bin 6 → TV = (900000 + 6·150000)/2 = 900000 ppm
+    val rows =
+      (1 to 20).flatMap(i => Seq((i.toLong, i.toDouble, ts(1)),
+        (100L + i, i.toDouble, ts(2)))) ++
+        (1 to 20).map(i => (200L + i, 20.0, ts(3)))
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.CommerceOps.q270DistStability(spark, dir).collect()
+      .map(x => x.getAs[java.sql.Date]("month_start").toString -> x).toMap
+    assert(r.keySet == Set("2024-01-01", "2024-02-01", "2024-03-01"))
+    assert(r("2024-01-01").getAs[String]("band") == "no_prior")
+    assert(r("2024-01-01").isNullAt(
+      r("2024-01-01").fieldIndex("tv_ppm")))
+    assert(r("2024-02-01").getAs[Long]("tv_ppm") == 0L)
+    assert(r("2024-02-01").getAs[String]("band") == "stable")
+    assert(r("2024-03-01").getAs[Long]("tv_ppm") == 900000L)
+    assert(r("2024-03-01").getAs[Long]("max_bin_delta_ppm") == 900000L)
+    assert(r("2024-03-01").getAs[String]("band") == "shifted")
+    assert(r.values.forall(_.getAs[Long]("n_orders") == 20L))
+    spark.catalog.clearCache()
+  }
 }

@@ -521,4 +521,44 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.forall(x => x.getAs[Long]("extra") == 0L ||
       x.getAs[Long]("extra") == 1L))
   }
+
+  test("q272 Neyman allocation starves constant strata, exact recount") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neyman").toString
+    // a: lengths (10,10,10) → N·Σx²−(Σx)² = 0 → weight 0;
+    // b: (5,15) → 2·250−400 = 100 → w = 10;
+    // c: (8,12,16) → 3·464−36² = 96 → isqrt = 9. W = 19:
+    // floors 5263 (rem 3) and 4736 (rem 16) → c takes the leftover slot
+    val docs = Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (4L, "b", 5L), (5L, "b", 15L),
+      (6L, "c", 8L), (7L, "c", 12L), (8L, "c", 16L))
+    docs.map { case (i, s, n) => (i, "x", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.CurationOps.q272NeymanAlloc(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("a").getAs[Long]("w_sigma_n") == 0L)
+    assert(r("b").getAs[Long]("w_sigma_n") == 10L)
+    assert(r("c").getAs[Long]("w_sigma_n") == 9L)
+    assert(r("a").getAs[Long]("alloc") == 0L)
+    assert(r("b").getAs[Long]("alloc") == 5263L)
+    assert(r("c").getAs[Long]("alloc") == 4737L)
+    assert(r.values.map(_.getAs[Long]("alloc")).sum == 10000L)
+  }
+
+  test("q272 falls back to proportional allocation on an all-constant corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neyman0").toString
+    val docs = Seq((1L, "a", 10L), (2L, "a", 10L),
+      (3L, "b", 7L), (4L, "b", 7L), (5L, "b", 7L))
+    docs.map { case (i, s, n) => (i, "x", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = ops.CurationOps.q272NeymanAlloc(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r.values.forall(_.getAs[Long]("w_sigma_n") == 0L))
+    assert(r("a").getAs[Long]("alloc") == 4000L)
+    assert(r("b").getAs[Long]("alloc") == 6000L)
+  }
 }

