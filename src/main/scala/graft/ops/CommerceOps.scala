@@ -1691,7 +1691,104 @@ object CommerceOps {
            ELSE 'stable' END AS band
     FROM dd ORDER BY month_start"""
 
+  // ---- q275: frequent triple rules (apriori level 3) ---------------------
+  // q196 stops at pairs; the bundles a merchandiser actually ships are
+  // bigger — level-3 association over the same order baskets: every
+  // item triple co-bought ≥ minsup times, with support and the
+  // three-way lift c·N²/(c_a·c_b·c_c) against full independence in
+  // exact staged ppm. Downward closure makes the pair-level apriori
+  // prune IMPLICIT in the output (a triple at support s has all three
+  // sub-pairs at ≥ s), so the working prune is the item floor: baskets
+  // restrict to frequent items BEFORE the C(k,3) in-basket enumeration,
+  // which bounds the blowup by the frequent-item basket width exactly
+  // as q196's pair enumeration does. Scale shape: one distinct collapse,
+  // one basket groupBy, map-side triple explosion, one triple count —
+  // no join ever touches the corpus twice.
+  def q275BasketTriples(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist() // item supports, basket arrays and N all read it
+    val supp = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c_item"))
+      .filter(col("c_item") >= PairMinSup)
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    items.join(supp, Seq("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        """flatten(flatten(transform(sequence(0, size(ps) - 3),
+             i -> transform(sequence(i + 1, size(ps) - 2),
+               j -> transform(sequence(j + 1, size(ps) - 1),
+                 k -> struct(ps[i] AS pa, ps[j] AS pb,
+                   ps[k] AS pc))))))""")).as("t"))
+      .groupBy(col("t.pa").as("pa"), col("t.pb").as("pb"),
+        col("t.pc").as("pc"))
+      .agg(count(lit(1)).as("c_triple"))
+      .filter(col("c_triple") >= PairMinSup)
+      .join(supp.select(col("l_partkey").as("pa"),
+        col("c_item").as("c_a")), Seq("pa"))
+      .join(supp.select(col("l_partkey").as("pb"),
+        col("c_item").as("c_b")), Seq("pb"))
+      .join(supp.select(col("l_partkey").as("pc"),
+        col("c_item").as("c_c")), Seq("pc"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support_ppm",
+        expr("cast(c_triple as decimal(38,0)) * 1000000 div n_orders"))
+      // lift3 = c·N²/(c_a·c_b·c_c), staged so every intermediate is a
+      // floor-div of bounded magnitude (the q196 lift shape, one level
+      // deeper)
+      .withColumn("lift3_ppm", expr(
+        "cast(cast(cast(c_triple as decimal(38,0)) * 1000000" +
+          " div c_a as decimal(38,0)) * n_orders" +
+          " div c_b as decimal(38,0)) * n_orders div c_c"))
+      .select(col("pa"), col("pb"), col("pc"), col("c_triple"),
+        col("c_a"), col("c_b"), col("c_c"),
+        col("support_ppm").cast("long").as("support_ppm"),
+        col("lift3_ppm").cast("long").as("lift3_ppm"))
+      .orderBy(col("pa"), col("pb"), col("pc"))
+  }
+
+  val q275Sql: String = s"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item
+      FROM items GROUP BY 1 HAVING COUNT(*) >= $PairMinSup),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    fitems AS (
+      SELECT l_orderkey, items.l_partkey AS p
+      FROM items JOIN supp ON items.l_partkey = supp.l_partkey),
+    trip AS (
+      -- every relation pair carries an equi edge on l_orderkey: with
+      -- only (a,b) and (a,c) keyed, the optimizer is free to start from
+      -- the (b,c) pair whose sole predicate is the inequality — a
+      -- cross product that spilled tens of GB at sf0.1
+      SELECT a.p AS pa, b.p AS pb, c.p AS pc,
+        CAST(COUNT(*) AS BIGINT) AS c_triple
+      FROM fitems a
+      JOIN fitems b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      JOIN fitems c ON a.l_orderkey = c.l_orderkey
+        AND b.l_orderkey = c.l_orderkey AND b.p < c.p
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= $PairMinSup)
+    SELECT trip.pa, trip.pb, trip.pc, c_triple,
+      sa.c_item AS c_a, sb.c_item AS c_b, sc.c_item AS c_c,
+      CAST(CAST(c_triple AS HUGEINT) * 1000000 // n_orders AS BIGINT)
+        AS support_ppm,
+      CAST(CAST(c_triple AS HUGEINT) * 1000000 // sa.c_item
+        * n_orders // sb.c_item
+        * n_orders // sc.c_item AS BIGINT) AS lift3_ppm
+    FROM trip
+    JOIN supp sa ON sa.l_partkey = trip.pa
+    JOIN supp sb ON sb.l_partkey = trip.pb
+    JOIN supp sc ON sc.l_partkey = trip.pc
+    CROSS JOIN n
+    ORDER BY trip.pa, trip.pb, trip.pc"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_basket_triples" -> q275BasketTriples _,
     "q270_dist_stability" -> q270DistStability _,
     "q259_shrunk_rates" -> q259ShrunkRates _,
     "q254_order_backlog" -> q254OrderBacklog _,
@@ -1716,6 +1813,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q275_basket_triples" -> q275Sql,
     "q270_dist_stability" -> q270Sql,
     "q259_shrunk_rates" -> q259Sql,
     "q254_order_backlog" -> q254Sql,

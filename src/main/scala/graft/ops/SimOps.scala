@@ -2501,7 +2501,104 @@ object SimOps {
            ELSE 'neutral' END AS mix_band
     FROM fin"""
 
+  // ---- q274: dominant principal direction via integer power iteration ---
+  // The one linear-algebra primitive an embedding pipeline keeps asking
+  // for (is there a single direction soaking up the variance? what does
+  // whitening need to remove first?), computed DISTRIBUTED: power
+  // iteration on the uncentered second-moment matrix A = Σ x·xᵀ. Each
+  // round is ONE corpus pass — w = Σ (x·v)·x as a map-side aggregate —
+  // and the d-vector renormalization is a bounded 64-row driver step
+  // (the q61 Lloyd convention: collect the MODEL, never the data).
+  // Uncentered on purpose (the streaming-PCA convention; q243's
+  // dim-energy spectrum is the centered per-axis view this composes
+  // with). A is PSD, so the iteration cannot sign-oscillate, and the
+  // fixed all-ones start + fixed ROUNDS make the operator a
+  // deterministic function of the corpus in BOTH engines.
+  //
+  // Exactness: embeddings quantize to ppm longs (qaExpr); dot ≤ 64·1e12
+  // rides a long; the w accumulation stages through Decimal(38,0) ↔
+  // HUGEINT (≤ ~6.4e31 at 1e12 rows — inside 38 digits with the ·1e6
+  // normalization headroom); v renormalizes to ∞-norm 1e6 by sign-split
+  // integer floor-div. Zero doubles anywhere.
+  private val PowerRounds = 6
+
+  def q274PowerIteration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).withColumn("qa", qaExpr)
+      .select(col("qa")).persist() // all ROUNDS scan this frame
+    val nVecs = emb.count()
+    var v: Array[Long] = Array.fill(D)(1000000L)
+    var prev: Array[Long] = v
+    var mx: BigInt = BigInt(0)
+    for (_ <- 1 to PowerRounds) {
+      val vlit = v.mkString("array(", "L,", "L)")
+      val w0 = emb
+        .withColumn("dot", expr(
+          s"aggregate(zip_with(qa, $vlit, (x, y) -> x * y)," +
+            " 0L, (a, p) -> a + p)"))
+        .select(posexplode(expr(
+          "transform(qa, q -> cast(dot as decimal(38,0)) * q)"))
+          .as(Seq("pos", "wj")))
+        .groupBy(col("pos"))
+        .agg(sum(col("wj")).as("w"))
+        .collect()
+        .map(r => r.getAs[Int]("pos") ->
+          BigInt(r.getAs[java.math.BigDecimal]("w").toBigInteger)).toMap
+      val w = (0 until D).map(j => w0.getOrElse(j, BigInt(0)))
+      mx = w.map(_.abs).max
+      prev = v
+      if (mx > 0)
+        v = w.map(x => (x.signum * (x.abs * 1000000 / mx)).toLong).toArray
+    }
+    val drift = v.zip(prev).map { case (a, b) => math.abs(a - b) }.sum
+    val lambdaEst = (mx / BigInt("1000000000000")).toLong
+    (1 to D).map(j => (j.toLong, v(j - 1), lambdaEst, drift, nVecs))
+      .toDF("dim", "v_ppm", "lambda_est", "drift_ppm", "n_vecs")
+      .orderBy(col("dim"))
+  }
+
+  val q274Sql: String = {
+    // unrolled rounds; every CTE MATERIALIZED (the q269 lesson: plain
+    // CTEs inline, and each round references e + the prior v)
+    val rounds = (1 to PowerRounds).map { i =>
+      s"""dot_$i AS MATERIALIZED (
+      SELECT e.vec_id, CAST(SUM(e.x * v.val) AS BIGINT) AS dot
+      FROM e JOIN v_${i - 1} v ON v.pos = e.pos GROUP BY 1),
+    w_$i AS MATERIALIZED (
+      SELECT e.pos, SUM(CAST(d.dot AS HUGEINT) * e.x) AS w
+      FROM e JOIN dot_$i d ON d.vec_id = e.vec_id GROUP BY 1),
+    mx_$i AS MATERIALIZED (SELECT MAX(abs(w)) AS mx FROM w_$i),
+    v_$i AS MATERIALIZED (
+      SELECT pos, CASE WHEN mx IS NULL OR mx = 0 THEN
+          (SELECT val FROM v_${i - 1} p WHERE p.pos = w_$i.pos)
+        ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+          * CAST(abs(w) * 1000000 // mx AS BIGINT) END AS val
+      FROM w_$i CROSS JOIN mx_$i)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH q AS MATERIALIZED (SELECT vec_id, $sqlQa AS qa FROM embeddings),
+    e AS MATERIALIZED (
+      SELECT vec_id, unnest(qa) AS x,
+        CAST(unnest(range(1, len(qa) + 1)) AS BIGINT) AS pos
+      FROM q),
+    v_0 AS MATERIALIZED (
+      SELECT CAST(unnest(range(1, $D + 1)) AS BIGINT) AS pos,
+        CAST(1000000 AS BIGINT) AS val),
+    $rounds,
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM q),
+    drift AS (
+      SELECT CAST(SUM(abs(a.val - b.val)) AS BIGINT) AS drift_ppm
+      FROM v_$PowerRounds a JOIN v_${PowerRounds - 1} b ON a.pos = b.pos)
+    SELECT a.pos AS dim, a.val AS v_ppm,
+      CAST(COALESCE((SELECT mx FROM mx_$PowerRounds), 0)
+        // 1000000000000 AS BIGINT) AS lambda_est,
+      drift_ppm, n_vecs
+    FROM v_$PowerRounds a CROSS JOIN nv CROSS JOIN drift
+    ORDER BY dim"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_power_iteration" -> q274PowerIteration _,
     "q227_assortativity"  -> q227Assortativity _,
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
     "q165_class_separation" -> q165ClassSeparation _,
@@ -2530,6 +2627,7 @@ object SimOps {
     "q142_int8_quant"     -> q142Int8Quant _)
 
   val oracles: Map[String, String] = Map(
+    "q274_power_iteration" -> q274Sql,
     "q227_assortativity"  -> q227Sql,
     "q151_embedding_hygiene" -> q151Sql,
     "q165_class_separation" -> q165Sql,

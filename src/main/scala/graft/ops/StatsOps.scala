@@ -2276,7 +2276,133 @@ object StatsOps {
     JOIN lo ON lo.grp = ranks.grp JOIN hi ON hi.grp = ranks.grp
     ORDER BY ranks.grp"""
 
+  // ---- q273: Kendall tau-b rank correlation (views vs purchases) -------
+  // The nonparametric complement to q255's Pearson-family CCF: does the
+  // day-RANKING of browsing co-move with the day-ranking of buying,
+  // robust to outlier days and any monotone rescaling? Kendall's τ-b
+  // counts concordant vs discordant day pairs with the standard tie
+  // corrections — the estimator of choice when the series are heavy-
+  // tailed (traffic is) and Pearson r is hostage to the biggest day.
+  //
+  // Exactness: C, D and the three tie classes are exact integer pair
+  // counts; τ-b = (C−D)/√((C+D+Ty)·(C+D+Tx)) resolves through the
+  // q250-style ±1-corrected integer sqrt with the sign split out —
+  // zero doubles in the hash path. Scale shape: the corpus collapses
+  // map-side to the |days|-row daily frame; the pair generator is the
+  // calendar-bounded |days|² self-join (q228's adjudicated class —
+  // grows with the time range, not the data), then ONE 1-row rollup.
+  def q273KendallTau(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+        .cast("long").as("di"), col("event_type"))
+      .groupBy(col("di"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("e"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("o"))
+      .persist() // both sides of the bounded pair self-join read it
+    val b = daily.select(col("di").as("dj"), col("e").as("e2"),
+      col("o").as("o2"))
+    daily.join(broadcast(b), col("di") < col("dj"))
+      .select(
+        when(col("e") === col("e2") && col("o") === col("o2"), 1L)
+          .otherwise(0L).as("t_xy"),
+        when(col("e") === col("e2") && col("o") =!= col("o2"), 1L)
+          .otherwise(0L).as("t_x"),
+        when(col("o") === col("o2") && col("e") =!= col("e2"), 1L)
+          .otherwise(0L).as("t_y"),
+        when((col("e") < col("e2") && col("o") < col("o2")) ||
+          (col("e") > col("e2") && col("o") > col("o2")), 1L)
+          .otherwise(0L).as("cc"),
+        when((col("e") < col("e2") && col("o") > col("o2")) ||
+          (col("e") > col("e2") && col("o") < col("o2")), 1L)
+          .otherwise(0L).as("dd"))
+      .agg(sum(col("cc")).as("concordant"),
+        sum(col("dd")).as("discordant"),
+        sum(col("t_x")).as("ties_x"), sum(col("t_y")).as("ties_y"),
+        sum(col("t_xy")).as("ties_xy"))
+      .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+      .withColumn("den2", expr(
+        "cast(concordant + discordant + ties_y as decimal(38,0))" +
+          " * (concordant + discordant + ties_x)"))
+      .withColumn("s0", expr(
+        "cast(floor(sqrt(cast(den2 as double))) as decimal(38,0))"))
+      .withColumn("sq", expr(
+        "case when (s0 + 1) * (s0 + 1) <= den2 then s0 + 1" +
+          " when s0 * s0 > den2 then s0 - 1 else s0 end"))
+      .withColumn("tau_b_ppm", expr(
+        "case when sq is null or sq = 0 then null" +
+          " when concordant >= discordant then" +
+          " cast(cast(concordant - discordant as decimal(38,0))" +
+          " * 1000000 div sq as bigint)" +
+          " else -cast(cast(discordant - concordant as decimal(38,0))" +
+          " * 1000000 div sq as bigint) end"))
+      .withColumn("band",
+        when(col("tau_b_ppm").isNull, "degenerate")
+          .when(col("tau_b_ppm") >= 300000L, "strong_comove")
+          .when(col("tau_b_ppm") <= -300000L, "strong_inverse")
+          .otherwise("weak"))
+      .select(col("n_days"), col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"),
+        col("tau_b_ppm"), col("band"))
+  }
+
+  val q273Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS e,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS o
+      FROM events GROUP BY 1),
+    pairs AS (
+      SELECT
+        CASE WHEN a.e = b.e AND a.o = b.o THEN 1 ELSE 0 END AS t_xy,
+        CASE WHEN a.e = b.e AND a.o <> b.o THEN 1 ELSE 0 END AS t_x,
+        CASE WHEN a.o = b.o AND a.e <> b.e THEN 1 ELSE 0 END AS t_y,
+        CASE WHEN (a.e < b.e AND a.o < b.o)
+               OR (a.e > b.e AND a.o > b.o) THEN 1 ELSE 0 END AS cc,
+        CASE WHEN (a.e < b.e AND a.o > b.o)
+               OR (a.e > b.e AND a.o < b.o) THEN 1 ELSE 0 END AS dd
+      FROM daily a JOIN daily b ON a.di < b.di),
+    agg AS (
+      SELECT CAST(SUM(cc) AS BIGINT) AS concordant,
+        CAST(SUM(dd) AS BIGINT) AS discordant,
+        CAST(SUM(t_x) AS BIGINT) AS ties_x,
+        CAST(SUM(t_y) AS BIGINT) AS ties_y,
+        CAST(SUM(t_xy) AS BIGINT) AS ties_xy
+      FROM pairs),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    den AS (
+      SELECT *, CAST(concordant + discordant + ties_y AS HUGEINT)
+        * (concordant + discordant + ties_x) AS den2
+      FROM agg CROSS JOIN nd),
+    s0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(den2 AS DOUBLE))) AS HUGEINT) AS s0
+      FROM den),
+    sq AS (
+      SELECT *, CASE WHEN (s0 + 1) * (s0 + 1) <= den2 THEN s0 + 1
+                     WHEN s0 * s0 > den2 THEN s0 - 1 ELSE s0 END AS sq
+      FROM s0),
+    t AS (
+      SELECT *,
+        CASE WHEN sq IS NULL OR sq = 0 THEN NULL
+             WHEN concordant >= discordant THEN
+               CAST(CAST(concordant - discordant AS HUGEINT)
+                 * 1000000 // sq AS BIGINT)
+             ELSE -CAST(CAST(discordant - concordant AS HUGEINT)
+                 * 1000000 // sq AS BIGINT) END AS tau_b_ppm
+      FROM sq)
+    SELECT n_days, concordant, discordant, ties_x, ties_y, ties_xy,
+      tau_b_ppm,
+      CASE WHEN tau_b_ppm IS NULL THEN 'degenerate'
+           WHEN tau_b_ppm >= 300000 THEN 'strong_comove'
+           WHEN tau_b_ppm <= -300000 THEN 'strong_inverse'
+           ELSE 'weak' END AS band
+    FROM t"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_kendall_tau" -> q273KendallTau _,
     "q261_median_ci" -> q261MedianCi _,
     "q255_ccf_lead_lag" -> q255CcfLeadLag _,
     "q249_cusum_changepoint" -> q249CusumChangepoint _,
@@ -2306,6 +2432,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q273_kendall_tau" -> q273Sql,
     "q261_median_ci" -> q261Sql,
     "q255_ccf_lead_lag" -> q255Sql,
     "q249_cusum_changepoint" -> q249Sql,

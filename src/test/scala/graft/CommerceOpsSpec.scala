@@ -473,6 +473,33 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(r("FAT10").getAs[String]("band") == "mostly_raw")
   }
 
+  test("q275 triple rules match a hand-counted basket fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("triples").toString
+    // baskets: o1{1,2,3} o2{1,2,3} o3{1,2,4} o4{5} o5{1,2,3,4} —
+    // item 5 is infrequent (support 1); surviving triples at minsup 2:
+    // (1,2,3) support 3 and (1,2,4) support 2
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 5L),
+      (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+    items.toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.CommerceOps.q275BasketTriples(spark, dir).collect()
+      .map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb"),
+        x.getAs[Long]("pc")) -> x).toMap
+    assert(r.keySet == Set((1L, 2L, 3L), (1L, 2L, 4L)))
+    assert(r((1L, 2L, 3L)).getAs[Long]("c_triple") == 3L)
+    assert(r((1L, 2L, 3L)).getAs[Long]("support_ppm") == 600000L)
+    // lift3 = ((3e6 div 4)·5 div 4)·5 div 3 = 1562500
+    assert(r((1L, 2L, 3L)).getAs[Long]("lift3_ppm") == 1562500L)
+    assert(r((1L, 2L, 4L)).getAs[Long]("c_triple") == 2L)
+    assert(r((1L, 2L, 4L)).getAs[Long]("lift3_ppm") == 1562500L)
+    spark.catalog.clearCache()
+  }
+
   test("q270 stability flags the planted month-three mix shift") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("psistab").toString

@@ -147,11 +147,16 @@ class PlanSpec extends AnyFunSuite {
     // q269: per k-level, three 1-row count aggregates (core nodes /
     // prev-round nodes / core edges) combine via explicit broadcast
     // crosses — the q118 shape
+    // q273: the calendar-bounded |days|² pair generator is an intended
+    // broadcast theta join (the q228 shape) plus the 1-row n_days attach
+    // q275: the 1-row basket-count scalar attaches to the frequent-triple
+    // frame — the q196 shape one level deeper
     // q270: the 1-row global decile-cut array attaches to the orders
     // scan (the q211 shape) and the 10-row bin spine broadcasts onto
     // the |months| frame
     val allowed = Set(
       "q269_kcore", "q270_dist_stability",
+      "q273_kendall_tau", "q275_basket_triples",
       "q268_ngram_novelty",
       "q249_cusum_changepoint", "q251_cuped_readout",
       "q252_skipgram_cooc", "q255_ccf_lead_lag",

@@ -719,4 +719,46 @@ class SimOpsSpec extends AnyFunSuite {
     assert(byDim(2L).getAs[Long]("share_ppm") == 0L)
     assert((3L to 64L).forall(i => byDim(i).getAs[Long]("var_q2") == 0L))
   }
+
+  test("q274 power iteration recovers the planted dominant axis exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("powit").toString
+    // 10 vectors along e1, 5 half-scale along e2: A = diag(1e13, 1.25e12)
+    // in qa² units — e1 dominates and the e2 component decays by a
+    // factor 0.125 per round from the all-ones start
+    def vec(dim: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) x else 0.0f)
+    val rows = (1L to 10L).map(i => (i, vec(0, 1.0f), 0)) ++
+      (11L to 15L).map(i => (i, vec(1, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    // exact BigInt recount of the same fixed-round iteration
+    val qa = rows.map(_._2.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong)))
+    var v = Array.fill(64)(BigInt(1000000))
+    var prev = v
+    var mx = BigInt(0)
+    for (_ <- 1 to 6) {
+      val dots = qa.map(q => q.zip(v).map { case (a, b) => a * b }.sum)
+      val w = (0 until 64).map(j =>
+        qa.zip(dots).map { case (q, dt) => dt * q(j) }.sum)
+      mx = w.map(_.abs).max
+      prev = v
+      if (mx > 0)
+        v = w.map(x => BigInt(x.signum) * (x.abs * 1000000 / mx)).toArray
+    }
+    val r = ops.SimOps.q274PowerIteration(spark, dir).collect()
+      .map(x => x.getAs[Long]("dim") -> x).toMap
+    assert(r.size == 64)
+    (1 to 64).foreach { j =>
+      assert(r(j.toLong).getAs[Long]("v_ppm") == v(j - 1).toLong, s"dim $j")
+    }
+    assert(r(1L).getAs[Long]("v_ppm") == 1000000L)
+    assert((3L to 64L).forall(j => r(j).getAs[Long]("v_ppm") == 0L))
+    val drift = v.zip(prev).map { case (a, b) => (a - b).abs }.sum
+    assert(r(1L).getAs[Long]("drift_ppm") == drift.toLong)
+    assert(r(1L).getAs[Long]("lambda_est") ==
+      (mx / BigInt("1000000000000")).toLong)
+    assert(r(1L).getAs[Long]("n_vecs") == 15L)
+    spark.catalog.clearCache()
+  }
 }

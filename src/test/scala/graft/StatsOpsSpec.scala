@@ -718,6 +718,32 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q273 Kendall tau-b matches a hand-counted pair table with ties") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kendall").toString
+    // daily (views, purchases): (1,1) (2,3) (3,2) (4,4) (4,5) →
+    // C=8, D=1, tie-in-x=1 → τb = 7e6 div isqrt(9·10) = 7e6 div 9
+    val daily = Seq((1, 1, 1), (2, 2, 3), (3, 3, 2), (4, 4, 4), (5, 4, 5))
+    val rows = daily.flatMap { case (day, v, p) =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-04-0$day%01d 10:00:00")
+      (1 to v).map(i => (day * 100L + i, ts, 1L, "view", 1.0, "{}")) ++
+        (1 to p).map(i => (day * 100L + 50 + i, ts, 1L, "purchase",
+          1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = StatsOps.q273KendallTau(spark, dir).head()
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("concordant") == 8L)
+    assert(r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Long]("ties_x") == 1L)
+    assert(r.getAs[Long]("ties_y") == 0L)
+    assert(r.getAs[Long]("ties_xy") == 0L)
+    assert(r.getAs[Long]("tau_b_ppm") == 7000000L / 9L)
+    assert(r.getAs[String]("band") == "strong_comove")
+    spark.catalog.clearCache()
+  }
+
   test("q261 order-statistic CI brackets the median at the textbook ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("medci").toString
