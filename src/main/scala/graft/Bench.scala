@@ -164,7 +164,8 @@ object Bench {
           "q162_split_leakage", "q163_cluster_split",
           "q164_source_shrinkage", "q166_dup_flow",
           "q174_threshold_sweep", "q183_dedup_recall",
-          "q230_dedup_quality_uplift", "q258_inbatch_collisions"),
+          "q230_dedup_quality_uplift", "q258_inbatch_collisions",
+          "q269_kcore"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
       ("stage_cc_labels",
         Set("q60_dedup_groups", "q102_cluster_canonical",

@@ -2281,9 +2281,18 @@ $sqlJac,
 
   def q269KCore(s: SparkSession, d: String): DataFrame = {
     val und = dupPairs(s, d)
+    // every peel round references the survivor set TWICE (the u and v
+    // semi-joins); without a per-round lineage cut each round re-executes
+    // its whole predecessor chain ~2^R times — the engine-side twin of
+    // the oracle's MATERIALIZED lesson (measured: 826 s at 30x for what
+    // is a few seconds of real work). Eager localCheckpoint per round,
+    // CC-loop style; intermediates unpersist as soon as the next round
+    // is materialized.
     val edges = und.select(col("id1").as("u"), col("id2").as("v"))
       .unionByName(und.select(col("id2").as("u"), col("id1").as("v")))
+      .persist() // 24 peel rounds + 3 edge counts read it
     val nodes = edges.select(col("u").as("id")).distinct()
+      .persist() // the 3 k-levels each start from it
     def peelOnce(k: Int, sNodes: DataFrame): DataFrame =
       edges
         .join(sNodes.select(col("id").as("u")), Seq("u"))
@@ -2291,9 +2300,15 @@ $sqlJac,
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u").as("id"))
     val perK = Seq(2, 3, 4).map { k =>
-      val sPrev = (1 until KCoreRounds)
-        .foldLeft(nodes)((acc, _) => peelOnce(k, acc))
-      val sLast = peelOnce(k, sPrev)
+      var cur = nodes
+      var curOwned = false
+      for (_ <- 1 until KCoreRounds) {
+        val nxt = peelOnce(k, cur).localCheckpoint(true)
+        if (curOwned) cur.unpersist(): Unit
+        cur = nxt; curOwned = true
+      }
+      val sPrev = cur
+      val sLast = peelOnce(k, sPrev).localCheckpoint(true)
       val coreEdges = und
         .join(sLast.select(col("id").as("id1")), Seq("id1"))
         .join(sLast.select(col("id").as("id2")), Seq("id2"))

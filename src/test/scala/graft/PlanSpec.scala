@@ -260,6 +260,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), s"q162 lost its stage root:\n$p")
   }
 
+  test("q269 peels the pinned candidate stage; q271 profiles without a window") {
+    // q269's 8-round peel must run on the checkpointed band-candidate
+    // frame — a re-derivation would re-run the shingle→minhash chain
+    // 3 k-levels × 8 rounds times
+    ops.DedupOps.bandCandidates(spark, sf)
+    val p269 = plan("q269_kcore")
+    assert(p269.contains("Scan ExistingRDD"),
+      s"q269 lost its candidate-stage root:\n$p269")
+    assert(!p269.contains("minhash") && !p269.contains("shingle"),
+      s"q269 re-derives the dup graph:\n$p269")
+    // q271's modal value comes from a max-count aggregate join-back —
+    // a window over the per-(column, value) frame would drag a whole
+    // key column's values through one task (the q122 hazard)
+    val p271 = plan("q271_col_profile")
+    assert(!p271.contains("Window"),
+      s"q271 reintroduced a window over the value frame:\n$p271")
+  }
+
   test("q163/q164/q166 read cc labels from the pinned stage, never re-deriving") {
     // each may scan documents (id/source/token projections) but must
     // take the CLUSTER STRUCTURE from the checkpointed cc artifact: a

@@ -744,6 +744,20 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q273 degrades to NULL tau on a single-day corpus (no pairs)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kendall1").toString
+    val ts = java.sql.Timestamp.valueOf("2024-04-01 10:00:00")
+    Seq((1L, ts, 1L, "view", 1.0, "{}"), (2L, ts, 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = StatsOps.q273KendallTau(spark, dir).head()
+    assert(r.getAs[Long]("n_days") == 1L)
+    assert(r.isNullAt(r.fieldIndex("tau_b_ppm")), r.toString)
+    assert(r.getAs[String]("band") == "degenerate")
+    spark.catalog.clearCache()
+  }
+
   test("q261 order-statistic CI brackets the median at the textbook ranks") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("medci").toString
