@@ -143,7 +143,22 @@ object CommerceOps {
   // Metrics in the q146 staged-floor-div ppm discipline on
   // Decimal(38,0): support_ppm = c_pair·10⁶ div N; confidence(a→b) =
   // c_pair·10⁶ div c_a; lift = confidence·N div c_b.
+  //
+  // Giant-basket cap (the q34 stop-bucket treatment, r13): the apriori
+  // item floor bounds WHICH items enter a basket but not how many — one
+  // clone-farm order holding hundreds of distinct high-support parts
+  // grows C(n,2) (and C(n,3) in q275) in that single row, the same
+  // adversarial mode the 30× clone stress exposed for q34/q154. Baskets
+  // wider than the cap (distinct frequent items > PairBasketCap) are
+  // DROPPED in both engines before pair enumeration — a 65+-distinct-
+  // part order is a bot/reseller sweep, not co-purchase signal, and its
+  // pairs would dominate every rule they touch. The dropped mass is not
+  // silent: every output row carries the 1-row broadcast ledger
+  // (capped_baskets, capped_item_slots). Per-basket pair mass is thus
+  // bounded at C(64,2) = 2016 (C(32,3) = 4960 for q275's triples).
   private[graft] val PairMinSup = 2L
+  private[graft] val PairBasketCap = 64
+  private[graft] val TripleBasketCap = 32
 
   def q196BasketPairs(s: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(s, d)
@@ -153,10 +168,16 @@ object CommerceOps {
       .filter(col("c_item") >= PairMinSup) // apriori item floor
     val nOrders = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    val pairs = items.join(supp, Seq("l_partkey"))
+    val baskets = items.join(supp, Seq("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 2)
+      .persist() // ledger + kept-basket explode both read it
+    val ledger = baskets.filter(size(col("ps")) > PairBasketCap)
+      .agg(count(lit(1)).as("capped_baskets"),
+        coalesce(sum(size(col("ps")).cast("long")), lit(0L))
+          .as("capped_item_slots"))
+    val pairs = baskets.filter(size(col("ps")) <= PairBasketCap)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ps) - 2),
              i -> transform(sequence(i + 1, size(ps) - 1),
@@ -170,6 +191,7 @@ object CommerceOps {
       .join(supp.select(col("l_partkey").as("pb"), col("c_item").as("c_b")),
         Seq("pb"))
       .crossJoin(broadcast(nOrders))
+      .crossJoin(broadcast(ledger))
       .withColumn("support_ppm",
         expr("cast(c_pair as decimal(38,0)) * 1000000 div n_orders"))
       .withColumn("conf_ppm",
@@ -180,7 +202,8 @@ object CommerceOps {
       .select(col("pa"), col("pb"), col("c_pair"), col("c_a"), col("c_b"),
         col("support_ppm").cast("long").as("support_ppm"),
         col("conf_ppm").cast("long").as("conf_ppm"),
-        col("lift_ppm").cast("long").as("lift_ppm"))
+        col("lift_ppm").cast("long").as("lift_ppm"),
+        col("capped_baskets"), col("capped_item_slots"))
       .orderBy(col("pa"), col("pb"))
   }
 
@@ -192,13 +215,24 @@ object CommerceOps {
       FROM items GROUP BY 1 HAVING COUNT(*) >= $PairMinSup),
     n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
           FROM items),
+    fitems AS (
+      SELECT l_orderkey, items.l_partkey AS p
+      FROM items JOIN supp ON items.l_partkey = supp.l_partkey),
+    widths AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS w
+      FROM fitems GROUP BY 1 HAVING COUNT(*) >= 2),
+    ledger AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS capped_baskets,
+        CAST(COALESCE(SUM(w), 0) AS BIGINT) AS capped_item_slots
+      FROM widths WHERE w > $PairBasketCap),
+    kept AS (
+      SELECT fitems.* FROM fitems
+      JOIN widths ON widths.l_orderkey = fitems.l_orderkey
+      WHERE widths.w <= $PairBasketCap),
     pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-        CAST(COUNT(*) AS BIGINT) AS c_pair
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      WHERE a.l_partkey IN (SELECT l_partkey FROM supp)
-        AND b.l_partkey IN (SELECT l_partkey FROM supp)
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM kept a JOIN kept b
+        ON a.l_orderkey = b.l_orderkey AND a.p < b.p
       GROUP BY 1, 2 HAVING COUNT(*) >= $PairMinSup)
     SELECT pa, pb, c_pair, sa.c_item AS c_a, sb.c_item AS c_b,
       CAST(CAST(c_pair AS HUGEINT) * 1000000 // n_orders AS BIGINT)
@@ -206,10 +240,12 @@ object CommerceOps {
       CAST(CAST(c_pair AS HUGEINT) * 1000000 // sa.c_item AS BIGINT)
         AS conf_ppm,
       CAST((CAST(c_pair AS HUGEINT) * 1000000 // sa.c_item)
-        * n_orders // sb.c_item AS BIGINT) AS lift_ppm
+        * n_orders // sb.c_item AS BIGINT) AS lift_ppm,
+      capped_baskets, capped_item_slots
     FROM pairs JOIN supp sa ON sa.l_partkey = pa
       JOIN supp sb ON sb.l_partkey = pb
       CROSS JOIN n
+      CROSS JOIN ledger
     ORDER BY pa, pb"""
 
   // ---- q198: Benford first-digit screen --------------------------------
@@ -1701,9 +1737,13 @@ object CommerceOps {
   // sub-pairs at ≥ s), so the working prune is the item floor: baskets
   // restrict to frequent items BEFORE the C(k,3) in-basket enumeration,
   // which bounds the blowup by the frequent-item basket width exactly
-  // as q196's pair enumeration does. Scale shape: one distinct collapse,
-  // one basket groupBy, map-side triple explosion, one triple count —
-  // no join ever touches the corpus twice.
+  // as q196's pair enumeration does — and since r13 the width itself is
+  // capped: baskets wider than TripleBasketCap frequent items are
+  // dropped (q196's giant-basket treatment, one level harsher because
+  // the growth here is CUBIC), with the dropped mass on the broadcast
+  // ledger columns. Scale shape: one distinct collapse, one basket
+  // groupBy, map-side triple explosion bounded at C(32,3) per basket,
+  // one triple count — no join ever touches the corpus twice.
   def q275BasketTriples(s: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1713,10 +1753,16 @@ object CommerceOps {
       .filter(col("c_item") >= PairMinSup)
     val nOrders = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
-    items.join(supp, Seq("l_partkey"))
+    val baskets = items.join(supp, Seq("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 3)
+      .persist() // ledger + kept-basket explode both read it
+    val ledger = baskets.filter(size(col("ps")) > TripleBasketCap)
+      .agg(count(lit(1)).as("capped_baskets"),
+        coalesce(sum(size(col("ps")).cast("long")), lit(0L))
+          .as("capped_item_slots"))
+    baskets.filter(size(col("ps")) <= TripleBasketCap)
       .select(explode(expr(
         """flatten(flatten(transform(sequence(0, size(ps) - 3),
              i -> transform(sequence(i + 1, size(ps) - 2),
@@ -1734,6 +1780,7 @@ object CommerceOps {
       .join(supp.select(col("l_partkey").as("pc"),
         col("c_item").as("c_c")), Seq("pc"))
       .crossJoin(broadcast(nOrders))
+      .crossJoin(broadcast(ledger))
       .withColumn("support_ppm",
         expr("cast(c_triple as decimal(38,0)) * 1000000 div n_orders"))
       // lift3 = c·N²/(c_a·c_b·c_c), staged so every intermediate is a
@@ -1746,7 +1793,8 @@ object CommerceOps {
       .select(col("pa"), col("pb"), col("pc"), col("c_triple"),
         col("c_a"), col("c_b"), col("c_c"),
         col("support_ppm").cast("long").as("support_ppm"),
-        col("lift3_ppm").cast("long").as("lift3_ppm"))
+        col("lift3_ppm").cast("long").as("lift3_ppm"),
+        col("capped_baskets"), col("capped_item_slots"))
       .orderBy(col("pa"), col("pb"), col("pc"))
   }
 
@@ -1761,6 +1809,17 @@ object CommerceOps {
     fitems AS (
       SELECT l_orderkey, items.l_partkey AS p
       FROM items JOIN supp ON items.l_partkey = supp.l_partkey),
+    widths AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS w
+      FROM fitems GROUP BY 1 HAVING COUNT(*) >= 3),
+    ledger AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS capped_baskets,
+        CAST(COALESCE(SUM(w), 0) AS BIGINT) AS capped_item_slots
+      FROM widths WHERE w > $TripleBasketCap),
+    kept AS (
+      SELECT fitems.* FROM fitems
+      JOIN widths ON widths.l_orderkey = fitems.l_orderkey
+      WHERE widths.w <= $TripleBasketCap),
     trip AS (
       -- every relation pair carries an equi edge on l_orderkey: with
       -- only (a,b) and (a,c) keyed, the optimizer is free to start from
@@ -1768,9 +1827,9 @@ object CommerceOps {
       -- cross product that spilled tens of GB at sf0.1
       SELECT a.p AS pa, b.p AS pb, c.p AS pc,
         CAST(COUNT(*) AS BIGINT) AS c_triple
-      FROM fitems a
-      JOIN fitems b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
-      JOIN fitems c ON a.l_orderkey = c.l_orderkey
+      FROM kept a
+      JOIN kept b ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      JOIN kept c ON a.l_orderkey = c.l_orderkey
         AND b.l_orderkey = c.l_orderkey AND b.p < c.p
       GROUP BY 1, 2, 3 HAVING COUNT(*) >= $PairMinSup)
     SELECT trip.pa, trip.pb, trip.pc, c_triple,
@@ -1779,12 +1838,14 @@ object CommerceOps {
         AS support_ppm,
       CAST(CAST(c_triple AS HUGEINT) * 1000000 // sa.c_item
         * n_orders // sb.c_item
-        * n_orders // sc.c_item AS BIGINT) AS lift3_ppm
+        * n_orders // sc.c_item AS BIGINT) AS lift3_ppm,
+      capped_baskets, capped_item_slots
     FROM trip
     JOIN supp sa ON sa.l_partkey = trip.pa
     JOIN supp sb ON sb.l_partkey = trip.pb
     JOIN supp sc ON sc.l_partkey = trip.pc
     CROSS JOIN n
+    CROSS JOIN ledger
     ORDER BY trip.pa, trip.pb, trip.pc"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1626,12 +1626,21 @@ object CurationOps {
   // Exactness: the weight is N_h·σ_h = √(N_h·Σx² − (Σx)²) — the
   // population identity N²σ² = N·Σx² − (Σx)², so NO per-stratum
   // division ever happens; the radicand is exact Decimal(38,0) ↔
-  // HUGEINT (≥ 0 by Cauchy-Schwarz) and the root is the q250-style
-  // ±1-corrected integer sqrt. Slots then apportion by q246's
-  // largest-remainder method (floor quotas + remainder rank, ties by
-  // source). If EVERY stratum is constant-length (ΣW = 0) the weights
-  // fall back to N_h — proportional allocation, never a zero-filled
-  // report. Radicand ≤ N·Σx² ≈ 1e36 at 1e12 docs × 1e6-char bound.
+  // HUGEINT (≥ 0 by Cauchy-Schwarz) and the root is the double-seeded
+  // integer sqrt REFINED by two integer Newton steps
+  // (s ← (s + w2 div s) div 2) before the q250-style ±1 correction.
+  // The refinement matters in-domain: at radicands near 1e36 the
+  // double seed alone is off by up to ~1 ulp ≈ 200, far beyond what a
+  // ±1 correction can repair; one Newton step collapses that to
+  // |error| ≤ 1 (e²/2√w2 ≈ 2e-14 plus integer-flooring ±1), the second
+  // is belt-and-braces, and the ±1 correction then lands the exact
+  // floor — making w_sigma_n the exact isqrt for the FULL stated
+  // radicand bound, independent of seed rounding in either engine.
+  // Slots then apportion by q246's largest-remainder method (floor
+  // quotas + remainder rank, ties by source). If EVERY stratum is
+  // constant-length (ΣW = 0) the weights fall back to N_h —
+  // proportional allocation, never a zero-filled report.
+  // Radicand ≤ N·Σx² ≈ 1e36 at 1e12 docs × 1e6-char bound.
   //
   // Scale shape: one map-side-combining per-source moment rollup;
   // everything after lives on the |sources|-row frame.
@@ -1649,9 +1658,15 @@ object CurationOps {
       .withColumn("w2", expr("n_docs * sxx - sx * sx"))
       .withColumn("w0", expr(
         "cast(floor(sqrt(cast(w2 as double))) as decimal(38,0))"))
+      .withColumn("w1", expr(
+        "case when w0 <= 0 then w0 else" +
+          " cast((w0 + w2 div w0) div 2 as decimal(38,0)) end"))
+      .withColumn("wn", expr(
+        "case when w1 <= 0 then w1 else" +
+          " cast((w1 + w2 div w1) div 2 as decimal(38,0)) end"))
       .withColumn("w_sigma_n", expr(
-        "cast(case when (w0 + 1) * (w0 + 1) <= w2 then w0 + 1" +
-          " when w0 * w0 > w2 then w0 - 1 else w0 end as bigint)"))
+        "cast(case when (wn + 1) * (wn + 1) <= w2 then wn + 1" +
+          " when wn * wn > w2 then wn - 1 else wn end as bigint)"))
       .withColumn("w_total", sum(col("w_sigma_n")).over(wAll))
       // all-constant corpus: σ ≡ 0 everywhere → proportional fallback
       .withColumn("w_eff", expr(
@@ -1684,12 +1699,20 @@ object CurationOps {
     w0 AS (
       SELECT *, CAST(FLOOR(SQRT(CAST(w2 AS DOUBLE))) AS HUGEINT) AS w0
       FROM w2),
+    w1 AS (
+      SELECT *, CASE WHEN w0 <= 0 THEN w0
+        ELSE (w0 + w2 // w0) // 2 END AS w1
+      FROM w0),
+    wn AS (
+      SELECT *, CASE WHEN w1 <= 0 THEN w1
+        ELSE (w1 + w2 // w1) // 2 END AS wn
+      FROM w1),
     ws AS (
       SELECT source, n_docs,
-        CAST(CASE WHEN (w0 + 1) * (w0 + 1) <= w2 THEN w0 + 1
-                  WHEN w0 * w0 > w2 THEN w0 - 1 ELSE w0 END AS BIGINT)
+        CAST(CASE WHEN (wn + 1) * (wn + 1) <= w2 THEN wn + 1
+                  WHEN wn * wn > w2 THEN wn - 1 ELSE wn END AS BIGINT)
           AS w_sigma_n
-      FROM w0),
+      FROM wn),
     we AS (
       SELECT *,
         CASE WHEN SUM(w_sigma_n) OVER () > 0 THEN w_sigma_n

@@ -1495,7 +1495,7 @@ object ExtOps {
         col("z2_ppm"), col("direction"), col("srm_ppm"), col("verdict"))
   }
 
-  val q233Sql: String = """
+  val q233Sql: String = s"""
     WITH users AS (
       SELECT user_id,
         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -1538,18 +1538,7 @@ object ExtOps {
              ELSE CAST(abs(n_c - n_t) * 1000000 // (n_c + n_t) AS BIGINT)
              END AS srm_ppm
       FROM (
-        SELECT *,
-          CASE WHEN n_c = 0 OR n_t = 0
-                 OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
-               THEN NULL ELSE
-            CAST((CAST(conv_t AS HUGEINT) * n_c
-                - CAST(conv_c AS HUGEINT) * n_t)
-              * (CAST(conv_t AS HUGEINT) * n_c
-                - CAST(conv_c AS HUGEINT) * n_t)
-              // (CAST(n_c AS HUGEINT) * n_t)
-              * (n_c + n_t) * 1000000
-              // (CAST(conv_c + conv_t AS HUGEINT)
-                * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm
+        SELECT *, $zSqSql AS z2_ppm
         FROM agg) z0) z1"""
 
   // ---- q235: cohort retention matrix ------------------------------------
@@ -1676,7 +1665,13 @@ object ExtOps {
   // computes as (g + isqrt(4·K²ppm²·C·(N−C)·g² div (N·n_c·n_t)))
   // div (2g) — the q250 ±1-corrected integer sqrt with guard scale
   // g = 1000 below N = 1e9 (fits decimal(38,0): ≤ 7.9e36) and g = 1
-  // beyond (domain N ≤ 3.6e12). Deterministic by construction in both
+  // beyond. The g = 1 numerator 7 848 878 512 225·C·(N−C)·4 peaks at
+  // C = N/2 as ~7.85e12·N², which crosses Decimal(38,0)'s 1e38 ceiling
+  // at N ≈ 3.57e12 while DuckDB HUGEINT (1.7e38) still carries it — so
+  // the domain is GUARDED, not just documented: both engines return
+  // NULL ('degenerate') above N = 3.5e12, keeping engine and oracle
+  // bit-identical at the boundary instead of diverging via Spark's
+  // silent overflow-to-NULL. Deterministic by construction in both
   // engines; the radicand flooring perturbs the result only within the
   // q250-style milli bound, and the power_band compare is integer ppm
   // vs integer ppm. Scale shape: the same one user-keyed aggregate as
@@ -1703,7 +1698,8 @@ object ExtOps {
         "case when n_c + n_t <= 1000000000 then 1000 else 1 end"))
       .withColumn("m_x", expr(
         "case when n_c = 0 or n_t = 0 or conv_all = 0" +
-          " or conv_all = n_c + n_t then null else" +
+          " or conv_all = n_c + n_t" +
+          " or n_c + n_t > 3500000000000 then null else" +
           " cast(7848878512225 as decimal(38,0)) * conv_all" +
           " * (n_c + n_t - conv_all) * 4 * m_g * m_g" +
           " div (cast(n_c + n_t as decimal(38,0)) * n_c * n_t) end"))
@@ -1751,7 +1747,8 @@ object ExtOps {
     mx AS (
       SELECT *,
         CASE WHEN n_c = 0 OR n_t = 0 OR conv_all = 0
-               OR conv_all = n_c + n_t THEN NULL ELSE
+               OR conv_all = n_c + n_t
+               OR n_c + n_t > 3500000000000 THEN NULL ELSE
           CAST(7848878512225 AS HUGEINT) * conv_all
             * (n_c + n_t - conv_all) * 4 * m_g * m_g
             // (CAST(n_c + n_t AS HUGEINT) * n_c * n_t) END AS m_x
@@ -1772,7 +1769,8 @@ object ExtOps {
         abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c) END
         AS lift_abs_ppm,
       CASE WHEN n_c IS NULL OR n_c = 0 OR n_t = 0 OR conv_all = 0
-             OR conv_all = n_c + n_t THEN 'degenerate'
+             OR conv_all = n_c + n_t
+             OR n_c + n_t > 3500000000000 THEN 'degenerate'
            WHEN abs(conv_t * 1000000 // n_t - conv_c * 1000000 // n_c)
              >= CAST((m_g + m_s) // (2 * m_g) AS BIGINT)
              THEN 'detectable'
@@ -2034,26 +2032,53 @@ object ExtOps {
     FROM m"""
 
   /** Exact-integer square of the two-proportion z statistic, in ppm —
-    * z² = diff²·N / (n_c·n_t·C·(N−C)) with diff = conv_t·n_c − conv_c·n_t,
-    * staged as (diff² div (n_c·n_t)) · N · 1e6 div (C·(N−C)) so every
-    * intermediate fits Decimal(38,0) at 10⁹ users. The q262 gate run
-    * caught the raw-z IEEE tree diverging by one ulp between engines
-    * (FMA contraction on one side) — this staged integer form is
-    * deterministic BY CONSTRUCTION in both, at the cost of a bounded
-    * flooring error the 1.96² = 3 841 600 ppm threshold absorbs.
+    * z²·1e6 = floor(diff²·N·1e6 / (n_c·n_t·C·(N−C))) with
+    * diff = conv_t·n_c − conv_c·n_t. The q262 gate run caught the raw-z
+    * IEEE tree diverging by one ulp between engines (FMA contraction on
+    * one side) — this staged integer form is deterministic BY
+    * CONSTRUCTION in both engines, and since round 13 it is EXACT, not
+    * merely bounded: with D1 = n_c·n_t, q = diff² div D1,
+    * r = diff² mod D1 and M = N·1e6,
+    *   floor(diff²·M / D1) = q·M + floor(r·M / D1)      (q·M integral)
+    *   floor(X / (D1·D2))  = floor(floor(X / D1) / D2)  (nested-floor id)
+    * so (q·M + r·M div D1) div D2 IS the exact floor, with every
+    * intermediate ≤ ~6.3e34 — inside Decimal(38,0) ↔ HUGEINT for
+    * N ≤ 6e9 users (diff² ≤ N⁴/16 < 1e38 bounds the domain, same as the
+    * previous single-floor form; the advisor-flagged 1e6·N/(C·(N−C))-ppm
+    * flooring amplification is gone entirely).
     * NULL on the degenerate inputs (empty arm, all-or-none conversion). */
-  private val zSqPpm: String =
+  private def zSqPpm: String = {
+    val diff = "(cast(conv_t as decimal(38,0)) * n_c" +
+      " - cast(conv_c as decimal(38,0)) * n_t)"
+    val d1 = "(cast(n_c as decimal(38,0)) * n_t)"
+    val d2 = "(cast(conv_c + conv_t as decimal(38,0))" +
+      " * (n_c + n_t - conv_c - conv_t))"
     "case when n_c = 0 or n_t = 0" +
       " or conv_c + conv_t = 0 or conv_c + conv_t = n_c + n_t" +
       " then null else" +
-      " cast((cast(conv_t as decimal(38,0)) * n_c" +
-      "       - cast(conv_c as decimal(38,0)) * n_t)" +
-      "   * (cast(conv_t as decimal(38,0)) * n_c" +
-      "       - cast(conv_c as decimal(38,0)) * n_t)" +
-      "   div (cast(n_c as decimal(38,0)) * n_t)" +
-      "   * (n_c + n_t) * 1000000" +
-      "   div (cast(conv_c + conv_t as decimal(38,0))" +
-      "       * (n_c + n_t - conv_c - conv_t)) as bigint) end"
+      s" cast((cast($diff * $diff div $d1 as decimal(38,0))" +
+      "     * (n_c + n_t) * 1000000" +
+      s"   + cast($diff * $diff % $d1 as decimal(38,0))" +
+      s"     * (n_c + n_t) * 1000000 div $d1)" +
+      s"   div $d2 as bigint) end"
+  }
+
+  /** DuckDB twin of [[zSqPpm]] — identical exact staging on HUGEINT. */
+  private def zSqSql: String = {
+    val diff = "(CAST(conv_t AS HUGEINT) * n_c" +
+      " - CAST(conv_c AS HUGEINT) * n_t)"
+    val d1 = "(CAST(n_c AS HUGEINT) * n_t)"
+    val d2 = "(CAST(conv_c + conv_t AS HUGEINT)" +
+      " * (n_c + n_t - conv_c - conv_t))"
+    s"""CASE WHEN n_c = 0 OR n_t = 0
+               OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
+             THEN NULL ELSE
+          CAST(($diff * $diff // $d1
+              * (n_c + n_t) * 1000000
+            + $diff * $diff % $d1
+              * (n_c + n_t) * 1000000 // $d1)
+            // $d2 AS BIGINT) END"""
+  }
 
   // ---- q260: A/A calibration sweep (null-lift distribution) -------------
   // The sanity check an experiment platform runs BEFORE trusting q233:
@@ -2097,7 +2122,7 @@ object ExtOps {
       .orderBy(col("salt"))
   }
 
-  val q260Sql: String = """
+  val q260Sql: String = s"""
     WITH users AS (
       SELECT user_id,
         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -2120,18 +2145,7 @@ object ExtOps {
           AS conv_t
       FROM armed GROUP BY 1),
     z AS (
-      SELECT *,
-        CASE WHEN n_c = 0 OR n_t = 0
-               OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
-             THEN NULL ELSE
-          CAST((CAST(conv_t AS HUGEINT) * n_c
-              - CAST(conv_c AS HUGEINT) * n_t)
-            * (CAST(conv_t AS HUGEINT) * n_c
-              - CAST(conv_c AS HUGEINT) * n_t)
-            // (CAST(n_c AS HUGEINT) * n_t)
-            * (n_c + n_t) * 1000000
-            // (CAST(conv_c + conv_t AS HUGEINT)
-              * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm
+      SELECT *, $zSqSql AS z2_ppm
       FROM agg)
     SELECT salt, n_c, n_t, conv_c, conv_t, z2_ppm,
       COALESCE(z2_ppm >= 3841600, false) AS false_positive
@@ -2210,7 +2224,7 @@ object ExtOps {
       .orderBy(col("di"))
   }
 
-  val q262Sql: String = """
+  val q262Sql: String = s"""
     WITH users AS (
       SELECT user_id,
         MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
@@ -2253,18 +2267,7 @@ object ExtOps {
         MAX(CASE WHEN arm = 1 THEN conv END) AS conv_t
       FROM cum GROUP BY 1),
     z AS (
-      SELECT *,
-        CASE WHEN n_c = 0 OR n_t = 0
-               OR conv_c + conv_t = 0 OR conv_c + conv_t = n_c + n_t
-             THEN NULL ELSE
-          CAST((CAST(conv_t AS HUGEINT) * n_c
-              - CAST(conv_c AS HUGEINT) * n_t)
-            * (CAST(conv_t AS HUGEINT) * n_c
-              - CAST(conv_c AS HUGEINT) * n_t)
-            // (CAST(n_c AS HUGEINT) * n_t)
-            * (n_c + n_t) * 1000000
-            // (CAST(conv_c + conv_t AS HUGEINT)
-              * (n_c + n_t - conv_c - conv_t)) AS BIGINT) END AS z2_ppm,
+      SELECT *, $zSqSql AS z2_ppm,
         di = MAX(di) OVER () AS is_final
       FROM daily)
     SELECT di, n_c, n_t, conv_c, conv_t, z2_ppm,

@@ -2559,7 +2559,12 @@ object SimOps {
 
   val q274Sql: String = {
     // unrolled rounds; every CTE MATERIALIZED (the q269 lesson: plain
-    // CTEs inline, and each round references e + the prior v)
+    // CTEs inline, and each round references e + the prior v).
+    // v_i is seeded FROM v_{i-1} LEFT JOIN w_i — not FROM w_i — so an
+    // EMPTY corpus degrades identically to the Scala path: w_i/mx_i
+    // collapse to nothing/NULL, every v_i keeps the all-ones start
+    // vector, and the oracle still emits the D-row report
+    // (v_ppm = 1e6, n_vecs = 0, drift 0) instead of zero rows.
     val rounds = (1 to PowerRounds).map { i =>
       s"""dot_$i AS MATERIALIZED (
       SELECT e.vec_id, CAST(SUM(e.x * v.val) AS BIGINT) AS dot
@@ -2569,11 +2574,11 @@ object SimOps {
       FROM e JOIN dot_$i d ON d.vec_id = e.vec_id GROUP BY 1),
     mx_$i AS MATERIALIZED (SELECT MAX(abs(w)) AS mx FROM w_$i),
     v_$i AS MATERIALIZED (
-      SELECT pos, CASE WHEN mx IS NULL OR mx = 0 THEN
-          (SELECT val FROM v_${i - 1} p WHERE p.pos = w_$i.pos)
-        ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
-          * CAST(abs(w) * 1000000 // mx AS BIGINT) END AS val
-      FROM w_$i CROSS JOIN mx_$i)"""
+      SELECT p.pos, CASE WHEN mx IS NULL OR mx = 0 THEN p.val
+        ELSE (CASE WHEN w.w < 0 THEN -1 ELSE 1 END)
+          * CAST(abs(w.w) * 1000000 // mx AS BIGINT) END AS val
+      FROM v_${i - 1} p LEFT JOIN w_$i w ON w.pos = p.pos
+      CROSS JOIN mx_$i)"""
     }.mkString(",\n    ")
     s"""
     WITH q AS MATERIALIZED (SELECT vec_id, $sqlQa AS qa FROM embeddings),

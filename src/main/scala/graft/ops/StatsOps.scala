@@ -2172,8 +2172,13 @@ object StatsOps {
   // integers (round-12 sweep: the original 1.96·√n IEEE tree fed a
   // floor/ceil, where a one-ulp cross-engine divergence flips a whole
   // rank — the q237-class hazard): 1.96√n = √(2401n)/25 with 2401n
-  // < 2⁵³ for n ≤ 3.8e15, so t = isqrt(2401n) is exact after the ±1
-  // correction, and l = ⌊(25n − t)/50⌋ (minus 1 on the exact-boundary
+  // inside BIGINT (2⁶³ ≈ 9.2e18) for n ≤ 3.8e15, and t = isqrt(2401n)
+  // is exact because the ±1 correction repairs the double seed for any
+  // radicand ≪ ~3.6e31 — 2401n ≤ 9.1e18 is ten decades inside that, so
+  // the seed is already within one of the true floor. (2⁵³ is NOT the
+  // operative bound here: 2401n exceeds it from n ≈ 3.75e12, yet the
+  // correction keeps the result exact all the way to the BIGINT edge.)
+  // l = ⌊(25n − t)/50⌋ (minus 1 on the exact-boundary
   // case 50 | 25n−t when 2401n is not a perfect square — √ irrational
   // means the true value sits strictly below the boundary) and
   // u = 1 + ⌈(25n + t)/50⌉ follow by the one-integer-in-a-unit-interval

@@ -43,6 +43,39 @@ class CommerceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q196/q275 giant baskets are capped and ledgered, organic ones kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("giantbask").toString
+    // TWO clone-farm orders holding the same 70 distinct parts (every
+    // part frequent at support ≥ 2, so the apriori item floor does NOT
+    // prune them — only the WIDTH cap can stop the C(70,2)/C(70,3)
+    // blowup) plus three organic 3-item baskets over parts 1..3.
+    // Expected: both farm baskets are dropped from enumeration in both
+    // shapes, their mass lands on the ledger, and the organic
+    // pair/triple counts exclude them (support 3, organic only).
+    val farm = (1 to 70).flatMap(p =>
+      Seq((1000L, p.toLong), (1001L, p.toLong)))
+    val organic = (1 to 3).flatMap(o => (1 to 3).map(p => (o.toLong, p.toLong)))
+    (farm ++ organic).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val pairs = CommerceOps.q196BasketPairs(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { x =>
+      assert(x.getAs[Long]("capped_baskets") == 2L, x.toString)
+      assert(x.getAs[Long]("capped_item_slots") == 140L, x.toString)
+      assert(x.getAs[Long]("c_pair") == 3L, x.toString) // organic only
+    }
+    assert(pairs.map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb")))
+      .toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val trips = CommerceOps.q275BasketTriples(spark, dir).collect()
+    assert(trips.map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb"),
+      x.getAs[Long]("pc"))).toSet == Set((1L, 2L, 3L)))
+    assert(trips.head.getAs[Long]("c_triple") == 3L)
+    assert(trips.head.getAs[Long]("capped_baskets") == 2L)
+    assert(trips.head.getAs[Long]("capped_item_slots") == 140L)
+    spark.catalog.clearCache()
+  }
+
   test("q198 Benford expectation table sums to exactly one million ppm") {
     // the per-digit expectation literals must partition probability
     // mass exactly, or the χ² surrogate drifts from both engines' view

@@ -547,6 +547,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.values.map(_.getAs[Long]("alloc")).sum == 10000L)
   }
 
+  test("q272 isqrt is exact at radicands where the double seed drifts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neymanbig").toString
+    // w2 for a stratum {0, K} is exactly K² (2(0+K²)−K² = K²), and for
+    // {0, 0, K} exactly 2K² — at K = 3e17 the radicands sit near 1e35,
+    // where floor(sqrt(double)) alone is off by tens (ulp(9e34) ≈ 1e19
+    // → seed error ~±17), far past what the ±1 correction repairs. The
+    // two integer Newton steps must land the exact floor anyway.
+    val k = 300000000000000000L // 3e17
+    val docs = Seq(
+      (1L, "sq", 0L), (2L, "sq", k),
+      (3L, "ir", 0L), (4L, "ir", 0L), (5L, "ir", k))
+    docs.map { case (i, s, n) => (i, "x", "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def isqrt(v: BigInt): BigInt = {
+      var s = BigInt(math.sqrt(v.toDouble).toLong)
+      s = (s + v / s) / 2; s = (s + v / s) / 2
+      while (s * s > v) s -= 1
+      while ((s + 1) * (s + 1) <= v) s += 1
+      s
+    }
+    val r = ops.CurationOps.q272NeymanAlloc(spark, dir).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("sq").getAs[Long]("w_sigma_n") == k) // perfect square: √(K²)=K
+    assert(r("ir").getAs[Long]("w_sigma_n") ==
+      isqrt(BigInt(k) * k * 2).toLong) // irrational √(2K²) = ⌊K√2⌋
+    assert(r.values.map(_.getAs[Long]("alloc")).sum == 10000L)
+  }
+
   test("q272 falls back to proportional allocation on an all-constant corpus") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("neyman0").toString

@@ -627,10 +627,11 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("lift_ppm") ==
       ct * 1000000L / nt - cc * 1000000L / nc)
     if (cc + ct > 0 && cc + ct < nc + nt) {
-      // exact recount of the staged-integer z² in BigInt
+      // the r13 staged z² is EXACT — recount via the mathematical
+      // definition (single BigInt floor-div), not the engine's staging
       val diff = BigInt(ct) * nc - BigInt(cc) * nt
-      val z2 = diff * diff / (BigInt(nc) * nt) * (nc + nt) * 1000000 /
-        (BigInt(cc + ct) * (nc + nt - cc - ct))
+      val z2 = diff * diff * (nc + nt) * 1000000 /
+        (BigInt(nc) * nt * (cc + ct) * (nc + nt - cc - ct))
       assert(r.getAs[Long]("z2_ppm") == z2.toLong, r.toString)
       val dir = if (diff > 0) "t_up" else if (diff < 0) "t_down" else "flat"
       assert(r.getAs[String]("direction") == dir)
@@ -824,15 +825,17 @@ class ExtOpsSpec extends AnyFunSuite {
       else {
         val z2 = x.getAs[Long]("z2_ppm")
         assert(fp == (z2 >= 3841600L))
-        // staged-integer recount of z² from the exact counts
+        // the r13 staged form is EXACT, so the recount is the
+        // mathematical definition itself — one BigInt floor-div,
+        // independent of the engine's overflow-safe staging
         val (nc, nt) = (BigInt(x.getAs[Long]("n_c")),
           BigInt(x.getAs[Long]("n_t")))
         val (cc, ct) = (BigInt(x.getAs[Long]("conv_c")),
           BigInt(x.getAs[Long]("conv_t")))
         val diff = ct * nc - cc * nt
         val conv = cc + ct
-        val exp = diff * diff / (nc * nt) * (nc + nt) * 1000000 /
-          (conv * (nc + nt - conv))
+        val exp = diff * diff * (nc + nt) * 1000000 /
+          (nc * nt * conv * (nc + nt - conv))
         assert(z2 == exp.toLong)
       }
     }

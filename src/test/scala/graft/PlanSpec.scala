@@ -97,8 +97,8 @@ class PlanSpec extends AnyFunSuite {
     // q187: corpus × broadcast(100-query eval prefix) — the q35 shape
     // q195: the 1-row corpus-max-date and 1-row quartile-cut frames
     // attach to the per-customer frame via 1-row broadcast crosses
-    // q196: the 1-row basket-count scalar attaches to the frequent-pair
-    // frame the same way
+    // q196: the 1-row basket-count scalar AND the 1-row giant-basket
+    // ledger attach to the frequent-pair frame the same way
     // q197: the 1-row corpus token total attaches to the vocab-keyed
     // keyness frame the same way
     // q198: the 1-row digit total and 1-row χ² total attach to the
@@ -149,8 +149,8 @@ class PlanSpec extends AnyFunSuite {
     // crosses — the q118 shape
     // q273: the calendar-bounded |days|² pair generator is an intended
     // broadcast theta join (the q228 shape) plus the 1-row n_days attach
-    // q275: the 1-row basket-count scalar attaches to the frequent-triple
-    // frame — the q196 shape one level deeper
+    // q275: the 1-row basket-count scalar and giant-basket ledger attach
+    // to the frequent-triple frame — the q196 shape one level deeper
     // q270: the 1-row global decile-cut array attaches to the orders
     // scan (the q211 shape) and the 10-row bin spine broadcasts onto
     // the |months| frame
