@@ -325,6 +325,18 @@ object Bench {
     val stagesColdJson = stagesCold
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Self-labeling weather report (VERDICT r12 #4): the alloc canary is
+    // the probe that actually catches the IO/page-cache/allocator
+    // contention class (the CPU canary reads identical either way — the
+    // r12 driver record had cpu 0.33 = idle while alloc sat at 1.35 vs
+    // the 0.79 idle floor and q112/q96/q36 inflated 2-4×). A record
+    // whose alloc-canary median exceeds 1.5× the known-idle floor is
+    // stamped contended_by_alloc so consumers stop diffing canary
+    // medians by hand. Floor is box-specific — override with
+    // SPARK_GRAFT_ALLOC_FLOOR when benching elsewhere.
+    val allocFloor = sys.env.getOrElse("SPARK_GRAFT_ALLOC_FLOOR", "0.8")
+      .toDouble
+    val contendedByAlloc = ca.nonEmpty && ca(ca.size / 2) > 1.5 * allocFloor
     // GC stamp: per-unit GC seconds spent during the iteration that
     // produced the reported min, a suspect list (units whose min paid
     // >25% of its wall time in GC, ignoring sub-0.5 s units where one
@@ -349,7 +361,11 @@ object Bench {
         s""""queries_median":$med,"stages_cold":$stagesColdJson,""" +
         s""""canary":$canaryJson,"canary_alloc":$canaryAllocJson,""" +
         s""""queries_gc":$gcJson,"gc_suspects":$gcSuspectsJson,""" +
-        s""""contended_by_gc":${gcSuspects.nonEmpty},"heap":$heapJson,""" +
+        s""""contended_by_gc":${gcSuspects.nonEmpty},""" +
+        s""""alloc_floor":$allocFloor,""" +
+        s""""contended_by_alloc":$contendedByAlloc,""" +
+        s""""contended":${contendedByAlloc || gcSuspects.nonEmpty},""" +
+        s""""heap":$heapJson,""" +
         s""""failed":${failed.size},""" +
         s""""failed_names":$failedJson,"sf":"$sfDir"}"""
     println(json)
