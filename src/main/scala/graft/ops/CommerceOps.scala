@@ -1785,11 +1785,23 @@ object CommerceOps {
         expr("cast(c_triple as decimal(38,0)) * 1000000 div n_orders"))
       // lift3 = c·N²/(c_a·c_b·c_c), staged so every intermediate is a
       // floor-div of bounded magnitude (the q196 lift shape, one level
-      // deeper)
+      // deeper) — and CLAMPED at 1e15 ppm (a 1e9× lift): with the
+      // minsup floors all at 2, the unclamped value reaches c·N²/8·1e6
+      // ≈ 2.5e23 at 1e9 orders, past BIGINT — where Spark's final div
+      // nulls while DuckDB's HUGEINT→BIGINT cast errors. The clamp is
+      // applied BEFORE the overflowing quotient via the exact integer
+      // equivalence floor(s2·N/c_c) > C ⇔ s2·N ≥ (C+1)·c_c (both sides
+      // ≤ ~5e29 on Decimal(38,0)), and as plain LEAST on the DuckDB
+      // side — bit-identical by construction, and any clamped row is
+      // unambiguous: 1e15 means "off the lift scale", never a real value.
+      .withColumn("s2", expr(
+        "cast(cast(c_triple as decimal(38,0)) * 1000000" +
+          " div c_a as decimal(38,0)) * n_orders div c_b"))
       .withColumn("lift3_ppm", expr(
-        "cast(cast(cast(c_triple as decimal(38,0)) * 1000000" +
-          " div c_a as decimal(38,0)) * n_orders" +
-          " div c_b as decimal(38,0)) * n_orders div c_c"))
+        "case when cast(s2 as decimal(38,0)) * n_orders >=" +
+          " cast(1000000000000001 as decimal(38,0)) * c_c" +
+          " then 1000000000000000" +
+          " else cast(s2 as decimal(38,0)) * n_orders div c_c end"))
       .select(col("pa"), col("pb"), col("pc"), col("c_triple"),
         col("c_a"), col("c_b"), col("c_c"),
         col("support_ppm").cast("long").as("support_ppm"),
@@ -1836,9 +1848,9 @@ object CommerceOps {
       sa.c_item AS c_a, sb.c_item AS c_b, sc.c_item AS c_c,
       CAST(CAST(c_triple AS HUGEINT) * 1000000 // n_orders AS BIGINT)
         AS support_ppm,
-      CAST(CAST(c_triple AS HUGEINT) * 1000000 // sa.c_item
+      CAST(LEAST(CAST(c_triple AS HUGEINT) * 1000000 // sa.c_item
         * n_orders // sb.c_item
-        * n_orders // sc.c_item AS BIGINT) AS lift3_ppm,
+        * n_orders // sc.c_item, 1000000000000000) AS BIGINT) AS lift3_ppm,
       capped_baskets, capped_item_slots
     FROM trip
     JOIN supp sa ON sa.l_partkey = trip.pa

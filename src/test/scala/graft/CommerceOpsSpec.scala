@@ -76,6 +76,27 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q275 lift3 clamps at the 1e15-ppm ceiling instead of overflowing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("liftclamp").toString
+    // two orders share the rare triple {1,2,3} (all supports at the
+    // minsup floor of 2); 70,000 single-item filler orders inflate
+    // n_orders to 70,002, pushing the unclamped lift3
+    // ((2e6 div 2)·N div 2)·N div 2 ≈ 1.225e15 past the 1e15 ceiling —
+    // the clamp must fire via the pre-division integer condition, not
+    // an overflowing quotient
+    val triple = Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p)))
+    val fillers = (1 to 70000).map(i => (100L + i, 1000000L + i))
+    (triple ++ fillers).toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = CommerceOps.q275BasketTriples(spark, dir).collect()
+    assert(r.map(x => (x.getAs[Long]("pa"), x.getAs[Long]("pb"),
+      x.getAs[Long]("pc"))).toSet == Set((1L, 2L, 3L)))
+    assert(r.head.getAs[Long]("lift3_ppm") == 1000000000000000L)
+    assert(r.head.getAs[Long]("c_triple") == 2L)
+    spark.catalog.clearCache()
+  }
+
   test("q198 Benford expectation table sums to exactly one million ppm") {
     // the per-digit expectation literals must partition probability
     // mass exactly, or the χ² surrogate drifts from both engines' view
