@@ -1860,7 +1860,301 @@ object CommerceOps {
     CROSS JOIN ledger
     ORDER BY trip.pa, trip.pb, trip.pc"""
 
+  // ---- q277: item-item collaborative-filtering neighbors ---------------
+  // The retrieval half of an item-to-item recommender (Linden et al.,
+  // "Amazon.com Recommendations", IEEE Internet Computing 2003): each
+  // catalog item's nearest neighbors by co-purchase COSINE
+  // cos(a,b) = c_pair / √(c_a·c_b) — the angle between the two items'
+  // binary order-membership vectors. Distinct from q196/q275 (support /
+  // confidence / lift RULES): this ranks a per-item neighbor list, the
+  // artifact a "customers also bought" serving layer ships.
+  //
+  // Candidate generation reuses the q196 scale discipline wholesale:
+  // apriori item floor, per-basket map-side pair explosion from the
+  // sorted distinct-item list (never a lineitem self-join), the
+  // PairBasketCap giant-basket drop with its broadcast ledger, and a
+  // pair-support floor. The report keys on the CfHeadItems highest-
+  // support items (exact global top-k: support desc, partkey asc — a
+  // TakeOrdered on the |catalog|-bounded support frame, never a corpus
+  // sort) and keeps CfTopK neighbors per head item via a window
+  // PARTITIONED by item over the head-filtered pair frame (≤ head ×
+  // catalog candidate rows before ranking, head-bounded after).
+  //
+  // Exactness: cos_ppm = c_pair·10⁹ div isqrt(c_a·c_b·10⁶) — the
+  // q250-style milli-precision corrected integer root (radicand
+  // ≤ 1e24·1e6 = 1e30 at 1e12-order scale, ten decades inside the ±1
+  // correction's 3.6e31 validity bound; numerator ≤ 1e21 inside
+  // Decimal(38,0)). Neighbor rank ties break by (c_pair desc, partkey
+  // asc) — fully ordered.
+  private[graft] val CfHeadItems = 20
+  private[graft] val CfTopK = 3
+
+  def q277ItemCf(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val supp = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c_item"))
+      .filter(col("c_item") >= PairMinSup)
+      .persist() // head top-k, both neighbor-support joins, basket filter
+    val baskets = items.join(supp, Seq("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .persist() // ledger + kept-basket explode (q196 contract)
+    val ledger = baskets.filter(size(col("ps")) > PairBasketCap)
+      .agg(count(lit(1)).as("capped_baskets"))
+    val pairs = baskets.filter(size(col("ps")) <= PairBasketCap)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ps) - 2),
+             i -> transform(sequence(i + 1, size(ps) - 1),
+               j -> struct(ps[i] AS pa, ps[j] AS pb))))""")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= PairMinSup)
+    val head = supp.orderBy(col("c_item").desc, col("l_partkey").asc)
+      .limit(CfHeadItems)
+      .select(col("l_partkey").as("item"), col("c_item"))
+    val nbrs = pairs
+      .select(col("pa").as("item"), col("pb").as("nbr"), col("c_pair"))
+      .union(pairs
+        .select(col("pb").as("item"), col("pa").as("nbr"), col("c_pair")))
+      .join(broadcast(head), Seq("item"))
+      .join(supp.select(col("l_partkey").as("nbr"),
+        col("c_item").as("c_nbr")), Seq("nbr"))
+      .withColumn("cf_w2", expr(
+        "cast(c_item as decimal(38,0)) * c_nbr * 1000000"))
+      .withColumn("cf_s0", expr(
+        "cast(floor(sqrt(cast(cf_w2 as double))) as decimal(38,0))"))
+      .withColumn("cf_s", expr(
+        "case when (cf_s0 + 1) * (cf_s0 + 1) <= cf_w2 then cf_s0 + 1" +
+          " when cf_s0 * cf_s0 > cf_w2 then cf_s0 - 1 else cf_s0 end"))
+      .withColumn("cos_ppm", expr(
+        "cast(cast(c_pair as decimal(38,0)) * 1000000000" +
+          " div cf_s as bigint)"))
+    nbrs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("item")).orderBy(col("cos_ppm").desc,
+          col("c_pair").desc, col("nbr").asc)).cast("long"))
+      .filter(col("rank") <= CfTopK)
+      .crossJoin(broadcast(ledger))
+      .select(col("item"), col("c_item"), col("rank"), col("nbr"),
+        col("c_nbr"), col("c_pair"), col("cos_ppm"), col("capped_baskets"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  val q277Sql: String = s"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item
+      FROM items GROUP BY 1 HAVING COUNT(*) >= $PairMinSup),
+    fitems AS (
+      SELECT l_orderkey, items.l_partkey AS p
+      FROM items JOIN supp ON items.l_partkey = supp.l_partkey),
+    widths AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS w
+      FROM fitems GROUP BY 1 HAVING COUNT(*) >= 2),
+    ledger AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS capped_baskets
+      FROM widths WHERE w > $PairBasketCap),
+    kept AS (
+      SELECT fitems.* FROM fitems
+      JOIN widths ON widths.l_orderkey = fitems.l_orderkey
+      WHERE widths.w <= $PairBasketCap),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM kept a JOIN kept b
+        ON a.l_orderkey = b.l_orderkey AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= $PairMinSup),
+    head AS (
+      SELECT l_partkey AS item, c_item FROM supp
+      ORDER BY c_item DESC, l_partkey LIMIT $CfHeadItems),
+    nbrs AS (
+      SELECT item, head.c_item, nbr, sn.c_item AS c_nbr, c_pair
+      FROM (
+        SELECT pa AS item, pb AS nbr, c_pair FROM pairs
+        UNION ALL
+        SELECT pb AS item, pa AS nbr, c_pair FROM pairs) u
+      JOIN head USING (item)
+      JOIN supp sn ON sn.l_partkey = u.nbr),
+    cosd AS (
+      SELECT *, CAST(c_item AS HUGEINT) * c_nbr * 1000000 AS cf_w2,
+        CAST(FLOOR(SQRT(CAST(CAST(c_item AS HUGEINT) * c_nbr * 1000000
+          AS DOUBLE))) AS HUGEINT) AS cf_s0
+      FROM nbrs),
+    cosx AS (
+      SELECT *, CASE WHEN (cf_s0 + 1) * (cf_s0 + 1) <= cf_w2
+          THEN cf_s0 + 1
+        WHEN cf_s0 * cf_s0 > cf_w2 THEN cf_s0 - 1 ELSE cf_s0 END AS cf_s
+      FROM cosd),
+    ranked AS (
+      SELECT item, c_item, nbr, c_nbr, c_pair,
+        CAST(CAST(c_pair AS HUGEINT) * 1000000000 // cf_s AS BIGINT)
+          AS cos_ppm
+      FROM cosx),
+    rr AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY item
+        ORDER BY cos_ppm DESC, c_pair DESC, nbr) AS BIGINT) AS rank
+      FROM ranked)
+    SELECT item, c_item, rank, nbr, c_nbr, c_pair, cos_ppm, capped_baskets
+    FROM rr CROSS JOIN ledger
+    WHERE rank <= $CfTopK
+    ORDER BY item, rank"""
+
+  // ---- q279: ABC-XYZ inventory classification matrix -------------------
+  // The two-axis assortment grid supply planning runs on: ABC splits the
+  // catalog by cumulative revenue share (A carries the first 80%, B to
+  // 95%, C the tail — q204's Pareto cut applied as a per-part CLASS),
+  // XYZ by demand variability (coefficient of variation of MONTHLY
+  // demand over the corpus horizon: X ≤ 0.25 steady, Y ≤ 0.5, Z
+  // erratic). The 9-cell matrix (cell part counts, revenue share,
+  // demand mass) tells a planner where forecast-driven replenishment
+  // works (AX) and where it cannot (CZ).
+  //
+  // Exactness: monthly demand quantizes to integer units; the CV needs
+  // NO per-month division — over an H-month horizon with zero-months
+  // included, H²·Var = H·Σq² − (Σq)², so cv_ppm =
+  // isqrt((H·Σq² − (Σq)²)·10¹²) div Σq, exact end-to-end. The radicand
+  // reaches ~1.4e34 at 1e9-unit part-months over a 120-month horizon —
+  // past the ±1 correction's 3.6e31 double-seed validity — so the root
+  // uses the q272 posture: double seed, TWO integer Newton steps, then
+  // the ±1 correction (exact for radicands ≤ 1e36). ABC cut points are
+  // exact Decimal cross-multiplications against total revenue (never a
+  // share division); ties in the revenue ranking break by partkey.
+  //
+  // Scale shape: one lineitem scan collapses onto the (part × month)
+  // frame, then onto |parts|; the cumulative-revenue window runs on the
+  // |parts|-row aggregate — the q204 vocab-keyed class — and the output
+  // is the ≤9-row matrix.
+  def q279AbcXyz(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        toUnits(col("l_quantity"), 0).as("q"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long").as("ru"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("mcode"))
+    val pm = li.groupBy(col("l_partkey"), col("mcode"))
+      .agg(sum(col("q")).as("mq"), sum(col("ru")).as("mru"))
+      .persist() // horizon count + per-part rollup share the scan
+    val horizon = pm.select(col("mcode")).distinct()
+      .agg(count(lit(1)).as("h_months"))
+    val parts = pm.groupBy(col("l_partkey"))
+      .agg(sum(col("mq")).as("sum_q"),
+        sum(expr("cast(mq as decimal(38,0)) * mq")).as("sumsq_q"),
+        sum(col("mru")).as("rev"))
+    val wCum = Window.orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val classed = parts.crossJoin(broadcast(horizon))
+      .withColumn("cum", sum(col("rev")).over(wCum))
+      .withColumn("total", sum(col("rev")).over(wAll))
+      .withColumn("abc", expr(
+        """case when (cast(cum as decimal(38,0)) - rev) * 5
+                  < cast(total as decimal(38,0)) * 4 then 'A'
+             when (cast(cum as decimal(38,0)) - rev) * 20
+                  < cast(total as decimal(38,0)) * 19 then 'B'
+             else 'C' end"""))
+      .withColumn("xyz_w2", expr(
+        "(cast(h_months as decimal(38,0)) * sumsq_q - cast(sum_q as" +
+          " decimal(38,0)) * sum_q) * 1000000000000"))
+      .withColumn("xyz_s0", expr(
+        "cast(floor(sqrt(cast(xyz_w2 as double))) as decimal(38,0))"))
+      .withColumn("xyz_s1", expr(
+        "case when xyz_s0 <= 0 then xyz_s0 else" +
+          " cast((xyz_s0 + xyz_w2 div xyz_s0) div 2 as decimal(38,0)) end"))
+      .withColumn("xyz_sn", expr(
+        "case when xyz_s1 <= 0 then xyz_s1 else" +
+          " cast((xyz_s1 + xyz_w2 div xyz_s1) div 2 as decimal(38,0)) end"))
+      .withColumn("xyz_s", expr(
+        "case when (xyz_sn + 1) * (xyz_sn + 1) <= xyz_w2 then xyz_sn + 1" +
+          " when xyz_sn * xyz_sn > xyz_w2 then xyz_sn - 1 else xyz_sn end"))
+      .withColumn("cv_ppm", expr(
+        "cast(xyz_s div nullif(sum_q, 0) as bigint)"))
+      .withColumn("xyz", expr(
+        """case when cv_ppm <= 250000 then 'X'
+             when cv_ppm <= 500000 then 'Y' else 'Z' end"""))
+    classed.groupBy(col("abc"), col("xyz"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("rev_cents"),
+        sum(col("sum_q")).as("qty_units"))
+      .withColumn("rev_share_ppm", expr(
+        "cast(cast(rev_cents as decimal(38,0)) * 1000000" +
+          " div nullif(sum(rev_cents) over (), 0) as bigint)"))
+      .select(col("abc"), col("xyz"), col("n_parts"), col("rev_cents"),
+        col("qty_units"), col("rev_share_ppm"))
+      .orderBy(col("abc"), col("xyz"))
+  }
+
+  val q279Sql: String = """
+    WITH li AS (
+      SELECT l_partkey,
+        CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q,
+        CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+          AS BIGINT) AS ru,
+        CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+          AS mcode
+      FROM lineitem),
+    pm AS (
+      SELECT l_partkey, mcode, CAST(SUM(q) AS BIGINT) AS mq,
+        CAST(SUM(ru) AS BIGINT) AS mru
+      FROM li GROUP BY 1, 2),
+    h AS (SELECT CAST(COUNT(DISTINCT mcode) AS BIGINT) AS h_months FROM pm),
+    parts AS (
+      SELECT l_partkey, CAST(SUM(mq) AS BIGINT) AS sum_q,
+        SUM(CAST(mq AS HUGEINT) * mq) AS sumsq_q,
+        CAST(SUM(mru) AS BIGINT) AS rev
+      FROM pm GROUP BY 1),
+    cum AS (
+      SELECT *, SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(rev) OVER () AS total
+      FROM parts CROSS JOIN h),
+    abc AS (
+      SELECT *, CASE WHEN (CAST(cum AS HUGEINT) - rev) * 5
+            < CAST(total AS HUGEINT) * 4 THEN 'A'
+          WHEN (CAST(cum AS HUGEINT) - rev) * 20
+            < CAST(total AS HUGEINT) * 19 THEN 'B'
+          ELSE 'C' END AS abc,
+        (CAST(h_months AS HUGEINT) * sumsq_q
+          - CAST(sum_q AS HUGEINT) * sum_q) * 1000000000000 AS xyz_w2
+      FROM cum),
+    s0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(xyz_w2 AS DOUBLE))) AS HUGEINT)
+        AS xyz_s0
+      FROM abc),
+    s1 AS (
+      SELECT *, CASE WHEN xyz_s0 <= 0 THEN xyz_s0
+        ELSE (xyz_s0 + xyz_w2 // xyz_s0) // 2 END AS xyz_s1
+      FROM s0),
+    sn AS (
+      SELECT *, CASE WHEN xyz_s1 <= 0 THEN xyz_s1
+        ELSE (xyz_s1 + xyz_w2 // xyz_s1) // 2 END AS xyz_sn
+      FROM s1),
+    sc AS (
+      SELECT *, CASE WHEN (xyz_sn + 1) * (xyz_sn + 1) <= xyz_w2
+          THEN xyz_sn + 1
+        WHEN xyz_sn * xyz_sn > xyz_w2 THEN xyz_sn - 1
+        ELSE xyz_sn END AS xyz_s
+      FROM sn),
+    xyz AS (
+      SELECT *, CASE WHEN cv_ppm <= 250000 THEN 'X'
+          WHEN cv_ppm <= 500000 THEN 'Y' ELSE 'Z' END AS xyz
+      FROM (SELECT *, CAST(xyz_s // NULLIF(sum_q, 0) AS BIGINT) AS cv_ppm
+            FROM sc) t),
+    cells AS (
+      SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(rev) AS BIGINT) AS rev_cents,
+        CAST(SUM(sum_q) AS BIGINT) AS qty_units
+      FROM xyz GROUP BY 1, 2)
+    SELECT abc, xyz, n_parts, rev_cents, qty_units,
+      CAST(CAST(rev_cents AS HUGEINT) * 1000000
+        // NULLIF(SUM(rev_cents) OVER (), 0) AS BIGINT) AS rev_share_ppm
+    FROM cells ORDER BY abc, xyz"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_item_cf" -> q277ItemCf _,
+    "q279_abc_xyz" -> q279AbcXyz _,
     "q275_basket_triples" -> q275BasketTriples _,
     "q270_dist_stability" -> q270DistStability _,
     "q259_shrunk_rates" -> q259ShrunkRates _,
@@ -1886,6 +2180,8 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q277_item_cf" -> q277Sql,
+    "q279_abc_xyz" -> q279Sql,
     "q275_basket_triples" -> q275Sql,
     "q270_dist_stability" -> q270Sql,
     "q259_shrunk_rates" -> q259Sql,

@@ -2406,7 +2406,118 @@ object StatsOps {
            ELSE 'weak' END AS band
     FROM t"""
 
+  // ---- q276: Simpson's-paradox reversal audit --------------------------
+  // The aggregation-reversal trap every pooled dashboard metric carries:
+  // a treatment (here: deep-discount lines, quantized discount ≥ 5%) can
+  // show a HIGHER pooled return rate than shallow-discount lines while
+  // showing a lower rate inside every ship-year stratum — because the
+  // treatment mix shifted across strata (Simpson, 1951). The audit emits
+  // one row per stratum with both groups' exact counts and rate ppms,
+  // the stratum's direction, and a broadcast 1-row ledger: the pooled
+  // direction, how many contrast strata (both groups non-empty) agree /
+  // oppose it, and the reversal flag — pooled direction non-zero, at
+  // least one stratum opposing, and NO stratum agreeing.
+  //
+  // Determinism: no division decides anything — every direction is an
+  // exact cross-multiplication sign (r_hi·n_lo vs r_lo·n_hi) on
+  // Decimal(38,0) ↔ HUGEINT (counts reach 1e12 at the 100 TB bound, so
+  // the product needs 24+ digits — BIGINT would overflow); rate ppms
+  // are display-only exact floor-divs. Discount quantizes element-wise
+  // to whole percents (floor(d·100 + 0.5), the Fx idiom) so group
+  // membership is an integer comparison in both engines.
+  //
+  // Scale shape: one lineitem scan collapses map-side onto the
+  // |ship-years|-row stratum frame; the pooled row and the ledger are
+  // aggregates OF that bounded frame, attached by broadcast — nothing
+  // after the first groupBy shuffles more than |years| rows.
+  private def dirSql(rh: String, nh: String, rl: String, nl: String): String =
+    s"""case when cast($rh as decimal(38,0)) * $nl
+              > cast($rl as decimal(38,0)) * $nh then 1
+         when cast($rh as decimal(38,0)) * $nl
+              < cast($rl as decimal(38,0)) * $nh then -1
+         else 0 end"""
+
+  def q276SimpsonReversal(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.lineitem(s, d)
+      .select(year(col("l_shipdate")).cast("long").as("ship_year"),
+        (floor(col("l_discount") * 100 + lit(0.5)) >= 5.0).as("hi"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+      .groupBy(col("ship_year"))
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("hi"), col("r")).otherwise(0L)).as("r_hi"),
+        sum(when(!col("hi"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(!col("hi"), col("r")).otherwise(0L)).as("r_lo"))
+      .withColumn("dir",
+        expr(dirSql("r_hi", "n_hi", "r_lo", "n_lo")).cast("long"))
+      .withColumn("contrast",
+        (col("n_hi") > 0L && col("n_lo") > 0L).cast("long"))
+      .persist() // stratum rows, the pooled 1-row, and the ledger all read it
+    val pooled = st.agg(sum(col("n_hi")).as("pn_hi"),
+        sum(col("r_hi")).as("pr_hi"),
+        sum(col("n_lo")).as("pn_lo"), sum(col("r_lo")).as("pr_lo"))
+      .withColumn("pooled_dir",
+        expr(dirSql("pr_hi", "pn_hi", "pr_lo", "pn_lo")).cast("long"))
+    val ledger = st.crossJoin(broadcast(pooled))
+      .agg(sum(col("contrast")).as("n_contrast"),
+        sum(when(col("contrast") === 1L && col("dir") =!= 0L
+          && col("dir") === col("pooled_dir"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("contrast") === 1L && col("dir") =!= 0L
+          && col("dir") === -col("pooled_dir"), 1L).otherwise(0L))
+          .as("n_oppose"))
+    st.crossJoin(broadcast(pooled)).crossJoin(broadcast(ledger))
+      .withColumn("simpson_reversal",
+        (col("pooled_dir") =!= 0L && col("n_oppose") > 0L
+          && col("n_agree") === 0L).cast("long"))
+      .select(col("ship_year"), col("n_hi"), col("r_hi"), col("n_lo"),
+        col("r_lo"),
+        expr("cast(r_hi * 1000000 div nullif(n_hi, 0) as bigint)")
+          .as("rate_hi_ppm"),
+        expr("cast(r_lo * 1000000 div nullif(n_lo, 0) as bigint)")
+          .as("rate_lo_ppm"),
+        col("dir"), col("pooled_dir"), col("n_contrast"), col("n_agree"),
+        col("n_oppose"), col("simpson_reversal"))
+      .orderBy(col("ship_year"))
+  }
+
+  val q276Sql: String = s"""
+    WITH st AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        CAST(SUM(CASE WHEN FLOOR(l_discount * 100 + 0.5) >= 5.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        CAST(SUM(CASE WHEN FLOOR(l_discount * 100 + 0.5) >= 5.0
+          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_hi,
+        CAST(SUM(CASE WHEN FLOOR(l_discount * 100 + 0.5) < 5.0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        CAST(SUM(CASE WHEN FLOOR(l_discount * 100 + 0.5) < 5.0
+          AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_lo
+      FROM lineitem GROUP BY 1),
+    sd AS (
+      SELECT *, CAST(${dirSql("r_hi", "n_hi", "r_lo", "n_lo")} AS BIGINT)
+          AS dir,
+        CASE WHEN n_hi > 0 AND n_lo > 0 THEN 1 ELSE 0 END AS contrast
+      FROM st),
+    pooled AS (
+      SELECT CAST(${dirSql("SUM(r_hi)", "SUM(n_hi)", "SUM(r_lo)",
+        "SUM(n_lo)")} AS BIGINT) AS pooled_dir
+      FROM sd),
+    ledger AS (
+      SELECT CAST(SUM(contrast) AS BIGINT) AS n_contrast,
+        CAST(SUM(CASE WHEN contrast = 1 AND dir <> 0
+          AND dir = pooled_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        CAST(SUM(CASE WHEN contrast = 1 AND dir <> 0
+          AND dir = -pooled_dir THEN 1 ELSE 0 END) AS BIGINT) AS n_oppose
+      FROM sd, pooled)
+    SELECT ship_year, n_hi, r_hi, n_lo, r_lo,
+      CAST(r_hi * 1000000 // NULLIF(n_hi, 0) AS BIGINT) AS rate_hi_ppm,
+      CAST(r_lo * 1000000 // NULLIF(n_lo, 0) AS BIGINT) AS rate_lo_ppm,
+      dir, pooled_dir, n_contrast, n_agree, n_oppose,
+      CAST(CASE WHEN pooled_dir <> 0 AND n_oppose > 0 AND n_agree = 0
+        THEN 1 ELSE 0 END AS BIGINT) AS simpson_reversal
+    FROM sd, pooled, ledger ORDER BY ship_year"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_simpson_reversal" -> q276SimpsonReversal _,
     "q273_kendall_tau" -> q273KendallTau _,
     "q261_median_ci" -> q261MedianCi _,
     "q255_ccf_lead_lag" -> q255CcfLeadLag _,
@@ -2437,6 +2548,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q276_simpson_reversal" -> q276Sql,
     "q273_kendall_tau" -> q273Sql,
     "q261_median_ci" -> q261Sql,
     "q255_ccf_lead_lag" -> q255Sql,

@@ -584,4 +584,84 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(r.values.forall(_.getAs[Long]("n_orders") == 20L))
     spark.catalog.clearCache()
   }
+
+  test("q277 item-CF neighbors match a hand-computed cosine fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("itemcf").toString
+    // baskets: o1{1,2} o2{1,2} o3{1,3} o4{2,3} o5{1,2,3}
+    // c1=4 c2=4 c3=3; pairs (1,2)=3 (1,3)=2 (2,3)=2
+    // cos(1,2) = 3/√16 = 0.75 exactly → 750000
+    // cos(1,3) = cos(2,3) = 2/√12 → 2e9 div isqrt(12e6 = 3464²+704) =
+    //   2e9 div 3464 = 577367
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 2L), (4L, 3L), (5L, 1L), (5L, 2L), (5L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.CommerceOps.q277ItemCf(spark, dir).collect()
+      .map(x => (x.getAs[Long]("item"), x.getAs[Long]("rank")) -> x).toMap
+    assert(r.size == 6) // 3 head items × 2 neighbors each
+    assert(r((1L, 1L)).getAs[Long]("nbr") == 2L)
+    assert(r((1L, 1L)).getAs[Long]("cos_ppm") == 750000L)
+    assert(r((1L, 2L)).getAs[Long]("nbr") == 3L)
+    assert(r((1L, 2L)).getAs[Long]("cos_ppm") == 577367L)
+    assert(r((2L, 1L)).getAs[Long]("nbr") == 1L)
+    assert(r((2L, 1L)).getAs[Long]("cos_ppm") == 750000L)
+    // item 3's two neighbors tie on cos AND c_pair → nbr asc decides
+    assert(r((3L, 1L)).getAs[Long]("nbr") == 1L)
+    assert(r((3L, 2L)).getAs[Long]("nbr") == 2L)
+    assert(r.values.forall(_.getAs[Long]("cos_ppm") <= 1000000L))
+    spark.catalog.clearCache()
+  }
+
+  test("q277 cosine never exceeds 1e6 ppm and neighbor lists are bounded on the fixture") {
+    val rows = ops.CommerceOps.q277ItemCf(spark, sf).collect()
+    assert(rows.forall(_.getAs[Long]("cos_ppm") <= 1000000L))
+    assert(rows.forall(_.getAs[Long]("rank") <= ops.CommerceOps.CfTopK))
+    val perItem = rows.groupBy(_.getAs[Long]("item"))
+    assert(perItem.size <= ops.CommerceOps.CfHeadItems)
+    perItem.values.foreach { ns =>
+      // ranks are 1..k dense and cosine is non-increasing in rank
+      val sorted = ns.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val cs = sorted.map(_.getAs[Long]("cos_ppm"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q279 classes match a planted steady-A / erratic-B fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("abcxyz").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-0$m%01d-15 00:00:00")
+    // horizon = 4 months. part 1: qty 10 every month (cv = 0 → X) and
+    // 90% of revenue (→ A). part 2: qty 40 in month 1 only (zeros
+    // elsewhere → cv = √(4·1600 − 1600)/40 = √4800/40 ≈ 1.73 → Z) and
+    // 10% of revenue (cum−rev = 90% ≥ 80%, < 95% → B).
+    val rows =
+      (1 to 4).map(m => (1L, 10.0, 2250.0, 0.0, ts(m))) ++
+        Seq((2L, 40.0, 1000.0, 0.0, ts(1)))
+    rows.toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+      "l_shipdate").write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.CommerceOps.q279AbcXyz(spark, dir).collect()
+      .map(x => (x.getAs[String]("abc"), x.getAs[String]("xyz")) -> x).toMap
+    assert(r.keySet == Set(("A", "X"), ("B", "Z")))
+    assert(r(("A", "X")).getAs[Long]("n_parts") == 1L)
+    assert(r(("A", "X")).getAs[Long]("rev_cents") == 900000L)
+    assert(r(("A", "X")).getAs[Long]("rev_share_ppm") == 900000L)
+    assert(r(("B", "Z")).getAs[Long]("qty_units") == 40L)
+    spark.catalog.clearCache()
+  }
+
+  test("q279 cells partition the sold catalog and shares sum to ~1e6") {
+    val rows = ops.CommerceOps.q279AbcXyz(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    val sold = Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(nParts == sold, s"matrix covers $nParts of $sold sold parts")
+    val share = rows.map(_.getAs[Long]("rev_share_ppm")).sum
+    assert(share >= 1000000L - rows.length && share <= 1000000L)
+    spark.catalog.clearCache()
+  }
 }

@@ -781,4 +781,51 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q276 flags a planted textbook Simpson reversal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simpson").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-15 00:00:00")
+    // 2020 (low-rate stratum):  hi 0/10,  lo 5/100  → dir −1
+    // 2021 (high-rate stratum): hi 50/100, lo 6/10  → dir −1
+    // pooled: hi 50/110 vs lo 11/110 → dir +1 — the reversal: the
+    // deep-discount group looks WORSE pooled only because its volume
+    // concentrates in the high-return stratum.
+    def li(y: Int, hi: Boolean, n: Int, r: Int) =
+      (1 to n).map(i => (if (hi) 0.05 else 0.0,
+        if (i <= r) "R" else "N", ts(y)))
+    val rows = li(2020, hi = true, 10, 0) ++ li(2020, hi = false, 100, 5) ++
+      li(2021, hi = true, 100, 50) ++ li(2021, hi = false, 10, 6)
+    rows.toDF("l_discount", "l_returnflag", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.StatsOps.q276SimpsonReversal(spark, dir).collect()
+      .map(x => x.getAs[Long]("ship_year") -> x).toMap
+    assert(r.keySet == Set(2020L, 2021L))
+    assert(r(2020L).getAs[Long]("dir") == -1L)
+    assert(r(2021L).getAs[Long]("dir") == -1L)
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("pooled_dir") == 1L)
+      assert(x.getAs[Long]("n_contrast") == 2L)
+      assert(x.getAs[Long]("n_agree") == 0L)
+      assert(x.getAs[Long]("n_oppose") == 2L)
+      assert(x.getAs[Long]("simpson_reversal") == 1L)
+    }
+    assert(r(2021L).getAs[Long]("rate_hi_ppm") == 500000L)
+    assert(r(2021L).getAs[Long]("rate_lo_ppm") == 600000L)
+    spark.catalog.clearCache()
+  }
+
+  test("q276 directions are exact cross-multiplication signs on the fixture") {
+    val rows = ops.StatsOps.q276SimpsonReversal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (nh, rh) = (x.getAs[Long]("n_hi"), x.getAs[Long]("r_hi"))
+      val (nl, rl) = (x.getAs[Long]("n_lo"), x.getAs[Long]("r_lo"))
+      val want = (BigInt(rh) * nl - BigInt(rl) * nh).signum.toLong
+      assert(x.getAs[Long]("dir") == want, s"dir mismatch: $x")
+      assert(x.getAs[Long]("n_agree") + x.getAs[Long]("n_oppose")
+        <= x.getAs[Long]("n_contrast"))
+    }
+    spark.catalog.clearCache()
+  }
+
 }
