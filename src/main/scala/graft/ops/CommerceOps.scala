@@ -2001,6 +2001,116 @@ object CommerceOps {
     WHERE rank <= $CfTopK
     ORDER BY item, rank"""
 
+  // ---- q278: Kaplan-Meier repurchase survival --------------------------
+  // Right-censored survival analysis of the repurchase clock (Kaplan &
+  // Meier, JASA 1958) — the one family the registry lacked. Every order
+  // starts a clock: it stops at the customer's NEXT order (an observed
+  // repurchase event at gap t days) or at the corpus horizon
+  // max(o_orderdate) (a censored observation). The estimator
+  // S(t) = Π_{t_i ≤ t} (n_i − d_i)/n_i over event days t_i, with the
+  // risk set n_i = #{observations with time ≥ t_i} (censored rows leave
+  // the risk set after their censor day — the standard
+  // censored-after-events tie convention, mirrored verbatim in the
+  // oracle). The curve answers "what fraction of purchase clocks survive
+  // t days without a repurchase" — the retention statistic a
+  // replenishment or win-back campaign is timed against.
+  //
+  // Exactness: the product is evaluated as the integer recurrence
+  // s_i = s_{i-1}·(n_i − d_i) div n_i at 1e12 scale, both engines
+  // flooring at every step in the same order — identical by
+  // construction, not by approximation (per-step flooring loses < 1 in
+  // 1e-12 units; ≤ |days| steps ≪ ppm resolution, and BOTH engines
+  // lose exactly the same amount). Intermediates: s ≤ 1e12, n ≤ 1e12
+  // observations at 100 TB → s·(n−d) ≤ 1e24, inside Decimal(38,0)
+  // and HUGEINT.
+  //
+  // Scale shape: the gap scan is a per-customer window (partitioned by
+  // o_custkey — scales); the corpus collapses map-side onto the
+  // calendar-bounded per-day ledger (|days| ≤ a few thousand — the
+  // q217/q228 bounded-frame class), the at-risk counts are a reverse
+  // running sum on that bounded frame, and the sequential KM recurrence
+  // runs once over the ≤|days| event rows via a single-row aggregate
+  // HOF (never a driver loop, never a corpus-scale window).
+  def q278KmRepurchase(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("od"))
+    val horizon = o.agg(max(col("od")).as("md"))
+    val wNext = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od").asc, col("o_orderkey").asc)
+    val obs = o.withColumn("nxt", lead(col("od"), 1).over(wNext))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("od")))
+          .otherwise(datediff(col("md"), col("od")))
+          .cast("long").as("t"),
+        col("nxt").isNotNull.as("ev"))
+    val led = obs.groupBy(col("t"))
+      .agg(sum(when(col("ev"), 1L).otherwise(0L)).as("dd"),
+        count(lit(1)).as("m"))
+    // at-risk = observations with time ≥ t: reverse running sum over the
+    // calendar-bounded day ledger (unpartitioned window, ≤ |days| rows)
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ev = led.withColumn("n", sum(col("m")).over(wRisk))
+      .filter(col("dd") >= 1L)
+      .select(col("t"), col("dd"), col("n"))
+    ev.agg(sort_array(collect_list(struct(col("t"), col("dd"),
+        col("n")))).as("steps"))
+      .select(explode(expr(
+        """aggregate(steps,
+             struct(cast(1000000000000 as decimal(38,0)) as s,
+               cast(array() as
+                 array<struct<t:bigint,dd:bigint,n:bigint,s:decimal(38,0)>>)
+                 as out),
+             (acc, x) -> struct(
+               cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0)) as s,
+               concat(acc.out, array(struct(x.t as t, x.dd as dd,
+                 x.n as n,
+                 cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0))
+                   as s))) as out),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
+        col("r.dd").as("d_events"),
+        expr("cast(r.s div 1000000 as bigint)").as("s_ppm"))
+      .orderBy(col("t_days"))
+  }
+
+  val q278Sql: String = """
+    WITH RECURSIVE o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+          ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
+      FROM orders),
+    mx AS (SELECT MAX(od) AS md FROM o),
+    obs AS (
+      SELECT CAST(CASE WHEN nxt IS NOT NULL
+          THEN date_diff('day', od, nxt)
+          ELSE date_diff('day', od, md) END AS BIGINT) AS t,
+        (nxt IS NOT NULL) AS ev
+      FROM o CROSS JOIN mx),
+    led AS (
+      SELECT t, CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS dd,
+        CAST(COUNT(*) AS BIGINT) AS m
+      FROM obs GROUP BY 1),
+    ev AS (
+      SELECT t, dd, n,
+        CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+      FROM (SELECT t, dd,
+              SUM(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING) AS n
+            FROM led) z
+      WHERE dd >= 1),
+    km AS (
+      SELECT CAST(0 AS BIGINT) AS i, CAST(1000000000000 AS HUGEINT) AS s
+      UNION ALL
+      SELECT ev.i, (km.s * (ev.n - ev.dd)) // ev.n
+      FROM km JOIN ev ON ev.i = km.i + 1)
+    SELECT ev.t AS t_days, CAST(ev.n AS BIGINT) AS n_risk,
+      ev.dd AS d_events, CAST(km.s // 1000000 AS BIGINT) AS s_ppm
+    FROM ev JOIN km ON km.i = ev.i
+    ORDER BY t_days"""
+
   // ---- q279: ABC-XYZ inventory classification matrix -------------------
   // The two-axis assortment grid supply planning runs on: ABC splits the
   // catalog by cumulative revenue share (A carries the first 80%, B to
@@ -2154,6 +2264,7 @@ object CommerceOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q277_item_cf" -> q277ItemCf _,
+    "q278_km_repurchase" -> q278KmRepurchase _,
     "q279_abc_xyz" -> q279AbcXyz _,
     "q275_basket_triples" -> q275BasketTriples _,
     "q270_dist_stability" -> q270DistStability _,
@@ -2181,6 +2292,7 @@ object CommerceOps {
 
   val oracles: Map[String, String] = Map(
     "q277_item_cf" -> q277Sql,
+    "q278_km_repurchase" -> q278Sql,
     "q279_abc_xyz" -> q279Sql,
     "q275_basket_triples" -> q275Sql,
     "q270_dist_stability" -> q270Sql,

@@ -664,4 +664,55 @@ class CommerceOpsSpec extends AnyFunSuite {
     assert(share >= 1000000L - rows.length && share <= 1000000L)
     spark.catalog.clearCache()
   }
+
+  test("q278 KM curve matches a hand-computed censored fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        .atStartOfDay())
+    // horizon md = day 30 (c2's last order). Observations:
+    //   c1: orders at 0, 10, 30 → events t=10, t=20; censored t=0
+    //   c2: order at 0          → censored t=30
+    // event day 10: at risk {10,20,30} n=3, d=1 → s = 1e12·2 div 3
+    // event day 20: at risk {20,30}    n=2, d=1 → s = s·1 div 2
+    val rows = Seq((1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(30)),
+      (4L, 20L, ts(0)))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.CommerceOps.q278KmRepurchase(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("t_days")).toSeq == Seq(10L, 20L))
+    val byT = r.map(x => x.getAs[Long]("t_days") -> x).toMap
+    assert(byT(10L).getAs[Long]("n_risk") == 3L)
+    assert(byT(10L).getAs[Long]("d_events") == 1L)
+    // 1e12·2 div 3 = 666666666666 → ppm 666666
+    assert(byT(10L).getAs[Long]("s_ppm") == 666666L)
+    assert(byT(20L).getAs[Long]("n_risk") == 2L)
+    // 666666666666·1 div 2 = 333333333333 → ppm 333333
+    assert(byT(20L).getAs[Long]("s_ppm") == 333333L)
+    spark.catalog.clearCache()
+  }
+
+  test("q278 survival is monotone non-increasing from 1e6 and BigInt-exact at the smoke SF") {
+    val rows = ops.CommerceOps.q278KmRepurchase(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sPpm = rows.map(_.getAs[Long]("s_ppm"))
+    assert(sPpm.head <= 1000000L)
+    assert(sPpm.zip(sPpm.tail).forall { case (a, b) => a >= b })
+    // n_risk strictly decreasing in t; d_events ≤ n_risk
+    val ns = rows.map(_.getAs[Long]("n_risk"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a > b })
+    assert(rows.forall(x =>
+      x.getAs[Long]("d_events") >= 1L &&
+        x.getAs[Long]("d_events") <= x.getAs[Long]("n_risk")))
+    // recount the floored recurrence in BigInt from (n, d) alone
+    var s = BigInt("1000000000000")
+    rows.foreach { x =>
+      s = s * BigInt(x.getAs[Long]("n_risk") - x.getAs[Long]("d_events")) /
+        BigInt(x.getAs[Long]("n_risk"))
+      assert(BigInt(x.getAs[Long]("s_ppm")) == s / BigInt(1000000),
+        s"t=${x.getAs[Long]("t_days")}")
+    }
+    spark.catalog.clearCache()
+  }
 }
