@@ -2262,7 +2262,105 @@ object CommerceOps {
         // NULLIF(SUM(rev_cents) OVER (), 0) AS BIGINT) AS rev_share_ppm
     FROM cells ORDER BY abc, xyz"""
 
+  // ---- q281: rolling-origin forecast backtest (seasonal-naive vs naive) -
+  // The demand-planning evaluation loop: replay history day by day,
+  // forecast each day from information strictly before it, and score
+  // the errors — the backtest every forecasting system runs before a
+  // model earns production traffic (Hyndman & Athanasopoulos, FPP,
+  // "evaluating forecast accuracy"). Two standard zero-parameter
+  // baselines: seasonal-naive f(t) = y(t−7) (same weekday last week)
+  // and naive f(t) = y(t−1); their error RATIO is the MASE-style
+  // skill score — seasonal-naive beating naive = the series has real
+  // weekly structure a model could exploit; losing = it's a random
+  // walk and fancier models need justification.
+  //
+  // Per evaluation month: SAE (sum of absolute errors) for both
+  // baselines, signed bias, WAPE = SAE/Σy in ppm, and
+  // mase_ppm = SAE_snaive·1e6 div SAE_naive. Day counts are exact
+  // integers; the only divisions are ppm floor-divs of non-negative
+  // integers (the signed bias is reported as a raw sum — never
+  // divided), so both engines agree bit-for-bit.
+  //
+  // Scale shape: the corpus collapses map-side onto the per-day count
+  // frame; the day spine is generated from the 1-row min/max aggregate
+  // (calendar-bounded, gap days count 0 — a lag-7 over a frame with
+  // holes would silently compare non-adjacent weeks); the lag windows
+  // run on the bounded spine (q217/q228 adjudicated class) and the
+  // output is ≤ |months| rows.
+  def q281ForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("y"))
+    val bounds = daily.agg(min(col("di")).as("mn"), max(col("di")).as("mx"))
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx)")).as("di"),
+        col("mn"))
+    val w = Window.orderBy(col("di"))
+    val scored = spine
+      .join(daily, Seq("di"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .withColumn("f_s", lag(col("y"), 7).over(w))
+      .withColumn("f_1", lag(col("y"), 1).over(w))
+      .filter(col("di") >= col("mn") + 7)
+    scored
+      .withColumn("dt", date_add(to_date(lit("1970-01-01")),
+        col("di").cast("int")))
+      .groupBy((year(col("dt")) * 12 + month(col("dt"))).cast("long")
+        .as("ym"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y")).as("actual_orders"),
+        sum(abs(col("y") - col("f_s"))).as("sae_snaive"),
+        sum(abs(col("y") - col("f_1"))).as("sae_naive"),
+        sum(col("y") - col("f_s")).as("bias_snaive"))
+      .withColumn("wape_ppm", expr(
+        "cast(cast(sae_snaive as decimal(38,0)) * 1000000" +
+          " div nullif(actual_orders, 0) as bigint)"))
+      .withColumn("mase_ppm", expr(
+        "cast(cast(sae_snaive as decimal(38,0)) * 1000000" +
+          " div nullif(sae_naive, 0) as bigint)"))
+      .select(col("ym"), col("n_days"), col("actual_orders"),
+        col("sae_snaive"), col("sae_naive"), col("bias_snaive"),
+        col("wape_ppm"), col("mase_ppm"))
+      .orderBy(col("ym"))
+  }
+
+  val q281Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+          AS di,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    bounds AS (SELECT MIN(di) AS mn, MAX(di) AS mx FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx)) AS di, mn FROM bounds),
+    filled AS (
+      SELECT s.di, s.mn, COALESCE(d.y, 0) AS y
+      FROM spine s LEFT JOIN daily d ON d.di = s.di),
+    scored AS (
+      SELECT di, mn, y,
+        lag(y, 7) OVER (ORDER BY di) AS f_s,
+        lag(y, 1) OVER (ORDER BY di) AS f_1
+      FROM filled),
+    monthly AS (
+      SELECT CAST(year(dt) * 12 + month(dt) AS BIGINT) AS ym,
+        CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(y) AS BIGINT) AS actual_orders,
+        CAST(SUM(ABS(y - f_s)) AS BIGINT) AS sae_snaive,
+        CAST(SUM(ABS(y - f_1)) AS BIGINT) AS sae_naive,
+        CAST(SUM(y - f_s) AS BIGINT) AS bias_snaive
+      FROM (SELECT *, DATE '1970-01-01' + CAST(di AS INTEGER) AS dt
+            FROM scored WHERE di >= mn + 7) t
+      GROUP BY 1)
+    SELECT ym, n_days, actual_orders, sae_snaive, sae_naive, bias_snaive,
+      CAST(CAST(sae_snaive AS HUGEINT) * 1000000
+        // NULLIF(actual_orders, 0) AS BIGINT) AS wape_ppm,
+      CAST(CAST(sae_snaive AS HUGEINT) * 1000000
+        // NULLIF(sae_naive, 0) AS BIGINT) AS mase_ppm
+    FROM monthly ORDER BY ym"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_forecast_backtest" -> q281ForecastBacktest _,
     "q277_item_cf" -> q277ItemCf _,
     "q278_km_repurchase" -> q278KmRepurchase _,
     "q279_abc_xyz" -> q279AbcXyz _,
@@ -2291,6 +2389,7 @@ object CommerceOps {
     "q201_time_weighted" -> q201TimeWeighted _)
 
   val oracles: Map[String, String] = Map(
+    "q281_forecast_backtest" -> q281Sql,
     "q277_item_cf" -> q277Sql,
     "q278_km_repurchase" -> q278Sql,
     "q279_abc_xyz" -> q279Sql,

@@ -2364,7 +2364,255 @@ $sqlJac,
     ${row(2)} UNION ALL ${row(3)} UNION ALL ${row(4)} ORDER BY k"""
   }
 
+  // ---- q280: PageRank authority over the near-dup graph -----------------
+  // Which documents sit at the CENTER of duplication mass? Connected
+  // components (q60) say "same family", k-core (q269) says "dense", but
+  // neither ranks individual nodes: PageRank (Brin & Page, WWW 1998,
+  // d = 0.85) over the verified near-dup edge list scores each document
+  // by how much duplication flow converges on it — the canonical-pick
+  // prior a dedup reviewer wants sorted descending (the most-linked
+  // template hub first). On an undirected graph PageRank correlates
+  // with degree but is NOT degree: flow through a low-degree bridge
+  // node that connects two clone farms outranks a leaf of one farm.
+  //
+  // Contract: R = 8 fixed iterations (q269's fixed-round posture — a
+  // deterministic function of the corpus, no data-dependent stopping)
+  // of r' = 0.15 + 0.85·Σ_in r_j/deg_j in integer NANO units
+  // (SCALE = 1e9 per unit of average rank). Every step is a per-term
+  // floor division — both engines floor the same terms in the same
+  // places, so the result is identical by construction. Bounds: total
+  // mass ≤ |nodes|·1e9 ≤ 1e18 at a billion graph nodes, inside BIGINT
+  // for every per-node rank and inside Decimal(38,0)/HUGEINT for the
+  // sums; per-term flooring loses < 1e-9 average-rank per in-edge,
+  // invisible at the micro-unit reporting scale.
+  //
+  // Scale shape: the walk runs entirely on the pinned candidate-pair
+  // stage (band-bucket bounded, never corpus rows); each iteration is
+  // one equi-join + one map-side-combining sum, lineage cut per round
+  // (q269's localCheckpoint lesson), and the output is the exact
+  // global top-20 by (rank desc, id asc) — a TakeOrdered, never a
+  // corpus sort.
+  private val PageRankRounds = 8
+  private val PageRankTopK = 20
+
+  def q280Pagerank(s: SparkSession, d: String): DataFrame = {
+    val und = dupPairs(s, d)
+    val edges = und.select(col("id1").as("u"), col("id2").as("v"))
+      .unionByName(und.select(col("id2").as("u"), col("id1").as("v")))
+      .persist() // degree count + 8 contribution joins read it
+    val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val srcs = edges.join(degs, Seq("u"))
+      .select(col("u"), col("v"), col("deg"))
+      .persist() // the 8 iteration joins read (u, v, deg) together
+    var ranks = degs.select(col("u").as("id"),
+      lit(1000000000L).cast("decimal(38,0)").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PageRankRounds) {
+      val nxt = srcs
+        .join(ranks.select(col("id").as("u"), col("r")), Seq("u"))
+        .groupBy(col("v").as("id"))
+        .agg(sum(expr("cast(r div deg as decimal(38,0))")).as("inflow"))
+        .select(col("id"), expr(
+          "cast(150000000 + (cast(85 as decimal(38,0)) * inflow) div 100" +
+            " as decimal(38,0))").as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = nxt
+    }
+    val n = degs.agg(count(lit(1)).as("n_nodes"))
+    val top = ranks
+      .select(col("id"), expr("cast(r div 1000 as bigint)").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("id").asc)
+      .limit(PageRankTopK)
+    top.withColumn("pos", row_number().over(
+        Window.orderBy(col("rank_micro").desc, col("id").asc)).cast("long"))
+      .crossJoin(broadcast(n))
+      .select(col("pos"), col("id"), col("rank_micro"), col("n_nodes"))
+      .orderBy(col("pos"))
+  }
+
+  val q280Sql: String = {
+    // MATERIALIZED per iteration — same DuckDB CTE-inlining hazard as
+    // q269 (each level is referenced by the next; unpinned, the chain
+    // re-derives the shingle stage per level).
+    val iters = (1 to PageRankRounds).map { i =>
+      s"""pr_$i AS MATERIALIZED (
+      SELECT prs.v AS id,
+        CAST(150000000 + (85 * SUM(p.r // prs.deg)) // 100 AS HUGEINT)
+          AS r
+      FROM prsrc prs JOIN pr_${i - 1} p ON p.id = prs.u
+      GROUP BY prs.v)"""
+    }.mkString(",\n    ")
+    sqlDupPairs + s""",
+    predges AS MATERIALIZED (
+      SELECT id1 AS u, id2 AS v FROM dup_pairs
+      UNION ALL SELECT id2, id1 FROM dup_pairs),
+    prdeg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM predges GROUP BY 1),
+    prsrc AS MATERIALIZED (
+      SELECT e.u, e.v, d.deg FROM predges e JOIN prdeg d ON d.u = e.u),
+    pr_0 AS MATERIALIZED (
+      SELECT u AS id, CAST(1000000000 AS HUGEINT) AS r FROM prdeg),
+    $iters,
+    prn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM prdeg),
+    ranked AS (
+      SELECT id, CAST(r // 1000 AS BIGINT) AS rank_micro,
+        CAST(row_number() OVER (ORDER BY r // 1000 DESC, id) AS BIGINT)
+          AS pos
+      FROM pr_$PageRankRounds)
+    SELECT pos, id, rank_micro, n_nodes
+    FROM ranked CROSS JOIN prn
+    WHERE pos <= $PageRankTopK
+    ORDER BY pos"""
+  }
+
+  // ---- q282: degree assortativity of the near-dup graph ------------------
+  // Do heavily-duplicated documents link to OTHER heavily-duplicated
+  // documents (assortative, r > 0 — clone farms cross-linking into
+  // template meshes) or to leaves (disassortative, r < 0 — hub-and-
+  // spoke mirror trees)? Newman's degree assortativity (PRL 2002):
+  // Pearson correlation of the endpoint degrees (deg u, deg v) over
+  // every DIRECTED edge (each undirected edge counted both ways — the
+  // standard symmetrization, shared with q269/q280's edge frame). The
+  // sign separates the two dedup topologies; |r| sizes how strongly
+  // the canonical-pick strategy can rely on degree alone.
+  //
+  // Exactness: all five moment sums are exact integer aggregates on
+  // BIGINT degrees; r = (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+  // resolves through one ±1-corrected isqrt per factor and the zSq
+  // exact two-stage quotient (q233's posture: q·1e6 + (rem·1e6 div sA),
+  // then div sB — no flooring amplification), with the q273 sign
+  // split so both engines only ever divide non-negative integers.
+  // Both floor-roots UNDERestimate, so the quotient can only overshoot
+  // |true r|; since |r| ≤ 1 it is clamped at ±1e6 ppm (toy-n effect
+  // only), mirrored as LEAST in the oracle.
+  // Bounds: n ≤ 2|E|, deg ≤ bucket-capped candidate degree; with
+  // |E| ≤ 1e12 and deg ≤ 1e6, nΣx² ≤ 2e12·2e12·1e12 → the factors
+  // stay ≤ ~4e36, inside Decimal(38,0)/HUGEINT with the q272
+  // Newton-refined seed (the raw double seed is only valid to 3.6e31).
+  //
+  // Scale shape: one pass over the pinned pair frame joined twice
+  // against the |nodes|-row degree frame, collapsing map-side onto a
+  // single moment row; output is 1 row.
+  def q282Assortativity(s: SparkSession, d: String): DataFrame = {
+    val und = dupPairs(s, d)
+    val edges = und.select(col("id1").as("u"), col("id2").as("v"))
+      .unionByName(und.select(col("id2").as("u"), col("id1").as("v")))
+      .persist() // degree count + the moment pass read it
+    val degs = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val moments = edges
+      .join(degs.select(col("u"), col("deg").as("x")), Seq("u"))
+      .join(degs.select(col("u").as("v"), col("deg").as("y")), Seq("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+    def isqrtCols(w2: String, p: String) = Seq(
+      (s"${p}_s0", s"cast(floor(sqrt(cast($w2 as double))) as decimal(38,0))"),
+      (s"${p}_s1", s"case when ${p}_s0 <= 0 then ${p}_s0 else" +
+        s" cast(($w2 div ${p}_s0 + ${p}_s0) div 2 as decimal(38,0)) end"),
+      (s"${p}_s2", s"case when ${p}_s1 <= 0 then ${p}_s1 else" +
+        s" cast(($w2 div ${p}_s1 + ${p}_s1) div 2 as decimal(38,0)) end"),
+      (s"$p", s"case when (${p}_s2 + 1) * (${p}_s2 + 1) <= $w2" +
+        s" then ${p}_s2 + 1 when ${p}_s2 * ${p}_s2 > $w2" +
+        s" then ${p}_s2 - 1 else ${p}_s2 end"))
+    val withRoots = (isqrtCols("va", "sa") ++ isqrtCols("vb", "sb"))
+      .foldLeft(moments
+        .withColumn("num", expr(
+          "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+        .withColumn("va", expr(
+          "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+        .withColumn("vb", expr(
+          "cast(n as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"))
+      ) { case (df, (c, e)) => df.withColumn(c, expr(e)) }
+    withRoots
+      .withColumn("r_ppm", expr(
+        """case when sa is null or sb is null or sa = 0 or sb = 0 then null
+             when num >= 0 then
+               least(1000000L, cast((cast(num div sa as decimal(38,0))
+                 * 1000000 + (num % sa) * 1000000 div sa) div sb
+                 as bigint))
+             else
+               -least(1000000L, cast((cast((-num) div sa as decimal(38,0))
+                 * 1000000 + ((-num) % sa) * 1000000 div sa) div sb
+                 as bigint))
+           end"""))
+      .withColumn("band",
+        when(col("r_ppm").isNull, "degenerate")
+          .when(col("r_ppm") >= 200000L, "assortative")
+          .when(col("r_ppm") <= -200000L, "disassortative")
+          .otherwise("neutral"))
+      .select(col("n").as("n_directed_edges"), col("sx").as("sum_deg"),
+        expr("cast(num as decimal(38,0))").as("cov_num"),
+        col("r_ppm"), col("band"))
+  }
+
+  val q282Sql: String = {
+    def isqrtCtes(w2: String, p: String, from: String, next: String) =
+      s"""${p}0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST($w2 AS DOUBLE))) AS HUGEINT)
+        AS ${p}_s0 FROM $from),
+    ${p}1 AS (
+      SELECT *, CASE WHEN ${p}_s0 <= 0 THEN ${p}_s0
+        ELSE ($w2 // ${p}_s0 + ${p}_s0) // 2 END AS ${p}_s1 FROM ${p}0),
+    ${p}2 AS (
+      SELECT *, CASE WHEN ${p}_s1 <= 0 THEN ${p}_s1
+        ELSE ($w2 // ${p}_s1 + ${p}_s1) // 2 END AS ${p}_s2 FROM ${p}1),
+    $next AS (
+      SELECT *, CASE WHEN (${p}_s2 + 1) * (${p}_s2 + 1) <= $w2
+          THEN ${p}_s2 + 1
+        WHEN ${p}_s2 * ${p}_s2 > $w2 THEN ${p}_s2 - 1
+        ELSE ${p}_s2 END AS $p FROM ${p}2)"""
+    sqlDupPairs + s""",
+    asedges AS MATERIALIZED (
+      SELECT id1 AS u, id2 AS v FROM dup_pairs
+      UNION ALL SELECT id2, id1 FROM dup_pairs),
+    asdeg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM asedges GROUP BY 1),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(dx.deg) AS BIGINT) AS sx,
+        CAST(SUM(dy.deg) AS BIGINT) AS sy,
+        SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy,
+        SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+        SUM(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy
+      FROM asedges e
+      JOIN asdeg dx ON dx.u = e.u
+      JOIN asdeg dy ON dy.u = e.v),
+    base AS (
+      SELECT *,
+        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS va,
+        CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vb
+      FROM mom),
+    ${isqrtCtes("va", "sa", "base", "wa")},
+    ${isqrtCtes("vb", "sb", "wa", "wb")},
+    fin AS (
+      SELECT *, CASE
+          WHEN sa IS NULL OR sb IS NULL OR sa = 0 OR sb = 0 THEN NULL
+          WHEN num >= 0 THEN
+            LEAST(1000000, CAST(((num // sa) * 1000000
+              + (num % sa) * 1000000 // sa) // sb AS BIGINT))
+          ELSE
+            -LEAST(1000000, CAST((((-num) // sa) * 1000000
+              + ((-num) % sa) * 1000000 // sa) // sb AS BIGINT))
+        END AS r_ppm
+      FROM wb)
+    SELECT n AS n_directed_edges, sx AS sum_deg,
+      CAST(num AS DECIMAL(38,0)) AS cov_num, r_ppm,
+      CASE WHEN r_ppm IS NULL THEN 'degenerate'
+        WHEN r_ppm >= 200000 THEN 'assortative'
+        WHEN r_ppm <= -200000 THEN 'disassortative'
+        ELSE 'neutral' END AS band
+    FROM fin"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_pagerank" -> q280Pagerank _,
+    "q282_assortativity" -> q282Assortativity _,
     "q269_kcore" -> q269KCore _,
     "q256_sorted_neighborhood" -> q256SortedNeighborhood _,
     "q258_inbatch_collisions" -> q258InbatchCollisions _,
@@ -2392,6 +2640,8 @@ $sqlJac,
     "q183_dedup_recall" -> q183DedupRecall _)
 
   val oracles: Map[String, String] = Map(
+    "q280_pagerank" -> q280Sql,
+    "q282_assortativity" -> q282Sql,
     "q269_kcore" -> q269Sql,
     "q256_sorted_neighborhood" -> q256Sql,
     "q258_inbatch_collisions" -> q258Sql,

@@ -2516,7 +2516,183 @@ object StatsOps {
         THEN 1 ELSE 0 END AS BIGINT) AS simpson_reversal
     FROM sd, pooled, ledger ORDER BY ship_year"""
 
+  // ---- q283: Spearman rank correlation (price vs demand) ---------------
+  // The monotone-association complement to q273's Kendall τ: does
+  // catalog PRICE rank-order against SOLD VOLUME rank-order (and which
+  // way)? Spearman's ρ is Pearson on ranks — robust to the heavy tails
+  // that make raw-price/raw-volume Pearson meaningless, and the
+  // standard first screen before fitting any price-elasticity model
+  // (q231 fits the parametric response; this certifies the monotone
+  // premise non-parametrically).
+  //
+  // Rank discipline at scale: a global rank window over |parts| rows is
+  // the q195-adjudicated anti-pattern (one task sorts the catalog), so
+  // ranks come from the bounded VALUE-histogram instead: x = retail
+  // price in whole dollars, y = lifetime sold units in ten-unit bins —
+  // both domains ≤ ~1e5 distinct values (the q56 bounded-state
+  // contract). A part's average tie-rank depends only on its value's
+  // histogram position: 2·R(v) = 2·cum(<v) + cnt(v) + 1, kept DOUBLED
+  // so tie-averages stay integer. ρ is then Pearson on the doubled
+  // ranks via exact moments.
+  //
+  // Exactness: with u,v ≤ 2n, the variance factors nΣu²−(Σu)² stay
+  // ≤ 4n³ ≤ 4e36 at a billion parts — inside Decimal(38,0)/HUGEINT but
+  // past the raw double seed's 3.6e31 validity, so the isqrt uses the
+  // q272 posture (seed + two integer Newton steps + ±1 correction).
+  // The final quotient uses the zSq exact two-stage staging and the
+  // q273 sign split — both engines divide only non-negative integers.
+  // Because both floor-roots UNDERestimate, the quotient can only
+  // overshoot |true ρ|; since |ρ| ≤ 1 by definition the result is
+  // clamped at ±1e6 ppm (visible only at toy n where 1/√va is not
+  // negligible), mirrored as LEAST in the oracle.
+  //
+  // Scale shape: one lineitem scan collapses onto |parts|; two bounded
+  // histograms (broadcast back); one moment rollup; 1 output row.
+  def q283Spearman(s: SparkSession, d: String): DataFrame = {
+    val perPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(toUnits(col("l_quantity"), 0)).as("units"))
+      .join(Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+        toUnits(col("p_retailprice"), 2).cast("long").as("cents")),
+        Seq("l_partkey"))
+      .select(col("l_partkey"), expr("cents div 100").as("xd"),
+        expr("units div 10").as("yb"))
+      .persist() // both histograms + the moment pass read it
+    def doubledRanks(c: String): DataFrame = {
+      val wc = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perPart.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .select(col(c), (lit(2L) * (col("cum") - col("cnt"))
+          + col("cnt") + 1L).as(s"r_$c"))
+    }
+    val ranked = perPart
+      .join(broadcast(doubledRanks("xd")), Seq("xd"))
+      .join(broadcast(doubledRanks("yb")), Seq("yb"))
+      .select(col("r_xd").as("u"), col("r_yb").as("v"))
+    val moments = ranked.agg(count(lit(1)).as("n"),
+      sum(expr("cast(u as decimal(38,0))")).as("su"),
+      sum(expr("cast(v as decimal(38,0))")).as("sv"),
+      sum(expr("cast(u as decimal(38,0)) * v")).as("suv"),
+      sum(expr("cast(u as decimal(38,0)) * u")).as("suu"),
+      sum(expr("cast(v as decimal(38,0)) * v")).as("svv"))
+    val staged = moments
+      .withColumn("num", expr("cast(n as decimal(38,0)) * suv - su * sv"))
+      .withColumn("va", expr("cast(n as decimal(38,0)) * suu - su * su"))
+      .withColumn("vb", expr("cast(n as decimal(38,0)) * svv - sv * sv"))
+    val withRoots = Seq("va" -> "sa", "vb" -> "sb")
+      .foldLeft(staged) { case (df, (w2, p)) =>
+        df.withColumn(s"${p}_s0", expr(
+            s"cast(floor(sqrt(cast($w2 as double))) as decimal(38,0))"))
+          .withColumn(s"${p}_s1", expr(
+            s"case when ${p}_s0 <= 0 then ${p}_s0 else" +
+              s" cast(($w2 div ${p}_s0 + ${p}_s0) div 2 as decimal(38,0))" +
+              " end"))
+          .withColumn(s"${p}_s2", expr(
+            s"case when ${p}_s1 <= 0 then ${p}_s1 else" +
+              s" cast(($w2 div ${p}_s1 + ${p}_s1) div 2 as decimal(38,0))" +
+              " end"))
+          .withColumn(p, expr(
+            s"case when (${p}_s2 + 1) * (${p}_s2 + 1) <= $w2" +
+              s" then ${p}_s2 + 1 when ${p}_s2 * ${p}_s2 > $w2" +
+              s" then ${p}_s2 - 1 else ${p}_s2 end"))
+      }
+    withRoots
+      .withColumn("rho_ppm", expr(
+        """case when sa is null or sb is null or sa = 0 or sb = 0 then null
+             when num >= 0 then
+               least(1000000L, cast((cast(num div sa as decimal(38,0))
+                 * 1000000 + (num % sa) * 1000000 div sa) div sb
+                 as bigint))
+             else
+               -least(1000000L, cast((cast((-num) div sa as decimal(38,0))
+                 * 1000000 + ((-num) % sa) * 1000000 div sa) div sb
+                 as bigint))
+           end"""))
+      .withColumn("band",
+        when(col("rho_ppm").isNull, "degenerate")
+          .when(col("rho_ppm") >= 300000L, "monotone_up")
+          .when(col("rho_ppm") <= -300000L, "monotone_down")
+          .otherwise("weak"))
+      .select(col("n").as("n_parts"),
+        expr("cast(num as decimal(38,0))").as("cov_num"),
+        col("rho_ppm"), col("band"))
+  }
+
+  val q283Sql: String = """
+    WITH pp AS (
+      SELECT l.l_partkey, CAST(FLOOR(p.p_retailprice * 100 + 0.5)
+          AS BIGINT) // 100 AS xd,
+        CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+          // 10 AS yb
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    hx AS (
+      SELECT xd, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(COUNT(*)) OVER (ORDER BY xd
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pp GROUP BY 1),
+    hy AS (
+      SELECT yb, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(COUNT(*)) OVER (ORDER BY yb
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pp GROUP BY 1),
+    ranked AS (
+      SELECT 2 * (hx.cum - hx.cnt) + hx.cnt + 1 AS u,
+        2 * (hy.cum - hy.cnt) + hy.cnt + 1 AS v
+      FROM pp JOIN hx ON hx.xd = pp.xd JOIN hy ON hy.yb = pp.yb),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(u AS HUGEINT)) AS su, SUM(CAST(v AS HUGEINT)) AS sv,
+        SUM(CAST(u AS HUGEINT) * v) AS suv,
+        SUM(CAST(u AS HUGEINT) * u) AS suu,
+        SUM(CAST(v AS HUGEINT) * v) AS svv
+      FROM ranked),
+    base AS (
+      SELECT *, CAST(n AS HUGEINT) * suv - su * sv AS num,
+        CAST(n AS HUGEINT) * suu - su * su AS va,
+        CAST(n AS HUGEINT) * svv - sv * sv AS vb
+      FROM mom),
+    sa0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(va AS DOUBLE))) AS HUGEINT)
+        AS sa_s0 FROM base),
+    sa1 AS (SELECT *, CASE WHEN sa_s0 <= 0 THEN sa_s0
+        ELSE (va // sa_s0 + sa_s0) // 2 END AS sa_s1 FROM sa0),
+    sa2 AS (SELECT *, CASE WHEN sa_s1 <= 0 THEN sa_s1
+        ELSE (va // sa_s1 + sa_s1) // 2 END AS sa_s2 FROM sa1),
+    wa AS (SELECT *, CASE WHEN (sa_s2 + 1) * (sa_s2 + 1) <= va
+          THEN sa_s2 + 1
+        WHEN sa_s2 * sa_s2 > va THEN sa_s2 - 1 ELSE sa_s2 END AS sa
+      FROM sa2),
+    sb0 AS (SELECT *, CAST(FLOOR(SQRT(CAST(vb AS DOUBLE))) AS HUGEINT)
+        AS sb_s0 FROM wa),
+    sb1 AS (SELECT *, CASE WHEN sb_s0 <= 0 THEN sb_s0
+        ELSE (vb // sb_s0 + sb_s0) // 2 END AS sb_s1 FROM sb0),
+    sb2 AS (SELECT *, CASE WHEN sb_s1 <= 0 THEN sb_s1
+        ELSE (vb // sb_s1 + sb_s1) // 2 END AS sb_s2 FROM sb1),
+    wb AS (SELECT *, CASE WHEN (sb_s2 + 1) * (sb_s2 + 1) <= vb
+          THEN sb_s2 + 1
+        WHEN sb_s2 * sb_s2 > vb THEN sb_s2 - 1 ELSE sb_s2 END AS sb
+      FROM sb2),
+    fin AS (
+      SELECT n, num, CASE
+          WHEN sa IS NULL OR sb IS NULL OR sa = 0 OR sb = 0 THEN NULL
+          WHEN num >= 0 THEN
+            LEAST(1000000, CAST(((num // sa) * 1000000
+              + (num % sa) * 1000000 // sa) // sb AS BIGINT))
+          ELSE
+            -LEAST(1000000, CAST((((-num) // sa) * 1000000
+              + ((-num) % sa) * 1000000 // sa) // sb AS BIGINT))
+        END AS rho_ppm
+      FROM wb)
+    SELECT n AS n_parts, CAST(num AS DECIMAL(38,0)) AS cov_num, rho_ppm,
+      CASE WHEN rho_ppm IS NULL THEN 'degenerate'
+        WHEN rho_ppm >= 300000 THEN 'monotone_up'
+        WHEN rho_ppm <= -300000 THEN 'monotone_down'
+        ELSE 'weak' END AS band
+    FROM fin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_spearman" -> q283Spearman _,
     "q276_simpson_reversal" -> q276SimpsonReversal _,
     "q273_kendall_tau" -> q273KendallTau _,
     "q261_median_ci" -> q261MedianCi _,
@@ -2548,6 +2724,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q283_spearman" -> q283Sql,
     "q276_simpson_reversal" -> q276Sql,
     "q273_kendall_tau" -> q273Sql,
     "q261_median_ci" -> q261Sql,

@@ -665,6 +665,54 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q281 backtest scores a perfectly weekly series as zero snaive error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("backtest").toString
+    // 4 exact weeks of the pattern [5,2,0,3,1,1,1] (day 2 has ZERO
+    // orders — exercises the gap-filled spine; a holey frame would
+    // lag-7 across non-adjacent weeks). Eval days 7..27 (21 days):
+    // snaive is exact (sae 0, bias 0, wape 0, mase 0); naive pays the
+    // within-week jumps |5-1|+|2-5|+|0-2|+|3-0|+|1-3| = 14 per week x3.
+    val pattern = Seq(5, 2, 0, 3, 1, 1, 1)
+    val rows = for {
+      day <- 0 until 28
+      k <- 0 until pattern(day % 7)
+    } yield (day.toLong * 100 + k, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.CommerceOps.q281ForecastBacktest(spark, dir).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getAs[Long]("ym") == 2024L * 12 + 1)
+    assert(m.getAs[Long]("n_days") == 21L)
+    assert(m.getAs[Long]("actual_orders") == 39L)
+    assert(m.getAs[Long]("sae_snaive") == 0L)
+    assert(m.getAs[Long]("sae_naive") == 42L)
+    assert(m.getAs[Long]("bias_snaive") == 0L)
+    assert(m.getAs[Long]("wape_ppm") == 0L)
+    assert(m.getAs[Long]("mase_ppm") == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("q281 smoke: months cover the horizon and ratios recount") {
+    val rows = ops.CommerceOps.q281ForecastBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val (saeS, saeN, act) = (m.getAs[Long]("sae_snaive"),
+        m.getAs[Long]("sae_naive"), m.getAs[Long]("actual_orders"))
+      if (act > 0)
+        assert(m.getAs[Long]("wape_ppm") ==
+          (BigInt(saeS) * 1000000 / BigInt(act)).toLong)
+      if (saeN > 0)
+        assert(m.getAs[Long]("mase_ppm") ==
+          (BigInt(saeS) * 1000000 / BigInt(saeN)).toLong)
+      assert(m.getAs[Long]("bias_snaive").abs <= saeS)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q278 KM curve matches a hand-computed censored fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("km").toString

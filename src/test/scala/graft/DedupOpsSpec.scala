@@ -903,4 +903,59 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(r.values.forall(_.getAs[Boolean]("converged")))
     spark.catalog.clearCache()
   }
+
+  test("q280 PageRank hand-checks on clone-family cliques") {
+    import spark.implicits._
+    // same clique corpus as the q269 spec: families of 4, 3 and 2 exact
+    // clones → cliques. Regular components converge to ~1e9 nano-rank;
+    // the only separation is integer flooring of r/deg: deg 2 and 1
+    // divide 1e9 exactly (stable 1e9 → 1000000 micro) while deg 3
+    // floors 1e9 div 3 = 333333333 (Σ = 999999999 → stays 999999999 →
+    // 999999 micro). So the 3-clique and the pair outrank the 4-clique,
+    // ties broken by id.
+    val dir = java.nio.file.Files.createTempDirectory("pagerank").toString
+    def fam(base: Long, n: Int, text: String) =
+      (0 until n).map(i => (base + i, text, "en", "t", text.length.toLong))
+    val docs =
+      fam(10L, 4, "alpha beta gamma delta epsilon zeta eta theta") ++
+        fam(20L, 3, "one two three four five six seven eight nine") ++
+        fam(30L, 2, "red orange yellow green blue indigo violet umbra")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q280Pagerank(spark, dir).collect()
+    assert(r.length == 9)
+    assert(r.forall(_.getAs[Long]("n_nodes") == 9L))
+    assert(r.map(_.getAs[Long]("pos")).toSeq == (1L to 9L).toSeq)
+    assert(r.map(_.getAs[Long]("id")).toSeq ==
+      Seq(20L, 21L, 22L, 30L, 31L, 10L, 11L, 12L, 13L))
+    assert(r.take(5).forall(_.getAs[Long]("rank_micro") == 1000000L))
+    assert(r.drop(5).forall(_.getAs[Long]("rank_micro") == 999999L))
+    spark.catalog.clearCache()
+  }
+
+  test("q282 assortativity recounts exactly on the clique corpus") {
+    import spark.implicits._
+    // cliques of 4/3/2: every directed edge pairs equal degrees
+    // (3,3)x12, (2,2)x6, (1,1)x2 — perfectly assortative. n=20, Σx=50,
+    // Σx²=134 → num=va=vb=20·134−2500=180, isqrt=13; the staged
+    // quotient overshoots (180/169) and the |r|≤1 clamp pins 1e6.
+    val dir = java.nio.file.Files.createTempDirectory("assort").toString
+    def fam(base: Long, n: Int, text: String) =
+      (0 until n).map(i => (base + i, text, "en", "t", text.length.toLong))
+    val docs =
+      fam(10L, 4, "alpha beta gamma delta epsilon zeta eta theta") ++
+        fam(20L, 3, "one two three four five six seven eight nine") ++
+        fam(30L, 2, "red orange yellow green blue indigo violet umbra")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupOps.q282Assortativity(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_directed_edges") == 20L)
+    assert(row.getAs[Long]("sum_deg") == 50L)
+    assert(row.getAs[java.math.BigDecimal]("cov_num").longValueExact == 180L)
+    assert(row.getAs[Long]("r_ppm") == 1000000L)
+    assert(row.getAs[String]("band") == "assortative")
+    spark.catalog.clearCache()
+  }
 }

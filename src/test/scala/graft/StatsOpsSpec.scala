@@ -828,4 +828,49 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q283 Spearman pins ±1e6 on planted monotone catalogs") {
+    import spark.implicits._
+    def corpus(anti: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("spearman").toString
+      // 100 parts, price = i dollars, lifetime units = 10·i (or
+      // 10·(101−i) for the anti-monotone catalog): distinct doubled
+      // ranks u = v (or reversed) → ρ = ±1 exactly; the staged
+      // quotient overshoots by the isqrt floor and the clamp pins 1e6
+      (1 to 100).map(i => (i.toLong, i.toDouble))
+        .toDF("p_partkey", "p_retailprice")
+        .write.parquet(s"$dir/part.parquet")
+      (1 to 100).map(i => (i.toLong,
+          if (anti) 10.0 * (101 - i) else 10.0 * i))
+        .toDF("l_partkey", "l_quantity")
+        .write.parquet(s"$dir/lineitem.parquet")
+      dir
+    }
+    val up = ops.StatsOps.q283Spearman(spark, corpus(anti = false)).collect()
+    assert(up.length == 1)
+    assert(up.head.getAs[Long]("n_parts") == 100L)
+    assert(up.head.getAs[Long]("rho_ppm") == 1000000L)
+    assert(up.head.getAs[String]("band") == "monotone_up")
+    val dn = ops.StatsOps.q283Spearman(spark, corpus(anti = true)).collect()
+    assert(dn.head.getAs[Long]("rho_ppm") == -1000000L)
+    assert(dn.head.getAs[String]("band") == "monotone_down")
+    spark.catalog.clearCache()
+  }
+
+  test("q283 ties average: a flat-price catalog is rank-degenerate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spearmanT").toString
+    // every part the same price → va = 0 → sa = 0 → NULL / degenerate
+    (1 to 50).map(i => (i.toLong, 7.0))
+      .toDF("p_partkey", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    (1 to 50).map(i => (i.toLong, 10.0 * i))
+      .toDF("l_partkey", "l_quantity")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.StatsOps.q283Spearman(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.isNullAt(r.head.fieldIndex("rho_ppm")))
+    assert(r.head.getAs[String]("band") == "degenerate")
+    spark.catalog.clearCache()
+  }
+
 }
