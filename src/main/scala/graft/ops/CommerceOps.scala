@@ -2031,7 +2031,13 @@ object CommerceOps {
   // running sum on that bounded frame, and the sequential KM recurrence
   // runs once over the ≤|days| event rows via a single-row aggregate
   // HOF (never a driver loop, never a corpus-scale window).
-  def q278KmRepurchase(s: SparkSession, d: String): DataFrame = {
+  /** Right-censored repurchase event-day ledger (t, dd events, n at
+    * risk) shared by q278 (Kaplan-Meier) and q284 (Nelson-Aalen):
+    * every order opens a clock closed by the customer's next order
+    * (event) or the corpus horizon (censored). Calendar-bounded
+    * (≤ |days| rows); the at-risk counts are a reverse running sum on
+    * that bounded frame. */
+  private def repurchaseLedger(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("od"))
@@ -2052,32 +2058,14 @@ object CommerceOps {
     // calendar-bounded day ledger (unpartitioned window, ≤ |days| rows)
     val wRisk = Window.orderBy(col("t"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val ev = led.withColumn("n", sum(col("m")).over(wRisk))
+    led.withColumn("n", sum(col("m")).over(wRisk))
       .filter(col("dd") >= 1L)
       .select(col("t"), col("dd"), col("n"))
-    ev.agg(sort_array(collect_list(struct(col("t"), col("dd"),
-        col("n")))).as("steps"))
-      .select(explode(expr(
-        """aggregate(steps,
-             struct(cast(1000000000000 as decimal(38,0)) as s,
-               cast(array() as
-                 array<struct<t:bigint,dd:bigint,n:bigint,s:decimal(38,0)>>)
-                 as out),
-             (acc, x) -> struct(
-               cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0)) as s,
-               concat(acc.out, array(struct(x.t as t, x.dd as dd,
-                 x.n as n,
-                 cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0))
-                   as s))) as out),
-             acc -> acc.out)""")).as("r"))
-      .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
-        col("r.dd").as("d_events"),
-        expr("cast(r.s div 1000000 as bigint)").as("s_ppm"))
-      .orderBy(col("t_days"))
   }
 
-  val q278Sql: String = """
-    WITH RECURSIVE o AS (
+  /** Shared oracle CTE chain ending at `ev` = (t, dd, n, i) — the
+    * ranked event-day ledger twin of [[repurchaseLedger]]. */
+  private val survivalLedgerSql: String = s"""o AS (
       SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
         lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
@@ -2100,7 +2088,33 @@ object CommerceOps {
               SUM(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
                 AND UNBOUNDED FOLLOWING) AS n
             FROM led) z
-      WHERE dd >= 1),
+      WHERE dd >= 1)"""
+
+  def q278KmRepurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = repurchaseLedger(s, d)
+    ev.agg(sort_array(collect_list(struct(col("t"), col("dd"),
+        col("n")))).as("steps"))
+      .select(explode(expr(
+        """aggregate(steps,
+             struct(cast(1000000000000 as decimal(38,0)) as s,
+               cast(array() as
+                 array<struct<t:bigint,dd:bigint,n:bigint,s:decimal(38,0)>>)
+                 as out),
+             (acc, x) -> struct(
+               cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0)) as s,
+               concat(acc.out, array(struct(x.t as t, x.dd as dd,
+                 x.n as n,
+                 cast(acc.s * (x.n - x.dd) div x.n as decimal(38,0))
+                   as s))) as out),
+             acc -> acc.out)""")).as("r"))
+      .select(col("r.t").as("t_days"), col("r.n").as("n_risk"),
+        col("r.dd").as("d_events"),
+        expr("cast(r.s div 1000000 as bigint)").as("s_ppm"))
+      .orderBy(col("t_days"))
+  }
+
+  val q278Sql: String = s"""
+    WITH RECURSIVE $survivalLedgerSql,
     km AS (
       SELECT CAST(0 AS BIGINT) AS i, CAST(1000000000000 AS HUGEINT) AS s
       UNION ALL
@@ -2110,6 +2124,41 @@ object CommerceOps {
       ev.dd AS d_events, CAST(km.s // 1000000 AS BIGINT) AS s_ppm
     FROM ev JOIN km ON km.i = ev.i
     ORDER BY t_days"""
+
+  // ---- q284: Nelson-Aalen cumulative repurchase hazard ------------------
+  // The hazard-side twin of q278: H(t) = Σ_{t_i ≤ t} d_i/n_i (Nelson
+  // 1972, Aalen 1978) estimates the CUMULATIVE instantaneous repurchase
+  // rate — where q278's S(t) answers "what fraction survive", H(t)'s
+  // increments answer "how hard does day t pull" (flat spans = dormant
+  // gap lengths, steep spans = the natural reorder cycle; the spacing
+  // of the jumps is what a win-back campaign calendar is tuned to).
+  // Shares [[repurchaseLedger]] verbatim.
+  //
+  // Exactness: each increment floors once — d_i·10¹² div n_i — and the
+  // curve is a plain cumulative SUM of those integers over the bounded
+  // event-day frame (no recurrence; simpler than the KM product). Both
+  // engines floor identical terms, so the curve is identical by
+  // construction. Bounds: each term ≤ 1e12 (d ≤ n), the cumulative sum
+  // ≤ |days|·1e12 ≤ ~2.5e15 — inside BIGINT with 3 decades to spare.
+  def q284NelsonAalen(s: SparkSession, d: String): DataFrame = {
+    val ev = repurchaseLedger(s, d)
+    ev.withColumn("inc", expr(
+        "cast(dd as decimal(38,0)) * 1000000000000 div n"))
+      .withColumn("h_ppm", expr(
+        "cast(sum(inc) over (order by t rows between unbounded preceding" +
+          " and current row) div 1000000 as bigint)"))
+      .select(col("t").as("t_days"), col("n").as("n_risk"),
+        col("dd").as("d_events"), col("h_ppm"))
+      .orderBy(col("t_days"))
+  }
+
+  val q284Sql: String = s"""
+    WITH $survivalLedgerSql
+    SELECT t AS t_days, CAST(n AS BIGINT) AS n_risk, dd AS d_events,
+      CAST(SUM(CAST(dd AS HUGEINT) * 1000000000000 // n)
+        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) // 1000000 AS BIGINT)
+        AS h_ppm
+    FROM ev ORDER BY t_days"""
 
   // ---- q279: ABC-XYZ inventory classification matrix -------------------
   // The two-axis assortment grid supply planning runs on: ABC splits the
@@ -2361,6 +2410,7 @@ object CommerceOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_forecast_backtest" -> q281ForecastBacktest _,
+    "q284_nelson_aalen" -> q284NelsonAalen _,
     "q277_item_cf" -> q277ItemCf _,
     "q278_km_repurchase" -> q278KmRepurchase _,
     "q279_abc_xyz" -> q279AbcXyz _,
@@ -2390,6 +2440,7 @@ object CommerceOps {
 
   val oracles: Map[String, String] = Map(
     "q281_forecast_backtest" -> q281Sql,
+    "q284_nelson_aalen" -> q284Sql,
     "q277_item_cf" -> q277Sql,
     "q278_km_repurchase" -> q278Sql,
     "q279_abc_xyz" -> q279Sql,

@@ -2691,7 +2691,91 @@ object StatsOps {
         ELSE 'weak' END AS band
     FROM fin"""
 
+  // ---- q285: Mann-Kendall trend test (daily order volume) --------------
+  // The non-parametric "is this series trending?" test (Mann 1945,
+  // Kendall 1975) — the monitoring-side complement to q249's CUSUM
+  // (which locates a LEVEL SHIFT; MK detects a monotone DRIFT with no
+  // distributional assumption and no model fit). S = Σ_{i<j}
+  // sgn(y_j − y_i) over day pairs; Var(S)·18 = n(n−1)(2n+5) −
+  // Σ_g t_g(t_g−1)(2t_g+5) over tie groups; significance via the
+  // z² convention shared with q233/q237 (z² in ppm against
+  // 1.96² = 3 841 600): z² = 18·(|S|−1)²/V18 with the continuity
+  // correction, direction reported separately as sgn(S) so no signed
+  // division ever runs.
+  //
+  // Exactness: S, the tie term and V18 are exact integer counts;
+  // the single quotient is 18·(|S|−1)²·1e6 div V18 on Decimal(38,0) ↔
+  // HUGEINT (n ≤ ~2500 days → (|S|−1)² ≤ 1e13, ×18e6 ≈ 2e20 — well
+  // inside). Scale shape: the corpus collapses map-side onto the
+  // |days|-row daily frame; the pair generator is the calendar-bounded
+  // |days|² broadcast self-join (q228/q273's adjudicated class) and
+  // the tie groups come from the bounded value histogram; 1 output row.
+  def q285MannKendall(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("y"))
+      .persist() // pair join reads both sides; ties + n read it again
+    val b = daily.select(col("di").as("dj"), col("y").as("y2"))
+    val sStat = daily.join(broadcast(b), col("di") < col("dj"))
+      .agg(sum(when(col("y2") > col("y"), 1L)
+        .when(col("y2") < col("y"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("tg"))
+      .agg(coalesce(sum(expr(
+        "case when tg > 1 then tg * (tg - 1) * (2 * tg + 5)" +
+          " else 0 end")), lit(0L)).as("tie_term"),
+        count(lit(1)).as("n_levels"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn("z_sq_ppm", expr(
+        """case when var18 <= 0 or abs(s_stat) <= 1 then 0
+           else cast(cast(18 as decimal(38,0)) * (abs(s_stat) - 1)
+             * (abs(s_stat) - 1) * 1000000 div var18 as bigint) end"""))
+      .withColumn("trend_dir", signum(col("s_stat")).cast("long"))
+      .withColumn("band", expr(
+        """case when z_sq_ppm < 3841600 then 'flat'
+             when s_stat > 0 then 'rising' else 'falling' end"""))
+      .select(col("n_days"), col("s_stat"), col("tie_term"),
+        col("var18"), col("trend_dir"), col("z_sq_ppm"), col("band"))
+  }
+
+  val q285Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+          AS di,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    sstat AS (
+      SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+        WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.di < b.di),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN tg > 1
+          THEN tg * (tg - 1) * (2 * tg + 5) ELSE 0 END), 0) AS BIGINT)
+          AS tie_term
+      FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS tg
+            FROM daily GROUP BY 1) g),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    base AS (
+      SELECT s_stat, tie_term, n_days,
+        n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+      FROM sstat CROSS JOIN ties CROSS JOIN nn),
+    fin AS (
+      SELECT *, CASE WHEN var18 <= 0 OR ABS(s_stat) <= 1 THEN 0
+        ELSE CAST(CAST(18 AS HUGEINT) * (ABS(s_stat) - 1)
+          * (ABS(s_stat) - 1) * 1000000 // var18 AS BIGINT) END
+          AS z_sq_ppm
+      FROM base)
+    SELECT n_days, s_stat, tie_term, var18,
+      CAST(SIGN(s_stat) AS BIGINT) AS trend_dir, z_sq_ppm,
+      CASE WHEN z_sq_ppm < 3841600 THEN 'flat'
+        WHEN s_stat > 0 THEN 'rising' ELSE 'falling' END AS band
+    FROM fin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_mann_kendall" -> q285MannKendall _,
     "q283_spearman" -> q283Spearman _,
     "q276_simpson_reversal" -> q276SimpsonReversal _,
     "q273_kendall_tau" -> q273KendallTau _,
@@ -2724,6 +2808,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q285_mann_kendall" -> q285Sql,
     "q283_spearman" -> q283Sql,
     "q276_simpson_reversal" -> q276Sql,
     "q273_kendall_tau" -> q273Sql,

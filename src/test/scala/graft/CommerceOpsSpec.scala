@@ -741,6 +741,48 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q284 Nelson-Aalen hazard matches the q278 fixture by hand") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("na").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        .atStartOfDay())
+    // same observations as the q278 fixture: events t=10 (n=3) and
+    // t=20 (n=2) → increments 1e12 div 3 and 1e12 div 2; cumulative
+    // 333333333333 → 333333 ppm, then 833333333333 → 833333 ppm
+    val rows = Seq((1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(30)),
+      (4L, 20L, ts(0)))
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.CommerceOps.q284NelsonAalen(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("t_days")).toSeq == Seq(10L, 20L))
+    val byT = r.map(x => x.getAs[Long]("t_days") -> x).toMap
+    assert(byT(10L).getAs[Long]("h_ppm") == 333333L)
+    assert(byT(20L).getAs[Long]("h_ppm") == 833333L)
+    spark.catalog.clearCache()
+  }
+
+  test("q284 hazard is non-decreasing and dominates -ln(KM) pointwise at the smoke SF") {
+    val km = ops.CommerceOps.q278KmRepurchase(spark, sf).collect()
+      .map(x => x.getAs[Long]("t_days") -> x.getAs[Long]("s_ppm")).toMap
+    val na = ops.CommerceOps.q284NelsonAalen(spark, sf).collect()
+    assert(na.nonEmpty)
+    val hs = na.map(_.getAs[Long]("h_ppm"))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    // Nelson-Aalen ≤ −ln(KM) always (AM-GM on the increments); with
+    // integer flooring allow 1 ppm slack per step
+    na.foreach { x =>
+      val t = x.getAs[Long]("t_days")
+      val s = km(t)
+      if (s > 0) {
+        val negLn = -math.log(s.toDouble / 1000000.0) * 1000000.0
+        assert(x.getAs[Long]("h_ppm") <= negLn + na.length + 1,
+          s"t=$t h=${x.getAs[Long]("h_ppm")} -ln(km)=$negLn")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q278 survival is monotone non-increasing from 1e6 and BigInt-exact at the smoke SF") {
     val rows = ops.CommerceOps.q278KmRepurchase(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -154,7 +154,23 @@ class PlanSpec extends AnyFunSuite {
     // q270: the 1-row global decile-cut array attaches to the orders
     // scan (the q211 shape) and the 10-row bin spine broadcasts onto
     // the |months| frame
+    // q276: the 1-row pooled-rate frame and 1-row contrast ledger attach
+    // to the ≤|years|-row stratum frame — the q198 shape
+    // q277: the 1-row giant-basket ledger attaches to the head-bounded
+    // neighbor frame — the q196 shape
+    // q278/q284: the 1-row corpus-horizon date attaches to the orders
+    // scan before the censoring split (the q195 max-date shape); q278
+    // additionally collapses the bounded event ledger to ONE row for
+    // the KM recurrence HOF
+    // q279: the 1-row horizon month-count attaches to the |parts| frame
+    // q280: the 1-row node-count frame attaches to the 20-row top-k
+    // q285: the calendar-bounded |days|² pair generator is an intended
+    // broadcast theta join (the q273/q228 shape) plus the 1-row
+    // tie-term and n_days attaches
     val allowed = Set(
+      "q276_simpson_reversal", "q277_item_cf", "q278_km_repurchase",
+      "q279_abc_xyz", "q280_pagerank", "q284_nelson_aalen",
+      "q285_mann_kendall",
       "q269_kcore", "q270_dist_stability",
       "q273_kendall_tau", "q275_basket_triples",
       "q268_ngram_novelty",

@@ -856,6 +856,55 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q285 Mann-Kendall flags a strictly rising series and recounts z²") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mk").toString
+    // 30 days, day i carries i+1 orders → every pair concordant:
+    // S = 30·29/2 = 435, no ties, V18 = 30·29·65 = 56550
+    val rows = for {
+      day <- 0 until 30
+      k <- 0 to day
+    } yield (day.toLong * 1000 + k, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(day.toLong)
+        .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.StatsOps.q285MannKendall(spark, dir).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_days") == 30L)
+    assert(m.getAs[Long]("s_stat") == 435L)
+    assert(m.getAs[Long]("tie_term") == 0L)
+    assert(m.getAs[Long]("var18") == 56550L)
+    assert(m.getAs[Long]("trend_dir") == 1L)
+    assert(m.getAs[Long]("z_sq_ppm") ==
+      (BigInt(18) * 434 * 434 * 1000000 / 56550).toLong)
+    assert(m.getAs[String]("band") == "rising")
+    spark.catalog.clearCache()
+  }
+
+  test("q285 a constant series is fully tied: var18 = 0, flat") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mkflat").toString
+    val rows = for {
+      day <- 0 until 20
+      k <- 0 until 3
+    } yield (day.toLong * 1000 + k, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(day.toLong)
+        .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.StatsOps.q285MannKendall(spark, dir).collect()
+    val m = r.head
+    assert(m.getAs[Long]("s_stat") == 0L)
+    // one tie group of 20: 20·19·45 = 17100 = n(n−1)(2n+5) → var18 = 0
+    assert(m.getAs[Long]("var18") == 0L)
+    assert(m.getAs[Long]("trend_dir") == 0L)
+    assert(m.getAs[Long]("z_sq_ppm") == 0L)
+    assert(m.getAs[String]("band") == "flat")
+    spark.catalog.clearCache()
+  }
+
   test("q283 ties average: a flat-price catalog is rank-degenerate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("spearmanT").toString
