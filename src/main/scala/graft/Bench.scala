@@ -165,7 +165,7 @@ object Bench {
           "q164_source_shrinkage", "q166_dup_flow",
           "q174_threshold_sweep", "q183_dedup_recall",
           "q230_dedup_quality_uplift", "q258_inbatch_collisions",
-          "q269_kcore"),
+          "q269_kcore", "q280_pagerank", "q282_assortativity"),
         () => { ops.DedupOps.bandCandidates(spark, sfDir); () }),
       ("stage_cc_labels",
         Set("q60_dedup_groups", "q102_cluster_canonical",

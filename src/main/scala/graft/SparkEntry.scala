@@ -23,8 +23,11 @@ object SparkEntry {
     * (q217/q225/q228/q235/q236/q238), ≤8-row ledgers with 1-row
     * total attaches (q239/q240), the pair-vocab frame (q252), the
     * top-512 rank frame (q242), the daily two-series frame (q255), the
-    * per-user experiment frames (q248/q262), and the per-group value
-    * histogram (q261). The returned DataFrame is lazy, so the
+    * per-user experiment frames (q248/q262), the per-group value
+    * histogram (q261), the item-support/basket frames (q277), the
+    * doubled dup-graph edge frames (q280/q282), the per-part rank
+    * frame (q283), and the daily order series (q285). The returned
+    * DataFrame is lazy, so the
     * function cannot unpersist after the caller's action; run
     * `spark.catalog.clearCache()` between queries (Verify and Bench do)
     * or the cached blocks outlive the query. Every pinned frame is

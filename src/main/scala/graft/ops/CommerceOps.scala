@@ -2160,6 +2160,120 @@ object CommerceOps {
         AS h_ppm
     FROM ev ORDER BY t_days"""
 
+  // ---- q286: matched-basket price index (Laspeyres/Paasche/Fisher) ------
+  // Index-number theory over the corpus' own transactions (ILO CPI
+  // manual ch. 15; Fisher, "The Making of Index Numbers", 1922): how
+  // much of revenue growth is PRICE vs VOLUME? For each month m vs the
+  // corpus' first month 0, over the matched basket (parts traded in
+  // both months): Laspeyres = Σ p_m·q_0 / Σ p_0·q_0 weights base
+  // volumes (overstates — no substitution), Paasche = Σ p_m·q_m /
+  // Σ p_0·q_m weights current volumes (understates), Fisher is their
+  // geometric mean — the superlative index the other two bracket.
+  // Complements q257's PVM bridge (which decomposes revenue deltas;
+  // this prices a CONSTANT basket).
+  //
+  // Exactness: unit value p_m(part) = cents_m/units_m is a rational;
+  // each cross term floors ONCE as cents_m·units_0 div units_m on
+  // Decimal(38,0) ↔ HUGEINT (≤ 1e13·1e9 = 1e22 at 1e12-order scale),
+  // the four sums are exact, the two ratios floor once into ppm, and
+  // Fisher = ±1-corrected isqrt(L_ppm·P_ppm) (radicand ≤ ~1e16 — deep
+  // inside the raw-seed validity bound). Zero IEEE ops anywhere.
+  //
+  // Scale shape: one lineitem scan collapses onto (part × month); the
+  // base-month frame equi-joins back per part (shuffle on partkey);
+  // the 1-row first-month scalar attaches via broadcast; output is
+  // ≤ |months| rows.
+  def q286PriceIndex(s: SparkSession, d: String): DataFrame = {
+    val pm = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("ym"),
+        toUnits(col("l_quantity"), 0).as("q"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy(col("l_partkey"), col("ym"))
+      .agg(sum(col("q")).as("units"), sum(col("cents")).as("cents"))
+      .filter(col("units") > 0L)
+      .persist() // base slice + every month read it
+    val base = pm.crossJoin(broadcast(pm.agg(min(col("ym")).as("ym0"))))
+      .filter(col("ym") === col("ym0"))
+      .select(col("l_partkey"), col("ym0"),
+        col("units").as("u0"), col("cents").as("c0"))
+    val matched = pm.join(base, Seq("l_partkey"))
+      .filter(col("ym") > col("ym0"))
+    matched
+      .withColumn("l_num", expr(
+        "cast(cents as decimal(38,0)) * u0 div units"))
+      .withColumn("p_den", expr(
+        "cast(c0 as decimal(38,0)) * units div u0"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_matched_parts"),
+        sum(expr("cast(l_num as decimal(38,0))")).as("lnum"),
+        sum(expr("cast(c0 as decimal(38,0))")).as("lden"),
+        sum(expr("cast(cents as decimal(38,0))")).as("pnum"),
+        sum(expr("cast(p_den as decimal(38,0))")).as("pden"))
+      .withColumn("laspeyres_ppm", expr(
+        "cast(lnum * 1000000 div nullif(lden, 0) as bigint)"))
+      .withColumn("paasche_ppm", expr(
+        "cast(pnum * 1000000 div nullif(pden, 0) as bigint)"))
+      .withColumn("f_w2", expr(
+        "cast(laspeyres_ppm as decimal(38,0)) * paasche_ppm"))
+      .withColumn("f_s0", expr(
+        "cast(floor(sqrt(cast(f_w2 as double))) as decimal(38,0))"))
+      .withColumn("fisher_ppm", expr(
+        """case when f_w2 is null then null else cast(
+             case when (f_s0 + 1) * (f_s0 + 1) <= f_w2 then f_s0 + 1
+               when f_s0 * f_s0 > f_w2 then f_s0 - 1 else f_s0 end
+             as bigint) end"""))
+      .select(col("ym"), col("n_matched_parts"), col("laspeyres_ppm"),
+        col("paasche_ppm"), col("fisher_ppm"))
+      .orderBy(col("ym"))
+  }
+
+  val q286Sql: String = """
+    WITH pm AS (
+      SELECT l_partkey,
+        CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+          AS ym,
+        CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+          AS units,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+          + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem
+      GROUP BY 1, 2 HAVING SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) > 0),
+    m0 AS (SELECT MIN(ym) AS ym0 FROM pm),
+    base AS (
+      SELECT l_partkey, ym0, units AS u0, cents AS c0
+      FROM pm CROSS JOIN m0 WHERE ym = ym0),
+    matched AS (
+      SELECT pm.ym, pm.units, pm.cents, b.u0, b.c0
+      FROM pm JOIN base b ON b.l_partkey = pm.l_partkey
+      WHERE pm.ym > b.ym0),
+    agg AS (
+      SELECT ym, CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+        SUM(CAST(cents AS HUGEINT) * u0 // units) AS lnum,
+        SUM(CAST(c0 AS HUGEINT)) AS lden,
+        SUM(CAST(cents AS HUGEINT)) AS pnum,
+        SUM(CAST(c0 AS HUGEINT) * units // u0) AS pden
+      FROM matched GROUP BY 1),
+    ratios AS (
+      SELECT ym, n_matched_parts,
+        CAST(lnum * 1000000 // NULLIF(lden, 0) AS BIGINT)
+          AS laspeyres_ppm,
+        CAST(pnum * 1000000 // NULLIF(pden, 0) AS BIGINT) AS paasche_ppm
+      FROM agg),
+    fis AS (
+      SELECT *, CAST(laspeyres_ppm AS HUGEINT) * paasche_ppm AS f_w2,
+        CAST(FLOOR(SQRT(CAST(CAST(laspeyres_ppm AS HUGEINT) * paasche_ppm
+          AS DOUBLE))) AS HUGEINT) AS f_s0
+      FROM ratios)
+    SELECT ym, n_matched_parts, laspeyres_ppm, paasche_ppm,
+      CASE WHEN f_w2 IS NULL THEN NULL ELSE CAST(
+        CASE WHEN (f_s0 + 1) * (f_s0 + 1) <= f_w2 THEN f_s0 + 1
+          WHEN f_s0 * f_s0 > f_w2 THEN f_s0 - 1 ELSE f_s0 END
+        AS BIGINT) END AS fisher_ppm
+    FROM fis ORDER BY ym"""
+
   // ---- q279: ABC-XYZ inventory classification matrix -------------------
   // The two-axis assortment grid supply planning runs on: ABC splits the
   // catalog by cumulative revenue share (A carries the first 80%, B to
@@ -2411,6 +2525,7 @@ object CommerceOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q281_forecast_backtest" -> q281ForecastBacktest _,
     "q284_nelson_aalen" -> q284NelsonAalen _,
+    "q286_price_index" -> q286PriceIndex _,
     "q277_item_cf" -> q277ItemCf _,
     "q278_km_repurchase" -> q278KmRepurchase _,
     "q279_abc_xyz" -> q279AbcXyz _,
@@ -2441,6 +2556,7 @@ object CommerceOps {
   val oracles: Map[String, String] = Map(
     "q281_forecast_backtest" -> q281Sql,
     "q284_nelson_aalen" -> q284Sql,
+    "q286_price_index" -> q286Sql,
     "q277_item_cf" -> q277Sql,
     "q278_km_repurchase" -> q278Sql,
     "q279_abc_xyz" -> q279Sql,

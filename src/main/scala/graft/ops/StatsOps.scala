@@ -2774,7 +2774,113 @@ object StatsOps {
         WHEN s_stat > 0 THEN 'rising' ELSE 'falling' END AS band
     FROM fin"""
 
+  // ---- q287: Wald-Wolfowitz runs test (daily demand randomness) --------
+  // The third leg of the series-audit tripod: q249 locates a level
+  // shift, q285 detects monotone drift, and the runs test (Wald &
+  // Wolfowitz, AMS 1940) asks whether the SEQUENCE of above/below-
+  // median days is random at all — too FEW runs means regime
+  // clustering (demand sticks high or low for stretches: batching,
+  // promotions, weekly cycles), too MANY means oscillation
+  // (overdispersed day-to-day alternation).
+  //
+  // Median split: the exact lower median of the daily counts from the
+  // bounded value histogram (rank (n+1) div 2 — no sort of the
+  // corpus, only of the ≤|days| distinct values); days with y > med
+  // are 'up' (n1), y ≤ med 'down' (n2) — the tie convention stated
+  // and mirrored. R = number of maximal same-sign runs via one lag
+  // on the bounded day frame.
+  //
+  // Exactness: with A = 2·n1·n2, E[R] = 1 + A/n and Var(R) =
+  // A(A−n)/(n²(n−1)) give z² = (Rn − n − A)²·(n−1)/(A·(A−n)) — every
+  // factor integer, ONE flooring into ppm. Bounds: n ≤ ~2500 days →
+  // (Rn−n−A)² ≤ ~1.5e13, ×(n−1)×1e6 ≈ 4e22 — inside Decimal(38,0)/
+  // HUGEINT. Degenerate guard: A ≤ n (one side nearly empty) → NULL.
+  //
+  // Scale shape: map-side collapse to the |days| frame, bounded
+  // histogram median, one bounded lag window, 1 output row.
+  def q287RunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("y"))
+      .persist() // median histogram + the run scan read it
+    val n1row = daily.agg(count(lit(1)).as("n_days"))
+    val wCum = Window.orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = daily.groupBy(col("y")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .crossJoin(broadcast(n1row))
+      .filter(expr("cum >= (n_days + 1) div 2"))
+      .agg(min(col("y")).as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .withColumn("up", (col("y") > col("med")).cast("long"))
+    val wLag = Window.orderBy(col("di"))
+    val runs = signed
+      .withColumn("prev", lag(col("up"), 1).over(wLag))
+      .agg(sum(when(col("prev").isNull || col("prev") =!= col("up"), 1L)
+          .otherwise(0L)).as("r_runs"),
+        sum(col("up")).as("n1"),
+        sum(lit(1L) - col("up")).as("n2"),
+        count(lit(1)).as("n_days"),
+        max(col("med")).as("median_daily"))
+    runs
+      .withColumn("aa", lit(2L) * col("n1") * col("n2"))
+      .withColumn("dev", expr("r_runs * n_days - n_days - aa"))
+      .withColumn("z_sq_ppm", expr(
+        """case when aa <= n_days or n_days < 2 then null
+           else cast(cast(dev as decimal(38,0)) * dev * (n_days - 1)
+             * 1000000 div (cast(aa as decimal(38,0)) * (aa - n_days))
+             as bigint) end"""))
+      .withColumn("band", expr(
+        """case when z_sq_ppm is null then 'degenerate'
+             when z_sq_ppm < 3841600 then 'random'
+             when dev < 0 then 'clustered' else 'oscillating' end"""))
+      .select(col("n_days"), col("median_daily"), col("n1"), col("n2"),
+        col("r_runs"), col("z_sq_ppm"), col("band"))
+  }
+
+  val q287Sql: String = """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+          AS di,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+    hist AS (
+      SELECT y, CAST(SUM(COUNT(*)) OVER (ORDER BY y
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM daily GROUP BY y),
+    med AS (
+      SELECT MIN(y) AS med FROM hist CROSS JOIN nn
+      WHERE cum >= (n_days + 1) // 2),
+    signed AS (
+      SELECT di, CASE WHEN y > med THEN 1 ELSE 0 END AS up
+      FROM daily CROSS JOIN med),
+    runs AS (
+      SELECT CAST(SUM(CASE WHEN prev IS NULL OR prev <> up THEN 1
+          ELSE 0 END) AS BIGINT) AS r_runs,
+        CAST(SUM(up) AS BIGINT) AS n1,
+        CAST(SUM(1 - up) AS BIGINT) AS n2,
+        CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM (SELECT up, lag(up) OVER (ORDER BY di) AS prev FROM signed) t),
+    base AS (
+      SELECT runs.*, med.med AS median_daily, 2 * n1 * n2 AS aa,
+        r_runs * n_days - n_days - 2 * n1 * n2 AS dev
+      FROM runs CROSS JOIN med),
+    fin AS (
+      SELECT *, CASE WHEN aa <= n_days OR n_days < 2 THEN NULL
+        ELSE CAST(CAST(dev AS HUGEINT) * dev * (n_days - 1) * 1000000
+          // (CAST(aa AS HUGEINT) * (aa - n_days)) AS BIGINT) END
+          AS z_sq_ppm
+      FROM base)
+    SELECT n_days, median_daily, n1, n2, r_runs, z_sq_ppm,
+      CASE WHEN z_sq_ppm IS NULL THEN 'degenerate'
+        WHEN z_sq_ppm < 3841600 THEN 'random'
+        WHEN dev < 0 THEN 'clustered' ELSE 'oscillating' END AS band
+    FROM fin"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_runs_test" -> q287RunsTest _,
     "q285_mann_kendall" -> q285MannKendall _,
     "q283_spearman" -> q283Spearman _,
     "q276_simpson_reversal" -> q276SimpsonReversal _,
@@ -2808,6 +2914,7 @@ object StatsOps {
     "q125_drift_t"      -> q125DriftT _)
 
   val oracles: Map[String, String] = Map(
+    "q287_runs_test" -> q287Sql,
     "q285_mann_kendall" -> q285Sql,
     "q283_spearman" -> q283Sql,
     "q276_simpson_reversal" -> q276Sql,

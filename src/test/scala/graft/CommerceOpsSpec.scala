@@ -713,6 +713,44 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q286 price index pins a planted 50% uniform price rise") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-0$m%01d-15 00:00:00")
+    // base month: p1 10u @ $10/u, p2 5u @ $10/u; Feb: both at $15/u
+    // with shifted volumes (p1 20u, p2 2u) → L = 22500/15000 = 1.5,
+    // P = 33000/22000 = 1.5, Fisher = 1.5 exactly
+    val rows = Seq(
+      (1L, 10.0, 100.0, ts(1)), (2L, 5.0, 50.0, ts(1)),
+      (1L, 20.0, 300.0, ts(2)), (2L, 2.0, 30.0, ts(2)))
+    rows.toDF("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .withColumn("l_discount", lit(0.0))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.CommerceOps.q286PriceIndex(spark, dir).collect()
+    assert(r.length == 1)
+    val m = r.head
+    assert(m.getAs[Long]("ym") == 2024L * 12 + 1)
+    assert(m.getAs[Long]("n_matched_parts") == 2L)
+    assert(m.getAs[Long]("laspeyres_ppm") == 1500000L)
+    assert(m.getAs[Long]("paasche_ppm") == 1500000L)
+    assert(m.getAs[Long]("fisher_ppm") == 1500000L)
+    spark.catalog.clearCache()
+  }
+
+  test("q286 Fisher sits between Paasche and Laspeyres at the smoke SF") {
+    val rows = ops.CommerceOps.q286PriceIndex(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val (l, p, f) = (m.getAs[Long]("laspeyres_ppm"),
+        m.getAs[Long]("paasche_ppm"), m.getAs[Long]("fisher_ppm"))
+      assert(f >= math.min(l, p) - 1 && f <= math.max(l, p) + 1,
+        s"fisher $f outside [$p, $l]")
+      // fisher² brackets the product to the isqrt correction
+      assert((BigInt(f) * f - BigInt(l) * p).abs <= 2 * BigInt(f) + 1)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q278 KM curve matches a hand-computed censored fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("km").toString

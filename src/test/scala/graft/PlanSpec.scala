@@ -167,10 +167,14 @@ class PlanSpec extends AnyFunSuite {
     // q285: the calendar-bounded |days|² pair generator is an intended
     // broadcast theta join (the q273/q228 shape) plus the 1-row
     // tie-term and n_days attaches
+    // q286: the 1-row first-month scalar attaches to the (part × month)
+    // frame before the matched-basket equi-join — the q257 shape
+    // q287: the 1-row day-count, exact-median and run-ledger frames
+    // attach via broadcast crosses — the q249 daily-series shape
     val allowed = Set(
       "q276_simpson_reversal", "q277_item_cf", "q278_km_repurchase",
       "q279_abc_xyz", "q280_pagerank", "q284_nelson_aalen",
-      "q285_mann_kendall",
+      "q285_mann_kendall", "q286_price_index", "q287_runs_test",
       "q269_kcore", "q270_dist_stability",
       "q273_kendall_tau", "q275_basket_triples",
       "q268_ngram_novelty",

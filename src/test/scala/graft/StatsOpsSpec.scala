@@ -905,6 +905,42 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q287 runs test separates clustered from oscillating series") {
+    import spark.implicits._
+    def corpus(alternate: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory("runs").toString
+      // 20 days, ten carrying 1 order and ten carrying 3; clustered =
+      // all lows then all highs (R=2), alternating = 1,3,1,3… (R=20).
+      // med=1 (cum rank 10), n1=n2=10, A=200, |dev|=180 both ways →
+      // z² = 180²·19·1e6 div 36000 = 17 100 000 ppm — same magnitude,
+      // opposite sign of dev decides the band
+      val rows = for {
+        day <- 0 until 20
+        hi = if (alternate) day % 2 == 1 else day >= 10
+        k <- 0 until (if (hi) 3 else 1)
+      } yield (day.toLong * 100 + k, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 5, 1).plusDays(day.toLong)
+          .atStartOfDay()))
+      rows.toDF("o_orderkey", "o_orderdate")
+        .write.parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val cl = ops.StatsOps.q287RunsTest(spark, corpus(alternate = false))
+      .collect().head
+    assert(cl.getAs[Long]("n_days") == 20L)
+    assert(cl.getAs[Long]("median_daily") == 1L)
+    assert(cl.getAs[Long]("n1") == 10L && cl.getAs[Long]("n2") == 10L)
+    assert(cl.getAs[Long]("r_runs") == 2L)
+    assert(cl.getAs[Long]("z_sq_ppm") == 17100000L)
+    assert(cl.getAs[String]("band") == "clustered")
+    val os = ops.StatsOps.q287RunsTest(spark, corpus(alternate = true))
+      .collect().head
+    assert(os.getAs[Long]("r_runs") == 20L)
+    assert(os.getAs[Long]("z_sq_ppm") == 17100000L)
+    assert(os.getAs[String]("band") == "oscillating")
+    spark.catalog.clearCache()
+  }
+
   test("q283 ties average: a flat-price catalog is rank-degenerate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("spearmanT").toString
