@@ -2274,6 +2274,105 @@ object CommerceOps {
         AS BIGINT) END AS fisher_ppm
     FROM fis ORDER BY ym"""
 
+  // ---- q289: stockout-gap suspects (inter-sale gap audit) ---------------
+  // Demand history shows stockouts as SILENCE: a part that normally
+  // sells every few days going quiet for weeks is more likely
+  // unavailable than unwanted (the censored-demand problem every
+  // forecaster must clean before fitting — a model trained on stockout
+  // zeros learns phantom seasonality). Per part: the maximal gap
+  // between consecutive sale DAYS (plus the trailing gap to the corpus
+  // horizon — an ongoing stockout has its longest gap still open) in
+  // ratio to the expected gap horizon/n_sale_days. gap_ratio =
+  // max_gap·n_days/horizon ≥ 5 with n_days ≥ 12 flags a suspect; the
+  // exact global top-20 by (ratio, part) ships with the corpus suspect
+  // count so quiet catalogs still return a frame.
+  //
+  // Exactness: gaps and counts are integers; gap_ratio_ppm =
+  // max_gap·n_days·1e6 div horizon floors once (≤ 2.5e3·2.5e3·1e6 ≈
+  // 6e12 — BIGINT-safe even before the Decimal staging); the flag is
+  // the cross-multiplication max_gap·n_days ≥ 5·horizon.
+  //
+  // Scale shape: one lineitem scan collapses onto distinct (part,
+  // sale-day); the gap window is PARTITIONED by part (scales); the
+  // 1-row horizon attaches by broadcast; the report is an exact
+  // TakeOrdered top-20.
+  private[graft] val StockoutMinDays = 12L
+  private[graft] val StockoutRatio = 5L
+
+  def q289StockoutGaps(s: SparkSession, d: String): DataFrame = {
+    val sales = Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        col("l_shipdate").cast("date").as("sd")).distinct()
+    val horizon = sales.agg(min(col("sd")).as("h0"), max(col("sd")).as("h1"))
+    val wPart = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("sd").asc)
+    val gaps = sales
+      .withColumn("nxt", lead(col("sd"), 1).over(wPart))
+      .crossJoin(broadcast(horizon))
+      .withColumn("gap",
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("sd")))
+          .otherwise(datediff(col("h1"), col("sd"))).cast("long"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_sale_days"), max(col("gap")).as("max_gap"),
+        max(expr("datediff(h1, h0)")).cast("long").as("horizon_days"))
+      .filter(col("n_sale_days") >= StockoutMinDays &&
+        col("horizon_days") > 0L)
+    val scored = gaps
+      .withColumn("gap_ratio_ppm", expr(
+        "cast(cast(max_gap as decimal(38,0)) * n_sale_days * 1000000" +
+          " div horizon_days as bigint)"))
+      .withColumn("is_suspect", expr(
+        s"max_gap * n_sale_days >= $StockoutRatio * horizon_days"))
+      .persist() // suspect count + top-20 read it
+    val nSus = scored.agg(
+      sum(when(col("is_suspect"), 1L).otherwise(0L)).as("n_suspects"))
+    scored.orderBy(col("gap_ratio_ppm").desc, col("l_partkey").asc)
+      .limit(20)
+      .crossJoin(broadcast(nSus))
+      .select(col("l_partkey"), col("n_sale_days"), col("max_gap"),
+        col("horizon_days"), col("gap_ratio_ppm"), col("is_suspect"),
+        col("n_suspects"))
+      .orderBy(col("gap_ratio_ppm").desc, col("l_partkey").asc)
+  }
+
+  val q289Sql: String = s"""
+    WITH sales AS (
+      SELECT DISTINCT l_partkey, CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem),
+    hz AS (SELECT MIN(sd) AS h0, MAX(sd) AS h1 FROM sales),
+    gaps AS (
+      SELECT l_partkey,
+        CAST(COUNT(*) AS BIGINT) AS n_sale_days,
+        CAST(MAX(gap) AS BIGINT) AS max_gap,
+        CAST(MAX(date_diff('day', h0, h1)) AS BIGINT) AS horizon_days
+      FROM (
+        SELECT l_partkey, h0, h1,
+          CASE WHEN nxt IS NOT NULL THEN date_diff('day', sd, nxt)
+            ELSE date_diff('day', sd, h1) END AS gap
+        FROM (SELECT l_partkey, sd,
+                lead(sd) OVER (PARTITION BY l_partkey ORDER BY sd) AS nxt
+              FROM sales) x CROSS JOIN hz) g
+      GROUP BY 1
+      HAVING COUNT(*) >= $StockoutMinDays
+        AND MAX(date_diff('day', h0, h1)) > 0),
+    scored AS (
+      SELECT *, CAST(CAST(max_gap AS HUGEINT) * n_sale_days * 1000000
+          // horizon_days AS BIGINT) AS gap_ratio_ppm,
+        max_gap * n_sale_days >= $StockoutRatio * horizon_days
+          AS is_suspect
+      FROM gaps),
+    ns AS (
+      SELECT CAST(SUM(CASE WHEN is_suspect THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_suspects
+      FROM scored),
+    top AS (
+      SELECT * FROM scored
+      ORDER BY gap_ratio_ppm DESC, l_partkey LIMIT 20)
+    SELECT l_partkey, n_sale_days, max_gap, horizon_days, gap_ratio_ppm,
+      is_suspect, n_suspects
+    FROM top CROSS JOIN ns
+    ORDER BY gap_ratio_ppm DESC, l_partkey"""
+
   // ---- q279: ABC-XYZ inventory classification matrix -------------------
   // The two-axis assortment grid supply planning runs on: ABC splits the
   // catalog by cumulative revenue share (A carries the first 80%, B to
@@ -2526,6 +2625,7 @@ object CommerceOps {
     "q281_forecast_backtest" -> q281ForecastBacktest _,
     "q284_nelson_aalen" -> q284NelsonAalen _,
     "q286_price_index" -> q286PriceIndex _,
+    "q289_stockout_gaps" -> q289StockoutGaps _,
     "q277_item_cf" -> q277ItemCf _,
     "q278_km_repurchase" -> q278KmRepurchase _,
     "q279_abc_xyz" -> q279AbcXyz _,
@@ -2557,6 +2657,7 @@ object CommerceOps {
     "q281_forecast_backtest" -> q281Sql,
     "q284_nelson_aalen" -> q284Sql,
     "q286_price_index" -> q286Sql,
+    "q289_stockout_gaps" -> q289Sql,
     "q277_item_cf" -> q277Sql,
     "q278_km_repurchase" -> q278Sql,
     "q279_abc_xyz" -> q279Sql,

@@ -2879,7 +2879,114 @@ object StatsOps {
         WHEN dev < 0 THEN 'clustered' ELSE 'oscillating' END AS band
     FROM fin"""
 
+  // ---- q288: MAD robust anomaly days (modified z-score) ----------------
+  // The outlier-day detector that survives its own outliers: mean/σ
+  // rules (q219's EWMA limits) are dragged by the very spikes they
+  // hunt; the Iglewicz-Hoaglin modified z-score M = 0.6745·(y−med)/MAD
+  // (NIST/SEMATECH e-handbook §1.3.5.17) uses the median and the
+  // median absolute deviation — 50% breakdown point — and flags
+  // |M| ≥ 3.5. Zero-order days are REAL candidate anomalies, so the
+  // series is the gap-filled daily spine (the q281 lesson).
+  //
+  // Exactness: med and MAD are exact lower medians from two bounded
+  // value histograms (rank (n+1) div 2 — never a corpus sort); the
+  // flag is the integer cross-multiplication 6745·d·2 ≥ 7·10⁴·MAD
+  // (⟺ 0.6745·d/MAD ≥ 3.5), and mz_ppm = 674500·d div MAD floors
+  // once. MAD = 0 (over half the days identical) degrades loudly:
+  // mz NULL, any deviating day flagged. Output is the exact top-10
+  // by (deviation, day) with an is_anomaly verdict and the corpus
+  // anomaly count attached — never just the flagged subset, so the
+  // frame is non-empty on quiet corpora too.
+  def q288MadAnomalies(s: SparkSession, d: String): DataFrame = {
+    val daily0 = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+        .cast("long").as("di"))
+      .groupBy(col("di")).agg(count(lit(1)).as("y"))
+    val bounds = daily0.agg(min(col("di")).as("mn"), max(col("di")).as("mx"))
+    val daily = bounds.select(explode(expr("sequence(mn, mx)")).as("di"))
+      .join(daily0, Seq("di"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+      .persist() // two medians + the flag scan read it
+    def lowerMedian(src: DataFrame, c: String, out: String): DataFrame = {
+      val wc = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      src.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .crossJoin(broadcast(src.agg(count(lit(1)).as("n_all"))))
+        .filter(expr("cum >= (n_all + 1) div 2"))
+        .agg(min(col(c)).as(out))
+    }
+    val med = lowerMedian(daily, "y", "med")
+    val devs = daily.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("y") - col("med")))
+      .persist() // MAD histogram + the scored scan read it
+    val mad = lowerMedian(devs, "dev", "mad")
+    val scored = devs.crossJoin(broadcast(mad))
+      .withColumn("mz_ppm", expr(
+        "cast(cast(674500 as decimal(38,0)) * dev div nullif(mad, 0)" +
+          " as bigint)"))
+      .withColumn("is_anomaly",
+        expr("case when mad = 0 then dev > 0" +
+          " else 13490 * dev >= 70000 * mad end"))
+    val nAnom = scored.agg(
+      sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+    scored.orderBy(col("dev").desc, col("di").asc).limit(10)
+      .crossJoin(broadcast(nAnom))
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("di").cast("int"))
+          .as("day"),
+        col("y"), col("med"), col("mad"), col("dev"), col("mz_ppm"),
+        col("is_anomaly"), col("n_anomalies"))
+      .orderBy(col("dev").desc, col("day").asc)
+  }
+
+  val q288Sql: String = """
+    WITH daily0 AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+          AS di,
+        CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    bounds AS (SELECT MIN(di) AS mn, MAX(di) AS mx FROM daily0),
+    daily AS (
+      SELECT s.di, COALESCE(d.y, 0) AS y
+      FROM (SELECT unnest(generate_series(mn, mx)) AS di FROM bounds) s
+      LEFT JOIN daily0 d ON d.di = s.di),
+    nall AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM daily),
+    med AS (
+      SELECT MIN(y) AS med FROM (
+        SELECT y, CAST(SUM(COUNT(*)) OVER (ORDER BY y
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM daily GROUP BY y) h CROSS JOIN nall
+      WHERE cum >= (n_all + 1) // 2),
+    devs AS (
+      SELECT di, y, med, ABS(y - med) AS dev
+      FROM daily CROSS JOIN med),
+    mad AS (
+      SELECT MIN(dev) AS mad FROM (
+        SELECT dev, CAST(SUM(COUNT(*)) OVER (ORDER BY dev
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM devs GROUP BY dev) h CROSS JOIN nall
+      WHERE cum >= (n_all + 1) // 2),
+    scored AS (
+      SELECT di, y, med, mad.mad, dev,
+        CAST(CAST(674500 AS HUGEINT) * dev // NULLIF(mad.mad, 0)
+          AS BIGINT) AS mz_ppm,
+        CASE WHEN mad.mad = 0 THEN dev > 0
+          ELSE 13490 * dev >= 70000 * mad.mad END AS is_anomaly
+      FROM devs CROSS JOIN mad),
+    na AS (
+      SELECT CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_anomalies
+      FROM scored),
+    top AS (
+      SELECT * FROM scored ORDER BY dev DESC, di LIMIT 10)
+    SELECT DATE '1970-01-01' + CAST(di AS INTEGER) AS day, y, med,
+      mad, dev, mz_ppm, is_anomaly, n_anomalies
+    FROM top CROSS JOIN na
+    ORDER BY dev DESC, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_mad_anomalies" -> q288MadAnomalies _,
     "q287_runs_test" -> q287RunsTest _,
     "q285_mann_kendall" -> q285MannKendall _,
     "q283_spearman" -> q283Spearman _,
@@ -2915,6 +3022,7 @@ object StatsOps {
 
   val oracles: Map[String, String] = Map(
     "q287_runs_test" -> q287Sql,
+    "q288_mad_anomalies" -> q288Sql,
     "q285_mann_kendall" -> q285Sql,
     "q283_spearman" -> q283Sql,
     "q276_simpson_reversal" -> q276Sql,

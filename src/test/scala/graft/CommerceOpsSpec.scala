@@ -751,6 +751,38 @@ class CommerceOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q289 flags a planted mid-horizon silence as a stockout suspect") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stockout").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(day.toLong)
+        .atStartOfDay())
+    // horizon = days 0..29 (29 horizon days). part 1 sells daily
+    // (max_gap 1, 1·30 < 5·29 → clean); part 2 sells days 0..11 then
+    // goes silent (trailing gap 18, 18·12 = 216 ≥ 145 → suspect);
+    // part 3 has only 5 sale days → below the n≥12 floor, dropped
+    val rows =
+      (0 until 30).map(i => (1L, ts(i))) ++
+        (0 until 12).map(i => (2L, ts(i))) ++
+        (0 until 5).map(i => (3L, ts(i * 7)))
+    rows.toDF("l_partkey", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val r = ops.CommerceOps.q289StockoutGaps(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("l_partkey")).toSeq == Seq(2L, 1L))
+    val p2 = r.head
+    assert(p2.getAs[Long]("n_sale_days") == 12L)
+    assert(p2.getAs[Long]("max_gap") == 18L)
+    assert(p2.getAs[Long]("horizon_days") == 29L)
+    assert(p2.getAs[Long]("gap_ratio_ppm") ==
+      (BigInt(18) * 12 * 1000000 / 29).toLong)
+    assert(p2.getAs[Boolean]("is_suspect"))
+    val p1 = r(1)
+    assert(p1.getAs[Long]("max_gap") == 1L)
+    assert(!p1.getAs[Boolean]("is_suspect"))
+    assert(r.forall(_.getAs[Long]("n_suspects") == 1L))
+    spark.catalog.clearCache()
+  }
+
   test("q278 KM curve matches a hand-computed censored fixture") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("km").toString

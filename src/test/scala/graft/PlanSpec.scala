@@ -171,7 +171,12 @@ class PlanSpec extends AnyFunSuite {
     // frame before the matched-basket equi-join — the q257 shape
     // q287: the 1-row day-count, exact-median and run-ledger frames
     // attach via broadcast crosses — the q249 daily-series shape
+    // q288: the 1-row median/MAD/anomaly-count scalars attach to the
+    // gap-filled daily spine the same way
+    // q289: the 1-row sale-horizon and suspect-count frames attach to
+    // the per-part gap frame — the q195 max-date shape
     val allowed = Set(
+      "q288_mad_anomalies", "q289_stockout_gaps",
       "q276_simpson_reversal", "q277_item_cf", "q278_km_repurchase",
       "q279_abc_xyz", "q280_pagerank", "q284_nelson_aalen",
       "q285_mann_kendall", "q286_price_index", "q287_runs_test",

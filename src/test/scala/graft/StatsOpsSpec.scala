@@ -941,6 +941,78 @@ class StatsOpsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q288 flags a planted spike and a planted outage day by MAD") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    // 21 days at 10 orders, one day at 40 (spike), one day with ZERO
+    // (outage — only present via the gap-filled spine). n=23, med=10,
+    // devs: {0×21, 30, 10} → MAD=0 → loud degrade: mz NULL, every
+    // deviating day anomalous (the spike AND the outage), n_anomalies=2
+    val counts = (0 until 23).map {
+      case 10 => 40
+      case 15 => 0
+      case _ => 10
+    }
+    val rows = for {
+      day <- 0 until 23
+      k <- 0 until counts(day)
+    } yield (day.toLong * 100 + k, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 7, 1).plusDays(day.toLong)
+        .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.StatsOps.q288MadAnomalies(spark, dir).collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getAs[Long]("n_anomalies") == 2L))
+    assert(r.forall(_.getAs[Long]("med") == 10L))
+    assert(r.forall(_.getAs[Long]("mad") == 0L))
+    val top = r.head
+    assert(top.getAs[java.sql.Date]("day").toString == "2024-07-11")
+    assert(top.getAs[Long]("dev") == 30L)
+    assert(top.getAs[Boolean]("is_anomaly"))
+    val second = r(1)
+    assert(second.getAs[java.sql.Date]("day").toString == "2024-07-16")
+    assert(second.getAs[Long]("y") == 0L)
+    assert(second.getAs[Boolean]("is_anomaly"))
+    assert(r.drop(2).forall(!_.getAs[Boolean]("is_anomaly")))
+    spark.catalog.clearCache()
+  }
+
+  test("q288 modified z recounts against the 3.5 threshold when MAD > 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mad2").toString
+    // cycling 9/10/11 over 21 days: med=10 (lower-median rank 11 lands
+    // in the 10-block) and MAD=1 (6 zero-devs < rank 11 → dev 1); the
+    // planted day at 20 has dev=10, mz = 674500·10 = 6 745 000 ≥ 3.5e6
+    // → the only anomaly
+    val counts = (0 until 21).map {
+      case 7 => 20
+      case i => 9 + (i % 3)
+    }
+    val rows = for {
+      day <- 0 until 21
+      k <- 0 until counts(day)
+    } yield (day.toLong * 100 + k, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 7, 1).plusDays(day.toLong)
+        .atStartOfDay()))
+    rows.toDF("o_orderkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val r = ops.StatsOps.q288MadAnomalies(spark, dir).collect()
+    assert(r.forall(_.getAs[Long]("mad") == 1L))
+    assert(r.forall(_.getAs[Long]("n_anomalies") == 1L))
+    val top = r.head
+    assert(top.getAs[Long]("dev") == 10L)
+    assert(top.getAs[Long]("mz_ppm") == 6745000L)
+    assert(top.getAs[Boolean]("is_anomaly"))
+    r.foreach { x =>
+      if (x.getAs[Long]("mad") > 0)
+        assert(x.getAs[Long]("mz_ppm") ==
+          (BigInt(674500) * x.getAs[Long]("dev") /
+            BigInt(x.getAs[Long]("mad"))).toLong)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q283 ties average: a flat-price catalog is rank-degenerate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("spearmanT").toString
