@@ -2602,7 +2602,158 @@ object SimOps {
     ORDER BY dim"""
   }
 
+  // ---- q290: embedding ingestion-drift monitor --------------------------
+  // Does the embedding DISTRIBUTION move as the corpus grows? A training
+  // pipeline appending shards over time needs to know when new data
+  // stops looking like old data (encoder version bump, source mix
+  // shift, silent preprocessing change) BEFORE it trains on the mix.
+  // The corpus is cut into 8 ingestion octiles by vec_id span (the
+  // q268 id-span bucketing — ingestion order is the id order) and each
+  // adjacent pair is compared by the cosine of their CENTROID
+  // directions — computed on the per-slice quantized SUM vectors, which
+  // point the same way as the centroids (cosine is scale-invariant), so
+  // no per-slice division ever happens.
+  //
+  // Exactness: per-dim slice sums are exact BIGINT (the q165/q243
+  // element_at hash-aggregate — one row of D sums per slice, never
+  // corpus × D exploded rows); dot and squared norms are exact
+  // Decimal(38,0)/HUGEINT identities (≤ 64·(2e15)² ≈ 2.6e32 at a
+  // billion vectors per slice — past the raw double seed's 3.6e31, so
+  // the roots use the q272 Newton posture); the cosine resolves through
+  // the q283 staged quotient with sign split and the |cos| ≤ 1 ppm
+  // clamp. Scale shape: one scan, an 8-row aggregate, a 7-pair
+  // consecutive join on a broadcast 8-row frame; output ≤ 7 rows.
+  def q290EmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d).withColumn("qa", qaExpr)
+    val span = base.agg(min(col("vec_id")).as("mn"),
+      max(col("vec_id")).as("mx"))
+    val sums = (0 until D).map(i =>
+      sum(element_at(col("qa"), i + 1)).as(s"s$i"))
+    val perSlice = base.crossJoin(broadcast(span))
+      .withColumn("slice", expr(
+        "cast((vec_id - mn) * 8 div (mx - mn + 1) as bigint)"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .withColumn("sarr", array((0 until D).map(i => col(s"s$i")): _*))
+      .select(col("slice"), col("n"), col("sarr"))
+      .persist() // both sides of the consecutive-pair join read it
+    val nxt = perSlice.select(col("slice").as("slice2"),
+      col("n").as("n2"), col("sarr").as("sarr2"))
+    val pairs = perSlice
+      .join(broadcast(nxt), col("slice2") === col("slice") + 1)
+      .withColumn("num", expr(
+        "aggregate(zip_with(sarr, sarr2, (x, y) ->" +
+          " cast(x as decimal(38,0)) * y)," +
+          " cast(0 as decimal(38,0)), (acc, x) -> acc + x)"))
+      .withColumn("va", expr(
+        "aggregate(sarr, cast(0 as decimal(38,0))," +
+          " (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+      .withColumn("vb", expr(
+        "aggregate(sarr2, cast(0 as decimal(38,0))," +
+          " (acc, x) -> acc + cast(x as decimal(38,0)) * x)"))
+    val withRoots = Seq("va" -> "sa", "vb" -> "sb")
+      .foldLeft(pairs) { case (df, (w2, p)) =>
+        df.withColumn(s"${p}_s0", expr(
+            s"cast(floor(sqrt(cast($w2 as double))) as decimal(38,0))"))
+          .withColumn(s"${p}_s1", expr(
+            s"case when ${p}_s0 <= 0 then ${p}_s0 else" +
+              s" cast(($w2 div ${p}_s0 + ${p}_s0) div 2 as decimal(38,0))" +
+              " end"))
+          .withColumn(s"${p}_s2", expr(
+            s"case when ${p}_s1 <= 0 then ${p}_s1 else" +
+              s" cast(($w2 div ${p}_s1 + ${p}_s1) div 2 as decimal(38,0))" +
+              " end"))
+          .withColumn(p, expr(
+            s"case when (${p}_s2 + 1) * (${p}_s2 + 1) <= $w2" +
+              s" then ${p}_s2 + 1 when ${p}_s2 * ${p}_s2 > $w2" +
+              s" then ${p}_s2 - 1 else ${p}_s2 end"))
+      }
+    withRoots
+      .withColumn("cos_ppm", expr(
+        """case when sa is null or sb is null or sa = 0 or sb = 0 then null
+             when num >= 0 then
+               least(1000000L, cast((cast(num div sa as decimal(38,0))
+                 * 1000000 + (num % sa) * 1000000 div sa) div sb
+                 as bigint))
+             else
+               -least(1000000L, cast((cast((-num) div sa as decimal(38,0))
+                 * 1000000 + ((-num) % sa) * 1000000 div sa) div sb
+                 as bigint))
+           end"""))
+      .withColumn("band",
+        when(col("cos_ppm").isNull, "degenerate")
+          .when(col("cos_ppm") >= 995000L, "stable")
+          .when(col("cos_ppm") >= 950000L, "drifting")
+          .otherwise("shifted"))
+      .select(col("slice").as("from_slice"), col("n").as("n_prev"),
+        col("n2").as("n_cur"), col("cos_ppm"), col("band"))
+      .orderBy(col("from_slice"))
+  }
+
+  val q290Sql: String = {
+    def isqrtCtes(w2: String, p: String, from: String, next: String) =
+      s"""${p}0 AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST($w2 AS DOUBLE))) AS HUGEINT)
+        AS ${p}_s0 FROM $from),
+    ${p}1 AS (
+      SELECT *, CASE WHEN ${p}_s0 <= 0 THEN ${p}_s0
+        ELSE ($w2 // ${p}_s0 + ${p}_s0) // 2 END AS ${p}_s1 FROM ${p}0),
+    ${p}2 AS (
+      SELECT *, CASE WHEN ${p}_s1 <= 0 THEN ${p}_s1
+        ELSE ($w2 // ${p}_s1 + ${p}_s1) // 2 END AS ${p}_s2 FROM ${p}1),
+    $next AS (
+      SELECT *, CASE WHEN (${p}_s2 + 1) * (${p}_s2 + 1) <= $w2
+          THEN ${p}_s2 + 1
+        WHEN ${p}_s2 * ${p}_s2 > $w2 THEN ${p}_s2 - 1
+        ELSE ${p}_s2 END AS $p FROM ${p}2)"""
+    s"""
+    WITH q AS (SELECT vec_id, $sqlQa AS qa FROM embeddings),
+    span AS (SELECT MIN(vec_id) AS mn, MAX(vec_id) AS mx FROM q),
+    sliced AS (
+      SELECT (vec_id - mn) * 8 // (mx - mn + 1) AS slice, qa
+      FROM q CROSS JOIN span),
+    dims AS (
+      SELECT slice, i, CAST(SUM(qa[i]) AS HUGEINT) AS sv
+      FROM sliced CROSS JOIN (SELECT unnest(range(1, $D + 1)) AS i) ds
+      GROUP BY 1, 2),
+    ns AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n
+           FROM sliced GROUP BY 1),
+    norms AS (SELECT slice, SUM(sv * sv) AS w2 FROM dims GROUP BY 1),
+    dots AS (
+      SELECT a.slice AS sl, SUM(a.sv * b.sv) AS num
+      FROM dims a JOIN dims b ON b.slice = a.slice + 1 AND b.i = a.i
+      GROUP BY 1),
+    base AS (
+      SELECT sl, num, na.w2 AS va, nb.w2 AS vb,
+        n1.n AS n_prev, n2.n AS n_cur
+      FROM dots
+      JOIN norms na ON na.slice = sl
+      JOIN norms nb ON nb.slice = sl + 1
+      JOIN ns n1 ON n1.slice = sl
+      JOIN ns n2 ON n2.slice = sl + 1),
+    ${isqrtCtes("va", "sa", "base", "wa")},
+    ${isqrtCtes("vb", "sb", "wa", "wb")},
+    fin AS (
+      SELECT sl, n_prev, n_cur, CASE
+          WHEN sa IS NULL OR sb IS NULL OR sa = 0 OR sb = 0 THEN NULL
+          WHEN num >= 0 THEN
+            LEAST(1000000, CAST(((num // sa) * 1000000
+              + (num % sa) * 1000000 // sa) // sb AS BIGINT))
+          ELSE
+            -LEAST(1000000, CAST((((-num) // sa) * 1000000
+              + ((-num) % sa) * 1000000 // sa) // sb AS BIGINT))
+        END AS cos_ppm
+      FROM wb)
+    SELECT CAST(sl AS BIGINT) AS from_slice, n_prev, n_cur, cos_ppm,
+      CASE WHEN cos_ppm IS NULL THEN 'degenerate'
+        WHEN cos_ppm >= 995000 THEN 'stable'
+        WHEN cos_ppm >= 950000 THEN 'drifting'
+        ELSE 'shifted' END AS band
+    FROM fin ORDER BY from_slice"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_embedding_drift" -> q290EmbeddingDrift _,
     "q274_power_iteration" -> q274PowerIteration _,
     "q227_assortativity"  -> q227Assortativity _,
     "q151_embedding_hygiene" -> q151EmbeddingHygiene _,
@@ -2632,6 +2783,7 @@ object SimOps {
     "q142_int8_quant"     -> q142Int8Quant _)
 
   val oracles: Map[String, String] = Map(
+    "q290_embedding_drift" -> q290Sql,
     "q274_power_iteration" -> q274Sql,
     "q227_assortativity"  -> q227Sql,
     "q151_embedding_hygiene" -> q151Sql,

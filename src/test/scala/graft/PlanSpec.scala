@@ -175,8 +175,10 @@ class PlanSpec extends AnyFunSuite {
     // gap-filled daily spine the same way
     // q289: the 1-row sale-horizon and suspect-count frames attach to
     // the per-part gap frame — the q195 max-date shape
+    // q290: the 1-row vec_id-span frame attaches to the embeddings scan
+    // before the octile bucketing — the q268 shape
     val allowed = Set(
-      "q288_mad_anomalies", "q289_stockout_gaps",
+      "q288_mad_anomalies", "q289_stockout_gaps", "q290_embedding_drift",
       "q276_simpson_reversal", "q277_item_cf", "q278_km_repurchase",
       "q279_abc_xyz", "q280_pagerank", "q284_nelson_aalen",
       "q285_mann_kendall", "q286_price_index", "q287_runs_test",

@@ -720,6 +720,47 @@ class SimOpsSpec extends AnyFunSuite {
     assert((3L to 64L).forall(i => byDim(i).getAs[Long]("var_q2") == 0L))
   }
 
+  test("q290 drift monitor pins stable prefixes and a planted octile shift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edrift").toString
+    // 80 vectors (8 exact octiles of 10 by vec_id span): slices 0..6
+    // all along e1, slice 7 along e2 — orthogonal. Six adjacent pairs
+    // read cos = 1 (clamped ppm) 'stable'; the 6→7 pair reads 0 →
+    // 'shifted'
+    def vec(dim: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == dim) x else 0.0f)
+    val rows = (0L until 70L).map(i => (i, vec(0, 1.0f), 0)) ++
+      (70L until 80L).map(i => (i, vec(1, 1.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = ops.SimOps.q290EmbeddingDrift(spark, dir).collect()
+    assert(r.map(_.getAs[Long]("from_slice")).toSeq == (0L to 6L).toSeq)
+    assert(r.forall(x => x.getAs[Long]("n_prev") == 10L &&
+      x.getAs[Long]("n_cur") == 10L))
+    r.take(6).foreach { x =>
+      assert(x.getAs[Long]("cos_ppm") == 1000000L)
+      assert(x.getAs[String]("band") == "stable")
+    }
+    assert(r.last.getAs[Long]("cos_ppm") == 0L)
+    assert(r.last.getAs[String]("band") == "shifted")
+    spark.catalog.clearCache()
+  }
+
+  test("q290 a flipped-sign octile reads cos = -1e6") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("edriftneg").toString
+    def vec(x: Float): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == 0) x else 0.0f)
+    val rows = (0L until 70L).map(i => (i, vec(1.0f), 0)) ++
+      (70L until 80L).map(i => (i, vec(-1.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val r = ops.SimOps.q290EmbeddingDrift(spark, dir).collect()
+    assert(r.last.getAs[Long]("cos_ppm") == -1000000L)
+    assert(r.last.getAs[String]("band") == "shifted")
+    spark.catalog.clearCache()
+  }
+
   test("q274 power iteration recovers the planted dominant axis exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("powit").toString
