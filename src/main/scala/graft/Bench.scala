@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // layout-adaptive scan-parallelism floor (Tables.maybeSpread):
+      // single-row-group fixture scans would otherwise pin every narrow
+      // per-row operator to one core regardless of SPARK_GRAFT_CPUS
+      .config("spark.graft.scan.autoParallelize",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_SPREAD", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the shared machinery (JVM, parquet reader, shuffle, codegen

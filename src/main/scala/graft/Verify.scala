@@ -58,6 +58,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // layout-adaptive scan-parallelism floor (Tables.maybeSpread): set
+      // in BOTH driver-contract mains so the correctness gate runs the
+      // exact plans the bench times
+      .config("spark.graft.scan.autoParallelize",
+        sys.env.getOrElse("SPARK_GRAFT_SCAN_SPREAD", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // start from a clean stage registry — pinned stages from any prior
